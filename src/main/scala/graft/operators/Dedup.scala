@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Distributed deduplication operators for training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one shuffle on a 16-byte hash — the minimum possible;
+  *  - MinHash/LSH turns the O(n²) pair problem into a shuffle on band
+  *    buckets; bucket skew is bounded because signatures are uniform;
+  *  - candidate verification joins only within buckets, never cross.
+  *
+  * MinHash here uses `min(md5(seed || shingle))` per seed — deterministic,
+  * engine-portable (the DuckDB oracle computes the identical value), and a
+  * valid min-wise permutation family for Jaccard estimation.
+  */
+object Dedup {
+
+  /** Canonical-row exact dedup: group on normalized-content hash, keep the
+    * smallest id. One shuffle; partial agg does the map-side combine.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** One MinHash value: min over shingles of md5(seed || shingle). */
+  def minhashValue(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(seed.toString), lit("|"), sh))))
+
+  /** MinHash signature of `k` hashes over character `n`-gram shingles. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = charShingles(text, n)
+    array((0 until k).map(i => minhashValue(sh, i)): _*)
+  }
+
+  /** LSH band keys: signature split into `bands` groups of `rowsPerBand`,
+    * each band hashed to one bucket key.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", lit(b.toString),
+        concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), verified with
+    * true shingle-set Jaccard >= `threshold`.
+    *
+    * Plan shape: explode band keys → shuffle on (band, bucket) → within-
+    * bucket self-join → distinct pairs → verify. No cross-bucket pairs are
+    * ever materialized, so this survives 100× scale-up.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val withSig = docs.select(
+      col(idCol).as("id"), col(textCol).as("text"),
+      lshBandKeys(minhashSignature(col(textCol), shingleN, k), bands, k / bands)
+        .as("band_keys"))
+    val buckets = withSig
+      .select(col("id"), col("text"), explode(col("band_keys")).as("bucket"))
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.text").as("t1"), col("b.text").as("t2"))
+      .distinct()
+    pairs
+      .withColumn("jaccard", round(jaccardShingles(col("t1"), col("t2"), shingleN), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** True Jaccard over distinct character n-gram shingle sets. */
+  def jaccardShingles(t1: Column, t2: Column, n: Int): Column = {
+    val s1 = array_distinct(charShingles(t1, n))
+    val s2 = array_distinct(charShingles(t2, n))
+    size(array_intersect(s1, s2)).cast("double") /
+      greatest(size(array_union(s1, s2)), lit(1)).cast("double")
+  }
+
+  /** Jaccard over distinct whitespace-token sets (vocabulary overlap). */
+  def jaccardTokens(t1: Column, t2: Column): Column = {
+    val s1 = array_distinct(tokens(t1))
+    val s2 = array_distinct(tokens(t2))
+    size(array_intersect(s1, s2)).cast("double") /
+      greatest(size(array_union(s1, s2)), lit(1)).cast("double")
+  }
+
+  /** 64-bit SimHash over whitespace tokens. Per token, a 64-bit hash votes
+    * ±1 on each bit; the sign of each bit's total forms the fingerprint.
+    * Uses xxhash64 (codegen'd) — engine-specific, so verified by property
+    * tests rather than the SQL oracle.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators (SURVEY §2.9, `Iot.Database/IotVectorDb.cs`):
+  * brute-force cosine / L2 top-k and radius search, plus an LSH-bucketed
+  * approximate variant as the 100 TB scale path.
+  *
+  * The reference rebuilds a Faiss flat index over all rows per query
+  * (IotVectorDb.cs:163-190) — O(n) per query, single node. Here the
+  * brute-force scan is distributed and codegen'd (higher-order functions
+  * over the array column, no UDFs); the LSH variant prunes to matching
+  * sign-buckets so the scan cost drops by ~2^planes.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two float-array columns, accumulated in
+    * double in array order (deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Brute-force cosine top-k against a single query vector (broadcast as a
+    * literal — no join, no shuffle until the final top-k, which Spark plans
+    * as TakeOrderedAndProject).
+    */
+  def cosineTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    vectors
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Cosine search with score floor + cap, the reference's defaults
+    * (minRelevanceScore=0.55, limit=150; IotVectorDb.cs:244,263).
+    */
+  def cosineSearch(vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], minScore: Double = 0.55, limit: Int = 150): DataFrame = {
+    val q = typedLit(query)
+    vectors
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(limit)
+  }
+
+  /** Radius (L2) search: all vectors within `radius` of the query. */
+  def radiusSearch(vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], radius: Double): DataFrame = {
+    val q = typedLit(query)
+    vectors
+      .select(col(idCol), round(l2(col(vecCol), q), 6).as("distance"))
+      .filter(col("distance") <= radius)
+  }
+
+  /** Sign-LSH bucket key: one bit per hyperplane = sign of dot(v, plane).
+    * Deterministic planes derive from the id-hash of the plane index, so
+    * the same key computes identically everywhere (no RNG at runtime).
+    */
+  def signBucket(vec: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Deterministic pseudo-random hyperplanes (xorshift on (plane, dim)). */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Float]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        var x = (p.toLong * 2654435761L + d.toLong * 40503L + 12345L)
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        ((x & 0xffffff).toFloat / 0xffffff.toFloat) * 2f - 1f
+      }
+    }
+
+  /** ANN top-k: restrict the brute-force scan to vectors in the query's
+    * sign-LSH bucket (and, for recall, Hamming-1 neighbor buckets).
+    */
+  def annTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, query.length)
+    var qb = 0L
+    planes.zipWithIndex.foreach { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      if (d >= 0) qb |= (1L << i)
+    }
+    val candidateBuckets = qb +: (0 until nPlanes).map(i => qb ^ (1L << i))
+    vectors
+      .withColumn("_bucket", signBucket(col(vecCol), planes))
+      .filter(col("_bucket").isin(candidateBuckets: _*))
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

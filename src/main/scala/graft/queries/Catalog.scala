@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One graded query: a Spark implementation plus (when SQL-expressible) an
+  * equivalent DuckDB oracle SQL over the same parquet tables.
+  *
+  * Conventions that keep the driver's hash-compare deterministic:
+  *   - Every aggregate over doubles accumulates in DECIMAL (exact) and the
+  *     final column is cast to DOUBLE in BOTH engines, so floating-point
+  *     summation order can never flip a bit.
+  *   - Every computed column is aliased to the same name on both sides
+  *     (the driver sorts columns by name before hashing).
+  *   - Timestamps in outputs are converted to epoch micros (BIGINT) or DATE
+  *     to avoid us-vs-ns physical-type mismatches between engines.
+  *   - Top-k queries always carry a unique tiebreak column in the ordering.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Catalog {
+  def all: Seq[Q] =
+    RelationalQueries.all ++ TextQueries.all ++ TimeSeriesQueries.all ++
+      VectorQueries.all ++ DomainQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.model.{IotValue, Units}
+
+/** IoT-domain semantics (SURVEY §1): unit conversion, priority-slot
+  * resolution, FK-constraint validation jobs, cascade-delete planning,
+  * INCLUDE hydration and 1→N child nesting.
+  */
+object DomainQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q50_unit_convert",
+      (s, dir) => {
+        // assign a unit per row, convert everything to degF via the
+        // broadcast rules table (Units.cs formulas as data)
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("unit",
+            when(col("user_id") % 2 === 0, "degC").otherwise("degF"))
+        Units.convert(s, ev, "value", "unit", "degF", "value_f")
+          .select(col("event_id"), col("unit"),
+            round(col("value_f"), 6).as("value_f"))
+      },
+      Some("""SELECT event_id,
+        CASE WHEN user_id % 2 = 0 THEN 'degC' ELSE 'degF' END AS unit,
+        ROUND(CASE WHEN user_id % 2 = 0 THEN value * 1.8 + 32.0
+                   ELSE value * 1.0 + 0.0 END, 6) AS value_f
+        FROM events"""),
+      "broadcast unit-conversion (IotUnit.cs:27-61 formulas as a rules table)"),
+
+    Q("q51_priority_resolve",
+      (s, dir) => {
+        // synthesize a 17-slot priority array: slot 9 (ControlStrategy)
+        // holds value*2 for purchases, slot 15 (Default) always holds value
+        val ev = Tables.load(s, dir, "events")
+        val slotVal = (p: Int) => p match {
+          case 9 => when(col("event_type") === "purchase",
+            (col("value") * 2).cast("decimal(18,2)").cast("string"))
+          case 15 => col("value").cast("decimal(18,2)").cast("string")
+          case _ => lit(null).cast("string")
+        }
+        val slots = array((1 to IotValue.NumSlots).map(p =>
+          struct(slotVal(p).as("value"), col("ts").as("ts"))): _*)
+        ev.withColumn("slots", slots)
+          .select(col("event_id"),
+            IotValue.resolvePriority(col("slots")).as("resolved"),
+            IotValue.resolvedPriorityIndex(col("slots")).as("priority"))
+      },
+      Some("""SELECT event_id,
+        CASE WHEN event_type = 'purchase'
+          THEN CAST(CAST(value * 2 AS DECIMAL(18,2)) AS VARCHAR)
+          ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS resolved,
+        CASE WHEN event_type = 'purchase' THEN 9 ELSE 15 END AS priority
+        FROM events"""),
+      "17-slot priority resolution (IotValue.cs:299-343) as a pure expression"),
+
+    Q("q52_fk_validate",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+          .select(lit("orphan_order").as("kind"), col("o_orderkey").as("key"))
+        val dupes = c.groupBy("c_custkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .select(lit("dup_customer").as("kind"), col("c_custkey").as("key"))
+        orphans.unionByName(dupes)
+          .groupBy("kind").agg(count(lit(1)).as("n_violations"))
+      },
+      Some("""WITH v AS (
+          SELECT 'orphan_order' AS kind, o_orderkey AS key FROM orders
+          WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+          UNION ALL
+          SELECT 'dup_customer' AS kind, c_custkey AS key FROM customer
+          GROUP BY c_custkey HAVING COUNT(*) > 1)
+        SELECT kind, COUNT(*) AS n_violations FROM v GROUP BY kind"""),
+      "FK/unique constraint validation (TableCollection.cs:922-978) as anti-join jobs"),
+
+    Q("q53_cascade_plan",
+      (s, dir) => {
+        // cascade-delete plan (TableCollection.cs:316-460): deleting
+        // customers with c_acctbal < 100 — count affected rows per table
+        val doomed = Tables.load(s, dir, "customer")
+          .filter(col("c_acctbal") < 100).select("c_custkey")
+        val orders = Tables.load(s, dir, "orders")
+          .join(doomed, col("o_custkey") === col("c_custkey"), "left_semi")
+        val lineitems = Tables.load(s, dir, "lineitem")
+          .join(orders.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+        val s1 = doomed.agg(count(lit(1)).as("n_rows"))
+          .select(lit("customer").as("table_name"), col("n_rows"))
+        val s2 = orders.agg(count(lit(1)).as("n_rows"))
+          .select(lit("orders").as("table_name"), col("n_rows"))
+        val s3 = lineitems.agg(count(lit(1)).as("n_rows"))
+          .select(lit("lineitem").as("table_name"), col("n_rows"))
+        s1.unionByName(s2).unionByName(s3)
+      },
+      Some("""WITH doomed AS (SELECT c_custkey FROM customer WHERE c_acctbal < 100),
+        del_orders AS (SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM doomed))
+        SELECT 'customer' AS table_name, (SELECT COUNT(*) FROM doomed) AS n_rows
+        UNION ALL
+        SELECT 'orders', (SELECT COUNT(*) FROM del_orders)
+        UNION ALL
+        SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))"""),
+      "cascade-delete planning in dependency order (semi-join set closure)"),
+
+    Q("q54_include_hydrate",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("c_name"), lit("$missing")).as("c_name"),
+            coalesce(col("c_mktsegment"), lit("$missing")).as("c_mktsegment"))
+      },
+      Some("""SELECT o_orderkey,
+        COALESCE(c_name, '$missing') AS c_name,
+        COALESCE(c_mktsegment, '$missing') AS c_mktsegment
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey"""),
+      "INCLUDE $ref hydration (BasePipe.cs:46-133) incl. $missing marker"),
+
+    Q("q55_nested_children",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey", "c_name")
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            concat_ws(",",
+              sort_array(collect_list(col("o_orderkey"))))
+              .as("order_keys"))
+      },
+      Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey) FILTER (o_orderkey IS NOT NULL)), ','), '') AS order_keys
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name"""),
+      "NL INCLUDE 1→N child nesting (QueryEngine.cs:751-799) via collect_list")
+  )
+}

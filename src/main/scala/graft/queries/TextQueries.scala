@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication coverage over the `documents` table:
+  * tokenization/counting, language-ID heuristic, quality scoring, exact
+  * dedup, MinHash signatures, bucketed n-gram Jaccard pairs, SimHash.
+  * (Training-data pipeline operators — first-class per the build brief.)
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q20_token_stats",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_tokens"),
+            length(col("text")).as("n_chars_live"),
+            approxBpeCount(col("text")).as("n_bpe_approx")),
+      Some("""SELECT doc_id,
+        LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), t -> LEN(t) > 0)) AS n_tokens,
+        LENGTH(text) AS n_chars_live,
+        CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_approx
+        FROM documents"""),
+      "token counting (whitespace + BPE-ish estimate)"),
+
+    Q("q21_lang_id",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), langIdHeuristic(col("text")).as("pred_lang")),
+      Some("""WITH t AS (
+        SELECT doc_id,
+          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'), x -> LEN(x) > 0) AS toks
+        FROM documents)
+        SELECT doc_id,
+        CASE WHEN CAST(LEN(LIST_FILTER(toks,
+            x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+            / GREATEST(LEN(toks), 1) >= 0.04
+          THEN 'en' ELSE 'unknown' END AS pred_lang
+        FROM t"""),
+      "n-gram/stopword language-ID heuristic"),
+
+    Q("q22_quality_score",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), qualityScore(col("text")).as("quality")),
+      Some("""WITH t AS (
+        SELECT doc_id, text,
+          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> LEN(x) > 0) AS toks
+        FROM documents)
+        SELECT doc_id, ROUND((
+          LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0)
+          + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+              / GREATEST(LENGTH(text), 1) * 5, 1.0))
+          + LEAST(CAST(LEN(LIST_FILTER(toks,
+              x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+              / GREATEST(LEN(toks), 1) * 10, 1.0)
+        ) / 3, 6) AS quality
+        FROM t"""),
+      "document quality scoring (length/punct/stopword ratios)"),
+
+    Q("q23_exact_dedup",
+      (s, dir) =>
+        Dedup.exactDedup(Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp,
+        MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1"""),
+      "exact dedup: single shuffle on content hash"),
+
+    Q("q24_minhash_sig",
+      (s, dir) => {
+        val sig = Dedup.minhashSignature(col("text"), n = 5, k = 4)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            sig.getItem(0).as("mh0"), sig.getItem(1).as("mh1"),
+            sig.getItem(2).as("mh2"), sig.getItem(3).as("mh3"))
+      },
+      Some("""WITH sh AS (
+        SELECT doc_id,
+          LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+            i -> SUBSTR(text, i, 5)) AS shingles
+        FROM documents)
+        SELECT doc_id,
+          LIST_MIN(LIST_TRANSFORM(shingles, x -> MD5('0|' || x))) AS mh0,
+          LIST_MIN(LIST_TRANSFORM(shingles, x -> MD5('1|' || x))) AS mh1,
+          LIST_MIN(LIST_TRANSFORM(shingles, x -> MD5('2|' || x))) AS mh2,
+          LIST_MIN(LIST_TRANSFORM(shingles, x -> MD5('3|' || x))) AS mh3
+        FROM sh"""),
+      "MinHash signatures over 5-char shingles (md5 min-wise family, engine-portable)"),
+
+    Q("q25_jaccard_pairs",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            floor(col("n_chars") / 50).as("bucket"))
+        d.as("a").join(d.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+            round(Dedup.jaccardTokens(col("a.text"), col("b.text")), 6)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.6)
+      },
+      Some("""WITH d AS (
+        SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+          LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+            x -> LEN(x) > 0)) AS toks
+        FROM documents)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+            / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1), 6) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+            / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1), 6) >= 0.6"""),
+      "n-gram Jaccard near-dup pairs via bounded bucket join"),
+
+    // SimHash uses xxhash64 (engine-specific) — verified by ScalaTest
+    // property tests instead of the SQL oracle (driver rows-only check).
+    Q("q26_simhash",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash")),
+      None,
+      "64-bit SimHash fingerprints (xxhash64 bit votes)"),
+
+    Q("q27_fingerprint",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+        MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents"""),
+      "stable normalized-content fingerprint"),
+
+    Q("q28_explode_tokens",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some("""SELECT token, COUNT(*) AS n FROM (
+          SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+            x -> LEN(x) > 0)) AS token
+          FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
+      "ITEMS/explode generator (Methods/Misc.cs:69) + top-20 vocabulary")
+  )
+}
