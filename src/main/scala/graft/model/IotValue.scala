@@ -41,7 +41,9 @@ object IotValue {
   /** First non-null slot value in priority order (IotValue.cs:299-343). */
   def resolvePriority(slots: Column): Column = {
     val firstNonNull = filter(slots, s => s.getField("value").isNotNull)
-    element_at(firstNonNull, 1).getField("value")
+    // get() is 0-based and null-safe on empty arrays (vs element_at, which
+    // throws under ANSI mode when every slot is null)
+    get(firstNonNull, lit(0)).getField("value")
   }
 
   /** 1-based priority that produced the resolved value, null if none. */

@@ -45,7 +45,7 @@ object TimeSeriesQueries {
           FROM obs GROUP BY user_id),
         grid AS (
           SELECT user_id,
-            UNNEST(RANGE((t0 // 3600) * 3600 + 3600, t1 + 1, 3600)) AS gsec
+            UNNEST(RANGE(((t0 + 3599) // 3600) * 3600, t1 + 1, 3600)) AS gsec
           FROM bounds),
         g AS (SELECT user_id, MAKE_TIMESTAMP(gsec * 1000000) AS gts FROM grid),
         prv AS (

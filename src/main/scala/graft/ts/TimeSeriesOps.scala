@@ -76,7 +76,9 @@ object TimeSeriesOps {
     val bounds = df.groupBy(keyCol).agg(
       min(unix_timestamp(col(tsCol))).as("_t0"),
       max(unix_timestamp(col(tsCol))).as("_t1"))
-    val gridStart = (col("_t0") / step).cast("long") * step + step
+    // first tick = smallest step-multiple >= t0 (an on-grid first obs is a tick)
+    val gridStart =
+      expr(s"(_t0 + ${stepSeconds - 1}) DIV $stepSeconds") * step
     val grid = bounds.select(
       col(keyCol),
       // guard: a series shorter than one step yields an empty grid

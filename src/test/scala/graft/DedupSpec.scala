@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  quick brown fox jumps over the lazy dog "), // same normalized
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different content about spark engines and parquet files")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups normalized duplicates") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("canonical_id")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhashLshPairs finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs.filter($"doc_id" =!= 2L),
+        "doc_id", "text", shingleN = 5, k = 8, bands = 4, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccardTokens matches hand-computed value") {
+    val j = docs.filter($"doc_id" === 1L)
+      .select(Dedup.jaccardTokens(lit("a b c d"), lit("c d e f")))
+      .as[Double].head()
+    assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("simhash64: identical token sets agree, permutation-invariant, " +
+    "near texts are close, far texts are far") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "theta eta zeta epsilon delta gamma beta alpha"), // permuted
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // 1 token swap
+      (4L, "one two three four five six seven eight")
+    ).toDF("id", "text")
+    val h = rows.select($"id", Dedup.simhash64($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    val near = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    val far = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("hamming64") {
+    val d = spark.range(1)
+      .select(Dedup.hamming64(lit(0xFFL), lit(0x0FL))).as[Int].head()
+    assert(d == 4)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.model.{IotValue, Units}
+
+class ModelSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  test("resolvePriority returns first non-null slot and its index") {
+    val df = Seq(
+      (1L, Seq[(Option[String], Option[Timestamp])](
+        (None, None), (None, None), (Some("mid"), Some(t0)),
+        (None, None), (Some("low"), Some(t0)))),
+      (2L, Seq[(Option[String], Option[Timestamp])]((None, None), (None, None)))
+    ).toDF("id", "raw")
+      .withColumn("slots", expr("transform(raw, r -> struct(r._1 as value, r._2 as ts))"))
+    val rows = df.select($"id",
+        IotValue.resolvePriority($"slots").as("v"),
+        IotValue.resolvedPriorityIndex($"slots").as("p"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.get(2))))).toMap
+    assert(rows(1L) == ((Some("mid"), Some(3))))
+    assert(rows(2L) == ((None, None)))
+  }
+
+  test("writeAllowed enforces AllowManualOperator and Priority9Only") {
+    val df = Seq(
+      (1, 0),                                   // slot1 without flag -> false
+      (1, IotValue.AllowManualOperator),        // slot1 with flag -> true
+      (8, 0),                                   // slot8 without flag -> false
+      (9, IotValue.Priority9Only),              // slot9 under p9only -> true
+      (5, IotValue.Priority9Only),              // other slot under p9only -> false
+      (5, 0)                                    // plain -> true
+    ).toDF("p", "flags")
+    val out = df.select(IotValue.writeAllowed($"p", $"flags")).as[Boolean].collect().toSeq
+    assert(out == Seq(false, true, false, true, false, true))
+  }
+
+  test("unit conversion: degC->degF and inverse round-trip") {
+    val df = Seq(("degC", 100.0), ("degF", 212.0)).toDF("unit", "v")
+    val f = Units.convert(spark, df, "v", "unit", "degF", "out")
+      .select("out").as[Double].collect().toSeq
+    assert(f == Seq(212.0, 212.0))
+    val c = Units.convert(spark, df, "v", "unit", "degC", "out")
+      .select("out").as[Double].collect().toSeq
+    assert(math.abs(c(0) - 100.0) < 1e-9 && math.abs(c(1) - 100.0) < 1e-9)
+  }
+
+  test("convertLit: unknown pair yields null") {
+    val out = spark.range(1)
+      .select(Units.convertLit(lit(1.0), "degC", "gallons_us")).collect()(0)
+    assert(out.isNullAt(0))
+  }
+}

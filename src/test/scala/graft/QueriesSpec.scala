@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Smoke + golden checks for the query catalog (full oracle parity is the
+  * driver's DuckDB gate; these pin cheap invariants and quirky semantics).
+  */
+class QueriesSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, Sf0001)
+
+  test("every catalog query runs and most return rows at sf0.001") {
+    val counts = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n).count())
+    val empty = counts.filter(_._2 == 0).map(_._1)
+    // q08/q52 can legitimately be empty (no orphans/dups in clean data)
+    assert(empty.toSet.subsetOf(Set("q08_except", "q52_fk_validate")),
+      s"unexpectedly empty: $empty")
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q01 grouped agg: groups are the 6 (returnflag, linestatus) pairs") {
+    assert(run("q01_group_agg").count() == 6)
+  }
+
+  test("q06 top-k is ordered desc and unique") {
+    val prices = run("q06_topk").collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q30 LOCF never rewinds: carried value only changes at purchases") {
+    val df = run("q30_locf")
+    // every non-null carried value must equal some purchase value of that user
+    val ev = graft.core.Tables.load(spark, Sf0001, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").as("pv")).distinct()
+    val bad = df.filter(col("last_purchase_value").isNotNull)
+      .join(purchases,
+        df("user_id") === purchases("user_id") &&
+          df("last_purchase_value") === purchases("pv"), "left_anti")
+    assert(bad.count() == 0)
+  }
+
+  test("q35 hash chain: previous_hash of first row per user is empty") {
+    val firsts = run("q35_hash_chain")
+      .groupBy("user_id").agg(count(when(col("previous_hash") === "", 1)).as("n_genesis"))
+    assert(firsts.filter(col("n_genesis") =!= 1).count() == 0)
+  }
+
+  test("entry() returns the flattened include join") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("person", "amount"))
+    assert(df.count() > 0)
+  }
+}

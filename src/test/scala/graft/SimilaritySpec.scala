@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)),
+    (2L, Seq(0f, 1f, 0f, 0f)),
+    (3L, Seq(1f, 1f, 0f, 0f)),
+    (4L, Seq(-1f, 0f, 0f, 0f))
+  ).toDF("id", "v")
+
+  test("cosine matches hand-computed values") {
+    val q = Seq(1f, 0f, 0f, 0f)
+    val scores = Similarity.cosineTopK(vecs, "id", "v", q, 4)
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) == 1.0)
+    assert(math.abs(scores(3L) - 1.0 / math.sqrt(2)) < 1e-6)
+    assert(scores(2L) == 0.0)
+    assert(scores(4L) == -1.0)
+  }
+
+  test("l2 distance matches hand-computed values") {
+    val d = vecs.filter($"id" === 2L)
+      .select(Similarity.l2($"v", typedLit(Seq(1f, 0f, 0f, 0f))))
+      .as[Double].head()
+    assert(math.abs(d - math.sqrt(2)) < 1e-12)
+  }
+
+  test("radiusSearch keeps only vectors within radius") {
+    val ids = Similarity.radiusSearch(vecs, "id", "v", Seq(1f, 0f, 0f, 0f), 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L)) // d(1)=0, d(3)=1.0 inclusive; d(2)=sqrt2, d(4)=2
+  }
+
+  test("annTopK achieves reasonable recall vs brute force on real embeddings") {
+    val e = Tables.load(spark, Sf0001, "embeddings").filter($"vec_id" =!= 0)
+    val q = Tables.load(spark, Sf0001, "embeddings")
+      .filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.annTopK(e, "vec_id", "embedding", q, 10, nPlanes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.3, s"recall=$recall exact=$exact approx=$approx")
+  }
+}
