@@ -24,7 +24,7 @@ final case class Q(
 object Catalog {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ TimeSeriesQueries.all ++
-      VectorQueries.all ++ DomainQueries.all
+      VectorQueries.all ++ DomainQueries.all ++ NaturalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.query.GraftQueryEngine
+
+/** The NL query surface (SURVEY §3.3) exercised end-to-end: each entry is a
+  * FIND-string run through the parser + lowering, oracle-checked against
+  * plain SQL.
+  */
+object NaturalQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q60_nl_find_where_select",
+      (s, dir) => GraftQueryEngine(s, dir).run(
+        "FIND customer WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING' " +
+          "SELECT c_custkey, c_name as person, c_acctbal"),
+      Some("""SELECT c_custkey, c_name AS person, c_acctbal FROM customer
+        WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'"""),
+      "FIND/WHERE/SELECT with aliasing (QueryEngine.cs:285-375)"),
+
+    Q("q61_nl_string_preds",
+      (s, dir) => GraftQueryEngine(s, dir).run(
+        "FIND part WHERE p_name contains 'widget' OR p_name startswith 'small' " +
+          "SELECT p_partkey, p_name"),
+      Some("""SELECT p_partkey, p_name FROM part
+        WHERE CONTAINS(p_name, 'widget') OR p_name LIKE 'small%'"""),
+      "contains/startswith predicates incl. OR conjunction (QueryEngine.cs:402-564)"),
+
+    Q("q62_nl_innerjoin_flatten",
+      (s, dir) => GraftQueryEngine(s, dir).run(
+        "FIND customer WHERE c_acctbal > 9000 SELECT c_custkey, c_name as person " +
+          "INCLUDE orders WHERE o_totalprice > 200000 SELECT o_totalprice as amount " +
+          "INNERJOIN as t SELECT person, amount"),
+      Some("""SELECT c_name AS person, o_totalprice AS amount
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE c_acctbal > 9000 AND o_totalprice > 200000"""),
+      "the README M0 slice: INCLUDE + INNERJOIN flatten, no 2-row cap"),
+
+    Q("q63_nl_dual_on",
+      (s, dir) => GraftQueryEngine(s, dir).run(
+        "FIND customer, nation ON customer.c_nationkey = nation.n_nationkey " +
+          "WHERE nation.n_name endswith '3' " +
+          "SELECT customer.c_custkey as c_custkey, nation.n_name as n_name"),
+      Some("""SELECT c_custkey, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey WHERE n_name LIKE '%3'"""),
+      "dual-table ON join (QueryEngine2.cs:55-133) as hash join"),
+
+    Q("q64_nl_triple_on",
+      (s, dir) => GraftQueryEngine(s, dir).run(
+        "FIND region, nation, customer " +
+          "ON region.r_regionkey = nation.n_regionkey " +
+          "AND nation.n_nationkey = customer.c_nationkey " +
+          "WHERE customer.c_acctbal > 9900 " +
+          "SELECT region.r_name as r_name, nation.n_name as n_name, " +
+          "customer.c_custkey as c_custkey"),
+      Some("""SELECT r_name, n_name, c_custkey FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        WHERE c_acctbal > 9900"""),
+      "triple-table ON chain (QueryEngine3.cs:390-628) as chained hash joins"),
+
+    Q("q65_nl_order_limit",
+      (s, dir) => GraftQueryEngine(s, dir).run(
+        "FIND orders WHERE o_orderstatus = 'F' " +
+          "SELECT o_orderkey, o_totalprice ORDER BY o_orderkey DESC LIMIT 25"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' ORDER BY o_orderkey DESC LIMIT 25"""),
+      "ORDER BY + LIMIT lowering (QueryEngine.cs:646-671), unique sort key"),
+
+    Q("q66_nl_nested_children",
+      (s, dir) => GraftQueryEngine(s, dir)
+        .run("FIND customer WHERE c_acctbal > 9500 " +
+          "SELECT c_custkey, c_name INCLUDE orders WHERE o_totalprice > 300000")
+        // flatten the nested orders_Data for the hash compare: count + sum
+        .select(col("c_custkey"), col("c_name"),
+          size(coalesce(col("orders_Data"), array())).as("n_big_orders"),
+          round(aggregate(
+            transform(coalesce(col("orders_Data"), array()),
+              o => o.getField("o_totalprice").cast("decimal(18,2)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,2)"),
+            (acc, x) => (acc + x).cast("decimal(38,2)")).cast("double"), 2)
+            .as("big_total")),
+      Some("""SELECT c_custkey, c_name,
+        COUNT(o_orderkey) AS n_big_orders,
+        ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS big_total
+        FROM customer LEFT JOIN orders
+          ON o_custkey = c_custkey AND o_totalprice > 300000
+        WHERE c_acctbal > 9500
+        GROUP BY c_custkey, c_name"""),
+      "NL INCLUDE 1→N nesting (QueryEngine.cs:751-799), checked via array agg")
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.query.{GraftQueryEngine, NaturalQuery}
+
+class NaturalQuerySpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  private lazy val engine = GraftQueryEngine(spark, Sf0001)
+
+  test("parser: full grammar round-trips") {
+    val p = NaturalQuery.parse(
+      "FIND Customer WHERE Age > 25 AND Name contains 'an' " +
+        "SELECT Name as Person, Age " +
+        "INCLUDE Order WHERE Amount > 150 SELECT Amount " +
+        "INNERJOIN as My Table SELECT Person, Amount " +
+        "ORDER BY Name DESC LIMIT 10")
+    assert(p.find == Seq("customer"))
+    assert(p.where.map(c => (c.field, c.op, c.value)) == Seq(
+      ("Age", ">", Some("25")), ("Name", "contains", Some("'an'"))))
+    assert(p.select == Seq(NaturalQuery.Sel("Name", Some("Person")),
+      NaturalQuery.Sel("Age", None)))
+    assert(p.includes.size == 1)
+    assert(p.includes.head.table == "order")
+    assert(p.innerJoin.exists(_.alias.contains("My Table")))
+    assert(p.orderBy.contains(("Name", false)))
+    assert(p.limit.contains(10))
+  }
+
+  test("parser: dual ON form") {
+    val p = NaturalQuery.parse(
+      "FIND t1, t2 ON t1.x = t2.y WHERE t1.a >= 5 SELECT t1.a, t2.b")
+    assert(p.find == Seq("t1", "t2"))
+    assert(p.joins == Seq(NaturalQuery.JoinOn("t1.x", "t2.y")))
+  }
+
+  test("parser: phrase predicates") {
+    val p = NaturalQuery.parse(
+      "FIND t WHERE a is null AND b is not null AND c is empty " +
+        "AND d not contains 'x'")
+    assert(p.where.map(_.op) ==
+      Seq("is null", "is not null", "is empty", "not contains"))
+  }
+
+  test("single-table query matches direct DataFrame result") {
+    val got = engine.run(
+      "FIND customer WHERE c_acctbal > 5000 SELECT c_custkey, c_name as person")
+    val want = graft.core.Tables.load(spark, Sf0001, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name").as("person"))
+    assert(got.columns.toSeq == Seq("c_custkey", "person"))
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("OR conjunction is not an implicit AND") {
+    val n = engine.run(
+      "FIND customer WHERE c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY'")
+      .count()
+    val building = engine.run("FIND customer WHERE c_mktsegment = 'BUILDING'").count()
+    assert(n > building)
+  }
+
+  test("INCLUDE nests children as <table>_Data with WHERE applied") {
+    val df = engine.run(
+      "FIND customer WHERE c_acctbal > 9500 " +
+        "SELECT c_custkey INCLUDE orders WHERE o_totalprice > 300000")
+    assert(df.columns.toSeq == Seq("c_custkey", "orders_Data"))
+    // every nested order must satisfy the child predicate
+    val bad = df.select(explode(col("orders_Data")).as("o"))
+      .filter(col("o.o_totalprice") <= 300000)
+    assert(bad.count() == 0)
+  }
+
+  test("INNERJOIN flattens without the reference's 2-child cap") {
+    val df = engine.run(
+      "FIND customer SELECT c_custkey, c_name as person " +
+        "INCLUDE orders SELECT o_totalprice as amount " +
+        "INNERJOIN as t SELECT person, amount")
+    assert(df.columns.toSeq == Seq("person", "amount"))
+    // some customer at sf0.001 has >2 orders; all must survive the flatten
+    val maxPerCustomer = df.groupBy("person").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerCustomer > 2, s"flatten capped children at $maxPerCustomer")
+  }
+
+  test("unknown table and bad conditions raise informative errors") {
+    intercept[IllegalArgumentException](engine.run("FIND nosuch"))
+    intercept[IllegalArgumentException](
+      engine.run("FIND customer WHERE ???"))
+    intercept[IllegalArgumentException](
+      NaturalQuery.parse("customer WHERE x = 1"))
+  }
+}
