@@ -1,0 +1,165 @@
+package graft.dml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Constraint-enforcing DML (SURVEY §1.3 / `Iot.Database/Table/
+  * TableCollection.cs`): FK existence + uniqueness checks on insert
+  * (CheckConstraints, :922-978), upsert (:1195-1240), and the
+  * cascade/restrict/set-null delete walk (:316-460).
+  *
+  * Storage-agnostic: every operation is DataFrame→DataFrame (the caller
+  * owns the write — Delta MERGE where available, partition overwrite on
+  * plain parquet). Checks are formulated as joins so they distribute:
+  * FK existence = left_anti against the parent keys (broadcast when the
+  * parent is a dim), uniqueness = hash-agg on the key.
+  */
+object ConstrainedDml {
+
+  sealed trait OnDelete
+  case object Cascade extends OnDelete
+  case object Restrict extends OnDelete
+  case object SetNull extends OnDelete
+  case object NoAction extends OnDelete
+
+  /** FK from `childCol` to `parentTable.parentCol`. */
+  final case class Fk(childCol: String, parentTable: String,
+      parentCol: String, onDelete: OnDelete = NoAction, oneToOne: Boolean = false)
+
+  final case class TableDef(name: String, pk: String,
+      uniqueCols: Seq[String] = Nil, fks: Seq[Fk] = Nil)
+
+  final case class Violation(kind: String, table: String, column: String,
+      n: Long)
+
+  /** Validate `incoming` rows against constraints. Returns the violation
+    * summary (empty = clean):
+    *  - fk_missing: child FK value with no parent row
+    *  - pk_conflict: incoming PK already present in `existing`
+    *  - unique_conflict: duplicate unique-col value (within incoming or vs
+    *    existing)
+    *  - one_to_one_conflict: >1 child per parent on a 1:1 FK
+    */
+  def validateInsert(
+      spark: SparkSession,
+      table: TableDef,
+      incoming: DataFrame,
+      existing: Option[DataFrame],
+      parents: Map[String, DataFrame]): Seq[Violation] = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[Violation]
+
+    table.fks.foreach { fk =>
+      val parent = parents.getOrElse(fk.parentTable,
+        throw new IllegalArgumentException(s"missing parent ${fk.parentTable}"))
+      val orphans = incoming.filter(col(fk.childCol).isNotNull)
+        .join(broadcast(parent.select(col(fk.parentCol))),
+          incoming(fk.childCol) === parent(fk.parentCol), "left_anti").count()
+      if (orphans > 0) out += Violation("fk_missing", table.name, fk.childCol, orphans)
+
+      if (fk.oneToOne) {
+        val all = existing.map(e =>
+          incoming.select(col(fk.childCol)).unionByName(e.select(col(fk.childCol))))
+          .getOrElse(incoming.select(col(fk.childCol)))
+        val dupes = all.filter(col(fk.childCol).isNotNull)
+          .groupBy(fk.childCol).count().filter($"count" > 1).count()
+        if (dupes > 0)
+          out += Violation("one_to_one_conflict", table.name, fk.childCol, dupes)
+      }
+    }
+
+    existing.foreach { e =>
+      val clash = incoming.join(e.select(col(table.pk)), Seq(table.pk),
+        "left_semi").count()
+      if (clash > 0) out += Violation("pk_conflict", table.name, table.pk, clash)
+    }
+    val pkDupes = incoming.groupBy(table.pk).count().filter($"count" > 1).count()
+    if (pkDupes > 0) out += Violation("pk_conflict", table.name, table.pk, pkDupes)
+
+    table.uniqueCols.foreach { uc =>
+      val all = existing.map(e => incoming.select(col(uc))
+        .unionByName(e.select(col(uc)))).getOrElse(incoming.select(col(uc)))
+      val dupes = all.filter(col(uc).isNotNull)
+        .groupBy(uc).count().filter($"count" > 1).count()
+      if (dupes > 0) out += Violation("unique_conflict", table.name, uc, dupes)
+    }
+    out.toSeq
+  }
+
+  /** Insert with constraint enforcement: throws on any violation (the
+    * reference's insert path), else returns the appended state.
+    */
+  def insert(spark: SparkSession, table: TableDef, incoming: DataFrame,
+      existing: Option[DataFrame], parents: Map[String, DataFrame]): DataFrame = {
+    val violations = validateInsert(spark, table, incoming, existing, parents)
+    if (violations.nonEmpty)
+      throw new IllegalStateException(s"constraint violations: $violations")
+    existing.map(_.unionByName(incoming)).getOrElse(incoming)
+  }
+
+  /** Upsert by PK (TableCollection.cs:1195-1240): incoming replaces
+    * matching rows, inserts the rest. One shuffle on the PK (the Delta
+    * MERGE plan shape).
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, pk: String): DataFrame =
+    existing.join(incoming.select(col(pk)), Seq(pk), "left_anti")
+      .unionByName(incoming)
+
+  /** Delete rows matching `predicate` from `table`, walking FKs per their
+    * OnDelete action (TableCollection.cs:316-460). Returns the new state of
+    * every affected table; throws if a Restrict child has matching rows.
+    *
+    * `states` maps table name -> (current rows, definition). Children are
+    * found by scanning definitions for FKs pointing at `table`.
+    */
+  def deleteCascade(
+      spark: SparkSession,
+      states: Map[String, (DataFrame, TableDef)],
+      table: String,
+      predicate: org.apache.spark.sql.Column): Map[String, DataFrame] = {
+    val (rows, tdef) = states(table)
+    val doomedKeys = rows.filter(predicate).select(col(tdef.pk)).cache()
+    deleteByKeys(spark, states, table, doomedKeys)
+  }
+
+  private def deleteByKeys(
+      spark: SparkSession,
+      states: Map[String, (DataFrame, TableDef)],
+      table: String,
+      doomedKeys: DataFrame): Map[String, DataFrame] = {
+    val (rows, tdef) = states(table)
+    var result = Map.empty[String, DataFrame]
+
+    // children first (dependency order), as the reference walks child tables
+    states.foreach { case (childName, (childRows, childDef)) =>
+      childDef.fks.filter(_.parentTable == table).foreach { fk =>
+        val affected = childRows.join(broadcast(doomedKeys),
+          childRows(fk.childCol) === doomedKeys(tdef.pk), "left_semi")
+        fk.onDelete match {
+          case Restrict =>
+            val n = affected.count()
+            if (n > 0) throw new IllegalStateException(
+              s"restrictive FK: $childName.${fk.childCol} has $n dependent rows")
+          case Cascade =>
+            val childDoomed = affected.select(col(childDef.pk)).cache()
+            val sub = deleteByKeys(spark, states - table, childName, childDoomed)
+            result ++= sub
+          case SetNull =>
+            val marked = childRows.join(broadcast(doomedKeys
+                .withColumnRenamed(tdef.pk, "_doomed")),
+              childRows(fk.childCol) === col("_doomed"), "left")
+            result += childName -> marked
+              .withColumn(fk.childCol,
+                when(col("_doomed").isNotNull, lit(null)).otherwise(col(fk.childCol)))
+              .drop("_doomed")
+          case NoAction => ()
+        }
+      }
+    }
+
+    val remaining = rows.join(broadcast(doomedKeys
+        .withColumnRenamed(tdef.pk, "_doomed")),
+      rows(tdef.pk) === col("_doomed"), "left_anti")
+    result + (table -> remaining)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Streaming ingest re-expressing the reference's write-behind queues
+  * (SURVEY §2.8: `TableCollection.cs:1411-1433` fans inserts out to the
+  * main store, time-series store and blockchain asynchronously;
+  * `TsCollection.FlushQueue` drains ≤5000 items/tick).
+  *
+  * Spark-native form: one Structured Streaming query with `foreachBatch`
+  * fanning each micro-batch out to the main, time-series and audit sinks —
+  * the micro-batch IS the flush tick, and backpressure replaces the queue
+  * bound. Event-time correctness (watermarks, windows, in-stream dedup) is
+  * added capability the reference lacks (it appends in arrival order and
+  * corrupts deltas on out-of-order input, `DeltaT.cs:14-26`).
+  */
+object IngestPipeline {
+
+  /** Fan a point-event stream out to (a) the raw fact sink, (b) an hourly
+    * per-key rollup, (c) an audit log with per-row content hashes. Parquet
+    * sinks partitioned by event date — the 100 TB layout (date partitions ×
+    * key-hash files).
+    */
+  def fanOut(
+      events: DataFrame, // streaming: (key, ts, value, ...)
+      factDir: String, rollupDir: String, auditDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    events.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.withColumn("date", to_date(col("ts"))).cache()
+        try {
+          b.write.mode("append").partitionBy("date").parquet(factDir)
+          b.groupBy(col("key"), window(col("ts"), "1 hour").as("w"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(28,8)")).cast("double").as("total"))
+            .select(col("key"), col("w.start").as("window_start"),
+              col("n"), col("total"))
+            .write.mode("append").parquet(rollupDir)
+          b.select(col("key"), col("ts"),
+              sha2(concat_ws("-", unix_micros(col("ts")).cast("string"),
+                col("value").cast("string")), 256).as("hash"),
+              lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(auditDir)
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Event-time hourly aggregation with a watermark: the streaming twin of
+    * q33_tumbling_window. Late data beyond `lateness` is dropped — a
+    * declared policy where the reference silently corrupts (SURVEY §2.8).
+    */
+  def hourlyAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,8)")).cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("key"),
+        col("n"), col("total"))
+
+  /** In-stream exact dedup on (key, ts) within the watermark — the
+    * streaming form of the TS ingest dedup (TsCollection.cs:43-103).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("key", "ts")
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dml.ConstrainedDml
+import graft.dml.ConstrainedDml._
+
+/** Replays the reference's constraint scenarios (FIXTURES.md §1:
+  * Customer/Order/Address with Cascading, Restrictive and 1:1 FKs).
+  */
+class ConstrainedDmlSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private val customerDef = TableDef("customer", "id")
+  private val orderDef = TableDef("orders", "id",
+    fks = Seq(Fk("customer_id", "customer", "id", Cascade)))
+  private val addressDef = TableDef("address", "id",
+    fks = Seq(Fk("customer_id", "customer", "id", Cascade, oneToOne = true)))
+
+  private def customers = Seq((1, "ann", 30), (2, "bob", 40))
+    .toDF("id", "name", "age")
+  private def orders = Seq((10, 1, 250.0), (11, 1, 50.0), (12, 2, 99.0))
+    .toDF("id", "customer_id", "amount")
+
+  test("insert: FK violation is rejected with a fk_missing violation") {
+    val bad = Seq((13, 9, 1.0)).toDF("id", "customer_id", "amount")
+    val v = validateInsert(spark, orderDef, bad, Some(orders),
+      Map("customer" -> customers))
+    assert(v.map(x => (x.kind, x.column)) == Seq(("fk_missing", "customer_id")))
+    intercept[IllegalStateException](
+      insert(spark, orderDef, bad, Some(orders), Map("customer" -> customers)))
+  }
+
+  test("insert: pk conflict and in-batch duplicates detected") {
+    val bad = Seq((12, 1, 1.0), (14, 1, 2.0), (14, 2, 3.0))
+      .toDF("id", "customer_id", "amount")
+    val kinds = validateInsert(spark, orderDef, bad, Some(orders),
+      Map("customer" -> customers)).map(_.kind)
+    assert(kinds.count(_ == "pk_conflict") == 2) // vs existing + in-batch
+  }
+
+  test("insert: one-to-one FK rejects a second child for the same parent") {
+    val addr = Seq((100, 1, "1 Main St")).toDF("id", "customer_id", "line1")
+    val second = Seq((101, 1, "2 Side St")).toDF("id", "customer_id", "line1")
+    val v = validateInsert(spark, addressDef, second, Some(addr),
+      Map("customer" -> customers))
+    assert(v.map(_.kind) == Seq("one_to_one_conflict"))
+  }
+
+  test("insert: unique column enforced across existing + incoming") {
+    val udef = TableDef("customer", "id", uniqueCols = Seq("name"))
+    val v = validateInsert(spark, udef,
+      Seq((3, "ann", 22)).toDF("id", "name", "age"), Some(customers), Map())
+    assert(v.map(_.kind) == Seq("unique_conflict"))
+  }
+
+  test("clean insert appends") {
+    val ok = Seq((13, 2, 5.0)).toDF("id", "customer_id", "amount")
+    val out = insert(spark, orderDef, ok, Some(orders),
+      Map("customer" -> customers))
+    assert(out.count() == 4)
+  }
+
+  test("upsert replaces matching PKs and appends new ones") {
+    val incoming = Seq((11, 1, 999.0), (20, 2, 1.0))
+      .toDF("id", "customer_id", "amount")
+    val out = upsert(orders, incoming, "id")
+    assert(out.count() == 4)
+    assert(out.filter($"id" === 11).select("amount").as[Double].head() == 999.0)
+  }
+
+  test("cascade delete removes children transitively") {
+    val states = Map(
+      "customer" -> (customers, customerDef),
+      "orders" -> (orders, orderDef))
+    val out = deleteCascade(spark, states, "customer", col("id") === 1)
+    assert(out("customer").select("id").as[Int].collect().toSet == Set(2))
+    assert(out("orders").select("id").as[Int].collect().toSet == Set(12))
+  }
+
+  test("restrictive FK blocks parent delete") {
+    val restrictive = TableDef("orders", "id",
+      fks = Seq(Fk("customer_id", "customer", "id", Restrict)))
+    val states = Map(
+      "customer" -> (customers, customerDef),
+      "orders" -> (orders, restrictive))
+    intercept[IllegalStateException](
+      deleteCascade(spark, states, "customer", col("id") === 1))
+  }
+
+  test("set-null FK nulls the child key but keeps the row") {
+    val setnull = TableDef("orders", "id",
+      fks = Seq(Fk("customer_id", "customer", "id", SetNull)))
+    val states = Map(
+      "customer" -> (customers, customerDef),
+      "orders" -> (orders, setnull))
+    val out = deleteCascade(spark, states, "customer", col("id") === 1)
+    val o = out("orders").orderBy("id")
+      .select($"id", $"customer_id".cast("string")).collect()
+    assert(o.length == 3)
+    assert(o.filter(_.isNullAt(1)).map(_.getInt(0)).toSet == Set(10, 11))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{ContinuousQueryService, IngestPipeline}
+
+case class PointEvent(key: String, ts: Timestamp, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("fanOut writes fact, rollup and audit sinks per micro-batch") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PointEvent]
+    mem.addData(
+      PointEvent("p1", ts("2024-01-01 00:10:00"), 1.5),
+      PointEvent("p1", ts("2024-01-01 00:40:00"), 2.5),
+      PointEvent("p2", ts("2024-01-02 10:00:00"), 7.0))
+    val q = IngestPipeline.fanOut(mem.toDF(),
+      s"$tmp/fact", s"$tmp/rollup", s"$tmp/audit", s"$tmp/ckpt",
+      Trigger.AvailableNow())
+    q.processAllAvailable(); q.stop()
+
+    val fact = spark.read.parquet(s"$tmp/fact")
+    assert(fact.count() == 3)
+    assert(fact.columns.contains("date")) // date-partitioned layout
+    val rollup = spark.read.parquet(s"$tmp/rollup")
+    val p1 = rollup.filter($"key" === "p1").select("n", "total")
+      .as[(Long, Double)].collect().toSeq
+    assert(p1 == Seq((2L, 4.0))) // both p1 events in the same hour window
+    val audit = spark.read.parquet(s"$tmp/audit")
+    assert(audit.count() == 3)
+    assert(audit.select("hash").distinct().count() == 3)
+  }
+
+  test("hourlyAgg with watermark aggregates by event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PointEvent]
+    val out = IngestPipeline.hourlyAgg(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    mem.addData(
+      PointEvent("k", ts("2024-01-01 05:10:00"), 1.0),
+      PointEvent("k", ts("2024-01-01 05:50:00"), 2.0),
+      PointEvent("k", ts("2024-01-01 06:05:00"), 10.0))
+    q.processAllAvailable()
+    val rows = spark.table("hourly_out")
+      .select(col("window_start").cast("string"), $"n", $"total")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 05:00:00", 2L, 3.0),
+      ("2024-01-01 06:00:00", 1L, 10.0)))
+  }
+
+  test("dedupWithinWatermark drops exact (key, ts) duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PointEvent]
+    val out = IngestPipeline.dedupWithinWatermark(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(
+      PointEvent("k", ts("2024-01-01 05:10:00"), 1.0),
+      PointEvent("k", ts("2024-01-01 05:10:00"), 1.0), // dup
+      PointEvent("k", ts("2024-01-01 05:11:00"), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").count() == 2)
+    q.stop()
+  }
+
+  test("ContinuousQueryService re-executes and caches lastResult") {
+    val svc = new ContinuousQueryService(spark)
+    try {
+      svc.register(svc.Config(
+        "cust_count",
+        s => graft.core.Tables.load(s, Sf0001, "customer")
+          .agg(count(lit(1)).as("n")),
+        intervalMillis = 300L))
+      val deadline = System.currentTimeMillis() + 30000
+      while (svc.executions("cust_count") < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(svc.executions("cust_count") >= 2, "query did not re-execute")
+      assert(svc.lastResult("cust_count").head.getLong(0) == 150L)
+      assert(svc.lastError("cust_count").isEmpty)
+      assert(svc.registered == Seq("cust_count"))
+    } finally svc.shutdown()
+  }
+
+  test("ContinuousQueryService surfaces failures via lastError") {
+    val svc = new ContinuousQueryService(spark)
+    try {
+      svc.register(svc.Config(
+        "boom", s => s.read.parquet("/no/such/path"), intervalMillis = 200L))
+      val deadline = System.currentTimeMillis() + 30000
+      while (svc.lastError("boom").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(svc.lastError("boom").nonEmpty)
+      assert(svc.lastResult("boom").isEmpty)
+    } finally svc.shutdown()
+  }
+}
