@@ -17,6 +17,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // native function registration is idempotent; loading a table is the
+    // common entry point, so every consumer session gets the functions
+    graft.functions.GraftFunctions.register(spark)
     // events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized
     // reader rejects; read it as a long and floor-convert to micros (the
     // same truncation DuckDB applies when it reads nanos into TIMESTAMP).

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance}
+
+/** Registry for graft's native Catalyst expressions. `register` makes them
+  * callable from SQL and from `call_function` (idempotent per session;
+  * invoked by Tables.load and the mains, or via `GraftExtensions` at
+  * session build time).
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("cosine_similarity", es => CosineSimilarity(es(0), es(1)),
+      "cosine similarity of two float arrays"),
+    ("l2_distance", es => L2Distance(es(0), es(1)),
+      "euclidean distance of two float arrays"),
+    ("dot_product", es => DotProduct(es(0), es(1)),
+      "dot product of two float arrays"))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** SQL-facing descriptions for SparkSessionExtensions.injectFunction. */
+  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    all.map { case (name, builder, usage) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name, usage),
+        builder)
+    }
+
+  // Column-level entry points (codegen'd native expressions)
+  def cosine_similarity(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+  def l2_distance(a: Column, b: Column): Column =
+    call_function("l2_distance", a, b)
+  def dot_product(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` — registers
+  * the native functions at session build time (SURVEY §4.2).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(e.injectFunction)
+}

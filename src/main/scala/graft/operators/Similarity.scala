@@ -17,17 +17,34 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Elementwise dot product of two float-array columns, accumulated in
-    * double in array order (deterministic).
+    * double in array order (deterministic). Native codegen'd expression
+    * (graft.functions.expressions.DotProduct); requires
+    * GraftFunctions.register, which Tables.load and the mains perform.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_similarity(a, b)
 
   def l2(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.l2_distance(a, b)
+
+  /** Composable (higher-order-function) forms: same sequential double
+    * accumulation, kept as the reference implementation the native
+    * expressions are tested bit-identical against.
+    */
+  def dotComposable(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineComposable(a: Column, b: Column): Column =
+    dotComposable(a, b) /
+      (sqrt(dotComposable(a, a)) * sqrt(dotComposable(b, b)))
+
+  def l2Composable(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d

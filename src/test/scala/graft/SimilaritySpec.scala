@@ -39,6 +39,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == Set(1L, 3L)) // d(1)=0, d(3)=1.0 inclusive; d(2)=sqrt2, d(4)=2
   }
 
+  test("native expressions match the composable forms bit-for-bit") {
+    val e = Tables.load(spark, Sf0001, "embeddings").limit(200)
+    val q = Tables.load(spark, Sf0001, "embeddings")
+      .filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val both = e.select(
+      Similarity.cosine($"embedding", typedLit(q)).as("native_cos"),
+      Similarity.cosineComposable($"embedding", typedLit(q)).as("hof_cos"),
+      Similarity.l2($"embedding", typedLit(q)).as("native_l2"),
+      Similarity.l2Composable($"embedding", typedLit(q)).as("hof_l2"))
+    val diffs = both.filter(
+      $"native_cos" =!= $"hof_cos" || $"native_l2" =!= $"hof_l2").count()
+    assert(diffs == 0)
+  }
+
+  test("native functions are callable from SQL") {
+    Tables.load(spark, Sf0001, "embeddings").createOrReplaceTempView("emb_sql")
+    val n = spark.sql(
+      """SELECT vec_id, cosine_similarity(embedding, embedding) AS self
+         FROM emb_sql WHERE vec_id < 10""")
+      .filter(org.apache.spark.sql.functions.abs($"self" - 1.0) < 1e-9).count()
+    assert(n == 10)
+  }
+
   test("annTopK achieves reasonable recall vs brute force on real embeddings") {
     val e = Tables.load(spark, Sf0001, "embeddings").filter($"vec_id" =!= 0)
     val q = Tables.load(spark, Sf0001, "embeddings")

@@ -13,6 +13,7 @@ object SparkSessionFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
     s
   }
   val Sf0001 = "/root/testdata/sf0.001"
