@@ -83,6 +83,42 @@ object Dedup {
       greatest(size(array_union(s1, s2)), lit(1)).cast("double")
   }
 
+  /** Token-set Jaccard near-dup pairs at scale: instead of joining full
+    * token arrays and intersecting per pair (O(pairs × |set|²) interpreted
+    * array ops, evaluated inside the join condition), explode distinct
+    * tokens and count co-occurrences — a pure codegen'd hash-join +
+    * hash-agg pipeline. jaccard = common / (n1 + n2 - common), identical to
+    * |A∩B| / |A∪B| on distinct sets.
+    *
+    * `blockCols` bound the candidate space (same-language + length-bucket
+    * here; LSH band keys at larger scale).
+    */
+  def jaccardPairsByCooccurrence(
+      docs: DataFrame, idCol: String, toks: Column,
+      blockCols: Seq[Column], threshold: Double): DataFrame = {
+    val base = docs.select(
+      (col(idCol).as("id") +: toks.as("toks") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"_b$i") }): _*)
+    val bNames = blockCols.indices.map(i => s"_b$i")
+    val counts = base.select(
+      (col("id") +: size(col("toks")).as("n") +: bNames.map(col)): _*)
+    val exploded = base.select(
+      (col("id") +: explode(col("toks")).as("token") +: bNames.map(col)): _*)
+    val co = exploded.as("a").join(exploded.as("b"),
+        bNames.map(n => col(s"a.$n") === col(s"b.$n"))
+          .reduce(_ && _) && col("a.token") === col("b.token") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    co.join(counts.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("common").cast("double") /
+          greatest(col("n1") + col("n2") - col("common"), lit(1)).cast("double"),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Jaccard over distinct whitespace-token sets (vocabulary overlap). */
   def jaccardTokens(t1: Column, t2: Column): Column = {
     val s1 = array_distinct(tokens(t1))

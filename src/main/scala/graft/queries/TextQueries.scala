@@ -93,19 +93,13 @@ object TextQueries {
       "MinHash signatures over 5-char shingles (md5 min-wise family, engine-portable)"),
 
     Q("q25_jaccard_pairs",
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text"), col("lang"),
-            floor(col("n_chars") / 50).as("bucket"))
-        d.as("a").join(d.as("b"),
-            col("a.lang") === col("b.lang") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-            round(Dedup.jaccardTokens(col("a.text"), col("b.text")), 6)
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.6)
-      },
+      (s, dir) =>
+        Dedup.jaccardPairsByCooccurrence(
+          Tables.load(s, dir, "documents"), "doc_id",
+          array_distinct(graft.functions.TextFunctions.tokens(col("text"))),
+          Seq(col("lang"), floor(col("n_chars") / 50)),
+          threshold = 0.6),
+
       Some("""WITH d AS (
         SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
           LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the plans that must hold at 100 TB — filters
+  * pushed to the parquet scan, dims broadcast (no fact shuffle), top-k as
+  * TakeOrderedAndProject (no global sort), aggregates with a map-side
+  * partial phase, native vector expressions inside codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString
+
+  test("q02: filters reach the parquet scan (PushedFilters)") {
+    val p = plan("q02_filter_project")
+    // plan string truncates the list; presence of the leading pushed
+    // filters proves the scan-level pushdown happened
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_returnflag), GreaterThanOrEqual"), p)
+  }
+
+  test("q02: scan reads only the projected+filtered columns") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03: both dimension joins are broadcast (fact side never shuffles)") {
+    val p = plan("q03_join_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q06: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation has a map-side partial phase") {
+    val p = plan("q01_group_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q40: cosine scan uses the native codegen expression") {
+    val p = plan("q40_cosine_topk")
+    assert(p.contains("cosine_similarity"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("q54: INCLUDE hydration broadcasts the dimension") {
+    val p = plan("q54_include_hydrate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q09: semi/anti joins stay semi/anti (no row explosion)") {
+    val p = plan("q09_semi_anti")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+}
