@@ -1,0 +1,135 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dml.ConstrainedDml
+import graft.dml.ConstrainedDml.TableDef
+import graft.ts.TimeSeriesOps
+
+/** Database facade mirroring the reference's `IotDatabase`
+  * (`Iot.Database/IotDatabase.cs:25-161`): a named directory tree with
+  * `Tables/`, `TimeSeries/`, `Files/` sub-stores; typed table accessors;
+  * constraint-checked writes.
+  *
+  * Storage is parquet directories (one per table, date-partitioned for the
+  * time-series store) — the layout that scales to a cluster; swapping in a
+  * transactional table format only changes `write`/`read` here.
+  */
+final class GraftDatabase private (
+    val spark: SparkSession, val name: String, val root: String) {
+
+  private val tablesDir = s"$root/Tables"
+  private val tsDir = s"$root/TimeSeries"
+  private val filesDir = s"$root/Files"
+  Seq(tablesDir, tsDir, filesDir)
+    .foreach(d => Files.createDirectories(Paths.get(d)))
+
+  private var defs: Map[String, TableDef] = Map.empty
+
+  /** Declare a table with its constraints (the reference declares via
+    * attributes on the CLR type; here via TableDef).
+    */
+  def defineTable(tdef: TableDef): GraftDatabase = {
+    defs += tdef.name -> tdef
+    this
+  }
+
+  def tableDef(name: String): TableDef =
+    defs.getOrElse(name, TableDef(name, "id"))
+
+  def tablePath(name: String): String = s"$tablesDir/$name"
+
+  def tableExists(name: String): Boolean =
+    Files.exists(Paths.get(tablePath(name), "_SUCCESS")) ||
+      (Files.exists(Paths.get(tablePath(name))) &&
+        Files.list(Paths.get(tablePath(name))).findFirst().isPresent)
+
+  /** Read a table (empty-schema error if absent, like reference's lazy
+    * collection creation — callers insert first).
+    */
+  def table(name: String): DataFrame = spark.read.parquet(tablePath(name))
+
+  /** Constraint-checked insert (CheckConstraints + insert,
+    * TableCollection.cs:922-1070).
+    */
+  def insert(name: String, rows: DataFrame): Unit = {
+    val tdef = tableDef(name)
+    val existing = if (tableExists(name)) Some(table(name)) else None
+    val parents = tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
+    val violations =
+      ConstrainedDml.validateInsert(spark, tdef, rows, existing, parents)
+    if (violations.nonEmpty)
+      throw new IllegalStateException(s"constraint violations: $violations")
+    rows.write.mode("append").parquet(tablePath(name))
+  }
+
+  /** Upsert by the table's PK (TableCollection.cs:1195-1240). */
+  def upsert(name: String, rows: DataFrame): Unit = {
+    val tdef = tableDef(name)
+    val merged =
+      if (tableExists(name)) ConstrainedDml.upsert(table(name), rows, tdef.pk)
+      else rows
+    writeReplace(name, merged)
+  }
+
+  /** Delete with FK actions (cascade/restrict/set-null walk,
+    * TableCollection.cs:316-460), persisting every affected table.
+    */
+  def delete(name: String, predicate: org.apache.spark.sql.Column): Unit = {
+    val states = defs.map { case (n, d) => n -> ((table(n), d)) }
+    val updated = ConstrainedDml.deleteCascade(spark, states, name, predicate)
+    updated.foreach { case (n, df) => writeReplace(n, df) }
+  }
+
+  private def writeReplace(name: String, df: DataFrame): Unit = {
+    // materialize before overwriting the directory being read
+    val rows = df.collect()
+    val materialized = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema)
+    materialized.write.mode("overwrite").parquet(tablePath(name))
+  }
+
+  /** Typed fluent query over a table (the reference's
+    * `col.Query().Where(...).OrderBy(...).Select(...)` surface,
+    * `LiteQueryable`, SURVEY §3.2).
+    */
+  def query(name: String): FluentQuery = new FluentQuery(table(name))
+
+  // ---- time-series store (TimeSeries/ subtree, SURVEY §2.8) --------------
+
+  /** Append points (point_guid, ts, value[, priority]) to the TS store,
+    * date-partitioned.
+    */
+  def tsAppend(points: DataFrame): Unit =
+    points.withColumn("date", to_date(col("ts")))
+      .write.mode("append").partitionBy("date").parquet(tsDir)
+
+  /** Range read with LOCF (GetTimeSeries(start, end),
+    * TsCollection.cs:130-185). Partition pruning applies via the date
+    * column derived from the bounds.
+    */
+  def tsRange(guid: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp): DataFrame =
+    spark.read.parquet(tsDir)
+      .filter(col("point_guid") === guid &&
+        col("date").between(to_date(lit(start)), to_date(lit(end))) &&
+        col("ts").between(lit(start), lit(end)))
+
+  /** Interval read with linear interpolation (GetTimeSeries(start, end,
+    * interval), TsCollection.cs:188-233).
+    */
+  def tsResample(guid: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, stepSeconds: Long): DataFrame =
+    TimeSeriesOps.resampleLinear(
+      tsRange(guid, start, end).select(col("point_guid"), col("ts"), col("value")),
+      "point_guid", "ts", "value", stepSeconds)
+}
+
+object GraftDatabase {
+  /** Open/create a database directory (IotDatabase.cs:149-161 tree). */
+  def apply(spark: SparkSession, name: String, baseDir: String): GraftDatabase =
+    new GraftDatabase(spark, name, s"$baseDir/$name")
+}

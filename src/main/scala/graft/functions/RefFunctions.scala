@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reference-semantics scalar/aggregate functions — the quirky behaviors
+  * SURVEY §5/§7 pins with golden tests rather than silently diverging:
+  *
+  *  - DATEDIFF truncates the *total* unit count toward zero
+  *    (`Methods/Date.cs:108-130`: Math.Truncate of TotalDays/Hours/…;
+  *    year/month via calendar difference helpers,
+  *    `LiteDB/Utils/Extensions/DateExtensions.cs`).
+  *  - AVG/SUM silently skip non-numeric values
+  *    (`Methods/Aggregate.cs:76-114`).
+  *  - LIKE is collation/case-insensitive by default
+  *    (`LiteDB/Utils/StringExtensions.cs` SqlLike with Collation).
+  *  - IIF/COALESCE/LENGTH per `Methods/Misc.cs:143-173`.
+  *  - FORMAT supports a .NET format-string subset
+  *    (`Methods/String.cs:224`).
+  */
+object RefFunctions {
+
+  /** Truncate-toward-zero division, identical in Spark and DuckDB
+    * (floor-div on the absolute value, sign reapplied) — floor/trunc
+    * divergence between engines only differs for negatives.
+    */
+  private def truncDiv(num: Column, denom: Long): Column =
+    signum(num).cast("long") * floor(abs(num) / denom).cast("long")
+
+  /** DATEDIFF(unit, start, end) with the reference's truncation semantics
+    * (Date.cs:108-130). Units: second, minute, hour, day, month, year.
+    */
+  def dateDiffTrunc(unit: String, start: Column, end: Column): Column = {
+    val us = unix_micros(end) - unix_micros(start)
+    unit.toLowerCase match {
+      case "second" => truncDiv(us, 1000000L)
+      case "minute" => truncDiv(us, 60L * 1000000)
+      case "hour" => truncDiv(us, 3600L * 1000000)
+      case "day" => truncDiv(us, 86400L * 1000000)
+      case "month" =>
+        // calendar month difference, decremented if end's day-of-month is
+        // earlier than start's (DateExtensions.MonthDifference)
+        val months = (year(end) - year(start)) * 12 + (month(end) - month(start))
+        (months - when(dayofmonth(end) < dayofmonth(start), 1).otherwise(0))
+          .cast("long")
+      case "year" =>
+        // full calendar years elapsed (DateExtensions.YearDifference)
+        val months = (year(end) - year(start)) * 12 + (month(end) - month(start))
+        val adj = months - when(dayofmonth(end) < dayofmonth(start), 1).otherwise(0)
+        truncDiv(adj.cast("long"), 12L)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported DATEDIFF unit: $other")
+    }
+  }
+
+  /** Is this string value numeric (the reference's IsNumber over
+    * BsonValue)? Pinned as a regex (portable across engines, unlike
+    * TRY_CAST edge cases).
+    */
+  val NumericPattern = "^[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?$"
+  def isNumeric(c: Column): Column = trim(c).rlike(NumericPattern)
+
+  /** SUM skipping non-numeric values (Aggregate.cs:99-114): exact decimal
+    * accumulation, double result (engine-portable).
+    */
+  def sumLenient(c: Column): Column =
+    sum(when(isNumeric(c), c.cast("decimal(28,8)"))).cast("double")
+
+  /** AVG skipping non-numeric values (Aggregate.cs:76-97): the divisor is
+    * the count of numeric values only.
+    */
+  def avgLenient(c: Column): Column =
+    sum(when(isNumeric(c), c.cast("decimal(28,8)"))).cast("double") /
+      count(when(isNumeric(c), 1))
+
+  /** LiteDB LIKE: case-insensitive, %/_ wildcards. */
+  def sqlLike(c: Column, pattern: String): Column =
+    lower(c).like(pattern.toLowerCase)
+
+  /** IIF (Misc.cs:143). */
+  def iif(cond: Column, ifTrue: Column, ifFalse: Column): Column =
+    when(cond, ifTrue).otherwise(ifFalse)
+
+  /** LENGTH over string/binary (Misc.cs:161-173); arrays/docs use
+    * `lengthOfArray` (Spark Columns are untyped pre-analysis, so the
+    * dispatch the reference does at runtime is two functions here).
+    */
+  def lengthOf(c: Column): Column = length(c)
+  def lengthOfArray(c: Column): Column = size(c)
+
+  /** FORMAT with a .NET format-string subset (String.cs:224):
+    * D<n> zero-padded int, N<n>/F<n> fixed decimals (N adds thousands
+    * separators), X hex uppercase, 0.00-style custom masks.
+    */
+  def formatNet(c: Column, fmt: String): Column = fmt match {
+    case f if f.matches("[Dd]\\d+") =>
+      lpad(c.cast("long").cast("string"), f.substring(1).toInt, "0")
+    case f if f.matches("[Nn]\\d+") =>
+      format_number(c.cast("double"), f.substring(1).toInt)
+    case f if f.matches("[Ff]\\d+") =>
+      format_string(s"%.${f.substring(1).toInt}f", c.cast("double"))
+    case "X" => upper(hex(c.cast("long")))
+    case f if f.matches("0+(\\.0+)?") =>
+      val parts = f.split("\\.")
+      val decimals = if (parts.length > 1) parts(1).length else 0
+      // %0<w>.<d>f: w is the MINIMUM total width (zero-padded), never
+      // truncating — matches .NET custom-mask zero padding
+      if (decimals == 0) format_string(s"%0${f.length}d", c.cast("long"))
+      else format_string(s"%0${f.length}.${decimals}f", c.cast("double"))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported format: $other")
+  }
+
+  /** EXTEND(a, b): struct merge, b's fields win (Misc.cs:44). */
+  def extendStruct(a: Column, b: Column,
+      aFields: Seq[String], bFields: Seq[String]): Column = {
+    val merged = (aFields.filterNot(bFields.contains).map(f =>
+      a.getField(f).as(f))) ++ bFields.map(f => b.getField(f).as(f))
+    struct(merged: _*)
+  }
+}

@@ -322,6 +322,40 @@ object RelationalQueries {
         CAST(MIN(l_shipdate) AS DATE) AS min_ship,
         CAST(MAX(l_shipdate) AS DATE) AS max_ship
         FROM lineitem"""),
-      "select-all global aggregate (QueryPipe.cs:103-121)")
+      "select-all global aggregate (QueryPipe.cs:103-121)"),
+
+    Q("q19_ref_semantics",
+      (s, dir) => {
+        import graft.functions.RefFunctions._
+        // mixed string column: numeric strings + 'N/A' markers — the
+        // reference's AVG/SUM silently skip non-numerics
+        val ev = Tables.load(s, dir, "events")
+          .withColumn("v_str", when(col("event_type") === "error", lit("N/A"))
+            .otherwise(col("value").cast("decimal(18,2)").cast("string")))
+        ev.groupBy("user_id").agg(
+          sumLenient(col("v_str")).as("sum_v"),
+          avgLenient(col("v_str")).as("avg_v"),
+          count(when(isNumeric(col("v_str")), 1)).as("n_numeric"),
+          max(dateDiffTrunc("hour", col("ts"),
+            lit("2024-02-01 00:00:00").cast("timestamp"))).as("max_age_h"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, ts,
+          CASE WHEN event_type = 'error' THEN 'N/A'
+               ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS v_str
+          FROM events),
+        n AS (SELECT user_id, ts, v_str,
+          REGEXP_MATCHES(TRIM(v_str),
+            '^[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?$$') AS is_num FROM e)
+        SELECT user_id,
+          CAST(SUM(CASE WHEN is_num THEN CAST(v_str AS DECIMAL(28,8)) END)
+            AS DOUBLE) AS sum_v,
+          CAST(SUM(CASE WHEN is_num THEN CAST(v_str AS DECIMAL(28,8)) END)
+            AS DOUBLE) / COUNT(CASE WHEN is_num THEN 1 END) AS avg_v,
+          COUNT(CASE WHEN is_num THEN 1 END) AS n_numeric,
+          MAX((EPOCH_US(TIMESTAMP '2024-02-01 00:00:00') - EPOCH_US(ts))
+            // 3600000000) AS max_age_h
+        FROM n GROUP BY user_id"""),
+      "pinned reference quirks: lenient SUM/AVG (Aggregate.cs:76-114) + " +
+        "truncating DATEDIFF (Date.cs:108-130)")
   )
 }

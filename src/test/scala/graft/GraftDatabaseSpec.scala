@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftDatabase
+import graft.dml.ConstrainedDml._
+
+/** End-to-end facade test replaying the reference's README walkthrough
+  * (Example.BasicDb: customers + orders with cascading FK; insert, query,
+  * include, delete-cascade; TS write + range + resample).
+  */
+class GraftDatabaseSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def freshDb(): GraftDatabase = {
+    val base = Files.createTempDirectory("graft-db").toString
+    GraftDatabase(spark, "demo", base)
+      .defineTable(TableDef("customer", "id", uniqueCols = Seq("name")))
+      .defineTable(TableDef("orders", "id",
+        fks = Seq(Fk("customer_id", "customer", "id", Cascade))))
+  }
+
+  test("insert + typed query + include + cascade delete round-trip") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0), (11, 1, 50.0), (12, 2, 99.0))
+      .toDF("id", "customer_id", "amount"))
+
+    // FK violation rejected
+    intercept[IllegalStateException] {
+      db.insert("orders", Seq((13, 9, 1.0)).toDF("id", "customer_id", "amount"))
+    }
+    // unique violation rejected
+    intercept[IllegalStateException] {
+      db.insert("customer", Seq((3, "ann", 50)).toDF("id", "name", "age"))
+    }
+
+    // fluent query: WHERE + INCLUDE + ORDER BY + LIMIT
+    val got = db.query("customer")
+      .where($"age" > 25)
+      .include(db.table("orders"), "id", "customer_id", "orders_Data")
+      .orderBy($"id")
+      .limit(10)
+      .toDf
+    assert(got.count() == 2)
+    val annOrders = got.filter($"name" === "ann")
+      .select(size($"orders_Data")).as[Int].head()
+    assert(annOrders == 2)
+
+    // upsert changes one row, keeps count
+    db.upsert("orders", Seq((11, 1, 500.0)).toDF("id", "customer_id", "amount"))
+    assert(db.table("orders").filter($"id" === 11)
+      .select("amount").as[Double].head() == 500.0)
+    assert(db.table("orders").count() == 3)
+
+    // cascade delete: ann and both her orders disappear
+    db.delete("customer", col("id") === 1)
+    assert(db.table("customer").select("id").as[Int].collect().toSet == Set(2))
+    assert(db.table("orders").select("id").as[Int].collect().toSet == Set(12))
+  }
+
+  test("time-series store: append, range read, resample") {
+    val db = freshDb()
+    val points = Seq(
+      ("p1", ts("2024-01-01 00:00:30"), 0.0),
+      ("p1", ts("2024-01-01 00:02:30"), 120.0),
+      ("p2", ts("2024-01-01 00:01:00"), 5.0)
+    ).toDF("point_guid", "ts", "value")
+    db.tsAppend(points)
+
+    val range = db.tsRange("p1", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"))
+    assert(range.count() == 2)
+
+    val grid = db.tsResample("p1", ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 01:00:00"), 60L)
+      .orderBy("grid_ts")
+      .select(col("grid_ts").cast("string"), col("value"))
+      .as[(String, Double)].collect().toSeq
+    assert(grid == Seq(
+      ("2024-01-01 00:01:00", 30.0), ("2024-01-01 00:02:00", 90.0)))
+  }
+}

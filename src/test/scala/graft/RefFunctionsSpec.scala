@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.RefFunctions._
+
+/** Golden tests pinning the reference's quirky semantics (SURVEY §5 item 1:
+  * AVG skips non-numerics Aggregate.cs:76-97, DATEDIFF truncation
+  * Date.cs:108-130, case-insensitive LIKE).
+  */
+class RefFunctionsSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dateDiffTrunc truncates total units toward zero") {
+    val df = Seq(
+      ("h25", ts("2024-01-01 00:00:00"), ts("2024-01-02 01:59:59")),
+      ("neg", ts("2024-01-02 01:59:59"), ts("2024-01-01 00:00:00")),
+      ("d0", ts("2024-01-01 10:00:00"), ts("2024-01-02 09:59:59"))
+    ).toDF("k", "a", "b")
+    val out = df.select($"k",
+      dateDiffTrunc("hour", $"a", $"b").as("h"),
+      dateDiffTrunc("day", $"a", $"b").as("d")).as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("h25") == ((25L, 1L)))  // 25:59:59 -> 25 hours, 1 day
+    assert(out("neg") == ((-25L, -1L))) // truncation toward zero, not floor
+    assert(out("d0") == ((23L, 0L)))   // 23:59:59 -> 0 full days
+  }
+
+  test("dateDiffTrunc month/year use calendar difference with day adjust") {
+    val df = Seq(
+      ("m", ts("2024-01-15 00:00:00"), ts("2024-03-14 00:00:00")), // 1 month
+      ("m2", ts("2024-01-15 00:00:00"), ts("2024-03-15 00:00:00")), // 2 months
+      ("y", ts("2020-06-10 00:00:00"), ts("2024-06-09 00:00:00")), // 3 years
+      ("y2", ts("2020-06-10 00:00:00"), ts("2024-06-10 00:00:00")) // 4 years
+    ).toDF("k", "a", "b")
+    val out = df.select($"k",
+      dateDiffTrunc("month", $"a", $"b").as("m"),
+      dateDiffTrunc("year", $"a", $"b").as("y")).as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("m") == ((1L, 0L)))
+    assert(out("m2") == ((2L, 0L)))
+    assert(out("y") == ((47L, 3L)))
+    assert(out("y2") == ((48L, 4L)))
+  }
+
+  test("sumLenient/avgLenient skip non-numeric values silently") {
+    val df = Seq("10", "oops", "2.5", "", "N/A", "-0.5").toDF("v")
+    val (s, a) = df.agg(sumLenient($"v").as("s"), avgLenient($"v").as("a"))
+      .as[(Double, Double)].head()
+    assert(s == 12.0)
+    assert(a == 4.0) // 12 / 3 numeric values, NOT / 6
+  }
+
+  test("sqlLike is case-insensitive with %/_ wildcards") {
+    val df = Seq("Customer#001", "SUPPLIER#9", "part").toDF("v")
+    val got = df.filter(sqlLike($"v", "CUST%")).as[String].collect().toSeq
+    assert(got == Seq("Customer#001"))
+    assert(df.filter(sqlLike($"v", "p_rt")).count() == 1)
+  }
+
+  test("formatNet covers the .NET subset") {
+    val df = Seq((42L, 1234.567)).toDF("i", "d")
+    val row = df.select(
+      formatNet($"i", "D5").as("d5"),
+      formatNet($"d", "N2").as("n2"),
+      formatNet($"d", "F1").as("f1"),
+      formatNet($"i", "X").as("x"),
+      formatNet($"d", "0.00").as("mask")).head()
+    assert(row.getString(0) == "00042")
+    assert(row.getString(1) == "1,234.57")
+    assert(row.getString(2) == "1234.6")
+    assert(row.getString(3) == "2A")
+    assert(row.getString(4) == "1234.57")
+  }
+
+  test("iif and extendStruct") {
+    val df = Seq((1, "a")).toDF("n", "s")
+      .withColumn("doc1", struct(lit(1).as("x"), lit("keep").as("y")))
+      .withColumn("doc2", struct(lit(9).as("x"), lit("new").as("z")))
+    val r = df.select(
+      iif($"n" > 0, lit("pos"), lit("neg")).as("i"),
+      extendStruct($"doc1", $"doc2", Seq("x", "y"), Seq("x", "z")).as("m"))
+      .head()
+    assert(r.getString(0) == "pos")
+    val m = r.getStruct(1)
+    assert(m.getAs[String]("y") == "keep")
+    assert(m.getAs[Int]("x") == 9) // doc2 wins on collision
+    assert(m.getAs[String]("z") == "new")
+  }
+}
