@@ -14,17 +14,11 @@ object SparkEntry {
     * SURVEY §7): FIND customer WHERE <pred> SELECT name INCLUDE orders
     * WHERE <pred> INNERJOIN flatten — as broadcast-dim join + flatten.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val c = Tables.load(spark, dir, "customer")
-      .filter(col("c_acctbal") > 1000)
-      .select(col("c_custkey"), col("c_name").as("person"))
-    val o = Tables.load(spark, dir, "orders")
-      .filter(col("o_totalprice") > 100)
-      .select(col("o_custkey"), col("o_totalprice").as("amount"))
-    c.join(o, c("c_custkey") === o("o_custkey"), "inner")
-      .select("person", "amount")
-  }
+  def entry(spark: SparkSession): DataFrame =
+    graft.query.GraftQueryEngine(spark, "/root/testdata/sf0.001").run(
+      "FIND customer WHERE c_acctbal > 1000 SELECT c_custkey, c_name as person " +
+        "INCLUDE orders WHERE o_totalprice > 100 SELECT o_totalprice as amount " +
+        "INNERJOIN as t SELECT person, amount")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
