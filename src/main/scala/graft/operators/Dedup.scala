@@ -58,21 +58,29 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val withSig = docs.select(
-      col(idCol).as("id"), col(textCol).as("text"),
-      lshBandKeys(minhashSignature(col(textCol), shingleN, k), bands, k / bands)
-        .as("band_keys"))
-    val buckets = withSig
-      .select(col("id"), col("text"), explode(col("band_keys")).as("bucket"))
+    // shingle sets computed ONCE per doc behind a shuffle barrier — without
+    // it Catalyst collapses the projection into the pair join and
+    // re-shingles per candidate (the q25 lesson; see
+    // jaccardPairsByCooccurrence)
+    val sh = docs.select(col(idCol).as("id"),
+        array_distinct(charShingles(col(textCol), shingleN)).as("shs"))
+      .repartition(col("id"))
+    val sig = array((0 until k).map(i => minhashValue(col("shs"), i)): _*)
+    val buckets = sh.select(col("id"),
+      explode(lshBandKeys(sig, bands, k / bands)).as("bucket"))
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.text").as("t1"), col("b.text").as("t2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    pairs
-      .withColumn("jaccard", round(jaccardShingles(col("t1"), col("t2"), shingleN), 6))
+    val verify = pairs
+      .join(sh.select(col("id").as("id1"), col("shs").as("s1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("shs").as("s2")), "id2")
+    verify
+      .select(col("id1"), col("id2"),
+        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          greatest(size(array_union(col("s1"), col("s2"))), lit(1))
+            .cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
   }
 
   /** True Jaccard over distinct character n-gram shingle sets. */
