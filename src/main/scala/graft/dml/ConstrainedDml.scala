@@ -105,6 +105,18 @@ object ConstrainedDml {
     existing.join(incoming.select(col(pk)), Seq(pk), "left_anti")
       .unionByName(incoming)
 
+  /** UpdateMany with a transform expression over matching rows
+    * (TableCollection.cs:1305-1328; SQL `UPDATE c SET Name = UPPER($.Name)
+    * WHERE …`): each (column -> expression) applies only where `predicate`
+    * holds; other rows pass through unchanged.
+    */
+  def updateWhere(df: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      transforms: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    transforms.foldLeft(df) { case (d, (name, e)) =>
+      d.withColumn(name, when(predicate, e).otherwise(col(name)))
+    }
+
   /** Delete rows matching `predicate` from `table`, walking FKs per their
     * OnDelete action (TableCollection.cs:316-460). Returns the new state of
     * every affected table; throws if a Restrict child has matching rows.

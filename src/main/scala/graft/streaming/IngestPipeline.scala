@@ -72,4 +72,18 @@ object IngestPipeline {
       lateness: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("key", "ts")
+
+  /** Session windows keyed by inactivity gap (`session_window`): the
+    * event-time twin of the batch gaps-and-islands sessionization (q34).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,8)")).cast("double").as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("key"),
+        col("n"), col("total"))
 }

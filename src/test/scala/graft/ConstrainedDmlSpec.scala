@@ -70,6 +70,13 @@ class ConstrainedDmlSpec extends AnyFunSuite {
     assert(out.filter($"id" === 11).select("amount").as[Double].head() == 999.0)
   }
 
+  test("updateWhere applies transform expressions only to matching rows") {
+    val out = updateWhere(orders, col("customer_id") === 1,
+      Map("amount" -> (col("amount") * 2)))
+    val amounts = out.orderBy("id").select("amount").as[Double].collect().toSeq
+    assert(amounts == Seq(500.0, 100.0, 99.0))
+  }
+
   test("cascade delete removes children transitively") {
     val states = Map(
       "customer" -> (customers, customerDef),

@@ -78,6 +78,26 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sessionAgg groups events into inactivity-gap session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PointEvent]
+    val q = IngestPipeline.sessionAgg(mem.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    mem.addData(
+      PointEvent("k", ts("2024-01-01 00:00:00"), 1.0),
+      PointEvent("k", ts("2024-01-01 00:05:00"), 2.0),  // same session
+      PointEvent("k", ts("2024-01-01 01:00:00"), 10.0)) // new session
+    q.processAllAvailable()
+    val rows = spark.table("session_out")
+      .select(col("session_start").cast("string"), col("n"), col("total"))
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", 2L, 3.0),
+      ("2024-01-01 01:00:00", 1L, 10.0)))
+  }
+
   test("ContinuousQueryService re-executes and caches lastResult") {
     val svc = new ContinuousQueryService(spark)
     try {
