@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance, Simhash64Expr}
 
 /** Registry for graft's native Catalyst expressions. `register` makes them
   * callable from SQL and from `call_function` (idempotent per session;
@@ -20,7 +20,9 @@ object GraftFunctions {
     ("l2_distance", es => L2Distance(es(0), es(1)),
       "euclidean distance of two float arrays"),
     ("dot_product", es => DotProduct(es(0), es(1)),
-      "dot product of two float arrays"))
+      "dot product of two float arrays"),
+    ("simhash64", es => Simhash64Expr(es(0)),
+      "64-bit SimHash fingerprint of a token array"))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder, _) =>
@@ -43,6 +45,8 @@ object GraftFunctions {
     call_function("l2_distance", a, b)
   def dot_product(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
+  def simhash64(tokens: Column): Column =
+    call_function("simhash64", tokens)
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — registers

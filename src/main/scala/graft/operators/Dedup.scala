@@ -135,12 +135,19 @@ object Dedup {
       greatest(size(array_union(s1, s2)), lit(1)).cast("double")
   }
 
-  /** 64-bit SimHash over whitespace tokens. Per token, a 64-bit hash votes
+  /** 64-bit SimHash over whitespace tokens. Per token, its xxhash64 votes
     * ±1 on each bit; the sign of each bit's total forms the fingerprint.
-    * Uses xxhash64 (codegen'd) — engine-specific, so verified by property
-    * tests rather than the SQL oracle.
+    * Native one-pass expression (Simhash64Expr, codegen'd); xxhash64 is
+    * engine-specific, so verified by property tests rather than the SQL
+    * oracle.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(array_distinct(tokens(text)))
+
+  /** Composable reference form of simhash64 (64 interpreted folds) — kept
+    * for the equivalence test against the native expression.
+    */
+  def simhash64Composable(text: Column): Column = {
     val toks = array_distinct(tokens(text))
     val hashes = transform(toks, t => xxhash64(t))
     (0 until 64).map { bit =>

@@ -138,6 +138,38 @@ object DomainQueries {
         COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey) FILTER (o_orderkey IS NOT NULL)), ','), '') AS order_keys
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name"""),
-      "NL INCLUDE 1→N child nesting (QueryEngine.cs:751-799) via collect_list")
+      "NL INCLUDE 1→N child nesting (QueryEngine.cs:751-799) via collect_list"),
+
+    Q("q56_current_state",
+      (s, dir) => {
+        // IotValue current state from the event history: purchases write
+        // slot 9 (ControlStrategy) with value*2, every event writes slot 15
+        // (Default); latest write per slot wins; resolve = first non-null
+        val ev = Tables.load(s, dir, "events")
+        val writes = ev.select(col("user_id"),
+            when(col("event_type") === "purchase", 9).otherwise(15).as("priority"),
+            when(col("event_type") === "purchase",
+              (col("value") * 2).cast("decimal(18,2)").cast("string"))
+              .otherwise(col("value").cast("decimal(18,2)").cast("string"))
+              .as("value"),
+            unix_micros(col("ts")).as("tsUs"), col("event_id").as("tie"))
+        graft.model.PrioritySlots.currentState(s, writes, "user_id")
+          .select(col("key").as("user_id"), col("resolved"), col("priority"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+          (EPOCH_US(ts) - EPOCH_US(TIMESTAMP '2024-01-01')) * 100000
+            + event_id % 100000 AS ord
+          FROM events)
+        SELECT user_id,
+          COALESCE(
+            ARG_MAX(CAST(CAST(value * 2 AS DECIMAL(18,2)) AS VARCHAR), ord)
+              FILTER (WHERE event_type = 'purchase'),
+            ARG_MAX(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), ord)
+              FILTER (WHERE event_type <> 'purchase')) AS resolved,
+          CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+               THEN 9 ELSE 15 END AS priority
+        FROM e GROUP BY user_id"""),
+      "17-slot current state via a typed Aggregator (latest write per slot, " +
+        "order-independent merge) + priority resolution")
   )
 }

@@ -53,6 +53,15 @@ class DedupSpec extends AnyFunSuite {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("native simhash64 matches the composable 64-fold form exactly") {
+    val docs500 = graft.core.Tables.load(spark, Sf0001, "documents").limit(100)
+    val diffs = docs500.select(
+      Dedup.simhash64($"text").as("native"),
+      Dedup.simhash64Composable($"text").as("composable"))
+      .filter($"native" =!= $"composable").count()
+    assert(diffs == 0)
+  }
+
   test("hamming64") {
     val d = spark.range(1)
       .select(Dedup.hamming64(lit(0xFFL), lit(0x0FL))).as[Int].head()
