@@ -55,8 +55,8 @@ final class FluentQuery private[catalog] (
       // (they are — PK tables), matching the reference's per-parent nest
       val joined = df.join(child, df(baseKey) === child(childKey), "left")
       val baseCols = df.columns
-      df = joined.groupBy(baseCols.map(df(_)): _*)
-        .agg(collect_list(struct(child.columns.map(child(_)): _*)).as(asName))
+      df = joined.groupBy(baseCols.toIndexedSeq.map(df(_)): _*)
+        .agg(collect_list(struct(child.columns.toIndexedSeq.map(child(_)): _*)).as(asName))
     }
     if (orderBys.nonEmpty) df = df.orderBy(orderBys: _*)
     if (selects.nonEmpty) df = df.select(selects: _*)

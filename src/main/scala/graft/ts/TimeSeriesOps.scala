@@ -55,7 +55,7 @@ object TimeSeriesOps {
       d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
     carried.filter(col("_side") === 1).select(
-      (leftCols.map(col) ++ payload.map(col)): _*)
+      (leftCols.toIndexedSeq.map(col) ++ payload.map(col)): _*)
   }
 
   /** Resample each series onto a fixed grid of `stepSeconds`, carrying the
