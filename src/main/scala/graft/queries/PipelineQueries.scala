@@ -70,6 +70,23 @@ object PipelineQueries {
         CAST(SUM(CAST(p_retailprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price,
         COUNT(DISTINCT p_brand) AS n_brands
         FROM part"""),
-      "JSON sink+source round-trip ($file_json, SysFileJson.cs)")
+      "JSON sink+source round-trip ($file_json, SysFileJson.cs)"),
+
+    // Sketches are approximate and engine-specific -> rows-only driver
+    // check; accuracy vs exact is pinned in SketchSpec.
+    Q("q74_approx_sketches",
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+              .as("approx_orders"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("p50_price"),
+            percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+              .as("p99_price")),
+      None,
+      "sketch aggregates for 100 TB profiling: HLL++ distinct counts + " +
+        "approximate quantiles (one pass, mergeable, no exact-distinct shuffle)")
   )
 }
