@@ -81,4 +81,28 @@ object TextFunctions {
   /** Stable document fingerprint: md5 of normalized text. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Training-corpus text normalization: strip markup tags, collapse
+    * whitespace, drop control characters, lowercase. Deterministic regex
+    * pipeline (oracle-checkable).
+    */
+  def normalizeText(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val noCtl = regexp_replace(noTags, "[\\x00-\\x1f\\x7f]", " ")
+    lower(trim(regexp_replace(noCtl, "\\s+", " ")))
+  }
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?\\d[\\d\\s().-]{7,}\\d"
+  val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII redaction: replace emails, phone-number-shaped digit runs and
+    * IPv4 addresses with typed placeholders (order matters: emails first
+    * so their digits don't half-match the phone pattern).
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
 }

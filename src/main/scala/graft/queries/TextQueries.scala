@@ -145,6 +145,40 @@ object TextQueries {
             x -> LEN(x) > 0)) AS token
           FROM documents)
         GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
-      "ITEMS/explode generator (Methods/Misc.cs:69) + top-20 vocabulary")
+      "ITEMS/explode generator (Methods/Misc.cs:69) + top-20 vocabulary"),
+
+    Q("q29_normalize_redact",
+      (s, dir) => {
+        // inject synthetic PII markers so the redaction paths execute, then
+        // normalize — the standard pre-tokenization cleaning pass
+        val withPii = Tables.load(s, dir, "documents")
+          .withColumn("dirty",
+            concat(lit("<b>User "), col("doc_id"), lit("</b> mail: u"),
+              col("doc_id"), lit("@example.com  ip 10.0.0.1 \t "), col("text")))
+        withPii.select(col("doc_id"),
+          redactPii(normalizeText(col("dirty"))).as("clean"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            '<b>User ' || doc_id || '</b> mail: u' || doc_id
+              || '@example.com  ip 10.0.0.1 ' || CHR(9) || ' ' || text AS dirty
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+            LOWER(TRIM(REGEXP_REPLACE(
+              REGEXP_REPLACE(
+                REGEXP_REPLACE(dirty, '<[^>]*>', ' ', 'g'),
+                '[\x00-\x1f\x7f]', ' ', 'g'),
+              '\s+', ' ', 'g'))) AS t
+          FROM d)
+        SELECT doc_id,
+          REGEXP_REPLACE(
+            REGEXP_REPLACE(
+              REGEXP_REPLACE(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
+        FROM norm"""),
+      "corpus cleaning: markup/control strip + whitespace collapse + PII redaction")
   )
 }

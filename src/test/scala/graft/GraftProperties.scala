@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+
+import graft.ts.DeltaEncoding
+
+/** Property-based tests (SURVEY §5 tier 3, ScalaCheck): delta
+  * encode/decode identity, priority resolution = first non-null slot,
+  * unit-conversion round-trips. Spark jobs per sample are expensive, so
+  * sample counts are kept small; generators cover the structural edge
+  * cases (empty slots, single-point groups, negative values).
+  */
+object GraftProperties extends Properties("graft") {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private val tsGen: Gen[List[(String, Long, Double)]] = for {
+    nKeys <- Gen.choose(1, 3)
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, nKeys - 1).map(i => s"k$i")
+      ts <- Gen.choose(0L, 40L * 86400L * 1000000L) // spans >1 20-day group
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (k, ts, v))
+  } yield rows
+
+  property("deltaEncodeDecodeIdentity") = Prop.forAll(tsGen) { rows =>
+    val distinctRows = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val df = distinctRows.toDF("key", "ts_us", "value")
+    val decoded = DeltaEncoding.decode(
+        DeltaEncoding.encode(df, "key", "ts_us", "value"))
+      .select("key", "ts_us", "value")
+      .as[(String, Long, Double)].collect().toSet
+    decoded == distinctRows.toSet
+  }
+
+  private val slotsGen: Gen[List[Option[String]]] =
+    Gen.listOfN(17, Gen.option(Gen.identifier.map(_.take(6))))
+
+  property("resolvePriorityIsFirstNonNull") = Prop.forAll(slotsGen) { slots =>
+    val df = Seq(Tuple1(slots.map(v => (v.orNull, null: java.sql.Timestamp))))
+      .toDF("raw")
+      .withColumn("slots",
+        expr("transform(raw, r -> struct(r._1 as value, r._2 as ts))"))
+    val got = df.select(
+      graft.model.IotValue.resolvePriority(col("slots")).as("v"),
+      graft.model.IotValue.resolvedPriorityIndex(col("slots")).as("p"))
+      .collect()(0)
+    slots.zipWithIndex.collectFirst { case (Some(v), i) => (v, i + 1) } match {
+      case Some((v, p)) => got.getString(0) == v && got.getInt(1) == p
+      case None => got.isNullAt(0) && got.isNullAt(1)
+    }
+  }
+
+  property("unitRoundTripsInvert") = Prop.forAll(Gen.choose(-1e6, 1e6)) { x =>
+    import graft.model.Units
+    (math.abs(x) < 1e-6) || Units.defaultRules.filter(r => r.from != r.to)
+      .forall { fwd =>
+        Units.defaultRules.find(r => r.from == fwd.to && r.to == fwd.from)
+          .forall { back =>
+            val rt = (x * fwd.factor + fwd.offset) * back.factor + back.offset
+            math.abs(rt - x) <= 1e-9 * math.max(math.abs(x), 300.0)
+          }
+      }
+  }
+
+  property("hammingSymmetricZeroOnIdentity") =
+    Prop.forAll(Gen.long, Gen.long) { (a, b) =>
+      // pure-JVM mirror of the column function's semantics
+      java.lang.Long.bitCount(a ^ b) == java.lang.Long.bitCount(b ^ a) &&
+        java.lang.Long.bitCount(a ^ a) == 0
+    }
+}
