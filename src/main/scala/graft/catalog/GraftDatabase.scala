@@ -81,16 +81,37 @@ final class GraftDatabase private (
   def delete(name: String, predicate: org.apache.spark.sql.Column): Unit = {
     val states = defs.map { case (n, d) => n -> ((table(n), d)) }
     val updated = ConstrainedDml.deleteCascade(spark, states, name, predicate)
-    updated.foreach { case (n, df) => writeReplace(n, df) }
+    // two-phase swap: every new state's plan reads the CURRENT directories
+    // (possibly of other affected tables), so all temp writes must finish
+    // before any directory is replaced
+    val tmps = updated.map { case (n, df) =>
+      val tmp = Paths.get(tablePath(n) + "_tmp_swap")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      n -> tmp
+    }
+    tmps.foreach { case (n, tmp) =>
+      val dst = Paths.get(tablePath(n))
+      deleteRecursively(dst)
+      Files.move(tmp, dst)
+    }
   }
 
   private def writeReplace(name: String, df: DataFrame): Unit = {
-    // materialize before overwriting the directory being read
-    val rows = df.collect()
-    val materialized = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema)
-    materialized.write.mode("overwrite").parquet(tablePath(name))
+    // write-to-temp then swap: the plan reads the directory being replaced,
+    // so overwrite-in-place would corrupt it, and collect()-then-rewrite
+    // does not scale — the temp write is fully distributed
+    val dst = Paths.get(tablePath(name))
+    val tmp = Paths.get(tablePath(name) + "_tmp_swap")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursively(dst)
+    Files.move(tmp, dst)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
 
   /** Typed fluent query over a table (the reference's
     * `col.Query().Where(...).OrderBy(...).Select(...)` surface,

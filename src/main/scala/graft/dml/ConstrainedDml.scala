@@ -140,10 +140,12 @@ object ConstrainedDml {
       table: String,
       doomedKeys: DataFrame): Map[String, DataFrame] = {
     val (rows, tdef) = states(table)
-    var result = Map.empty[String, DataFrame]
+    // thread state updates through the walk: if two FK paths reach the same
+    // table (diamond), the second pass must see the first pass's deletes
+    var current: Map[String, (DataFrame, TableDef)] = states
 
-    // children first (dependency order), as the reference walks child tables
-    states.foreach { case (childName, (childRows, childDef)) =>
+    current.foreach { case (childName, _) =>
+      val (childRows, childDef) = current(childName)
       childDef.fks.filter(_.parentTable == table).foreach { fk =>
         val affected = childRows.join(broadcast(doomedKeys),
           childRows(fk.childCol) === doomedKeys(tdef.pk), "left_semi")
@@ -154,16 +156,19 @@ object ConstrainedDml {
               s"restrictive FK: $childName.${fk.childCol} has $n dependent rows")
           case Cascade =>
             val childDoomed = affected.select(col(childDef.pk)).cache()
-            val sub = deleteByKeys(spark, states - table, childName, childDoomed)
-            result ++= sub
+            val sub = deleteByKeys(spark, current - table, childName, childDoomed)
+            current = current.map { case (n, (df, d)) =>
+              n -> ((sub.getOrElse(n, df), d))
+            }
           case SetNull =>
             val marked = childRows.join(broadcast(doomedKeys
                 .withColumnRenamed(tdef.pk, "_doomed")),
               childRows(fk.childCol) === col("_doomed"), "left")
-            result += childName -> marked
+            val updated = marked
               .withColumn(fk.childCol,
                 when(col("_doomed").isNotNull, lit(null)).otherwise(col(fk.childCol)))
               .drop("_doomed")
+            current = current.updated(childName, (updated, childDef))
           case NoAction => ()
         }
       }
@@ -172,6 +177,9 @@ object ConstrainedDml {
     val remaining = rows.join(broadcast(doomedKeys
         .withColumnRenamed(tdef.pk, "_doomed")),
       rows(tdef.pk) === col("_doomed"), "left_anti")
-    result + (table -> remaining)
+    // report every table whose state changed (plus this one)
+    current.collect {
+      case (n, (df, _)) if !(df eq states(n)._1) => n -> df
+    } + (table -> remaining)
   }
 }

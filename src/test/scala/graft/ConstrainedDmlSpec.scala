@@ -86,6 +86,33 @@ class ConstrainedDmlSpec extends AnyFunSuite {
     assert(out("orders").select("id").as[Int].collect().toSet == Set(12))
   }
 
+  test("diamond cascade: deletes via two FK paths both reach the grandchild") {
+    // customer -> orders (cascade), customer -> invoices (cascade),
+    // line items cascade from BOTH orders and invoices
+    val invoices = Seq((20, 1), (21, 2)).toDF("id", "customer_id")
+    val items = Seq(
+      (100, 10, 21),  // via ann's order 10 AND bob's invoice 21
+      (101, 12, 20),  // via bob's order 12 AND ann's invoice 20
+      (102, 12, 21)   // only bob's edges
+    ).toDF("id", "order_id", "invoice_id")
+    val invoiceDef = TableDef("invoices", "id",
+      fks = Seq(Fk("customer_id", "customer", "id", Cascade)))
+    val itemDef = TableDef("items", "id", fks = Seq(
+      Fk("order_id", "orders", "id", Cascade),
+      Fk("invoice_id", "invoices", "id", Cascade)))
+    val states = Map(
+      "customer" -> (customers, customerDef),
+      "orders" -> (orders, orderDef),
+      "invoices" -> (invoices, invoiceDef),
+      "items" -> (items, itemDef))
+    // deleting ann (id 1) removes orders 10,11 and invoice 20;
+    // item 100 dies via order 10, item 101 via invoice 20 -> only 102 left
+    val out = deleteCascade(spark, states, "customer", col("id") === 1)
+    assert(out("orders").select("id").as[Int].collect().toSet == Set(12))
+    assert(out("invoices").select("id").as[Int].collect().toSet == Set(21))
+    assert(out("items").select("id").as[Int].collect().toSet == Set(102))
+  }
+
   test("restrictive FK blocks parent delete") {
     val restrictive = TableDef("orders", "id",
       fks = Seq(Fk("customer_id", "customer", "id", Restrict)))
