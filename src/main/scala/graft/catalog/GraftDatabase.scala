@@ -145,7 +145,10 @@ final class GraftDatabase private (
   def tsResample(guid: String, start: java.sql.Timestamp,
       end: java.sql.Timestamp, stepSeconds: Long): DataFrame =
     TimeSeriesOps.resampleLinear(
-      tsRange(guid, start, end).select(col("point_guid"), col("ts"), col("value")),
+      // collapse exact-timestamp duplicates (ingest-time dedup in the
+      // reference, TsCollection.cs:43-103) so neighbor picks are unique
+      tsRange(guid, start, end).groupBy("point_guid", "ts")
+        .agg(max(col("value")).as("value")),
       "point_guid", "ts", "value", stepSeconds)
 }
 

@@ -30,8 +30,12 @@ object RelationalQueries {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .as("sum_disc_price"),
+            // multiply EXACT decimals: casting the double product can land
+            // on a .xxxxxxxx5 tie that Spark (HALF_UP) and DuckDB round
+            // differently — surfaced at sf0.1
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(8,2)"))
+              .cast("double").as("sum_disc_price"),
             (sum(col("l_quantity").cast("decimal(28,8)")).cast("double") /
               count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
@@ -39,7 +43,7 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS avg_qty,
         COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
@@ -84,11 +88,12 @@ object RelationalQueries {
         o.join(li, o("o_orderkey") === li("l_orderkey"))
           .groupBy("o_orderpriority")
           .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .as("revenue"))
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(8,2)"))
+              .cast("double").as("revenue"))
       },
       Some("""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
-        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority"""),
       "large-side equi-join: shuffle hash/SMJ on the join key, AQE-planned"),

@@ -122,6 +122,8 @@ object TimeSeriesOps {
           .when(col("_nt").isNull, col("_pv"))        // after last obs: LOCF
           .when(col("_pt").isNull, lit(null))          // before first obs
           .otherwise(lerp).as("value"),
-        (!exact).as("interpolated"))
+        // before the first obs `exact` is NULL (no prev ts) — such ticks
+        // are still not exact samples, so interpolated must be true
+        coalesce(!exact, lit(true)).as("interpolated"))
   }
 }
