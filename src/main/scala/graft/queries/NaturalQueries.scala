@@ -87,6 +87,17 @@ object NaturalQueries {
           ON o_custkey = c_custkey AND o_totalprice > 300000
         WHERE c_acctbal > 9500
         GROUP BY c_custkey, c_name"""),
-      "NL INCLUDE 1→N nesting (QueryEngine.cs:751-799), checked via array agg")
+      "NL INCLUDE 1→N nesting (QueryEngine.cs:751-799), checked via array agg"),
+
+    Q("q67_lite_sql",
+      (s, dir) => graft.query.LiteSql(s, dir).run(
+        "SELECT $.c_mktsegment, COUNT(*) AS n_cust, " +
+          "CAST(SUM(CAST($.c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS bal " +
+          "FROM customer WHERE $.c_acctbal > 1000 " +
+          "GROUP BY $.c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS bal
+        FROM customer WHERE c_acctbal > 1000 GROUP BY c_mktsegment"""),
+      "LiteDB SQL dialect ($-paths) translated to Spark SQL (SqlParser/Select.cs)")
   )
 }

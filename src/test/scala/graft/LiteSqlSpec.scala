@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.query.LiteSql
+
+class LiteSqlSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private lazy val engine = LiteSql(spark, Sf0001)
+
+  test("$-path and bare $ translate") {
+    val t = engine.translate(
+      "SELECT $.c_name, UPPER($.c_mktsegment) FROM customer WHERE $.c_acctbal > 100")
+    assert(t == "SELECT c_name, UPPER(c_mktsegment) FROM customer WHERE c_acctbal > 100")
+    assert(engine.translate("SELECT $ FROM region") == "SELECT * FROM region")
+  }
+
+  test("$ inside string literals is untouched") {
+    val t = engine.translate("SELECT $.c_name FROM customer WHERE c_name = 'a$.b'")
+    assert(t.contains("'a$.b'"))
+    assert(t.startsWith("SELECT c_name"))
+  }
+
+  test("INCLUDE lowers to a left join over the FK registry") {
+    val t = engine.translate(
+      "SELECT $.c_name, $.o_totalprice FROM customer INCLUDE orders WHERE $.o_totalprice > 1000")
+    assert(t.contains(
+      "FROM customer LEFT JOIN orders ON customer.c_custkey = orders.o_custkey"))
+  }
+
+  test("full query executes and matches direct Spark SQL") {
+    val got = engine.run(
+      "SELECT $.c_mktsegment, COUNT(*) AS n FROM customer " +
+        "WHERE $.c_acctbal > 1000 GROUP BY $.c_mktsegment " +
+        "ORDER BY n DESC LIMIT 3")
+    val want = spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+         WHERE c_acctbal > 1000 GROUP BY c_mktsegment
+         ORDER BY n DESC LIMIT 3""")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("INCLUDE query end-to-end: hydrated rows count matches manual join") {
+    val got = engine.run(
+      "SELECT $.c_custkey, $.o_orderkey FROM customer INCLUDE orders").count()
+    val c = graft.core.Tables.load(spark, Sf0001, "customer")
+    val o = graft.core.Tables.load(spark, Sf0001, "orders")
+    val want = c.join(o, c("c_custkey") === o("o_custkey"), "left").count()
+    assert(got == want)
+  }
+
+  test("unknown INCLUDE target raises") {
+    intercept[IllegalArgumentException](
+      engine.translate("SELECT $ FROM customer INCLUDE nosuch"))
+  }
+}
