@@ -160,4 +160,47 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over near-dup pairs: assign every id the minimum
+    * id reachable through the pair graph (the canonical doc of its dup
+    * cluster). Label-propagation via iterated joins — O(diameter)
+    * rounds, each one shuffle; near-dup clusters are shallow (diameter is
+    * small), so this converges in a few rounds at any scale.
+    *
+    * Input: (id1, id2) pairs. Output: (id, cluster_id = min id in
+    * component). Ids not in any pair are absent (they are their own
+    * cluster).
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("cluster_id", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own label, min neighbor label)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 }

@@ -62,6 +62,16 @@ class DedupSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("clusterPairs labels every member with the component minimum") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton 20 not in pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("hamming64") {
     val d = spark.range(1)
       .select(Dedup.hamming64(lit(0xFFL), lit(0x0FL))).as[Int].head()
