@@ -73,6 +73,19 @@ object IngestPipeline {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("key", "ts")
 
+  /** Enforce the IotValue write rules in the ingest path (SURVEY §7:
+    * "write rules live in the ingest path, not the storage" —
+    * IotValue.cs:123-139): rows whose (priority, flags) violate
+    * AllowManualOperator/Priority9Only split into a rejects stream for the
+    * dead-letter sink instead of silently landing.
+    * Input needs `priority` and `flags` columns; returns (accepted,
+    * rejected).
+    */
+  def partitionByWriteRules(points: DataFrame): (DataFrame, DataFrame) = {
+    val ok = graft.model.IotValue.writeAllowed(col("priority"), col("flags"))
+    (points.filter(ok), points.filter(!ok))
+  }
+
   /** Session windows keyed by inactivity gap (`session_window`): the
     * event-time twin of the batch gaps-and-islands sessionization (q34).
     */

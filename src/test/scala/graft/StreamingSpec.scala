@@ -78,6 +78,20 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("partitionByWriteRules splits rejected priority writes to dead-letter") {
+    import graft.model.IotValue._
+    val writes = Seq(
+      (1L, 1, 0),                     // slot 1 without AllowManualOperator -> reject
+      (2L, 1, AllowManualOperator),   // allowed
+      (3L, 5, Priority9Only),         // non-9 under Priority9Only -> reject
+      (4L, 9, Priority9Only),         // allowed
+      (5L, 15, 0)                     // plain default write -> allowed
+    ).toDF("id", "priority", "flags")
+    val (ok, rejected) = graft.streaming.IngestPipeline.partitionByWriteRules(writes)
+    assert(ok.select("id").as[Long].collect().toSet == Set(2L, 4L, 5L))
+    assert(rejected.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("sessionAgg groups events into inactivity-gap session windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PointEvent]
