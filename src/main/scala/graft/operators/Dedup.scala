@@ -172,13 +172,14 @@ object Dedup {
     * cluster).
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected edge list, both directions
+    // eager localCheckpoints truncate lineage each round — without them
+    // every iteration re-analyzes a plan that doubles in size and the
+    // driver OOMs on optimizer state long before the data is large
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("cluster_id", col("id")).cache()
+      .distinct().withColumn("cluster_id", col("id")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -192,11 +193,10 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id")).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      val changed = updated.withColumnRenamed("cluster_id", "new_label")
+        .join(labels, Seq("id"))
+        .filter(col("new_label") =!= col("cluster_id")).count()
       labels = updated
       converged = changed == 0
       iter += 1

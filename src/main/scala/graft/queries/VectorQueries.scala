@@ -116,6 +116,48 @@ object VectorQueries {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
             ORDER BY score DESC, cand_id) AS rn FROM scored)
         WHERE rn = 1"""),
-      "label-blocked kNN join (embedding-cosine near-dup building block)")
+      "label-blocked kNN join (embedding-cosine near-dup building block)"),
+
+    Q("q45_embed_dup_pairs",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("id1"), col("label"),
+          col("embedding").as("v1"))
+        val b = e.select(col("vec_id").as("id2"), col("label"),
+          col("embedding").as("v2"))
+        a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            round(Similarity.cosine(col("v1"), col("v2")), 6).as("score"))
+          .filter(col("score") >= 0.3)
+      },
+      Some("""WITH p AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+            ROUND(
+              LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+                k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x,y)->x+y)
+              / (SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+                  k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)), (x,y)->x+y))
+               * SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+                  k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x,y)->x+y))), 6) AS score
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT id1, id2, score FROM p WHERE score >= 0.3"""),
+      "embedding-cosine near-dup pairs, label-blocked (native codegen cosine)"),
+
+    // clusterPairs is iterative (label propagation) — not single-statement
+    // SQL; driver records rows-only, DedupSpec pins component semantics.
+    Q("q46_dup_clusters",
+      (s, dir) => {
+        val pairs = graft.operators.Dedup.jaccardPairsByCooccurrence(
+          Tables.load(s, dir, "documents"), "doc_id",
+          array_distinct(graft.functions.TextFunctions.tokens(col("text"))),
+          Seq(col("lang"), floor(col("n_chars") / 50)),
+          threshold = 0.6)
+        graft.operators.Dedup.clusterPairs(pairs)
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"))
+      },
+      None,
+      "near-dup clusters: connected components over jaccard pairs -> keep-one groups")
   )
 }
