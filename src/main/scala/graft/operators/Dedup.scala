@@ -189,6 +189,8 @@ object Dedup {
           .withColumnRenamed("cluster_id", "n_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
+      // (measured: an extra pointer-jumping join per round costs more than
+      // the rounds it saves — near-dup components are shallow)
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
