@@ -112,6 +112,38 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00", 1L, 10.0)))
   }
 
+  test("StatefulPointState keeps 17-slot state across micro-batches") {
+    import graft.streaming.StatefulPointState
+    import graft.streaming.StatefulPointState.{PointState, Write}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Write]
+    val out = StatefulPointState.track(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+
+    // batch 1: default-slot write
+    mem.addData(Write(1L, 15, "10.0", 1000L, 1L))
+    q.processAllAvailable()
+    // batch 2: higher-priority write for key 1, first write for key 2
+    mem.addData(Write(1L, 9, "99.0", 2000L, 2L), Write(2L, 15, "5.0", 500L, 3L))
+    q.processAllAvailable()
+    // batch 3: STALE write to slot 9 (older ts) must not override
+    mem.addData(Write(1L, 9, "1.0", 1500L, 4L))
+    q.processAllAvailable()
+
+    val rows = spark.table("state_out").as[PointState].collect()
+    q.stop()
+    val key1 = rows.filter(_.key == 1L)
+    // batch 1 resolves slot 15; batches 2 and 3 resolve slot 9 = 99.0, and
+    // the STALE batch-3 write (older ts) must never surface as "1.0"
+    assert(key1.map(_.resolved.get).toSet == Set("10.0", "99.0"))
+    assert(key1.count(_.priority.contains(9)) == 2)
+    assert(!key1.exists(_.resolved.contains("1.0")))
+    val key2 = rows.filter(_.key == 2L)
+    assert(key2.map(r => (r.resolved.get, r.priority.get)).toSet ==
+      Set(("5.0", 15)))
+  }
+
   test("ContinuousQueryService re-executes and caches lastResult") {
     val svc = new ContinuousQueryService(spark)
     try {
