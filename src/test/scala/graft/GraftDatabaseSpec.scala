@@ -67,6 +67,23 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.table("orders").select("id").as[Int].collect().toSet == Set(12))
   }
 
+  test("fluent terminals: exists/first/count/offset/into") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40), (3, "cal", 20))
+      .toDF("id", "name", "age"))
+    val q = db.query("customer").where($"age" >= 21).orderBy($"id")
+    assert(q.count() == 2)
+    assert(q.exists())
+    assert(q.first().getAs[String]("name") == "ann")
+    assert(!db.query("customer").where($"age" > 99).exists())
+    assert(db.query("customer").where($"age" > 99).firstOption().isEmpty)
+    val page = db.query("customer").orderBy($"id").offset(1).limit(1).toDf
+    assert(page.select("name").as[String].collect().toSeq == Seq("bob"))
+    val out = java.nio.file.Files.createTempDirectory("graft-into").toString
+    q.into(s"$out/result")
+    assert(spark.read.parquet(s"$out/result").count() == 2)
+  }
+
   test("time-series store: append, range read, resample") {
     val db = freshDb()
     val points = Seq(
