@@ -66,4 +66,16 @@ object IotValue {
   }
 
   def hasFlag(flags: Column, bit: Int): Column = flags.bitwiseAND(bit) =!= 0
+
+  /** Query-driven point value (IotValue.cs:299-327, 1193-1252): slot 14 is
+    * filled from a registered continuous query's result at read time (the
+    * query config itself lives in slot 17). `value`/`ts` null leaves the
+    * slot empty.
+    */
+  val QueryDrivenSlot = 14
+
+  def withQueryDrivenSlot(slots: Column, value: Column, ts: Column): Column =
+    transform(slots, (s, i) =>
+      when(i === QueryDrivenSlot - 1 && value.isNotNull,
+        struct(value.as("value"), ts.as("ts"))).otherwise(s))
 }

@@ -40,6 +40,39 @@ class ModelSpec extends AnyFunSuite {
     assert(out == Seq(false, true, false, true, false, true))
   }
 
+  test("query-driven slot 14: fed from a continuous query's lastResult") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val svc = new graft.streaming.ContinuousQueryService(spark)
+    try {
+      svc.register(svc.Config("n_customers",
+        s => graft.core.Tables.load(s, Sf0001, "customer")
+          .agg(fcount(lit(1))), intervalMillis = 60000L))
+      val deadline = System.currentTimeMillis() + 30000
+      while (svc.executions("n_customers") < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val fed = svc.lastResult("n_customers").head.getLong(0).toString
+
+      // a point with only the Default slot set; feeding slot 14 (higher
+      // priority) must win resolution; an empty feed must not
+      val df = Seq(Tuple1(
+        (1 to 17).map(p => (if (p == 15) "fallback" else null, null: Timestamp))))
+        .toDF("raw")
+        .withColumn("slots", expr("transform(raw, r -> struct(r._1 as value, r._2 as ts))"))
+      val resolved = df.select(
+        IotValue.resolvePriority(
+          IotValue.withQueryDrivenSlot($"slots", lit(fed), lit(t0))).as("v"),
+        IotValue.resolvedPriorityIndex(
+          IotValue.withQueryDrivenSlot($"slots", lit(fed), lit(t0))).as("p"),
+        IotValue.resolvePriority(
+          IotValue.withQueryDrivenSlot($"slots",
+            lit(null).cast("string"), lit(t0))).as("unfed"))
+        .head()
+      assert(resolved.getString(0) == "150")
+      assert(resolved.getInt(1) == IotValue.QueryDrivenSlot)
+      assert(resolved.getString(2) == "fallback")
+    } finally svc.shutdown()
+  }
+
   test("unit conversion: degC->degF and inverse round-trip") {
     val df = Seq(("degC", 100.0), ("degF", 212.0)).toDF("unit", "v")
     val f = Units.convert(spark, df, "v", "unit", "degF", "out")
