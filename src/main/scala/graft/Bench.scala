@@ -25,9 +25,25 @@ object Bench {
     graft.core.Tables.load(spark, sfDir, "region").count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // per-query watchdog: a pathological query gets its job group cancelled
+    // after the budget instead of stalling the whole graded run
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_MS", "180000").toLong
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(budgetMs)
+          spark.sparkContext.cancelJobGroup(name)
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      watchdog.start()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      finally {
+        watchdog.interrupt()
+        spark.sparkContext.clearJobGroup()
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
