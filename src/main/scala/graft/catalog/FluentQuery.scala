@@ -50,13 +50,17 @@ final class FluentQuery private[catalog] (
     var df = base
     wheres.foreach(w => df = df.filter(w))
     includes.foreach { case (child, baseKey, childKey, asName) =>
-      // join then collapse children into an array per base row; the base
-      // row (all columns) is the grouping key, so base rows must be unique
-      // (they are — PK tables), matching the reference's per-parent nest
-      val joined = df.join(child, df(baseKey) === child(childKey), "left")
-      val baseCols = df.columns
-      df = joined.groupBy(baseCols.toIndexedSeq.map(df(_)): _*)
+      // aggregate the child side first, then left-join the per-key arrays:
+      // a parent with no children gets an empty array (not a single
+      // all-null struct), and the shuffle is on the child table only —
+      // the base row set never needs to be grouped or unique
+      val childArrayType = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(child.schema.fields))
+      val childAgg = child.groupBy(col(childKey).as("__graft_ck"))
         .agg(collect_list(struct(child.columns.toIndexedSeq.map(child(_)): _*)).as(asName))
+      df = df.join(childAgg, df(baseKey) === childAgg("__graft_ck"), "left")
+        .drop("__graft_ck")
+        .withColumn(asName, coalesce(col(asName), array().cast(childArrayType)))
     }
     if (orderBys.nonEmpty) df = df.orderBy(orderBys: _*)
     if (selects.nonEmpty) df = df.select(selects: _*)

@@ -144,9 +144,12 @@ object ConstrainedDml {
     // table (diamond), the second pass must see the first pass's deletes
     var current: Map[String, (DataFrame, TableDef)] = states
 
-    current.foreach { case (childName, _) =>
-      val (childRows, childDef) = current(childName)
+    current.foreach { case (childName, (_, childDef)) =>
       childDef.fks.filter(_.parentTable == table).foreach { fk =>
+        // re-read the child's current state per FK: a child with two FKs to
+        // the same parent (e.g. sender_id and receiver_id, both SetNull)
+        // must see the first FK's update when processing the second
+        val childRows = current(childName)._1
         val affected = childRows.join(broadcast(doomedKeys),
           childRows(fk.childCol) === doomedKeys(tdef.pk), "left_semi")
         fk.onDelete match {

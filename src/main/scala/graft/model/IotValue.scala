@@ -38,18 +38,26 @@ object IotValue {
     StructField("value", StringType, nullable = true),
     StructField("ts", TimestampType, nullable = true))))
 
-  /** First non-null slot value in priority order (IotValue.cs:299-343). */
+  /** First non-null slot value in priority order (IotValue.cs:299-343).
+    * Slot 17 holds the query configuration, not a candidate value — the
+    * reference's getter iterates `i < Values.Length - 1` and so never
+    * resolves it; we slice to slots 1-16 to match.
+    */
   def resolvePriority(slots: Column): Column = {
-    val firstNonNull = filter(slots, s => s.getField("value").isNotNull)
+    val candidates = slice(slots, 1, NumSlots - 1)
+    val firstNonNull = filter(candidates, s => s.getField("value").isNotNull)
     // get() is 0-based and null-safe on empty arrays (vs element_at, which
     // throws under ANSI mode when every slot is null)
     get(firstNonNull, lit(0)).getField("value")
   }
 
-  /** 1-based priority that produced the resolved value, null if none. */
+  /** 1-based priority that produced the resolved value, null if none.
+    * Capped at 16: slot 17 (QueryConfiguration) never resolves.
+    */
   def resolvedPriorityIndex(slots: Column): Column = {
     val idx = array_position(
-      transform(slots, s => s.getField("value").isNotNull), true)
+      transform(slice(slots, 1, NumSlots - 1),
+        s => s.getField("value").isNotNull), true)
     when(idx === 0, lit(null).cast("int")).otherwise(idx.cast("int"))
   }
 

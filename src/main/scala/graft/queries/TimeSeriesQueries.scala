@@ -131,8 +131,8 @@ object TimeSeriesQueries {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         numbered AS (
           SELECT user_id, ts,
-            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
           FROM marked)
         SELECT user_id, session_idx, COUNT(*) AS n_events,
           MIN(EPOCH_US(ts)) AS session_start_us,

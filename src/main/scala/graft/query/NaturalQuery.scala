@@ -202,8 +202,7 @@ object NaturalQuery {
       select: Seq[Sel], includes: Seq[Include], innerJoin: Option[InnerJoin],
       orderBy: Option[(String, Boolean)], limit: Option[Int])
 
-  private val TopSplit =
-    "(?i)\\b(INCLUDE|INNERJOIN|ORDER\\s+BY|LIMIT)\\b".r
+  private val TopKeywords = Seq("INNERJOIN", "INCLUDE", "ORDER BY", "LIMIT")
 
   def splitQualified(s: String): (String, String) = {
     val i = s.indexOf('.')
@@ -262,14 +261,29 @@ object NaturalQuery {
 
   def parse(query: String): Parsed = {
     val trimmed = query.trim.replaceAll("\\s+", " ")
-    // segment at top-level keywords
-    val marks = TopSplit.findAllMatchIn(trimmed).toList
+    // segment at top-level keywords, skipping quoted literals: a WHERE
+    // value like 'no limit' must not start a LIMIT segment
+    final case class Mark(start: Int, end: Int, kw: String)
+    val marks = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Mark]
+      var inQ = false
+      var i = 0
+      while (i < trimmed.length) {
+        if (trimmed.charAt(i) == '\'') { inQ = !inQ; i += 1 }
+        else if (!inQ) TopKeywords.find(kw =>
+            matchesKeyword(trimmed, i, kw)) match {
+          case Some(kw) => out += Mark(i, i + kw.length, kw.toUpperCase); i += kw.length
+          case None => i += 1
+        }
+        else i += 1
+      }
+      out.toList
+    }
     val headEnd = marks.headOption.map(_.start).getOrElse(trimmed.length)
     val head = trimmed.substring(0, headEnd).trim
     val segments = marks.zipWithIndex.map { case (m, i) =>
       val end = if (i + 1 < marks.size) marks(i + 1).start else trimmed.length
-      (m.group(1).toUpperCase.replaceAll("\\s+", " "),
-        trimmed.substring(m.end, end).trim)
+      (m.kw, trimmed.substring(m.end, end).trim)
     }
 
     val (find, joins, where, select) = parseHead(head)
@@ -449,18 +463,34 @@ object NaturalQuery {
     val wordOps = Seq("not contains", "not startswith", "not endswith",
       "contains", "startswith", "endswith")
     for (op <- wordOps) {
-      val idx = lower.indexOf(" " + op + " ")
-      if (idx >= 0)
+      // quote-aware whole-word search: 'a contains b' as a literal value
+      // must not be treated as the operator
+      val idx = indexOfKeyword(f, op)
+      if (idx > 0)
         return Cond(f.substring(0, idx).trim, op,
-          Some(f.substring(idx + op.length + 2).trim), conj)
+          Some(f.substring(idx + op.length).trim), conj)
     }
     val symOps = Seq(">=", "<=", "!=", "=", ">", "<")
     for (op <- symOps) {
-      val idx = f.indexOf(op)
+      val idx = indexOfOutsideQuotes(f, op)
       if (idx > 0)
         return Cond(f.substring(0, idx).trim, op,
           Some(f.substring(idx + op.length).trim), conj)
     }
     throw new IllegalArgumentException(s"cannot parse condition: $frag")
+  }
+
+  /** First index of a literal substring outside quoted strings; -1 if
+    * absent (no word-boundary requirement — used for symbolic operators).
+    */
+  private def indexOfOutsideQuotes(s: String, op: String): Int = {
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') { inQ = !inQ; i += 1 }
+      else if (!inQ && s.regionMatches(i, op, 0, op.length)) return i
+      else i += 1
+    }
+    -1
   }
 }

@@ -42,7 +42,9 @@ object StatefulPointState {
   }
 
   private def resolve(s: SlotState): (Option[String], Option[Int]) =
-    s.values.zipWithIndex.collectFirst {
+    // slots 1-16 only: slot 17 stores the query configuration and never
+    // resolves (IotValue.cs Value getter iterates i < Values.Length - 1)
+    s.values.take(16).zipWithIndex.collectFirst {
       case (v, i) if v != null => (Some(v), Some(i + 1))
     }.getOrElse((None, None))
 

@@ -135,4 +135,28 @@ class ConstrainedDmlSpec extends AnyFunSuite {
     assert(o.length == 3)
     assert(o.filter(_.isNullAt(1)).map(_.getInt(0)).toSet == Set(10, 11))
   }
+
+  test("two set-null FKs to the same parent both apply (messages sender+receiver)") {
+    val users = Seq((1, "ann"), (2, "bob"), (3, "cal")).toDF("id", "name")
+    val messages = Seq((100, 1, 2), (101, 2, 1), (102, 3, 3))
+      .toDF("id", "sender_id", "receiver_id")
+    val userDef = TableDef("users", "id")
+    val msgDef = TableDef("messages", "id", fks = Seq(
+      Fk("sender_id", "users", "id", SetNull),
+      Fk("receiver_id", "users", "id", SetNull)))
+    val states = Map(
+      "users" -> (users, userDef),
+      "messages" -> (messages, msgDef))
+    val out = deleteCascade(spark, states, "users", col("id") === 1)
+    val rows = out("messages").orderBy("id")
+      .select($"id", $"sender_id".cast("string"), $"receiver_id".cast("string"))
+      .collect().map(r => (r.getInt(0),
+        Option(r.getString(1)), Option(r.getString(2)))).toSeq
+    // msg 100: sender ann -> null; msg 101: receiver ann -> null; both
+    // updates must survive (second FK pass must see the first one's result)
+    assert(rows == Seq(
+      (100, None, Some("2")),
+      (101, Some("2"), None),
+      (102, Some("3"), Some("3"))))
+  }
 }

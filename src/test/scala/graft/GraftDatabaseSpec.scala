@@ -104,4 +104,19 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(grid == Seq(
       ("2024-01-01 00:01:00", 30.0), ("2024-01-01 00:02:00", 90.0)))
   }
+
+  test("include yields an empty array for parents with no children") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0)).toDF("id", "customer_id", "amount"))
+    val got = db.query("customer")
+      .include(db.table("orders"), "id", "customer_id", "orders_Data")
+      .toDf
+    val sizes = got.select($"name", size($"orders_Data"))
+      .as[(String, Int)].collect().toMap
+    assert(sizes == Map("ann" -> 1, "bob" -> 0))
+    // and the array column is non-null for the childless parent
+    assert(got.filter($"orders_Data".isNull).count() == 0)
+  }
 }

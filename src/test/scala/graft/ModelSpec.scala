@@ -88,4 +88,22 @@ class ModelSpec extends AnyFunSuite {
       .select(Units.convertLit(lit(1.0), "degC", "gallons_us")).collect()(0)
     assert(out.isNullAt(0))
   }
+
+  test("slot 17 (QueryConfiguration) never resolves (IotValue.cs Value getter)") {
+    // only slot 17 populated -> resolution is empty, like the reference's
+    // `i < Values.Length - 1` loop
+    val onlyQuery = (1 to 17).map(i =>
+      if (i == 17) (Some("cfg"), Some(t0)) else (None: Option[String], None: Option[Timestamp]))
+    val with16 = (1 to 17).map(i =>
+      if (i == 16 || i == 17) (Some(s"v$i"), Some(t0))
+      else (None: Option[String], None: Option[Timestamp]))
+    val df = Seq((1L, onlyQuery), (2L, with16)).toDF("id", "raw")
+      .withColumn("slots", expr("transform(raw, r -> struct(r._1 as value, r._2 as ts))"))
+    val rows = df.select($"id",
+        IotValue.resolvePriority($"slots").as("v"),
+        IotValue.resolvedPriorityIndex($"slots").as("p"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.get(2))))).toMap
+    assert(rows(1L) == ((None, None)))
+    assert(rows(2L) == ((Some("v16"), Some(16))))
+  }
 }

@@ -92,4 +92,27 @@ class NaturalQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       NaturalQuery.parse("customer WHERE x = 1"))
   }
+
+  test("parser: quoted literals hide keywords and operators") {
+    // top-level keywords inside a quoted value must not open a segment
+    val p = NaturalQuery.parse(
+      "FIND customer WHERE c_comment = 'no limit order by here' LIMIT 5")
+    assert(p.where.map(c => (c.field, c.op, c.value)) ==
+      Seq(("c_comment", "=", Some("'no limit order by here'"))))
+    assert(p.limit.contains(5))
+    assert(p.orderBy.isEmpty && p.includes.isEmpty)
+
+    // INCLUDE inside quotes stays a value
+    val p2 = NaturalQuery.parse("FIND t WHERE note = 'please include tax'")
+    assert(p2.includes.isEmpty)
+    assert(p2.where.head.value.contains("'please include tax'"))
+
+    // symbolic and word operators inside quoted values are not operators
+    val p3 = NaturalQuery.parse("FIND t WHERE name = 'a != b'")
+    assert(p3.where.map(c => (c.field, c.op, c.value)) ==
+      Seq(("name", "=", Some("'a != b'"))))
+    val p4 = NaturalQuery.parse("FIND t WHERE name = 'x contains y'")
+    assert(p4.where.map(c => (c.field, c.op, c.value)) ==
+      Seq(("name", "=", Some("'x contains y'"))))
+  }
 }

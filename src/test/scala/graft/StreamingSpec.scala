@@ -144,6 +144,27 @@ class StreamingSpec extends AnyFunSuite {
       Set(("5.0", 15)))
   }
 
+  test("StatefulPointState never resolves slot 17 (query-config slot)") {
+    import graft.streaming.StatefulPointState
+    import graft.streaming.StatefulPointState.{PointState, Write}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Write]
+    val out = StatefulPointState.track(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("state17_out")
+      .outputMode("update").start()
+    // slot 17 stores the query configuration; a populated slot 17 with all
+    // other slots empty must resolve to nothing (IotValue.cs Value getter)
+    mem.addData(Write(1L, 17, "SELECT cfg", 1000L, 1L))
+    q.processAllAvailable()
+    mem.addData(Write(1L, 16, "fb", 2000L, 2L))
+    q.processAllAvailable()
+    val rows = spark.table("state17_out").as[PointState].collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.resolved, r.priority)).toSet ==
+      Set((None, None), (Some("fb"), Some(16))))
+  }
+
   test("ContinuousQueryService re-executes and caches lastResult") {
     val svc = new ContinuousQueryService(spark)
     try {
