@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance, Simhash64Expr}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance, Simhash64Expr, SimhashMd5Expr}
 
 /** Registry for graft's native Catalyst expressions. `register` makes them
   * callable from SQL and from `call_function` (idempotent per session;
@@ -22,7 +22,9 @@ object GraftFunctions {
     ("dot_product", es => DotProduct(es(0), es(1)),
       "dot product of two float arrays"),
     ("simhash64", es => Simhash64Expr(es(0)),
-      "64-bit SimHash fingerprint of a token array"))
+      "64-bit SimHash fingerprint of a token array"),
+    ("simhash_md5", es => SimhashMd5Expr(es(0)),
+      "engine-portable md5-keyed SimHash fingerprint (16-char hex)"))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder, _) =>
@@ -47,6 +49,8 @@ object GraftFunctions {
     call_function("dot_product", a, b)
   def simhash64(tokens: Column): Column =
     call_function("simhash64", tokens)
+  def simhash_md5(tokens: Column): Column =
+    call_function("simhash_md5", tokens)
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — registers

@@ -20,43 +20,43 @@ object PrioritySlots {
     */
   final case class SlotWrite(priority: Int, value: String, tsUs: Long, tie: Long)
 
-  /** Mutable-free buffer: 17 slots of (value, tsUs, tie), null value =
-    * empty slot.
+  /** Buffer: 17 slots of (value, tsUs, tie), null value = empty slot.
+    * Arrays, mutated in place — the Aggregator contract permits mutating
+    * and returning the buffer, and the immutable-Seq form costs three
+    * 17-element copies per input row (it dominated q56's runtime).
     */
-  final case class Buf(values: Seq[String], tsUs: Seq[Long], ties: Seq[Long])
+  final case class Buf(values: Array[String], tsUs: Array[Long], ties: Array[Long])
 
   final case class Slot(value: Option[String], tsUs: Option[Long])
 
-  val empty: Buf = Buf(Seq.fill(17)(null), Seq.fill(17)(Long.MinValue),
-    Seq.fill(17)(Long.MinValue))
-
   val aggregator: Aggregator[SlotWrite, Buf, Seq[Slot]] =
     new Aggregator[SlotWrite, Buf, Seq[Slot]] {
-      override def zero: Buf = empty
+      override def zero: Buf = Buf(new Array[String](17),
+        Array.fill(17)(Long.MinValue), Array.fill(17)(Long.MinValue))
 
       private def later(aTs: Long, aTie: Long, bTs: Long, bTie: Long): Boolean =
         aTs > bTs || (aTs == bTs && aTie > bTie)
 
       override def reduce(b: Buf, w: SlotWrite): Buf = {
-        if (w.priority < 1 || w.priority > 17 || w.value == null) b
-        else {
+        if (w.priority >= 1 && w.priority <= 17 && w.value != null) {
           val i = w.priority - 1
-          if (b.values(i) == null || later(w.tsUs, w.tie, b.tsUs(i), b.ties(i)))
-            Buf(b.values.updated(i, w.value), b.tsUs.updated(i, w.tsUs),
-              b.ties.updated(i, w.tie))
-          else b
+          if (b.values(i) == null || later(w.tsUs, w.tie, b.tsUs(i), b.ties(i))) {
+            b.values(i) = w.value; b.tsUs(i) = w.tsUs; b.ties(i) = w.tie
+          }
         }
+        b
       }
 
       override def merge(a: Buf, b: Buf): Buf = {
-        val slots = (0 until 17).map { i =>
-          if (a.values(i) == null) (b.values(i), b.tsUs(i), b.ties(i))
-          else if (b.values(i) == null) (a.values(i), a.tsUs(i), a.ties(i))
-          else if (later(a.tsUs(i), a.ties(i), b.tsUs(i), b.ties(i)))
-            (a.values(i), a.tsUs(i), a.ties(i))
-          else (b.values(i), b.tsUs(i), b.ties(i))
+        var i = 0
+        while (i < 17) {
+          if (b.values(i) != null && (a.values(i) == null ||
+              later(b.tsUs(i), b.ties(i), a.tsUs(i), a.ties(i)))) {
+            a.values(i) = b.values(i); a.tsUs(i) = b.tsUs(i); a.ties(i) = b.ties(i)
+          }
+          i += 1
         }
-        Buf(slots.map(_._1), slots.map(_._2), slots.map(_._3))
+        a
       }
 
       override def finish(b: Buf): Seq[Slot] =

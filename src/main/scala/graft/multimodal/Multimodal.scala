@@ -44,21 +44,26 @@ object Multimodal {
     def decode(kind: String, bytes: Array[Byte], meta: Row): Array[Float]
   }
 
-  /** STUB decoder — deterministic fake features derived from content bytes
-    * (xxhash-style mix), standing in for a real image/audio codec.
+  /** STUB decoder — deterministic fake features derived from content bytes,
+    * standing in for a real image/audio codec. Feature i is the first 24
+    * bits of md5(bytes ++ "|i"), scaled to [-1, 1] — md5-keyed so external
+    * engines (the DuckDB oracle) can recompute the features bit-for-bit.
     */
   final class StubDecoder(val dim: Int = 16) extends MediaDecoder {
+    @transient private var md: java.security.MessageDigest = _
+    override def init(): Unit =
+      md = java.security.MessageDigest.getInstance("MD5")
     override def decode(kind: String, bytes: Array[Byte], meta: Row): Array[Float] = {
-      var h = 1125899906842597L
-      if (bytes != null) {
-        var i = 0
-        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      }
+      if (md == null) init()
       val out = new Array[Float](dim)
       var i = 0
       while (i < dim) {
-        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-        out(i) = ((h & 0xffffff).toFloat / 0xffffff.toFloat) * 2f - 1f
+        md.reset()
+        if (bytes != null) md.update(bytes)
+        md.update(("|" + i).getBytes(StandardCharsets.UTF_8))
+        val d = md.digest()
+        val v = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+        out(i) = (v.toDouble / 16777215.0 * 2.0 - 1.0).toFloat
         i += 1
       }
       out

@@ -161,6 +161,15 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable SimHash over whitespace tokens, keyed on md5 (first
+    * 64 bits of each token's digest), emitted as a 16-char hex string. Same
+    * vote semantics as simhash64; use this variant where the fingerprint
+    * must be reproducible outside Spark (oracle gates, mixed-engine
+    * pipelines). Native one-pass expression (SimhashMd5Expr, codegen'd).
+    */
+  def simhashMd5(text: Column): Column =
+    graft.functions.GraftFunctions.simhash_md5(array_distinct(tokens(text)))
+
   /** Connected components over near-dup pairs: assign every id the minimum
     * id reachable through the pair graph (the canonical doc of its dup
     * cluster). Label-propagation via iterated joins — O(diameter)

