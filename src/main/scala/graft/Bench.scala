@@ -42,8 +42,20 @@ object Bench {
     val runner = Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-bench-runner"); t.setDaemon(true); t
     })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // dev-only knobs: SPARK_GRAFT_ONLY=q23,q25 restricts the set,
+    // SPARK_GRAFT_REPEAT=3 times each query N times (reports the last run,
+    // separating plan/codegen cost from steady-state)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
+      var t0 = System.nanoTime()
+      (1 until repeat).foreach { _ =>
+        try { fn(spark, sfDir).count() } catch { case NonFatal(_) => () }
+        t0 = System.nanoTime()
+      }
       val task = runner.submit[Unit](() => {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         try { fn(spark, sfDir).count(); () }

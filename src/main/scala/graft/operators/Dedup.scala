@@ -103,7 +103,8 @@ object Dedup {
     */
   def jaccardPairsByCooccurrence(
       docs: DataFrame, idCol: String, toks: Column,
-      blockCols: Seq[Column], threshold: Double): DataFrame = {
+      blockCols: Seq[Column], threshold: Double,
+      emitBlockKey: Boolean = false): DataFrame = {
     val base = docs.select(
       (col(idCol).as("id") +: toks.as("toks") +:
         blockCols.zipWithIndex.map { case (c, i) => c.as(s"_b$i") }): _*)
@@ -112,19 +113,31 @@ object Dedup {
       (col("id") +: size(col("toks")).as("n") +: bNames.map(col)): _*)
     val exploded = base.select(
       (col("id") +: explode(col("toks")).as("token") +: bNames.map(col)): _*)
+    // the partial agg runs over every co-occurring token pair, so the group
+    // key stays the narrow (id1, id2); set sizes re-attach afterwards via
+    // joins on the (small) surviving pair set (measured faster than
+    // carrying n1/n2/block through the wide-key groupBy)
     val co = exploded.as("a").join(exploded.as("b"),
         bNames.map(n => col(s"a.$n") === col(s"b.$n"))
           .reduce(_ && _) && col("a.token") === col("b.token") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("common"))
-    co.join(counts.select(col("id").as("id1"), col("n").as("n1")), "id1")
+    val scored = co
+      .join(counts.select(col("id").as("id1"), col("n").as("n1")), "id1")
       .join(counts.select(col("id").as("id2"), col("n").as("n2")), "id2")
       .select(col("id1"), col("id2"),
         round(col("common").cast("double") /
           greatest(col("n1") + col("n2") - col("common"), lit(1)).cast("double"),
           6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (emitBlockKey) {
+      // block cols are functions of the id, so the key re-attaches to the
+      // surviving pairs with one broadcast lookup
+      val blockOf = counts.select(col("id").as("id1"),
+        concat_ws("\u0001", bNames.map(col): _*).as("block_key"))
+      scored.join(broadcast(blockOf), "id1")
+    } else scored
   }
 
   /** Jaccard over distinct whitespace-token sets (vocabulary overlap). */
@@ -180,6 +193,49 @@ object Dedup {
     * component). Ids not in any pair are absent (they are their own
     * cluster).
     */
+  /** Connected components when the pair-generation was blocked: edges only
+    * exist within a block (jaccardPairsByCooccurrence with blockCols, or
+    * any blocked similarity join), so components cannot span blocks and CC
+    * reduces to ONE shuffle on the block key + an in-memory union-find per
+    * block. Blocking bounds block size by construction, so per-group work
+    * stays bounded at any data scale — strictly better than the iterative
+    * form whenever the precondition holds.
+    *
+    * Input: (id1, id2, blockKeyCol). Output: (id, cluster_id = min id in
+    * component), the clusterPairs contract.
+    */
+  def clusterPairsBlocked(pairs: DataFrame, blockKeyCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col(blockKeyCol).cast("string"),
+        col("id1").cast("long"), col("id2").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        // union-find with min-id roots: attaching the larger root under the
+        // smaller keeps every root the component minimum, so find() IS the
+        // cluster label
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(id => (id, find(id))).toSeq
+      }
+      .toDF("id", "cluster_id")
+  }
+
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // eager localCheckpoints truncate lineage each round — without them
     // every iteration re-analyzes a plan that doubles in size and the
@@ -200,15 +256,18 @@ object Dedup {
         .agg(min(col("n_label")).as("n_min"))
       // (measured: an extra pointer-jumping join per round costs more than
       // the rounds it saves — near-dup components are shallow)
+      // carry the change flag through the checkpoint so convergence
+      // detection is a filter over materialized data, not a fresh
+      // join+shuffle against the previous labels
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
+            .as("_changed"))
         .localCheckpoint(true)
-      val changed = updated.withColumnRenamed("cluster_id", "new_label")
-        .join(labels, Seq("id"))
-        .filter(col("new_label") =!= col("cluster_id")).count()
-      labels = updated
+      val changed = updated.filter(col("_changed")).count()
+      labels = updated.drop("_changed")
       converged = changed == 0
       iter += 1
     }

@@ -177,12 +177,14 @@ object VectorQueries {
 
     Q("q46_dup_clusters",
       (s, dir) => {
+        // blocked pair-gen means components are block-local -> single-pass
+        // union-find CC instead of iterated label propagation
         val pairs = graft.operators.Dedup.jaccardPairsByCooccurrence(
           Tables.load(s, dir, "documents"), "doc_id",
           array_distinct(graft.functions.TextFunctions.tokens(col("text"))),
           Seq(col("lang"), floor(col("n_chars") / 50)),
-          threshold = 0.6)
-        graft.operators.Dedup.clusterPairs(pairs)
+          threshold = 0.6, emitBlockKey = true)
+        graft.operators.Dedup.clusterPairsBlocked(pairs, "block_key")
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("n_members"))
       },

@@ -109,4 +109,19 @@ class DedupSpec extends AnyFunSuite {
       .select(Dedup.simhashMd5($"text")).as[String].head()
     assert(empty == "0000000000000000")
   }
+
+  test("clusterPairsBlocked matches the iterative form on blocked pairs") {
+    val pairs = Seq(
+      (1L, 2L, "b1"), (2L, 3L, "b1"),   // chain 1-2-3 in block b1
+      (10L, 11L, "b2"),                 // pair in b2
+      (20L, 21L, "b3"), (20L, 22L, "b3") // star in b3
+    ).toDF("id1", "id2", "block_key")
+    val blocked = Dedup.clusterPairsBlocked(pairs, "block_key")
+      .as[(Long, Long)].collect().toMap
+    val iterative = Dedup.clusterPairs(pairs.drop("block_key"))
+      .as[(Long, Long)].collect().toMap
+    assert(blocked == iterative)
+    assert(blocked == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
