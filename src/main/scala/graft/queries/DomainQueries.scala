@@ -13,18 +13,26 @@ object DomainQueries {
   val all: Seq[Q] = Seq(
     Q("q50_unit_convert",
       (s, dir) => {
-        // assign a unit per row, convert everything to degF via the
-        // broadcast rules table (Units.cs formulas as data)
+        // assign a unit per row (3-way: celsius / kelvin / fahrenheit),
+        // convert everything to degrees_fahrenheit via the broadcast rules
+        // table (the full 435-unit / 1219-rule registry from Units.cs)
         val ev = Tables.load(s, dir, "events")
           .withColumn("unit",
-            when(col("user_id") % 2 === 0, "degC").otherwise("degF"))
-        Units.convert(s, ev, "value", "unit", "degF", "value_f")
+            when(col("user_id") % 3 === 0, "degrees_celsius")
+              .when(col("user_id") % 3 === 1, "degrees_kelvin")
+              .otherwise("degrees_fahrenheit"))
+        Units.convert(s, ev, "value", "unit", "degrees_fahrenheit", "value_f")
           .select(col("event_id"), col("unit"),
             round(col("value_f"), 6).as("value_f"))
       },
+      // factors mirror the registry's exact affine coefficients:
+      // C->F = v*1.8+32; K->F = v*1.8-459.67
       Some("""SELECT event_id,
-        CASE WHEN user_id % 2 = 0 THEN 'degC' ELSE 'degF' END AS unit,
-        ROUND(CASE WHEN user_id % 2 = 0 THEN value * 1.8 + 32.0
+        CASE WHEN user_id % 3 = 0 THEN 'degrees_celsius'
+             WHEN user_id % 3 = 1 THEN 'degrees_kelvin'
+             ELSE 'degrees_fahrenheit' END AS unit,
+        ROUND(CASE WHEN user_id % 3 = 0 THEN value * 1.8 + 32.0
+                   WHEN user_id % 3 = 1 THEN value * 1.8 + (-459.67)
                    ELSE value * 1.0 + 0.0 END, 6) AS value_f
         FROM events"""),
       "broadcast unit-conversion (IotUnit.cs:27-61 formulas as a rules table)"),

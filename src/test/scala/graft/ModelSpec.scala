@@ -73,19 +73,37 @@ class ModelSpec extends AnyFunSuite {
     } finally svc.shutdown()
   }
 
-  test("unit conversion: degC->degF and inverse round-trip") {
-    val df = Seq(("degC", 100.0), ("degF", 212.0)).toDF("unit", "v")
-    val f = Units.convert(spark, df, "v", "unit", "degF", "out")
+  test("unit conversion: celsius->fahrenheit and inverse round-trip") {
+    val df = Seq(("degrees_celsius", 100.0), ("degrees_fahrenheit", 212.0))
+      .toDF("unit", "v")
+    val f = Units.convert(spark, df, "v", "unit", "degrees_fahrenheit", "out")
       .select("out").as[Double].collect().toSeq
     assert(f == Seq(212.0, 212.0))
-    val c = Units.convert(spark, df, "v", "unit", "degC", "out")
+    val c = Units.convert(spark, df, "v", "unit", "degrees_celsius", "out")
       .select("out").as[Double].collect().toSeq
     assert(math.abs(c(0) - 100.0) < 1e-9 && math.abs(c(1) - 100.0) < 1e-9)
   }
 
+  test("registry covers the reference's full unit inventory") {
+    // 435 distinct units (the reference declares each twice), 1219 affine
+    // conversions + identities; spot-check groups and symbols
+    assert(graft.model.UnitsData.units.size == 435)
+    assert(graft.model.UnitsData.conversions.size == 1219)
+    assert(Units.unitInfo("degrees_celsius") == (("Temperature", "\u00b0C")))
+    assert(Units.unitInfo("meters_per_second_per_second")._1 == "Acceleration")
+    // mirrors the reference registry faithfully, including its
+    // idiosyncratic directions (kilojoules' dict: {"joules", "value*1000"})
+    assert(Units.defaultRules.exists(r =>
+      r.from == "joules" && r.to == "kilojoules" && r.factor == 1000.0))
+    assert(Units.defaultRules.exists(r =>
+      r.from == "degrees_kelvin" && r.to == "degrees_fahrenheit" &&
+        r.factor == 1.8 && r.offset == -459.67))
+  }
+
   test("convertLit: unknown pair yields null") {
     val out = spark.range(1)
-      .select(Units.convertLit(lit(1.0), "degC", "gallons_us")).collect()(0)
+      .select(Units.convertLit(lit(1.0), "degrees_celsius", "us_gallons"))
+      .collect()(0)
     assert(out.isNullAt(0))
   }
 
