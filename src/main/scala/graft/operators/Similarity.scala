@@ -105,6 +105,56 @@ object Similarity {
       }
     }
 
+  /** IVF cell assignment: each vector joins its nearest centroid (L2,
+    * centroid-id tiebreak). Centroids broadcast — the join is a codegen'd
+    * broadcast nested loop + one window argmin, no shuffle of the vector
+    * side beyond the window. In production the assignment is precomputed
+    * at ingest and the table bucketed by cell; this computes it inline.
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toDF("_cid", "_cv"))
+    vectors.crossJoin(cents)
+      .withColumn("_cdist", l2(col(vecCol), col("_cv")))
+      .withColumn("_crn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("_cdist").asc, col("_cid").asc)))
+      .filter(col("_crn") === 1)
+      .drop("_cv", "_cdist", "_crn")
+      .withColumnRenamed("_cid", "cell")
+  }
+
+  /** Driver-side nProbe nearest centroids to the query, with the same
+    * sequential-double L2 the engine computes (deterministic cross-engine).
+    */
+  def nearestCentroids(query: Seq[Float], centroids: Seq[(Long, Seq[Float])],
+      nProbe: Int): Seq[Long] =
+    centroids.map { case (cid, cv) =>
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) {
+        val d = cv(i).toDouble - query(i).toDouble; acc += d * d; i += 1
+      }
+      (math.sqrt(acc), cid)
+    }.sortBy(identity).take(nProbe).map(_._2)
+
+  /** IVF ANN top-k: probe the `nProbe` cells nearest the query and
+    * brute-force cosine only inside them — the classic inverted-file
+    * scale path (centroids trained offline at scale; deterministic here).
+    */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, centroids: Seq[(Long, Seq[Float])],
+      nProbe: Int): DataFrame = {
+    val probes = nearestCentroids(query, centroids, nProbe)
+    ivfAssign(vectors, idCol, vecCol, centroids)
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k: restrict the brute-force scan to vectors in the query's
     * sign-LSH bucket (and, for recall, Hamming-1 neighbor buckets).
     */

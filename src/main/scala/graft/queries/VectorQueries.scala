@@ -56,6 +56,33 @@ object VectorQueries {
       ORDER BY score DESC, e.vec_id LIMIT 10"""
   }
 
+  /** DuckDB replica of Similarity.ivfTopK(k=10, nProbe=2) with centroids =
+    * embeddings 1..8: same L2 assignment (centroid-id tiebreak), same
+    * probe choice, same in-cell cosine top-k.
+    */
+  lazy val annIvfOracleSql: String = {
+    def l2(a: String, b: String): String =
+      "SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
+        s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y))"
+    s"""WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id BETWEEN 1 AND 8),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      probes AS (
+        SELECT cid FROM cents, q
+        ORDER BY ${l2("cv", "qe")}, cid LIMIT 2),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${l2("e.embedding", "c.cv")}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+      cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      cand AS (SELECT vec_id FROM cells WHERE cell IN (SELECT cid FROM probes))
+      SELECT e.vec_id, ROUND($dotSql / ($normESql * $normQSql), 6) AS score
+      FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, q
+      ORDER BY score DESC, e.vec_id LIMIT 10"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q40_cosine_topk",
       (s, dir) => {
@@ -174,6 +201,23 @@ object VectorQueries {
             ON a.label = b.label AND a.vec_id < b.vec_id)
         SELECT id1, id2, score FROM p WHERE score >= 0.3"""),
       "embedding-cosine near-dup pairs, label-blocked (native codegen cosine)"),
+
+    // IVF with deterministic centroids (embeddings 1..8): assignment,
+    // probe selection and in-cell top-k all recompute exactly in SQL.
+    Q("q47_ann_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id").between(1, 8))
+          .select("vec_id", "embedding")
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .toSeq.sortBy(_._1)
+        Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          queryVec(s, dir), k = 10, centroids, nProbe = 2)
+      },
+      Some(VectorQueries.annIvfOracleSql),
+      "IVF ANN top-k: nearest-centroid cells, probe-limited cosine scan " +
+        "(inverted-file scale path; centroids trained offline at 100 TB)"),
 
     Q("q46_dup_clusters",
       (s, dir) => {

@@ -73,4 +73,26 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size / 10.0
     assert(recall >= 0.3, s"recall=$recall exact=$exact approx=$approx")
   }
+
+  test("ivfTopK: assignment partitions all vectors; probes recall top hits") {
+    import graft.core.Tables
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val centroids = e.filter($"vec_id".between(1, 8))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val others = e.filter($"vec_id" =!= 0)
+    // every vector lands in exactly one cell
+    val assigned = Similarity.ivfAssign(others, "vec_id", "embedding", centroids)
+    assert(assigned.count() == others.count())
+    assert(assigned.groupBy("vec_id").count().filter($"count" > 1).count() == 0)
+    assert(assigned.select("cell").distinct().count() <= 8)
+    val q = e.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.cosineTopK(others, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(others, "vec_id", "embedding", q, 10,
+      centroids, nProbe = 4).select("vec_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.3, s"recall=$recall exact=$exact approx=$approx")
+  }
 }
