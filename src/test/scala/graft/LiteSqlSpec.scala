@@ -55,4 +55,40 @@ class LiteSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       engine.translate("SELECT $ FROM customer INCLUDE nosuch"))
   }
+
+  test("DML dispatch: INSERT / UPDATE / DELETE / EXPLAIN") {
+    import graft.query.LiteSql
+    val fresh = new LiteSql(spark,
+      Map("friend" -> Seq((1L, "ann", 30L), (2L, "bob", 40L))
+        .toDF("id", "name", "age")),
+      Map.empty)
+
+    // INSERT INTO ... VALUES {doc},{doc} (Commands/Insert.cs)
+    val ins = fresh.execute(
+      """INSERT INTO friend VALUES {"id": 3, "name": "cal", "age": 22}, {"id": 4, "name": "dee", "age": 35}""")
+    assert(ins.head().getLong(0) == 2)
+    assert(fresh.table("friend").count() == 4)
+
+    // UPDATE ... SET with $-path expr + WHERE (Commands/Update.cs)
+    val upd = fresh.execute(
+      "UPDATE friend SET $.name = UPPER($.name) WHERE $.age > 30")
+    assert(upd.head().getLong(0) == 2)
+    val names = fresh.table("friend").orderBy("id")
+      .select("name").as[String].collect().toSeq
+    assert(names == Seq("ann", "BOB", "cal", "DEE"))
+
+    // DELETE ... WHERE (Commands/Delete.cs)
+    val del = fresh.execute("DELETE friend WHERE $.age < 25")
+    assert(del.head().getLong(0) == 1)
+    assert(fresh.table("friend").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+
+    // EXPLAIN passes through to Catalyst's plan printer
+    val plan = fresh.execute("EXPLAIN SELECT $.name FROM friend")
+      .head().getString(0)
+    assert(plan.contains("Physical Plan"))
+
+    // storage-engine commands are explicitly unsupported
+    intercept[IllegalArgumentException](fresh.execute("CHECKPOINT"))
+  }
 }
