@@ -52,4 +52,50 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(sessions.count() == expectedKeys)
     assert(expectedKeys >= 2000, s"replication should multiply keys: $expectedKeys")
   }
+
+  test("blocked dedup pipeline scales linearly with disjoint blocks") {
+    // 20 replicas with disjoint ids AND disjoint block keys: pair count
+    // and cluster count must scale exactly 20x (no cross-replica pairs,
+    // no quadratic blowup)
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val rep = docs.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+        concat(col("lang"), lit("_"), col("rep")).as("lang"),
+        col("n_chars"), col("text"))
+    val pairs = graft.operators.Dedup.jaccardPairsByCooccurrence(
+      rep, "doc_id",
+      array_distinct(graft.functions.TextFunctions.tokens(col("text"))),
+      Seq(col("lang"), floor(col("n_chars") / 50)),
+      threshold = 0.6, emitBlockKey = true)
+    val basePairs = graft.operators.Dedup.jaccardPairsByCooccurrence(
+      docs, "doc_id",
+      array_distinct(graft.functions.TextFunctions.tokens(col("text"))),
+      Seq(col("lang"), floor(col("n_chars") / 50)),
+      threshold = 0.6).count()
+    assert(pairs.count() == basePairs * 20)
+    val clusters = graft.operators.Dedup.clusterPairsBlocked(pairs, "block_key")
+      .groupBy("cluster_id").count()
+    val baseClusters = clusters.count() / 20.0
+    assert(clusters.count() % 20 == 0, s"clusters=${clusters.count()}")
+    assert(baseClusters > 0)
+  }
+
+  test("IVF assignment scales: every replicated vector lands in one cell") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val centroids = e.filter(col("vec_id").between(1, 8))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val rep = e.crossJoin(spark.range(50).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+        col("embedding"))
+    val assigned = graft.operators.Similarity.ivfAssign(
+      rep, "vec_id", "embedding", centroids)
+    assert(assigned.count() == rep.count())
+    // identical embeddings across replicas must land in identical cells
+    val cellsPerBase = assigned
+      .withColumn("base_id", col("vec_id") % 1000000)
+      .groupBy("base_id").agg(countDistinct("cell").as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(cellsPerBase == 0)
+  }
 }
