@@ -110,6 +110,50 @@ object Multimodal {
         explode(sequence(lit(0L), col("dur") - 1, lit(everyMs))).as("frame_ms"))
       .withColumn("frame_idx", (col("frame_ms") / everyMs).cast("long"))
 
+  /** Image resize: updates the typed metadata and routes the byte payload
+    * through the codec seam. The pixel transform is the STUB step (no
+    * image libs in this container — a real codec replaces `transcode`);
+    * the Spark contract is real: metadata math, schema preservation, and
+    * a per-partition codec-init boundary identical to extractFeatures.
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int,
+      transcode: (Array[Byte], Int, Int) => Array[Byte] =
+        (bytes, _, _) => bytes): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(mediaSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = r.getString(kindIdx)
+        val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        if (kind != "image" || meta == null) Row(
+          r.getLong(idIdx), kind, r.getAs[Array[Byte]](bytesIdx), meta)
+        else {
+          val out = transcode(r.getAs[Array[Byte]](bytesIdx), targetW, targetH)
+          Row(r.getLong(idIdx), kind, out,
+            Row(meta.get(0), targetW, targetH, meta.get(3), meta.get(4)))
+        }
+      }
+    }
+  }
+
+  /** Audio chunking: one row per fixed-duration chunk within the clip
+    * (sample-accurate boundaries from `sample_rate`); the decode of chunk
+    * samples is the STUB step, the explode/partition shape is real.
+    */
+  def chunkAudio(media: DataFrame, chunkMs: Long): DataFrame =
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("meta.duration_ms").as("dur"),
+        col("meta.sample_rate").as("sr"))
+      .filter(col("dur").isNotNull && col("dur") > 0 && col("sr").isNotNull)
+      .select(col("media_id"), col("sr"),
+        explode(sequence(lit(0L), col("dur") - 1, lit(chunkMs))).as("chunk_ms"))
+      .withColumn("chunk_idx", (col("chunk_ms") / chunkMs).cast("long"))
+      .withColumn("start_sample", (col("chunk_ms") * col("sr") / 1000L).cast("long"))
+      .drop("sr")
+
   /** Build a media table from text rows (test/demo helper: UTF-8 bytes as
     * the opaque payload).
     */

@@ -89,6 +89,24 @@ object NaturalQueries {
         GROUP BY c_custkey, c_name"""),
       "NL INCLUDE 1→N nesting (QueryEngine.cs:751-799), checked via array agg"),
 
+    // Serialized JSON query IR (the reference's Remote.Linq "GPT Query
+    // Ready" path) lowered through the same NL machinery.
+    Q("q68_json_query",
+      (s, dir) => graft.query.JsonQuery.run(GraftQueryEngine(s, dir),
+        """{"table": "customer",
+            "where": [{"field": "c_acctbal", "op": ">", "value": "8000"},
+                      {"field": "c_mktsegment", "op": "=", "value": "'MACHINERY'", "conj": "AND"}],
+            "select": [{"name": "c_custkey"},
+                       {"name": "c_name", "alias": "person"},
+                       {"name": "c_acctbal"}],
+            "orderBy": {"field": "c_custkey", "desc": true},
+            "limit": 50}"""),
+      Some("""SELECT c_custkey, c_name AS person, c_acctbal FROM customer
+        WHERE c_acctbal > 8000 AND c_mktsegment = 'MACHINERY'
+        ORDER BY c_custkey DESC LIMIT 50"""),
+      "JSON-serialized query IR (QueryBuilder.cs:20-56) executed via the " +
+        "NL lowering; schema export = df.schema.json"),
+
     Q("q67_lite_sql",
       (s, dir) => graft.query.LiteSql(s, dir).run(
         "SELECT $.c_mktsegment, COUNT(*) AS n_cust, " +

@@ -42,4 +42,32 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"frame_ms", $"frame_idx").as[(Long, Long)].collect().toSeq.sorted
     assert(frames == Seq((0L, 0L), (1500L, 1L), (3000L, 2L)))
   }
+
+  test("resizeImages updates meta dims, keeps schema, skips non-images") {
+    val m = media // kind = image
+    val resized = Multimodal.resizeImages(m, 32, 24)
+    assert(resized.schema.fieldNames.toSeq == m.schema.fieldNames.toSeq)
+    val dims = resized.select($"meta.width", $"meta.height").distinct().collect()
+    assert(dims.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((32, 24)))
+    // non-image rows pass through untouched
+    val vid = Multimodal.mediaFromText(
+      Seq((9L, "clip")).toDF("id", "text"), "id", "text", kind = "video")
+    val out = Multimodal.resizeImages(vid, 32, 24)
+      .select($"meta.width").head().getInt(0)
+    assert(out == 64)
+  }
+
+  test("chunkAudio emits sample-accurate chunk boundaries") {
+    val audio = Multimodal.mediaFromText(
+      Seq((1L, "x" * 100)).toDF("id", "text"), "id", "text", kind = "audio")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        $"meta.format", $"meta.width", $"meta.height",
+        org.apache.spark.sql.functions.lit(16000).cast("int").as("sample_rate"),
+        $"meta.duration_ms"))
+    // duration 4000ms, 1500ms chunks -> 0,1500,3000; samples at 16kHz
+    val rows = Multimodal.chunkAudio(audio, 1500L)
+      .select($"chunk_idx", $"chunk_ms", $"start_sample")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq((0L, 0L, 0L), (1L, 1500L, 24000L), (2L, 3000L, 48000L)))
+  }
 }

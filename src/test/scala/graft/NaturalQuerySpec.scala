@@ -115,4 +115,27 @@ class NaturalQuerySpec extends AnyFunSuite {
     assert(p4.where.map(c => (c.field, c.op, c.value)) ==
       Seq(("name", "=", Some("'x contains y'"))))
   }
+
+  test("JsonQuery: IR round-trips through the NL lowering; schema exports") {
+    import graft.query.JsonQuery
+    val json = """{"table": "customer",
+      "where": [{"field": "c_acctbal", "op": ">", "value": "5000"}],
+      "select": [{"name": "c_custkey"}, {"name": "c_name", "alias": "person"}],
+      "include": {"table": "orders",
+        "where": [{"field": "o_totalprice", "op": ">", "value": "100000"}]},
+      "orderBy": {"field": "c_custkey", "desc": false},
+      "limit": 5}"""
+    val ir = JsonQuery.parse(json)
+    assert(JsonQuery.toNaturalQuery(ir) ==
+      "FIND customer WHERE c_acctbal > 5000 SELECT c_custkey, c_name as person " +
+        "INCLUDE orders WHERE o_totalprice > 100000 ORDER BY c_custkey LIMIT 5")
+    val df = JsonQuery.run(engine, json)
+    assert(df.count() == 5)
+    assert(df.columns.contains("person") && df.columns.contains("orders_Data"))
+    // schema export is Spark's canonical JSON schema
+    val schema = JsonQuery.schemaJson(df)
+    assert(schema.contains("\"person\"") && schema.contains("struct"))
+    // malformed IR is rejected, not mis-executed
+    intercept[IllegalArgumentException](JsonQuery.parse("""{"where": []}"""))
+  }
 }
