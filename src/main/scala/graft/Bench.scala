@@ -33,9 +33,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM + codegen + parquet footer reads, not part of any timing
+    // warm-up: JVM + codegen + parquet footer reads, not part of any
+    // timing. Exercises each operator class the catalog uses (hash agg on
+    // decimals, broadcast + sort-merge joins, window, regex, array HOFs,
+    // sort) on synthetic range data so Janino/JIT infrastructure is hot
+    // before the first measured query.
     graft.core.Tables.load(spark, sfDir, "region").count()
-    spark.range(1000).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = spark.range(10000).select(col("id"),
+        (col("id") % 97).as("k"), col("id").cast("decimal(18,2)").as("d"),
+        concat(lit("w"), col("id") % 50).as("s"))
+      r.groupBy("k").agg(sum(col("d")), countDistinct(col("s"))).count()
+      r.join(broadcast(r.limit(100).select(col("id").as("id2"))),
+        col("id") === col("id2")).count()
+      r.as("a").join(r.as("b"), col("a.k") === col("b.k") &&
+        col("a.id") < col("b.id")).groupBy(col("a.k")).count().count()
+      r.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")))
+        .filter(col("rn") === 1).count()
+      r.select(regexp_replace(col("s"), "[0-9]+", "#"),
+        md5(col("s")), split(col("s"), "")).count()
+      r.select(transform(sequence(lit(1), lit(5)), i => i * col("id")).as("arr"))
+        .filter(exists(col("arr"), x => x > 3)).count()
+      r.orderBy(col("d").desc).limit(10).count()
+    }
 
     // cached pool: a query thread stuck in non-interruptible driver code
     // after cancellation must not block the next query's worker
