@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance, Simhash64Expr, SimhashMd5Expr}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance, LshBandKeysExpr, Simhash64Expr, SimhashMd5Expr, WordShinglesExpr}
 
 /** Registry for graft's native Catalyst expressions. `register` makes them
   * callable from SQL and from `call_function` (idempotent per session;
@@ -24,7 +24,18 @@ object GraftFunctions {
     ("simhash64", es => Simhash64Expr(es(0)),
       "64-bit SimHash fingerprint of a token array"),
     ("simhash_md5", es => SimhashMd5Expr(es(0)),
-      "engine-portable md5-keyed SimHash fingerprint (16-char hex)"))
+      "engine-portable md5-keyed SimHash fingerprint (16-char hex)"),
+    ("lsh_band_keys", es => LshBandKeysExpr(es(0),
+      litInt(es(1)), litInt(es(2)), litInt(es(3))),
+      "one-pass MinHash+LSH band keys over a token array"),
+    ("word_shingles", es => WordShinglesExpr(es(0), litInt(es(1))),
+      "distinct word n-gram shingles of a token array"))
+
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"lsh_band_keys parameters must be integer literals, got $other")
+  }
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder, _) =>
@@ -51,6 +62,14 @@ object GraftFunctions {
     call_function("simhash64", tokens)
   def simhash_md5(tokens: Column): Column =
     call_function("simhash_md5", tokens)
+  def word_shingles(tokens: Column, gram: Int): Column =
+    call_function("word_shingles", tokens,
+      org.apache.spark.sql.functions.lit(gram))
+  def lsh_band_keys(tokens: Column, gram: Int, k: Int, bands: Int): Column =
+    call_function("lsh_band_keys", tokens,
+      org.apache.spark.sql.functions.lit(gram),
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(bands))
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — registers

@@ -81,25 +81,47 @@ object Dedup {
     // n-grams: ~6x fewer shingles per document at the same dedup quality,
     // so 6x fewer minhash evaluations — the right default for documents
     // (char shingles remain for short/no-whitespace content)
-    val shingleExpr = wordGrams match {
-      case Some(g) => wordShingles(tokens(col(textCol)), g)
-      case None => charShingles(col(textCol), shingleN)
+    // word-gram shingles use the native one-pass expression (the HOF form
+    // re-evaluates the token subtree per window inside an interpreted
+    // lambda); already-distinct output, so no array_distinct needed
+    val shsExpr = wordGrams match {
+      case Some(g) => graft.functions.GraftFunctions.word_shingles(
+        tokens(col(textCol)), g)
+      case None => array_distinct(charShingles(col(textCol), shingleN))
     }
     // shingle sets computed ONCE per doc behind a shuffle barrier — without
     // it Catalyst collapses the projection into the pair join and
     // re-shingles per candidate (the q25 lesson; see
     // jaccardPairsByCooccurrence)
-    val sh = docs.select(col(idCol).as("id"),
-        array_distinct(shingleExpr).as("shs"))
+    val sh = docs.select(col(idCol).as("id"), shsExpr.as("shs"))
       .repartition(col("id"))
-    val sigs = (0 until k).map(i => minhashValue(col("shs"), i))
+    // band keys: for the word-gram path, one native one-pass expression
+    // (tokens -> shingles -> k minhashes -> band keys); the composable
+    // HOF pipeline cannot enter codegen and interprets k md5 trees per
+    // shingle (measured 4 s of q48's 5 s). Char-shingle path keeps the
+    // composable form (same semantics, fewer callers).
+    val bandKeysExpr = wordGrams match {
+      case Some(g) => graft.functions.GraftFunctions.lsh_band_keys(
+        tokens(col(textCol)), g, k, bands)
+      case None =>
+        val sigs = (0 until k).map(i => minhashValue(col("shs"), i))
+        lshBandKeysFromCols(sigs, bands, k / bands)
+    }
+    val bucketSrc = wordGrams match {
+      case Some(_) => docs.select(col(idCol).as("id"),
+        bandKeysExpr.as("_bk")).repartition(col("id"))
+      case None => sh.select(col("id"), bandKeysExpr.as("_bk"))
+    }
     // repartition on bucket: the self-join co-partitions AND both sides
     // resolve to one reused exchange, so the signature computation runs
     // once, not once per join side
-    val buckets = sh.select(col("id"),
-        explode(lshBandKeysFromCols(sigs, bands, k / bands)).as("bucket"))
+    val buckets = bucketSrc.select(col("id"), explode(col("_bk")).as("bucket"))
       .repartition(col("bucket"))
-    val pairs = buckets.as("a").join(buckets.as("b"),
+    // shuffle-hash hint: with both sides co-partitioned on bucket the two
+    // join inputs canonicalize to ONE reused exchange; a broadcast build
+    // would re-run the whole signature computation on the build side
+    val pairs = buckets.as("a").hint("shuffle_hash")
+      .join(buckets.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
