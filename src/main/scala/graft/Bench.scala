@@ -75,7 +75,21 @@ object Bench {
       .map { case (name, fn) =>
       var t0 = System.nanoTime()
       (1 until repeat).foreach { _ =>
-        try { fn(spark, sfDir).count() } catch { case NonFatal(_) => () }
+        // warm iterations go through the same watchdog as the timed run -
+        // a hanging query must not block the bench before its timed pass
+        val warm = runner.submit[Unit](() => {
+          spark.sparkContext.setJobGroup(s"$name-warm", name, interruptOnCancel = true)
+          try { fn(spark, sfDir).count(); () }
+          finally spark.sparkContext.clearJobGroup()
+        })
+        try warm.get(budgetMs, TimeUnit.MILLISECONDS)
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroupAndFutureJobs(s"$name-warm")
+            warm.cancel(true)
+          case NonFatal(_) => ()
+          case _: java.util.concurrent.ExecutionException => ()
+        }
         t0 = System.nanoTime()
       }
       val task = runner.submit[Unit](() => {

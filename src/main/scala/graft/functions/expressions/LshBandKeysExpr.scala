@@ -68,28 +68,8 @@ object LshBandKeysExpr {
 
   /** Shared by interpreted eval and generated code. */
   def compute(tokens: ArrayData, gram: Int, k: Int, bands: Int): ArrayData = {
-    val n = tokens.numElements()
-    // shingles per wordShingles semantics: windows at 0..max(n-gram, 0),
-    // concat_ws(" ") over the (possibly short) window skipping nulls;
-    // distinct, preserving nothing order-wise (minhash is order-free)
-    val shingles = new java.util.LinkedHashSet[String]()
-    val last = math.max(n - gram, 0)
-    var i = 0
-    while (i <= last) {
-      val sb = new java.lang.StringBuilder
-      var j = i
-      var first = true
-      while (j < math.min(i + gram, n)) {
-        if (!tokens.isNullAt(j)) {
-          if (!first) sb.append(' ')
-          sb.append(tokens.getUTF8String(j).toString)
-          first = false
-        }
-        j += 1
-      }
-      shingles.add(sb.toString)
-      i += 1
-    }
+    // single source of truth for window semantics: WordShinglesExpr's core
+    val shingles = WordShinglesExpr.shingleSet(tokens, gram)
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[String](k)
     val it = shingles.iterator()

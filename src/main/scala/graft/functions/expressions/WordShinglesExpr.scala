@@ -39,8 +39,12 @@ case class WordShinglesExpr(child: Expression, gram: Int)
 }
 
 object WordShinglesExpr {
-  /** Shared by interpreted eval and generated code. */
-  def compute(tokens: ArrayData, gram: Int): ArrayData = {
+
+  /** The shingle-set core shared with [[LshBandKeysExpr]] — ONE definition
+    * of the window semantics, so band keys and verify-side shingle sets
+    * can never drift apart.
+    */
+  def shingleSet(tokens: ArrayData, gram: Int): java.util.LinkedHashSet[String] = {
     val n = tokens.numElements()
     val out = new java.util.LinkedHashSet[String]()
     val last = math.max(n - gram, 0)
@@ -60,6 +64,12 @@ object WordShinglesExpr {
       out.add(sb.toString)
       i += 1
     }
+    out
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData, gram: Int): ArrayData = {
+    val out = shingleSet(tokens, gram)
     val arr = new Array[Any](out.size)
     val it = out.iterator()
     var idx = 0

@@ -185,11 +185,13 @@ object Dedup {
           6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     if (emitBlockKey) {
-      // block cols are functions of the id, so the key re-attaches to the
-      // surviving pairs with one broadcast lookup
+      // block cols are functions of the id; re-attach to the surviving
+      // pairs with a plain join — blockOf is one row per DOCUMENT, so a
+      // forced broadcast would not survive corpus scale (AQE still
+      // broadcasts it when it is actually small)
       val blockOf = counts.select(col("id").as("id1"),
         concat_ws("\u0001", bNames.map(col): _*).as("block_key"))
-      scored.join(broadcast(blockOf), "id1")
+      scored.join(blockOf, "id1")
     } else scored
   }
 

@@ -26,11 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object JsonQuery {
 
-  /** Execute a JSON-IR query against the engine's tables. */
-  def run(engine: NaturalQuery, json: String): DataFrame = {
-    val ir = parse(json)
-    engine.run(toNaturalQuery(ir))
-  }
+  /** Execute a JSON-IR query against the engine's tables. The IR lowers
+    * straight to the parser's AST (never through query TEXT), so a value
+    * like "5000 LIMIT 1" stays a literal instead of injecting a clause.
+    */
+  def run(engine: NaturalQuery, json: String): DataFrame =
+    engine.run(toParsed(parse(json)))
+
+  /** IR -> parser AST. */
+  def toParsed(ir: Ir): NaturalQuery.Parsed =
+    NaturalQuery.Parsed(
+      find = Seq(ir.table),
+      joins = Nil,
+      where = ir.where,
+      select = ir.select,
+      includes = ir.include.map { case (t, w) =>
+        NaturalQuery.Include(t, w, Nil)
+      }.toSeq,
+      innerJoin = None,
+      orderBy = ir.orderBy.map { case (f, desc) => (f, !desc) },
+      limit = ir.limit)
 
   /** Schema export for LLM consumption (`df.schema.json` is the contract —
     * the Spark-native analog of the reference's JSON schema dump).
@@ -47,8 +62,8 @@ object JsonQuery {
       orderBy: Option[(String, Boolean)],
       limit: Option[Int])
 
-  /** Lower the IR onto the NL grammar — one lowering path, one set of
-    * semantics (and the IR stays a strict subset of what FIND supports).
+  /** Debug/display form of the IR in the NL grammar (execution goes
+    * through `toParsed`, not this text).
     */
   def toNaturalQuery(ir: Ir): String = {
     val sb = new StringBuilder(s"FIND ${ir.table}")

@@ -38,9 +38,11 @@ final class LiteSql(
     * with the affected-row count, like the reference's ExecuteNonQuery.
     */
   def execute(liteSql: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
     import spark.implicits._
-    val sql = liteSql.trim.replaceAll("\\s+", " ")
+    // whitespace is collapsed OUTSIDE quotes only — a quoted literal's
+    // tabs/double spaces are data, not syntax
+    val sql = replaceOutsideQuotes(liteSql.trim, _.replaceAll("\\s+", " "))
     val kw = sql.takeWhile(!_.isWhitespace).toUpperCase
     kw match {
       case "SELECT" => run(sql)
@@ -48,34 +50,46 @@ final class LiteSql(
         spark.sql("EXPLAIN FORMATTED " + translate(sql.drop("EXPLAIN".length)))
       case "INSERT" =>
         // INSERT INTO <col> VALUES {doc} [, {doc}] (Commands/Insert.cs)
-        val m = "(?i)^INSERT\\s+INTO\\s+(\\w+)\\s+VALUES\\s+(.+)$".r
+        val m = "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+VALUES\\s+(.+)$".r
           .findFirstMatchIn(sql).getOrElse(
             throw new IllegalArgumentException(s"bad INSERT: $sql"))
         val name = m.group(1).toLowerCase
         val docs = splitTopLevelDocs(m.group(2))
         val incoming = spark.read.json(docs.toDS())
+        require(!incoming.columns.contains("_corrupt_record"),
+          s"malformed INSERT document(s): ${docs.mkString("; ")}")
         val merged = current(name).unionByName(incoming, allowMissingColumns = true)
         rebind(name, merged)
         Seq(docs.size.toLong).toDF("n_affected")
       case "UPDATE" =>
-        // UPDATE <col> SET <path>=<expr>[,...] [WHERE <pred>] (Update.cs)
-        val m = "(?i)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+))?$".r
+        // UPDATE <col> SET <path>=<expr>[,...] [WHERE <pred>] (Update.cs);
+        // SET/WHERE split is quote-aware (a literal 'works where needed'
+        // must not open a WHERE clause)
+        val m = "(?i)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+)$".r
           .findFirstMatchIn(sql).getOrElse(
             throw new IllegalArgumentException(s"bad UPDATE: $sql"))
         val name = m.group(1).toLowerCase
-        val pred = Option(m.group(3))
-          .map(w => expr(translateExpr(w))).getOrElse(lit(true))
+        val (setPart, wherePart) = splitAtKeyword(m.group(2), "WHERE")
+        val pred = wherePart.map(w => expr(translateExpr(w))).getOrElse(lit(true))
         val df = current(name)
-        val n = df.filter(pred).count()
-        val updated = splitOutsideQuotesTop(m.group(2), ',').foldLeft(df) { (d, a) =>
-          val Array(path, rhs) = a.split("=", 2)
-          d.withColumn(path.trim.stripPrefix("$.").trim,
-            when(pred, expr(translateExpr(rhs))).otherwise(col(path.trim.stripPrefix("$.").trim)))
+        val n = df.filter(coalesce(pred, lit(false))).count()
+        val updated = splitTopLevel(setPart, ',').foldLeft(df) { (d, a) =>
+          val eq = indexOfCharOutsideQuotes(a, '=')
+          require(eq > 0, s"bad SET assignment: $a")
+          val target = a.substring(0, eq).trim.stripPrefix("$.").trim
+          val rhs = expr(translateExpr(a.substring(eq + 1)))
+          // LiteDB's UPDATE creates missing paths (Commands/Update.cs):
+          // a new column starts null on non-matching rows
+          val prev = if (d.columns.contains(target))
+            org.apache.spark.sql.functions.col(target)
+          else lit(null)
+          d.withColumn(target, when(coalesce(pred, lit(false)), rhs).otherwise(prev))
         }
         rebind(name, updated)
         Seq(n).toDF("n_affected")
       case "DELETE" =>
-        // DELETE <col> WHERE <pred> (Commands/Delete.cs)
+        // DELETE <col> WHERE <pred> (Commands/Delete.cs); NULL-predicate
+        // rows are kept, not deleted (SQL three-valued semantics)
         val m = "(?i)^DELETE\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r
           .findFirstMatchIn(sql).getOrElse(
             throw new IllegalArgumentException(s"bad DELETE: $sql"))
@@ -83,12 +97,44 @@ final class LiteSql(
         val df = current(name)
         val pred = Option(m.group(2))
           .map(w => expr(translateExpr(w))).getOrElse(lit(true))
-        val n = df.filter(pred).count()
-        rebind(name, df.filter(!pred))
+        val hit = coalesce(pred, lit(false))
+        val n = df.filter(hit).count()
+        rebind(name, df.filter(!hit))
         Seq(n).toDF("n_affected")
       case other => throw new IllegalArgumentException(
         s"unsupported command $other (storage-engine commands have no analog)")
     }
+  }
+
+  /** Split at the first whole-word keyword outside quotes; returns
+    * (before, Some(after)) or (whole, None).
+    */
+  private def splitAtKeyword(s: String, kw: String): (String, Option[String]) = {
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') inQ = !inQ
+      else if (!inQ && i + kw.length <= s.length &&
+          s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+          (i + kw.length >= s.length ||
+            !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+        return (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
+      i += 1
+    }
+    (s.trim, None)
+  }
+
+  /** First index of `c` outside quoted strings; -1 if absent. */
+  private def indexOfCharOutsideQuotes(s: String, c: Char): Int = {
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') inQ = !inQ
+      else if (!inQ && s.charAt(i) == c) return i
+      i += 1
+    }
+    -1
   }
 
   private def rebind(name: String, df: DataFrame): Unit = {
@@ -101,31 +147,50 @@ final class LiteSql(
     replaceOutsideQuotes(fragment.trim, s => s
       .replaceAll("\\$\\.([A-Za-z_][A-Za-z0-9_.]*)", "$1"))
 
-  /** Split `{...},{...}` at top level (brace-depth + quote aware). */
+  /** Split `{...},{...}` at top level. Quote tracking remembers WHICH
+    * quote char opened (an apostrophe inside a double-quoted JSON string
+    * is data, not a delimiter); JSON escapes (\\") are honored.
+    */
   private def splitTopLevelDocs(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
-    var inQ = false
+    var quote: Char = 0
     var start = 0
-    s.zipWithIndex.foreach { case (c, i) =>
-      if (c == '\'' || c == '"') inQ = !inQ
-      else if (!inQ && (c == '{' || c == '[')) depth += 1
-      else if (!inQ && (c == '}' || c == ']')) depth -= 1
-      else if (!inQ && c == ',' && depth == 0) {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) i += 1 // skip escaped char
+        else if (c == quote) quote = 0
+      }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '{' || c == '[') depth += 1
+      else if (c == '}' || c == ']') depth -= 1
+      else if (c == ',' && depth == 0) {
         out += s.substring(start, i).trim; start = i + 1
       }
+      i += 1
     }
     out += s.substring(start).trim
     out.filter(_.nonEmpty).toSeq
   }
 
-  private def splitOutsideQuotesTop(s: String, sep: Char): Seq[String] = {
+  /** Split on `sep` outside quotes AND outside parentheses/brackets (a
+    * comma inside ROUND(x, 0) is an argument separator, not a SET-list
+    * delimiter).
+    */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var inQ = false
+    var depth = 0
     var start = 0
     s.zipWithIndex.foreach { case (c, i) =>
       if (c == '\'') inQ = !inQ
-      else if (!inQ && c == sep) { out += s.substring(start, i); start = i + 1 }
+      else if (!inQ && (c == '(' || c == '[')) depth += 1
+      else if (!inQ && (c == ')' || c == ']')) depth -= 1
+      else if (!inQ && depth == 0 && c == sep) {
+        out += s.substring(start, i); start = i + 1
+      }
     }
     out += s.substring(start)
     out.map(_.trim).filter(_.nonEmpty).toSeq

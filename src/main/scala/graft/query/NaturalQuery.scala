@@ -57,12 +57,14 @@ final class NaturalQuery(
       throw new IllegalArgumentException(s"no FK between $parent and $child"))
 
   /** Parse and execute a natural query, returning the lowered DataFrame. */
-  def run(query: String): DataFrame = {
-    val q = parse(query)
-    q.joins match {
-      case Nil => runSingle(q)
-      case _ => runMulti(q)
-    }
+  def run(query: String): DataFrame = run(parse(query))
+
+  /** Execute a pre-built AST (the JsonQuery path lowers its IR straight to
+    * Parsed, so IR values can never inject query structure).
+    */
+  def run(q: Parsed): DataFrame = q.joins match {
+    case Nil => runSingle(q)
+    case _ => runMulti(q)
   }
 
   private def resolveCol(df: DataFrame, name: String): String =

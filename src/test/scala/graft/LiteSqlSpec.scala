@@ -91,4 +91,43 @@ class LiteSqlSpec extends AnyFunSuite {
     // storage-engine commands are explicitly unsupported
     intercept[IllegalArgumentException](fresh.execute("CHECKPOINT"))
   }
+
+  test("DML edge cases: nulls, quoted keywords, function commas, new columns") {
+    import graft.query.LiteSql
+    val fresh = new LiteSql(spark,
+      Map("friend" -> Seq((1L, Some("ann"), Some(30L)), (2L, Some("bob"), None),
+        (3L, None, Some(22L))).toDF("id", "name", "age")),
+      Map.empty)
+
+    // NULL-predicate rows are kept by DELETE and not counted
+    val del = fresh.execute("DELETE friend WHERE $.age < 25")
+    assert(del.head().getLong(0) == 1)
+    assert(fresh.table("friend").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+
+    // a quoted 'where' must not open a WHERE clause; whitespace inside the
+    // literal survives
+    fresh.execute("UPDATE friend SET $.name = 'works  where needed' WHERE $.id = 2")
+    assert(fresh.table("friend").filter($"id" === 2)
+      .select("name").as[String].head() == "works  where needed")
+
+    // commas inside function args are not SET-list separators
+    fresh.execute("UPDATE friend SET $.age = COALESCE($.age, 99), $.name = UPPER($.name) WHERE $.id = 2")
+    val r2 = fresh.table("friend").filter($"id" === 2)
+      .select($"age", $"name").head()
+    assert(r2.getLong(0) == 99 && r2.getString(1) == "WORKS  WHERE NEEDED")
+
+    // SET on a missing column creates it (null on non-matching rows)
+    fresh.execute("UPDATE friend SET $.nickname = 'annie' WHERE $.id = 1")
+    val nicks = fresh.table("friend").orderBy("id")
+      .select($"nickname").collect().map(r => Option(r.getString(0))).toSeq
+    assert(nicks == Seq(Some("annie"), None))
+
+    // apostrophe inside a double-quoted JSON string is data
+    val ins = fresh.execute(
+      """INSERT INTO friend VALUES {"id": 7, "name": "O'Brien, Jr"}, {"id": 8, "name": "x"}""")
+    assert(ins.head().getLong(0) == 2)
+    assert(fresh.table("friend").filter($"id" === 7)
+      .select("name").as[String].head() == "O'Brien, Jr")
+  }
 }
