@@ -170,7 +170,8 @@ object Dedup {
     // key stays the narrow (id1, id2); set sizes re-attach afterwards via
     // joins on the (small) surviving pair set (measured faster than
     // carrying n1/n2/block through the wide-key groupBy)
-    val co = exploded.as("a").join(exploded.as("b"),
+    val co = exploded.as("a").hint("shuffle_hash")
+      .join(exploded.as("b").hint("shuffle_hash"),
         bNames.map(n => col(s"a.$n") === col(s"b.$n"))
           .reduce(_ && _) && col("a.token") === col("b.token") &&
           col("a.id") < col("b.id"))
