@@ -124,4 +124,27 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("native word_shingles/lsh_band_keys match the composable forms exactly") {
+    import graft.functions.{GraftFunctions => G, TextFunctions => T}
+    val texts = Seq("the quick brown fox jumps", "one", "  ", "a b a b a")
+    val df = texts.toDF("text")
+    // shingles: native == array_distinct(wordShingles(tokens))
+    val nativeSh = df.select(
+      org.apache.spark.sql.functions.array_sort(
+        G.word_shingles(T.tokens($"text"), 2))).as[Seq[String]].collect().toSeq
+    val composedSh = df.select(
+      org.apache.spark.sql.functions.array_sort(
+        array_distinct(T.wordShingles(T.tokens($"text"), 2))))
+      .as[Seq[String]].collect().toSeq
+    assert(nativeSh == composedSh)
+    // band keys: native one-pass == minhash columns + md5 band concat
+    val shs = array_distinct(T.wordShingles(T.tokens($"text"), 2))
+    val sigs = (0 until 8).map(i => Dedup.minhashValue(shs, i))
+    val composedKeys = df.select(
+      Dedup.lshBandKeysFromCols(sigs, 2, 4)).as[Seq[String]].collect().toSeq
+    val nativeKeys = df.select(
+      G.lsh_band_keys(T.tokens($"text"), 2, 8, 2)).as[Seq[String]].collect().toSeq
+    assert(nativeKeys == composedKeys)
+  }
 }
