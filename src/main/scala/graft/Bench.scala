@@ -74,21 +74,28 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
       var t0 = System.nanoTime()
-      (1 until repeat).foreach { _ =>
+      (1 until repeat).zipWithIndex.foreach { case (_, wi) =>
         // warm iterations go through the same watchdog as the timed run -
-        // a hanging query must not block the bench before its timed pass
+        // a hanging query must not block the bench before its timed pass.
+        // Per-iteration group names: cancelJobGroupAndFutureJobs is sticky,
+        // so a shared name would cancel every later warm pass too.
+        val group = s"$name-warm-$wi"
         val warm = runner.submit[Unit](() => {
-          spark.sparkContext.setJobGroup(s"$name-warm", name, interruptOnCancel = true)
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
           try { fn(spark, sfDir).count(); () }
           finally spark.sparkContext.clearJobGroup()
         })
         try warm.get(budgetMs, TimeUnit.MILLISECONDS)
         catch {
           case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroupAndFutureJobs(s"$name-warm")
+            spark.sparkContext.cancelJobGroupAndFutureJobs(group)
             warm.cancel(true)
+          case e: java.util.concurrent.ExecutionException =>
+            e.getCause match {
+              case fatal: VirtualMachineError => throw fatal // don't mask OOM
+              case _ => ()
+            }
           case NonFatal(_) => ()
-          case _: java.util.concurrent.ExecutionException => ()
         }
         t0 = System.nanoTime()
       }

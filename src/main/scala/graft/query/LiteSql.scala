@@ -73,18 +73,33 @@ final class LiteSql(
         val pred = wherePart.map(w => expr(translateExpr(w))).getOrElse(lit(true))
         val df = current(name)
         val n = df.filter(coalesce(pred, lit(false))).count()
-        val updated = splitTopLevel(setPart, ',').foldLeft(df) { (d, a) =>
+        // the reference applies ONE transform document per row: predicate
+        // and every SET expression evaluate against the ORIGINAL values
+        // (so `SET a = b, b = a` swaps) — compute them all first, then
+        // rebind the targets
+        val assignments = splitTopLevel(setPart, ',').map { a =>
           val eq = indexOfCharOutsideQuotes(a, '=')
           require(eq > 0, s"bad SET assignment: $a")
-          val target = a.substring(0, eq).trim.stripPrefix("$.").trim
-          val rhs = expr(translateExpr(a.substring(eq + 1)))
-          // LiteDB's UPDATE creates missing paths (Commands/Update.cs):
-          // a new column starts null on non-matching rows
-          val prev = if (d.columns.contains(target))
-            org.apache.spark.sql.functions.col(target)
-          else lit(null)
-          d.withColumn(target, when(coalesce(pred, lit(false)), rhs).otherwise(prev))
+          (a.substring(0, eq).trim.stripPrefix("$.").trim,
+            expr(translateExpr(a.substring(eq + 1))))
         }
+        val staged = df.select(
+          org.apache.spark.sql.functions.col("*") +:
+            coalesce(pred, lit(false)).as("_pred") +:
+            assignments.zipWithIndex.map { case ((_, rhs), i) =>
+              rhs.as(s"_rhs$i")
+            }: _*)
+        val updated = assignments.zipWithIndex.foldLeft(staged) {
+          case (d, ((target, _), i)) =>
+            // LiteDB's UPDATE creates missing paths (Commands/Update.cs):
+            // a new column starts null on non-matching rows
+            val prev = if (df.columns.contains(target))
+              org.apache.spark.sql.functions.col(target)
+            else lit(null)
+            d.withColumn(target,
+              when(org.apache.spark.sql.functions.col("_pred"),
+                org.apache.spark.sql.functions.col(s"_rhs$i")).otherwise(prev))
+        }.drop("_pred" +: assignments.indices.map(i => s"_rhs$i"): _*)
         rebind(name, updated)
         Seq(n).toDF("n_affected")
       case "DELETE" =>
@@ -106,15 +121,46 @@ final class LiteSql(
     }
   }
 
+  private def rebind(name: String, df: DataFrame): Unit = {
+    current = current.updated(name, df)
+    df.createOrReplaceTempView(name)
+  }
+
+  /** $-path translation only (for WHERE/SET fragments). */
+  def translateExpr(fragment: String): String =
+    replaceOutsideQuotes(fragment.trim, s => s
+      .replaceAll("\\$\\.([A-Za-z_][A-Za-z0-9_.]*)", "$1"))
+
+  /** One quote-state core for every scanner in this class: mask(i) is
+    * true when position i sits inside a single- OR double-quoted run
+    * (opening char remembered; backslash escapes honored inside double
+    * quotes — JSON/Spark-SQL string semantics).
+    */
+  private def quoteMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        m(i) = true
+        if (c == '\\' && quote == '"' && i + 1 < s.length) {
+          m(i + 1) = true; i += 1
+        } else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') { quote = c; m(i) = true }
+      i += 1
+    }
+    m
+  }
+
   /** Split at the first whole-word keyword outside quotes; returns
     * (before, Some(after)) or (whole, None).
     */
   private def splitAtKeyword(s: String, kw: String): (String, Option[String]) = {
-    var inQ = false
+    val mask = quoteMask(s)
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') inQ = !inQ
-      else if (!inQ && i + kw.length <= s.length &&
+      if (!mask(i) && i + kw.length <= s.length &&
           s.regionMatches(true, i, kw, 0, kw.length) &&
           (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
           (i + kw.length >= s.length ||
@@ -127,47 +173,30 @@ final class LiteSql(
 
   /** First index of `c` outside quoted strings; -1 if absent. */
   private def indexOfCharOutsideQuotes(s: String, c: Char): Int = {
-    var inQ = false
+    val mask = quoteMask(s)
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') inQ = !inQ
-      else if (!inQ && s.charAt(i) == c) return i
+      if (!mask(i) && s.charAt(i) == c) return i
       i += 1
     }
     -1
   }
 
-  private def rebind(name: String, df: DataFrame): Unit = {
-    current = current.updated(name, df)
-    df.createOrReplaceTempView(name)
-  }
-
-  /** $-path translation only (for WHERE/SET fragments). */
-  def translateExpr(fragment: String): String =
-    replaceOutsideQuotes(fragment.trim, s => s
-      .replaceAll("\\$\\.([A-Za-z_][A-Za-z0-9_.]*)", "$1"))
-
-  /** Split `{...},{...}` at top level. Quote tracking remembers WHICH
-    * quote char opened (an apostrophe inside a double-quoted JSON string
-    * is data, not a delimiter); JSON escapes (\\") are honored.
-    */
+  /** Split `{...},{...}` at top level (brace-depth + quote aware). */
   private def splitTopLevelDocs(s: String): Seq[String] = {
+    val mask = quoteMask(s)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
-    var quote: Char = 0
     var start = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) {
-        if (c == '\\' && i + 1 < s.length) i += 1 // skip escaped char
-        else if (c == quote) quote = 0
-      }
-      else if (c == '\'' || c == '"') quote = c
-      else if (c == '{' || c == '[') depth += 1
-      else if (c == '}' || c == ']') depth -= 1
-      else if (c == ',' && depth == 0) {
-        out += s.substring(start, i).trim; start = i + 1
+      if (!mask(i)) {
+        if (c == '{' || c == '[') depth += 1
+        else if (c == '}' || c == ']') depth -= 1
+        else if (c == ',' && depth == 0) {
+          out += s.substring(start, i).trim; start = i + 1
+        }
       }
       i += 1
     }
@@ -180,17 +209,21 @@ final class LiteSql(
     * delimiter).
     */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val mask = quoteMask(s)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var inQ = false
     var depth = 0
     var start = 0
-    s.zipWithIndex.foreach { case (c, i) =>
-      if (c == '\'') inQ = !inQ
-      else if (!inQ && (c == '(' || c == '[')) depth += 1
-      else if (!inQ && (c == ')' || c == ']')) depth -= 1
-      else if (!inQ && depth == 0 && c == sep) {
-        out += s.substring(start, i); start = i + 1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!mask(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && c == sep) {
+          out += s.substring(start, i); start = i + 1
+        }
       }
+      i += 1
     }
     out += s.substring(start)
     out.map(_.trim).filter(_.nonEmpty).toSeq
@@ -198,7 +231,9 @@ final class LiteSql(
 
   /** Translate a LiteDB SELECT into Spark SQL text. */
   def translate(liteSql: String): String = {
-    var sql = liteSql.trim.replaceAll("\\s+", " ")
+    // whitespace collapses OUTSIDE quotes only (a multi-space literal in a
+    // WHERE clause is data); same rule as execute()
+    var sql = replaceOutsideQuotes(liteSql.trim, _.replaceAll("\\s+", " "))
 
     // $-paths (outside quotes): `$.a.b` -> `a.b`; lone `$` -> `*`
     sql = replaceOutsideQuotes(sql, s => s
@@ -219,20 +254,19 @@ final class LiteSql(
     sql
   }
 
+  /** Apply `f` to each maximal run OUTSIDE quoted strings (single- or
+    * double-quoted, per quoteMask), passing quoted runs through verbatim.
+    */
   private def replaceOutsideQuotes(s: String, f: String => String): String = {
+    val mask = quoteMask(s)
     val sb = new StringBuilder
-    var start = 0
-    var inQ = false
     var i = 0
-    while (i <= s.length) {
-      if (i == s.length || s.charAt(i) == '\'') {
-        val seg = s.substring(start, i)
-        sb ++= (if (inQ) seg else f(seg))
-        if (i < s.length) sb += '\''
-        inQ = !inQ
-        start = i + 1
-      }
-      i += 1
+    while (i < s.length) {
+      val start = i
+      val inQ = mask(i)
+      while (i < s.length && mask(i) == inQ) i += 1
+      val seg = s.substring(start, i)
+      sb ++= (if (inQ) seg else f(seg))
     }
     sb.toString
   }

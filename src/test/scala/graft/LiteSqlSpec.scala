@@ -130,4 +130,31 @@ class LiteSqlSpec extends AnyFunSuite {
     assert(fresh.table("friend").filter($"id" === 7)
       .select("name").as[String].head() == "O'Brien, Jr")
   }
+
+  test("quote semantics: double-quoted values, multi-space literals, swap") {
+    import graft.query.LiteSql
+    val fresh = new LiteSql(spark,
+      Map("friend" -> Seq((1L, "a  b", 10L, 20L), (2L, "x", 30L, 40L))
+        .toDF("id", "name", "lo", "hi")),
+      Map.empty)
+
+    // SELECT with a multi-space literal matches rows exactly
+    assert(fresh.execute("SELECT * FROM friend WHERE $.name = 'a  b'").count() == 1)
+
+    // double-quoted JSON strings keep their whitespace and quoted keywords
+    fresh.execute("""INSERT INTO friend VALUES {"id": 3, "name": "two  spaces where", "lo": 1, "hi": 2}""")
+    assert(fresh.table("friend").filter($"id" === 3)
+      .select("name").as[String].head() == "two  spaces where")
+
+    // UPDATE evaluates predicate and every SET expression against the
+    // ORIGINAL row: a swap works, and a predicate over a column being
+    // updated does not see the new value
+    fresh.execute("UPDATE friend SET $.lo = $.hi, $.hi = $.lo WHERE $.lo < 25")
+    val r1 = fresh.table("friend").filter($"id" === 1)
+      .select($"lo", $"hi").head()
+    assert((r1.getLong(0), r1.getLong(1)) == ((20L, 10L)))
+    val r2 = fresh.table("friend").filter($"id" === 2)
+      .select($"lo", $"hi").head()
+    assert((r2.getLong(0), r2.getLong(1)) == ((30L, 40L)))
+  }
 }
