@@ -140,6 +140,32 @@ object TimeSeriesQueries {
         FROM numbered GROUP BY user_id, session_idx"""),
       "session windows (gaps-and-islands; session_window streaming twin)"),
 
+    // Encode -> decode -> aggregate must equal aggregating the raw rows:
+    // the oracle computes the same aggregate straight from events, so the
+    // identity is checked distributed (BaseDeltaT.cs round-trip).
+    Q("q36_delta_roundtrip",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          // dedupe exact (user, ts) collisions: the decode contract is a
+          // set of points per key, ordered by time
+          .groupBy("user_id", "ts").agg(max(col("value")).as("value"))
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        val decoded = graft.ts.DeltaEncoding.decode(
+          graft.ts.DeltaEncoding.encode(ev, "user_id", "ts_us", "value"))
+        decoded.groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_points"),
+            min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+            sum(col("value").cast("decimal(28,8)")).cast("double").as("total"))
+      },
+      Some("""WITH obs AS (
+          SELECT user_id, ts, MAX(value) AS value FROM events GROUP BY user_id, ts)
+        SELECT user_id, COUNT(*) AS n_points,
+          MIN(EPOCH_US(ts)) AS first_us, MAX(EPOCH_US(ts)) AS last_us,
+          CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total
+        FROM obs GROUP BY user_id"""),
+      "delta-of-timestamp encode/decode round-trip (TimeSeries/BaseDeltaT, " +
+        "DeltaT.cs:14-26) checked through aggregates over the decoded rows"),
+
     Q("q35_hash_chain",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

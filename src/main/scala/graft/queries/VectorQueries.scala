@@ -83,6 +83,31 @@ object VectorQueries {
       ORDER BY score DESC, e.vec_id LIMIT 10"""
   }
 
+  /** DuckDB replica of q49: the q45 label-blocked cosine pairs as edges,
+    * connected components via transitive-closure minimum.
+    */
+  lazy val embedClustersOracleSql: String =
+    s"""WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(
+            LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+              k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x,y)->x+y)
+            / (SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+                k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)), (x,y)->x+y))
+             * SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+                k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x,y)->x+y))), 6)
+            >= 0.3),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM p
+        UNION SELECT id2, id1 FROM p),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY cluster_id"""
+
   val all: Seq[Q] = Seq(
     Q("q40_cosine_topk",
       (s, dir) => {
@@ -218,6 +243,26 @@ object VectorQueries {
       Some(VectorQueries.annIvfOracleSql),
       "IVF ANN top-k: nearest-centroid cells, probe-limited cosine scan " +
         "(inverted-file scale path; centroids trained offline at 100 TB)"),
+
+    // Embedding-cosine near-dup clusters: q45's label-blocked pairs are
+    // block-local edges, so the same single-pass union-find applies.
+    Q("q49_embed_dup_clusters",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("id1"), col("label"),
+          col("embedding").as("v1"))
+        val b = e.select(col("vec_id").as("id2"), col("label"),
+          col("embedding").as("v2"))
+        val pairs = a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("label").as("block_key"),
+            round(Similarity.cosine(col("v1"), col("v2")), 6).as("score"))
+          .filter(col("score") >= 0.3)
+        graft.operators.Dedup.clusterPairsBlocked(pairs, "block_key")
+          .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      },
+      Some(VectorQueries.embedClustersOracleSql),
+      "embedding-cosine near-dup clusters (label-blocked pairs -> " +
+        "single-pass connected components)"),
 
     Q("q46_dup_clusters",
       (s, dir) => {
