@@ -1,0 +1,83 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Dynamic (schemaless) document tables — the reference's raw
+  * `BsonDocument` collections (`Table/TableCollection.cs:666-703`
+  * `Find(columnName, value)`, `LiteDB/Document/BsonValue.cs` ordered
+  * string→value maps), on Spark's schema-full substrate (SURVEY §1.2 /
+  * §7 "What's hard"): a PINNED StructType holds the declared columns and
+  * everything else rides in a JSON overflow column, so per-row extra
+  * fields survive ingestion and stay queryable.
+  *
+  * Layout: pinned columns (typed, columnar, pushdown-friendly) +
+  * `_overflow` (JSON string of the undeclared remainder; empty object
+  * when none). Queries against pinned fields are ordinary Catalyst
+  * predicates; overflow fields resolve via `get_json_object` — slower by
+  * construction, which is the honest cost of schemaless fields on a
+  * columnar engine (promote hot fields into the pinned schema).
+  */
+object DynamicDocs {
+
+  val OverflowCol = "_overflow"
+
+  /** Ingest raw JSON documents: pinned fields become typed columns,
+    * the undeclared remainder lands in `_overflow`.
+    */
+  def fromJson(spark: SparkSession, docs: Seq[String],
+      pinned: StructType): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.json(docs.toDS())
+    val rawCols = raw.columns.toSet
+    val pinnedNames = pinned.fields.map(_.name)
+    val typed = pinned.fields.map(f =>
+      (if (rawCols.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType)).as(f.name))
+    val extraCols = raw.columns.filterNot(pinnedNames.contains).sorted
+    val overflow =
+      if (extraCols.isEmpty) lit("{}")
+      else to_json(struct(extraCols.map(col): _*))
+    raw.select(typed :+ overflow.as(OverflowCol): _*)
+  }
+
+  /** The reference's `Find(columnName, value)` over a dynamic table:
+    * pinned columns filter natively; anything else is looked up in the
+    * overflow JSON (string-compared, like BsonValue's loose equality on
+    * mixed per-row types).
+    */
+  def find(df: DataFrame, field: String, value: Any): DataFrame =
+    resolve(df, field) match {
+      case Left(c) => df.filter(c === lit(value))
+      case Right(path) =>
+        df.filter(get_json_object(col(OverflowCol), path) === lit(value).cast("string"))
+    }
+
+  /** Project a field regardless of where it lives (typed column or
+    * overflow JSON; overflow values surface as strings).
+    */
+  def field(df: DataFrame, name: String): Column =
+    resolve(df, name) match {
+      case Left(c) => c
+      case Right(path) => get_json_object(col(OverflowCol), path)
+    }
+
+  /** Promote a hot overflow field into a typed column (the schema-
+    * evolution path: dynamic first, columnar once it matters).
+    */
+  def promote(df: DataFrame, name: String,
+      dataType: org.apache.spark.sql.types.DataType): DataFrame =
+    resolve(df, name) match {
+      case Left(_) => df
+      case Right(path) =>
+        df.withColumn(name,
+          get_json_object(col(OverflowCol), path).cast(dataType))
+    }
+
+  private def resolve(df: DataFrame, name: String): Either[Column, String] =
+    df.columns.find(_.equalsIgnoreCase(name)) match {
+      case Some(c) if c != OverflowCol => Left(col(c))
+      case _ => Right(s"$$.$name")
+    }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.catalog.DynamicDocs
+
+/** Dynamic-document semantics (TableCollection.Find over raw BsonDocument
+  * collections): pinned fields are typed columns, undeclared fields ride
+  * the JSON overflow and stay findable/promotable.
+  */
+class DynamicDocsSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private val pinned = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private lazy val docs = DynamicDocs.fromJson(spark, Seq(
+    """{"id": 1, "name": "ann", "age": 30, "city": "berlin"}""",
+    """{"id": 2, "name": "bob", "age": 41}""",
+    """{"id": 3, "name": "cal"}"""), pinned)
+
+  test("pinned fields are typed columns; the remainder rides _overflow") {
+    assert(docs.schema.fieldNames.toSeq == Seq("id", "name", "_overflow"))
+    assert(docs.schema("id").dataType == LongType)
+    val over = docs.orderBy("id").select("_overflow").as[String].collect().toSeq
+    assert(over(0).contains("\"city\":\"berlin\"") && over(0).contains("\"age\":30"))
+    assert(!over(1).contains("city"))
+  }
+
+  test("find works on pinned and overflow fields alike") {
+    assert(DynamicDocs.find(docs, "name", "bob")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(DynamicDocs.find(docs, "city", "berlin")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(DynamicDocs.find(docs, "age", 41)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(DynamicDocs.find(docs, "nosuch", "x").count() == 0)
+  }
+
+  test("promote lifts an overflow field into a typed column") {
+    val promoted = DynamicDocs.promote(docs, "age", IntegerType)
+    assert(promoted.schema("age").dataType == IntegerType)
+    val ages = promoted.orderBy("id").select("age")
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(ages == Seq(Some(30), Some(41), None))
+    // promoting an already-pinned field is a no-op
+    assert(DynamicDocs.promote(docs, "name", StringType).schema.size == 3)
+  }
+}
