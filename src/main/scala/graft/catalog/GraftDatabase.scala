@@ -119,6 +119,25 @@ final class GraftDatabase private (
     */
   def query(name: String): FluentQuery = new FluentQuery(table(name))
 
+  /** Ingest raw JSON documents as a dynamic table (the reference's raw
+    * BsonDocument collections): `pinned` fields become typed columns, the
+    * rest rides the `_overflow` JSON column (see DynamicDocs).
+    */
+  def insertDocuments(name: String, docs: Seq[String],
+      pinned: org.apache.spark.sql.types.StructType): Unit = {
+    val incoming = DynamicDocs.fromJson(spark, docs, pinned)
+    val merged = if (tableExists(name))
+      table(name).unionByName(incoming, allowMissingColumns = true)
+    else incoming
+    writeReplace(name, merged)
+  }
+
+  /** Find over a dynamic table: pinned columns filter natively, overflow
+    * fields via JSON lookup (TableCollection.Find(columnName, value)).
+    */
+  def findDocuments(name: String, field: String, value: Any): DataFrame =
+    DynamicDocs.find(table(name), field, value)
+
   // ---- time-series store (TimeSeries/ subtree, SURVEY §2.8) --------------
 
   /** Append points (point_guid, ts, value[, priority]) to the TS store,

@@ -119,4 +119,23 @@ class GraftDatabaseSpec extends AnyFunSuite {
     // and the array column is non-null for the childless parent
     assert(got.filter($"orders_Data".isNull).count() == 0)
   }
+
+  test("dynamic documents through the facade: insert, find, overflow") {
+    val db = freshDb()
+    val pinned = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    db.insertDocuments("notes", Seq(
+      """{"id": 1, "name": "ann", "mood": "happy"}""",
+      """{"id": 2, "name": "bob"}"""), pinned)
+    db.insertDocuments("notes", Seq(
+      """{"id": 3, "name": "cal", "mood": "grim"}"""), pinned)
+    assert(db.table("notes").count() == 3)
+    assert(db.findDocuments("notes", "name", "bob")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(db.findDocuments("notes", "mood", "grim")
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
 }
