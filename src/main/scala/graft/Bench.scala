@@ -65,66 +65,50 @@ object Bench {
       val t = new Thread(r, "graft-bench-runner"); t.setDaemon(true); t
     })
     // dev-only knobs: SPARK_GRAFT_ONLY=q23,q25 restricts the set,
-    // SPARK_GRAFT_REPEAT=3 times each query N times (reports the last run,
-    // separating plan/codegen cost from steady-state)
+    // SPARK_GRAFT_REPEAT=N times each query N times (default 3). Every
+    // iteration is timed under the watchdog and the reported figure is the
+    // MIN over successful runs: a transient machine-load stall (GC, page
+    // cache miss, a neighbor process) can only ever ADD time to one
+    // iteration, so min-of-N converges on the query's true cost while
+    // last-of-N inherits whatever the machine was doing at that instant.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
-      var t0 = System.nanoTime()
-      (1 until repeat).zipWithIndex.foreach { case (_, wi) =>
-        // warm iterations go through the same watchdog as the timed run -
-        // a hanging query must not block the bench before its timed pass.
-        // Per-iteration group names: cancelJobGroupAndFutureJobs is sticky,
-        // so a shared name would cancel every later warm pass too.
-        val group = s"$name-warm-$wi"
-        val warm = runner.submit[Unit](() => {
+      // Per-iteration group names: cancelJobGroupAndFutureJobs is sticky,
+      // so a shared name would cancel every later iteration too.
+      val times = (0 until repeat).flatMap { it =>
+        val group = s"$name-$it"
+        val t0 = System.nanoTime()
+        val task = runner.submit[Unit](() => {
           spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
           try { fn(spark, sfDir).count(); () }
           finally spark.sparkContext.clearJobGroup()
         })
-        try warm.get(budgetMs, TimeUnit.MILLISECONDS)
+        try { task.get(budgetMs, TimeUnit.MILLISECONDS)
+          Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case _: TimeoutException =>
+            // cancels running AND not-yet-submitted jobs of this iteration
             spark.sparkContext.cancelJobGroupAndFutureJobs(group)
-            warm.cancel(true)
-          case e: java.util.concurrent.ExecutionException =>
-            e.getCause match {
-              case fatal: VirtualMachineError => throw fatal // don't mask OOM
-              case _ => ()
-            }
-          case NonFatal(_) => ()
-        }
-        t0 = System.nanoTime()
-      }
-      val task = runner.submit[Unit](() => {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        try { fn(spark, sfDir).count(); () }
-        finally spark.sparkContext.clearJobGroup()
-      })
-      val ok =
-        try { task.get(budgetMs, TimeUnit.MILLISECONDS); true }
-        catch {
-          case _: TimeoutException =>
-            // cancels running AND not-yet-submitted jobs of this query
-            spark.sparkContext.cancelJobGroupAndFutureJobs(name)
             task.cancel(true)
-            System.err.println(s"[bench] $name exceeded ${budgetMs}ms budget")
-            false
+            System.err.println(s"[bench] $name#$it exceeded ${budgetMs}ms budget")
+            None
           case e: java.util.concurrent.ExecutionException =>
             e.getCause match {
               case fatal: VirtualMachineError => throw fatal // don't mask OOM
               case cause =>
-                System.err.println(s"[bench] $name failed: $cause")
-                false
+                System.err.println(s"[bench] $name#$it failed: $cause")
+                None
             }
           case NonFatal(e) =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+            System.err.println(s"[bench] $name#$it failed: ${e.getMessage}")
+            None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     runner.shutdownNow()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators (SURVEY §2.9, `Iot.Database/IotVectorDb.cs`):
@@ -105,26 +104,37 @@ object Similarity {
       }
     }
 
-  /** IVF cell assignment: each vector joins its nearest centroid (L2,
-    * centroid-id tiebreak). Centroids broadcast — the join is a codegen'd
-    * broadcast nested loop + one window argmin, no shuffle of the vector
-    * side beyond the window. In production the assignment is precomputed
-    * at ingest and the table bucketed by cell; this computes it inline.
+  /** IVF cell assignment: per-row argmin over the centroid set (L2,
+    * centroid-id tiebreak). The centroids ship as ONE literal array in the
+    * plan — a fold over it computes each row's nearest cell in place, so
+    * there is no row expansion, no window, and no Exchange: the narrowest
+    * possible shape at any nlist (the old crossJoin + row_number form
+    * multiplied the input ×nlist and sort-shuffled the expansion). In
+    * production the assignment is precomputed at ingest (`ivfTopK` accepts
+    * a precomputed `cell` column) and the table bucketed by cell; this
+    * computes it inline.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Long, Seq[Float])]): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val cents = broadcast(centroids.toDF("_cid", "_cv"))
-    vectors.crossJoin(cents)
-      .withColumn("_cdist", l2(col(vecCol), col("_cv")))
-      .withColumn("_crn", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("_cdist").asc, col("_cid").asc)))
-      .filter(col("_crn") === 1)
-      .drop("_cv", "_cdist", "_crn")
-      .withColumnRenamed("_cid", "cell")
-  }
+      centroids: Seq[(Long, Seq[Float])]): DataFrame =
+    // sentinel cell -1 for null vectors makes `cell` non-nullable by
+    // construction: joins/groupings on it infer no IsNotNull constraint
+    // (which would otherwise push the whole assignment expression into the
+    // scan filter and compute it twice per row)
+    vectors.withColumn("cell", coalesce(cellOf(col(vecCol), centroids), lit(-1L)))
+
+  /** Nearest-centroid id of a vector column (the assignment expression
+    * itself, usable at ingest time): `least` over (distance, cid) structs —
+    * struct ordering is lexicographic, so the minimum IS the argmin with
+    * the lowest-cid tiebreak, identical to ordering by (distance, cid).
+    * Plain expressions only (no higher-order-function lambdas): the tree
+    * canonicalizes, so self-joins over the assignment reuse one exchange,
+    * and it stays inside codegen. The tree is O(nlist); at large nlist
+    * assignment belongs at ingest (ivfTopK consumes a precomputed `cell`).
+    */
+  def cellOf(vec: Column, centroids: Seq[(Long, Seq[Float])]): Column =
+    least(centroids.sortBy(_._1).map { case (cid, cv) =>
+      struct(l2(vec, typedLit(cv)).as("d"), lit(cid).as("cid"))
+    }: _*).getField("cid")
 
   /** Driver-side nProbe nearest centroids to the query, with the same
     * sequential-double L2 the engine computes (deterministic cross-engine).
@@ -143,12 +153,18 @@ object Similarity {
   /** IVF ANN top-k: probe the `nProbe` cells nearest the query and
     * brute-force cosine only inside them — the classic inverted-file
     * scale path (centroids trained offline at scale; deterministic here).
+    * A table that already carries an ingest-time `cell` column (ideally
+    * partitioned/bucketed by it, so the probe filter prunes at the scan)
+    * is used as-is; otherwise assignment computes inline per row.
     */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, centroids: Seq[(Long, Seq[Float])],
       nProbe: Int): DataFrame = {
     val probes = nearestCentroids(query, centroids, nProbe)
-    ivfAssign(vectors, idCol, vecCol, centroids)
+    val assigned =
+      if (vectors.columns.contains("cell")) vectors
+      else ivfAssign(vectors, idCol, vecCol, centroids)
+    assigned
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)

@@ -16,6 +16,44 @@ object VectorQueries {
       .filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
 
+  /** Deterministic IVF centroids: embeddings 1..8 (the training input, like
+    * the reference's search argument — 8 rows collected once, not a loop).
+    */
+  private def centroids8(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Seq[Float])] =
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id").between(1, 8))
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq.sortBy(_._1)
+
+  /** Embedding near-dup candidate pairs blocked on the IVF cell (bounded
+    * by construction: nlist cells whose sizes follow the Voronoi partition,
+    * sub-splittable by raising nlist at scale) with label as a secondary
+    * filter — never an unblocked or data-dependent-key self-join. The
+    * assignment is a per-row fold (no shuffle); the repartition +
+    * shuffle_hash hints make both self-join sides canonicalize to ONE
+    * reused exchange, so assignment/cosine inputs compute once.
+    */
+  private def cellBlockedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val assigned = Similarity
+      .ivfAssign(e, "vec_id", "embedding", centroids8(s, dir))
+      .select(col("vec_id").as("id"), col("label"), col("cell"),
+        col("embedding").as("v"))
+      .repartition(col("cell"), col("label"))
+    assigned.as("a").hint("shuffle_hash")
+      .join(assigned.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.label") === col("b.label") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        concat_ws("\u0001", col("a.cell"), col("a.label")).as("block_key"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("score"))
+      .filter(col("score") >= 0.3)
+  }
+
   private val dotSql =
     "LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
       "i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)), (a,b) -> a+b)"
@@ -83,22 +121,63 @@ object VectorQueries {
       ORDER BY score DESC, e.vec_id LIMIT 10"""
   }
 
-  /** DuckDB replica of q49: the q45 label-blocked cosine pairs as edges,
+  /** Pairwise cosine between table aliases `a` and `b` in DuckDB (same
+    * sequential double accumulation as the native Spark expression).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+        k -> $a.embedding[k]::DOUBLE * $b.embedding[k]::DOUBLE)), (x,y)->x+y)
+      / (SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+          k -> $a.embedding[k]::DOUBLE * $a.embedding[k]::DOUBLE)), (x,y)->x+y))
+       * SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+          k -> $b.embedding[k]::DOUBLE * $b.embedding[k]::DOUBLE)), (x,y)->x+y)))"""
+
+  /** DuckDB replica of the IVF cell assignment over ALL vectors (q47's
+    * assign CTE includes the query row here): ROW_NUMBER argmin on
+    * (L2, cid) == the Spark fold's strict-less-than with ascending cid.
+    */
+  private lazy val cellsCte: String = {
+    def l2(a: String, b: String): String =
+      "SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
+        s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y))"
+    s"""cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id BETWEEN 1 AND 8),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${l2("e.embedding", "c.cv")}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1)"""
+  }
+
+  /** DuckDB replica of q45's cell-blocked near-dup pairs: same IVF
+    * assignment, same (cell, label) candidate generation, same cosine
+    * verification.
+    */
+  lazy val embedPairsOracleSql: String =
+    s"""WITH $cellsCte,
+      p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          ROUND(${cosSql("a", "b")}, 6) AS score
+        FROM embeddings a
+        JOIN cells ca ON ca.vec_id = a.vec_id
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell)
+      SELECT id1, id2, score FROM p WHERE score >= 0.3"""
+
+  /** DuckDB replica of q49: the q45 cell-blocked cosine pairs as edges,
     * connected components via transitive-closure minimum.
     */
   lazy val embedClustersOracleSql: String =
-    s"""WITH RECURSIVE p AS (
+    s"""WITH RECURSIVE $cellsCte,
+      p AS (
         SELECT a.vec_id AS id1, b.vec_id AS id2
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(
-            LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
-              k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x,y)->x+y)
-            / (SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
-                k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)), (x,y)->x+y))
-             * SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
-                k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x,y)->x+y))), 6)
-            >= 0.3),
+        FROM embeddings a
+        JOIN cells ca ON ca.vec_id = a.vec_id
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+        WHERE ROUND(${cosSql("a", "b")}, 6) >= 0.3),
       edges AS (SELECT id1 AS src, id2 AS dst FROM p
         UNION SELECT id2, id1 FROM p),
       reach AS (
@@ -202,66 +281,34 @@ object VectorQueries {
       "label-blocked kNN join (embedding-cosine near-dup building block)"),
 
     Q("q45_embed_dup_pairs",
-      (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("id1"), col("label"),
-          col("embedding").as("v1"))
-        val b = e.select(col("vec_id").as("id2"), col("label"),
-          col("embedding").as("v2"))
-        a.join(b, Seq("label")).filter(col("id1") < col("id2"))
-          .select(col("id1"), col("id2"),
-            round(Similarity.cosine(col("v1"), col("v2")), 6).as("score"))
-          .filter(col("score") >= 0.3)
-      },
-      Some("""WITH p AS (
-          SELECT a.vec_id AS id1, b.vec_id AS id2,
-            ROUND(
-              LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
-                k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x,y)->x+y)
-              / (SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
-                  k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)), (x,y)->x+y))
-               * SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
-                  k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x,y)->x+y))), 6) AS score
-          FROM embeddings a JOIN embeddings b
-            ON a.label = b.label AND a.vec_id < b.vec_id)
-        SELECT id1, id2, score FROM p WHERE score >= 0.3"""),
-      "embedding-cosine near-dup pairs, label-blocked (native codegen cosine)"),
+      (s, dir) => cellBlockedPairs(s, dir).select("id1", "id2", "score"),
+      Some(VectorQueries.embedPairsOracleSql),
+      "embedding-cosine near-dup pairs, IVF-cell-blocked (bounded blocking " +
+        "key; label as secondary filter; native codegen cosine)"),
 
     // IVF with deterministic centroids (embeddings 1..8): assignment,
     // probe selection and in-cell top-k all recompute exactly in SQL.
     Q("q47_ann_ivf",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val centroids = e.filter(col("vec_id").between(1, 8))
-          .select("vec_id", "embedding")
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1)))
-          .toSeq.sortBy(_._1)
         Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-          queryVec(s, dir), k = 10, centroids, nProbe = 2)
+          queryVec(s, dir), k = 10, centroids8(s, dir), nProbe = 2)
       },
       Some(VectorQueries.annIvfOracleSql),
       "IVF ANN top-k: nearest-centroid cells, probe-limited cosine scan " +
         "(inverted-file scale path; centroids trained offline at 100 TB)"),
 
-    // Embedding-cosine near-dup clusters: q45's label-blocked pairs are
-    // block-local edges, so the same single-pass union-find applies.
+    // Embedding-cosine near-dup clusters: q45's pairs require BOTH cell
+    // and label equality, so every edge stays inside one (cell, label)
+    // block and the single-pass union-find applies.
     Q("q49_embed_dup_clusters",
       (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("id1"), col("label"),
-          col("embedding").as("v1"))
-        val b = e.select(col("vec_id").as("id2"), col("label"),
-          col("embedding").as("v2"))
-        val pairs = a.join(b, Seq("label")).filter(col("id1") < col("id2"))
-          .select(col("id1"), col("id2"), col("label").as("block_key"),
-            round(Similarity.cosine(col("v1"), col("v2")), 6).as("score"))
-          .filter(col("score") >= 0.3)
-        graft.operators.Dedup.clusterPairsBlocked(pairs, "block_key")
+        graft.operators.Dedup
+          .clusterPairsBlocked(cellBlockedPairs(s, dir), "block_key")
           .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
       },
       Some(VectorQueries.embedClustersOracleSql),
-      "embedding-cosine near-dup clusters (label-blocked pairs -> " +
+      "embedding-cosine near-dup clusters (IVF-cell-blocked pairs -> " +
         "single-pass connected components)"),
 
     Q("q46_dup_clusters",

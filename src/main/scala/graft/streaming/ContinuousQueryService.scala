@@ -19,12 +19,20 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 final class ContinuousQueryService(spark: SparkSession, poolSize: Int = 2) {
 
+  /** `maxResultRows` bounds what each tick collects to the driver: the
+    * reference caches LastResult on a single node where the query IS the
+    * engine's output; here a registered `SELECT *` over a fact table would
+    * otherwise OOM the driver on a timer. 150 mirrors the reference's
+    * slot-14 feed limit (IotValue.cs:299-327). Register an aggregate (or
+    * write to a result table and keep a handle) for larger results.
+    */
   final case class Config(
       name: String,
       query: SparkSession => DataFrame,
       intervalMillis: Long,
       onSuccess: Seq[Row] => Unit = _ => (),
-      onFailure: Throwable => Unit = _ => ())
+      onFailure: Throwable => Unit = _ => (),
+      maxResultRows: Int = 150)
 
   final class State(val config: Config) {
     @volatile private[ContinuousQueryService] var handle: ScheduledFuture[_] = _
@@ -51,7 +59,10 @@ final class ContinuousQueryService(spark: SparkSession, poolSize: Int = 2) {
     val st = states.get(name)
     if (st == null) return
     try {
-      val rows = st.config.query(spark).collect().toSeq
+      // limit() plans as a bounded collect (CollectLimit) — the cap is
+      // enforced executor-side, not by truncating an unbounded collect
+      val rows = st.config.query(spark)
+        .limit(st.config.maxResultRows).collect().toSeq
       st.lastResult = rows
       st.lastError = None
       st.executions += 1

@@ -62,10 +62,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("q47: IVF centroid assignment broadcasts the centroids") {
+  test("q47: IVF assignment is a per-row fold — no join, no window, no exchange") {
     val p = plan("q47_ann_ivf")
-    // the vector side must never shuffle for the assignment join
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the centroids ride in the plan as one literal array; assignment must
+    // not expand rows (old form: crossJoin ×nlist + row_number argmin)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q45: embedding near-dup pairs never do an unblocked self-join") {
+    val exec = SparkEntry.queries("q45_embed_dup_pairs")(spark, Sf0001)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    // candidate generation must be an equi-join on the bounded (cell,
+    // label) block key — never a cross/nested-loop pair expansion
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") &&
+      l.contains("cell")), p)
+    // both self-join sides canonicalize to the SAME exchange (sameResult is
+    // the check AQE's runtime exchange-reuse applies), so the assignment +
+    // shuffle runs once, not once per join side. AdaptiveSparkPlanExec has
+    // no children — collect over its pre-adaptive input plan.
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    val exs = inner.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exs.size == 2 && exs.head.sameResult(exs.last), p)
   }
 
   test("q46: blocked clustering is one shuffle (no iterative exchanges)") {

@@ -183,6 +183,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally svc.shutdown()
   }
 
+  test("ContinuousQueryService caps lastResult at maxResultRows") {
+    val svc = new ContinuousQueryService(spark)
+    try {
+      // an unbounded SELECT * must not cache more than the cap — the
+      // driver-OOM guard for registered fact-table queries
+      svc.register(svc.Config(
+        "all_cust",
+        s => graft.core.Tables.load(s, Sf0001, "customer"),
+        intervalMillis = 60000L, maxResultRows = 7))
+      val deadline = System.currentTimeMillis() + 30000
+      while (svc.executions("all_cust") < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(svc.executions("all_cust") >= 1)
+      assert(svc.lastResult("all_cust").size == 7)
+    } finally svc.shutdown()
+  }
+
   test("ContinuousQueryService surfaces failures via lastError") {
     val svc = new ContinuousQueryService(spark)
     try {
