@@ -29,7 +29,16 @@ object DynamicDocs {
   def fromJson(spark: SparkSession, docs: Seq[String],
       pinned: StructType): DataFrame = {
     import spark.implicits._
-    val raw = spark.read.json(docs.toDS())
+    fromJson(spark, docs.toDS(), pinned)
+  }
+
+  /** Distributed ingest form: a Dataset of JSON strings (a stream batch, a
+    * raw-text table) — the inference pass and all per-row work run on the
+    * executors; nothing collects.
+    */
+  def fromJson(spark: SparkSession, docs: org.apache.spark.sql.Dataset[String],
+      pinned: StructType): DataFrame = {
+    val raw = spark.read.json(docs)
     val rawCols = raw.columns.toSet
     val pinnedNames = pinned.fields.map(_.name)
     val typed = pinned.fields.map(f =>

@@ -116,6 +116,39 @@ object NaturalQueries {
       Some("""SELECT c_mktsegment, COUNT(*) AS n_cust,
         CAST(SUM(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS bal
         FROM customer WHERE c_acctbal > 1000 GROUP BY c_mktsegment"""),
-      "LiteDB SQL dialect ($-paths) translated to Spark SQL (SqlParser/Select.cs)")
+      "LiteDB SQL dialect ($-paths) translated to Spark SQL (SqlParser/Select.cs)"),
+
+    // Dialect array segments + @key: `$.arr[@ > 0]` filter paths and
+    // `$.arr[-1]` negative indexes (ARRAY_FILTER/ARRAY_INDEX,
+    // BsonExpressionOperators.cs:269-329) lower to filter()/try_element_at;
+    // GROUP BY's @key parameter (GroupByPipe.cs:28-106) resolves to the
+    // group expression.
+    Q("q69_lite_array_paths",
+      (s, dir) => graft.query.LiteSql(s, dir).run(
+        "SELECT @key AS label, COUNT(*) AS n_vecs, " +
+          "CAST(SUM(SIZE($.embedding[@ > 0])) AS BIGINT) AS n_pos " +
+          "FROM embeddings WHERE $.embedding[-1] > -1 GROUP BY $.label"),
+      Some("""SELECT label, COUNT(*) AS n_vecs,
+        CAST(SUM(LEN(LIST_FILTER(embedding, x -> x > 0))) AS BIGINT) AS n_pos
+        FROM embeddings WHERE embedding[-1] > -1 GROUP BY label"""),
+      "LiteDB SQL array filter/index paths + GROUP BY @key alias"),
+
+    // Serialized IR, extended surface: dual-table ON join + grouped
+    // aggregates (QueryBuilder.cs:20-100 schema-export parity — the IR now
+    // covers the same relational surface as the NL dual/triple ON forms).
+    Q("q75_json_multi_agg",
+      (s, dir) => graft.query.JsonQuery.run(GraftQueryEngine(s, dir),
+        """{"tables": ["nation", "customer"],
+            "on": [{"left": "nation.n_nationkey", "right": "customer.c_nationkey"}],
+            "where": [{"field": "customer.c_acctbal", "op": ">", "value": "0"}],
+            "groupBy": ["nation.n_name"],
+            "agg": [{"fn": "count", "alias": "n_cust"},
+                    {"fn": "max", "field": "customer.c_acctbal", "alias": "max_bal"}],
+            "orderBy": {"field": "n_name", "desc": false}}"""),
+      Some("""SELECT n_name, COUNT(*) AS n_cust, MAX(c_acctbal) AS max_bal
+        FROM nation JOIN customer ON n_nationkey = c_nationkey
+        WHERE c_acctbal > 0 GROUP BY n_name ORDER BY n_name"""),
+      "JSON IR multi-join + grouped aggregates, lowered AST-first " +
+        "(count/sum/avg/min/max whitelist; never through query text)")
   )
 }

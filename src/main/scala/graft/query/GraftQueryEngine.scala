@@ -17,10 +17,17 @@ object GraftQueryEngine {
     ("region", "nation") -> ("r_regionkey", "n_regionkey"))
 
   def apply(spark: SparkSession, sfDir: String): NaturalQuery =
+    apply(spark, sfDir, graft.core.Collation.Binary)
+
+  /** Engine-level collation flag: pass Collation.IgnoreCase to match the
+    * reference's default case-insensitive string comparisons.
+    */
+  def apply(spark: SparkSession, sfDir: String,
+      collation: graft.core.Collation): NaturalQuery =
     // lazy per-table loader: an NL query touches 1-3 tables; loading the
     // whole catalog eagerly costs ~10 parquet footer reads per query
     new NaturalQuery(spark,
       (n: String) => if (Tables.names.contains(n))
         Some(Tables.load(spark, sfDir, n)) else None,
-      foreignKeys)
+      foreignKeys, collation)
 }

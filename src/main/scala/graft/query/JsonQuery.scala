@@ -29,15 +29,47 @@ object JsonQuery {
   /** Execute a JSON-IR query against the engine's tables. The IR lowers
     * straight to the parser's AST (never through query TEXT), so a value
     * like "5000 LIMIT 1" stays a literal instead of injecting a clause.
+    * Grouped-aggregate IRs lower the relational core through the AST, then
+    * apply groupBy/agg as Column operations (still never through text).
     */
-  def run(engine: NaturalQuery, json: String): DataFrame =
-    engine.run(toParsed(parse(json)))
+  def run(engine: NaturalQuery, json: String): DataFrame = {
+    val ir = parse(json)
+    if (ir.groupBy.isEmpty && ir.aggs.isEmpty) engine.run(toParsed(ir))
+    else {
+      // ORDER BY / LIMIT apply to the aggregated result, not the core
+      val base = engine.run(
+        toParsed(ir).copy(select = Nil, orderBy = None, limit = None))
+      val keys = ir.groupBy.map(f =>
+        col(f).as(NaturalQuery.splitQualified(f)._2))
+      val aggCols = ir.aggs.map { a =>
+        def field = col(a.field.getOrElse(throw new IllegalArgumentException(
+          s"agg ${a.fn} needs a field")))
+        (a.fn.toLowerCase match {
+          case "count" => a.field.map(f => count(col(f))).getOrElse(count(lit(1)))
+          case "sum" => sum(field)
+          case "avg" => avg(field)
+          case "min" => min(field)
+          case "max" => max(field)
+          case other =>
+            throw new IllegalArgumentException(s"unknown agg fn: $other")
+        }).as(a.alias)
+      }
+      require(aggCols.nonEmpty, "groupBy requires at least one agg")
+      var out = base.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+      ir.orderBy.foreach { case (f, desc) =>
+        val c = col(out.columns.find(_.equalsIgnoreCase(f)).getOrElse(f))
+        out = out.orderBy(if (desc) c.desc else c.asc)
+      }
+      ir.limit.foreach(n => out = out.limit(n))
+      out
+    }
+  }
 
   /** IR -> parser AST. */
   def toParsed(ir: Ir): NaturalQuery.Parsed =
     NaturalQuery.Parsed(
-      find = Seq(ir.table),
-      joins = Nil,
+      find = ir.tables,
+      joins = ir.on,
       where = ir.where,
       select = ir.select,
       includes = ir.include.map { case (t, w) =>
@@ -54,19 +86,33 @@ object JsonQuery {
 
   // ---- JSON IR -----------------------------------------------------------
 
+  final case class Agg(fn: String, field: Option[String], alias: String)
+
+  /** `tables` holds 1..3 table names (`"table"` or `"tables"` in JSON);
+    * 2+ tables require `on` join conditions (the NL dual/triple ON form,
+    * `Queries/QueryEngine2/3.cs`). `groupBy`+`aggs` add the reference's
+    * grouped-aggregate surface.
+    */
   final case class Ir(
-      table: String,
+      tables: Seq[String],
+      on: Seq[NaturalQuery.JoinOn],
       where: Seq[NaturalQuery.Cond],
       select: Seq[NaturalQuery.Sel],
       include: Option[(String, Seq[NaturalQuery.Cond])],
+      groupBy: Seq[String],
+      aggs: Seq[Agg],
       orderBy: Option[(String, Boolean)],
-      limit: Option[Int])
+      limit: Option[Int]) {
+    def table: String = tables.head
+  }
 
   /** Debug/display form of the IR in the NL grammar (execution goes
     * through `toParsed`, not this text).
     */
   def toNaturalQuery(ir: Ir): String = {
-    val sb = new StringBuilder(s"FIND ${ir.table}")
+    val sb = new StringBuilder(s"FIND ${ir.tables.mkString(", ")}")
+    if (ir.on.nonEmpty)
+      sb ++= " ON " + ir.on.map(j => s"${j.left} = ${j.right}").mkString(" AND ")
     def conds(cs: Seq[NaturalQuery.Cond]): String =
       cs.zipWithIndex.map { case (c, i) =>
         val prefix = if (i == 0) "" else s" ${c.conj} "
@@ -133,6 +179,31 @@ object JsonQuery {
       case JLong(n) => n.toInt
       case other => throw new IllegalArgumentException(s"bad limit: $other")
     }
-    Ir(str(root \ "table"), conds(root \ "where"), sels, include, orderBy, limit)
+    val tables = (root \ "tables") match {
+      case JArray(items) => items.map(str)
+      case JNothing => Seq(str(root \ "table"))
+      case other => throw new IllegalArgumentException(s"bad tables: $other")
+    }
+    val on = (root \ "on") match {
+      case JArray(items) => items.map(i =>
+        NaturalQuery.JoinOn(str(i \ "left"), str(i \ "right")))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"bad on: $other")
+    }
+    val groupBy = (root \ "groupBy") match {
+      case JArray(items) => items.map(str)
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"bad groupBy: $other")
+    }
+    val aggs = (root \ "agg") match {
+      case JArray(items) => items.map(i => Agg(
+        str(i \ "fn"),
+        (i \ "field").toOption.map(str),
+        str(i \ "alias")))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"bad agg: $other")
+    }
+    Ir(tables, on, conds(root \ "where"), sels, include, groupBy, aggs,
+      orderBy, limit)
   }
 }

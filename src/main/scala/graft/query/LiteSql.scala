@@ -126,10 +126,150 @@ final class LiteSql(
     df.createOrReplaceTempView(name)
   }
 
-  /** $-path translation only (for WHERE/SET fragments). */
+  /** $-path translation only (for WHERE/SET fragments): member paths plus
+    * the array segments documented on translateDollarPaths.
+    */
   def translateExpr(fragment: String): String =
-    replaceOutsideQuotes(fragment.trim, s => s
-      .replaceAll("\\$\\.([A-Za-z_][A-Za-z0-9_.]*)", "$1"))
+    translateDollarPaths(fragment.trim, itemVar = None, depth = 0)
+
+  private def isIdentStart(c: Char) = c == '_' || Character.isLetter(c)
+  private def isIdentChar(c: Char) = c == '_' || Character.isLetterOrDigit(c)
+  private val IntRe = "-?\\d+".r
+
+  /** Translate every `$`-rooted LiteDB path in `s` to a Spark SQL
+    * expression (quote-aware; quoted literals pass through):
+    *   - `$.a.b`            -> `a.b`; lone `$` -> `*`
+    *   - `$.arr[2]`         -> `try_element_at(arr, 3)` (0-based in the
+    *     dialect, 1-based in Spark; out-of-bounds -> NULL, matching
+    *     ARRAY_INDEX, BsonExpressionOperators.cs:269-296)
+    *   - `$.arr[-1]`        -> `try_element_at(arr, -1)` (from the end)
+    *   - `$.arr[*].f`       -> `transform(arr, _e -> _e.f)` (all items,
+    *     ARRAY_FILTER index=MaxValue, BsonExpressionOperators.cs:301-329)
+    *   - `$.arr[@.x > 1]`   -> `filter(arr, _it -> _it.x > 1)` where `@`
+    *     is the current item (`@` alone for scalar arrays)
+    * Segments compose: `$.a[0].b[@.c > 1].d` nests accordingly. When
+    * `itemVar` is set, `@`-rooted paths resolve against that lambda
+    * variable (used inside filter contents; depth suffixes keep nested
+    * lambda variables distinct).
+    */
+  private def translateDollarPaths(s: String, itemVar: Option[String],
+      depth: Int): String = {
+    val mask = quoteMask(s)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!mask(i) && c == '$' && (i == 0 || !isIdentChar(s.charAt(i - 1)))) {
+        if (i + 1 < s.length && s.charAt(i + 1) == '.' &&
+            i + 2 < s.length && isIdentStart(s.charAt(i + 2))) {
+          val (expr, next) = parsePath(s, mask, i + 2, rootPrefix = "", depth)
+          sb ++= expr
+          i = next
+        } else if (i + 1 >= s.length ||
+            (!isIdentChar(s.charAt(i + 1)) && s.charAt(i + 1) != '.')) {
+          sb += '*'; i += 1 // lone $ -> all columns
+        } else { sb += c; i += 1 }
+      } else if (!mask(i) && c == '@' && itemVar.isDefined &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1)))) {
+        if (i + 1 < s.length && s.charAt(i + 1) == '.' &&
+            i + 2 < s.length && isIdentStart(s.charAt(i + 2))) {
+          val (expr, next) =
+            parsePath(s, mask, i + 2, rootPrefix = itemVar.get + ".", depth)
+          sb ++= expr
+          i = next
+        } else { sb ++= itemVar.get; i += 1 } // lone @ -> the item itself
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse one member chain (with optional bracket segments) starting at
+    * an identifier char; returns (sql expression, index after the path).
+    */
+  private def parsePath(s: String, mask: Array[Boolean], start: Int,
+      rootPrefix: String, depth: Int): (String, Int) = {
+    var i = start
+    def members(): String = {
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      var go = true
+      while (go && i < s.length && isIdentStart(s.charAt(i))) {
+        val b = i
+        while (i < s.length && isIdentChar(s.charAt(i))) i += 1
+        names += s.substring(b, i)
+        if (i + 1 < s.length && s.charAt(i) == '.' &&
+            isIdentStart(s.charAt(i + 1))) i += 1
+        else go = false
+      }
+      names.mkString(".")
+    }
+    var expr = rootPrefix + members()
+    while (i < s.length && s.charAt(i) == '[') {
+      val close = matchBracket(s, mask, i)
+      val content = s.substring(i + 1, close).trim
+      i = close + 1
+      val cont =
+        if (i + 1 < s.length && s.charAt(i) == '.' &&
+            isIdentStart(s.charAt(i + 1))) {
+          i += 1; Some(members())
+        } else None
+      val sfx = if (depth == 0) "" else (depth + 1).toString
+      expr = content match {
+        case "*" =>
+          cont.map(f => s"transform($expr, _e$sfx -> _e$sfx.$f)").getOrElse(expr)
+        case IntRe() =>
+          val n = content.toLong
+          val idx = if (n >= 0) n + 1 else n
+          val e = s"try_element_at($expr, $idx)"
+          cont.map(f => s"$e.$f").getOrElse(e)
+        case _ =>
+          val v = s"_it$sfx"
+          val inner = translateDollarPaths(content, Some(v), depth + 1)
+          val f = s"filter($expr, $v -> $inner)"
+          cont.map(g => s"transform($f, _e$sfx -> _e$sfx.$g)").getOrElse(f)
+      }
+    }
+    (expr, i)
+  }
+
+  /** Index of the `]` matching the `[` at `open` (bracket-depth + quote
+    * aware).
+    */
+  private def matchBracket(s: String, mask: Array[Boolean], open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      if (!mask(i)) {
+        if (s.charAt(i) == '[') depth += 1
+        else if (s.charAt(i) == ']') { depth -= 1; if (depth == 0) return i }
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced [ in: $s")
+  }
+
+  /** GROUP BY's `@key` alias: the reference binds the group key value as
+    * the `key` parameter visible to SELECT/HAVING expressions
+    * (GroupByPipe.cs:28-106) — substituted here with the parenthesized
+    * GROUP BY expression text (then translated like any expression).
+    */
+  private def substituteGroupKey(s: String): String =
+    splitAtKeyword(s, "GROUP BY")._2 match {
+      case None => s
+      case Some(after) =>
+        val grpText = Seq("HAVING", "ORDER", "LIMIT", "OFFSET")
+          .foldLeft(after)((acc, kw) => splitAtKeyword(acc, kw)._1).trim
+        val mask = quoteMask(s)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          if (!mask(i) && s.regionMatches(true, i, "@key", 0, 4) &&
+              (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+              (i + 4 >= s.length || !isIdentChar(s.charAt(i + 4)))) {
+            sb ++= "(" + grpText + ")"; i += 4
+          } else { sb += s.charAt(i); i += 1 }
+        }
+        sb.toString
+    }
 
   /** One quote-state core for every scanner in this class: mask(i) is
     * true when position i sits inside a single- OR double-quoted run
@@ -235,10 +375,12 @@ final class LiteSql(
     // WHERE clause is data); same rule as execute()
     var sql = replaceOutsideQuotes(liteSql.trim, _.replaceAll("\\s+", " "))
 
-    // $-paths (outside quotes): `$.a.b` -> `a.b`; lone `$` -> `*`
-    sql = replaceOutsideQuotes(sql, s => s
-      .replaceAll("\\$\\.([A-Za-z_][A-Za-z0-9_.]*)", "$1")
-      .replaceAll("(?<![A-Za-z0-9_])\\$(?![A-Za-z0-9_.])", "*"))
+    // GROUP BY's @key alias substitutes BEFORE path translation, so the
+    // substituted group expression translates like any other
+    sql = substituteGroupKey(sql)
+
+    // $-paths (outside quotes): member paths, array index/filter segments
+    sql = translateDollarPaths(sql, itemVar = None, depth = 0)
 
     // INCLUDE list -> LEFT JOINs after FROM
     val IncRe = "(?i)\\bFROM\\s+(\\w+)\\s+INCLUDE\\s+([\\w\\s,]+?)(?=(?i:WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|$))".r

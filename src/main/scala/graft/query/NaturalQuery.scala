@@ -32,12 +32,22 @@ final class NaturalQuery(
     spark: SparkSession,
     loader: String => Option[DataFrame],
     /** (parent, child) -> (parent PK column, child FK column). */
-    foreignKeys: Map[(String, String), (String, String)]) {
+    foreignKeys: Map[(String, String), (String, String)],
+    /** String comparison semantics for predicates and ORDER BY: Binary
+      * (default) or IgnoreCase (the reference's default collation).
+      */
+    collation: graft.core.Collation = graft.core.Collation.Binary) {
 
   /** Eager-map form (tests, ad-hoc frames). */
   def this(spark: SparkSession, tables: Map[String, DataFrame],
       foreignKeys: Map[(String, String), (String, String)]) =
     this(spark, tables.get(_): Option[DataFrame], foreignKeys)
+
+  /** Eager-map form with explicit collation. */
+  def this(spark: SparkSession, tables: Map[String, DataFrame],
+      foreignKeys: Map[(String, String), (String, String)],
+      collation: graft.core.Collation) =
+    this(spark, tables.get(_): Option[DataFrame], foreignKeys, collation)
 
   import NaturalQuery._
 
@@ -186,7 +196,12 @@ final class NaturalQuery(
   private def orderLimit(df: DataFrame, q: Parsed): DataFrame = {
     val ordered = q.orderBy match {
       case Some((c, asc)) =>
-        val cc = col(df.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+        val name = df.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
+        // collation applies only to string-typed sort keys (lower() on a
+        // numeric would compare its string form)
+        val isString = df.schema.fields.exists(f =>
+          f.name == name && f.dataType == org.apache.spark.sql.types.StringType)
+        val cc = if (isString) collation.key(col(name)) else col(name)
         df.orderBy(if (asc) cc.asc else cc.desc)
       case None => df
     }
@@ -198,10 +213,11 @@ final class NaturalQuery(
   private def compile(c: Cond, df: DataFrame): Column = {
     // resolve case-insensitively against the actual schema
     val name = df.columns.find(_.equalsIgnoreCase(c.field)).getOrElse(c.field)
-    condToColumn(c, col(name))
+    condToColumn(c, col(name), collation)
   }
 
-  private def compileQualified(c: Cond): Column = condToColumn(c, col(c.field))
+  private def compileQualified(c: Cond): Column =
+    condToColumn(c, col(c.field), collation)
 }
 
 object NaturalQuery {
@@ -236,24 +252,34 @@ object NaturalQuery {
       }
     }
 
-  def condToColumn(c: Cond, column: Column): Column = {
+  def condToColumn(c: Cond, column: Column): Column =
+    condToColumn(c, column, graft.core.Collation.Binary)
+
+  def condToColumn(c: Cond, column: Column,
+      collation: graft.core.Collation): Column = {
     def raw = c.value.getOrElse(
       throw new IllegalArgumentException(s"${c.op} needs a value"))
-    def lit_ = typedValue(raw)
-    def v = typedValue(raw).toString // string ops: quotes stripped
+    // collation applies exactly when the comparison IS a string comparison
+    // (the literal side is a string); numeric/bool comparands never lower()
+    def cmp: (Column, Any) = typedValue(raw) match {
+      case s: String => (collation.key(column), collation.key(s))
+      case other => (column, other)
+    }
+    def v = collation.key(typedValue(raw).toString) // string ops
+    def sCol = collation.key(column)
     c.op match {
-      case "=" => column === lit_
-      case "!=" => column =!= lit_
-      case ">" => column > lit_
-      case ">=" => column >= lit_
-      case "<" => column < lit_
-      case "<=" => column <= lit_
-      case "contains" => column.contains(v)
-      case "startswith" => column.startsWith(v)
-      case "endswith" => column.endsWith(v)
-      case "not contains" => !column.contains(v)
-      case "not startswith" => !column.startsWith(v)
-      case "not endswith" => !column.endsWith(v)
+      case "=" => cmp._1 === cmp._2
+      case "!=" => cmp._1 =!= cmp._2
+      case ">" => cmp._1 > cmp._2
+      case ">=" => cmp._1 >= cmp._2
+      case "<" => cmp._1 < cmp._2
+      case "<=" => cmp._1 <= cmp._2
+      case "contains" => sCol.contains(v)
+      case "startswith" => sCol.startsWith(v)
+      case "endswith" => sCol.endsWith(v)
+      case "not contains" => !sCol.contains(v)
+      case "not startswith" => !sCol.startsWith(v)
+      case "not endswith" => !sCol.endsWith(v)
       case "is null" => column.isNull
       case "is not null" => column.isNotNull
       case "is empty" => length(column) === 0

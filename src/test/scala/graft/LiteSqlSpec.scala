@@ -23,6 +23,54 @@ class LiteSqlSpec extends AnyFunSuite {
     assert(t.startsWith("SELECT c_name"))
   }
 
+  test("array index paths: 0-based, negative, out-of-bounds null") {
+    assert(engine.translate("SELECT $.arr[0] FROM t")
+      == "SELECT try_element_at(arr, 1) FROM t")
+    assert(engine.translate("SELECT $.a.b[2].c FROM t")
+      == "SELECT try_element_at(a.b, 3).c FROM t")
+    assert(engine.translate("SELECT $.arr[-1] FROM t")
+      == "SELECT try_element_at(arr, -1) FROM t")
+    // semantics: ARRAY_INDEX (BsonExpressionOperators.cs:269-296)
+    val r = spark.sql(
+      engine.translate("SELECT $.v[0] AS a, $.v[-1] AS b, $.v[9] AS c " +
+        "FROM (SELECT ARRAY(10, 20, 30) AS v)")).head()
+    assert(r.getInt(0) == 10 && r.getInt(1) == 30 && r.isNullAt(2))
+  }
+
+  test("array filter paths: @ item expressions and [*] with continuation") {
+    assert(engine.translate("SELECT $.items[@.x > 1] FROM t")
+      == "SELECT filter(items, _it -> _it.x > 1) FROM t")
+    assert(engine.translate("SELECT $.items[@.x > 1].y FROM t")
+      == "SELECT transform(filter(items, _it -> _it.x > 1), _e -> _e.y) FROM t")
+    assert(engine.translate("SELECT $.nums[@ >= 5] FROM t")
+      == "SELECT filter(nums, _it -> _it >= 5) FROM t")
+    assert(engine.translate("SELECT $.items[*].y FROM t")
+      == "SELECT transform(items, _e -> _e.y) FROM t")
+    // a quoted ']' inside the filter is data, not a closing bracket
+    assert(engine.translate("SELECT $.tags[@ = 'a]b'] FROM t")
+      == "SELECT filter(tags, _it -> _it = 'a]b') FROM t")
+    // semantics: ARRAY_FILTER (BsonExpressionOperators.cs:301-329)
+    val r = spark.sql(engine.translate(
+      "SELECT $.items[@.x > 1].y AS ys, SIZE($.nums[@ >= 5]) AS n FROM " +
+        "(SELECT ARRAY(NAMED_STRUCT('x', 1, 'y', 'a'), NAMED_STRUCT('x', 2, 'y', 'b'), " +
+        "NAMED_STRUCT('x', 3, 'y', 'c')) AS items, ARRAY(3, 5, 7) AS nums)")).head()
+    assert(r.getSeq[String](0) == Seq("b", "c") && r.getInt(1) == 2)
+  }
+
+  test("GROUP BY @key resolves to the group expression (GroupByPipe.cs)") {
+    val t = engine.translate(
+      "SELECT @key AS seg, COUNT(*) AS n FROM customer GROUP BY $.c_mktsegment")
+    assert(t ==
+      "SELECT (c_mktsegment) AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment")
+    val got = engine.run(
+      "SELECT @key AS seg, COUNT(*) AS n FROM customer GROUP BY $.c_mktsegment " +
+        "ORDER BY seg")
+    val want = spark.sql(
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+         GROUP BY c_mktsegment ORDER BY seg""")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("INCLUDE lowers to a left join over the FK registry") {
     val t = engine.translate(
       "SELECT $.c_name, $.o_totalprice FROM customer INCLUDE orders WHERE $.o_totalprice > 1000")

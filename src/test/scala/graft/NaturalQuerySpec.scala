@@ -138,4 +138,29 @@ class NaturalQuerySpec extends AnyFunSuite {
     // malformed IR is rejected, not mis-executed
     intercept[IllegalArgumentException](JsonQuery.parse("""{"where": []}"""))
   }
+
+  test("JsonQuery: multi-join + grouped-aggregate IR matches direct SQL") {
+    import graft.query.JsonQuery
+    val got = JsonQuery.run(engine,
+      """{"tables": ["customer", "orders"],
+          "on": [{"left": "customer.c_custkey", "right": "orders.o_custkey"}],
+          "where": [{"field": "orders.o_totalprice", "op": ">", "value": "100000"}],
+          "groupBy": ["customer.c_mktsegment"],
+          "agg": [{"fn": "count", "alias": "n"},
+                  {"fn": "max", "field": "orders.o_totalprice", "alias": "top"}],
+          "orderBy": {"field": "c_mktsegment", "desc": false}}""")
+    val c = graft.core.Tables.load(spark, Sf0001, "customer")
+    val o = graft.core.Tables.load(spark, Sf0001, "orders")
+    val want = c.join(o, c("c_custkey") === o("o_custkey"))
+      .filter(col("o_totalprice") > 100000)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), max("o_totalprice").as("top"))
+      .orderBy("c_mktsegment")
+    assert(got.columns.toSeq == Seq("c_mktsegment", "n", "top"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // unknown agg functions are rejected (whitelist, never query text)
+    intercept[IllegalArgumentException](JsonQuery.run(engine,
+      """{"table": "customer", "groupBy": ["c_mktsegment"],
+          "agg": [{"fn": "exec", "alias": "x"}]}"""))
+  }
 }
