@@ -19,7 +19,8 @@ import graft.ts.TimeSeriesOps
   * transactional table format only changes `write`/`read` here.
   */
 final class GraftDatabase private (
-    val spark: SparkSession, val name: String, val root: String) {
+    val spark: SparkSession, val name: String, val root: String,
+    val collation: graft.core.Collation) {
 
   private val tablesDir = s"$root/Tables"
   private val tsDir = s"$root/TimeSeries"
@@ -115,9 +116,14 @@ final class GraftDatabase private (
 
   /** Typed fluent query over a table (the reference's
     * `col.Query().Where(...).OrderBy(...).Select(...)` surface,
-    * `LiteQueryable`, SURVEY §3.2).
+    * `LiteQueryable`, SURVEY §3.2). The database collation applies to the
+    * base table (Collation.collate retags string columns with Spark's
+    * native collated types), so every predicate/order/select Column the
+    * caller chains compares under it — the reference's engine-wide
+    * collation, without per-predicate rewrites.
     */
-  def query(name: String): FluentQuery = new FluentQuery(table(name))
+  def query(name: String): FluentQuery =
+    new FluentQuery(collation.collate(table(name)))
 
   /** Ingest raw JSON documents as a dynamic table (the reference's raw
     * BsonDocument collections): `pinned` fields become typed columns, the
@@ -174,5 +180,12 @@ final class GraftDatabase private (
 object GraftDatabase {
   /** Open/create a database directory (IotDatabase.cs:149-161 tree). */
   def apply(spark: SparkSession, name: String, baseDir: String): GraftDatabase =
-    new GraftDatabase(spark, name, s"$baseDir/$name")
+    apply(spark, name, baseDir, graft.core.Collation.Binary)
+
+  /** Open with an explicit engine collation (the reference's constructor
+    * takes a Collation; its default is case-insensitive).
+    */
+  def apply(spark: SparkSession, name: String, baseDir: String,
+      collation: graft.core.Collation): GraftDatabase =
+    new GraftDatabase(spark, name, s"$baseDir/$name", collation)
 }

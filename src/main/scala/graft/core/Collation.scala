@@ -1,7 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.lower
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lower}
+import org.apache.spark.sql.types.StringType
 
 /** String comparison semantics (SURVEY §2.7). The reference compares all
   * strings through a configurable collation that is case-INSENSITIVE by
@@ -24,6 +25,17 @@ sealed trait Collation {
 
   /** Same normalization for a driver-side string constant. */
   def key(s: String): String
+
+  /** Table-level collation: retag every top-level StringType column so ALL
+    * downstream comparisons — WHERE, GROUP BY, ORDER BY, JOIN keys, LIKE —
+    * follow this collation, with original values preserved in outputs.
+    * This is how the reference collates (engine-wide via
+    * `BsonValue.CompareTo`, not per-predicate), realized through Spark's
+    * native collated string types (`UTF8_LCASE`): comparisons stay
+    * codegen'd Catalyst expressions and no data is rewritten — the
+    * collation is type metadata the optimizer understands.
+    */
+  def collate(df: DataFrame): DataFrame
 }
 
 object Collation {
@@ -32,11 +44,22 @@ object Collation {
   case object Binary extends Collation {
     def key(c: Column): Column = c
     def key(s: String): String = s
+    def collate(df: DataFrame): DataFrame = df
   }
 
   /** The reference's default: ordinal ignore-case comparisons. */
   case object IgnoreCase extends Collation {
     def key(c: Column): Column = lower(c)
     def key(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+    def collate(df: DataFrame): DataFrame = {
+      val hasString = df.schema.fields.exists(_.dataType == StringType)
+      if (!hasString) df
+      else df.select(df.schema.fields.toIndexedSeq.map { f =>
+        if (f.dataType == StringType)
+          org.apache.spark.sql.functions.collate(col(f.name), "UTF8_LCASE")
+            .as(f.name)
+        else col(f.name)
+      }: _*)
+    }
   }
 }

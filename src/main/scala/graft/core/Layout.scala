@@ -21,14 +21,48 @@ object Layout {
 
   /** Save as a bucketed managed table: joins/aggregations on `bucketCol`
     * between tables with the same bucketing need no shuffle at all.
+    * Idempotent across processes: a fresh session's catalog does not know
+    * a leftover warehouse directory from a previous run, and saveAsTable
+    * refuses to overwrite an unregistered location — drop both first.
     */
   def saveBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Save as a value-partitioned managed table (one directory per distinct
+    * `partCol` value): an IN/equality filter on `partCol` prunes whole
+    * directories before any I/O, unconditionally. This is the scan-pruning
+    * layout — bucket pruning, by contrast, only applies when bucketed
+    * reading survives planning, and Spark auto-disables bucketed scans for
+    * queries with no join/aggregation on the bucket key
+    * ("Bucketed: false (disabled by query planner)"). Use `saveBucketed`
+    * for co-located joins, this for probe-pruned point/ANN reads.
+    */
+  def savePartitionedTable(df: DataFrame, table: String, partCol: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.write.mode("overwrite")
+      .partitionBy(partCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on the bucket key — zero-shuffle when
     * layouts match.

@@ -259,8 +259,18 @@ object Dedup {
     *
     * Input: (id1, id2, blockKeyCol). Output: (id, cluster_id = min id in
     * component), the clusterPairs contract.
+    *
+    * `maxBlockEdges` guards the precondition: edges STREAM through the
+    * union-find (memory is O(nodes), nodes <= 2*edges), but a block whose
+    * edge count exceeds the bound means the blocking key was not actually
+    * bounded (an unblocked or data-dependent key) — fail loudly with the
+    * offending key instead of OOMing an executor mid-shuffle. Raise the
+    * bound only after confirming the blocking key is bounded by
+    * construction (LSH band, IVF cell); the fix for a genuinely oversized
+    * block is a finer key (more bands, higher nlist), not a higher bound.
     */
-  def clusterPairsBlocked(pairs: DataFrame, blockKeyCol: String): DataFrame = {
+  def clusterPairsBlocked(pairs: DataFrame, blockKeyCol: String,
+      maxBlockEdges: Long = 10000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs
@@ -268,7 +278,7 @@ object Dedup {
         col("id1").cast("long"), col("id2").cast("long"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (key, it) =>
         // union-find with min-id roots: attaching the larger root under the
         // smaller keeps every root the component minimum, so find() IS the
         // cluster label
@@ -280,7 +290,14 @@ object Dedup {
           while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
+        var nEdges = 0L
         it.foreach { case (_, a, b) =>
+          nEdges += 1
+          if (nEdges > maxBlockEdges)
+            throw new IllegalStateException(
+              s"block '$key' exceeds $maxBlockEdges edges — the blocking " +
+                "key is not bounded; refine it (more LSH bands / higher " +
+                "IVF nlist) rather than raising maxBlockEdges")
           parent.getOrElseUpdate(a, a)
           parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))

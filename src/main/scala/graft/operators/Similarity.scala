@@ -116,11 +116,16 @@ object Similarity {
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Float])]): DataFrame =
-    // sentinel cell -1 for null vectors makes `cell` non-nullable by
-    // construction: joins/groupings on it infer no IsNotNull constraint
-    // (which would otherwise push the whole assignment expression into the
-    // scan filter and compute it twice per row)
-    vectors.withColumn("cell", coalesce(cellOf(col(vecCol), centroids), lit(-1L)))
+    // sentinel cell -1 for null vectors, gated explicitly: cellOf itself
+    // never returns NULL for a null embedding (struct children are non-null
+    // and struct ordering ranks a NULL field smallest, which would silently
+    // assign the lowest centroid id). Both branches are non-nullable, so
+    // `cell` stays non-nullable by construction: joins/groupings on it
+    // infer no IsNotNull constraint (which would otherwise push the whole
+    // assignment expression into the scan filter and compute it twice).
+    vectors.withColumn("cell",
+      when(col(vecCol).isNotNull, cellOf(col(vecCol), centroids))
+        .otherwise(lit(-1L)))
 
   /** Nearest-centroid id of a vector column (the assignment expression
     * itself, usable at ingest time): `least` over (distance, cid) structs —

@@ -178,6 +178,43 @@ object DomainQueries {
                THEN 9 ELSE 15 END AS priority
         FROM e GROUP BY user_id"""),
       "17-slot current state via a typed Aggregator (latest write per slot, " +
-        "order-independent merge) + priority resolution")
+        "order-independent merge) + priority resolution"),
+
+    Q("q76_dynamic_docs",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        import graft.catalog.DynamicDocs
+        // Heterogeneous JSON corpus from the documents table: to_json omits
+        // null fields, so short docs carry no n_chars key and non-en docs no
+        // region key — genuinely schemaless per-row shapes.
+        val docs = Tables.load(s, dir, "documents")
+        val json = {
+          import s.implicits._
+          docs.select(to_json(struct(
+            col("doc_id"), col("lang"), col("source"),
+            when(col("n_chars") > 300, col("n_chars")).as("n_chars"),
+            when(col("lang") === "en",
+              concat(lit("r"), col("doc_id") % 5)).as("region"))).as("value"))
+            .as[String]
+        }
+        // Pin (doc_id, lang); source/n_chars/region ride in _overflow.
+        val dyn = DynamicDocs.fromJson(s, json, StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType))))
+        // Find on a pinned column AND an overflow field, then promote the
+        // hot overflow field to a typed column (schema-evolution path).
+        val found = DynamicDocs.find(
+          DynamicDocs.find(dyn, "lang", "en"), "region", "r1")
+        val promoted = DynamicDocs.promote(found, "n_chars", LongType)
+        promoted.select(col("doc_id"), col("lang"),
+          DynamicDocs.field(promoted, "source").as("source"),
+          col("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, source,
+        CASE WHEN n_chars > 300 THEN n_chars END AS n_chars
+        FROM documents
+        WHERE lang = 'en' AND doc_id % 5 = 1"""),
+      "dynamic (schemaless) documents: pinned columns + JSON overflow, " +
+        "Find on pinned+overflow fields, hot-field promotion " +
+        "(TableCollection.cs:666-703 Find(columnName, value))")
   )
 }

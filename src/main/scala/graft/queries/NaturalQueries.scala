@@ -149,6 +149,38 @@ object NaturalQueries {
         FROM nation JOIN customer ON n_nationkey = c_nationkey
         WHERE c_acctbal > 0 GROUP BY n_name ORDER BY n_name"""),
       "JSON IR multi-join + grouped aggregates, lowered AST-first " +
-        "(count/sum/avg/min/max whitelist; never through query text)")
+        "(count/sum/avg/min/max whitelist; never through query text)"),
+
+    // Serialized IR, residual Remote.Linq surface: nested anyOf condition
+    // groups (parenthesized OR), HAVING over aggregates, and computed
+    // select entries as an expression AST ({"fn","args"} trees) — every
+    // piece lowered AST-first, never through query text.
+    Q("q78_json_groups_having",
+      (s, dir) => graft.query.JsonQuery.run(GraftQueryEngine(s, dir),
+        """{"table": "orders",
+            "where": [
+              {"anyOf": [
+                {"field": "o_orderpriority", "op": "=", "value": "'1-URGENT'"},
+                {"field": "o_orderpriority", "op": "=", "value": "'2-HIGH'"}]},
+              {"field": "o_totalprice", "op": ">", "value": "1000", "conj": "AND"}],
+            "groupBy": ["o_orderstatus"],
+            "agg": [{"fn": "count", "alias": "n"},
+                    {"fn": "max", "field": "o_totalprice", "alias": "max_price"}],
+            "having": [{"field": "n", "op": ">", "value": "100"}],
+            "select": [
+              {"expr": {"fn": "mul", "args": [{"col": "max_price"}, {"lit": 2}]},
+               "alias": "double_max"},
+              {"expr": {"fn": "concat", "args": [{"lit": "s:"}, {"col": "o_orderstatus"}]},
+               "alias": "tag"}],
+            "orderBy": {"field": "o_orderstatus", "desc": false}}"""),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS max_price,
+          MAX(o_totalprice) * 2 AS double_max, 's:' || o_orderstatus AS tag
+        FROM orders
+        WHERE (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+          AND o_totalprice > 1000
+        GROUP BY o_orderstatus HAVING COUNT(*) > 100
+        ORDER BY o_orderstatus"""),
+      "JSON IR anyOf groups + HAVING + computed select expression trees " +
+        "(Remote.Linq QueryBuilder.cs:20-56 residual surface)")
   )
 }

@@ -242,14 +242,19 @@ object VectorQueries {
     Q("q44_knn_per_label",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        // per-label centroid-free 1-NN of vec 0..4 within the same label:
-        // bounded self-join (label is the blocking key)
-        val probes = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe_id"), col("label"),
+        // approximate 1-NN of vec 0..4: candidates restricted to the
+        // probe's IVF cell (bounded-by-construction blocking key, like
+        // q45 — never a data-dependent key), label as a secondary filter.
+        // The ANN contract: a same-label neighbor in another cell is out
+        // of scope, exactly as an IVF probe would miss it.
+        val assigned = Similarity
+          .ivfAssign(e, "vec_id", "embedding", centroids8(s, dir))
+        val probes = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("label"), col("cell"),
             col("embedding").as("probe_vec"))
-        val cands = e.select(col("vec_id").as("cand_id"), col("label"),
-          col("embedding").as("cand_vec"))
-        probes.join(cands, Seq("label"))
+        val cands = assigned.select(col("vec_id").as("cand_id"),
+          col("label"), col("cell"), col("embedding").as("cand_vec"))
+        probes.join(cands, Seq("cell", "label"))
           .filter(col("probe_id") =!= col("cand_id"))
           .select(col("probe_id"), col("cand_id"), col("label"),
             round(Similarity.cosine(col("probe_vec"), col("cand_vec")), 6)
@@ -261,9 +266,12 @@ object VectorQueries {
           .filter(col("rn") === 1)
           .select("probe_id", "cand_id", "label", "score")
       },
-      Some("""WITH p AS (SELECT vec_id AS probe_id, label, embedding AS pv
-          FROM embeddings WHERE vec_id < 5),
-        c AS (SELECT vec_id AS cand_id, label, embedding AS cv FROM embeddings),
+      Some(s"""WITH $cellsCte,
+        p AS (SELECT e.vec_id AS probe_id, e.label, cl.cell, e.embedding AS pv
+          FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+          WHERE e.vec_id < 5),
+        c AS (SELECT e.vec_id AS cand_id, e.label, cl.cell, e.embedding AS cv
+          FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id),
         scored AS (
           SELECT p.probe_id, c.cand_id, p.label,
             ROUND(
@@ -273,12 +281,14 @@ object VectorQueries {
                   i -> p.pv[i]::DOUBLE * p.pv[i]::DOUBLE)), (a,b) -> a+b))
                * SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
                   i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE)), (a,b) -> a+b))), 6) AS score
-          FROM p JOIN c ON p.label = c.label AND p.probe_id <> c.cand_id)
+          FROM p JOIN c ON p.cell = c.cell AND p.label = c.label
+            AND p.probe_id <> c.cand_id)
         SELECT probe_id, cand_id, label, score FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
             ORDER BY score DESC, cand_id) AS rn FROM scored)
         WHERE rn = 1"""),
-      "label-blocked kNN join (embedding-cosine near-dup building block)"),
+      "IVF-cell-blocked approximate kNN join (bounded blocking key; " +
+        "label as secondary filter)"),
 
     Q("q45_embed_dup_pairs",
       (s, dir) => cellBlockedPairs(s, dir).select("id1", "id2", "score"),
@@ -297,6 +307,33 @@ object VectorQueries {
       Some(VectorQueries.annIvfOracleSql),
       "IVF ANN top-k: nearest-centroid cells, probe-limited cosine scan " +
         "(inverted-file scale path; centroids trained offline at 100 TB)"),
+
+    // Same result as q47 by construction, via the shape that holds at
+    // nlist=4096/100 TB: `cell` is materialized ONCE at ingest
+    // (Similarity.cellOf), the table is stored partitioned by cell (the
+    // classic inverted-file layout: one directory per cell), and the probe
+    // filter prunes whole partitions before any I/O — no O(nlist)
+    // assignment expression anywhere in the query plan (PlanSpec asserts
+    // both). Partitioning, not bucketing: bucket pruning only applies when
+    // bucketed reading survives planning, and Spark auto-disables bucketed
+    // scans for scan-only queries; partition pruning is unconditional.
+    Q("q77_ann_ivf_bucketed",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = centroids8(s, dir)
+        // ingest: assign cells once, store one directory per cell
+        graft.core.Layout.savePartitionedTable(
+          Similarity.ivfAssign(e, "vec_id", "embedding", cents),
+          "embeddings_ivf_cells", "cell")
+        // query: precomputed `cell` short-circuits inline assignment
+        Similarity.ivfTopK(
+          s.table("embeddings_ivf_cells").filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", queryVec(s, dir), k = 10,
+          centroids8(s, dir), nProbe = 2)
+      },
+      Some(VectorQueries.annIvfOracleSql),
+      "IVF ANN over an ingest-time cell-partitioned layout: assignment " +
+        "precomputed at write, probe filter prunes partitions at the scan"),
 
     // Embedding-cosine near-dup clusters: q45's pairs require BOTH cell
     // and label equality, so every edge stays inside one (cell, label)

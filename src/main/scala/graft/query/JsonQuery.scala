@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Serialized-query execution (SURVEY §2.10: the reference's Remote.Linq
@@ -30,12 +30,28 @@ object JsonQuery {
     * straight to the parser's AST (never through query TEXT), so a value
     * like "5000 LIMIT 1" stays a literal instead of injecting a clause.
     * Grouped-aggregate IRs lower the relational core through the AST, then
-    * apply groupBy/agg as Column operations (still never through text).
+    * apply groupBy/agg/having as Column operations; computed select
+    * entries lower their own expression AST (`ExprIr`) — still never
+    * through text anywhere.
     */
   def run(engine: NaturalQuery, json: String): DataFrame = {
     val ir = parse(json)
-    if (ir.groupBy.isEmpty && ir.aggs.isEmpty) engine.run(toParsed(ir))
-    else {
+    if (ir.groupBy.isEmpty && ir.aggs.isEmpty) {
+      if (ir.computed.isEmpty) engine.run(toParsed(ir))
+      else {
+        // computed selects apply after the relational core; ORDER BY /
+        // LIMIT move with them so ordering can reference computed aliases
+        val base = engine.run(
+          toParsed(ir).copy(select = Nil, orderBy = None, limit = None))
+        val plain = ir.select.map(s =>
+          col(resolve(base, s.name))
+            .as(s.alias.getOrElse(NaturalQuery.splitQualified(s.name)._2)))
+        val comp = ir.computed.map { case (e, alias) =>
+          lowerExpr(base, e).as(alias)
+        }
+        orderLimit(base.select(plain ++ comp: _*), ir)
+      }
+    } else {
       // ORDER BY / LIMIT apply to the aggregated result, not the core
       val base = engine.run(
         toParsed(ir).copy(select = Nil, orderBy = None, limit = None))
@@ -56,13 +72,85 @@ object JsonQuery {
       }
       require(aggCols.nonEmpty, "groupBy requires at least one agg")
       var out = base.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
-      ir.orderBy.foreach { case (f, desc) =>
-        val c = col(out.columns.find(_.equalsIgnoreCase(f)).getOrElse(f))
-        out = out.orderBy(if (desc) c.desc else c.asc)
-      }
-      ir.limit.foreach(n => out = out.limit(n))
-      out
+      // HAVING: predicates over group keys / agg aliases (GroupByPipe.cs
+      // having over the aggregated document), compiled from the same Cond
+      // AST as WHERE — groups (anyOf/allOf) recurse
+      NaturalQuery.combine(ir.having, compileOn(out))
+        .foreach(h => out = out.filter(h))
+      // computed select entries over the aggregated frame (group keys +
+      // agg aliases in scope), appended to the output
+      if (ir.computed.nonEmpty)
+        out = out.select(col("*") +: ir.computed.map { case (e, alias) =>
+          lowerExpr(out, e).as(alias)
+        }: _*)
+      orderLimit(out, ir)
     }
+  }
+
+  private def orderLimit(df: DataFrame, ir: Ir): DataFrame = {
+    var out = df
+    ir.orderBy.foreach { case (f, desc) =>
+      val c = col(resolve(out, f))
+      out = out.orderBy(if (desc) c.desc else c.asc)
+    }
+    ir.limit.foreach(n => out = out.limit(n))
+    out
+  }
+
+  private def resolve(df: DataFrame, name: String): String =
+    df.columns.find(_.equalsIgnoreCase(name)).getOrElse(name)
+
+  /** Compile a Cond tree against a materialized frame (the HAVING path —
+    * binary comparison only; engine collation applies to WHERE inside the
+    * relational core, not to post-aggregate predicates).
+    */
+  private def compileOn(df: DataFrame)(c: NaturalQuery.Cond): Column =
+    if (c.group.nonEmpty)
+      NaturalQuery.combine(c.group, compileOn(df)).getOrElse(lit(true))
+    else NaturalQuery.condToColumn(c, col(resolve(df, c.field)))
+
+  // ---- computed select expressions (AST, not text) -----------------------
+
+  /** Expression AST for computed select entries — the Remote.Linq
+    * expression-tree analog (`Queries/QueryBuilder.cs:20-56`): column
+    * refs, literals, and a fixed function whitelist, serialized as
+    * `{"col": "x"} | {"lit": v} | {"fn": "mul", "args": [...]}`.
+    */
+  sealed trait ExprIr
+  final case class ColRef(name: String) extends ExprIr
+  final case class LitVal(value: Any) extends ExprIr
+  final case class Call(fn: String, args: Seq[ExprIr]) extends ExprIr
+
+  private def lowerExpr(df: DataFrame, e: ExprIr): Column = e match {
+    case ColRef(n) => col(resolve(df, n))
+    case LitVal(v) => lit(v)
+    case Call(fn, args) =>
+      def a(i: Int) = lowerExpr(df, args(i))
+      def all = args.map(lowerExpr(df, _))
+      def arity(n: Int): Unit = require(args.size == n,
+        s"$fn expects $n args, got ${args.size}")
+      fn.toLowerCase match {
+        case "add" => arity(2); a(0) + a(1)
+        case "sub" => arity(2); a(0) - a(1)
+        case "mul" => arity(2); a(0) * a(1)
+        case "div" => arity(2); a(0) / a(1)
+        case "mod" => arity(2); a(0) % a(1)
+        case "neg" => arity(1); -a(0)
+        case "abs" => arity(1); abs(a(0))
+        case "round" => arity(2); round(a(0), args(1) match {
+          case LitVal(n: Long) => n.toInt
+          case LitVal(n: Int) => n
+          case other => throw new IllegalArgumentException(
+            s"round scale must be an integer literal, got $other")
+        })
+        case "concat" => concat(all: _*)
+        case "upper" => arity(1); upper(a(0))
+        case "lower" => arity(1); lower(a(0))
+        case "length" => arity(1); length(a(0))
+        case "coalesce" => coalesce(all: _*)
+        case other =>
+          throw new IllegalArgumentException(s"unknown expr fn: $other")
+      }
   }
 
   /** IR -> parser AST. */
@@ -102,7 +190,9 @@ object JsonQuery {
       groupBy: Seq[String],
       aggs: Seq[Agg],
       orderBy: Option[(String, Boolean)],
-      limit: Option[Int]) {
+      limit: Option[Int],
+      having: Seq[NaturalQuery.Cond] = Nil,
+      computed: Seq[(ExprIr, String)] = Nil) {
     def table: String = tables.head
   }
 
@@ -116,10 +206,12 @@ object JsonQuery {
     def conds(cs: Seq[NaturalQuery.Cond]): String =
       cs.zipWithIndex.map { case (c, i) =>
         val prefix = if (i == 0) "" else s" ${c.conj} "
-        val body = c.value match {
-          case Some(v) => s"${c.field} ${c.op} $v"
-          case None => s"${c.field} ${c.op}"
-        }
+        val body =
+          if (c.group.nonEmpty) s"(${conds(c.group)})"
+          else c.value match {
+            case Some(v) => s"${c.field} ${c.op} $v"
+            case None => s"${c.field} ${c.op}"
+          }
         prefix + body
       }.mkString
     if (ir.where.nonEmpty) sb ++= s" WHERE ${conds(ir.where)}"
@@ -150,22 +242,66 @@ object JsonQuery {
       case JString(s) => s
       case other => throw new IllegalArgumentException(s"expected string, got $other")
     }
-    def conds(v: JValue): Seq[NaturalQuery.Cond] = v match {
-      case JArray(items) => items.map { item =>
-        NaturalQuery.Cond(
-          str(item \ "field"),
-          str(item \ "op"),
-          (item \ "value").toOption.map(str),
-          (item \ "conj").toOption.map(str).getOrElse("AND"))
+    // a condition is a leaf {"field","op","value","conj"} or a nested
+    // group {"anyOf": [...]} / {"allOf": [...]} — children default to the
+    // group's conjunction (OR inside anyOf, AND inside allOf), explicit
+    // "conj" still wins; groups nest arbitrarily
+    def cond(item: JValue, defaultConj: String): NaturalQuery.Cond = {
+      val conj = (item \ "conj").toOption.map(str).getOrElse(defaultConj)
+      (item \ "anyOf", item \ "allOf") match {
+        case (JArray(children), JNothing) =>
+          require(children.nonEmpty, "anyOf needs at least one condition")
+          NaturalQuery.Cond("", "group", None, conj,
+            group = children.map(cond(_, "OR")))
+        case (JNothing, JArray(children)) =>
+          require(children.nonEmpty, "allOf needs at least one condition")
+          NaturalQuery.Cond("", "group", None, conj,
+            group = children.map(cond(_, "AND")))
+        case (JNothing, JNothing) =>
+          NaturalQuery.Cond(
+            str(item \ "field"),
+            str(item \ "op"),
+            (item \ "value").toOption.map(str),
+            conj)
+        case other => throw new IllegalArgumentException(
+          s"condition cannot be both anyOf and allOf: $item")
       }
+    }
+    def conds(v: JValue): Seq[NaturalQuery.Cond] = v match {
+      case JArray(items) => items.map(cond(_, "AND"))
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"bad where: $other")
     }
-    val sels = (root \ "select") match {
-      case JArray(items) => items.map(i =>
-        NaturalQuery.Sel(str(i \ "name"), (i \ "alias").toOption.map(str)))
+    def exprIr(v: JValue): ExprIr = (v \ "col", v \ "lit", v \ "fn") match {
+      case (c, JNothing, JNothing) if c != JNothing => ColRef(str(c))
+      case (JNothing, l, JNothing) if l != JNothing => LitVal(l match {
+        case JString(s) => s
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case JDouble(d) => d
+        case JDecimal(d) => d.toDouble
+        case JBool(b) => b
+        case other => throw new IllegalArgumentException(s"bad lit: $other")
+      })
+      case (JNothing, JNothing, f) if f != JNothing =>
+        Call(str(f), (v \ "args") match {
+          case JArray(items) => items.map(exprIr)
+          case JNothing => Nil
+          case other => throw new IllegalArgumentException(s"bad args: $other")
+        })
+      case _ => throw new IllegalArgumentException(
+        s"expr must be exactly one of col/lit/fn: $v")
+    }
+    val selectItems = (root \ "select") match {
+      case JArray(items) => items
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"bad select: $other")
+    }
+    val sels = selectItems.filter(i => (i \ "expr") == JNothing).map(i =>
+      NaturalQuery.Sel(str(i \ "name"), (i \ "alias").toOption.map(str)))
+    val computed = selectItems.collect {
+      case i if (i \ "expr") != JNothing =>
+        (exprIr(i \ "expr"), str(i \ "alias"))
     }
     val include = (root \ "include").toOption.map(i =>
       (str(i \ "table"), conds(i \ "where")))
@@ -203,7 +339,15 @@ object JsonQuery {
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"bad agg: $other")
     }
+    // a multi-table IR without join conditions would otherwise silently
+    // query only tables.head (NaturalQuery.run dispatches on joins)
+    if (tables.size > 1 && on.size != tables.size - 1)
+      throw new IllegalArgumentException(
+        s"${tables.size} tables require ${tables.size - 1} 'on' condition(s), got ${on.size}")
+    val having = conds(root \ "having")
+    if (having.nonEmpty && aggs.isEmpty)
+      throw new IllegalArgumentException("having requires groupBy + agg")
     Ir(tables, on, conds(root \ "where"), sels, include, groupBy, aggs,
-      orderBy, limit)
+      orderBy, limit, having, computed)
   }
 }

@@ -21,11 +21,22 @@ import graft.core.Tables
 final class LiteSql(
     spark: SparkSession,
     tables: Map[String, DataFrame],
-    foreignKeys: Map[(String, String), (String, String)]) {
+    foreignKeys: Map[(String, String), (String, String)],
+    collation: graft.core.Collation = graft.core.Collation.Binary) {
+
+  def this(spark: SparkSession, tables: Map[String, DataFrame],
+      foreignKeys: Map[(String, String), (String, String)]) =
+    this(spark, tables, foreignKeys, graft.core.Collation.Binary)
 
   // DML (INSERT/UPDATE/DELETE) rebinds the table's view, mirroring the
-  // reference's mutable collections (SqlParser dispatch, SqlParser.cs:32-49)
-  private var current: Map[String, DataFrame] = tables
+  // reference's mutable collections (SqlParser dispatch, SqlParser.cs:32-49).
+  // The engine collation applies at view registration (Collation.collate
+  // retags string columns with Spark's native collated types), so EVERY
+  // comparison in the translated SQL — WHERE, GROUP BY, ORDER BY, JOIN,
+  // LIKE — follows it, exactly as the reference collates engine-wide
+  // (LiteDB/Utils/Collation.cs via BsonValue.CompareTo).
+  private var current: Map[String, DataFrame] =
+    tables.map { case (n, df) => n -> collation.collate(df) }
   current.foreach { case (n, df) => df.createOrReplaceTempView(n) }
 
   def table(name: String): DataFrame = current(name.toLowerCase)
@@ -122,8 +133,10 @@ final class LiteSql(
   }
 
   private def rebind(name: String, df: DataFrame): Unit = {
-    current = current.updated(name, df)
-    df.createOrReplaceTempView(name)
+    // re-collate: INSERT merges in plain (binary) string columns
+    val collated = collation.collate(df)
+    current = current.updated(name, collated)
+    collated.createOrReplaceTempView(name)
   }
 
   /** $-path translation only (for WHERE/SET fragments): member paths plus
@@ -416,7 +429,11 @@ final class LiteSql(
 
 object LiteSql {
   def apply(spark: SparkSession, sfDir: String): LiteSql =
+    apply(spark, sfDir, graft.core.Collation.Binary)
+
+  def apply(spark: SparkSession, sfDir: String,
+      collation: graft.core.Collation): LiteSql =
     new LiteSql(spark,
       Tables.names.map(n => n -> Tables.load(spark, sfDir, n)).toMap,
-      GraftQueryEngine.foreignKeys)
+      GraftQueryEngine.foreignKeys, collation)
 }

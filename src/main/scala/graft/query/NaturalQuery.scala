@@ -183,7 +183,7 @@ final class NaturalQuery(
         "inner")
       joined += newT; remaining -= newT
     }
-    combine(q.where, compileQualified).foreach(w => df = df.filter(w))
+    combine(q.where, compileQualified(df)).foreach(w => df = df.filter(w))
     val out = q.select match {
       case Nil => df
       case cols => df.select(cols.map { s =>
@@ -210,21 +210,41 @@ final class NaturalQuery(
 
   // ---- predicate compilation ---------------------------------------------
 
-  private def compile(c: Cond, df: DataFrame): Column = {
-    // resolve case-insensitively against the actual schema
-    val name = df.columns.find(_.equalsIgnoreCase(c.field)).getOrElse(c.field)
-    condToColumn(c, col(name), collation)
-  }
+  private def compile(c: Cond, df: DataFrame): Column =
+    if (c.group.nonEmpty)
+      combine(c.group, compile(_: Cond, df)).getOrElse(lit(true))
+    else {
+      // resolve case-insensitively against the actual schema
+      val name = df.columns.find(_.equalsIgnoreCase(c.field)).getOrElse(c.field)
+      condToColumn(c, col(name), collation, isStringField(df, name))
+    }
 
-  private def compileQualified(c: Cond): Column =
-    condToColumn(c, col(c.field), collation)
+  private def compileQualified(df: DataFrame)(c: Cond): Column =
+    if (c.group.nonEmpty)
+      combine(c.group, compileQualified(df)).getOrElse(lit(true))
+    else condToColumn(c, col(c.field), collation, isStringField(df, c.field))
+
+  /** Whether a (possibly qualified or nested) field resolves to StringType
+    * in `df` — collation must only rewrite genuinely-string comparisons
+    * (lower() on a numeric column would compare its string form). Unknown
+    * fields default to string so the error surfaces at analysis, unchanged.
+    */
+  private def isStringField(df: DataFrame, name: String): Boolean =
+    scala.util.Try(df.select(col(name)).schema.head.dataType ==
+      org.apache.spark.sql.types.StringType).getOrElse(true)
 }
 
 object NaturalQuery {
 
   final case class Sel(name: String, alias: Option[String])
+  /** One predicate (leaf), or — when `group` is non-empty — a parenthesized
+    * condition group whose children combine with their own conjunctions
+    * (the serialized-IR `anyOf`/`allOf` nodes; the NL parser only emits
+    * leaves). `conj` is always relative to the PREVIOUS sibling.
+    */
   final case class Cond(field: String, op: String, value: Option[String],
-      conj: String /* AND | OR relative to previous */)
+      conj: String /* AND | OR relative to previous */,
+      group: Seq[Cond] = Nil)
   final case class Include(table: String, where: Seq[Cond], select: Seq[Sel])
   final case class JoinOn(left: String, right: String)
   final case class InnerJoin(alias: Option[String], select: Seq[Sel])
@@ -256,13 +276,19 @@ object NaturalQuery {
     condToColumn(c, column, graft.core.Collation.Binary)
 
   def condToColumn(c: Cond, column: Column,
-      collation: graft.core.Collation): Column = {
+      collation: graft.core.Collation): Column =
+    condToColumn(c, column, collation, columnIsString = true)
+
+  def condToColumn(c: Cond, column: Column,
+      collation: graft.core.Collation, columnIsString: Boolean): Column = {
     def raw = c.value.getOrElse(
       throw new IllegalArgumentException(s"${c.op} needs a value"))
-    // collation applies exactly when the comparison IS a string comparison
-    // (the literal side is a string); numeric/bool comparands never lower()
+    // collation applies exactly when the comparison IS a string comparison:
+    // the literal side is a string AND the column is string-typed (a quoted
+    // non-numeric literal against a numeric column must keep the numeric
+    // cast comparison, not become lower(numeric) lexicographic)
     def cmp: (Column, Any) = typedValue(raw) match {
-      case s: String => (collation.key(column), collation.key(s))
+      case s: String if columnIsString => (collation.key(column), collation.key(s))
       case other => (column, other)
     }
     def v = collation.key(typedValue(raw).toString) // string ops

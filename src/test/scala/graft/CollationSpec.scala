@@ -61,6 +61,61 @@ class CollationSpec extends AnyFunSuite {
     assert(bin.head == "ALICE") // uppercase sorts before any lowercase
   }
 
+  test("quoted literal against a numeric column keeps the numeric " +
+      "comparison under IgnoreCase (no lower(id) lexicographic)") {
+    // degenerate input: a QUOTED value against a numeric column — the
+    // collation must not rewrite the column to lower(id) (which would
+    // compare lexicographically: '5' < '10' is false as strings)
+    val ci = engine(Collation.IgnoreCase)
+      .run("FIND people WHERE id < '10' SELECT id")
+    assert(ci.count() == 5) // numeric comparison: every id 1..5 < 10
+    val plan = engine(Collation.IgnoreCase)
+      .run("FIND people WHERE id < '10' SELECT id")
+      .queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("lower("), plan)
+  }
+
+  test("LiteSql: engine collation applies to every comparison in the " +
+      "dialect (WHERE, GROUP BY, ORDER BY)") {
+    val mk = (c: Collation) => new graft.query.LiteSql(
+      spark, Map("people" -> people),
+      Map.empty[(String, String), (String, String)], c)
+    // WHERE equality
+    val ci = mk(Collation.IgnoreCase)
+    assert(ci.run("SELECT id FROM people WHERE name = 'alice'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // GROUP BY merges case variants (representative value is one of them)
+    val g = ci.run(
+      "SELECT name, COUNT(*) AS n FROM people GROUP BY name")
+      .collect().map(r => r.getString(0).toLowerCase -> r.getLong(1)).toMap
+    assert(g == Map("alice" -> 3L, "bob" -> 2L))
+    // ORDER BY interleaves case variants
+    val ord = ci.run("SELECT name FROM people ORDER BY name, id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ord.take(3).forall(_.equalsIgnoreCase("alice")), ord)
+    // binary default unchanged
+    val bin = mk(Collation.Binary)
+    assert(bin.run("SELECT id FROM people WHERE name = 'alice'")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("FluentQuery via GraftDatabase: database collation applies to " +
+      "chained predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_coll").toString
+    val db = graft.catalog.GraftDatabase(spark, "colldb", dir,
+      Collation.IgnoreCase)
+    db.insert("people", people)
+    val ids = db.query("people").where(col("name") === "ALICE")
+      .select(col("id")).toDf.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    // binary default unchanged
+    val dbBin = graft.catalog.GraftDatabase(spark, "colldb_bin", dir)
+    dbBin.insert("people", people)
+    val idsBin = dbBin.query("people").where(col("name") === "ALICE")
+      .select(col("id")).toDf.collect().map(_.getLong(0)).toSeq
+    assert(idsBin == Seq(2L))
+  }
+
   test("grouping: Collation.key merges case variants (lowering, no UDF)") {
     val g = people
       .groupBy(Collation.IgnoreCase.key(col("name")).as("k"))

@@ -125,6 +125,24 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("clusterPairsBlocked fails loudly on an oversized block instead of " +
+      "absorbing unbounded edges") {
+    // one block with 100 edges against a 10-edge bound: the guard must
+    // surface the offending block key, not OOM or silently proceed
+    val big = (1L to 100L).map(i => (i, i + 1, "hot")).toDF("id1", "id2", "block_key")
+    val err = intercept[org.apache.spark.SparkException] {
+      Dedup.clusterPairsBlocked(big, "block_key", maxBlockEdges = 10).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(err).exists(m =>
+      m != null && m.contains("hot") && m.contains("10 edges")), err.getMessage)
+    // the same data under the bound still clusters fine
+    val ok = Dedup.clusterPairsBlocked(big, "block_key", maxBlockEdges = 1000)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.size == 101 && ok.values.forall(_ == 1L))
+  }
+
   test("native word_shingles/lsh_band_keys match the composable forms exactly") {
     import graft.functions.{GraftFunctions => G, TextFunctions => T}
     val texts = Seq("the quick brown fox jumps", "one", "  ", "a b a b a")

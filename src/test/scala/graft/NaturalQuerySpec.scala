@@ -163,4 +163,66 @@ class NaturalQuerySpec extends AnyFunSuite {
       """{"table": "customer", "groupBy": ["c_mktsegment"],
           "agg": [{"fn": "exec", "alias": "x"}]}"""))
   }
+
+  test("JsonQuery: multi-table IR without 'on' is rejected, not silently " +
+      "single-table") {
+    import graft.query.JsonQuery
+    val err = intercept[IllegalArgumentException](JsonQuery.parse(
+      """{"tables": ["customer", "orders"]}"""))
+    assert(err.getMessage.contains("'on'"))
+    intercept[IllegalArgumentException](JsonQuery.parse(
+      """{"tables": ["region", "nation", "customer"],
+          "on": [{"left": "region.r_regionkey", "right": "nation.n_regionkey"}]}"""))
+  }
+
+  test("JsonQuery: anyOf condition groups nest and OR correctly") {
+    import graft.query.JsonQuery
+    val got = JsonQuery.run(engine,
+      """{"table": "customer",
+          "where": [
+            {"anyOf": [
+              {"field": "c_mktsegment", "op": "=", "value": "'BUILDING'"},
+              {"field": "c_mktsegment", "op": "=", "value": "'MACHINERY'"}]},
+            {"field": "c_acctbal", "op": ">", "value": "5000", "conj": "AND"}],
+          "select": [{"name": "c_custkey"}]}""")
+    val want = graft.core.Tables.load(spark, Sf0001, "customer")
+      .filter((col("c_mktsegment") === "BUILDING" ||
+        col("c_mktsegment") === "MACHINERY") && col("c_acctbal") > 5000)
+    assert(got.count() == want.count() && got.count() > 0)
+    // the parenthesization matters: flat OR-last would change the count
+    val flatOrLast = graft.core.Tables.load(spark, Sf0001, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" ||
+        (col("c_mktsegment") === "MACHINERY" && col("c_acctbal") > 5000))
+    assert(got.count() != flatOrLast.count())
+    // debug rendering parenthesizes the group
+    val ir = JsonQuery.parse(
+      """{"table": "t", "where": [{"anyOf": [
+          {"field": "a", "op": "=", "value": "1"},
+          {"field": "b", "op": "=", "value": "2"}]}]}""")
+    assert(JsonQuery.toNaturalQuery(ir) == "FIND t WHERE (a = 1 OR b = 2)")
+  }
+
+  test("JsonQuery: HAVING filters aggregated groups; computed selects " +
+      "lower an expression AST") {
+    import graft.query.JsonQuery
+    val got = JsonQuery.run(engine,
+      """{"table": "orders",
+          "groupBy": ["o_orderstatus"],
+          "agg": [{"fn": "count", "alias": "n"}],
+          "having": [{"field": "n", "op": ">", "value": "100"}],
+          "select": [{"expr": {"fn": "concat",
+            "args": [{"lit": "s:"}, {"col": "o_orderstatus"}]}, "alias": "tag"}]}""")
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n") > 100))
+    assert(rows.forall(r => r.getAs[String]("tag") ==
+      "s:" + r.getAs[String]("o_orderstatus")))
+    // having without aggregates is malformed
+    intercept[IllegalArgumentException](JsonQuery.parse(
+      """{"table": "orders", "having": [{"field": "n", "op": ">", "value": "1"}]}"""))
+    // unknown expression functions are rejected (whitelist, never text)
+    intercept[IllegalArgumentException](JsonQuery.run(engine,
+      """{"table": "customer",
+          "select": [{"expr": {"fn": "system", "args": []}, "alias": "x"}]}"""))
+  }
 }

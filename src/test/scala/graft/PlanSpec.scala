@@ -95,6 +95,25 @@ class PlanSpec extends AnyFunSuite {
     assert(exs.size == 2 && exs.head.sameResult(exs.last), p)
   }
 
+  test("q77: ingest-time IVF — probe filter prunes partitions at the scan, " +
+      "no inline assignment expression in the query plan") {
+    val exec = SparkEntry.queries("q77_ann_ivf_bucketed")(spark, Sf0001)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    // cell was materialized at write: the probe-side plan must not contain
+    // the O(nlist) assignment tree (least over (l2, cid) structs)
+    assert(!p.contains("least("), p)
+    assert(!p.contains("l2_distance"), p)
+    // the isin(probes) filter is a partition filter: only the 2 probed
+    // cell directories are read (nProbe=2 of the table's cell partitions)
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
+    val scans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, p)
+    assert(scans.head.selectedPartitions.partitionCount == 2, p)
+  }
+
   test("q46: blocked clustering is one shuffle (no iterative exchanges)") {
     // count Exchange operators downstream of the pair aggregation: the
     // union-find stage adds exactly one (on the block key)
