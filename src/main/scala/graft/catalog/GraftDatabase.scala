@@ -114,6 +114,13 @@ final class GraftDatabase private (
         .forEach(f => Files.delete(f))
     }
 
+  /** Versioned file store under `Files/` (the reference's
+    * `IotDatabase.Files` check-in/check-out surface,
+    * `FileManager/FileCollection.cs`).
+    */
+  lazy val fileStore: graft.sources.FileStore =
+    new graft.sources.FileStore(spark, filesDir)
+
   /** Typed fluent query over a table (the reference's
     * `col.Query().Where(...).OrderBy(...).Select(...)` surface,
     * `LiteQueryable`, SURVEY §3.2). The database collation applies to the

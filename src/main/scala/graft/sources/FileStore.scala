@@ -1,0 +1,282 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned file store — the reference's check-in/check-out file manager
+  * (`Iot.Database/FileManager/FileCollection.cs:107-767`: AddNewFile,
+  * CheckInFile, CheckOutFile(version), AbandonCheckout, DeleteFile,
+  * RenameFile + FileMetadata/FileCheckoutRecord/FileAccessLog collections)
+  * on Spark-native storage:
+  *
+  *  - `versions/`  — append-only parquet of every checked-in version
+  *    (file_id, version, ts_us, sha256, n_bytes, content). Append-only is
+  *    the scale posture: a check-in is one small parquet append, never a
+  *    rewrite; at 100 TB the binary `content` column becomes an object-
+  *    store path with the same schema.
+  *  - `events/`    — append-only event log unifying the reference's
+  *    checkoutRecords + accessLogs (seq, file_id, user, op, version,
+  *    status, ts_us). Checkout STATE is derived, not updated: the latest
+  *    event per file decides whether it is actively checked out — the
+  *    event-sourced form of the reference's in-place status updates.
+  *  - `files/`     — current metadata (file_id, file_name, file_ext,
+  *    current_version, ts_us, deleted), a small dimension table rewritten
+  *    on change (the only non-append surface, tiny by construction).
+  *
+  * Directory ingest uses Spark's `binaryFile` source, so bulk file loads
+  * are distributed reads, not driver loops.
+  */
+final class FileStore(spark: SparkSession, root: String) {
+  import FileStore._
+
+  private val versionsDir = s"$root/versions"
+  private val eventsDir = s"$root/events"
+  private val filesPath = s"$root/files"
+  Files.createDirectories(Paths.get(root))
+
+  // ---- table views --------------------------------------------------------
+
+  private def hasData(dir: String): Boolean = {
+    val p = Paths.get(dir)
+    Files.exists(p) && Files.list(p).anyMatch(f =>
+      f.getFileName.toString.endsWith(".parquet") ||
+        f.getFileName.toString == "_SUCCESS")
+  }
+
+  /** All stored versions (blob table). */
+  def versions: DataFrame =
+    if (hasData(versionsDir)) spark.read.parquet(versionsDir)
+    else emptyVersions(spark)
+
+  /** The unified checkout/access event log (FileCheckoutRecord +
+    * FileAccessLog).
+    */
+  def events: DataFrame =
+    if (hasData(eventsDir)) spark.read.parquet(eventsDir)
+    else emptyEvents(spark)
+
+  /** Current file metadata (FileMetadata collection). */
+  def files: DataFrame =
+    if (hasData(filesPath)) spark.read.parquet(filesPath).filter(!col("deleted"))
+    else emptyFiles(spark)
+
+  /** Version history of one file (FileRecord.FileVersions analog). */
+  def fileVersions(fileId: String): DataFrame =
+    versions.filter(col("file_id") === fileId)
+      .select("file_id", "version", "ts_us", "sha256", "n_bytes")
+
+  def metadata(fileId: String): Option[Row] =
+    files.filter(col("file_id") === fileId).collect().headOption
+
+  // ---- write paths --------------------------------------------------------
+
+  /** AddNewFile: first check-in creates version 1 and returns the new id. */
+  def addNewFile(user: String, fileName: String, content: Array[Byte]): String = {
+    val fileId = java.util.UUID.randomUUID().toString
+    checkInInternal(user, fileId, content, isNew = true, fileName = fileName)
+    fileId
+  }
+
+  /** CheckInFile: a new version for an existing file. Allowed when the file
+    * has no active checkout, or the active checkout belongs to `user`
+    * (FileCollection.cs CheckIn gate); a check-in closes the checkout.
+    */
+  def checkIn(user: String, fileId: String, content: Array[Byte]): Unit =
+    checkInInternal(user, fileId, content, isNew = false)
+
+  /** CheckOutFile: returns (metadata, bytes) of `version` (default: the
+    * current one) and records the active checkout. Errors when actively
+    * checked out by another user, or by the same user at a different
+    * version (both reference behaviors).
+    */
+  def checkOut(user: String, fileId: String,
+      version: Option[Int] = None): (Row, Array[Byte]) = {
+    val meta = metadata(fileId).getOrElse(
+      throw new IllegalArgumentException(s"file not found: $fileId"))
+    activeCheckout(fileId).foreach { co =>
+      val owner = co.getAs[String]("user")
+      if (!owner.equalsIgnoreCase(user))
+        throw new IllegalStateException("file is already checked out")
+      val coVersion = co.getAs[Int]("version")
+      version.filter(_ > 0).filter(_ != coVersion).foreach(v =>
+        throw new IllegalStateException(
+          s"user [$user] already checked out version [$coVersion]"))
+    }
+    val v = version.getOrElse(meta.getAs[Int]("current_version"))
+    val rows = versions
+      .filter(col("file_id") === fileId && col("version") === v)
+      .select("content").collect()
+    if (rows.isEmpty)
+      throw new IllegalArgumentException(s"version $v of $fileId not found")
+    // one event serves as both the checkout record and the access log; a
+    // re-checkout by the owner re-asserts the same state
+    appendEvent(fileId, user, "checkout", v, StatusCheckout)
+    (meta, rows.head.getAs[Array[Byte]]("content"))
+  }
+
+  /** AbandonCheckout: releases an active checkout; a different user needs
+    * `force` (FileCollection.cs:410).
+    */
+  def abandonCheckout(user: String, fileId: String, force: Boolean = false): Unit =
+    activeCheckout(fileId).foreach { co =>
+      if (!co.getAs[String]("user").equalsIgnoreCase(user) && !force)
+        throw new IllegalStateException("cannot abandon checkout by other user")
+      appendEvent(fileId, user, "abandon", co.getAs[Int]("version"), StatusAbandon)
+    }
+
+  /** DeleteFile: no-op when absent; errors when actively checked out by
+    * another user. Versions stay in the append-only blob table (tombstone
+    * delete — the scale-friendly form; compaction reclaims them).
+    */
+  def deleteFile(user: String, fileId: String): Unit = {
+    if (metadata(fileId).isEmpty) return
+    activeCheckout(fileId).foreach { co =>
+      if (!co.getAs[String]("user").equalsIgnoreCase(user))
+        throw new IllegalStateException("file is already checked out")
+    }
+    upsertMeta(fileId, identity, delete = true)
+    appendEvent(fileId, user, "delete", -1, StatusNone)
+  }
+
+  /** RenameFile (FileCollection.cs:767). */
+  def renameFile(user: String, fileId: String, newName: String): Unit = {
+    require(metadata(fileId).nonEmpty, s"file not found: $fileId")
+    upsertMeta(fileId, r => r.copy(fileName = newName, fileExt = extOf(newName)))
+    appendEvent(fileId, user, "rename", -1, StatusNone)
+  }
+
+  /** Bulk ingest every file under `dir` via Spark's binaryFile source —
+    * the read (paths, sizes, contents) is distributed; each file becomes
+    * version 1 of a new store entry. Returns (originalPath -> fileId).
+    */
+  def ingestDirectory(user: String, dir: String): Map[String, String] = {
+    val bin = spark.read.format("binaryFile").load(dir)
+      .select("path", "content")
+    bin.collect().map { r =>
+      val path = r.getAs[String]("path")
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      path -> addNewFile(user, name, r.getAs[Array[Byte]]("content"))
+    }.toMap
+  }
+
+  // ---- internals ----------------------------------------------------------
+
+  private def checkInInternal(user: String, fileId: String,
+      content: Array[Byte], isNew: Boolean, fileName: String = ""): Unit = {
+    val existing = metadata(fileId)
+    if (isNew && existing.nonEmpty)
+      throw new IllegalStateException("file exists: cannot add new file with same id")
+    if (!isNew && existing.isEmpty)
+      throw new IllegalArgumentException(s"file not found: $fileId")
+    activeCheckout(fileId).foreach { co =>
+      if (!co.getAs[String]("user").equalsIgnoreCase(user))
+        throw new IllegalStateException("no active checkout by this user")
+    }
+    val newVersion = existing.map(_.getAs[Int]("current_version")).getOrElse(0) + 1
+    val ts = now()
+    val sha = MessageDigest.getInstance("SHA-256").digest(content)
+      .map("%02x".format(_)).mkString
+    import spark.implicits._
+    Seq((fileId, newVersion, ts, sha, content.length.toLong, content))
+      .toDF("file_id", "version", "ts_us", "sha256", "n_bytes", "content")
+      .write.mode("append").parquet(versionsDir)
+    if (isNew)
+      insertMeta(Meta(fileId, fileName, extOf(fileName), newVersion, ts,
+        deleted = false))
+    else upsertMeta(fileId, _.copy(currentVersion = newVersion, tsUs = ts))
+    appendEvent(fileId, user, if (isNew) "new" else "checkin", newVersion,
+      StatusCheckin)
+  }
+
+  /** The active checkout of a file, if any: the LATEST checkout-lifecycle
+    * event decides (event-sourced state — checkin/abandon events supersede
+    * the checkout they close).
+    */
+  def activeCheckout(fileId: String): Option[Row] =
+    events
+      .filter(col("file_id") === fileId && col("status") =!= StatusNone)
+      .orderBy(col("seq").desc)
+      .select("user", "version", "status", "seq")
+      .collect().headOption
+      .filter(_.getAs[String]("status") == StatusCheckout)
+
+  private def appendEvent(fileId: String, user: String, op: String,
+      version: Int, status: String): Unit = {
+    import spark.implicits._
+    val seq = events.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0) + 1
+    Seq((seq, fileId, user, op, version, status, now()))
+      .toDF("seq", "file_id", "user", "op", "version", "status", "ts_us")
+      .write.mode("append").parquet(eventsDir)
+  }
+
+  private case class Meta(fileId: String, fileName: String, fileExt: String,
+      currentVersion: Int, tsUs: Long, deleted: Boolean)
+
+  private def allMeta: Seq[Meta] =
+    if (!hasData(filesPath)) Nil
+    else spark.read.parquet(filesPath).collect().toIndexedSeq.map(r => Meta(
+      r.getAs[String]("file_id"), r.getAs[String]("file_name"),
+      r.getAs[String]("file_ext"), r.getAs[Int]("current_version"),
+      r.getAs[Long]("ts_us"), r.getAs[Boolean]("deleted")))
+
+  private def writeMeta(rows: Seq[Meta]): Unit = {
+    import spark.implicits._
+    val tmp = filesPath + "_tmp_swap"
+    rows.map(m => (m.fileId, m.fileName, m.fileExt, m.currentVersion, m.tsUs,
+        m.deleted))
+      .toDF("file_id", "file_name", "file_ext", "current_version", "ts_us",
+        "deleted")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dst = Paths.get(filesPath)
+    if (Files.exists(dst))
+      Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    Files.move(Paths.get(tmp), dst)
+  }
+
+  private def insertMeta(m: Meta): Unit = writeMeta(allMeta :+ m)
+
+  private def upsertMeta(fileId: String, f: Meta => Meta,
+      delete: Boolean = false): Unit =
+    writeMeta(allMeta.map(m =>
+      if (m.fileId == fileId) {
+        val updated = f(m)
+        if (delete) updated.copy(deleted = true) else updated
+      } else m))
+
+  private def extOf(name: String): String = {
+    val i = name.lastIndexOf('.')
+    if (i < 0) "dat" else name.substring(i + 1)
+  }
+
+  private def now(): Long = System.currentTimeMillis() * 1000L
+}
+
+object FileStore {
+  val StatusCheckout = "checkout"
+  val StatusCheckin = "checkin"
+  val StatusAbandon = "abandon"
+  val StatusNone = "none"
+
+  private def emptyVersions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Int, Long, String, Long, Array[Byte])]
+      .toDF("file_id", "version", "ts_us", "sha256", "n_bytes", "content")
+  }
+
+  private def emptyEvents(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, Int, String, Long)]
+      .toDF("seq", "file_id", "user", "op", "version", "status", "ts_us")
+  }
+
+  private def emptyFiles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, Int, Long, Boolean)]
+      .toDF("file_id", "file_name", "file_ext", "current_version", "ts_us",
+        "deleted")
+  }
+}
