@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale-up generator: replicate an existing testdata directory
+  * `factor`× with consistent key remapping, for the SCALE.md run (the
+  * driver's generator is not shipped; /root/testdata is read-only).
+  *
+  * Replication rules keep per-query work scaling LINEARLY with factor:
+  *  - fact/dim keys offset by replica*max(key), so FK joins stay 1:N with
+  *    the same fan-out (no cross-replica matches);
+  *  - documents get a per-replica token prefix (exact-dedup md5s stay
+  *    distinct) and an n_chars offset that puts each replica in its own
+  *    jaccard blocking bucket — near-dup structure repeats per replica
+  *    instead of exploding quadratically across identical copies;
+  *  - embeddings rotate label by replica so identical vector copies fall
+  *    outside the (cell, label) pair blocks; vec_ids 0..8 (query vector +
+  *    centroids) stay unique to replica 0.
+  * region/nation stay fixed (dimensions, like TPC-H).
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(name: String): DataFrame = graft.core.Tables.load(spark, src, name)
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+
+    val custBase = maxOf(load("customer"), "c_custkey")
+    val suppBase = maxOf(load("supplier"), "s_suppkey")
+    val partBase = maxOf(load("part"), "p_partkey")
+    val orderBase = maxOf(load("orders"), "o_orderkey")
+    val eventBase = maxOf(load("events"), "event_id")
+    val userBase = maxOf(load("events"), "user_id")
+    val docBase = maxOf(load("documents"), "doc_id")
+    val vecBase = maxOf(load("embeddings"), "vec_id")
+    val nLabels = load("embeddings")
+      .agg(countDistinct(col("label"))).head().getLong(0)
+
+    /** Union `factor` remapped copies (replica column `_r` drives the
+      * offsets, dropped on write).
+      */
+    def replicate(df: DataFrame)(remap: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
+      val withR = df.crossJoin(
+        spark.range(factor).select(col("id").as("_r")))
+      remap(withR, col("_r")).drop("_r")
+    }
+
+    def offset(c: String, base: Long) =
+      (r: org.apache.spark.sql.Column) => col(c) + r * base
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // fixed dimensions
+    write("region", load("region"))
+    write("nation", load("nation"))
+
+    write("customer", replicate(load("customer")) { (d, r) =>
+      d.withColumn("c_custkey", offset("c_custkey", custBase)(r))
+    })
+    write("supplier", replicate(load("supplier")) { (d, r) =>
+      d.withColumn("s_suppkey", offset("s_suppkey", suppBase)(r))
+    })
+    write("part", replicate(load("part")) { (d, r) =>
+      d.withColumn("p_partkey", offset("p_partkey", partBase)(r))
+    })
+    write("orders", replicate(load("orders")) { (d, r) =>
+      d.withColumn("o_orderkey", offset("o_orderkey", orderBase)(r))
+        .withColumn("o_custkey", offset("o_custkey", custBase)(r))
+    })
+    write("lineitem", replicate(load("lineitem")) { (d, r) =>
+      d.withColumn("l_orderkey", offset("l_orderkey", orderBase)(r))
+        .withColumn("l_partkey", offset("l_partkey", partBase)(r))
+        .withColumn("l_suppkey", offset("l_suppkey", suppBase)(r))
+    })
+    write("events", replicate(load("events")) { (d, r) =>
+      d.withColumn("event_id", offset("event_id", eventBase)(r))
+        .withColumn("user_id", offset("user_id", userBase)(r))
+    })
+    write("documents", replicate(load("documents")) { (d, r) =>
+      d.withColumn("doc_id", offset("doc_id", docBase)(r))
+        .withColumn("text", concat(lit("repl"), r, lit(" "), col("text")))
+        .withColumn("n_chars", col("n_chars") + r * lit(1000L))
+    })
+    write("embeddings", replicate(load("embeddings")) { (d, r) =>
+      d.withColumn("vec_id", offset("vec_id", vecBase)(r))
+        .withColumn("label",
+          ((col("label") + r) % lit(nLabels)).cast("int"))
+    })
+    spark.stop()
+  }
+}

@@ -100,6 +100,35 @@ object RefFunctions {
     case f if f.matches("[Ff]\\d+") =>
       format_string(s"%.${f.substring(1).toInt}f", c.cast("double"))
     case "X" => upper(hex(c.cast("long")))
+    case "x" => lower(hex(c.cast("long")))
+    case f if f.matches("[Ee]\\d*") =>
+      // .NET scientific: default 6 decimals, exponent sign + >= 3 digits
+      // (1.052033E+003); Java %E emits 2 exponent digits, so pad
+      val d = if (f.length > 1) f.substring(1).toInt else 6
+      val conv = if (f.charAt(0) == 'E') "E" else "e"
+      regexp_replace(
+        format_string(s"%.$d$conv", c.cast("double")),
+        "([Ee][+-])(\\d{2})$", "$10$2")
+    case f if f.matches("[Pp]\\d*") =>
+      // percent, invariant-culture pattern "n %" (value scaled by 100,
+      // grouped like N); default 2 decimals
+      val d = if (f.length > 1) f.substring(1).toInt else 2
+      concat(format_number(c.cast("double") * 100, d), lit(" %"))
+    case f if f.matches("#,#+0(\\.0+)?") =>
+      // grouped custom mask (#,##0.00): same rendering as N<d>
+      val decimals = f.split("\\.") match {
+        case Array(_, dec) => dec.length
+        case _ => 0
+      }
+      format_number(c.cast("double"), decimals)
+    case f if f.matches("0\\.#+") =>
+      // optional-decimals mask (0.##): up to N decimals, trailing zeros
+      // (and a bare point) trimmed, as .NET renders '#' placeholders
+      val d = f.length - 2
+      regexp_replace(
+        regexp_replace(
+          format_string(s"%.${d}f", c.cast("double")), "(\\.\\d*?)0+$", "$1"),
+        "\\.$", "")
     case f if f.matches("0+(\\.0+)?") =>
       val parts = f.split("\\.")
       val decimals = if (parts.length > 1) parts(1).length else 0
@@ -107,6 +136,16 @@ object RefFunctions {
       // truncating — matches .NET custom-mask zero padding
       if (decimals == 0) format_string(s"%0${f.length}d", c.cast("long"))
       else format_string(s"%0${f.length}.${decimals}f", c.cast("double"))
+    case f if f.matches("[yMdHmsft:\\-/ .T]+") && f.exists("yMd".contains(_)) =>
+      // .NET custom date/time pattern over a timestamp column; tokens
+      // shared with Java's DateTimeFormatter except fractional seconds
+      // (f -> S) and the am/pm designator (tt -> a). Letters that are
+      // literals in .NET (e.g. the ISO 'T') are reserved in Java — quote
+      // whatever letter is not a translated token.
+      date_format(c,
+        f.replace("fff", "SSS").replace("ff", "SS").replace("f", "S")
+          .replace("tt", "a")
+          .replaceAll("([A-Za-z&&[^yMdHmsSa]])", "'$1'"))
     case other =>
       throw new IllegalArgumentException(s"unsupported format: $other")
   }

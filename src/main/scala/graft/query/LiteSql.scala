@@ -431,9 +431,20 @@ object LiteSql {
   def apply(spark: SparkSession, sfDir: String): LiteSql =
     apply(spark, sfDir, graft.core.Collation.Binary)
 
+  // the full-catalog table map costs 10 parquet footer reads; memoize it
+  // per (session, dir) so repeated LiteSql construction (one per query in
+  // the bench/verify drivers) pays it once. DataFrames are immutable
+  // plans — DML inside one LiteSql instance rebinds its own views, never
+  // these cached frames.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Map[String, org.apache.spark.sql.DataFrame]]
+
   def apply(spark: SparkSession, sfDir: String,
-      collation: graft.core.Collation): LiteSql =
-    new LiteSql(spark,
-      Tables.names.map(n => n -> Tables.load(spark, sfDir, n)).toMap,
-      GraftQueryEngine.foreignKeys, collation)
+      collation: graft.core.Collation): LiteSql = {
+    val tables = tableCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+      Tables.names.map(n => n -> Tables.load(s, dir, n)).toMap
+    })
+    new LiteSql(spark, tables, GraftQueryEngine.foreignKeys, collation)
+  }
 }

@@ -79,6 +79,44 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(row.getString(4) == "1234.57")
   }
 
+  test("formatNet extended surface: scientific, percent, masks, dates") {
+    val df = Seq((1052.0329112756, 0.50125, 1234.5, 1.5))
+      .toDF("sci", "pct", "grp", "opt")
+    val r = df.select(
+      formatNet($"sci", "E").as("e_def"),
+      formatNet($"sci", "E2").as("e2"),
+      formatNet($"sci", "e3").as("e3"),
+      formatNet($"pct", "P").as("p_def"),
+      formatNet($"pct", "P1").as("p1"),
+      formatNet($"grp", "#,##0.00").as("grouped"),
+      formatNet($"opt", "0.##").as("opt2"),
+      formatNet(lit(1.0), "0.##").as("opt_trim"),
+      formatNet($"grp", "x").as("hex_lower")).head()
+    // .NET scientific pads the exponent to 3 digits
+    assert(r.getAs[String]("e_def") == "1.052033E+003")
+    assert(r.getAs[String]("e2") == "1.05E+003")
+    assert(r.getAs[String]("e3") == "1.052e+003")
+    // invariant-culture percent pattern "n %" (0.50125*100 is
+    // 50.1249999... in binary, so 2-decimal rounding gives .12)
+    assert(r.getAs[String]("p_def") == "50.12 %")
+    assert(r.getAs[String]("p1") == "50.1 %")
+    assert(r.getAs[String]("grouped") == "1,234.50")
+    // '#' placeholders trim trailing zeros (and a bare point)
+    assert(r.getAs[String]("opt2") == "1.5")
+    assert(r.getAs[String]("opt_trim") == "1")
+    assert(r.getAs[String]("hex_lower") == "4d2")
+    // .NET date pattern tokens (fff -> SSS, tt -> a)
+    val ts = Seq(java.sql.Timestamp.valueOf("2024-03-05 14:07:09.123"))
+      .toDF("ts")
+    val d = ts.select(
+      formatNet($"ts", "yyyy-MM-dd").as("d1"),
+      formatNet($"ts", "dd/MM/yyyy HH:mm:ss").as("d2"),
+      formatNet($"ts", "yyyy-MM-ddTHH:mm:ss.fff").as("d3")).head()
+    assert(d.getAs[String]("d1") == "2024-03-05")
+    assert(d.getAs[String]("d2") == "05/03/2024 14:07:09")
+    assert(d.getAs[String]("d3") == "2024-03-05T14:07:09.123")
+  }
+
   test("iif and extendStruct") {
     val df = Seq((1, "a")).toDF("n", "s")
       .withColumn("doc1", struct(lit(1).as("x"), lit("keep").as("y")))
