@@ -196,6 +196,83 @@ object Dedup {
     } else scored
   }
 
+  /** Prefix-filtered token-set Jaccard pairs (the PPJoin prefix principle,
+    * exact): two distinct-token sets with J >= t MUST share a token within
+    * each one's prefix of length |d| - ceil(t*|d|) + 1 under ANY global
+    * token order. Ordering tokens rarest-first (ascending document
+    * frequency, token tiebreak) makes prefixes maximally selective, so the
+    * candidate self-join explodes only ~(1-t) of each doc's tokens and
+    * joins mostly-rare keys — the quadratic (token, block) group products
+    * of the plain co-occurrence join shrink superlinearly. Candidates are
+    * then verified EXACTLY on the full sets (array_intersect), so results
+    * are identical to `jaccardPairsByCooccurrence`.
+    *
+    * Cost shape: +1 aggregation (document frequencies) and +1 per-doc
+    * sort vs the co-occurrence form; wins whenever candidate volume
+    * dominates — i.e. precisely the corpora where pair-gen is the
+    * bottleneck. `toks` must be distinct sets (as with the co-occurrence
+    * form).
+    *
+    * Measured (local[32], q25 parameters): sf0.1 co-occurrence 1.15 s vs
+    * prefix 2.93 s (fixed overhead dominates small blocks); sf1 8.87 s vs
+    * 8.80 s (crossover). The catalog keeps the co-occurrence form — faster
+    * at bench scale — and this is the documented path once per-block
+    * candidate volume grows past the sf1 crossover (100 TB corpora).
+    */
+  def jaccardPairsPrefix(
+      docs: DataFrame, idCol: String, toks: Column,
+      blockCols: Seq[Column], threshold: Double,
+      emitBlockKey: Boolean = false): DataFrame = {
+    val base = docs.select(
+      (col(idCol).as("id") +: toks.as("toks") +:
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"_b$i") }): _*)
+    val bNames = blockCols.indices.map(i => s"_b$i")
+    val exploded = base.select(
+      (col("id") +: explode(col("toks")).as("token") +: bNames.map(col)): _*)
+    // global canonical order: ascending df, token string tiebreak (any
+    // total order is correct; rare-first is the selective one)
+    val dfreq = exploded.groupBy("token").agg(count(lit(1)).as("df"))
+    // prefix length: |d| - ceil(t*|d|) + 1, computed in DECIMAL so the
+    // ceil can never round the wrong way off a float artifact (a too-small
+    // prefix would silently drop true pairs); |d| = size(ordered) because
+    // the token sets are distinct
+    val prefix = exploded.join(dfreq, "token")
+      .groupBy((col("id") +: bNames.map(col)): _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("token"))))
+        .as("ordered"))
+      .withColumn("_plen",
+        (size(col("ordered")) - ceil(size(col("ordered")) *
+          lit(java.math.BigDecimal.valueOf(threshold))) + 1).cast("int"))
+      .select(
+        (col("id") +:
+          transform(slice(col("ordered"), lit(1), col("_plen")),
+            s => s.getField("token")).as("ptoks") +:
+          bNames.map(col)): _*)
+    val prefExploded = prefix.select(
+      (col("id") +: explode(col("ptoks")).as("token") +: bNames.map(col)): _*)
+    val cand = prefExploded.as("a").hint("shuffle_hash")
+      .join(prefExploded.as("b").hint("shuffle_hash"),
+        bNames.map(n => col(s"a.$n") === col(s"b.$n"))
+          .reduce(_ && _) && col("a.token") === col("b.token") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val sets = base.select(col("id"), col("toks"))
+    val scored = cand
+      .join(sets.select(col("id").as("id1"), col("toks").as("s1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("toks").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          greatest(size(array_union(col("s1"), col("s2"))), lit(1))
+            .cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (emitBlockKey) {
+      val blockOf = base.select(col("id").as("id1"),
+        concat_ws("\u0001", bNames.map(col): _*).as("block_key"))
+      scored.join(blockOf, "id1")
+    } else scored
+  }
+
   /** Jaccard over distinct whitespace-token sets (vocabulary overlap). */
   def jaccardTokens(t1: Column, t2: Column): Column = {
     val s1 = array_distinct(tokens(t1))

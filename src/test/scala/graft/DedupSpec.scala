@@ -143,6 +143,40 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.size == 101 && ok.values.forall(_ == 1L))
   }
 
+  test("prefix-filtered jaccard pairs match the co-occurrence form exactly") {
+    // corpus with true pairs above/below the 0.6 threshold, multiple
+    // blocks, and docs sharing only non-prefix (frequent) tokens
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta zeta", "en"),     // J=4/6 with 1
+      (3L, "alpha beta gamma delta epsilon", "en"),  // J=1 with 1
+      (4L, "alpha beta nope other thing", "en"),     // below threshold
+      (5L, "alpha beta gamma delta epsilon", "fr"),  // other block
+      (6L, "unrelated words entirely here now", "en"),
+      (7L, "alpha beta gamma delta epsilon zeta eta", "en") // J=5/7 with 1
+    ).toDF("doc_id", "text", "lang")
+    val toks = array_distinct(
+      graft.functions.TextFunctions.tokens($"text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val co = norm(Dedup.jaccardPairsByCooccurrence(
+      docs, "doc_id", toks, Seq(col("lang")), threshold = 0.6))
+    val pf = norm(Dedup.jaccardPairsPrefix(
+      docs, "doc_id", toks, Seq(col("lang")), threshold = 0.6))
+    assert(pf == co)
+    assert(co.map { case (a, b, _) => (a, b) } ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 7L), (2L, 7L), (3L, 7L)))
+    // block-key emission matches too (clusterPairsBlocked contract)
+    val coK = Dedup.jaccardPairsByCooccurrence(docs, "doc_id", toks,
+      Seq(col("lang")), 0.6, emitBlockKey = true)
+      .select("id1", "id2", "block_key").as[(Long, Long, String)].collect().toSet
+    val pfK = Dedup.jaccardPairsPrefix(docs, "doc_id", toks,
+      Seq(col("lang")), 0.6, emitBlockKey = true)
+      .select("id1", "id2", "block_key").as[(Long, Long, String)].collect().toSet
+    assert(pfK == coK)
+  }
+
   test("native word_shingles/lsh_band_keys match the composable forms exactly") {
     import graft.functions.{GraftFunctions => G, TextFunctions => T}
     val texts = Seq("the quick brown fox jumps", "one", "  ", "a b a b a")
