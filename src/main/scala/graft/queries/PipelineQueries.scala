@@ -126,6 +126,91 @@ object PipelineQueries {
         FROM lineitem GROUP BY l_returnflag"""),
       "sketch aggregates for 100 TB profiling: HLL++ distinct counts + " +
         "approximate quantiles (one pass, mergeable, no exact-distinct " +
-        "shuffle), accuracy-bound-checked against exact companions")
+        "shuffle), accuracy-bound-checked against exact companions"),
+
+    // Sequence packing for LLM training: assign each doc to the
+    // fixed-capacity token bin where its start offset falls (greedy
+    // in-order fill), then report per-bin stats. Deterministic — the pack
+    // order is (doc_id) within each (lang, source) shard, so results are
+    // reproducible run-over-run. Packing is per SHARD (lang x source), not
+    // per lang alone: at 100 TB a per-lang window would serialize the sort
+    // onto a handful of partitions, while shards are bounded by layout
+    // (exactly how real pipelines pack per input file).
+    Q("q80_sequence_pack",
+      (s, dir) => {
+        val cap = 512
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source").orderBy("doc_id")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"))
+          .withColumn("cum", sum(col("n_toks")).over(w))
+          .withColumn("bin",
+            floor((col("cum") - col("n_toks")) / lit(cap.toDouble)).cast("long"))
+          .groupBy("lang", "source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"))
+      },
+      Some("""WITH d AS (
+          SELECT lang, source, doc_id,
+            LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+              x -> LEN(x) > 0)) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT lang, source, doc_id, n_toks,
+            SUM(n_toks) OVER (PARTITION BY lang, source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT lang, source,
+          CAST(FLOOR((cum - n_toks) / 512.0) AS BIGINT) AS bin,
+          COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1, 2, 3"""),
+      "sequence packing into 512-token training bins (greedy in-order, " +
+        "per-shard windows so no lang-skewed sort at scale)"),
+
+    // Stratified corpus sampling / domain mixing: deterministic Bernoulli
+    // per stratum via a 24-bit md5 hash of the doc id — reproducible
+    // (re-running selects the SAME docs, the property dataset curation
+    // needs), shuffle-free (pure map-side filter + one partial agg), and
+    // rate-exact in expectation per stratum. en is downsampled to 0.35,
+    // fr to 0.8 (mix rebalancing); everything else kept.
+    Q("q81_stratified_sample",
+      (s, dir) => {
+        val rate = when(col("lang") === "en", lit(0.35))
+          .when(col("lang") === "fr", lit(0.8))
+          .otherwise(lit(1.0))
+        val hash24 = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+          16, 10).cast("long")
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), rate.as("target_rate"),
+            (hash24 < rate * lit(1 << 24)).cast("int").as("picked"))
+          .groupBy("lang", "target_rate")
+          .agg(count(lit(1)).as("n_total"), sum(col("picked")).as("n_sampled"))
+          .select(col("lang"), col("target_rate"), col("n_total"),
+            col("n_sampled"),
+            round(col("n_sampled").cast("double") / col("n_total"), 6)
+              .as("achieved_rate"))
+      },
+      Some {
+        val v24 = (1 to 6).map(k =>
+          s"(STRPOS('0123456789abcdef', SUBSTR(h, $k, 1)) - 1) * ${1L << (4 * (6 - k))}")
+          .mkString(" + ")
+        s"""WITH d AS (
+          SELECT lang,
+            CASE WHEN lang = 'en' THEN 0.35
+                 WHEN lang = 'fr' THEN 0.8 ELSE 1.0 END AS target_rate,
+            MD5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        p AS (
+          SELECT lang, CAST(target_rate AS DOUBLE) AS target_rate,
+            CASE WHEN CAST($v24 AS BIGINT) < target_rate * 16777216
+              THEN 1 ELSE 0 END AS picked
+          FROM d)
+        SELECT lang, target_rate, COUNT(*) AS n_total,
+          CAST(SUM(picked) AS BIGINT) AS n_sampled,
+          ROUND(CAST(SUM(picked) AS DOUBLE) / COUNT(*), 6) AS achieved_rate
+        FROM p GROUP BY 1, 2"""
+      },
+      "stratified deterministic sampling for domain mixing: md5-threshold " +
+        "Bernoulli per lang (map-side only, reproducible at any scale)")
   )
 }

@@ -262,6 +262,56 @@ object TextQueries {
               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
             '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS clean
         FROM norm"""),
-      "corpus cleaning: markup/control strip + whitespace collapse + PII redaction")
+      "corpus cleaning: markup/control strip + whitespace collapse + PII redaction"),
+
+    // Benchmark decontamination, the published-pipeline shape (GPT-3/Llama
+    // style): exact 13-gram overlap between training docs and an eval set.
+    // The eval side is always small relative to the corpus, so its distinct
+    // gram set is BROADCAST — the 100 TB train side is a single codegen'd
+    // scan + hash probe, no shuffle. word_shingles emits DISTINCT grams per
+    // doc in one native pass, so n_hits needs no dedup.
+    Q("q79_contamination",
+      (s, dir) => {
+        val g = Tables.load(s, dir, "documents").select(col("doc_id"),
+          graft.functions.GraftFunctions
+            .word_shingles(tokens(col("text")), 13).as("grams"))
+        // explode_outer + post-filter instead of explode: plain explode
+        // inserts a size(e)>0 pre-filter whose expression re-evaluates the
+        // shingle kernel (3x per row after projection collapse); with the
+        // outer form + carried array column the kernel runs exactly once
+        // and n_grams is an O(1) length read of the materialized array
+        val ev = g.filter(col("doc_id") % 5 === 0)
+          .select(explode_outer(col("grams")).as("gram"))
+          .filter(col("gram").isNotNull).distinct()
+        g.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("grams"),
+            explode_outer(col("grams")).as("gram"))
+          .filter(col("gram").isNotNull)
+          .select(col("doc_id"), size(col("grams")).as("n_grams"), col("gram"))
+          .join(broadcast(ev), "gram")
+          .groupBy("doc_id", "n_grams")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(col("doc_id"), col("n_grams"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_grams"), 6)
+              .as("contam_ratio"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+            x -> LEN(x) > 0) AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+            RANGE(1, GREATEST(LEN(t) - 13, 0) + 2),
+            i -> ARRAY_TO_STRING(t[i:i+12], ' '))) AS grams
+          FROM toks),
+        ev AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 5 = 0),
+        tr AS (SELECT doc_id, LEN(grams) AS n_grams, UNNEST(grams) AS gram
+          FROM g WHERE doc_id % 5 <> 0)
+        SELECT tr.doc_id, tr.n_grams, COUNT(*) AS n_hits,
+          ROUND(CAST(COUNT(*) AS DOUBLE) / tr.n_grams, 6) AS contam_ratio
+        FROM tr JOIN ev ON tr.gram = ev.gram
+        GROUP BY tr.doc_id, tr.n_grams"""),
+      "eval-set decontamination: exact 13-gram overlap vs a broadcast " +
+        "benchmark gram set (train side never shuffles)")
   )
 }
