@@ -176,6 +176,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** One distributed Lloyd iteration (k-means centroid training — the
+    * "trained offline" half of the IVF scale path): assign each vector to
+    * its nearest centroid with the same fold `cellOf` uses, then emit the
+    * new per-cell means as (cell, pos, n, c) rows — one per vector
+    * position, the layout that needs no array re-assembly and whose group
+    * key (cell, pos) is bounded by nlist×dim regardless of data size.
+    *
+    * Determinism across engines: each float is scaled to a 1e-6
+    * fixed-point BIGINT before summing, so the sum is exact-integer and
+    * order-independent (a double sum would depend on partition order);
+    * the mean divides two exact numbers in double at the end. The sum
+    * accumulates in DECIMAL(38,0) so it cannot overflow at any corpus
+    * size. One shuffle, partial-agg combined map-side.
+    */
+  def kmeansStep(vectors: DataFrame, vecCol: String,
+      centroids: Seq[(Long, Seq[Float])]): DataFrame =
+    vectors
+      .filter(col(vecCol).isNotNull)
+      .withColumn("cell", cellOf(col(vecCol), centroids))
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select(col("cell"), (col("p") + 1).as("pos"),
+        round(col("v").cast("double") * lit(1000000.0)).cast("long").as("f"))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("f").cast("decimal(38,0)")).cast("double") /
+          (count(lit(1)) * lit(1000000.0)), 6).as("c"))
+
+  /** Full Lloyd training loop: deterministic seeds (the k lowest-id
+    * vectors, re-labeled 0..k-1), `iters` assignment/update rounds.
+    * Only the k×dim centroid matrix ever reaches the driver — it IS the
+    * next round's query input (like the reference's search argument);
+    * every data pass is the distributed kmeansStep. Cells that lose all
+    * members keep their previous centroid.
+    */
+  def kmeansTrain(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Long, Seq[Float])] = {
+    var cents: Seq[(Long, Seq[Float])] = vectors
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    for (_ <- 0 until iters) {
+      val means: Map[Long, Seq[Float]] = kmeansStep(vectors, vecCol, cents)
+        .collect().toSeq
+        .groupBy(_.getAs[Long]("cell"))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getAs[Int]("pos"))
+            .map(_.getAs[Double]("c").toFloat) }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** ANN top-k: restrict the brute-force scan to vectors in the query's
     * sign-LSH bucket (and, for recall, Hamming-1 neighbor buckets).
     */

@@ -187,6 +187,22 @@ object VectorQueries {
       labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
       SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY cluster_id"""
 
+  /** DuckDB replica of Similarity.kmeansStep over centroids 1..8: same
+    * argmin assignment (cellsCte), same 1e-6 fixed-point exact sums, same
+    * final double division — bit-identical means in both engines.
+    */
+  lazy val kmeansStepOracleSql: String =
+    s"""WITH $cellsCte,
+      x AS (
+        SELECT c.cell, CAST(t.i AS INT) AS pos,
+          CAST(ROUND(e.embedding[CAST(t.i AS INT)]::DOUBLE * 1000000.0) AS BIGINT) AS f
+        FROM embeddings e
+        JOIN cells c ON c.vec_id = e.vec_id
+        CROSS JOIN RANGE(1, 65) t(i))
+      SELECT cell, pos, COUNT(*) AS n,
+        ROUND(CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS c
+      FROM x GROUP BY cell, pos"""
+
   val all: Seq[Q] = Seq(
     Q("q40_cosine_topk",
       (s, dir) => {
@@ -347,6 +363,17 @@ object VectorQueries {
       Some(VectorQueries.embedClustersOracleSql),
       "embedding-cosine near-dup clusters (IVF-cell-blocked pairs -> " +
         "single-pass connected components)"),
+
+    // The training half of IVF: one Lloyd iteration as a distributed
+    // query. Assignment is the same fold the ANN queries use; the update
+    // emits per-(cell, position) means over exact fixed-point sums, so
+    // the result is order-independent and hash-stable across engines.
+    Q("q82_kmeans_step",
+      (s, dir) => Similarity.kmeansStep(
+        Tables.load(s, dir, "embeddings"), "embedding", centroids8(s, dir)),
+      Some(VectorQueries.kmeansStepOracleSql),
+      "k-means Lloyd iteration (IVF centroid training): fold assignment + " +
+        "fixed-point exact per-position means, one bounded-key shuffle"),
 
     Q("q46_dup_clusters",
       (s, dir) => {

@@ -53,6 +53,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("kmeansStep computes per-cell per-position means") {
+    val cents = Seq(0L -> Seq(0f, 0f, 0f, 0f), 1L -> Seq(10f, 10f, 10f, 10f))
+    val rows = Similarity.kmeansStep(vecs, "v", cents)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // vectors 1,2,3,4 all lie nearer the origin centroid -> one cell
+    assert(rows.keySet.map(_._1) == Set(0L))
+    assert(rows((0L, 1)) == (4L, (1.0 + 0.0 + 1.0 - 1.0) / 4)) // mean of x
+    assert(rows((0L, 2)) == (4L, (0.0 + 1.0 + 1.0 + 0.0) / 4)) // mean of y
+  }
+
+  test("kmeansTrain is deterministic and does not increase SSE") {
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    def sse(cents: Seq[(Long, Seq[Float])]): Double =
+      e.select(least(cents.map { case (_, cv) =>
+        Similarity.l2($"embedding", typedLit(cv)) }: _*).as("d"))
+        .agg(sum($"d" * $"d")).as[Double].head()
+    val seeds = Similarity.kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 0)
+    val once = Similarity.kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 1)
+    val thrice = Similarity.kmeansTrain(e, "vec_id", "embedding", k = 4, iters = 3)
+    assert(Similarity.kmeansTrain(e, "vec_id", "embedding", 4, 3) == thrice)
+    assert(sse(once) <= sse(seeds) + 1e-6)
+    assert(sse(thrice) <= sse(once) + 1e-6)
+    // every vector lands in one of the k cells
+    val cells = Similarity.ivfAssign(e, "vec_id", "embedding", thrice)
+      .select("cell").distinct().as[Long].collect().toSet
+    assert(cells.subsetOf(thrice.map(_._1).toSet))
+  }
+
   test("native functions are callable from SQL") {
     Tables.load(spark, Sf0001, "embeddings").createOrReplaceTempView("emb_sql")
     val n = spark.sql(
