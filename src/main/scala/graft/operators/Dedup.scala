@@ -136,6 +136,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus MinHash+LSH decontamination matches — the fuzzy
+    * companion of exact n-gram decontamination: candidate (train, eval)
+    * pairs come from band-key collisions, verified with CONTAINMENT
+    * |T∩E| / |E| (not Jaccard — the right measure when an eval doc may be
+    * embedded inside a much larger train doc).
+    *
+    * Scale shape (100 TB): the eval/benchmark side is always small, so
+    * every eval artifact (band buckets, shingle sets, the surviving
+    * candidate pair set) is BROADCAST; the corpus side is scanned exactly
+    * once, map-side only — band keys via the native one-pass expression,
+    * candidates and verification resolved by broadcast hash joins. The
+    * corpus never shuffles; only the candidate pairs (bounded by band
+    * collisions) do, in the distinct.
+    */
+  def minhashLshCrossMatches(corpus: DataFrame, corpusId: String,
+      evalSet: DataFrame, evalId: String, textCol: String,
+      wordGrams: Int = 2, k: Int = 8, bands: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    def shExpr = graft.functions.GraftFunctions.word_shingles(
+      tokens(col(textCol)), wordGrams)
+    def bkExpr = graft.functions.GraftFunctions.lsh_band_keys(
+      tokens(col(textCol)), wordGrams, k, bands)
+    val evalBuckets = evalSet.select(col(evalId).as("eval_id"), bkExpr.as("_bk"))
+      .select(col("eval_id"), explode(col("_bk")).as("bucket"))
+    val corpusBuckets = corpus.select(col(corpusId).as("train_id"), bkExpr.as("_bk"))
+      .select(col("train_id"), explode(col("_bk")).as("bucket"))
+    val cand = corpusBuckets.join(broadcast(evalBuckets), "bucket")
+      .select("train_id", "eval_id").distinct()
+    val evalSh = evalSet.select(col(evalId).as("eval_id"), shExpr.as("eshs"))
+    corpus.select(col(corpusId).as("train_id"), shExpr.as("tshs"))
+      .join(broadcast(cand), "train_id")
+      .join(broadcast(evalSh), "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        round(size(array_intersect(col("tshs"), col("eshs"))).cast("double") /
+          greatest(size(col("eshs")), lit(1)).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** True Jaccard over distinct character n-gram shingle sets. */
   def jaccardShingles(t1: Column, t2: Column, n: Int): Column = {
     val s1 = array_distinct(charShingles(t1, n))

@@ -230,6 +230,56 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization sub-code: nearest codebook entry for subspace
+    * `s` (dims s*subDim+1 .. (s+1)*subDim), the same least-struct argmin
+    * fold as `cellOf` — plain codegen expressions, no join, no window.
+    * Codebook entry ids must be 0-based and dense (they index the ADC
+    * lookup tables).
+    */
+  def pqSubCode(vec: Column, codebook: Seq[(Long, Seq[Float])], s: Int,
+      subDim: Int): Column =
+    least(codebook.sortBy(_._1).map { case (cid, cv) =>
+      struct(l2(slice(vec, s * subDim + 1, subDim), typedLit(cv)).as("d"),
+        lit(cid).as("cid"))
+    }: _*).getField("cid")
+
+  /** PQ-compressed ANN top-k by asymmetric distance computation (ADC,
+    * Jégou et al. 2011): each vector is reduced to m sub-codes (m bytes at
+    * k≤256 — a 256× memory cut vs float32×64, the representation that
+    * keeps a 100 TB corpus's index in cluster RAM); distance to the query
+    * is the sum of per-subspace squared distances looked up from
+    * driver-precomputed tables (m×k doubles shipped as literals). The
+    * scan is pure codegen — assignment folds + array lookups — with the
+    * top-k as TakeOrderedAndProject; no join, no shuffle before the
+    * final k rows.
+    */
+  def pqAdcTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], codebooks: Seq[Seq[(Long, Seq[Float])]],
+      subDim: Int, k: Int): DataFrame = {
+    // per-subspace lookup tables: squared L2 from the query's subvector to
+    // every codebook entry, sequential double accumulation (the exact
+    // arithmetic the SQL oracle replays)
+    val dq: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.sortBy(_._1).map { case (_, cv) =>
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) {
+          val d = query(s * subDim + i).toDouble - cv(i).toDouble
+          acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+    val codeCols = codebooks.indices.map(s =>
+      pqSubCode(col(vecCol), codebooks(s), s, subDim).as(s"c$s"))
+    val adc = sqrt(codebooks.indices.map(s =>
+      element_at(typedLit(dq(s)), col(s"c$s").cast("int") + 1)).reduce(_ + _))
+    vectors.select((col(idCol) +: codeCols): _*)
+      .withColumn("adc_dist", round(adc, 6))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k: restrict the brute-force scan to vectors in the query's
     * sign-LSH bucket (and, for recall, Hamming-1 neighbor buckets).
     */

@@ -80,6 +80,48 @@ object TextQueries {
           / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(s1.shs, s2.shs))), 1), 6) >= 0.5"""
   }
 
+  /** DuckDB replica of Dedup.minhashLshCrossMatches (word bigrams, k=8,
+    * bands=2, containment 0.5) over the train (doc_id%5<>0) vs eval
+    * (doc_id%5=0) split: same md5 signatures and band keys as the q48
+    * oracle, asymmetric candidate join, containment verification.
+    */
+  lazy val crossDecontamOracleSql: String = {
+    val mh = (0 until 8).map(i =>
+      s"LIST_MIN(LIST_TRANSFORM(shs, x -> MD5('$i|' || x))) AS mh$i").mkString(",\n          ")
+    val bandKeys = (0 until 2).map { b =>
+      val parts = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(" || ',' || ")
+      s"MD5('$b|' || $parts)"
+    }.mkString(", ")
+    val contain =
+      """ROUND(CAST(LEN(LIST_INTERSECT(t.shs, e.shs)) AS DOUBLE)
+          / GREATEST(LEN(e.shs), 1), 6)"""
+    s"""WITH toks AS (
+        SELECT doc_id,
+          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+            x -> LEN(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(t) - 2, 0) + 1),
+            i -> ARRAY_TO_STRING(t[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' '))) AS shs
+        FROM toks),
+      sig AS (
+        SELECT doc_id, shs,
+          $mh
+        FROM sh),
+      buckets AS (
+        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+        FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+      SELECT c.train_id, c.eval_id, $contain AS containment
+      FROM cand c
+      JOIN sh t ON t.doc_id = c.train_id
+      JOIN sh e ON e.doc_id = c.eval_id
+      WHERE $contain >= 0.5"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q20_token_stats",
       (s, dir) =>
@@ -312,6 +354,59 @@ object TextQueries {
         FROM tr JOIN ev ON tr.gram = ev.gram
         GROUP BY tr.doc_id, tr.n_grams"""),
       "eval-set decontamination: exact 13-gram overlap vs a broadcast " +
-        "benchmark gram set (train side never shuffles)")
+        "benchmark gram set (train side never shuffles)"),
+
+    // Fuzzy decontamination: MinHash+LSH candidates between the training
+    // split and a broadcast eval split, verified by shingle containment
+    // |T∩E|/|E| (catches paraphrased/embedded eval docs that exact
+    // 13-gram overlap in q79 misses). The corpus side never shuffles.
+    Q("q84_fuzzy_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.minhashLshCrossMatches(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id",
+          docs.filter(col("doc_id") % 5 === 0), "doc_id",
+          "text", wordGrams = 2, k = 8, bands = 2, threshold = 0.5)
+      },
+      Some(TextQueries.crossDecontamOracleSql),
+      "fuzzy train-vs-eval decontamination: LSH band candidates + " +
+        "shingle-containment verify, eval side fully broadcast"),
+
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1): type-token
+    // ratio, most-common-word share, duplicate word-2-gram share, and the
+    // keep/drop verdict at corpus-policy thresholds. Group keys are all
+    // doc-scoped, so partial agg combines map-side at any corpus size.
+    Q("q83_repetition_filter",
+      (s, dir) =>
+        graft.operators.QualityFilters.repetitionMetrics(
+          Tables.load(s, dir, "documents"), "doc_id", "text", gramN = 2)
+          .withColumn("keep",
+            col("ttr") >= 0.35 && col("top_word_frac") <= 0.12 &&
+              col("dup_gram_frac") <= 0.1),
+      Some("""WITH toks AS (
+          SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+            x -> LEN(x) > 0) AS t
+          FROM documents),
+        w AS (SELECT doc_id, LEN(t) AS n_toks, UNNEST(t) AS w FROM toks),
+        wc AS (SELECT doc_id, n_toks, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2, 3),
+        ws AS (SELECT doc_id, n_toks, COUNT(*) AS n_types, MAX(cnt) AS top_w
+          FROM wc GROUP BY 1, 2),
+        g AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-2,0)+2),
+            i -> ARRAY_TO_STRING(t[i:i+1], ' '))) AS gm FROM toks),
+        gc AS (SELECT doc_id, gm, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        gs AS (SELECT doc_id, SUM(cnt) AS n_grams,
+            SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_grams
+          FROM gc GROUP BY 1),
+        m AS (
+          SELECT ws.doc_id, ws.n_toks,
+            ROUND(CAST(n_types AS DOUBLE) / GREATEST(n_toks, 1), 6) AS ttr,
+            ROUND(CAST(top_w AS DOUBLE) / GREATEST(n_toks, 1), 6) AS top_word_frac,
+            ROUND(CAST(dup_grams AS DOUBLE) / GREATEST(n_grams, 1), 6) AS dup_gram_frac
+          FROM ws JOIN gs ON gs.doc_id = ws.doc_id)
+        SELECT doc_id, n_toks, ttr, top_word_frac, dup_gram_frac,
+          (ttr >= 0.35 AND top_word_frac <= 0.12 AND dup_gram_frac <= 0.1) AS keep
+        FROM m"""),
+      "Gopher-style repetition filters: type-token ratio, top-word share, " +
+        "duplicate 2-gram share -> keep/drop verdict")
   )
 }

@@ -203,6 +203,63 @@ object VectorQueries {
         ROUND(CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS c
       FROM x GROUP BY cell, pos"""
 
+  /** Deterministic PQ codebooks: m=4 subspaces × 16 dims, entries = the
+    * matching subvectors of embeddings 1..4 with dense 0-based ids (the
+    * training input, like centroids8).
+    */
+  private def pqCodebooks(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[(Long, Seq[Float])]] = {
+    val rows = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id").between(1, 4))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    (0 until 4).map(sub =>
+      rows.map { case (vid, v) =>
+        (vid - 1, v.slice(sub * 16, sub * 16 + 16)) }.toSeq)
+  }
+
+  /** DuckDB replica of Similarity.pqAdcTopK (m=4 × 16 dims, codebooks =
+    * embeddings 1..4): per-subspace ROW_NUMBER argmin assignment (== the
+    * least-struct fold), lookup tables recomputed in SQL with the same
+    * sequential squared-L2, same d0+d1+d2+d3 addition order.
+    */
+  lazy val pqAdcOracleSql: String = {
+    def l2Sub(s: Int): String =
+      "SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,17), " +
+        s"i -> (e.embedding[${s * 16} + i]::DOUBLE - c.cv[${s * 16} + i]::DOUBLE) " +
+        s"* (e.embedding[${s * 16} + i]::DOUBLE - c.cv[${s * 16} + i]::DOUBLE))), (x,y) -> x+y))"
+    def dqSub(s: Int): String =
+      "LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,17), " +
+        s"i -> (q.qe[${s * 16} + i]::DOUBLE - c.cv[${s * 16} + i]::DOUBLE) " +
+        s"* (q.qe[${s * 16} + i]::DOUBLE - c.cv[${s * 16} + i]::DOUBLE))), (x,y) -> x+y)"
+    val assigns = (0 until 4).map { s =>
+      s"""a$s AS (
+        SELECT e.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${l2Sub(s)}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cb c WHERE e.vec_id <> 0),
+      k$s AS (SELECT vec_id, cid AS c$s FROM a$s WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      cb AS (SELECT vec_id - 1 AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id BETWEEN 1 AND 4),
+      $assigns,
+      dq AS (SELECT c.cid, ${(0 until 4).map(s => s"${dqSub(s)} AS d$s").mkString(", ")}
+        FROM cb c, q),
+      coded AS (
+        SELECT k0.vec_id, k0.c0, k1.c1, k2.c2, k3.c3
+        FROM k0 JOIN k1 USING (vec_id) JOIN k2 USING (vec_id)
+          JOIN k3 USING (vec_id))
+      SELECT vec_id, c0, c1, c2, c3,
+        ROUND(SQRT(t0.d0 + t1.d1 + t2.d2 + t3.d3), 6) AS adc_dist
+      FROM coded
+      JOIN dq t0 ON t0.cid = coded.c0
+      JOIN dq t1 ON t1.cid = coded.c1
+      JOIN dq t2 ON t2.cid = coded.c2
+      JOIN dq t3 ON t3.cid = coded.c3
+      ORDER BY adc_dist, vec_id LIMIT 10"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q40_cosine_topk",
       (s, dir) => {
@@ -363,6 +420,19 @@ object VectorQueries {
       Some(VectorQueries.embedClustersOracleSql),
       "embedding-cosine near-dup clusters (IVF-cell-blocked pairs -> " +
         "single-pass connected components)"),
+
+    // PQ-compressed ANN (Jégou et al. 2011): m sub-codes per vector (the
+    // 256x memory cut that keeps a 100 TB index in cluster RAM), distance
+    // by table lookup. Codes + lookup tables are all deterministic, so
+    // the oracle replays assignment and ADC exactly.
+    Q("q85_pq_adc_topk",
+      (s, dir) => Similarity.pqAdcTopK(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", queryVec(s, dir), pqCodebooks(s, dir),
+        subDim = 16, k = 10),
+      Some(VectorQueries.pqAdcOracleSql),
+      "product-quantization ADC top-k: per-subspace code folds + literal " +
+        "lookup tables, pure codegen scan, TakeOrderedAndProject"),
 
     // The training half of IVF: one Lloyd iteration as a distributed
     // query. Assignment is the same fold the ANN queries use; the update

@@ -199,4 +199,25 @@ class DedupSpec extends AnyFunSuite {
       G.lsh_band_keys(T.tokens($"text"), 2, 8, 2)).as[Seq[String]].collect().toSeq
     assert(nativeKeys == composedKeys)
   }
+
+  test("minhashLshCrossMatches flags contaminated train docs by containment") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // identical to eval 100
+      (2L, "totally different words sharing nothing with any eval doc"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val m = Dedup
+      .minhashLshCrossMatches(train, "doc_id", evalSet, "doc_id", "text",
+        wordGrams = 2, k = 8, bands = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical doc: every band collides, containment is exactly 1.0
+    assert(m((1L, 100L)) == 1.0)
+    // unrelated doc: no shared shingles, no collision, absent
+    assert(!m.contains((2L, 100L)))
+    // a superset train doc that collides must score by |T∩E|/|E| = 1.0
+    m.get((3L, 100L)).foreach(c => assert(c == 1.0))
+  }
 }

@@ -126,4 +126,18 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q43_ann_lsh")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q84: the corpus side of decontamination joins only via broadcast") {
+    // eval buckets, candidates, and eval shingle sets all broadcast; the
+    // 100 TB corpus scan must never feed a shuffled join
+    val p = plan("q84_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q82: kmeans step is one aggregation — fold assignment, no join") {
+    val p = plan("q82_kmeans_step")
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }

@@ -82,6 +82,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells.subsetOf(thrice.map(_._1).toSet))
   }
 
+  test("pq codes and ADC distances match hand-computed values") {
+    // 4-dim vectors, m=2 subspaces x 2 dims, 2 codebook entries each
+    val cb0 = Seq(0L -> Seq(0f, 0f), 1L -> Seq(10f, 10f))
+    val cb1 = Seq(0L -> Seq(0f, 0f), 1L -> Seq(-10f, -10f))
+    val df = Seq(
+      (1L, Seq(1f, 1f, -9f, -9f)),  // codes (0, 1)
+      (2L, Seq(9f, 9f, 1f, 1f))     // codes (1, 0)
+    ).toDF("id", "v")
+    val out = Similarity.pqAdcTopK(df, "id", "v", Seq(0f, 0f, 1f, 1f),
+      Seq(cb0, cb1), subDim = 2, k = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 1L,
+      math.rint(math.sqrt(0.0 + (121.0 + 121.0)) * 1e6) / 1e6)))
+    assert(out(2L) == ((2L, 1L, 0L,
+      math.rint(math.sqrt((100.0 + 100.0) + (1.0 + 1.0)) * 1e6) / 1e6)))
+    // ranking: vec 2's ADC (sqrt 202) < vec 1's (sqrt 242)
+    assert(out.values.toSeq.sortBy(_._4).head._1 == 2L)
+  }
+
   test("native functions are callable from SQL") {
     Tables.load(spark, Sf0001, "embeddings").createOrReplaceTempView("emb_sql")
     val n = spark.sql(
