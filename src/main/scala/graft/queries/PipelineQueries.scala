@@ -211,6 +211,55 @@ object PipelineQueries {
         FROM p GROUP BY 1, 2"""
       },
       "stratified deterministic sampling for domain mixing: md5-threshold " +
-        "Bernoulli per lang (map-side only, reproducible at any scale)")
+        "Bernoulli per lang (map-side only, reproducible at any scale)"),
+
+    // The end artifact of the dedup pipeline: one keep/drop verdict per
+    // document (pairs -> blocked connected components -> canonical = the
+    // cluster minimum; singletons keep themselves). This is the table a
+    // training run actually joins against — everything upstream (q25/q46)
+    // exists to produce it.
+    Q("q87_dedup_keeplist",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.Dedup.jaccardPairsByCooccurrence(
+          docs, "doc_id",
+          array_distinct(graft.functions.TextFunctions.tokens(col("text"))),
+          Seq(col("lang"), floor(col("n_chars") / 50)),
+          threshold = 0.6, emitBlockKey = true)
+        val labels = graft.operators.Dedup
+          .clusterPairsBlocked(pairs, "block_key")
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+            (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+              .as("keep"))
+      },
+      Some("""WITH RECURSIVE d AS (
+          SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+            LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+              x -> LEN(x) > 0)) AS toks
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM d a JOIN d b
+            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+              / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1), 6) >= 0.6),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach AS (
+          SELECT src AS id, src AS r FROM edges
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id,
+          COALESCE(l.cluster_id, doc_id) AS canonical_id,
+          (COALESCE(l.cluster_id, doc_id) = doc_id) AS keep
+        FROM documents LEFT JOIN labels l ON l.id = documents.doc_id"""),
+      "dedup keep-list: per-doc canonical id + keep/drop verdict " +
+        "(the artifact a training run joins against)")
   )
 }

@@ -222,8 +222,10 @@ object VectorQueries {
     * embeddings 1..4): per-subspace ROW_NUMBER argmin assignment (== the
     * least-struct fold), lookup tables recomputed in SQL with the same
     * sequential squared-L2, same d0+d1+d2+d3 addition order.
+    * `extraCtes`/`candFilter` optionally restrict the coded candidate set
+    * (the IVF-probe composition).
     */
-  lazy val pqAdcOracleSql: String = {
+  private def pqAdcSql(extraCtes: String, candFilter: String): String = {
     def l2Sub(s: Int): String =
       "SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,17), " +
         s"i -> (e.embedding[${s * 16} + i]::DOUBLE - c.cv[${s * 16} + i]::DOUBLE) " +
@@ -237,13 +239,13 @@ object VectorQueries {
         SELECT e.vec_id, c.cid,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ${l2Sub(s)}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cb c WHERE e.vec_id <> 0),
+        FROM embeddings e CROSS JOIN cb c WHERE e.vec_id <> 0$candFilter),
       k$s AS (SELECT vec_id, cid AS c$s FROM a$s WHERE rn = 1)"""
     }.mkString(",\n      ")
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       cb AS (SELECT vec_id - 1 AS cid, embedding AS cv FROM embeddings
         WHERE vec_id BETWEEN 1 AND 4),
-      $assigns,
+      $extraCtes$assigns,
       dq AS (SELECT c.cid, ${(0 until 4).map(s => s"${dqSub(s)} AS d$s").mkString(", ")}
         FROM cb c, q),
       coded AS (
@@ -258,6 +260,35 @@ object VectorQueries {
       JOIN dq t2 ON t2.cid = coded.c2
       JOIN dq t3 ON t3.cid = coded.c3
       ORDER BY adc_dist, vec_id LIMIT 10"""
+  }
+
+  lazy val pqAdcOracleSql: String = pqAdcSql("", "")
+
+  /** q86: the q47 probe-cell restriction composed with the PQ ADC ranking
+    * (cells/probes CTEs from the IVF oracle, candidate filter on the
+    * probed cells, then identical coding + lookup).
+    */
+  lazy val ivfPqOracleSql: String = {
+    def l2c(a: String, b: String): String =
+      "SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
+        s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y))"
+    val ivfCtes =
+      s"""cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id BETWEEN 1 AND 8),
+      probes AS (
+        SELECT cid FROM cents, q
+        ORDER BY ${l2c("cv", "qe")}, cid LIMIT 2),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${l2c("e.embedding", "c.cv")}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+      cand AS (
+        SELECT vec_id FROM assign
+        WHERE rn = 1 AND cid IN (SELECT cid FROM probes)),
+      """
+    pqAdcSql(ivfCtes, " AND e.vec_id IN (SELECT vec_id FROM cand)")
   }
 
   val all: Seq[Q] = Seq(
@@ -433,6 +464,29 @@ object VectorQueries {
       Some(VectorQueries.pqAdcOracleSql),
       "product-quantization ADC top-k: per-subspace code folds + literal " +
         "lookup tables, pure codegen scan, TakeOrderedAndProject"),
+
+    // IVF+PQ composed (the Faiss-IVFPQ shape, on raw vectors — the
+    // residual-encoding refinement would subtract the cell centroid
+    // before coding): probe the 2 nearest cells, rank candidates by ADC
+    // lookup instead of full-precision cosine. At 100 TB: partition
+    // pruning cuts I/O by nProbe/nlist, PQ codes cut the scanned bytes
+    // 256x — the two multiplicative reductions that make exhaustive
+    // search tractable.
+    Q("q86_ivfpq_topk",
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        val cents = centroids8(s, dir)
+        val probes = Similarity.nearestCentroids(q, cents, nProbe = 2)
+        val assigned = Similarity.ivfAssign(
+          Tables.load(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", cents)
+        Similarity.pqAdcTopK(
+          assigned.filter(col("cell").isin(probes: _*)),
+          "vec_id", "embedding", q, pqCodebooks(s, dir), subDim = 16, k = 10)
+      },
+      Some(VectorQueries.ivfPqOracleSql),
+      "IVF probe + PQ ADC ranking composed: partition pruning x 256x code " +
+        "compression, the exhaustive-search escape hatch at 100 TB"),
 
     // The training half of IVF: one Lloyd iteration as a distributed
     // query. Assignment is the same fold the ANN queries use; the update

@@ -73,6 +73,20 @@ object IngestPipeline {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("key", "ts")
 
+  /** In-stream corpus dedup — the streaming twin of exact dedup (q23):
+    * drop any document whose normalized-content fingerprint was already
+    * seen within the watermark. State is one fingerprint per distinct doc
+    * bounded by the lateness horizon (RocksDB-spillable at scale), so a
+    * 100 TB/day firehose holds state only for the dedup window, never the
+    * corpus.
+    */
+  def dedupByContent(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Enforce the IotValue write rules in the ingest path (SURVEY §7:
     * "write rules live in the ingest path, not the storage" —
     * IotValue.cs:123-139): rows whose (priority, flags) violate

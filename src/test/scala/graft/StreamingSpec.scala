@@ -78,6 +78,27 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("dedupByContent drops same-fingerprint docs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = IngestPipeline.dedupByContent(
+      mem.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream.format("memory").queryName("cdedup_out")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 05:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 05:00:10"), "THE  quick   Brown fox"), // same fp
+      (3L, ts("2024-01-01 05:00:20"), "something else"))
+    q.processAllAvailable()
+    // second batch: a re-send of doc 1's content within the watermark
+    mem.addData((4L, ts("2024-01-01 05:01:00"), "the quick brown fox"))
+    q.processAllAvailable()
+    val ids = spark.table("cdedup_out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 3L))
+    q.stop()
+  }
+
   test("partitionByWriteRules splits rejected priority writes to dead-letter") {
     import graft.model.IotValue._
     val writes = Seq(
