@@ -407,6 +407,57 @@ object TextQueries {
           (ttr >= 0.35 AND top_word_frac <= 0.12 AND dup_gram_frac <= 0.1) AS keep
         FROM m"""),
       "Gopher-style repetition filters: type-token ratio, top-word share, " +
-        "duplicate 2-gram share -> keep/drop verdict")
+        "duplicate 2-gram share -> keep/drop verdict"),
+
+    // CCNet-style language-model scoring with a deterministic stand-in:
+    // a unigram model trained on the corpus itself. Per-token frequency is
+    // quantized to an exact parts-per-billion integer, so per-doc sums are
+    // order-independent (a double sum would depend on partition order) and
+    // log() — which is not correctly-rounded across engines — never
+    // appears. rare_frac (share of sub-0.1% tokens) is the drop signal.
+    // At 100 TB the vocab join is a plain shuffle join on the token (here
+    // AQE broadcasts the small side); the two aggs are doc-scoped.
+    Q("q88_unigram_score",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        // total via a broadcast 1-row agg, NOT an empty-frame window (a
+        // global window would serialize the whole vocabulary onto one
+        // partition at corpus scale)
+        val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val vocab = counts
+          .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+          .select(col("w"),
+            round(col("cnt").cast("double") * lit(1e9) / col("total"))
+              .cast("long").as("freq_ppb"))
+        toks.join(vocab, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("freq_ppb")).as("sum_ppb"),
+            sum(when(col("freq_ppb") < 1000000L, 1L).otherwise(0L))
+              .as("n_rare"))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("sum_ppb").cast("double") /
+              (col("n_toks") * lit(1e9)), 6).as("mean_token_freq"),
+            round(col("n_rare").cast("double") /
+              col("n_toks").cast("double"), 6).as("rare_frac"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, UNNEST(LIST_FILTER(
+            REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> LEN(x) > 0)) AS w
+          FROM documents),
+        v AS (
+          SELECT w, CAST(ROUND(CAST(COUNT(*) AS DOUBLE) * 1000000000.0
+              / (SUM(COUNT(*)) OVER ()), 0) AS BIGINT) AS freq_ppb
+          FROM t GROUP BY w)
+        SELECT doc_id, COUNT(*) AS n_toks,
+          ROUND(CAST(SUM(freq_ppb) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6)
+            AS mean_token_freq,
+          ROUND(CAST(SUM(CASE WHEN freq_ppb < 1000000 THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*), 6) AS rare_frac
+        FROM t JOIN v USING (w)
+        GROUP BY doc_id"""),
+      "unigram-LM quality scoring (CCNet shape, deterministic stand-in): " +
+        "ppb-quantized token frequencies, order-independent doc sums")
   )
 }
