@@ -165,7 +165,15 @@ object Dedup {
     val cand = corpusBuckets.join(broadcast(evalBuckets), "bucket")
       .select("train_id", "eval_id").distinct()
     val evalSh = evalSet.select(col(evalId).as("eval_id"), shExpr.as("eshs"))
-    corpus.select(col(corpusId).as("train_id"), shExpr.as("tshs"))
+    // candidate filter BEFORE the shingle projection — and the pair
+    // expansion AFTER it: the broadcast semi-filter runs on the raw
+    // (id, text) scan so the second corpus pass shingles only candidate
+    // docs, and each candidate doc shingles ONCE even when it matches
+    // several eval docs (projecting after the pair join would recompute
+    // the set per pair)
+    corpus.select(col(corpusId).as("train_id"), col(textCol))
+      .join(broadcast(cand.select("train_id").distinct()), "train_id")
+      .select(col("train_id"), shExpr.as("tshs"))
       .join(broadcast(cand), "train_id")
       .join(broadcast(evalSh), "eval_id")
       .select(col("train_id"), col("eval_id"),
