@@ -182,6 +182,52 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * embedding clusters. Within each IVF cell, vectors whose cosine ≥
+    * `eps` form near-dup components; each component keeps ONE
+    * representative — the member nearest the cell centroid (rounded-L2,
+    * id tiebreak), the paper's "closest to centroid" policy made
+    * deterministic. Everything else in the component is dropped;
+    * singletons keep themselves.
+    *
+    * Scale: the cell IS the blocking key (bounded by the Voronoi
+    * partition — nlist scales with the corpus exactly as SemDeDup's
+    * cluster count does), so pair generation is the q45 shape and the
+    * component pass is the single-shuffle blocked union-find. The
+    * centroid distance reuses the assignment fold's arithmetic — no
+    * second pass over the vectors.
+    *
+    * Output: (id, cell, centroid_dist, cluster_id, keep).
+    */
+  def semDedupKeepList(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Float])], eps: Double): DataFrame = {
+    val assigned = graft.operators.Similarity
+      .ivfAssign(vectors, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("cell"), col(vecCol).as("v"),
+        round(least(centroids.sortBy(_._1).map { case (_, cv) =>
+          graft.operators.Similarity.l2(col(vecCol), typedLit(cv))
+        }: _*), 6).as("centroid_dist"))
+      .repartition(col("cell"))
+    val pairs = assigned.as("a").hint("shuffle_hash")
+      .join(assigned.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.cell").as("block_key"),
+        round(graft.operators.Similarity.cosine(col("a.v"), col("b.v")), 6)
+          .as("score"))
+      .filter(col("score") >= eps)
+    val labels = clusterPairsBlocked(pairs, "block_key")
+    val ranked = assigned.select(col("id"), col("cell"), col("centroid_dist"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("centroid_dist").asc, col("id").asc)))
+    ranked.select(col("id"), col("cell"), col("centroid_dist"),
+      col("cluster_id"), (col("_rk") === 1).as("keep"))
+  }
+
   /** True Jaccard over distinct character n-gram shingle sets. */
   def jaccardShingles(t1: Column, t2: Column, n: Int): Column = {
     val s1 = array_distinct(charShingles(t1, n))

@@ -291,6 +291,52 @@ object VectorQueries {
     pqAdcSql(ivfCtes, " AND e.vec_id IN (SELECT vec_id FROM cand)")
   }
 
+  /** DuckDB replica of Dedup.semDedupKeepList(centroids 1..8, eps 0.3):
+    * same assignment + min centroid distance, cell-blocked cosine pairs,
+    * transitive-closure components, nearest-to-centroid representative.
+    */
+  lazy val semDedupOracleSql: String = {
+    def l2(a: String, b: String): String =
+      "SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
+        s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y))"
+    s"""WITH RECURSIVE cents AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id BETWEEN 1 AND 8),
+      asg AS (
+        SELECT e.vec_id, c.cid, ${l2("e.embedding", "c.cv")} AS d,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ${l2("e.embedding", "c.cv")}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cents c),
+      cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+      cdist AS (SELECT vec_id, ROUND(MIN(d), 6) AS centroid_dist
+        FROM asg GROUP BY vec_id),
+      p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM embeddings a
+        JOIN cells ca ON ca.vec_id = a.vec_id
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+        WHERE ROUND(${cosSql("a", "b")}, 6) >= 0.3),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM p
+        UNION SELECT id2, id1 FROM p),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      f AS (
+        SELECT e.vec_id, cl.cell, cd.centroid_dist,
+          COALESCE(l.cluster_id, e.vec_id) AS cluster_id
+        FROM embeddings e
+        JOIN cells cl ON cl.vec_id = e.vec_id
+        JOIN cdist cd ON cd.vec_id = e.vec_id
+        LEFT JOIN labels l ON l.id = e.vec_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+          ORDER BY centroid_dist, vec_id) AS rk FROM f)
+      SELECT vec_id, cell, centroid_dist, cluster_id, (rk = 1) AS keep
+      FROM ranked"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q40_cosine_topk",
       (s, dir) => {
@@ -498,6 +544,19 @@ object VectorQueries {
       Some(VectorQueries.kmeansStepOracleSql),
       "k-means Lloyd iteration (IVF centroid training): fold assignment + " +
         "fixed-point exact per-position means, one bounded-key shuffle"),
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup removal keeping the
+    // member nearest its cluster centroid — the curation step between
+    // fuzzy text dedup and training. Cell-blocked pairs + blocked CC +
+    // a per-component representative window.
+    Q("q89_semdedup",
+      (s, dir) => graft.operators.Dedup.semDedupKeepList(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        centroids8(s, dir), eps = 0.3)
+        .withColumnRenamed("id", "vec_id"),
+      Some(VectorQueries.semDedupOracleSql),
+      "SemDeDup keep-list: IVF-cell-blocked cosine components, " +
+        "nearest-to-centroid representative kept"),
 
     Q("q46_dup_clusters",
       (s, dir) => {

@@ -200,6 +200,22 @@ class DedupSpec extends AnyFunSuite {
     assert(nativeKeys == composedKeys)
   }
 
+  test("semDedupKeepList keeps the nearest-to-centroid member per component") {
+    val cents = Seq(0L -> Seq(0f, 0f, 0f, 0f), 1L -> Seq(10f, 10f, 10f, 10f))
+    val vs = Seq(
+      (1L, Seq(1f, 1f, 1f, 1f)), // cell 0, centroid dist 2
+      (2L, Seq(2f, 2f, 2f, 2f)), // cell 0, dist 4, cosine 1.0 with v1
+      (3L, Seq(9f, 9f, 9f, 9f))  // cell 1 — cosine 1.0 with v1 but blocked
+    ).toDF("id", "v")
+    val out = graft.operators.Dedup
+      .semDedupKeepList(vs, "id", "v", cents, eps = 0.9)
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 2.0, 1L, true)))  // representative
+    assert(out(2L) == ((2L, 0L, 4.0, 1L, false))) // dropped dup
+    assert(out(3L)._4 == 3L && out(3L)._5)        // cross-cell singleton kept
+  }
+
   test("minhashLshCrossMatches flags contaminated train docs by containment") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // identical to eval 100

@@ -80,6 +80,39 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(baseClusters > 0)
   }
 
+  test("semdedup scales linearly when nlist scales with the corpus") {
+    // SemDeDup's contract: cluster count grows with the corpus (the
+    // paper's k ∝ n). 10 displaced replicas + 10x the centroids must give
+    // exactly 10x the rows, 10x the kept representatives, and zero
+    // cross-replica clusters — i.e. candidate volume stays linear, unlike
+    // holding nlist fixed (which SCALE.md documents as quadratic).
+    val e = Tables.load(spark, Sf0001, "embeddings")
+    val baseCents = e.filter(col("vec_id").between(1, 8))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val R = 10
+    val rep = e.crossJoin(spark.range(R).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("rep").cast("float") * lit(1000f)).as("embedding"))
+    val scaledCents = (0 until R).flatMap(r => baseCents.map { case (cid, cv) =>
+      (r * 100L + cid, cv.map(_ + r * 1000f)) })
+    // eps = -1 makes every in-cell pair an edge, so counts depend only on
+    // the assignment structure (cosine geometry shifts with displacement)
+    val base = graft.operators.Dedup
+      .semDedupKeepList(e, "vec_id", "embedding", baseCents, eps = -1.0)
+    val scaled = graft.operators.Dedup
+      .semDedupKeepList(rep, "vec_id", "embedding", scaledCents, eps = -1.0)
+      .cache()
+    assert(scaled.count() == R * e.count())
+    assert(scaled.filter(col("keep")).count() ==
+      R * base.filter(col("keep")).count())
+    val crossReplica = scaled.filter(
+      (col("id") / 1000000).cast("long") =!=
+        (col("cluster_id") / 1000000).cast("long")).count()
+    assert(crossReplica == 0)
+  }
+
   test("IVF assignment scales: every replicated vector lands in one cell") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val centroids = e.filter(col("vec_id").between(1, 8))
