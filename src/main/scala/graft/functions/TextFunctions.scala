@@ -78,6 +78,18 @@ object TextFunctions {
     round((lenScore + punctScore + stopScore) / 3, 6)
   }
 
+  /** Token windows for context-length chunking: starts at 0, stride
+    * `stride`, each chunk `chunkLen` tokens (the tail chunk may be
+    * shorter; a token-less doc yields one empty chunk). Emitted as an
+    * array of (chunk_idx, toks) structs to explode — pure codegen, the
+    * per-doc work is O(len · chunkLen / stride).
+    */
+  def tokenChunks(toks: Column, chunkLen: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      s => struct((s / stride).cast("int").as("chunk_idx"),
+        slice(toks, s + 1, lit(chunkLen)).as("toks")))
+
   /** Stable document fingerprint: md5 of normalized text. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))

@@ -458,6 +458,36 @@ object TextQueries {
         FROM t JOIN v USING (w)
         GROUP BY doc_id"""),
       "unigram-LM quality scoring (CCNet shape, deterministic stand-in): " +
-        "ppb-quantized token frequencies, order-independent doc sums")
+        "ppb-quantized token frequencies, order-independent doc sums"),
+
+    // Context-window chunking: every training pipeline's step between
+    // cleaning and packing — split each doc into 100-token windows with
+    // 80-token stride (20-token overlap). Pure map-side explode; chunk
+    // count per doc is bounded by doc length, never corpus size.
+    Q("q90_context_chunks",
+      (s, dir) => {
+        val chunks = graft.functions.TextFunctions.tokenChunks(
+          tokens(col("text")), chunkLen = 100, stride = 80)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(chunks).as("c"))
+          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+            size(col("c.toks")).as("n_toks"),
+            concat_ws(" ", col("c.toks")).as("chunk_text"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+            x -> LEN(x) > 0) AS t
+          FROM documents),
+        st AS (
+          SELECT doc_id, t,
+            UNNEST(RANGE(0, GREATEST(LEN(t), 1), 80)) AS s
+          FROM toks)
+        SELECT doc_id, CAST(s // 80 AS INT) AS chunk_idx,
+          LEN(t[CAST(s + 1 AS INT):CAST(s + 100 AS INT)]) AS n_toks,
+          ARRAY_TO_STRING(t[CAST(s + 1 AS INT):CAST(s + 100 AS INT)], ' ')
+            AS chunk_text
+        FROM st"""),
+      "context-window chunking: 100-token windows, 80-token stride, " +
+        "map-side explode only")
   )
 }
