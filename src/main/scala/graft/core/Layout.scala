@@ -27,18 +27,25 @@ object Layout {
     */
   def saveBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit = {
-    val spark = df.sparkSession
+    dropManaged(df.sparkSession, table)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Drop a managed table AND its leftover warehouse directory (a fresh
+    * session's catalog does not know a previous run's directory, and
+    * saveAsTable refuses to overwrite an unregistered location).
+    */
+  private def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = spark.sessionState.catalog.defaultTablePath(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
-      .format("parquet")
-      .saveAsTable(table)
   }
 
   /** Save as a value-partitioned managed table (one directory per distinct
@@ -51,13 +58,7 @@ object Layout {
     * for co-located joins, this for probe-pruned point/ANN reads.
     */
   def savePartitionedTable(df: DataFrame, table: String, partCol: String): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = spark.sessionState.catalog.defaultTablePath(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val p = new org.apache.hadoop.fs.Path(loc)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    dropManaged(df.sparkSession, table)
     df.write.mode("overwrite")
       .partitionBy(partCol)
       .format("parquet")

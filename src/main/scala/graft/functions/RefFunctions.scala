@@ -136,7 +136,9 @@ object RefFunctions {
       // truncating — matches .NET custom-mask zero padding
       if (decimals == 0) format_string(s"%0${f.length}d", c.cast("long"))
       else format_string(s"%0${f.length}.${decimals}f", c.cast("double"))
-    case f if f.matches("[yMdHmsft:\\-/ .T]+") && f.exists("yMd".contains(_)) =>
+    case f if f.matches("[yMdHmsft:\\-/ .T]+") &&
+        f.exists("yMdHmsf".contains(_)) => // any date OR time token
+      // (time-only patterns like HH:mm:ss are valid .NET formats too)
       // .NET custom date/time pattern over a timestamp column; tokens
       // shared with Java's DateTimeFormatter except fractional seconds
       // (f -> S) and the am/pm designator (tt -> a). Letters that are

@@ -162,8 +162,11 @@ object Dedup {
       .select(col("eval_id"), explode(col("_bk")).as("bucket"))
     val corpusBuckets = corpus.select(col(corpusId).as("train_id"), bkExpr.as("_bk"))
       .select(col("train_id"), explode(col("_bk")).as("bucket"))
+    // materialize candidates ONCE: the two broadcasts below are distinct
+    // subtrees with no exchange reuse, so without this the full-corpus
+    // band-key scan — the expensive pass — would execute twice
     val cand = corpusBuckets.join(broadcast(evalBuckets), "bucket")
-      .select("train_id", "eval_id").distinct()
+      .select("train_id", "eval_id").distinct().localCheckpoint(true)
     val evalSh = evalSet.select(col(evalId).as("eval_id"), shExpr.as("eshs"))
     // candidate filter BEFORE the shingle projection — and the pair
     // expansion AFTER it: the broadcast semi-filter runs on the raw
@@ -197,12 +200,19 @@ object Dedup {
     * centroid distance reuses the assignment fold's arithmetic — no
     * second pass over the vectors.
     *
-    * Output: (id, cell, centroid_dist, cluster_id, keep).
+    * Output: (id, cell, centroid_dist, cluster_id, keep). Rows with a
+    * null embedding are absent from the output — they cannot be
+    * semantically compared, and admitting their sentinel cell (-1) to
+    * pair generation would form one unbounded block.
     */
   def semDedupKeepList(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Float])], eps: Double): DataFrame = {
+    // null embeddings carry the sentinel cell -1 out of ivfAssign; they
+    // must not enter pair generation (they would form ONE unbounded block
+    // whose cross-product is enumerated before the null cosines filter)
     val assigned = graft.operators.Similarity
       .ivfAssign(vectors, idCol, vecCol, centroids)
+      .filter(col("cell") =!= -1L)
       .select(col(idCol).as("id"), col("cell"), col(vecCol).as("v"),
         round(least(centroids.sortBy(_._1).map { case (_, cv) =>
           graft.operators.Similarity.l2(col(vecCol), typedLit(cv))

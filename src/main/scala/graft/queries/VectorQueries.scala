@@ -198,7 +198,8 @@ object VectorQueries {
           CAST(ROUND(e.embedding[CAST(t.i AS INT)]::DOUBLE * 1000000.0) AS BIGINT) AS f
         FROM embeddings e
         JOIN cells c ON c.vec_id = e.vec_id
-        CROSS JOIN RANGE(1, 65) t(i))
+        CROSS JOIN RANGE(1, 65) t(i)
+        WHERE e.embedding IS NOT NULL)
       SELECT cell, pos, COUNT(*) AS n,
         ROUND(CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS c
       FROM x GROUP BY cell, pos"""

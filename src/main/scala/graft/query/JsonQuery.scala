@@ -43,13 +43,14 @@ object JsonQuery {
         // LIMIT move with them so ordering can reference computed aliases
         val base = engine.run(
           toParsed(ir).copy(select = Nil, orderBy = None, limit = None))
-        val plain = ir.select.map(s =>
-          col(resolve(base, s.name))
-            .as(s.alias.getOrElse(NaturalQuery.splitQualified(s.name)._2)))
-        val comp = ir.computed.map { case (e, alias) =>
-          lowerExpr(base, e).as(alias)
+        // emit in DECLARED order — a positional consumer of the IR must
+        // see plain and computed entries exactly where it declared them
+        val cols = ir.selectOrdered.map {
+          case Left(s) => col(resolve(base, s.name))
+            .as(s.alias.getOrElse(NaturalQuery.splitQualified(s.name)._2))
+          case Right((e, alias)) => lowerExpr(base, e).as(alias)
         }
-        orderLimit(base.select(plain ++ comp: _*), ir)
+        orderLimit(base.select(cols: _*), ir)
       }
     } else {
       // ORDER BY / LIMIT apply to the aggregated result, not the core
@@ -192,7 +193,10 @@ object JsonQuery {
       orderBy: Option[(String, Boolean)],
       limit: Option[Int],
       having: Seq[NaturalQuery.Cond] = Nil,
-      computed: Seq[(ExprIr, String)] = Nil) {
+      computed: Seq[(ExprIr, String)] = Nil,
+      // plain + computed select entries in DECLARED order (Left = plain,
+      // Right = computed) — the projection a positional consumer sees
+      selectOrdered: Seq[Either[NaturalQuery.Sel, (ExprIr, String)]] = Nil) {
     def table: String = tables.head
   }
 
@@ -297,12 +301,14 @@ object JsonQuery {
       case JNothing => Nil
       case other => throw new IllegalArgumentException(s"bad select: $other")
     }
-    val sels = selectItems.filter(i => (i \ "expr") == JNothing).map(i =>
-      NaturalQuery.Sel(str(i \ "name"), (i \ "alias").toOption.map(str)))
-    val computed = selectItems.collect {
-      case i if (i \ "expr") != JNothing =>
-        (exprIr(i \ "expr"), str(i \ "alias"))
-    }
+    val selectOrdered: Seq[Either[NaturalQuery.Sel, (ExprIr, String)]] =
+      selectItems.map { i =>
+        if ((i \ "expr") == JNothing)
+          Left(NaturalQuery.Sel(str(i \ "name"), (i \ "alias").toOption.map(str)))
+        else Right((exprIr(i \ "expr"), str(i \ "alias")))
+      }
+    val sels = selectOrdered.collect { case Left(s) => s }
+    val computed = selectOrdered.collect { case Right(c) => c }
     val include = (root \ "include").toOption.map(i =>
       (str(i \ "table"), conds(i \ "where")))
     val orderBy = (root \ "orderBy").toOption.map(o =>
@@ -348,6 +354,6 @@ object JsonQuery {
     if (having.nonEmpty && aggs.isEmpty)
       throw new IllegalArgumentException("having requires groupBy + agg")
     Ir(tables, on, conds(root \ "where"), sels, include, groupBy, aggs,
-      orderBy, limit, having, computed)
+      orderBy, limit, having, computed, selectOrdered)
   }
 }

@@ -37,11 +37,24 @@ final class LiteSql(
   // (LiteDB/Utils/Collation.cs via BsonValue.CompareTo).
   private var current: Map[String, DataFrame] =
     tables.map { case (n, df) => n -> collation.collate(df) }
-  current.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  refreshViews()
+
+  /** Temp views are session-global, so another live LiteSql instance (e.g.
+    * one with a different collation) may have re-registered the same
+    * names since this instance last ran. Re-assert OUR bindings before
+    * every command — interleaved sequential use of multiple instances on
+    * one session then stays correct (concurrent use of one SparkSession's
+    * catalog is inherently racy and out of scope).
+    */
+  private def refreshViews(): Unit =
+    current.foreach { case (n, df) => df.createOrReplaceTempView(n) }
 
   def table(name: String): DataFrame = current(name.toLowerCase)
 
-  def run(liteSql: String): DataFrame = spark.sql(translate(liteSql))
+  def run(liteSql: String): DataFrame = {
+    refreshViews()
+    spark.sql(translate(liteSql))
+  }
 
   /** Full command dispatch by first keyword (SqlParser.cs:32-49; the
     * storage-engine commands CHECKPOINT/REBUILD/PRAGMA/BEGIN/COMMIT have
@@ -55,6 +68,7 @@ final class LiteSql(
     // tabs/double spaces are data, not syntax
     val sql = replaceOutsideQuotes(liteSql.trim, _.replaceAll("\\s+", " "))
     val kw = sql.takeWhile(!_.isWhitespace).toUpperCase
+    refreshViews() // see run(): another instance may hold the view names
     kw match {
       case "SELECT" => run(sql)
       case "EXPLAIN" =>
@@ -436,9 +450,19 @@ object LiteSql {
   // the bench/verify drivers) pays it once. DataFrames are immutable
   // plans — DML inside one LiteSql instance rebinds its own views, never
   // these cached frames.
+  // NOTE: entries live for the process; a rewritten data directory (e.g. a
+  // regenerated test dir) serves stale file listings until invalidated.
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), Map[String, org.apache.spark.sql.DataFrame]]
+
+  /** Drop cached table maps — all of them, or one data directory's. Call
+    * after rewriting a directory in place or stopping a session.
+    */
+  def invalidateCache(dir: Option[String] = None): Unit = dir match {
+    case None => tableCache.clear()
+    case Some(d) => tableCache.keySet.removeIf(_._2 == d)
+  }
 
   def apply(spark: SparkSession, sfDir: String,
       collation: graft.core.Collation): LiteSql = {

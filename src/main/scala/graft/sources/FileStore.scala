@@ -41,9 +41,14 @@ final class FileStore(spark: SparkSession, root: String) {
 
   private def hasData(dir: String): Boolean = {
     val p = Paths.get(dir)
-    Files.exists(p) && Files.list(p).anyMatch(f =>
-      f.getFileName.toString.endsWith(".parquet") ||
-        f.getFileName.toString == "_SUCCESS")
+    if (!Files.exists(p)) false
+    else {
+      val s = Files.list(p)
+      try s.anyMatch(f =>
+        f.getFileName.toString.endsWith(".parquet") ||
+          f.getFileName.toString == "_SUCCESS")
+      finally s.close() // Files.list holds an open fd until closed
+    }
   }
 
   /** All stored versions (blob table). */
@@ -148,18 +153,36 @@ final class FileStore(spark: SparkSession, root: String) {
     appendEvent(fileId, user, "rename", -1, StatusNone)
   }
 
-  /** Bulk ingest every file under `dir` via Spark's binaryFile source —
-    * the read (paths, sizes, contents) is distributed; each file becomes
-    * version 1 of a new store entry. Returns (originalPath -> fileId).
+  /** Bulk ingest every file under `dir` via Spark's binaryFile source.
+    * File CONTENT never reaches the driver: ids are assigned from the
+    * (small) path listing, joined back by path, and the blob rows — hash,
+    * size, bytes — are computed and appended executor-side in one
+    * distributed write. Metadata is rewritten once and the events land as
+    * one batch, so n files cost O(n) appends, not n serial check-ins.
+    * Returns (originalPath -> fileId).
     */
   def ingestDirectory(user: String, dir: String): Map[String, String] = {
-    val bin = spark.read.format("binaryFile").load(dir)
+    import spark.implicits._
+    val paths = spark.read.format("binaryFile").load(dir)
+      .select("path").as[String].collect().toSeq
+    if (paths.isEmpty) return Map.empty
+    val ids = paths.map(p => p -> java.util.UUID.randomUUID().toString).toMap
+    val ts = now()
+    val idDf = ids.toSeq.toDF("path", "file_id")
+    spark.read.format("binaryFile").load(dir)
       .select("path", "content")
-    bin.collect().map { r =>
-      val path = r.getAs[String]("path")
-      val name = path.substring(path.lastIndexOf('/') + 1)
-      path -> addNewFile(user, name, r.getAs[Array[Byte]]("content"))
-    }.toMap
+      .join(broadcast(idDf), "path")
+      .select(col("file_id"), lit(1).as("version"), lit(ts).as("ts_us"),
+        sha2(col("content"), 256).as("sha256"),
+        length(col("content")).cast("long").as("n_bytes"), col("content"))
+      .write.mode("append").parquet(versionsDir)
+    val metas = paths.map { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      Meta(ids(p), name, extOf(name), 1, ts, deleted = false)
+    }
+    writeMeta(allMeta ++ metas)
+    appendEvents(metas.map(m => (m.fileId, user, "new", 1, StatusCheckin)))
+    ids
   }
 
   // ---- internals ----------------------------------------------------------
@@ -204,10 +227,20 @@ final class FileStore(spark: SparkSession, root: String) {
       .filter(_.getAs[String]("status") == StatusCheckout)
 
   private def appendEvent(fileId: String, user: String, op: String,
-      version: Int, status: String): Unit = {
+      version: Int, status: String): Unit =
+    appendEvents(Seq((fileId, user, op, version, status)))
+
+  /** One event-log append for a batch, with one max(seq) scan for the
+    * whole range.
+    */
+  private def appendEvents(
+      rows: Seq[(String, String, String, Int, String)]): Unit = {
     import spark.implicits._
-    val seq = events.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0) + 1
-    Seq((seq, fileId, user, op, version, status, now()))
+    val base = events.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+    val ts = now()
+    rows.zipWithIndex.map { case ((fileId, user, op, version, status), i) =>
+      (base + i + 1, fileId, user, op, version, status, ts)
+    }
       .toDF("seq", "file_id", "user", "op", "version", "status", "ts_us")
       .write.mode("append").parquet(eventsDir)
   }
@@ -231,9 +264,12 @@ final class FileStore(spark: SparkSession, root: String) {
         "deleted")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val dst = Paths.get(filesPath)
-    if (Files.exists(dst))
-      Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(dst)) {
+      val w = Files.walk(dst)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally w.close()
+    }
     Files.move(Paths.get(tmp), dst)
   }
 

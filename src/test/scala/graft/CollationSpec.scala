@@ -99,6 +99,23 @@ class CollationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("LiteSql instances with different collations stay isolated on one " +
+      "session (views re-asserted per command)") {
+    val mk = (c: Collation) => new graft.query.LiteSql(
+      spark, Map("people" -> people),
+      Map.empty[(String, String), (String, String)], c)
+    val ci = mk(Collation.IgnoreCase)
+    val bin = mk(Collation.Binary) // constructed LAST — re-registered views
+    // the earlier instance must still see ITS collation, not bin's
+    assert(ci.run("SELECT id FROM people WHERE name = 'alice'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(bin.run("SELECT id FROM people WHERE name = 'alice'")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // and again after the other instance ran
+    assert(ci.run("SELECT id FROM people WHERE name = 'alice'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("FluentQuery via GraftDatabase: database collation applies to " +
       "chained predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_coll").toString

@@ -216,6 +216,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L)._4 == 3L && out(3L)._5)        // cross-cell singleton kept
   }
 
+  test("semDedupKeepList excludes null embeddings from pair generation") {
+    val cents = Seq(0L -> Seq(0f, 0f), 1L -> Seq(10f, 10f))
+    val vs = Seq(
+      (1L, Some(Seq(1f, 1f))),
+      (2L, Option.empty[Seq[Float]]), // sentinel cell -1: must not block
+      (3L, Option.empty[Seq[Float]]),
+      (4L, Some(Seq(9f, 9f)))
+    ).toDF("id", "v")
+    val out = graft.operators.Dedup
+      .semDedupKeepList(vs, "id", "v", cents, eps = -1.0)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L)) // null rows absent, no -1 mega-block
+  }
+
   test("minhashLshCrossMatches flags contaminated train docs by containment") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // identical to eval 100

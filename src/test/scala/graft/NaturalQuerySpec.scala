@@ -225,4 +225,18 @@ class NaturalQuerySpec extends AnyFunSuite {
       """{"table": "customer",
           "select": [{"expr": {"fn": "system", "args": []}, "alias": "x"}]}"""))
   }
+
+  test("JsonQuery: mixed plain/computed selects keep declared column order") {
+    import graft.query.JsonQuery
+    val got = JsonQuery.run(engine,
+      """{"table": "customer",
+          "select": [
+            {"expr": {"fn": "upper", "args": [{"col": "c_name"}]}, "alias": "u"},
+            {"name": "c_custkey"},
+            {"expr": {"fn": "concat",
+              "args": [{"lit": "k"}, {"col": "c_custkey"}]}, "alias": "tag"}],
+          "limit": 1}""")
+    // a positional consumer of the IR must see (u, c_custkey, tag)
+    assert(got.columns.toSeq == Seq("u", "c_custkey", "tag"))
+  }
 }

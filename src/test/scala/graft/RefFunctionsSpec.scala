@@ -79,6 +79,16 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(row.getString(4) == "1234.57")
   }
 
+  test("formatNet accepts time-only date patterns") {
+    val ts = Seq(java.sql.Timestamp.valueOf("2024-03-05 14:07:09.123"))
+      .toDF("ts")
+    val r = ts.select(
+      formatNet($"ts", "HH:mm:ss").as("t1"),
+      formatNet($"ts", "HH:mm:ss.fff").as("t2")).head()
+    assert(r.getAs[String]("t1") == "14:07:09")
+    assert(r.getAs[String]("t2") == "14:07:09.123")
+  }
+
   test("formatNet extended surface: scientific, percent, masks, dates") {
     val df = Seq((1052.0329112756, 0.50125, 1234.5, 1.5))
       .toDF("sci", "pct", "grp", "opt")
