@@ -236,30 +236,84 @@ object PipelineQueries {
             (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
               .as("keep"))
       },
-      Some("""WITH RECURSIVE d AS (
-          SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
-            LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
-              x -> LEN(x) > 0)) AS toks
-          FROM documents),
-        pairs AS (
-          SELECT a.doc_id AS id1, b.doc_id AS id2
-          FROM d a JOIN d b
-            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-          WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
-              / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1), 6) >= 0.6),
-        edges AS (
-          SELECT id1 AS src, id2 AS dst FROM pairs
-          UNION SELECT id2, id1 FROM pairs),
-        reach AS (
-          SELECT src AS id, src AS r FROM edges
-          UNION
-          SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-        labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-        SELECT doc_id,
-          COALESCE(l.cluster_id, doc_id) AS canonical_id,
-          (COALESCE(l.cluster_id, doc_id) = doc_id) AS keep
-        FROM documents LEFT JOIN labels l ON l.id = documents.doc_id"""),
+      Some(PipelineQueries.keeplistOracleSql),
       "dedup keep-list: per-doc canonical id + keep/drop verdict " +
-        "(the artifact a training run joins against)")
+        "(the artifact a training run joins against)"),
+
+    // The flagship curation query: one row per training-split document
+    // with every gate's verdict and the final curated flag — fuzzy-dedup
+    // keep (q87), repetition keep (q83), decontamination (q79; absent
+    // from the overlap output = clean). This is the query a pipeline runs
+    // LAST; each gate keeps its own scale shape (blocked CC, doc-scoped
+    // aggs, broadcast eval set), composed by doc_id equijoins.
+    Q("q91_curated_corpus",
+      (s, dir) => {
+        val kl = Catalog.byName("q87_dedup_keeplist").run(s, dir)
+          .select(col("doc_id"), col("keep").as("dedup_keep"))
+        val rf = Catalog.byName("q83_repetition_filter").run(s, dir)
+          .select(col("doc_id"), col("keep").as("rep_keep"))
+        val ct = Catalog.byName("q79_contamination").run(s, dir)
+          .select(col("doc_id"), col("contam_ratio"))
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0)
+          .select("doc_id")
+          .join(kl, "doc_id").join(rf, "doc_id")
+          .join(ct, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dedup_keep"), col("rep_keep"),
+            coalesce(col("contam_ratio"), lit(0.0)).as("contam_ratio"),
+            (col("dedup_keep") && col("rep_keep") &&
+              coalesce(col("contam_ratio"), lit(0.0)) < 0.2).as("curated"))
+      },
+      Some(PipelineQueries.curatedOracleSql),
+      "end-to-end corpus curation: dedup keep x repetition keep x " +
+        "decontamination composed into the final training-set verdict")
   )
+
+  /** The q87 oracle, factored for reuse by q91's composition. */
+  lazy val keeplistOracleSql: String =
+    """WITH RECURSIVE d AS (
+        SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+          LIST_DISTINCT(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+            x -> LEN(x) > 0)) AS toks
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+            / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 1), 6) >= 0.6),
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT doc_id,
+        COALESCE(l.cluster_id, doc_id) AS canonical_id,
+        (COALESCE(l.cluster_id, doc_id) = doc_id) AS keep
+      FROM documents LEFT JOIN labels l ON l.id = documents.doc_id"""
+
+  /** q91's oracle: the q87/q83/q79 oracles verbatim as nested-WITH CTEs
+    * (each one is a complete SELECT), composed by doc_id equijoins — so
+    * the composition is checked against the same per-gate SQL already
+    * proven against each individual query.
+    */
+  lazy val curatedOracleSql: String = {
+    def oracleOf(name: String): String =
+      TextQueries.all.find(_.name == name).get.oracle.get
+    s"""WITH kl AS ($keeplistOracleSql),
+      rf AS (${oracleOf("q83_repetition_filter")}),
+      ct AS (${oracleOf("q79_contamination")})
+      SELECT d.doc_id, kl.keep AS dedup_keep, rf.keep AS rep_keep,
+        COALESCE(ct.contam_ratio, 0.0) AS contam_ratio,
+        (kl.keep AND rf.keep AND COALESCE(ct.contam_ratio, 0.0) < 0.2)
+          AS curated
+      FROM documents d
+      JOIN kl ON kl.doc_id = d.doc_id
+      JOIN rf ON rf.doc_id = d.doc_id
+      LEFT JOIN ct ON ct.doc_id = d.doc_id
+      WHERE d.doc_id % 5 <> 0"""
+  }
 }
