@@ -266,7 +266,108 @@ object PipelineQueries {
       },
       Some(PipelineQueries.curatedOracleSql),
       "end-to-end corpus curation: dedup keep x repetition keep x " +
-        "decontamination composed into the final training-set verdict")
+        "decontamination composed into the final training-set verdict"),
+
+    // DSIR-shaped importance resampling (Xie et al. 2023): hashed unigram
+    // buckets, target distribution from the held-out eval split
+    // (doc_id%5=0), raw from the train split; per-bucket importance ratio
+    // ppb-quantized (integer doc sums stay order-independent), per-doc
+    // weight = mean bucket ratio. Two shuffles (256-row bucket agg + doc
+    // rollup); the ratio table broadcasts to the token stream.
+    Q("q93_dsir_weights",
+      (s, dir) => {
+        val bucket =
+          conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int")
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .select(col("doc_id"), bucket.as("b"))
+        val bcnt = toks.groupBy("b").agg(
+          sum(when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("t_cnt"),
+          sum(when(col("doc_id") % 5 =!= 0, 1L).otherwise(0L)).as("r_cnt"))
+        val ratio = bcnt
+          .crossJoin(broadcast(
+            bcnt.agg(sum(col("t_cnt")).as("t_tot"), sum(col("r_cnt")).as("r_tot"))))
+          .select(col("b"),
+            round(lit(1e9) * (col("t_cnt") + lit(1L)) * (col("r_tot") + lit(256L)) /
+              ((col("r_cnt") + lit(1L)) * (col("t_tot") + lit(256L))))
+              .cast("long").as("ratio_ppb"))
+        toks.filter(col("doc_id") % 5 =!= 0)
+          .join(broadcast(ratio), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("ratio_ppb")).as("w_sum_ppb"))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("w_sum_ppb").cast("double") /
+              (col("n_toks").cast("double") * lit(1e9)), 6).as("mean_ratio"),
+            (col("w_sum_ppb") >= col("n_toks") * lit(1000000000L))
+              .as("selected"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            (STRPOS('0123456789abcdef', SUBSTR(MD5(w), 1, 1)) - 1) * 16 +
+            (STRPOS('0123456789abcdef', SUBSTR(MD5(w), 2, 1)) - 1) AS b
+          FROM (SELECT doc_id, UNNEST(LIST_FILTER(
+              REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> LEN(x) > 0)) AS w
+            FROM documents)),
+        bc AS (
+          SELECT b,
+            SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS t_cnt,
+            SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS r_cnt
+          FROM t GROUP BY b),
+        tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM bc),
+        ratio AS (
+          SELECT b, CAST(ROUND(1000000000.0 * (t_cnt + 1) * (r_tot + 256)
+              / ((r_cnt + 1) * (t_tot + 256)), 0) AS BIGINT) AS ratio_ppb
+          FROM bc, tot)
+        SELECT doc_id, COUNT(*) AS n_toks,
+          ROUND(CAST(SUM(ratio_ppb) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0), 6) AS mean_ratio,
+          (CAST(SUM(ratio_ppb) AS BIGINT) >= COUNT(*) * 1000000000)
+            AS selected
+        FROM t JOIN ratio USING (b)
+        WHERE doc_id % 5 <> 0
+        GROUP BY doc_id"""),
+      "DSIR importance resampling: hashed-unigram bucket ratios " +
+        "(eval-target vs train-raw), ppb-quantized, per-doc mean weight"),
+
+    // Domain-mixture planning (the DoReMi/data-mixing front door): per
+    // source, token inventory + corpus share, and the downsample-to-min
+    // acceptance rate that yields a uniform token mixture across sources.
+    // One shuffle (source agg over map-side token counts); the 1-row min
+    // broadcasts back.
+    Q("q94_domain_mix",
+      (s, dir) => {
+        val perSource = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_toks"))
+        perSource
+          .crossJoin(broadcast(perSource.agg(
+            sum(col("n_toks")).as("tot_toks"),
+            min(col("n_toks")).as("min_toks"))))
+          .select(col("source"), col("n_docs"), col("n_toks"),
+            round(col("n_toks").cast("double") * lit(1e6) /
+              col("tot_toks").cast("double")).cast("long").as("share_ppm"),
+            round(col("min_toks").cast("double") * lit(1e6) /
+              col("n_toks").cast("double")).cast("long").as("rate_ppm"))
+      },
+      Some("""WITH ps AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+              x -> LEN(x) > 0))) AS BIGINT) AS n_toks
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT SUM(n_toks) AS tot_toks, MIN(n_toks) AS min_toks FROM ps)
+        SELECT source, n_docs, n_toks,
+          CAST(ROUND(CAST(n_toks AS DOUBLE) * 1000000.0
+            / CAST(tot_toks AS DOUBLE), 0) AS BIGINT) AS share_ppm,
+          CAST(ROUND(CAST(min_toks AS DOUBLE) * 1000000.0
+            / CAST(n_toks AS DOUBLE), 0) AS BIGINT) AS rate_ppm
+        FROM ps, tot"""),
+      "domain-mixture planning: per-source token shares and the " +
+        "downsample-to-min rates for a uniform cross-source mixture")
   )
 
   /** The q87 oracle, factored for reuse by q91's composition. */

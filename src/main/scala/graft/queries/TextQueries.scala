@@ -488,6 +488,55 @@ object TextQueries {
             AS chunk_text
         FROM st"""),
       "context-window chunking: 100-token windows, 80-token stride, " +
-        "map-side explode only")
+        "map-side explode only"),
+
+    // Exact repeated-span detection (the distributed shape of
+    // suffix-array substring dedup, Lee et al. 2022): hash every 10-token
+    // window, mark spans occurring in >= 2 distinct docs, report each
+    // doc's duplicated-window share. The full span stream shuffles ONCE
+    // (to the (h, doc_id) partial agg); the window count and the per-doc
+    // rollup run over the reduced distinct-pair table.
+    Q("q92_span_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val spans = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"),
+            explode(wordShingles(col("t"), 10)).as("span"))
+          .select(col("doc_id"), md5(col("span")).as("h"))
+        val perDoc = spans.groupBy(col("h"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+        perDoc
+          .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("h")))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_spans"),
+            sum(when(col("ndocs") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup"),
+            round(col("n_dup").cast("double") /
+              col("n_spans").cast("double"), 6).as("dup_frac"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+            x -> LEN(x) > 0) AS t
+          FROM documents),
+        spans AS (
+          SELECT doc_id,
+            UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(t) - 10, 0) + 1),
+              i -> MD5(ARRAY_TO_STRING(
+                t[CAST(i + 1 AS INT):CAST(i + 10 AS INT)], ' ')))) AS h
+          FROM toks),
+        perdoc AS (
+          SELECT h, doc_id, COUNT(*) AS c FROM spans GROUP BY h, doc_id),
+        withn AS (
+          SELECT doc_id, c, COUNT(*) OVER (PARTITION BY h) AS ndocs
+          FROM perdoc)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_spans,
+          CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT)
+            AS n_dup,
+          ROUND(CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac
+        FROM withn GROUP BY doc_id"""),
+      "repeated-span dedup (suffix-array substring-dedup shape): 10-token " +
+        "window hashes, cross-doc duplicate marking, per-doc dup share")
   )
 }
