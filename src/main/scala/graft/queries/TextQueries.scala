@@ -537,6 +537,91 @@ object TextQueries {
             / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac
         FROM withn GROUP BY doc_id"""),
       "repeated-span dedup (suffix-array substring-dedup shape): 10-token " +
-        "window hashes, cross-doc duplicate marking, per-doc dup share")
+        "window hashes, cross-doc duplicate marking, per-doc dup share"),
+
+    // The published Gopher document-quality rule set (Rae et al. 2021
+    // §A1.1) — per-rule booleans + composite keep. Pure codegen HOF
+    // projection over one tokenization: no shuffle, runs at scan speed.
+    Q("q95_gopher_rules",
+      (s, dir) =>
+        graft.operators.QualityFilters.gopherRules(
+          Tables.load(s, dir, "documents"), "doc_id", "text", minWords = 50),
+      Some("""WITH toks AS (
+          SELECT doc_id, text,
+            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+              x -> LEN(x) > 0) AS t,
+            LIST_FILTER(STR_SPLIT(text, CHR(10)),
+              l -> LEN(TRIM(l)) > 0) AS ls
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            LEN(t) AS n_words,
+            ROUND(CAST(LIST_REDUCE(LIST_PREPEND(0,
+                LIST_TRANSFORM(t, w -> LEN(w))), (a, b) -> a + b) AS DOUBLE)
+              / GREATEST(LEN(t), 1), 6) AS mean_word_len,
+            ROUND((LEN(LIST_FILTER(t, w -> CONTAINS(w, '#')))
+                + (LEN(text) - LEN(REPLACE(text, '...', ''))) / 3.0)
+              / GREATEST(LEN(t), 1), 6) AS symbol_ratio,
+            ROUND(CAST(LEN(LIST_FILTER(t,
+                w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS DOUBLE)
+              / GREATEST(LEN(t), 1), 6) AS alpha_frac,
+            LEN(LIST_INTERSECT(t,
+              ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+            ROUND(CAST(LEN(LIST_FILTER(ls,
+                l -> REGEXP_MATCHES(TRIM(l), '^[-*•]'))) AS DOUBLE)
+              / GREATEST(LEN(ls), 1), 6) AS bullet_frac,
+            ROUND(CAST(LEN(LIST_FILTER(ls,
+                l -> REGEXP_MATCHES(TRIM(l), '\.\.\.$'))) AS DOUBLE)
+              / GREATEST(LEN(ls), 1), 6) AS ellipsis_line_frac
+          FROM toks)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+          stop_hits, bullet_frac, ellipsis_line_frac,
+          (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+          (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_len,
+          (symbol_ratio <= 0.1) AS rule_symbols,
+          (alpha_frac >= 0.8) AS rule_alpha,
+          (stop_hits >= 2) AS rule_stopwords,
+          (bullet_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS rule_lines,
+          ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+            AND stop_hits >= 2
+            AND (bullet_frac <= 0.9 AND ellipsis_line_frac <= 0.3)) AS keep
+        FROM m"""),
+      "Gopher document-quality rules (word count, mean word length, " +
+        "symbol/alpha ratios, stopword hits, line shapes) -> keep verdict"),
+
+    // BPE merge learning (Sennrich et al. 2016): the corpus reduces to
+    // its word-frequency table first (the only corpus-sized shuffle),
+    // then adjacent-pair counts explode over the VOCAB table and shuffle
+    // on the tiny pair key. Top-20 merges with a total-order tiebreak.
+    Q("q96_bpe_merge_step",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val freqs = graft.operators.TokenizerTraining.wordFrequencies(
+          Tables.load(s, dir, "documents"), "text")
+        graft.operators.TokenizerTraining.bpePairCounts(freqs)
+          .orderBy(col("merge_count").desc, col("pair"))
+          .limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("merge_count").desc, col("pair"))))
+      },
+      Some("""WITH w AS (
+          SELECT UNNEST(LIST_FILTER(
+            REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> LEN(x) > 0)) AS word
+          FROM documents),
+        wc AS (SELECT word, COUNT(*) AS word_cnt FROM w GROUP BY word),
+        p AS (
+          SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word)),
+              i -> SUBSTR(word, CAST(i AS INT), 2))) AS pair, word_cnt
+          FROM wc WHERE LEN(word) >= 2),
+        pc AS (
+          SELECT pair, SUM(word_cnt) AS merge_count FROM p GROUP BY pair)
+        SELECT pair, CAST(merge_count AS BIGINT) AS merge_count,
+          CAST(ROW_NUMBER() OVER (ORDER BY merge_count DESC, pair) AS INT)
+            AS rank
+        FROM pc ORDER BY merge_count DESC, pair LIMIT 20"""),
+      "BPE merge-learning step: vocab-bounded adjacent-pair counting, " +
+        "top-20 merge candidates")
   )
 }

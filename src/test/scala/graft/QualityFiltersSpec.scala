@@ -31,4 +31,46 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(!m.contains(1L))
     assert(m(2L) == ((2L, 1, 1.0, 1.0, 0.0)))
   }
+
+  test("gopherRules: each rule trips on its crafted violator") {
+    val good = ("the cat sat and that dog ran to be of note with care " * 5).trim
+    val docs = Seq(
+      (1L, good),                                 // passes every rule
+      (2L, "the of and " + ("x " * 5).trim),      // too few words
+      (3L, good + " " + ("ab#cd " * 20).trim),    // symbol ratio > 0.1
+      (4L, good + " " + ("99 " * 60).trim),       // alpha frac < 0.8
+      (5L, ("walrus keeps humming bright tunes " * 12).trim), // no stopwords
+      (6L, (1 to 60).map(i => s"- the bullet of $i and that").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val r = QualityFilters.gopherRules(docs, "doc_id", "text", minWords = 20)
+      .select("doc_id", "rule_word_count", "rule_symbols", "rule_alpha",
+        "rule_stopwords", "rule_lines", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(r(1L)._7, "clean doc must keep")
+    assert(!r(2L)._2 && !r(2L)._7, "short doc fails word count")
+    assert(!r(3L)._3 && !r(3L)._7, "hash-heavy doc fails symbol rule")
+    assert(!r(4L)._4 && !r(4L)._7, "digit-heavy doc fails alpha rule")
+    assert(!r(5L)._5 && !r(5L)._7, "stopword-free doc fails stopword rule")
+    assert(!r(6L)._6 && !r(6L)._7, "all-bullet doc fails line-shape rule")
+  }
+
+  test("gopherRules mean-word-length band catches mash and acronym soup") {
+    val mash = ("pneumonoultramicroscopic " * 60).trim  // mean len 24
+    val acro = ("a b c d e f g h i j " * 6).trim       // mean len 1
+    val docs = Seq((1L, mash), (2L, acro)).toDF("doc_id", "text")
+    val r = QualityFilters.gopherRules(docs, "doc_id", "text", minWords = 20)
+      .select("doc_id", "rule_mean_len")
+      .as[(Long, Boolean)].collect().toMap
+    assert(!r(1L) && !r(2L))
+  }
+
+  test("bpePairCounts weights pairs by corpus word frequency") {
+    val docs = Seq((1L, "aba aba cd"), (2L, "aba e")).toDF("doc_id", "text")
+    val freqs = graft.operators.TokenizerTraining.wordFrequencies(docs, "text")
+    val pairs = graft.operators.TokenizerTraining.bpePairCounts(freqs)
+      .as[(String, Long)].collect().toMap
+    // "aba" x3 contributes ab,ba each x3; "cd" x1; "e" has no pairs
+    assert(pairs == Map("ab" -> 3L, "ba" -> 3L, "cd" -> 1L))
+  }
 }
