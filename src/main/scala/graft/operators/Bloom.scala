@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable Bloom-filter membership for blocklist checks at corpus scale
+  * (URL blocklists, decontamination fingerprint sets, opt-out lists).
+  *
+  * Scale shape (100 TB): the build side collapses to at most `mBits/64`
+  * rows (one per 64-bit word) via a single bounded aggregation, then the
+  * whole filter travels to the probe side as ONE broadcast row holding a
+  * dense `array<long>`. The probe is a pure projection — no explode, no
+  * shuffle of the big side, no per-row join — so membership runs at scan
+  * speed; only the verdict aggregation (if any) shuffles.
+  *
+  * Hashes are md5-derived (first 48 bits of `md5(j + "|" + key)` modulo
+  * `mBits`), so any engine reproduces the same bit pattern — including
+  * the deterministic false positives — which keeps the operator
+  * oracle-checkable. Spark's built-in `bloom_filter_agg`/`might_contain`
+  * is the non-portable alternative (xxhash64-based) with the same plan
+  * shape.
+  */
+object Bloom {
+
+  /** Hash position j for a key: first 48 bits of md5, mod mBits. */
+  def position(key: Column, j: Int, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"$j|"), key)), 1, 12), 16, 10)
+      .cast("long") % mBits
+
+  /** Build the filter: one row with a dense `bloom: array<long>` of
+    * `mBits/32` words (32 bits per word — the widest shift every engine
+    * computes in a signed 64-bit lane without overflow, which keeps the
+    * filter bit-identical across engines). `mBits` must be a multiple
+    * of 32.
+    */
+  def build(keys: DataFrame, keyCol: String, numHashes: Int,
+      mBits: Int): DataFrame = {
+    require(mBits % 32 == 0, s"mBits must be a multiple of 32, got $mBits")
+    val nWords = mBits / 32
+    val pos = explode(array((0 until numHashes)
+      .map(j => position(col(keyCol), j, mBits)): _*)).as("pos")
+    keys.select(pos)
+      .select((col("pos") / 32).cast("int").as("word_idx"),
+        (col("pos") % 32).cast("int").as("bit"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("word_idx"), col("bits"))))
+        .as("m"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        i => coalesce(element_at(col("m"), i.cast("int")), lit(0L)))
+        .as("bloom"))
+  }
+
+  private val BitMasks: Column =
+    array((0 until 32).map(b => lit(1L << b)): _*)
+
+  /** Probe: attach `bloom_hit` to every row of `df` by testing all
+    * `numHashes` positions of `keyCol` against the broadcast filter row.
+    * Pure projection after the 1-row broadcast join.
+    */
+  def probe(df: DataFrame, keyCol: String, bloomRow: DataFrame,
+      numHashes: Int, mBits: Int): DataFrame = {
+    val hit = (0 until numHashes).map { j =>
+      val p = position(col(keyCol), j, mBits)
+      val word = element_at(col("bloom"), (p / 32).cast("int") + 1)
+      val mask = element_at(BitMasks, (p % 32).cast("int") + 1)
+      word.bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+    df.crossJoin(broadcast(bloomRow))
+      .withColumn("bloom_hit", hit)
+      .drop("bloom")
+  }
+}

@@ -622,6 +622,69 @@ object TextQueries {
             AS rank
         FROM pc ORDER BY merge_count DESC, pair LIMIT 20"""),
       "BPE merge-learning step: vocab-bounded adjacent-pair counting, " +
-        "top-20 merge candidates")
+        "top-20 merge candidates"),
+
+    // Bloom-filter blocklist membership — the broadcastable path for
+    // checking 100 TB of documents against a fingerprint blocklist with
+    // zero shuffle of the big side. md5-derived bit positions make the
+    // filter (and its false positives) engine-portable; exact_hit rides
+    // along so the output exposes the FP contract.
+    Q("q97_bloom_blocklist",
+      (s, dir) => {
+        import graft.operators.Bloom
+        val fps = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        val block = fps.filter(col("doc_id") % 5 === 0).select("fp").distinct()
+        val bloomRow = Bloom.build(block, "fp", numHashes = 3, mBits = 4096)
+        Bloom.probe(fps.filter(col("doc_id") % 5 =!= 0), "fp", bloomRow,
+            numHashes = 3, mBits = 4096)
+          .join(block.withColumn("exact_hit", lit(true)), Seq("fp"), "left")
+          .select(col("doc_id"), col("bloom_hit"),
+            coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+      },
+      Some(bloomBlocklistOracleSql),
+      "Bloom-filter blocklist membership: bounded bit_or build, one-row " +
+        "broadcast, projection-only probe (deterministic md5 positions)")
   )
+
+  /** DuckDB replica of Bloom.build/probe with k=3, m=4096 over the eval
+    * split's fingerprints: same md5-derived 48-bit positions, same
+    * 32-bit words, so the bit pattern — and every false positive — is
+    * identical. Generated, not hand-written (12 hex-digit folds).
+    */
+  lazy val bloomBlocklistOracleSql: String = {
+    def v48(h: String): String = (1 to 12).map(k =>
+      s"(STRPOS('0123456789abcdef', SUBSTR($h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
+      .mkString(" + ")
+    val posDefs = (0 until 3).map(j =>
+      s"CAST((${v48(s"MD5('$j|' || fp)")}) % 4096 AS BIGINT) AS p$j")
+      .mkString(",\n          ")
+    def hit(p: String): String =
+      s"(bloom[CAST($p // 32 AS INT) + 1] & " +
+        s"(CAST(1 AS BIGINT) << CAST($p % 32 AS INT))) <> 0"
+    s"""WITH fps AS (
+        SELECT doc_id,
+          MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      block AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 = 0),
+      bpos AS (
+        SELECT $posDefs
+        FROM block),
+      bflat AS (SELECT UNNEST([p0, p1, p2]) AS pos FROM bpos),
+      bw AS (
+        SELECT pos // 32 AS word_idx,
+          BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        FROM bflat GROUP BY 1),
+      dense AS (
+        SELECT r.i AS i, COALESCE(b.bits, 0) AS bits
+        FROM RANGE(0, 128) r(i) LEFT JOIN bw b ON b.word_idx = r.i),
+      arr AS (SELECT LIST(bits ORDER BY i) AS bloom FROM dense),
+      pp AS (
+        SELECT doc_id, fp, $posDefs
+        FROM fps WHERE doc_id % 5 <> 0)
+      SELECT doc_id,
+        (${hit("p0")} AND ${hit("p1")} AND ${hit("p2")}) AS bloom_hit,
+        (fp IN (SELECT fp FROM block)) AS exact_hit
+      FROM pp, arr"""
+  }
 }
