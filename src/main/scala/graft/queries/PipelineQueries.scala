@@ -367,7 +367,76 @@ object PipelineQueries {
             / CAST(n_toks AS DOUBLE), 0) AS BIGINT) AS rate_ppm
         FROM ps, tot"""),
       "domain-mixture planning: per-source token shares and the " +
-        "downsample-to-min rates for a uniform cross-source mixture")
+        "downsample-to-min rates for a uniform cross-source mixture"),
+
+    // One full-batch gradient step of a fasttext-shaped quality
+    // classifier: map + ONE global aggregation (4 longs per partition
+    // cross the wire). Rational fast-sigmoid + nano-quantized
+    // contributions keep it bit-deterministic — see ClassifierTraining.
+    Q("q98_logreg_quality_step",
+      (s, dir) => {
+        import graft.functions.TextFunctions.tokens
+        val t = tokens(col("text"))
+        val feats = Tables.load(s, dir, "documents").select(
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          (size(t) / lit(100.0)).as("x1"),
+          round(size(array_distinct(t)).cast("double") /
+            greatest(size(t), lit(1)).cast("double"), 6).as("x2"),
+          (round(aggregate(t, lit(0L), (a, w) => a + length(w)).cast("double") /
+            greatest(size(t), lit(1)).cast("double"), 6) / lit(10.0)).as("x3"))
+        graft.operators.ClassifierTraining.logregGradientStep(
+          feats, "y", Seq("x1", "x2", "x3"),
+          weights = Seq(-0.5, 0.8, 0.6, -0.4), lr = 0.1)
+      },
+      Some("""WITH toks AS (
+          SELECT CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END AS y,
+            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+              x -> LEN(x) > 0) AS t
+          FROM documents),
+        f AS (
+          SELECT y,
+            LEN(t) / 100.0e0 AS x1,
+            ROUND(CAST(LEN(LIST_DISTINCT(t)) AS DOUBLE)
+              / CAST(GREATEST(LEN(t), 1) AS DOUBLE), 6) AS x2,
+            ROUND(CAST(LIST_REDUCE(LIST_PREPEND(0,
+                LIST_TRANSFORM(t, w -> LEN(w))), (a, b) -> a + b) AS DOUBLE)
+              / CAST(GREATEST(LEN(t), 1) AS DOUBLE), 6) / 10.0e0 AS x3
+          FROM toks),
+        z AS (
+          SELECT y, x1, x2, x3,
+            -0.5e0 + (0.8e0 * x1) + (0.6e0 * x2) + (-0.4e0 * x3) AS z
+          FROM f),
+        p AS (
+          SELECT y, x1, x2, x3,
+            0.5e0 + (0.5e0 * (z / (1.0e0 + ABS(z)))) AS p
+          FROM z),
+        g AS (
+          SELECT
+            CAST(ROUND(((p - y) * 1.0e0) * 1.0e9, 0) AS BIGINT) AS nb_bias,
+            CAST(ROUND(((p - y) * x1) * 1.0e9, 0) AS BIGINT) AS nb_x1,
+            CAST(ROUND(((p - y) * x2) * 1.0e9, 0) AS BIGINT) AS nb_x2,
+            CAST(ROUND(((p - y) * x3) * 1.0e9, 0) AS BIGINT) AS nb_x3
+          FROM p)
+        SELECT COUNT(*) AS n,
+          ROUND(CAST(SUM(nb_bias) AS DOUBLE) / (COUNT(*) * 1.0e9), 6)
+            AS grad_bias,
+          ROUND(-0.5e0 - (0.1e0 * (CAST(SUM(nb_bias) AS DOUBLE)
+            / (COUNT(*) * 1.0e9))), 6) AS w_bias,
+          ROUND(CAST(SUM(nb_x1) AS DOUBLE) / (COUNT(*) * 1.0e9), 6)
+            AS grad_x1,
+          ROUND(0.8e0 - (0.1e0 * (CAST(SUM(nb_x1) AS DOUBLE)
+            / (COUNT(*) * 1.0e9))), 6) AS w_x1,
+          ROUND(CAST(SUM(nb_x2) AS DOUBLE) / (COUNT(*) * 1.0e9), 6)
+            AS grad_x2,
+          ROUND(0.6e0 - (0.1e0 * (CAST(SUM(nb_x2) AS DOUBLE)
+            / (COUNT(*) * 1.0e9))), 6) AS w_x2,
+          ROUND(CAST(SUM(nb_x3) AS DOUBLE) / (COUNT(*) * 1.0e9), 6)
+            AS grad_x3,
+          ROUND(-0.4e0 - (0.1e0 * (CAST(SUM(nb_x3) AS DOUBLE)
+            / (COUNT(*) * 1.0e9))), 6) AS w_x3
+        FROM g"""),
+      "quality-classifier training step: full-batch logistic gradient as " +
+        "map + one aggregation, rational sigmoid, nano-quantized sums")
   )
 
   /** The q87 oracle, factored for reuse by q91's composition. */
