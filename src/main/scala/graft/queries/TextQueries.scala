@@ -644,8 +644,44 @@ object TextQueries {
       },
       Some(bloomBlocklistOracleSql),
       "Bloom-filter blocklist membership: bounded bit_or build, one-row " +
-        "broadcast, projection-only probe (deterministic md5 positions)")
+        "broadcast, projection-only probe (deterministic md5 positions)"),
+
+    // Winnowing (MOSS) fingerprint postings: the partial-overlap dedup
+    // index between whole-doc hashing (q27) and all-shingle indexes
+    // (q25) — guaranteed detection of >= w+k-1 char runs at ~2/(w+1)
+    // density. One md5 per gram on the exploded stream, doc-keyed
+    // sliding-min window, distinct over the winnowed subset.
+    Q("q99_winnowing",
+      (s, dir) =>
+        Dedup.winnowPostings(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 5, w = 4),
+      Some(winnowingOracleSql),
+      "winnowing fingerprints (MOSS): k-gram hash window minima, " +
+        "distinct per-doc selected set"),
   )
+
+  /** DuckDB replica of TextFunctions.winnowFingerprints(k=5, w=4): the
+    * same 48-bit md5 fold per 5-char gram, window minima, distinct.
+    * Generated (12 hex-digit folds).
+    */
+  lazy val winnowingOracleSql: String = {
+    val v48 = (1 to 12).map(k =>
+      s"(STRPOS('0123456789abcdef', SUBSTR(h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
+      .mkString(" + ")
+    s"""WITH hs AS (
+        SELECT doc_id,
+          LIST_TRANSFORM(
+            LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+              i -> MD5(SUBSTR(text, i, 5))),
+            h -> CAST($v48 AS BIGINT)) AS hs
+        FROM documents),
+      ws AS (
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+          RANGE(1, GREATEST(LEN(hs) - 3, 1) + 1),
+          i -> LIST_MIN(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS fps
+        FROM hs)
+      SELECT doc_id, UNNEST(fps) AS fp FROM ws"""
+  }
 
   /** DuckDB replica of Bloom.build/probe with k=3, m=4096 over the eval
     * split's fingerprints: same md5-derived 48-bit positions, same

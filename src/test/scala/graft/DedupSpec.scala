@@ -250,4 +250,32 @@ class DedupSpec extends AnyFunSuite {
     // a superset train doc that collides must score by |T∩E|/|E| = 1.0
     m.get((3L, 100L)).foreach(c => assert(c == 1.0))
   }
+
+  test("winnowPostings: shared run >= w+k-1 chars guarantees a shared " +
+      "fingerprint; density stays near 2/(w+1)") {
+    val shared = "the quick brown fox jumps over the lazy dog near a river"
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"XXXXXXX $shared YYYY"),
+      (3L, "completely disjoint content made of unrelated material zz")
+    ).toDF("doc_id", "text")
+    val posts = Dedup.winnowPostings(docs, "doc_id", "text", k = 5, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (d, a) =>
+        d -> a.map(_._2).toSet
+      }
+    // winnowing guarantee: a 56-char shared run >> w+k-1=8 must collide
+    assert((posts(1L) & posts(2L)).nonEmpty)
+    assert((posts(1L) & posts(3L)).isEmpty)
+    // density: selected distinct fps <= windows, and a healthy fraction
+    val len1 = s"AAAA $shared BBBB".length
+    assert(posts(1L).size <= len1 - 4 - 3)
+    assert(posts(1L).size >= (len1 / 5))
+  }
+
+  test("winnowPostings: a doc shorter than the window keeps one fingerprint") {
+    val docs = Seq((1L, "abcdef")).toDF("doc_id", "text") // 2 grams < w=4
+    val posts = Dedup.winnowPostings(docs, "doc_id", "text", k = 5, w = 4)
+      .collect()
+    assert(posts.length == 1)
+  }
 }
