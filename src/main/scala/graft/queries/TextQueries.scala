@@ -658,16 +658,75 @@ object TextQueries {
       Some(winnowingOracleSql),
       "winnowing fingerprints (MOSS): k-gram hash window minima, " +
         "distinct per-doc selected set"),
+
+    // Count-min heavy hitters: the bounded-memory vocabulary profile —
+    // depth x width counters from ONE aggregation (map-side partials,
+    // <= 1024 rows on the wire at ANY key cardinality), mergeable
+    // across shards, estimates via a broadcast of the tiny sketch.
+    // exact_cnt rides along to expose the one-sided est >= exact
+    // contract with deterministic md5 collisions.
+    Q("q100_cms_heavy_hitters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.Sketches
+        val counts = Tables.load(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val sketch = Sketches.cmsBuild(counts, "w", "cnt",
+          depth = 4, width = 256)
+        val est = Sketches.cmsEstimate(counts.select("w"), "w", sketch,
+          depth = 4, width = 256)
+        counts.join(est, "w")
+          .select(col("w").as("token"), col("cnt").as("exact_cnt"),
+            col("est").as("est_cnt"))
+          .orderBy(col("est_cnt").desc, col("token")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("est_cnt").desc, col("token"))))
+      },
+      Some(cmsHeavyHittersOracleSql),
+      "count-min heavy hitters: bounded mergeable sketch, broadcast " +
+        "estimate, one-sided error exposed against exact counts"),
   )
 
-  /** DuckDB replica of TextFunctions.winnowFingerprints(k=5, w=4): the
-    * same 48-bit md5 fold per 5-char gram, window minima, distinct.
-    * Generated (12 hex-digit folds).
+  /** DuckDB replica of Sketches.cmsBuild/cmsEstimate (depth=4,
+    * width=256) over the token stream: same md5-derived positions, same
+    * counter sums, so every collision-driven overestimate matches.
+    */
+  lazy val cmsHeavyHittersOracleSql: String = {
+    val v48 = v48Fold("h")
+    s"""WITH t AS (
+        SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+          x -> LEN(x) > 0)) AS w
+        FROM documents),
+      c AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+      eh AS (
+        SELECT w, cnt, j, MD5(CAST(j AS VARCHAR) || '|' || w) AS h
+        FROM c, (SELECT UNNEST([0, 1, 2, 3]) AS j) js),
+      e AS (SELECT w, cnt, j, CAST(($v48) % 256 AS INT) AS pos FROM eh),
+      s AS (SELECT j, pos, SUM(cnt) AS c FROM e GROUP BY 1, 2),
+      est AS (
+        SELECT e.w, e.cnt, MIN(s.c) AS est
+        FROM e JOIN s ON s.j = e.j AND s.pos = e.pos
+        GROUP BY 1, 2)
+      SELECT w AS token, cnt AS exact_cnt, CAST(est AS BIGINT) AS est_cnt,
+        CAST(ROW_NUMBER() OVER (ORDER BY est DESC, w) AS INT) AS rank
+      FROM est ORDER BY est DESC, w LIMIT 20"""
+  }
+
+  /** SQL fold computing TextFunctions.hash48 from a hex-string column
+    * `h`: 12 hex digits to a 48-bit BIGINT. Shared by the winnowing /
+    * bloom / count-min oracles.
+    */
+  private def v48Fold(h: String): String = (1 to 12).map(k =>
+    s"(STRPOS('0123456789abcdef', SUBSTR($h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
+    .mkString(" + ")
+
+  /** DuckDB replica of Dedup.winnowPostings(k=5, w=4): the same 48-bit
+    * md5 fold per 5-char gram, window minima, distinct. Generated (12
+    * hex-digit folds).
     */
   lazy val winnowingOracleSql: String = {
-    val v48 = (1 to 12).map(k =>
-      s"(STRPOS('0123456789abcdef', SUBSTR(h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
-      .mkString(" + ")
+    val v48 = v48Fold("h")
     s"""WITH hs AS (
         SELECT doc_id,
           LIST_TRANSFORM(

@@ -34,4 +34,45 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact <= 0.02,
       s"exact=$exact approx=$approx")
   }
+
+  test("count-min: est >= exact always, tight on a skewed stream") {
+    import graft.operators.Sketches
+    // zipf-ish: key i appears ceil(200/i) times
+    val weighted = (1 to 300).map(i => (s"key$i", (200 / i + 1).toLong))
+      .toDF("k", "cnt")
+    val sketch = Sketches.cmsBuild(weighted, "k", "cnt", depth = 4, width = 256)
+    val est = Sketches.cmsEstimate(weighted.select("k"), "k", sketch,
+        depth = 4, width = 256)
+      .as[(String, Long)].collect().toMap
+    val exact = weighted.as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k: est ${est(k)} < exact $c")
+    }
+    // the heaviest key's estimate is within the e*N/width additive bound
+    val n = exact.values.sum
+    val bound = math.ceil(math.E * n / 256).toLong
+    assert(est("key1") - exact("key1") <= bound)
+  }
+
+  test("count-min sketches merge counter-wise: merged = whole-stream") {
+    import graft.operators.Sketches
+    val a = (1 to 100).map(i => (s"k${i % 7}", 1L)).toDF("k", "cnt")
+    val b = (1 to 80).map(i => (s"k${i % 5}", 2L)).toDF("k", "cnt")
+    val whole = Sketches.cmsBuild(
+      a.union(b).groupBy("k").agg(sum($"cnt").as("cnt")),
+      "k", "cnt", depth = 4, width = 64)
+    val merged = Sketches.cmsBuild(a, "k", "cnt", depth = 4, width = 64)
+      .union(Sketches.cmsBuild(b, "k", "cnt", depth = 4, width = 64))
+      .groupBy("row", "pos").agg(sum($"c").as("c"))
+    val w = whole.as[(Int, Int, Long)].collect().toSet
+    val m = merged.as[(Int, Int, Long)].collect().toSet
+    assert(w == m)
+  }
+
+  test("count-min build is bounded by depth*width rows") {
+    import graft.operators.Sketches
+    val big = (1 to 5000).map(i => (s"key$i", 1L)).toDF("k", "cnt")
+    val n = Sketches.cmsBuild(big, "k", "cnt", depth = 4, width = 32).count()
+    assert(n <= 4L * 32L)
+  }
 }
