@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance, LshBandKeysExpr, Simhash64Expr, SimhashMd5Expr, WordShinglesExpr}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance, LshBandKeysExpr, Simhash64Expr, SimhashMd5Expr, WinnowExpr, WordShinglesExpr}
 
 /** Registry for graft's native Catalyst expressions. `register` makes them
   * callable from SQL and from `call_function` (idempotent per session;
@@ -29,7 +29,9 @@ object GraftFunctions {
       litInt(es(1)), litInt(es(2)), litInt(es(3))),
       "one-pass MinHash+LSH band keys over a token array"),
     ("word_shingles", es => WordShinglesExpr(es(0), litInt(es(1))),
-      "distinct word n-gram shingles of a token array"))
+      "distinct word n-gram shingles of a token array"),
+    ("winnow_fps", es => WinnowExpr(es(0), litInt(es(1)), litInt(es(2))),
+      "one-pass winnowing fingerprints (k-gram md5 window minima)"))
 
   private def litInt(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -70,6 +72,10 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(gram),
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(bands))
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_fps", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — registers

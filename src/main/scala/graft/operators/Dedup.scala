@@ -213,33 +213,47 @@ object Dedup {
     * fingerprint density of ~2/(w+1) — the partial-overlap dedup index
     * between whole-doc hashing (q27) and all-shingle indexes (q25).
     *
-    * Scale shape (100 TB): md5 runs ONCE per gram on the exploded
-    * stream (a per-row array HOF would re-evaluate the hash array per
-    * window — interpreted lambdas get no subexpression elimination —
-    * turning O(len·w) into O(len²) md5 calls; measured 40x slower).
-    * The sliding min is a doc-keyed window frame: one shuffle on the
-    * doc id, embarrassingly parallel across docs, then the distinct
-    * runs over the winnowed ~2/(w+1) subset, never the full gram
-    * stream.
+    * Scale shape (100 TB): a PURE MAP — the whole per-doc fingerprint
+    * set comes from the native one-pass `winnow_fps` expression
+    * (`WinnowExpr`), so winnowing adds zero shuffle at any corpus size
+    * and the O(len·w) scan runs as a tight JVM loop inside whole-stage
+    * codegen. The expression exists because every composable shape
+    * measured slow at sf0.1 (1.5 M grams): a per-row array HOF
+    * re-evaluates the hash array per window (no subexpression
+    * elimination in interpreted lambdas — O(len²) md5, 40x slower); an
+    * explode → re-aggregate pipeline hashes once but pays a corpus-wide
+    * shuffle plus ~1.5 M interpreted lambda window evals (~3.2 s vs
+    * ~0.4 s native).
     */
   def winnowPostings(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int, w: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.GraftFunctions
+        .winnow_fps(col(textCol), k, w)).as("fp"))
+
+  /** The composable twin of [[winnowPostings]] — grams via codegen
+    * posexplode, md5 once per gram, per-doc re-aggregation, window HOF.
+    * Kept as the executable specification the native expression is
+    * pinned bit-identical to (DedupSpec); not the production path.
+    */
+  def winnowPostingsComposable(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     val grams = docs
-      .select(col(idCol), posexplode(charShingles(col(textCol), k))
-        .as(Seq("pos", "g")))
-      .select(col(idCol), col("pos"), hash48(col("g")).as("h"))
-    val byDoc = Window.partitionBy(idCol)
-    val frame = Window.partitionBy(idCol).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("wmin", min(col("h")).over(frame))
-      .withColumn("nh", count(lit(1)).over(byDoc))
-      // full windows only; a doc shorter than w hashes keeps its single
-      // all-hash window (pos 0), matching the HOF/list semantics
-      .filter(col("pos") <= greatest(col("nh") - w, lit(0)))
-      .select(col(idCol), col("wmin").as("fp"))
-      .distinct()
+      .select(col(idCol), col(textCol).as("_t"),
+        posexplode(sequence(lit(1),
+          greatest(length(col(textCol)) - (k - 1), lit(1))))
+          .as(Seq("_i0", "pos")))
+      .select(col(idCol), col("pos"),
+        substring(md5(expr(s"substring(_t, pos, $k)")), 1, 12).as("h"))
+    val agged = grams.groupBy(idCol)
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("h")))),
+        s => s.getField("h")).as("hs"))
+    agged.select(col(idCol),
+      explode(array_distinct(transform(
+        // full windows only; a doc shorter than w hashes keeps its
+        // single all-hash window, matching the list semantics
+        sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+        i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
 
   def semDedupKeepList(vectors: DataFrame, idCol: String, vecCol: String,

@@ -721,18 +721,15 @@ object TextQueries {
     s"(STRPOS('0123456789abcdef', SUBSTR($h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
     .mkString(" + ")
 
-  /** DuckDB replica of Dedup.winnowPostings(k=5, w=4): the same 48-bit
-    * md5 fold per 5-char gram, window minima, distinct. Generated (12
-    * hex-digit folds).
+  /** DuckDB replica of Dedup.winnowPostings(k=5, w=4): the same 12-hex
+    * md5 prefix per 5-char gram (fixed-width lowercase hex orders like
+    * the numeric value), window minima, distinct.
     */
-  lazy val winnowingOracleSql: String = {
-    val v48 = v48Fold("h")
-    s"""WITH hs AS (
+  lazy val winnowingOracleSql: String =
+    """WITH hs AS (
         SELECT doc_id,
-          LIST_TRANSFORM(
-            LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
-              i -> MD5(SUBSTR(text, i, 5))),
-            h -> CAST($v48 AS BIGINT)) AS hs
+          LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+            i -> SUBSTR(MD5(SUBSTR(text, CAST(i AS INT), 5)), 1, 12)) AS hs
         FROM documents),
       ws AS (
         SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
@@ -740,7 +737,6 @@ object TextQueries {
           i -> LIST_MIN(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS fps
         FROM hs)
       SELECT doc_id, UNNEST(fps) AS fp FROM ws"""
-  }
 
   /** DuckDB replica of Bloom.build/probe with k=3, m=4096 over the eval
     * split's fingerprints: same md5-derived 48-bit positions, same

@@ -260,7 +260,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, "completely disjoint content made of unrelated material zz")
     ).toDF("doc_id", "text")
     val posts = Dedup.winnowPostings(docs, "doc_id", "text", k = 5, w = 4)
-      .as[(Long, Long)].collect().groupBy(_._1).map { case (d, a) =>
+      .as[(Long, String)].collect().groupBy(_._1).map { case (d, a) =>
         d -> a.map(_._2).toSet
       }
     // winnowing guarantee: a 56-char shared run >> w+k-1=8 must collide
@@ -277,5 +277,20 @@ class DedupSpec extends AnyFunSuite {
     val posts = Dedup.winnowPostings(docs, "doc_id", "text", k = 5, w = 4)
       .collect()
     assert(posts.length == 1)
+  }
+
+  test("native winnow_fps is bit-identical to the composable pipeline") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "ab"),                       // shorter than one gram
+      (3L, "abcdefg"),                  // fewer grams than the window
+      (4L, ("repeat " * 40).trim)       // heavy duplication
+    ).toDF("doc_id", "text")
+    val native = Dedup.winnowPostings(docs, "doc_id", "text", 5, 4)
+      .as[(Long, String)].collect().toSet
+    val composable = Dedup
+      .winnowPostingsComposable(docs, "doc_id", "text", 5, 4)
+      .as[(Long, String)].collect().toSet
+    assert(native == composable)
   }
 }

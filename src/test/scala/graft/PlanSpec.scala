@@ -140,4 +140,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("q95: the Gopher rule filter is a shuffle-free projection") {
+    val p = plan("q95_gopher_rules")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q97: bloom probe never shuffles the corpus side") {
+    // build-side exchanges are bounded (<= m/32 words); the probe path
+    // must be broadcast-only — no sort-merge / shuffled-hash join
+    val p = plan("q97_bloom_blocklist")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q99: native winnowing is a shuffle-free codegen map") {
+    val p = plan("q99_winnowing")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("winnow_fps"), p)
+  }
+
+  test("q98: the classifier step is one partial-agg aggregation, no join") {
+    val p = plan("q98_logreg_quality_step")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }
