@@ -36,7 +36,7 @@ object GraftFunctions {
   private def litInt(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"lsh_band_keys parameters must be integer literals, got $other")
+      s"native-function shape parameters must be integer literals, got $other")
   }
 
   def register(spark: SparkSession): Unit =
