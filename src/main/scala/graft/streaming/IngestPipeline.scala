@@ -114,3 +114,56 @@ object IngestPipeline {
         col("session_window.end").as("session_end"), col("key"),
         col("n"), col("total"))
 }
+
+/** Streaming count-min maintenance: each micro-batch's token sketch is
+  * merged counter-wise into a driver-held accumulator — the streaming
+  * face of `Sketches` mergeability. The state is bounded at depth×width
+  * counters FOREVER (vs. a groupBy-count whose state grows with the
+  * vocabulary), which is the whole point of sketching an unbounded
+  * ingest stream; the per-batch work is one bounded aggregation.
+  *
+  * The accumulated sketch is exactly equal to the batch-built sketch
+  * over the concatenation of all batches (StreamingSpec pins this merge
+  * law), so estimates keep the one-sided `est >= exact` contract at any
+  * point in the stream's life.
+  */
+class StreamingSketch(depth: Int, width: Int) extends Serializable {
+
+  @volatile private var acc = Map.empty[(Int, Int), Long]
+
+  /** Fold one micro-batch of documents into the sketch. */
+  def mergeBatch(batch: DataFrame, textCol: String): Unit = {
+    import graft.functions.TextFunctions.tokens
+    val weighted = batch
+      .select(explode(tokens(col(textCol))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val rows = graft.operators.Sketches
+      .cmsBuild(weighted, "k", "cnt", depth, width)
+      .collect() // bounded: <= depth*width rows by construction
+    acc = rows.foldLeft(acc) { (m, r) =>
+      val key = (r.getInt(0), r.getInt(1))
+      m.updated(key, m.getOrElse(key, 0L) + r.getLong(2))
+    }
+  }
+
+  /** Attach to a streaming document frame; every micro-batch merges. */
+  def attach(docs: DataFrame, textCol: String,
+      queryName: String): StreamingQuery =
+    docs.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, textCol)
+      }
+      .start()
+
+  /** The accumulated sketch as a DataFrame for `Sketches.cmsEstimate`. */
+  def sketch(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    acc.toSeq.map { case ((r, p), c) => (r, p, c) }
+      .toDF("row", "pos", "c")
+  }
+
+  /** Estimate token counts for a set of keys against the current state. */
+  def estimate(keys: DataFrame, keyCol: String): DataFrame =
+    graft.operators.Sketches.cmsEstimate(
+      keys, keyCol, sketch(keys.sparkSession), depth, width)
+}

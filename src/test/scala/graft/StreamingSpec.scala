@@ -99,6 +99,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("StreamingSketch accumulates across micro-batches to the exact " +
+      "batch-built sketch (merge law) and keeps est >= exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sk = new graft.streaming.StreamingSketch(depth = 4, width = 64)
+    val q = sk.attach(mem.toDF().toDF("doc_id", "text"), "text", "sketch_in")
+    mem.addData((1L, "alpha beta alpha"), (2L, "beta gamma"))
+    q.processAllAvailable()
+    mem.addData((3L, "alpha delta delta epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    // merge law: streaming accumulator == one batch sketch of all docs
+    val allDocs = Seq("alpha beta alpha", "beta gamma",
+      "alpha delta delta epsilon").toDF("text")
+    val wholeCounts = allDocs
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val whole = graft.operators.Sketches
+      .cmsBuild(wholeCounts, "k", "cnt", 4, 64)
+      .as[(Int, Int, Long)].collect().toSet
+    val streamed = sk.sketch(spark).as[(Int, Int, Long)].collect().toSet
+    assert(streamed == whole)
+    // one-sided contract against exact counts of the whole stream
+    val est = sk.estimate(wholeCounts.select("k"), "k")
+      .as[(String, Long)].collect().toMap
+    val exact = wholeCounts.as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) => assert(est(k) >= c, s"$k: ${est(k)} < $c") }
+    assert(exact("alpha") == 3L && est("alpha") >= 3L)
+  }
+
   test("partitionByWriteRules splits rejected priority writes to dead-letter") {
     import graft.model.IotValue._
     val writes = Seq(
