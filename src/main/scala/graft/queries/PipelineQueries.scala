@@ -436,8 +436,78 @@ object PipelineQueries {
             / (COUNT(*) * 1.0e9))), 6) AS w_x3
         FROM g"""),
       "quality-classifier training step: full-batch logistic gradient as " +
-        "map + one aggregation, rational sigmoid, nano-quantized sums")
+        "map + one aggregation, rational sigmoid, nano-quantized sums"),
+
+    // Token-budget corpus selection at bucket granularity — the "best
+    // N-token corpus" gate without the global sort + running cumsum a
+    // doc-precise cut would need (a total order = one partition at
+    // 100 TB). Quality strata select wholesale; the boundary stratum
+    // refines by deterministic hash sub-buckets. Decision tables are
+    // bounded (<= 20 + 256 rows) by construction.
+    Q("q101_token_budget",
+      (s, dir) => {
+        import graft.functions.TextFunctions.{qualityScore, tokenCount}
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), qualityScore(col("text")).as("q"),
+            tokenCount(col("text")).as("n_toks"))
+        graft.operators.CorpusSelection
+          .selectToTokenBudget(d, "doc_id", "q", "n_toks", budget = 20000L)
+          .select(col("doc_id"), col("bucket"), col("sub"), col("n_toks"),
+            col("selected"))
+      },
+      Some(tokenBudgetOracleSql),
+      "token-budget selection: bucket-granular quality cut + hash " +
+        "sub-bucket boundary refinement, no global sort")
   )
+
+  /** DuckDB replica of CorpusSelection.selectToTokenBudget(budget=20k,
+    * 20 quality buckets, 256 md5 sub-buckets) over qualityScore/
+    * tokenCount: same bucket cut (max bucket whose best-first inclusive
+    * cumsum overflows) and same ascending sub-bucket refinement.
+    */
+  lazy val tokenBudgetOracleSql: String = {
+    val v48 = (1 to 12).map(k =>
+      "(STRPOS('0123456789abcdef', SUBSTR(h, " + k + ", 1)) - 1) * " +
+        (1L << (4 * (12 - k)))).mkString(" + ")
+    s"""WITH t AS (
+        SELECT doc_id, text,
+          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+            x -> LEN(x) > 0) AS toks
+        FROM documents),
+      d AS (
+        SELECT doc_id, ROUND((
+            LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0)
+            + (1.0 - LEAST(CAST(LENGTH(text) - LENGTH(
+                REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                / GREATEST(LENGTH(text), 1) * 5, 1.0))
+            + LEAST(CAST(LEN(LIST_FILTER(toks,
+                x -> x IN ('the','a','an','of','and','to','in','is','on','for')))
+                AS DOUBLE) / GREATEST(LEN(toks), 1) * 10, 1.0)
+          ) / 3, 6) AS q,
+          LEN(toks) AS n_toks,
+          SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 12) AS h
+        FROM t),
+      b AS (
+        SELECT doc_id, n_toks,
+          LEAST(CAST(FLOOR(q * 20) AS INT), 19) AS bucket,
+          CAST(($v48) % 256 AS INT) AS sub
+        FROM d),
+      bt AS (SELECT bucket, SUM(n_toks) AS btoks FROM b GROUP BY bucket),
+      bc AS (SELECT bucket, btoks,
+          SUM(btoks) OVER (ORDER BY bucket DESC) AS cum_incl FROM bt),
+      cut AS (SELECT COALESCE(MAX(bucket), -1) AS cutoff
+        FROM bc WHERE cum_incl > 20000),
+      above AS (SELECT COALESCE(SUM(btoks), 0) AS above_toks
+        FROM bt, cut WHERE bucket > cutoff),
+      st AS (SELECT sub, SUM(n_toks) AS stoks
+        FROM b, cut WHERE bucket = cutoff GROUP BY sub),
+      sc AS (SELECT sub, SUM(stoks) OVER (ORDER BY sub ASC) AS scum FROM st),
+      ssel AS (SELECT sub FROM sc, above WHERE scum <= 20000 - above_toks)
+      SELECT b.doc_id, b.bucket, b.sub, CAST(b.n_toks AS BIGINT) AS n_toks,
+        (b.bucket > cutoff OR (b.bucket = cutoff
+          AND b.sub IN (SELECT sub FROM ssel))) AS selected
+      FROM b, cut"""
+  }
 
   /** The q87 oracle, factored for reuse by q91's composition. */
   lazy val keeplistOracleSql: String =
