@@ -457,8 +457,43 @@ object PipelineQueries {
       },
       Some(tokenBudgetOracleSql),
       "token-budget selection: bucket-granular quality cut + hash " +
-        "sub-bucket boundary refinement, no global sort")
+        "sub-bucket boundary refinement, no global sort"),
+
+    // Leakage-free train/heldout split: near-duplicates of a heldout doc
+    // in the training split are evaluation leakage, so the split key is
+    // the near-dup CLUSTER representative (q87's labels), not the doc —
+    // every member of a cluster lands on the same side by construction.
+    // The md5 split hash keeps the assignment deterministic and
+    // engine-portable.
+    Q("q102_leakage_free_split",
+      (s, dir) => {
+        val kl = Catalog.byName("q87_dedup_keeplist").run(s, dir)
+        kl.select(col("doc_id"), col("canonical_id"),
+          when((graft.functions.TextFunctions
+              .hash48(col("canonical_id").cast("string")) % 10) < 8, "train")
+            .otherwise("heldout").as("split"))
+      },
+      Some(leakageFreeSplitOracleSql),
+      "cluster-aware train/heldout split: hash the near-dup cluster " +
+        "representative so no near-duplicate pair straddles the split"),
   )
+
+  /** The q87 keep-list oracle nested verbatim, split-assigned by the
+    * same md5 fold of the canonical id (first 12 hex digits mod 10).
+    */
+  lazy val leakageFreeSplitOracleSql: String = {
+    val v48 = (1 to 12).map(k =>
+      "(STRPOS('0123456789abcdef', SUBSTR(h, " + k + ", 1)) - 1) * " +
+        (1L << (4 * (12 - k)))).mkString(" + ")
+    s"""WITH kl AS ($keeplistOracleSql),
+      kh AS (
+        SELECT doc_id, canonical_id,
+          SUBSTR(MD5(CAST(canonical_id AS VARCHAR)), 1, 12) AS h
+        FROM kl)
+      SELECT doc_id, canonical_id,
+        CASE WHEN ($v48) % 10 < 8 THEN 'train' ELSE 'heldout' END AS split
+      FROM kh"""
+  }
 
   /** DuckDB replica of CorpusSelection.selectToTokenBudget(budget=20k,
     * 20 quality buckets, 256 md5 sub-buckets) over qualityScore/

@@ -58,4 +58,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("person", "amount"))
     assert(df.count() > 0)
   }
+
+  test("q102: no near-dup cluster straddles the train/heldout split") {
+    val df = run("q102_leakage_free_split")
+    val straddling = df.groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddling.count() == 0)
+    // the md5 split hash lands near the 80/20 target
+    val n = df.count().toDouble
+    val train = df.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.7 && train / n < 0.9, s"train frac ${train / n}")
+  }
+
+  test("q101: selected docs fit the budget; selection is non-trivial") {
+    val df = run("q101_token_budget")
+    val sel = df.filter(col("selected"))
+      .agg(sum(col("n_toks"))).head().getLong(0)
+    assert(sel <= 20000L)
+    val nSel = df.filter(col("selected")).count()
+    assert(nSel > 0 && nSel < df.count())
+  }
 }
