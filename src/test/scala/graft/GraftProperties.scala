@@ -93,4 +93,36 @@ object GraftProperties extends Properties("graft") {
       java.lang.Long.bitCount(a ^ b) == java.lang.Long.bitCount(b ^ a) &&
         java.lang.Long.bitCount(a ^ a) == 0
     }
+
+  private val asciiTextGen: Gen[String] = for {
+    n <- Gen.choose(0, 120)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.const(' '))))
+  } yield cs.mkString
+
+  property("winnowGuarantee: docs sharing a long run share a fingerprint") =
+    Prop.forAll(asciiTextGen, asciiTextGen, asciiTextGen) { (pre, shared0, post) =>
+      val k = 5; val w = 4
+      // pad the shared run past the w+k-1 guarantee threshold
+      val shared = (shared0 + "qzjxvkwmbf").take(math.max(w + k - 1, shared0.length))
+      import graft.functions.expressions.WinnowExpr
+      import org.apache.spark.unsafe.types.UTF8String
+      def fps(s: String): Set[String] =
+        WinnowExpr.compute(UTF8String.fromString(s), k, w)
+          .array.map(_.toString).toSet
+      val a = fps(pre + shared)
+      val b = fps(shared + post)
+      (a & b).nonEmpty
+    }
+
+  property("winnowDensity: selected fingerprints never exceed window count") =
+    Prop.forAll(asciiTextGen) { s =>
+      import graft.functions.expressions.WinnowExpr
+      import org.apache.spark.unsafe.types.UTF8String
+      val k = 5; val w = 4
+      val n = WinnowExpr.compute(UTF8String.fromString(s), k, w).numElements()
+      val nh = math.max(s.length - k + 1, 1)
+      val nw = math.max(nh - w + 1, 1)
+      n >= 1 && n <= nw
+    }
 }
