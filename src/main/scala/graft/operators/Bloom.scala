@@ -60,14 +60,16 @@ object Bloom {
     */
   def probe(df: DataFrame, keyCol: String, bloomRow: DataFrame,
       numHashes: Int, mBits: Int): DataFrame = {
+    // internal name so a user column called "bloom" can't collide
+    val filterRow = bloomRow.select(col("bloom").as("_graft_bloom"))
     val hit = (0 until numHashes).map { j =>
       val p = position(col(keyCol), j, mBits)
-      val word = element_at(col("bloom"), (p / 32).cast("int") + 1)
+      val word = element_at(col("_graft_bloom"), (p / 32).cast("int") + 1)
       val mask = element_at(BitMasks, (p % 32).cast("int") + 1)
       word.bitwiseAND(mask) =!= 0L
     }.reduce(_ && _)
-    df.crossJoin(broadcast(bloomRow))
+    df.crossJoin(broadcast(filterRow))
       .withColumn("bloom_hit", hit)
-      .drop("bloom")
+      .drop("_graft_bloom")
   }
 }

@@ -49,12 +49,15 @@ object Sketches {
 
   /** Attach `est` (the min over depth counters — never below the true
     * weight) to every key of `keys` via a broadcast of the sketch.
+    * A coordinate the sketch never touched counts as 0 (left join +
+    * coalesce), so a key absent from the stream estimates 0 instead of
+    * being dropped or overestimated from its surviving coordinates.
     */
   def cmsEstimate(keys: DataFrame, keyCol: String, sketch: DataFrame,
       depth: Int, width: Int): DataFrame = {
     val marked = keys.withColumn("_one", lit(1L))
     coords(marked, keyCol, "_one", depth, width)
-      .join(broadcast(sketch), Seq("row", "pos"))
-      .groupBy(keyCol).agg(min(col("c")).as("est"))
+      .join(broadcast(sketch), Seq("row", "pos"), "left")
+      .groupBy(keyCol).agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 }

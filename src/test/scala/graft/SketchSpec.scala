@@ -69,6 +69,22 @@ class SketchSpec extends AnyFunSuite {
     assert(w == m)
   }
 
+  test("count-min: a key absent from the stream estimates 0, not a " +
+      "collision artifact") {
+    import graft.operators.Sketches
+    val weighted = (1 to 10).map(i => (s"present$i", 5L)).toDF("k", "cnt")
+    // large width => the absent key's coordinates are almost surely
+    // untouched; the estimate must come back 0 (not dropped, not merged
+    // from surviving coordinates)
+    val sketch = Sketches.cmsBuild(weighted, "k", "cnt",
+      depth = 4, width = 4096)
+    val probes = Seq("definitely-absent-key-xyz").toDF("k")
+    val est = Sketches.cmsEstimate(probes, "k", sketch, 4, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(est.contains("definitely-absent-key-xyz"))
+    assert(est("definitely-absent-key-xyz") == 0L)
+  }
+
   test("count-min build is bounded by depth*width rows") {
     import graft.operators.Sketches
     val big = (1 to 5000).map(i => (s"key$i", 1L)).toDF("k", "cnt")
