@@ -476,6 +476,86 @@ object PipelineQueries {
       Some(leakageFreeSplitOracleSql),
       "cluster-aware train/heldout split: hash the near-dup cluster " +
         "representative so no near-duplicate pair straddles the split"),
+
+    // Ingest-side data-quality gate: every declared expectation
+    // evaluates in ONE scan (map + global agg, partials combine
+    // map-side); the per-rule unpivot runs on the single result row.
+    // The discount bound is deliberately tighter than the data so the
+    // report exercises a failing rule.
+    Q("q103_data_quality",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        graft.operators.DataQuality.check(li, Seq(
+          "quantity_range" -> col("l_quantity").between(1, 50),
+          "discount_bound" -> (col("l_discount") >= 0 && col("l_discount") <= 0.05),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "shipdate_present" -> col("l_shipdate").isNotNull,
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "orderkey_present" -> col("l_orderkey").isNotNull))
+      },
+      Some("""WITH s AS (
+          SELECT COUNT(*) AS n_rows,
+            SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+              THEN 1 ELSE 0 END) AS v_qr,
+            SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 0.05,
+              FALSE) THEN 1 ELSE 0 END) AS v_db,
+            SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+              THEN 1 ELSE 0 END) AS v_pp,
+            SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_sp,
+            SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+              THEN 1 ELSE 0 END) AS v_rd,
+            SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_op
+          FROM lineitem)
+        SELECT 'quantity_range' AS rule, n_rows,
+          CAST(v_qr AS BIGINT) AS n_violations, v_qr = 0 AS pass FROM s
+        UNION ALL SELECT 'discount_bound', n_rows,
+          CAST(v_db AS BIGINT), v_db = 0 FROM s
+        UNION ALL SELECT 'price_positive', n_rows,
+          CAST(v_pp AS BIGINT), v_pp = 0 FROM s
+        UNION ALL SELECT 'shipdate_present', n_rows,
+          CAST(v_sp AS BIGINT), v_sp = 0 FROM s
+        UNION ALL SELECT 'returnflag_domain', n_rows,
+          CAST(v_rd AS BIGINT), v_rd = 0 FROM s
+        UNION ALL SELECT 'orderkey_present', n_rows,
+          CAST(v_op AS BIGINT), v_op = 0 FROM s"""),
+      "data-quality expectations: null/range/domain checks, all rules " +
+        "in one scan, per-rule violation report"),
+
+    // SCD Type-2 history: the event stream becomes versioned dimension
+    // rows with [valid_from, valid_to) intervals — change collapse +
+    // interval assignment share one key-partitioned shuffle; event_id
+    // tie-breaks same-timestamp changes for reproducible history.
+    Q("q104_scd2_history",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        graft.operators.SlowlyChangingDim
+          .scd2(ev, Seq("user_id"), Seq("event_type"), "ts", "event_id")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("valid_from")).as("valid_from_us"),
+            unix_micros(col("valid_to")).as("valid_to_us"),
+            col("version"), col("is_current"))
+      },
+      Some("""WITH c AS (
+          SELECT user_id, event_type, ts, event_id,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev
+          FROM events),
+        k AS (
+          SELECT user_id, event_type, ts, event_id
+          FROM c WHERE prev IS NULL OR prev <> event_type),
+        v AS (
+          SELECT user_id, event_type,
+            EPOCH_US(ts) AS valid_from_us,
+            EPOCH_US(LEAD(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) AS valid_to_us,
+            CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS INT) AS version
+          FROM k)
+        SELECT user_id, event_type, valid_from_us, valid_to_us, version,
+          valid_to_us IS NULL AS is_current
+        FROM v"""),
+      "SCD2 versioned history from a change stream: consecutive no-op " +
+        "collapse + validity intervals, one key-partitioned shuffle"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the
