@@ -50,6 +50,28 @@ object Similarity {
       }),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Symmetric int8 scalar quantization of a float-vector column — the
+    * 4x storage/bandwidth path for embedding tables at corpus scale
+    * (codes ride in 1/4 the bytes; ANN scoring dequantizes on the fly
+    * with one multiply). Per-vector max-abs scaling: scale =
+    * max|x|/127, codes = round(x/scale) — |codes| <= 127 by
+    * construction, no clamp branch. Returns struct(scale, codes).
+    *
+    * Pure map, deterministic double arithmetic (oracle-checkable). The
+    * scale sub-expression re-evaluates per element under interpreted
+    * HOFs, so per-row cost is O(d²) flops — trivial at embedding dims;
+    * a native expression (like DotProduct) is the escape hatch if d
+    * ever reaches the thousands.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = aggregate(vec, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = greatest(maxAbs, lit(1e-12)) / lit(127.0)
+    struct(scale.as("scale"),
+      transform(vec, x => round(x.cast("double") / scale, 0).cast("int"))
+        .as("codes"))
+  }
+
   /** Brute-force cosine top-k against a single query vector (broadcast as a
     * literal — no join, no shuffle until the final top-k, which Spark plans
     * as TakeOrderedAndProject).

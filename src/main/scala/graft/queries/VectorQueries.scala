@@ -595,6 +595,56 @@ object VectorQueries {
           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
         labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
         SELECT cluster_id, COUNT(*) AS n_members FROM labels GROUP BY cluster_id"""),
-      "near-dup clusters: connected components over jaccard pairs -> keep-one groups")
+      "near-dup clusters: connected components over jaccard pairs -> keep-one groups"),
+
+    // Symmetric int8 scalar quantization — the 4x storage/bandwidth
+    // path for embedding tables (scalar codes for storage; PQ q85/q86
+    // for search). Pure map; the report pins scale, code checksum and
+    // the max reconstruction error per vector.
+    Q("q105_embedding_quantize",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
+        e.select(col("vec_id"), col("embedding"),
+            graft.operators.Similarity.quantizeInt8(col("embedding")).as("q"))
+          // "_s" (not "scale"): the output list below aliases a ROUNDED
+          // "scale", and Spark's lateral column aliasing would make a
+          // same-named lambda reference resolve to that rounded alias —
+          // shifting the error by ~1e-5 versus the oracle
+          .select(col("vec_id"), col("embedding"),
+            col("q.scale").as("_s"), col("q.codes").as("codes"))
+          // error is reported RELATIVE to scale (|x/s - c| <= 0.5): the
+          // absolute form |x - c*s| concentrates at exactly s/2, where
+          // engines' decimal-rounding implementations legitimately
+          // disagree by an ulp; the relative form's boundary (0.5) is
+          // exactly representable
+          .select(col("vec_id"),
+            round(col("_s"), 9).as("scale"),
+            aggregate(col("codes"), lit(0L), (a, x) => a + x).as("sum_codes"),
+            round(aggregate(
+              zip_with(col("embedding"), col("codes"),
+                (x, c) => abs(x.cast("double") / col("_s") -
+                  c.cast("double"))),
+              lit(0.0), (a, y) => greatest(a, y)), 6).as("max_rel_err"))
+      },
+      Some("""WITH q AS (
+          SELECT vec_id, embedding,
+            GREATEST(LIST_MAX(LIST_TRANSFORM(embedding,
+              x -> ABS(x::DOUBLE))), 1e-12) / 127.0 AS scale
+          FROM embeddings WHERE embedding IS NOT NULL),
+        c AS (
+          SELECT vec_id, embedding, scale,
+            LIST_TRANSFORM(embedding,
+              x -> CAST(ROUND(x::DOUBLE / scale, 0) AS INT)) AS codes
+          FROM q)
+        SELECT vec_id, ROUND(scale, 9) AS scale,
+          CAST(LIST_REDUCE(LIST_PREPEND(0, codes), (a, b) -> a + b)
+            AS BIGINT) AS sum_codes,
+          ROUND(LIST_MAX(LIST_TRANSFORM(RANGE(1, 65),
+            i -> ABS(embedding[CAST(i AS INT)]::DOUBLE / scale
+              - codes[CAST(i AS INT)]::DOUBLE))), 6) AS max_rel_err
+        FROM c"""),
+      "int8 scalar quantization of embeddings: max-abs scale, codes " +
+        "checksum, per-vector max relative reconstruction error")
   )
 }

@@ -143,4 +143,30 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size / 10.0
     assert(recall >= 0.3, s"recall=$recall exact=$exact approx=$approx")
   }
+
+  test("quantizeInt8: codes bounded, relative error <= 0.5, dequantized " +
+      "cosine stays close") {
+    val e = graft.core.Tables.load(spark, Sf0001, "embeddings")
+      .filter($"embedding".isNotNull).limit(50)
+    val q = e.select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding").as("q"))
+      .select($"vec_id", $"embedding", $"q.scale".as("_s"), $"q.codes".as("codes"))
+    val rows = q.collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1).map(_.toDouble)
+      val s = r.getDouble(2)
+      val codes = r.getSeq[Int](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // reconstruction: every dim within half a quantization step
+      emb.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * s) <= s / 2 + 1e-12)
+      }
+      // dequantized cosine vs original stays near 1 (64-dim, int8)
+      val deq = codes.map(_ * s)
+      val dot = emb.zip(deq).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(emb.map(x => x * x).sum)
+      val nb = math.sqrt(deq.map(x => x * x).sum)
+      if (na > 0 && nb > 0) assert(dot / (na * nb) > 0.999)
+    }
+  }
 }
