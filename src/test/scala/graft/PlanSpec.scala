@@ -165,4 +165,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("q103: all data-quality rules ride one aggregation, no join") {
+    val p = plan("q103_data_quality")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q104: SCD2's two window passes share one key-partitioned shuffle") {
+    val p = plan("q104_scd2_history")
+    assert(!p.contains("Join"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p)
+  }
+
+  test("q105: quantization is a shuffle-free map") {
+    val p = plan("q105_embedding_quantize")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
 }
