@@ -71,4 +71,58 @@ object Layout {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Morton (Z-order) key over two non-negative integer dimensions: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1. Pure long
+    * arithmetic (shifts + masks), codegen-friendly, no UDF. Rows close in
+    * z-value are close in BOTH dimensions, so sorting by it clusters the
+    * file-level min/max ranges that parquet data-skipping prunes on —
+    * the multi-column locality a single-column sort cannot give.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+  }
+
+  /** Write z-ordered on two dimensions: range-partition + sort by the
+    * Morton key so each output file covers a small rectangle of
+    * (aCol, bCol) space — point/range predicates on EITHER column then
+    * skip most files on parquet min/max stats. `files` bounds output file
+    * count (the cluster-side knob is rows-per-file / maxRecordsPerFile).
+    */
+  def writeZOrdered(df: DataFrame, aCol: String, bCol: String, path: String,
+      files: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_z", zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Compact a directory of many small parquet files into
+    * ceil(totalBytes / targetBytes) right-sized files — the maintenance
+    * pass that keeps scan task counts sane after fine-grained streaming
+    * or per-partition writes (the 100 TB equivalent of the reference's
+    * single-file Rebuild/Shrink, `LiteDB/Engine/LiteEngine.cs`).
+    * Coalesce, not repartition: no shuffle, just fewer read tasks
+    * stitched into fewer writers.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
 }

@@ -27,6 +27,15 @@ object TokenizerTraining {
     docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("word_cnt"))
 
+  /** Top-k vocabulary by corpus frequency with a deterministic total
+    * order (count desc, word asc — ties can never reorder). The limit
+    * plans as TakeOrderedAndProject over the vocab table (bounded by
+    * distinct words, not corpus size): per-partition top-k partials, no
+    * global sort.
+    */
+  def topVocab(wordFreqs: DataFrame, k: Int): DataFrame =
+    wordFreqs.orderBy(col("word_cnt").desc, col("word").asc).limit(k)
+
   /** One BPE merge-learning step over a word-frequency table: count
     * adjacent symbol pairs (character bigrams before any merges have
     * been applied), weighted by word frequency. Single-character words

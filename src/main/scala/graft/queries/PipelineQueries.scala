@@ -556,6 +556,47 @@ object PipelineQueries {
         FROM v"""),
       "SCD2 versioned history from a change stream: consecutive no-op " +
         "collapse + validity intervals, one key-partitioned shuffle"),
+
+    // Temperature-scaled mixture weights (the multilingual/multi-domain
+    // sampling rule: p_i proportional to share_i^alpha, alpha=0.5 so the
+    // exponent is SQRT — correctly-rounded IEEE in both engines, unlike
+    // pow/log). Weights are ppb-quantized longs BEFORE the normalizing
+    // sum, so the cross-source total is order-independent. Shape: one
+    // source-agg shuffle; both normalizers are 1-row broadcasts.
+    Q("q107_temp_mixture",
+      (s, dir) => {
+        val ps = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+          .groupBy("source")
+          .agg(sum(col("n")).as("n_toks"))
+        val w = ps
+          .crossJoin(broadcast(ps.agg(sum(col("n_toks")).as("tot_toks"))))
+          .select(col("source"), col("n_toks"),
+            round(lit(1e9) * sqrt(col("n_toks").cast("double") /
+              col("tot_toks").cast("double"))).cast("long").as("w_ppb"))
+        w.crossJoin(broadcast(w.agg(sum(col("w_ppb")).as("sum_w"))))
+          .select(col("source"), col("n_toks"), col("w_ppb"),
+            round(lit(1e6) * col("w_ppb") / col("sum_w")).cast("long")
+              .as("p_ppm"))
+      },
+      Some("""WITH ps AS (
+          SELECT source,
+            CAST(SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+              x -> LEN(x) > 0))) AS BIGINT) AS n_toks
+          FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n_toks) AS tot_toks FROM ps),
+        w AS (
+          SELECT source, n_toks,
+            CAST(ROUND(1000000000.0 * SQRT(CAST(n_toks AS DOUBLE)
+              / CAST(tot_toks AS DOUBLE)), 0) AS BIGINT) AS w_ppb
+          FROM ps, tot),
+        sw AS (SELECT SUM(w_ppb) AS sum_w FROM w)
+        SELECT source, n_toks, w_ppb,
+          CAST(ROUND((1000000.0 * w_ppb) / sum_w, 0) AS BIGINT) AS p_ppm
+        FROM w, sw"""),
+      "temperature-scaled mixture weights (share^0.5 via sqrt): " +
+        "ppb-quantized before the normalizing sum, 1-row broadcasts"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

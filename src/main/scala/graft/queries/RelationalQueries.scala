@@ -361,6 +361,46 @@ object RelationalQueries {
             // 3600000000) AS max_age_h
         FROM n GROUP BY user_id"""),
       "pinned reference quirks: lenient SUM/AVG (Aggregate.cs:76-114) + " +
-        "truncating DATEDIFF (Date.cs:108-130)")
+        "truncating DATEDIFF (Date.cs:108-130)"),
+
+    // Z-order (Morton) layout key — the multi-column data-skipping
+    // layout: interleave the bits of two dimensions so each file of a
+    // z-sorted write covers a small RECTANGLE of (a, b) space and
+    // parquet min/max stats prune scans on EITHER column. The key is
+    // pure long arithmetic (core/Layout.zValue — shifts and masks, no
+    // UDF); the per-cell min/max spans in the output ARE the locality
+    // proof (every 1024-key cell covers a 32x16 rectangle of the
+    // 256x256 grid). Shape: map-side key + ONE partial-agg shuffle.
+    Q("q110_zorder_key",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val a = col("l_orderkey") % 256
+        val b = col("l_partkey") % 256
+        li.select(graft.core.Layout.zValue(a, b, bits = 8).as("z"),
+            a.as("a"), b.as("b"))
+          .groupBy(shiftright(col("z"), 10).as("z_cell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+            min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+      },
+      Some(zorderOracleSql),
+      "Z-order layout key: bit-interleaved (orderkey, partkey) cells " +
+        "with their min/max rectangles — the multi-column data-skipping " +
+        "layout, computed as pure codegen long arithmetic")
   )
+
+  /** DuckDB replica of Layout.zValue(bits=8) over the same mod-256
+    * dimensions: the interleave is spelled as the same shift/mask/add
+    * terms the Scala fold produces. Generated, not hand-written.
+    */
+  lazy val zorderOracleSql: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"(((a >> $i) & 1) << ${2 * i})", s"(((b >> $i) & 1) << ${2 * i + 1})"))
+    s"""WITH m AS (
+        SELECT l_orderkey % 256 AS a, l_partkey % 256 AS b FROM lineitem),
+      z AS (SELECT a, b, (${terms.mkString(" + ")}) AS z FROM m)
+      SELECT CAST(z >> 10 AS BIGINT) AS z_cell, COUNT(*) AS n,
+        MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max
+      FROM z GROUP BY 1"""
+  }
 }

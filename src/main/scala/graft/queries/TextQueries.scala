@@ -686,7 +686,142 @@ object TextQueries {
       Some(cmsHeavyHittersOracleSql),
       "count-min heavy hitters: bounded mergeable sketch, broadcast " +
         "estimate, one-sided error exposed against exact counts"),
+
+    // BM25 topical retrieval (Okapi shape, rational ppm idf — see
+    // operators/Retrieval.scala for the determinism + scale contract):
+    // the lexical gate that pulls topical subsets out of a web corpus.
+    // The token stream filters to the query terms MAP-SIDE before its
+    // only shuffle; corpus stats and the idf table broadcast back; top-k
+    // is TakeOrderedAndProject, never a global sort.
+    Q("q106_bm25_topk",
+      (s, dir) => {
+        val scored = graft.operators.Retrieval.bm25(
+          Tables.load(s, dir, "documents"), "doc_id", tokens(col("text")),
+          terms = Seq("spark", "hash", "merge"))
+        scored.orderBy(col("score_n9").desc, col("doc_id").asc).limit(10)
+          .select(col("doc_id"), col("n_terms"),
+            round(col("score_n9").cast("double") / lit(1e9), 6).as("bm25"))
+      },
+      Some(bm25OracleSql),
+      "BM25 retrieval: rational idf, nano-quantized contributions, " +
+        "map-side term filter, TakeOrdered top-k"),
+
+    // Out-of-vocabulary rate against the learned top-k vocabulary (the
+    // tokenizer-coverage gate: docs a fixed vocab cannot represent are
+    // training noise). The vocab is bounded (top-12 of the corpus word
+    // table via TakeOrdered partials, deterministic ties) and BROADCAST
+    // to the token stream — the corpus-sized side never shuffles for
+    // the membership probe.
+    Q("q108_oov_rate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vocab = graft.operators.TokenizerTraining.topVocab(
+          graft.operators.TokenizerTraining.wordFrequencies(docs, "text"), 12)
+          .select(col("word").as("w"), lit(true).as("in_v"))
+        docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_toks"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_toks").cast("double"), 6)
+              .as("oov_rate"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, UNNEST(LIST_FILTER(
+            REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> LEN(x) > 0)) AS w
+          FROM documents),
+        wf AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+        v AS (SELECT w FROM wf ORDER BY cnt DESC, w LIMIT 12)
+        SELECT doc_id, COUNT(*) AS n_toks,
+          CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        FROM t LEFT JOIN v ON v.w = t.w
+        GROUP BY doc_id"""),
+      "OOV rate vs the learned top-k vocabulary: bounded TakeOrdered " +
+        "vocab, broadcast membership probe, per-doc coverage"),
+
+    // Interpolated bigram-LM scoring (the CCNet quality gate one order
+    // up from q88's unigram): P(w2|w1) = 0.7*c12/c1 + 0.3*c2/T over the
+    // bigram stream, ppb-quantized. Bigram emission is map-side (each
+    // doc emits its own adjacent pairs — no window); the model tables
+    // are vocab-bounded; see operators/LanguageModel.scala.
+    Q("q109_bigram_lm",
+      (s, dir) => graft.operators.LanguageModel.score(
+        Tables.load(s, dir, "documents"), "doc_id", tokens(col("text"))),
+      Some(bigramLmOracleSql),
+      "interpolated bigram LM scoring: ppb-quantized probabilities, " +
+        "map-side bigram emission, vocab-bounded model tables"),
   )
+
+  /** DuckDB replica of Retrieval.bm25 (k1=1.2, b=0.75, terms spark/hash/
+    * merge): same rational ppm idf, same operation ORDER in the
+    * contribution formula (IEEE doubles agree bit-for-bit before the
+    * nano-quantization), same (count desc, id asc) top-10. The constants
+    * appear as (1.2 + 1.0) / (1.0 - 0.75) — the same runtime folds the
+    * Scala side performs — never as pre-folded literals.
+    */
+  lazy val bm25OracleSql: String =
+    """WITH t AS (
+        SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+          x -> LEN(x) > 0) AS toks
+        FROM documents),
+      stats AS (
+        SELECT COUNT(*) AS n_docs,
+          CAST(SUM(LEN(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM t),
+      base AS (SELECT doc_id, LEN(toks) AS dl, UNNEST(toks) AS w FROM t),
+      tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf, MAX(dl) AS dl
+        FROM base WHERE w IN ('spark', 'hash', 'merge')
+        GROUP BY doc_id, w),
+      idf AS (
+        SELECT w, CAST(ROUND((1000000.0 * ((n_docs - df) + 0.5))
+            / (df + 0.5), 0) AS BIGINT) AS idf_ppm
+        FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), stats),
+      c AS (
+        SELECT doc_id, CAST(ROUND(
+            ((idf_ppm * 1000.0) * (tf * (1.2 + 1.0)))
+            / (tf + (1.2 * ((1.0 - 0.75) + (0.75 * (dl / avgdl))))), 0)
+          AS BIGINT) AS c_n9
+        FROM tf JOIN idf USING (w), stats),
+      sc AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(c_n9) AS s_n9
+        FROM c GROUP BY doc_id)
+      SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+        ROUND(CAST(s_n9 AS DOUBLE) / 1000000000.0, 6) AS bm25
+      FROM sc ORDER BY s_n9 DESC, doc_id LIMIT 10"""
+
+  /** DuckDB replica of LanguageModel.score (lambda=0.7 as 700000000 ppb,
+    * lowPpb=1e6): identical bigram emission (1-based adjacent pairs),
+    * identical division order in the interpolation.
+    */
+  lazy val bigramLmOracleSql: String =
+    """WITH t AS (
+        SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+          x -> LEN(x) > 0) AS toks
+        FROM documents),
+      bg AS (
+        SELECT doc_id, toks[CAST(i + 1 AS INT)] AS w1,
+          toks[CAST(i + 2 AS INT)] AS w2
+        FROM (SELECT doc_id, toks, UNNEST(RANGE(0, LEN(toks) - 1)) AS i
+          FROM t)),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      c2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+      tot AS (SELECT COUNT(*) AS t_bg FROM bg),
+      p AS (
+        SELECT w1, w2, CAST(ROUND(((700000000.0 * c12) / c1)
+            + ((300000000.0 * c2) / t_bg), 0) AS BIGINT) AS prob_ppb
+        FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), tot)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(CAST(SUM(prob_ppb) AS DOUBLE)
+          / (COUNT(*) * 1000000000.0), 6) AS mean_prob,
+        ROUND(CAST(SUM(CASE WHEN prob_ppb < 1000000 THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS low_frac
+      FROM bg JOIN p USING (w1, w2)
+      GROUP BY doc_id"""
 
   /** DuckDB replica of Sketches.cmsBuild/cmsEstimate (depth=4,
     * width=256) over the token stream: same md5-derived positions, same

@@ -28,6 +28,63 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("zValue interleaves bits: golden cases match the reference interleave") {
+    import spark.implicits._
+    // z(5=101b, 3=011b): a bits land at even positions, b at odd ->
+    // 1 + 2 + 8 + 16 = 27; corners pin the orientation and the range.
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (255L, 255L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((0L, 0L)) == 0L)
+    assert(rows((1L, 0L)) == 1L)
+    assert(rows((0L, 1L)) == 2L)
+    assert(rows((5L, 3L)) == 27L)
+    assert(rows((255L, 255L)) == 65535L)
+  }
+
+  test("z-ordered write clusters both dimensions per output file") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-zorder").toString
+    // full 256x256 grid, shuffled arrival order
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+      .repartition(32)
+    Layout.writeZOrdered(grid, "a", "b", s"$tmp/z", files = 16, bits = 8)
+    val spans = spark.read.parquet(s"$tmp/z")
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("a")) - min(col("a"))).as("sa"),
+        (max(col("b")) - min(col("b"))).as("sb"))
+      .agg(avg(col("sa")).as("ma"), avg(col("sb")).as("mb"),
+        count(lit(1)).as("nf"))
+      .collect()(0)
+    // each of the ~16 files covers a small rectangle: BOTH mean spans
+    // far below the 255 global span (a single-column sort would leave
+    // the other dimension's span at ~255)
+    assert(spans.getLong(2) >= 8, spans.toString)
+    assert(spans.getDouble(0) < 128.0, spans.toString)
+    assert(spans.getDouble(1) < 128.0, spans.toString)
+    // round-trip completeness
+    assert(spark.read.parquet(s"$tmp/z").count() == 65536)
+  }
+
+  test("compact collapses many small files into right-sized few, same data") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val src = Tables.load(spark, Sf0001, "orders")
+    src.repartition(64).write.parquet(s"$tmp/t")
+    val dir = new java.io.File(s"$tmp/t")
+    def nFiles = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    val before = nFiles
+    assert(before >= 32, s"expected many small files, got $before")
+    val checksum = spark.read.parquet(s"$tmp/t")
+      .agg(sum(col("o_orderkey")), count(lit(1))).collect()(0)
+    Layout.compact(spark, s"$tmp/t", targetBytes = 512L * 1024 * 1024)
+    assert(nFiles < before / 8, s"compacted to $nFiles files")
+    val after = spark.read.parquet(s"$tmp/t")
+      .agg(sum(col("o_orderkey")), count(lit(1))).collect()(0)
+    assert(after == checksum)
+  }
+
   test("date partitioning prunes partitions under a date predicate") {
     val tmp = Files.createTempDirectory("graft-layout").toString
     val ev = Tables.load(spark, Sf0001, "events")

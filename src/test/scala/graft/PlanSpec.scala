@@ -182,4 +182,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q105_embedding_quantize")
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
+
+  test("q106: BM25 top-k is TakeOrdered; model joins never sort-merge") {
+    val p = plan("q106_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // idf/stats attach by broadcast — the (doc, term) side never
+    // shuffles for them (its only exchange is its own partial agg)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q108: the vocab membership probe broadcasts the bounded vocab") {
+    val p = plan("q108_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the vocab itself comes from TakeOrdered partials, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q110: the z-order key is map-side — one partial-agg exchange total") {
+    val p = plan("q110_zorder_key")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.split("Exchange").length - 1 <= 1, p)
+  }
 }
