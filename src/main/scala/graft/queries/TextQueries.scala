@@ -85,7 +85,14 @@ object TextQueries {
     * (doc_id%5=0) split: same md5 signatures and band keys as the q48
     * oracle, asymmetric candidate join, containment verification.
     */
-  lazy val crossDecontamOracleSql: String = {
+  lazy val crossDecontamOracleSql: String =
+    lshCrossMatchOracle("% 5 <> 0", "% 5 = 0")
+
+  /** DuckDB replica of Dedup.minhashLshCrossMatches for any two disjoint
+    * doc_id splits (`trainCond`/`evalCond` are SQL predicates on doc_id):
+    * same md5 min-wise signatures, band keys, and containment round.
+    */
+  private def lshCrossMatchOracle(trainCond: String, evalCond: String): String = {
     val mh = (0 until 8).map(i =>
       s"LIST_MIN(LIST_TRANSFORM(shs, x -> MD5('$i|' || x))) AS mh$i").mkString(",\n          ")
     val bandKeys = (0 until 2).map { b =>
@@ -114,7 +121,7 @@ object TextQueries {
       cand AS (
         SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
         FROM buckets a JOIN buckets b ON a.bucket = b.bucket
-        WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+        WHERE a.doc_id $trainCond AND b.doc_id $evalCond)
       SELECT c.train_id, c.eval_id, $contain AS containment
       FROM cand c
       JOIN sh t ON t.doc_id = c.train_id
@@ -754,7 +761,51 @@ object TextQueries {
       Some(bigramLmOracleSql),
       "interpolated bigram LM scoring: ppb-quantized probabilities, " +
         "map-side bigram emission, vocab-bounded model tables"),
+
+    // Incremental ingestion dedup: admit an incoming batch only where it
+    // does not near-duplicate the EXISTING corpus (the steady-state form
+    // of dedup once a 100 TB store is live — full-corpus q46 reruns are
+    // for bootstrap only). Same LSH cross-match machinery as q84 with
+    // the roles flipped: the small increment broadcasts, the corpus
+    // side streams map-side and never shuffles.
+    Q("q112_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+        val matches = Dedup.minhashLshCrossMatches(
+          corpus, "doc_id", batch, "doc_id", "text",
+          wordGrams = 2, k = 8, bands = 2, threshold = 0.5)
+          .groupBy(col("eval_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_dups"),
+            max(col("containment")).as("max_containment"))
+        // matches is bounded by the increment, so the verdict join
+        // broadcasts it — the batch never shuffles either
+        batch.select("doc_id").join(broadcast(matches), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+            col("n_dups").isNull.as("admit"))
+      },
+      Some(incrementalDedupOracleSql),
+      "incremental batch-vs-corpus dedup: LSH cross-match with the " +
+        "increment broadcast, per-batch-doc admit verdict"),
   )
+
+  /** The q84 cross-match oracle re-parameterized to the batch/corpus
+    * split, aggregated to the per-batch-doc admit verdict.
+    */
+  lazy val incrementalDedupOracleSql: String =
+    s"""WITH m0 AS (${lshCrossMatchOracle("% 10 <> 7", "% 10 = 7")}),
+      m AS (
+        SELECT eval_id AS doc_id, COUNT(*) AS n_dups,
+          MAX(containment) AS max_containment
+        FROM m0 GROUP BY eval_id)
+      SELECT d.doc_id, CAST(COALESCE(m.n_dups, 0) AS BIGINT) AS n_dups,
+        COALESCE(m.max_containment, 0.0) AS max_containment,
+        (m.n_dups IS NULL) AS admit
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+      WHERE d.doc_id % 10 = 7"""
 
   /** DuckDB replica of Retrieval.bm25 (k1=1.2, b=0.75, terms spark/hash/
     * merge): same rational ppm idf, same operation ORDER in the

@@ -645,6 +645,102 @@ object VectorQueries {
               - codes[CAST(i AS INT)]::DOUBLE))), 6) AS max_rel_err
         FROM c"""),
       "int8 scalar quantization of embeddings: max-abs scale, codes " +
-        "checksum, per-vector max relative reconstruction error")
+        "checksum, per-vector max relative reconstruction error"),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25,
+    // q106's scorer) and vector (cosine, q40's scorer) top-20 lists —
+    // RRF(d) = sum over lists of 1/(60 + rank), the standard fusion
+    // that needs no score calibration. Each list is bounded (top-20 via
+    // TakeOrdered) BEFORE its rank window, so the windows see <= 20
+    // rows; each 1/(60+r) term is nano-quantized before the cross-list
+    // sum. Fusion joins documents to embeddings on doc_id = vec_id.
+    Q("q111_hybrid_rrf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = graft.operators.Retrieval.bm25(
+          Tables.load(s, dir, "documents"), "doc_id",
+          graft.functions.TextFunctions.tokens(col("text")),
+          Seq("spark", "hash", "merge"))
+          .orderBy(col("score_n9").desc, col("doc_id").asc).limit(20)
+          .withColumn("r_lex", row_number().over(
+            Window.orderBy(col("score_n9").desc, col("doc_id").asc)))
+          .select(col("doc_id").as("id"), col("r_lex"))
+        val others = Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") =!= 0)
+        val vec = Similarity
+          .cosineTopK(others, "vec_id", "embedding", queryVec(s, dir), 20)
+          .withColumn("r_vec", row_number().over(
+            Window.orderBy(col("score").desc, col("vec_id").asc)))
+          .select(col("vec_id").as("id"), col("r_vec"))
+        lex.join(vec, Seq("id"), "full_outer")
+          .select(col("id"),
+            coalesce(col("r_lex"), lit(0)).as("lex_rank"),
+            coalesce(col("r_vec"), lit(0)).as("vec_rank"),
+            (when(col("r_lex").isNotNull,
+              round(lit(1e9) / (lit(60) + col("r_lex"))).cast("long"))
+              .otherwise(0L) +
+             when(col("r_vec").isNotNull,
+               round(lit(1e9) / (lit(60) + col("r_vec"))).cast("long"))
+               .otherwise(0L)).as("rrf_n9"))
+          .orderBy(col("rrf_n9").desc, col("id").asc).limit(10)
+      },
+      Some(VectorQueries.hybridRrfOracleSql),
+      "hybrid lexical+vector retrieval: reciprocal-rank fusion of the " +
+        "BM25 and cosine top-20 lists, bounded rank windows")
   )
+
+  /** DuckDB replica of q111: the q106 BM25 chain and the q40 cosine
+    * chain, each ranked and cut at 20, fused by nano-quantized
+    * 1/(60+rank) terms. Ranks are cast to INT to match Spark's
+    * row_number type.
+    */
+  lazy val hybridRrfOracleSql: String =
+    s"""WITH t AS (
+        SELECT doc_id, LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+          x -> LEN(x) > 0) AS toks
+        FROM documents),
+      stats AS (
+        SELECT COUNT(*) AS n_docs,
+          CAST(SUM(LEN(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM t),
+      base AS (SELECT doc_id, LEN(toks) AS dl, UNNEST(toks) AS w FROM t),
+      tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf, MAX(dl) AS dl
+        FROM base WHERE w IN ('spark', 'hash', 'merge')
+        GROUP BY doc_id, w),
+      idf AS (
+        SELECT w, CAST(ROUND((1000000.0 * ((n_docs - df) + 0.5))
+            / (df + 0.5), 0) AS BIGINT) AS idf_ppm
+        FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), stats),
+      c AS (
+        SELECT doc_id, CAST(ROUND(
+            ((idf_ppm * 1000.0) * (tf * (1.2 + 1.0)))
+            / (tf + (1.2 * ((1.0 - 0.75) + (0.75 * (dl / avgdl))))), 0)
+          AS BIGINT) AS c_n9
+        FROM tf JOIN idf USING (w), stats),
+      sc AS (SELECT doc_id, SUM(c_n9) AS s_n9 FROM c GROUP BY doc_id),
+      lex AS (
+        SELECT doc_id AS id, CAST(ROW_NUMBER() OVER
+          (ORDER BY s_n9 DESC, doc_id) AS INT) AS r_lex
+        FROM sc QUALIFY r_lex <= 20),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      vs AS (
+        SELECT e.vec_id AS id, ROUND($dotSql / ($normESql * $normQSql), 6)
+          AS score
+        FROM embeddings e, q WHERE e.vec_id <> 0),
+      vec AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS INT)
+          AS r_vec
+        FROM vs QUALIFY r_vec <= 20),
+      f AS (
+        SELECT COALESCE(lex.id, vec.id) AS id,
+          COALESCE(r_lex, 0) AS lex_rank, COALESCE(r_vec, 0) AS vec_rank,
+          (CASE WHEN r_lex IS NULL THEN 0
+            ELSE CAST(ROUND(1000000000.0 / (60 + r_lex), 0) AS BIGINT) END
+           + CASE WHEN r_vec IS NULL THEN 0
+            ELSE CAST(ROUND(1000000000.0 / (60 + r_vec), 0) AS BIGINT) END)
+            AS rrf_n9
+        FROM lex FULL JOIN vec ON vec.id = lex.id)
+      SELECT id, lex_rank, vec_rank, rrf_n9
+      FROM f ORDER BY rrf_n9 DESC, id LIMIT 10"""
 }

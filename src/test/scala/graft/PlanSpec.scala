@@ -199,6 +199,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q112: the corpus side of incremental dedup joins only via broadcast") {
+    // the increment (batch) is the small side everywhere; the corpus
+    // stream must never sort-merge / shuffle-hash against it
+    val p = plan("q112_incremental_dedup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q110: the z-order key is map-side — one partial-agg exchange total") {
     val p = plan("q110_zorder_key")
     assert(!p.contains("Join") && !p.contains("Window"), p)

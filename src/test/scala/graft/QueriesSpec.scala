@@ -79,4 +79,30 @@ class QueriesSpec extends AnyFunSuite {
     val nSel = df.filter(col("selected")).count()
     assert(nSel > 0 && nSel < df.count())
   }
+
+  test("q111: every fused row comes from at least one source list") {
+    val rows = run("q111_hybrid_rrf").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (lx, vx) = (r.getAs[Int]("lex_rank"), r.getAs[Int]("vec_rank"))
+      assert(lx > 0 || vx > 0, r.toString)
+      assert(lx <= 20 && vx <= 20, r.toString)
+      // rrf matches its rank definition exactly
+      val expect =
+        (if (lx > 0) math.round(1e9 / (60 + lx)) else 0L) +
+          (if (vx > 0) math.round(1e9 / (60 + vx)) else 0L)
+      assert(r.getAs[Long]("rrf_n9") == expect, r.toString)
+    }
+  }
+
+  test("q112: admit verdict is exactly 'no near-dup match in the corpus'") {
+    val rows = run("q112_incremental_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("admit") == (r.getAs[Long]("n_dups") == 0L),
+        r.toString)
+      assert((r.getAs[Double]("max_containment") >= 0.5) ==
+        !r.getAs[Boolean]("admit"), r.toString)
+    }
+  }
 }
