@@ -38,12 +38,16 @@ object LanguageModel {
   /** ppb-quantized interpolated bigram probabilities: (w1, w2, prob_ppb).
     * `lambdaPpb` is the interpolation weight on the bigram term, in ppb
     * (e.g. 700000000L = 0.7).
+    *
+    * The corpus-sized bigram stream aggregates ONCE (into c12); the
+    * marginals c(w1 .), c(. w2) and the total are rollups of that
+    * vocab-bounded table — identical counts, three fewer corpus passes.
     */
   def bigramProbs(bg: DataFrame, lambdaPpb: Long): DataFrame = {
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val c2 = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
-    val total = bg.agg(count(lit(1)).as("t_bg"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val total = c12.agg(sum(col("c12")).as("t_bg"))
     c12.join(c1, "w1").join(c2, "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"),

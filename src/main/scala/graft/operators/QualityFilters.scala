@@ -73,6 +73,16 @@ object QualityFilters {
     * so the output hashes identically in any engine.
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    gopherRulesAll(docs.select(col(idCol), col(textCol)), textCol,
+      minWords, maxWords).drop(textCol)
+
+  /** `gopherRules` with every input column passed through — the form a
+    * pipeline (or the streaming curation gate) composes, where the doc
+    * payload must survive the verdict projection. Same scan-speed
+    * shape: appending columns to a projection adds no shuffle.
+    */
+  def gopherRulesAll(docs: DataFrame, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val t = tokens(col(textCol))
     val nWords = size(t)
@@ -94,7 +104,7 @@ object QualityFilters {
     val ellipsisLineFrac = round(size(filter(lines,
       l => trim(l).rlike("\\.\\.\\.$"))).cast("double") / nLines, 6)
 
-    docs.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+    docs.select(col("*"), nWords.as("n_words"), meanLen.as("mean_word_len"),
         symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
         stopHits.as("stop_hits"), bulletFrac.as("bullet_frac"),
         ellipsisLineFrac.as("ellipsis_line_frac"))

@@ -87,6 +87,31 @@ object IngestPipeline {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming curation gate: the ingest-path form of the batch curation
+    * verdict (q91) — every arriving document is admitted only when it
+    * (a) is not an in-stream duplicate within the watermark,
+    * (b) passes the shuffle-free Gopher document-quality rules, and
+    * (c) does not near-duplicate the EXISTING store, probed against a
+    *     static keep-list/fingerprint table by broadcast (stream-static
+    *     join: the static side is re-read per micro-batch, the stream
+    *     side never shuffles).
+    * Returns the admitted stream with the per-gate verdicts attached
+    * (callers route rejects to a dead-letter sink by filtering NOT
+    * admit, exactly like partitionByWriteRules).
+    */
+  def curationGate(docs: DataFrame, storeFingerprints: DataFrame,
+      tsCol: String = "ts", textCol: String = "text",
+      lateness: String = "1 hour"): DataFrame = {
+    val fresh = dedupByContent(docs, tsCol, textCol, lateness)
+    val known = broadcast(
+      storeFingerprints.select(col("fp"), lit(true).as("in_store")))
+    graft.operators.QualityFilters.gopherRulesAll(fresh, textCol)
+      .join(known, Seq("fp"), "left")
+      .withColumn("novel", col("in_store").isNull)
+      .withColumn("admit", col("keep") && col("novel"))
+      .drop("in_store")
+  }
+
   /** Enforce the IotValue write rules in the ingest path (SURVEY §7:
     * "write rules live in the ingest path, not the storage" —
     * IotValue.cs:123-139): rows whose (priority, flags) violate

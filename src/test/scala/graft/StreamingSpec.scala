@@ -99,6 +99,40 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("curationGate admits only novel, quality-passing, non-dup docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // >= 50 words, mean word length in [3,10], >= 2 Gopher stopwords
+    val goodText =
+      ("the quality corpus of training data and documents flow " * 6).trim
+    val knownText =
+      ("known document in the store of archived and curated records " * 6).trim
+    val shortText = "too short the of"
+    val storeFps = spark.createDataset(Seq(knownText))(
+      org.apache.spark.sql.Encoders.STRING).toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = IngestPipeline.curationGate(
+      mem.toDF().toDF("doc_id", "ts", "text"), storeFps)
+    val q = out.writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 05:00:00"), goodText),
+      (2L, ts("2024-01-01 05:00:10"), knownText), // already in the store
+      (3L, ts("2024-01-01 05:00:20"), shortText), // fails word-count rule
+      (4L, ts("2024-01-01 05:00:30"), goodText)) // in-stream duplicate of 1
+    q.processAllAvailable()
+    val rows = spark.table("curation_out")
+      .select("doc_id", "keep", "novel", "admit").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L)) // 4 never survives dedup
+    assert(rows(1L) == ((true, true, true)))
+    assert(rows(2L) == ((true, false, false))) // quality ok, not novel
+    assert(rows(3L)._1 == false && rows(3L)._3 == false)
+    q.stop()
+  }
+
   test("StreamingSketch accumulates across micro-batches to the exact " +
       "batch-built sketch (merge law) and keeps est >= exact") {
     implicit val sqlCtx = spark.sqlContext
