@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -35,6 +35,39 @@ object TokenizerTraining {
     */
   def topVocab(wordFreqs: DataFrame, k: Int): DataFrame =
     wordFreqs.orderBy(col("word_cnt").desc, col("word").asc).limit(k)
+
+  /** Apply an ORDERED BPE merge list to a word column, returning its
+    * subword array — the encode half of the tokenizer (Sennrich et al.
+    * 2016 §3: merges replay at encode time in learned order).
+    *
+    * Representation is the paper's: a word becomes its characters
+    * joined by single spaces ("hash" -> "h a s h"); merge (a, b)
+    * rewrites every non-overlapping "a b" left-to-right to "ab" —
+    * exactly the semantics of literal REPLACE in Spark AND DuckDB, so
+    * the oracle chains the same replaces. Pure codegen string ops, no
+    * UDF, no shuffle; cost is O(|merges|) passes over each word, which
+    * is why callers should encode the DISTINCT word table (vocab-sized)
+    * and broadcast-join back to the token stream, never encode per
+    * occurrence.
+    */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column = {
+    val spaced = concat_ws(" ", split(word, ""))
+    val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      replace(acc, lit(s"$a $b"), lit(a + b))
+    }
+    split(merged, " ")
+  }
+
+  /** A fixed demonstration merge list as (left, right) SYMBOL pairs —
+    * merge (a, b) rewrites "a b" to "ab" (the catalog query's encode
+    * table; learned lists from `bpePairCounts` plug into the same
+    * `applyMerges`). Ordered — later merges build on earlier outputs:
+    * ("has", "h") only fires after ("h", "as") created "has".
+    */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    "a" -> "s", "h" -> "as", "has" -> "h",
+    "e" -> "y", "k" -> "ey",
+    "t" -> "a", "ta" -> "b", "l" -> "e")
 
   /** One BPE merge-learning step over a word-frequency table: count
     * adjacent symbol pairs (character bigrams before any merges have

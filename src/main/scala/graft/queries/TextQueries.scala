@@ -790,7 +790,58 @@ object TextQueries {
       Some(incrementalDedupOracleSql),
       "incremental batch-vs-corpus dedup: LSH cross-match with the " +
         "increment broadcast, per-batch-doc admit verdict"),
+
+    // BPE ENCODE (the other half of q96's merge learning): replay an
+    // ordered merge list over every word and report per-doc subword
+    // inventories. The encode runs on the DISTINCT word table —
+    // vocab-sized, O(|merges|) string passes each — and broadcast-joins
+    // back to the token stream; the corpus-sized side never pays the
+    // merge loop. Pure codegen string ops (see applyMerges).
+    Q("q113_bpe_encode",
+      (s, dir) => {
+        import graft.operators.TokenizerTraining
+        val words = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val vocab = words.select("w").distinct()
+          .select(col("w"), size(TokenizerTraining.applyMerges(
+            col("w"), TokenizerTraining.DemoMerges)).as("n_sub"))
+        words.join(broadcast(vocab), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+          .select(col("doc_id"), col("n_words"), col("n_subwords"),
+            round(col("n_subwords").cast("double") /
+              col("n_words").cast("double"), 6).as("subwords_per_word"))
+      },
+      Some(bpeEncodeOracleSql),
+      "BPE encode with an ordered merge list: vocab-sized merge loop, " +
+        "broadcast re-attach, per-doc subword inventory"),
   )
+
+  /** DuckDB replica of TokenizerTraining.applyMerges(DemoMerges): the
+    * same space-joined character representation and the same ordered
+    * literal REPLACE chain (REPLACE rewrites non-overlapping matches
+    * left-to-right in both engines). Generated from DemoMerges.
+    */
+  lazy val bpeEncodeOracleSql: String = {
+    val chain = graft.operators.TokenizerTraining.DemoMerges
+      .foldLeft("s") { case (acc, (a, b)) => s"REPLACE($acc, '$a $b', '$a$b')" }
+    s"""WITH t AS (
+        SELECT doc_id, UNNEST(LIST_FILTER(
+          REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), x -> LEN(x) > 0)) AS w
+        FROM documents),
+      v AS (SELECT DISTINCT w FROM t),
+      sp AS (
+        SELECT w, ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(w) + 1),
+          i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS s
+        FROM v),
+      m AS (SELECT w, LEN(STRING_SPLIT($chain, ' ')) AS n_sub FROM sp)
+      SELECT doc_id, COUNT(*) AS n_words,
+        CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+        ROUND(CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS subwords_per_word
+      FROM t JOIN m USING (w)
+      GROUP BY doc_id"""
+  }
 
   /** The q84 cross-match oracle re-parameterized to the batch/corpus
     * split, aggregated to the per-batch-doc admit verdict.

@@ -206,6 +206,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q113: the BPE merge loop runs on the vocab side only (broadcast back)") {
+    val qe = SparkEntry.queries("q113_bpe_encode")(spark, Sf0001).queryExecution
+    val p = qe.executedPlan.toString
+    // the re-attach broadcasts the encoded vocab; the corpus-sized token
+    // stream never sorts/shuffles for it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the REPLACE chain sits above the distinct-vocab Aggregate — i.e.
+    // inside the Aggregate's own output expressions or a Project over it
+    // — never on the corpus stream (whose branch has no Aggregate below
+    // the join). The optimized logical plan prints expressions in full.
+    val lp = qe.optimizedPlan.toString
+    val replaceLines = lp.linesIterator.filter(_.contains("replace(")).toSeq
+    assert(replaceLines.nonEmpty, lp)
+    assert(replaceLines.forall(_.contains("Aggregate [w")),
+      "replace chain must be attached to the vocab aggregate branch\n" + lp)
+  }
+
   test("q110: the z-order key is map-side — one partial-agg exchange total") {
     val p = plan("q110_zorder_key")
     assert(!p.contains("Join") && !p.contains("Window"), p)

@@ -73,4 +73,35 @@ class QualityFiltersSpec extends AnyFunSuite {
     // "aba" x3 contributes ab,ba each x3; "cd" x1; "e" has no pairs
     assert(pairs == Map("ab" -> 3L, "ba" -> 3L, "cd" -> 1L))
   }
+
+  test("applyMerges: golden subword splits under DemoMerges") {
+    import graft.operators.TokenizerTraining
+    import org.apache.spark.sql.functions.col
+    val got = Seq("hash", "key", "table", "a", "spark").toDF("w")
+      .select(col("w"), TokenizerTraining.applyMerges(
+        col("w"), TokenizerTraining.DemoMerges).as("sub"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("hash") == Seq("hash"))   // h a s h -> h as h -> has h -> hash
+    assert(got("key") == Seq("key"))
+    assert(got("table") == Seq("tab", "le"))
+    assert(got("a") == Seq("a"))         // single char: no merge applies
+    assert(got("spark") == Seq("s", "p", "a", "r", "k")) // untouched
+  }
+
+  test("a learned top merge plugs into applyMerges (train -> encode)") {
+    import graft.operators.TokenizerTraining
+    import org.apache.spark.sql.functions.{asc, col, desc}
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "word_cnt")
+    val top = TokenizerTraining.bpePairCounts(wf)
+      .orderBy(desc("merge_count"), asc("pair")).head().getString(0)
+    assert(top == "es") // es and st both score 9; tiebreak picks es
+    val merge = Seq(top.substring(0, 1) -> top.substring(1))
+    val enc = wf.select(col("word"), TokenizerTraining.applyMerges(
+        col("word"), merge).as("sub"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc("newest") == Seq("n", "e", "w", "es", "t"))
+    assert(enc("widest") == Seq("w", "i", "d", "es", "t"))
+    assert(enc("low") == Seq("l", "o", "w"))
+  }
 }
