@@ -122,7 +122,12 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
     spark.read.parquet(path).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
+    // swap via rename-aside so a failure between steps never loses the
+    // original: the old data survives as ._old until the new set is in
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    fs.delete(old, true)
+    fs.rename(p, old)
     fs.rename(tmp, p)
+    fs.delete(old, true)
   }
 }

@@ -51,17 +51,18 @@ object Retrieval {
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
-    // df/idf: |terms| rows; rational idf, ppm-quantized
+    // df/idf: |terms| rows; rational idf, ppm-quantized. The 1-row stats
+    // attach HERE (avgdl rides along to the scoring join), so the stats
+    // aggregation scans the corpus exactly once.
     val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats.select("n_docs")))
-      .select(col("w"),
+      .crossJoin(broadcast(stats))
+      .select(col("w"), col("avgdl"),
         round(lit(1e6) * (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))).cast("long").as("idf_ppm"))
 
     // nano-quantized per-(doc, term) contribution — identical operation
     // order to the DuckDB oracle so IEEE doubles agree bit-for-bit
     tf.join(broadcast(idf), "w")
-      .crossJoin(broadcast(stats.select("avgdl")))
       .select(col(idCol),
         round(col("idf_ppm") * lit(1000.0) * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))

@@ -125,4 +125,47 @@ object GraftProperties extends Properties("graft") {
       val nw = math.max(nh - w + 1, 1)
       n >= 1 && n <= nw
     }
+
+  property("zValueInterleaveIsABijection: decode recovers both dims") =
+    Prop.forAll(Gen.listOfN(8,
+      Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))) { pairs =>
+      val rows = pairs.toDF("a", "b")
+        .select(col("a"), col("b"),
+          graft.core.Layout.zValue(col("a"), col("b"), 16).as("z"))
+        .collect()
+      rows.forall { r =>
+        val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val da = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        val db = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        da == a && db == b
+      }
+    }
+
+  private val wordGen: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  property("bpeApplyMergesIsLossless: subwords concatenate to the word") =
+    Prop.forAll(Gen.listOfN(6, wordGen),
+      Gen.listOfN(4, Gen.zip(wordGen.map(_.take(2)), wordGen.map(_.take(2))))) {
+      (words, merges) =>
+        val rows = words.toDF("w")
+          .select(col("w"), graft.operators.TokenizerTraining
+            .applyMerges(col("w"), merges).as("sub"))
+          .collect()
+        rows.forall(r => r.getSeq[String](1).mkString == r.getString(0))
+    }
+
+  property("bm25ScoresInvariantUnderRepartitioning") =
+    Prop.forAll(Gen.listOfN(10,
+      Gen.listOfN(8, Gen.oneOf("ab", "cd", "ef", "gh")).map(_.mkString(" ")))) {
+      texts =>
+        def scores(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Retrieval.bm25(df, "id", split(col("text"), " "),
+            Seq("ab", "cd")).collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+        scores(df) == scores(df.repartition(7))
+    }
 }
