@@ -597,6 +597,40 @@ object PipelineQueries {
         FROM w, sw"""),
       "temperature-scaled mixture weights (share^0.5 via sqrt): " +
         "ppb-quantized before the normalizing sum, 1-row broadcasts"),
+
+    // Deterministic N-per-stratum sampling WITHOUT a ranking window: a
+    // partitionBy(lang) row_number would serialize each language onto
+    // one task (a hot language = one straggler at 100 TB); the typed
+    // top-N Aggregator keeps n rows per key per partition and combines
+    // map-side like any sum (operators/TopK.scala). The md5 order makes
+    // the selection reproducible AND oracle-expressible — the oracle
+    // ranks with the window form and must select the identical rows.
+    Q("q114_stratified_topn",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            graft.functions.TextFunctions
+              .hash48(col("doc_id").cast("string")).as("h"))
+        graft.operators.TopK.topNPerKey(d, Seq("lang"), col("h"),
+            col("doc_id"), 3)
+          .select(col("lang"), col("rank"), col("id").as("doc_id"),
+            col("ord").as("h"))
+      },
+      Some {
+        val v48 = (1 to 12).map(k =>
+          "(STRPOS('0123456789abcdef', SUBSTR(m, " + k + ", 1)) - 1) * " +
+            (1L << (4 * (12 - k)))).mkString(" + ")
+        s"""WITH d AS (
+            SELECT doc_id, lang,
+              SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 12) AS m
+            FROM documents),
+          hd AS (SELECT doc_id, lang, CAST($v48 AS BIGINT) AS h FROM d)
+          SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY h, doc_id) AS INT) AS rank, doc_id, h
+          FROM hd QUALIFY rank <= 3"""
+      },
+      "deterministic N-per-stratum sample via a bounded typed top-N " +
+        "Aggregator (map-side combine, no per-stratum ranking window)"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the
