@@ -73,9 +73,10 @@ object QualityFilters {
     * so the output hashes identically in any engine.
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame =
     gopherRulesAll(docs.select(col(idCol), col(textCol)), textCol,
-      minWords, maxWords).drop(textCol)
+      minWords, maxWords, minStopHits).drop(textCol)
 
   /** `gopherRules` with every input column passed through — the form a
     * pipeline (or the streaming curation gate) composes, where the doc
@@ -83,7 +84,8 @@ object QualityFilters {
     * shape: appending columns to a projection adds no shuffle.
     */
   def gopherRulesAll(docs: DataFrame, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
     val t = tokens(col(textCol))
     val nWords = size(t)
     val nW = greatest(nWords, lit(1)).cast("double")
@@ -114,7 +116,7 @@ object QualityFilters {
         col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
       .withColumn("rule_symbols", col("symbol_ratio") <= 0.1)
       .withColumn("rule_alpha", col("alpha_frac") >= 0.8)
-      .withColumn("rule_stopwords", col("stop_hits") >= 2)
+      .withColumn("rule_stopwords", col("stop_hits") >= minStopHits)
       .withColumn("rule_lines",
         col("bullet_frac") <= 0.9 && col("ellipsis_line_frac") <= 0.3)
       .withColumn("keep",

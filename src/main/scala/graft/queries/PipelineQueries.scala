@@ -631,6 +631,47 @@ object PipelineQueries {
       },
       "deterministic N-per-stratum sample via a bounded typed top-N " +
         "Aggregator (map-side combine, no per-stratum ranking window)"),
+
+    // The pipeline's last step: assign curated docs to training shards
+    // and emit the shard manifest a trainer consumes. Assignment is a
+    // pure hash (map-side, reproducible, balanced in expectation —
+    // every shard's expected token share is 1/n); the manifest carries
+    // an order-independent content checksum (sum of doc hashes mod
+    // 2^48) so a re-run, or a trainer-side re-read, can verify shard
+    // integrity without ordering guarantees. One partial-agg shuffle.
+    Q("q115_shard_manifest",
+      (s, dir) => {
+        val h = graft.functions.TextFunctions.hash48(
+          col("doc_id").cast("string"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n"),
+            pmod(h, lit(8L)).cast("int").as("shard"), h.as("h"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_toks"),
+            // decimal accumulate: a long sum of 2^48-sized hashes
+            // overflows around 30k docs/shard — far below corpus scale
+            pmod(sum(col("h").cast("decimal(38,0)")),
+              lit(281474976710656L)).cast("long").as("checksum48"))
+      },
+      Some {
+        val v48 = (1 to 12).map(k =>
+          "(STRPOS('0123456789abcdef', SUBSTR(m, " + k + ", 1)) - 1) * " +
+            (1L << (4 * (12 - k)))).mkString(" + ")
+        s"""WITH d AS (
+            SELECT doc_id,
+              LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+                x -> LEN(x) > 0)) AS n,
+              SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 12) AS m
+            FROM documents),
+          hd AS (SELECT doc_id, n, CAST($v48 AS BIGINT) AS h FROM d)
+          SELECT CAST(h % 8 AS INT) AS shard, COUNT(*) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS n_toks,
+            CAST(SUM(h) % 281474976710656 AS BIGINT) AS checksum48
+          FROM hd GROUP BY 1"""
+      },
+      "training-shard assignment + manifest: hash sharding, per-shard " +
+        "token inventory, order-independent content checksum"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the
