@@ -82,10 +82,18 @@ object Layout {
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    // saturate out-of-range values at the domain edges instead of
+    // truncating high bits: a value >= 2^bits sorts with the TOP cell
+    // (and negatives with the bottom), never wrapping onto small keys —
+    // truncation would interleave the whole overflow range into every
+    // file and silently defeat min/max skipping
+    def clamp(c: org.apache.spark.sql.Column) =
+      least(greatest(c.cast("long"), lit(0L)), lit((1L << bits) - 1))
+    val (ca, cb) = (clamp(a), clamp(b))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc +
-        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        shiftleft(shiftright(ca, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(cb, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }
   }
 
@@ -116,18 +124,31 @@ object Layout {
   def compact(spark: SparkSession, path: String, targetBytes: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val entries = fs.listStatus(p)
+    // a value-partitioned layout (subdirectories) must compact per
+    // partition — a flat rewrite here would silently erase the layout
+    require(!entries.exists(e => e.isDirectory &&
+        !e.getPath.getName.startsWith("_")),
+      s"$path contains partition subdirectories; compact each partition " +
+        "directory individually to preserve the layout")
+    val total = entries.filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
     spark.read.parquet(path).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
     // swap via rename-aside so a failure between steps never loses the
-    // original: the old data survives as ._old until the new set is in
+    // original: the old data survives as ._old until the new set is in.
+    // HDFS-style rename reports failure by RETURNING false — check it,
+    // never fall through to the backup delete on a failed swap.
     val old = new org.apache.hadoop.fs.Path(path + "._old")
     fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
+    require(fs.rename(p, old), s"compact: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore; best-effort, original data intact
+      throw new java.io.IOException(
+        s"compact: could not move compacted set into $p; original restored")
+    }
     fs.delete(old, true)
   }
 }

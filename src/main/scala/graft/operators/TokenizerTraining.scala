@@ -40,22 +40,25 @@ object TokenizerTraining {
     * subword array — the encode half of the tokenizer (Sennrich et al.
     * 2016 §3: merges replay at encode time in learned order).
     *
-    * Representation is the paper's: a word becomes its characters
-    * joined by single spaces ("hash" -> "h a s h"); merge (a, b)
-    * rewrites every non-overlapping "a b" left-to-right to "ab" —
-    * exactly the semantics of literal REPLACE in Spark AND DuckDB, so
-    * the oracle chains the same replaces. Pure codegen string ops, no
-    * UDF, no shuffle; cost is O(|merges|) passes over each word, which
-    * is why callers should encode the DISTINCT word table (vocab-sized)
-    * and broadcast-join back to the token stream, never encode per
-    * occurrence.
+    * Representation: symbols are joined by a DOUBLE space with a single
+    * space at each end (" h  a  s  h "), and merge (a, b) rewrites
+    * " a  b " to " ab ". The full-width separators make every literal
+    * match symbol-boundary-exact — a single-space form would let the
+    * pattern "a t" match the 'a' symbol plus the PREFIX of a previously
+    * merged "th" symbol, emitting subwords outside the learned vocab.
+    * Literal REPLACE rewrites non-overlapping matches left-to-right
+    * identically in Spark and DuckDB, so the oracle chains the same
+    * replaces. Pure codegen string ops, no UDF, no shuffle; cost is
+    * O(|merges|) passes over each word, which is why callers should
+    * encode the DISTINCT word table (vocab-sized) and broadcast-join
+    * back to the token stream, never encode per occurrence.
     */
   def applyMerges(word: Column, merges: Seq[(String, String)]): Column = {
-    val spaced = concat_ws(" ", split(word, ""))
+    val spaced = concat(lit(" "), concat_ws("  ", split(word, "")), lit(" "))
     val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
-      replace(acc, lit(s"$a $b"), lit(a + b))
+      replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
     }
-    split(merged, " ")
+    split(trim(merged), "  ")
   }
 
   /** A fixed demonstration merge list as (left, right) SYMBOL pairs —

@@ -50,14 +50,13 @@ object CurationPipeline {
         col("top_word_frac") <= 0.12 && col("dup_gram_frac") <= 0.1)
         .as("rep_keep"))
 
-    // exact dedup: first doc per normalized fingerprint wins
-    val exact = base
-      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-      .groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+    // exact dedup: first doc per normalized fingerprint wins (the
+    // operator's canonical_id semantics, reused not re-implemented)
     val exactKeep = base.select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
-      .join(exact, "fp")
-      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("exact_keep"))
+      .join(Dedup.exactDedup(base, "doc_id", "text"), "fp")
+      .select(col("doc_id"),
+        (col("doc_id") === col("canonical_id")).as("exact_keep"))
 
     // near-dup keep-list: bucketed jaccard pairs -> blocked CC
     val pairs = Dedup.jaccardPairsByCooccurrence(
@@ -71,9 +70,14 @@ object CurationPipeline {
         (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
           .as("near_keep"))
 
-    // fuzzy decontamination: eval side broadcast, corpus never shuffles
+    // fuzzy decontamination: eval side broadcast, corpus never shuffles.
+    // The eval text normalizes through the SAME pipeline as the corpus —
+    // shingling normalized train text against raw eval text would miss
+    // any contamination that differs only in case/markup/whitespace.
+    val evalNorm = evalDocs.select(col("doc_id"),
+      TextFunctions.normalizeText(col("text")).as("text"))
     val contaminated = Dedup.minhashLshCrossMatches(
-        base, "doc_id", evalDocs.select(col("doc_id"), col("text")), "doc_id",
+        base, "doc_id", evalNorm, "doc_id",
         "text", wordGrams = 2, k = 8, bands = 2,
         threshold = cfg.contamThreshold)
       .select(col("train_id").as("doc_id")).distinct()

@@ -824,17 +824,18 @@ object TextQueries {
     */
   lazy val bpeEncodeOracleSql: String = {
     val chain = graft.operators.TokenizerTraining.DemoMerges
-      .foldLeft("s") { case (acc, (a, b)) => s"REPLACE($acc, '$a $b', '$a$b')" }
+      .foldLeft("s") { case (acc, (a, b)) =>
+        s"REPLACE($acc, ' $a  $b ', ' $a$b ')" }
     s"""WITH t AS (
         SELECT doc_id, UNNEST(LIST_FILTER(
           REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'), x -> LEN(x) > 0)) AS w
         FROM documents),
       v AS (SELECT DISTINCT w FROM t),
       sp AS (
-        SELECT w, ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(w) + 1),
-          i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS s
+        SELECT w, ' ' || ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(w) + 1),
+          i -> w[CAST(i AS INT):CAST(i AS INT)]), '  ') || ' ' AS s
         FROM v),
-      m AS (SELECT w, LEN(STRING_SPLIT($chain, ' ')) AS n_sub FROM sp)
+      m AS (SELECT w, LEN(STRING_SPLIT(TRIM($chain), '  ')) AS n_sub FROM sp)
       SELECT doc_id, COUNT(*) AS n_words,
         CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
         ROUND(CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)

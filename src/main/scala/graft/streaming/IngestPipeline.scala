@@ -103,8 +103,10 @@ object IngestPipeline {
       tsCol: String = "ts", textCol: String = "text",
       lateness: String = "1 hour"): DataFrame = {
     val fresh = dedupByContent(docs, tsCol, textCol, lateness)
-    val known = broadcast(
-      storeFingerprints.select(col("fp"), lit(true).as("in_store")))
+    // distinct before the join: duplicate fp rows in the store table
+    // would multiply matching stream rows through the left join
+    val known = broadcast(storeFingerprints.select("fp").distinct()
+      .withColumn("in_store", lit(true)))
     graft.operators.QualityFilters.gopherRulesAll(fresh, textCol)
       .join(known, Seq("fp"), "left")
       .withColumn("novel", col("in_store").isNull)

@@ -43,6 +43,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows((255L, 255L)) == 65535L)
   }
 
+  test("zValue saturates out-of-range values instead of wrapping") {
+    import spark.implicits._
+    val rows = Seq((256L, 0L), (100000L, -5L))
+      .toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    // 256 clamps to 255 (top cell), never to 0's key; negatives clamp to 0
+    val z255_0 = (0 until 8).map(i => 1L << (2 * i)).sum
+    assert(rows(0) == z255_0)
+    assert(rows(1) == z255_0)
+  }
+
   test("z-ordered write clusters both dimensions per output file") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-zorder").toString

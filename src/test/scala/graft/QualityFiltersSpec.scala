@@ -88,6 +88,18 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(got("spark") == Seq("s", "p", "a", "r", "k")) // untouched
   }
 
+  test("applyMerges never merges across symbol boundaries") {
+    import graft.operators.TokenizerTraining
+    import org.apache.spark.sql.functions.col
+    // after (t,h) builds "th", the pattern "a t" must NOT match 'a' plus
+    // the prefix of the "th" symbol — correct BPE on "path" is p|a|th
+    val got = Seq("path").toDF("w")
+      .select(TokenizerTraining.applyMerges(
+        col("w"), Seq("t" -> "h", "a" -> "t")).as("sub"))
+      .head().getSeq[String](0)
+    assert(got == Seq("p", "a", "th"), got.toString)
+  }
+
   test("a learned top merge plugs into applyMerges (train -> encode)") {
     import graft.operators.TokenizerTraining
     import org.apache.spark.sql.functions.{asc, col, desc}
