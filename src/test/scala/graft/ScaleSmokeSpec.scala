@@ -131,4 +131,48 @@ class ScaleSmokeSpec extends AnyFunSuite {
       .filter(col("nc") > 1).count()
     assert(cellsPerBase == 0)
   }
+
+  test("bm25 scales linearly: disjoint-vocab replicas score independently") {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val base = graft.operators.Retrieval.bm25(docs, "doc_id",
+      graft.functions.TextFunctions.tokens(col("text")),
+      Seq("spark", "hash", "merge")).cache()
+    // 20x replicas with a per-replica token SUFFIX on every word: term
+    // matches stay confined to replica 0, stats scale by 20
+    val rep = docs.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), "(\\S+)", "$1_r"))
+          .as("text"))
+    val scaled = graft.operators.Retrieval.bm25(rep, "doc_id",
+      graft.functions.TextFunctions.tokens(col("text")),
+      Seq("spark", "hash", "merge"))
+    // the match set is confined to replica 0 and identical to the base
+    // run (absolute scores legitimately change — idf rescales with N)
+    val baseHits = base.select("doc_id", "n_terms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scaledHits = scaled.select("doc_id", "n_terms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scaledHits == baseHits)
+  }
+
+  test("topNPerKey survives a pathologically hot key") {
+    // 99% of rows share one key — a ranking window would serialize them
+    // onto one task; the Aggregator keeps n per partition per key
+    val skewed = spark.range(100000).select(
+      when(col("id") % 100 =!= 0, lit("hot")).otherwise(lit("cold")).as("k"),
+      pmod(col("id") * 2654435761L, lit(999983L)).as("h"), col("id"))
+    val top = graft.operators.TopK.topNPerKey(
+      skewed, Seq("k"), col("h"), col("id"), 5)
+    assert(top.count() == 10)
+    // exact agreement with the window form on the hot key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("h", "id")
+    val want = skewed.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5 && col("k") === "hot")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = top.filter(col("k") === "hot")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
 }
