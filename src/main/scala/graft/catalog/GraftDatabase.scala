@@ -182,6 +182,19 @@ final class GraftDatabase private (
       tsRange(guid, start, end).groupBy("point_guid", "ts")
         .agg(max(col("value")).as("value")),
       "point_guid", "ts", "value", stepSeconds)
+
+  // ---- corpus curation (training-data pipeline, COVERAGE §LLM ops) -------
+
+  /** Run the end-to-end curation DAG over a documents table (doc_id,
+    * text, lang, n_chars) against an eval set, landing
+    * verdicts/curated/manifest under this database's directory. See
+    * `pipeline.CurationPipeline` for the stage list and scale shapes.
+    */
+  def curate(docsTable: String, evalDocs: DataFrame,
+      cfg: graft.pipeline.CurationPipeline.Config =
+        graft.pipeline.CurationPipeline.Config()): DataFrame =
+    graft.pipeline.CurationPipeline.write(
+      spark, table(docsTable), evalDocs, s"$root/Curation", cfg)
 }
 
 object GraftDatabase {

@@ -138,4 +138,18 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.findDocuments("notes", "mood", "grim")
       .select("id").as[Long].collect().toSeq == Seq(3L))
   }
+
+  test("curate through the facade lands verdicts + manifest in the db tree") {
+    val db = freshDb().defineTable(TableDef("docs", "doc_id"))
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+      .filter(col("doc_id") < 100)
+    db.insert("docs", docs.filter(col("doc_id") % 5 =!= 0))
+    val manifest = db.curate("docs", docs.filter(col("doc_id") % 5 === 0),
+      graft.pipeline.CurationPipeline.Config(minWords = 10, minStopHits = 1))
+    assert(manifest.agg(sum(col("n_docs"))).head().getLong(0) > 0)
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"${db.root}/Curation/verdicts")))
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"${db.root}/Curation/curated")))
+  }
 }
