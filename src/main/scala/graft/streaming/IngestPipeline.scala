@@ -114,6 +114,30 @@ object IngestPipeline {
       .drop("in_store")
   }
 
+  /** Streaming ingest-time IVF assignment: each arriving embedding gets
+    * its cell (the per-row `cellOf` fold — no join, no window) and lands
+    * in the cell-partitioned layout that `Similarity.ivfTopK` probes
+    * with partition pruning. This is the streaming twin of the q77 batch
+    * ingest: at 100 TB the O(nlist) assignment expression runs ONCE per
+    * vector at write time, never per query, and the directory layout IS
+    * the inverted file.
+    */
+  def ivfIngest(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Float])], layoutDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    embeddings
+      .withColumn("cell", when(col(vecCol).isNotNull,
+        graft.operators.Similarity.cellOf(col(vecCol), centroids))
+        .otherwise(lit(-1L)))
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cell")
+      .format("parquet")
+      .option("path", layoutDir)
+      .start()
+
   /** Enforce the IotValue write rules in the ingest path (SURVEY §7:
     * "write rules live in the ingest path, not the storage" —
     * IotValue.cs:123-139): rows whose (priority, flags) violate

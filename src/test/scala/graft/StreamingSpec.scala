@@ -133,6 +133,47 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("ivfIngest: streamed embeddings land cell-partitioned, queries match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.load(spark, Sf0001, "embeddings")
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val rows = e.filter(col("vec_id") > 8).limit(100)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IngestPipeline.ivfIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, s"$dir/layout", s"$dir/ckpt")
+    mem.addData(rows.take(50): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val layout = spark.read.parquet(s"$dir/layout")
+    assert(layout.count() == 100)
+    // streamed cells == batch cells for every vector
+    val batchCells = graft.operators.Similarity.ivfAssign(
+      e.filter(col("vec_id") > 8).limit(100), "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cell").as("bcell"))
+    assert(layout.join(batchCells, "vec_id")
+      .filter(col("cell") =!= col("bcell")).count() == 0)
+    // the probe over the streamed layout returns the batch answer
+    val fromStream = graft.operators.Similarity.ivfTopK(
+      layout, "vec_id", "embedding", qv, k = 5, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromBatch = graft.operators.Similarity.ivfTopK(
+      e.filter(col("vec_id") > 8).limit(100), "vec_id", "embedding", qv,
+      k = 5, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromStream == fromBatch)
+  }
+
   test("StreamingSketch accumulates across micro-batches to the exact " +
       "batch-built sketch (merge law) and keeps est >= exact") {
     implicit val sqlCtx = spark.sqlContext
