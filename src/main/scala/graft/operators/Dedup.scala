@@ -551,29 +551,42 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min(own label, min neighbor label)
+      // each node adopts min(own label, min neighbor label) ...
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("cluster_id", "n_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
-      // (measured: an extra pointer-jumping join per round costs more than
-      // the rounds it saves — near-dup components are shallow)
+      val relaxed = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("l1"))
+      // ... then pointer-jumps: label <- label(label). Plain relaxation
+      // converges in O(diameter) rounds — a silent wrong answer on a
+      // deep chain once maxIter runs out; with the jump the label
+      // distance doubles per round, so maxIter=10 covers diameters to
+      // ~2^10 and non-convergence throws below instead of mislabeling.
+      val jumped = relaxed.as("a")
+        .join(relaxed.select(col("id").as("l1"), col("l1").as("root")).as("b"),
+          Seq("l1"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("root"), col("l1")).as("cluster_id"))
       // carry the change flag through the checkpoint so convergence
       // detection is a filter over materialized data, not a fresh
       // join+shuffle against the previous labels
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
-            .as("_changed"))
+      val updated = jumped.as("n")
+        .join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
+        .select(col("id"), col("cluster_id"),
+          (col("cluster_id") < col("prev")).as("_changed"))
         .localCheckpoint(true)
       val changed = updated.filter(col("_changed")).count()
       labels = updated.drop("_changed")
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"clusterPairs did not converge in $maxIter doubling rounds — " +
+        "component diameter exceeds 2^maxIter; raise maxIter")
     labels
   }
 }

@@ -72,6 +72,15 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("clusterPairs converges on a 300-deep chain (pointer-jump doubling)") {
+    // plain min-propagation needs ~300 rounds here; the label-doubling
+    // form must finish inside the default 10 and label everything 0
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.clusterPairs(chain).as[(Long, Long)].collect()
+    assert(got.length == 301)
+    assert(got.forall(_._2 == 0L), got.filter(_._2 != 0L).take(5).toSeq.toString)
+  }
+
   test("hamming64") {
     val d = spark.range(1)
       .select(Dedup.hamming64(lit(0xFFL), lit(0x0FL))).as[Int].head()
