@@ -86,9 +86,14 @@ object Layout {
     // truncating high bits: a value >= 2^bits sorts with the TOP cell
     // (and negatives with the bottom), never wrapping onto small keys —
     // truncation would interleave the whole overflow range into every
-    // file and silently defeat min/max skipping
-    def clamp(c: org.apache.spark.sql.Column) =
-      least(greatest(c.cast("long"), lit(0L)), lit((1L << bits) - 1))
+    // file and silently defeat min/max skipping. NULL stays NULL (so
+    // null-keyed rows cluster in their own range) — Spark's
+    // greatest/least SKIP nulls and would otherwise coerce them to 0.
+    def clamp(c: org.apache.spark.sql.Column) = {
+      val v = c.cast("long")
+      when(v.isNotNull,
+        least(greatest(v, lit(0L)), lit((1L << bits) - 1)))
+    }
     val (ca, cb) = (clamp(a), clamp(b))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc +

@@ -37,8 +37,12 @@ object CurationPipeline {
     */
   def verdicts(docs: DataFrame, evalDocs: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+    // materialize the normalized corpus ONCE: every gate branch below is
+    // an independent subtree, so without this one verdicts() action
+    // would re-run the scan + 3-regex normalization ~8 times
+    val base = docs.select(col("doc_id"), col("lang"),
       TextFunctions.normalizeText(col("text")).as("text"))
+      .localCheckpoint(true)
 
     // quality: scan-speed Gopher rules + repetition metrics (doc-scoped)
     val gopher = QualityFilters
@@ -58,10 +62,14 @@ object CurationPipeline {
       .select(col("doc_id"),
         (col("doc_id") === col("canonical_id")).as("exact_keep"))
 
-    // near-dup keep-list: bucketed jaccard pairs -> blocked CC
+    // near-dup keep-list: bucketed jaccard pairs -> blocked CC. The
+    // length bucket uses the NORMALIZED length — bucketing on raw
+    // n_chars would split near-identical docs whose raw lengths diverge
+    // (markup stripped by normalizeText) into different blocks and
+    // never compare them
     val pairs = Dedup.jaccardPairsByCooccurrence(
       base, "doc_id", array_distinct(TextFunctions.tokens(col("text"))),
-      Seq(col("lang"), floor(col("n_chars") / 50)),
+      Seq(col("lang"), floor(length(col("text")) / 50)),
       threshold = cfg.jaccardThreshold, emitBlockKey = true)
     val labels = Dedup.clusterPairsBlocked(pairs, "block_key")
       .withColumnRenamed("id", "doc_id")
@@ -83,12 +91,21 @@ object CurationPipeline {
       .select(col("train_id").as("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
 
+    // LEFT joins with fail-closed defaults: a doc too short to emit
+    // n-grams (repetitionMetrics) or with a null fingerprint (null/empty
+    // text) must still get a verdict ROW — one row per input doc is the
+    // contract — with the missing gate recorded false, not silently
+    // dropped by an inner join
     base
       .select(col("doc_id"), col("lang"),
         TextFunctions.tokenCount(col("text")).as("n_toks"))
-      .join(gopher, "doc_id").join(rep, "doc_id").join(exactKeep, "doc_id")
+      .join(gopher, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .join(exactKeep, Seq("doc_id"), "left")
       .join(nearKeep, "doc_id")
       .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("rep_keep", coalesce(col("rep_keep"), lit(false)))
+      .withColumn("exact_keep", coalesce(col("exact_keep"), lit(false)))
       .withColumn("decontam_keep", col("contaminated").isNull)
       .drop("contaminated")
       .withColumn("curated", col("gopher_keep") && col("rep_keep") &&

@@ -126,10 +126,11 @@ object IngestPipeline {
       centroids: Seq[(Long, Seq[Float])], layoutDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
-    embeddings
-      .withColumn("cell", when(col(vecCol).isNotNull,
-        graft.operators.Similarity.cellOf(col(vecCol), centroids))
-        .otherwise(lit(-1L)))
+    // the assignment IS the batch operator (pure projection — streams
+    // fine); re-implementing the cell/null-sentinel expression here
+    // would let the two paths silently diverge
+    graft.operators.Similarity
+      .ivfAssign(embeddings, idCol, vecCol, centroids)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

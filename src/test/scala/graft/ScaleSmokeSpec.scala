@@ -137,12 +137,15 @@ class ScaleSmokeSpec extends AnyFunSuite {
     val base = graft.operators.Retrieval.bm25(docs, "doc_id",
       graft.functions.TextFunctions.tokens(col("text")),
       Seq("spark", "hash", "merge")).cache()
-    // 20x replicas with a per-replica token SUFFIX on every word: term
-    // matches stay confined to replica 0, stats scale by 20
+    // 20x replicas with a per-replica token suffix on every word (vocab
+    // disjoint ACROSS replicas too): term matches stay confined to
+    // replica 0, stats scale by 20
     val rep = docs.crossJoin(spark.range(20).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
         when(col("rep") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), "(\\S+)", "$1_r"))
+          .otherwise(concat_ws(" ", transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            w => concat(w, lit("_"), col("rep")))))
           .as("text"))
     val scaled = graft.operators.Retrieval.bm25(rep, "doc_id",
       graft.functions.TextFunctions.tokens(col("text")),
