@@ -183,6 +183,22 @@ final class GraftDatabase private (
         .agg(max(col("value")).as("value")),
       "point_guid", "ts", "value", stepSeconds)
 
+  // ---- LiteDB SQL dialect over this database's tables --------------------
+
+  /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY
+    * @key, INSERT/UPDATE/DELETE/EXPLAIN) against this database's
+    * declared tables — the facade twin of `db.Execute(sql)` in the
+    * reference. FK declarations from `defineTable` feed INCLUDE's join
+    * resolution; the database's collation applies to every comparison.
+    */
+  def sql(liteSql: String): DataFrame = {
+    val loaded = defs.keys.filter(tableExists)
+      .map(n => n -> table(n)).toMap
+    val fks = defs.values.flatMap(td => td.fks.map(fk =>
+      (fk.parentTable, td.name) -> (fk.parentCol, fk.childCol))).toMap
+    new graft.query.LiteSql(spark, loaded, fks, collation).run(liteSql)
+  }
+
   // ---- corpus curation (training-data pipeline, COVERAGE §LLM ops) -------
 
   /** Run the end-to-end curation DAG over a documents table (doc_id,

@@ -139,6 +139,23 @@ class GraftDatabaseSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("LiteDB SQL through the facade: $-paths, INCLUDE via declared FKs") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0), (11, 1, 50.0), (12, 2, 99.0))
+      .toDF("id", "customer_id", "amount"))
+    val filtered = db.sql(
+      "SELECT $.name FROM customer WHERE $.age > 35")
+    assert(filtered.as[String].collect().toSeq == Seq("bob"))
+    // INCLUDE resolves the declared customer->orders FK (flattening
+    // left join: child columns become selectable)
+    val included = db.sql(
+      "SELECT $.name, $.amount FROM customer INCLUDE orders WHERE $.age < 35")
+    assert(included.count() == 2) // ann's two orders
+    assert(included.select(sum(col("amount"))).as[Double].head() == 300.0)
+  }
+
   test("curate through the facade lands verdicts + manifest in the db tree") {
     val db = freshDb().defineTable(TableDef("docs", "doc_id"))
     val docs = graft.core.Tables.load(spark, Sf0001, "documents")
