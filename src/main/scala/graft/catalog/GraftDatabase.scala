@@ -199,6 +199,21 @@ final class GraftDatabase private (
     new graft.query.LiteSql(spark, loaded, fks, collation).run(liteSql)
   }
 
+  // ---- natural-language query over this database's tables ----------------
+
+  /** Run a FIND/WHERE/SELECT/INCLUDE/INNERJOIN natural-language query
+    * against this database's tables — the facade twin of `db.Query(...)`
+    * in the reference, with INCLUDE joins resolved from `defineTable`
+    * FK declarations and the database collation applied.
+    */
+  def find(nlQuery: String): DataFrame = {
+    val fks = defs.values.flatMap(td => td.fks.map(fk =>
+      (fk.parentTable, td.name) -> (fk.parentCol, fk.childCol))).toMap
+    new graft.query.NaturalQuery(spark,
+      (n: String) => if (tableExists(n)) Some(table(n)) else None,
+      fks, collation).run(nlQuery)
+  }
+
   // ---- corpus curation (training-data pipeline, COVERAGE §LLM ops) -------
 
   /** Run the end-to-end curation DAG over a documents table (doc_id,

@@ -156,6 +156,18 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(included.select(sum(col("amount"))).as[Double].head() == 300.0)
   }
 
+  test("NL find through the facade: FIND/WHERE/INCLUDE on declared tables") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0), (11, 1, 50.0), (12, 2, 99.0))
+      .toDF("id", "customer_id", "amount"))
+    val rows = db.find(
+      "FIND customer WHERE age < 35 SELECT name INCLUDE orders SELECT amount")
+    assert(rows.count() == 1)
+    assert(rows.select(size(col("orders_Data"))).as[Int].head() == 2)
+  }
+
   test("curate through the facade lands verdicts + manifest in the db tree") {
     val db = freshDb().defineTable(TableDef("docs", "doc_id"))
     val docs = graft.core.Tables.load(spark, Sf0001, "documents")
