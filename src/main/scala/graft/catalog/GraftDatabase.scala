@@ -76,6 +76,42 @@ final class GraftDatabase private (
     writeReplace(name, merged)
   }
 
+  /** Update existing documents by PK (TableCollection.cs:1256-1298):
+    * incoming rows replace same-PK rows; rows whose PK is absent are
+    * IGNORED (the reference returns false for them — update never
+    * inserts; that is `upsert`). Returns the number of rows replaced.
+    */
+  def update(name: String, rows: DataFrame): Long = {
+    val tdef = tableDef(name)
+    if (!tableExists(name)) return 0L
+    val existing = table(name)
+    val matched = rows.join(existing.select(col(tdef.pk)), Seq(tdef.pk),
+      "left_semi")
+    val n = matched.count()
+    if (n > 0)
+      writeReplace(name, ConstrainedDml.upsert(existing, matched, tdef.pk))
+    n
+  }
+
+  /** UpdateMany with column transforms over rows matching `predicate`
+    * (TableCollection.cs:1305-1328, `UPDATE ... SET col = expr WHERE ...`):
+    * each (column -> expression) applies only where the predicate holds;
+    * other rows pass through unchanged.
+    */
+  def updateMany(name: String, predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Unit =
+    writeReplace(name, ConstrainedDml.updateWhere(table(name), predicate, set))
+
+  /** Set one column on ALL documents (TableCollection.cs:1150 SetAll —
+    * lowered there as UpdateMany over `_id > 0`).
+    */
+  def setAll(name: String, columnName: String, value: Any): Unit =
+    updateMany(name, lit(true), Map(columnName -> lit(value)))
+
+  /** PK point lookup (TableCollection.cs:739 FindById). */
+  def findById(name: String, id: Any): Option[org.apache.spark.sql.Row] =
+    table(name).filter(col(tableDef(name).pk) === lit(id)).take(1).headOption
+
   /** Delete with FK actions (cascade/restrict/set-null walk,
     * TableCollection.cs:316-460), persisting every affected table.
     */

@@ -168,6 +168,31 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(rows.select(size(col("orders_Data"))).as[Int].head() == 2)
   }
 
+  test("update/updateMany/setAll/findById mirror the reference DML surface") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+
+    // update replaces by PK; absent PKs are ignored, never inserted
+    val n = db.update("customer",
+      Seq((1, "ann", 31), (9, "zoe", 99)).toDF("id", "name", "age"))
+    assert(n == 1)
+    assert(db.table("customer").count() == 2)
+    assert(db.findById("customer", 1).get.getAs[Int]("age") == 31)
+    assert(db.findById("customer", 9).isEmpty)
+
+    // updateMany applies transforms only where the predicate holds
+    db.updateMany("customer", col("age") >= 40,
+      Map("name" -> upper(col("name")), "age" -> (col("age") + 1)))
+    assert(db.findById("customer", 2).get.getAs[String]("name") == "BOB")
+    assert(db.findById("customer", 2).get.getAs[Int]("age") == 41)
+    assert(db.findById("customer", 1).get.getAs[String]("name") == "ann")
+
+    // setAll touches every document (the reference's UpdateMany over _id>0)
+    db.setAll("customer", "age", 7)
+    assert(db.table("customer").select("age").as[Int].collect().toSet == Set(7))
+  }
+
   test("curate through the facade lands verdicts + manifest in the db tree") {
     val db = freshDb().defineTable(TableDef("docs", "doc_id"))
     val docs = graft.core.Tables.load(spark, Sf0001, "documents")
