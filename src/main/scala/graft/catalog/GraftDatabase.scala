@@ -33,15 +33,22 @@ final class GraftDatabase private (
   /** Declare a table with its constraints (the reference declares via
     * attributes on the CLR type; here via TableDef).
     */
+  // Table names are case-insensitive like the reference's collection
+  // names; both query engines key their FK registries lowercase, so the
+  // facade normalizes once at the boundary.
+  private def norm(name: String): String = name.toLowerCase
+
   def defineTable(tdef: TableDef): GraftDatabase = {
-    defs += tdef.name -> tdef
+    val n = tdef.copy(name = norm(tdef.name),
+      fks = tdef.fks.map(fk => fk.copy(parentTable = norm(fk.parentTable))))
+    defs += n.name -> n
     this
   }
 
   def tableDef(name: String): TableDef =
-    defs.getOrElse(name, TableDef(name, "id"))
+    defs.getOrElse(norm(name), TableDef(norm(name), "id"))
 
-  def tablePath(name: String): String = s"$tablesDir/$name"
+  def tablePath(name: String): String = s"$tablesDir/${norm(name)}"
 
   def tableExists(name: String): Boolean =
     Files.exists(Paths.get(tablePath(name), "_SUCCESS")) ||
@@ -52,6 +59,26 @@ final class GraftDatabase private (
     * collection creation — callers insert first).
     */
   def table(name: String): DataFrame = spark.read.parquet(tablePath(name))
+
+  /** All table names: declared via `defineTable` plus any materialized on
+    * disk (IotDatabase.cs:45 Tables()).
+    */
+  def tables: Seq[String] = {
+    val onDisk = Option(new java.io.File(tablesDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.endsWith("_tmp_swap"))
+      .map(_.getName)
+    (defs.keySet ++ onDisk).toSeq.sorted
+  }
+
+  /** Resource listing — `table_<name>` rows like the reference's
+    * `IotDatabase.Resources` (IotDatabase.cs:114-131), plus
+    * `file_<name>` for checked-in files.
+    */
+  def resources: Seq[String] =
+    tables.map(t => s"table_$t") ++
+      fileStore.files.select("file_name").collect()
+        .map(r => s"file_${r.getString(0)}").toSeq.sorted
 
   /** Constraint-checked insert (CheckConstraints + insert,
     * TableCollection.cs:922-1070).
@@ -65,14 +92,20 @@ final class GraftDatabase private (
     if (violations.nonEmpty)
       throw new IllegalStateException(s"constraint violations: $violations")
     rows.write.mode("append").parquet(tablePath(name))
+    invalidateSqlEngine()
   }
 
-  /** Upsert by the table's PK (TableCollection.cs:1195-1240). */
+  /** Upsert by the table's PK (TableCollection.cs:1195-1240); unique/FK
+    * constraints hold on the merged state like the reference's
+    * index-maintaining upsert.
+    */
   def upsert(name: String, rows: DataFrame): Unit = {
     val tdef = tableDef(name)
     val merged =
       if (tableExists(name)) ConstrainedDml.upsert(table(name), rows, tdef.pk)
       else rows
+    requireClean(ConstrainedDml.validateUpdate(
+      spark, tdef, rows, merged, parentsOf(tdef)))
     writeReplace(name, merged)
   }
 
@@ -85,39 +118,73 @@ final class GraftDatabase private (
     val tdef = tableDef(name)
     if (!tableExists(name)) return 0L
     val existing = table(name)
+    // cache: the frame is evaluated twice (count + the persisted merge) —
+    // without it a nondeterministic source could replace different rows
+    // than were counted
     val matched = rows.join(existing.select(col(tdef.pk)), Seq(tdef.pk),
-      "left_semi")
-    val n = matched.count()
-    if (n > 0)
-      writeReplace(name, ConstrainedDml.upsert(existing, matched, tdef.pk))
-    n
+      "left_semi").cache()
+    try {
+      val n = matched.count()
+      if (n > 0) {
+        val merged = ConstrainedDml.upsert(existing, matched, tdef.pk)
+        requireClean(ConstrainedDml.validateUpdate(
+          spark, tdef, matched, merged, parentsOf(tdef)))
+        writeReplace(name, merged)
+      }
+      n
+    } finally matched.unpersist()
   }
 
   /** UpdateMany with column transforms over rows matching `predicate`
     * (TableCollection.cs:1305-1328, `UPDATE ... SET col = expr WHERE ...`):
     * each (column -> expression) applies only where the predicate holds;
-    * other rows pass through unchanged.
+    * other rows pass through unchanged. Returns the matching-row count.
+    * The PK cannot be a transform target (the reference throws on `_id`
+    * modification); unique/FK constraints hold on the result.
     */
   def updateMany(name: String, predicate: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Unit =
-    writeReplace(name, ConstrainedDml.updateWhere(table(name), predicate, set))
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    val tdef = tableDef(name)
+    require(!set.contains(tdef.pk),
+      s"cannot modify the PK '${tdef.pk}' via updateMany (reference: " +
+        "LiteDB forbids _id transforms)")
+    if (!tableExists(name)) return 0L
+    val df = table(name)
+    val result = ConstrainedDml.updateWhere(df, predicate, set)
+    val changed = result.filter(coalesce(predicate, lit(false)))
+    requireClean(ConstrainedDml.validateUpdate(
+      spark, tdef, changed, result, parentsOf(tdef)))
+    val n = df.filter(coalesce(predicate, lit(false))).count()
+    writeReplace(name, result)
+    n
+  }
 
   /** Set one column on ALL documents (TableCollection.cs:1150 SetAll —
     * lowered there as UpdateMany over `_id > 0`).
     */
-  def setAll(name: String, columnName: String, value: Any): Unit =
+  def setAll(name: String, columnName: String, value: Any): Long =
     updateMany(name, lit(true), Map(columnName -> lit(value)))
 
-  /** PK point lookup (TableCollection.cs:739 FindById). */
+  /** PK point lookup (TableCollection.cs:739 FindById); None when the
+    * table has no data yet, like the reference's empty collection.
+    */
   def findById(name: String, id: Any): Option[org.apache.spark.sql.Row] =
-    table(name).filter(col(tableDef(name).pk) === lit(id)).take(1).headOption
+    if (!tableExists(name)) None
+    else table(name).filter(col(tableDef(name).pk) === lit(id)).take(1).headOption
+
+  private def parentsOf(tdef: TableDef): Map[String, DataFrame] =
+    tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
+
+  private def requireClean(vs: Seq[ConstrainedDml.Violation]): Unit =
+    if (vs.nonEmpty)
+      throw new IllegalStateException(s"constraint violations: $vs")
 
   /** Delete with FK actions (cascade/restrict/set-null walk,
     * TableCollection.cs:316-460), persisting every affected table.
     */
   def delete(name: String, predicate: org.apache.spark.sql.Column): Unit = {
     val states = defs.map { case (n, d) => n -> ((table(n), d)) }
-    val updated = ConstrainedDml.deleteCascade(spark, states, name, predicate)
+    val updated = ConstrainedDml.deleteCascade(spark, states, norm(name), predicate)
     // two-phase swap: every new state's plan reads the CURRENT directories
     // (possibly of other affected tables), so all temp writes must finish
     // before any directory is replaced
@@ -131,6 +198,7 @@ final class GraftDatabase private (
       deleteRecursively(dst)
       Files.move(tmp, dst)
     }
+    invalidateSqlEngine()
   }
 
   private def writeReplace(name: String, df: DataFrame): Unit = {
@@ -142,6 +210,7 @@ final class GraftDatabase private (
     df.write.mode("overwrite").parquet(tmp.toString)
     deleteRecursively(dst)
     Files.move(tmp, dst)
+    invalidateSqlEngine()
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -221,18 +290,68 @@ final class GraftDatabase private (
 
   // ---- LiteDB SQL dialect over this database's tables --------------------
 
+  /** FK registry for the query engines, keyed (parent, child) lowercase —
+    * the normalization both LiteSql and NaturalQuery look up with.
+    */
+  private def fkRegistry: Map[(String, String), (String, String)] =
+    defs.values.flatMap(td => td.fks.map(fk =>
+      (fk.parentTable, td.name) -> (fk.parentCol, fk.childCol))).toMap
+
+  // Memoized SQL engine over ALL tables (declared + materialized dynamic
+  // ones). Dropped on every facade write: its DataFrames hold file-listing
+  // snapshots of the swapped directories, and re-registering per call
+  // would cost a whole-catalog footer read per statement.
+  private var sqlEngine: Option[graft.query.LiteSql] = None
+  private def invalidateSqlEngine(): Unit = sqlEngine = None
+
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY
-    * @key, INSERT/UPDATE/DELETE/EXPLAIN) against this database's
-    * declared tables — the facade twin of `db.Execute(sql)` in the
-    * reference. FK declarations from `defineTable` feed INCLUDE's join
-    * resolution; the database's collation applies to every comparison.
+    * @key, INSERT/UPDATE/DELETE/EXPLAIN) against this database's tables —
+    * the facade twin of `db.Execute(sql)` in the reference. FK
+    * declarations from `defineTable` feed INCLUDE's join resolution; the
+    * database's collation applies to every comparison; DML persists to
+    * the table store and returns the affected-row count, with declared
+    * PK/unique/FK constraints re-checked on the INSERT/UPDATE outcome
+    * (SQL DELETE does not cascade, mirroring the reference's SQL layer —
+    * cascading lives on `delete`).
     */
   def sql(liteSql: String): DataFrame = {
-    val loaded = defs.keys.filter(tableExists)
-      .map(n => n -> table(n)).toMap
-    val fks = defs.values.flatMap(td => td.fks.map(fk =>
-      (fk.parentTable, td.name) -> (fk.parentCol, fk.childCol))).toMap
-    new graft.query.LiteSql(spark, loaded, fks, collation).run(liteSql)
+    val engine = sqlEngine.getOrElse {
+      val loaded = tables.filter(tableExists).map(n => n -> table(n)).toMap
+      val e = new graft.query.LiteSql(spark, loaded, fkRegistry, collation)
+      sqlEngine = Some(e)
+      e
+    }
+    val kw = liteSql.trim.takeWhile(!_.isWhitespace).toUpperCase
+    val out = engine.execute(liteSql)
+    val dirty = engine.modified
+    if (dirty.nonEmpty) {
+      dirty.foreach { case (n, state) =>
+        // DELETE may legitimately leave orphans (no cascade in the SQL
+        // layer); INSERT/UPDATE outcomes must still satisfy declared
+        // constraints, like the reference's index maintenance
+        if (kw != "DELETE" && defs.contains(n)) {
+          val tdef = defs(n)
+          requireClean(ConstrainedDml.validateUpdate(
+            spark, tdef, decollate(state), decollate(state), parentsOf(tdef)))
+        }
+        writeReplace(n, decollate(state))
+      }
+    }
+    out
+  }
+
+  /** Strip engine-collation tags before persisting (stored bytes are
+    * collation-agnostic; the collation re-applies on read).
+    */
+  private def decollate(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    if (!df.schema.fields.exists(f =>
+        f.dataType.isInstanceOf[StringType] && f.dataType != StringType)) df
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
+      if (f.dataType.isInstanceOf[StringType] && f.dataType != StringType)
+        col(f.name).cast(StringType).as(f.name)
+      else col(f.name)
+    }: _*)
   }
 
   // ---- natural-language query over this database's tables ----------------
@@ -242,13 +361,10 @@ final class GraftDatabase private (
     * in the reference, with INCLUDE joins resolved from `defineTable`
     * FK declarations and the database collation applied.
     */
-  def find(nlQuery: String): DataFrame = {
-    val fks = defs.values.flatMap(td => td.fks.map(fk =>
-      (fk.parentTable, td.name) -> (fk.parentCol, fk.childCol))).toMap
+  def find(nlQuery: String): DataFrame =
     new graft.query.NaturalQuery(spark,
       (n: String) => if (tableExists(n)) Some(table(n)) else None,
-      fks, collation).run(nlQuery)
-  }
+      fkRegistry, collation).run(nlQuery)
 
   // ---- corpus curation (training-data pipeline, COVERAGE §LLM ops) -------
 

@@ -105,6 +105,46 @@ object ConstrainedDml {
     existing.join(incoming.select(col(pk)), Seq(pk), "left_anti")
       .unionByName(incoming)
 
+  /** Validate an update's outcome (Update/UpdateMany): FK existence for
+    * the incoming/changed rows, PK uniqueness within them, and unique-col
+    * uniqueness across the RESULTING state. PK matches vs existing rows
+    * are exactly what an update does, so unlike validateInsert they are
+    * not conflicts here.
+    */
+  def validateUpdate(
+      spark: SparkSession,
+      table: TableDef,
+      incoming: DataFrame,
+      result: DataFrame,
+      parents: Map[String, DataFrame]): Seq[Violation] = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[Violation]
+
+    table.fks.foreach { fk =>
+      val parent = parents.getOrElse(fk.parentTable,
+        throw new IllegalArgumentException(s"missing parent ${fk.parentTable}"))
+      val orphans = incoming.filter(col(fk.childCol).isNotNull)
+        .join(broadcast(parent.select(col(fk.parentCol))),
+          incoming(fk.childCol) === parent(fk.parentCol), "left_anti").count()
+      if (orphans > 0)
+        out += Violation("fk_missing", table.name, fk.childCol, orphans)
+      if (fk.oneToOne) {
+        val dupes = result.filter(col(fk.childCol).isNotNull)
+          .groupBy(fk.childCol).count().filter($"count" > 1).count()
+        if (dupes > 0)
+          out += Violation("one_to_one_conflict", table.name, fk.childCol, dupes)
+      }
+    }
+    val pkDupes = incoming.groupBy(table.pk).count().filter($"count" > 1).count()
+    if (pkDupes > 0) out += Violation("pk_conflict", table.name, table.pk, pkDupes)
+    table.uniqueCols.foreach { uc =>
+      val dupes = result.filter(col(uc).isNotNull)
+        .groupBy(uc).count().filter($"count" > 1).count()
+      if (dupes > 0) out += Violation("unique_conflict", table.name, uc, dupes)
+    }
+    out.toSeq
+  }
+
   /** UpdateMany with a transform expression over matching rows
     * (TableCollection.cs:1305-1328; SQL `UPDATE c SET Name = UPPER($.Name)
     * WHERE …`): each (column -> expression) applies only where `predicate`

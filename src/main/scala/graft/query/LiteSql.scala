@@ -150,8 +150,16 @@ final class LiteSql(
     // re-collate: INSERT merges in plain (binary) string columns
     val collated = collation.collate(df)
     current = current.updated(name, collated)
+    dirtyNames += name
     collated.createOrReplaceTempView(name)
   }
+
+  private var dirtyNames: Set[String] = Set.empty
+
+  /** Tables rebound by DML since construction (name -> current state) —
+    * what a persisting caller (GraftDatabase.sql) must write back.
+    */
+  def modified: Map[String, DataFrame] = dirtyNames.map(n => n -> current(n)).toMap
 
   /** $-path translation only (for WHERE/SET fragments): member paths plus
     * the array segments documented on translateDollarPaths.

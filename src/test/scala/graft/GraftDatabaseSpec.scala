@@ -193,6 +193,95 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.table("customer").select("age").as[Int].collect().toSet == Set(7))
   }
 
+  test("update paths enforce declared constraints like insert does") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0)).toDF("id", "customer_id", "amount"))
+
+    // unique violation via update (rename ann -> bob)
+    intercept[IllegalStateException] {
+      db.update("customer", Seq((1, "bob", 31)).toDF("id", "name", "age"))
+    }
+    // duplicate PKs within the incoming frame
+    intercept[IllegalStateException] {
+      db.update("customer",
+        Seq((1, "x", 1), (1, "y", 2)).toDF("id", "name", "age"))
+    }
+    // FK orphan via updateMany
+    intercept[IllegalStateException] {
+      db.updateMany("orders", lit(true), Map("customer_id" -> lit(999)))
+    }
+    // PK is not a legal transform target
+    intercept[IllegalArgumentException] {
+      db.updateMany("customer", lit(true), Map("id" -> lit(7)))
+    }
+    // missing table: update 0, updateMany 0, findById None — not errors
+    assert(db.update("orders2", Seq((1, 1, 1.0))
+      .toDF("id", "customer_id", "amount")) == 0)
+    assert(db.updateMany("orders2", lit(true), Map("amount" -> lit(0.0))) == 0)
+    assert(db.findById("orders2", 1).isEmpty)
+  }
+
+  test("facade SQL DML persists to the store and re-checks constraints") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+
+    val ins = db.sql(
+      """INSERT INTO customer VALUES {"id": 3, "name": "cat", "age": 20}""")
+    assert(ins.first().getLong(0) == 1)
+    assert(db.table("customer").count() == 3)
+
+    val upd = db.sql("UPDATE customer SET $.age = $.age + 1 WHERE $.age < 35")
+    assert(upd.first().getLong(0) == 2)
+    assert(db.findById("customer", 1).get.getAs[Long]("age") == 31)
+
+    val del = db.sql("DELETE customer WHERE $.name = 'cat'")
+    assert(del.first().getLong(0) == 1)
+    assert(db.table("customer").count() == 2)
+
+    // INSERT violating the declared unique(name) is rejected, not stored
+    intercept[IllegalStateException] {
+      db.sql("""INSERT INTO customer VALUES {"id": 9, "name": "ann", "age": 5}""")
+    }
+    assert(db.table("customer").count() == 2)
+  }
+
+  test("sql() sees dynamic document tables; table names are " +
+      "case-insensitive like the reference") {
+    val db = GraftDatabase(spark, "demo",
+      Files.createTempDirectory("graft-db").toString)
+      .defineTable(TableDef("Customer", "id"))
+      .defineTable(TableDef("Orders", "id",
+        fks = Seq(Fk("customer_id", "Customer", "id", Cascade))))
+    db.insert("CUSTOMER", Seq((1, "ann", 30)).toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0)).toDF("id", "customer_id", "amount"))
+
+    // INCLUDE resolves the FK despite mixed-case declarations
+    val inc = db.sql(
+      "SELECT $.name, $.amount FROM customer INCLUDE orders WHERE $.age < 35")
+    assert(inc.count() == 1)
+
+    // a dynamic table (no defineTable) is visible to sql()
+    db.insertDocuments("notes", Seq("""{"id": 1, "tag": "a", "extra": 9}"""),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType))))
+    assert(db.sql("SELECT $.tag FROM notes").count() == 1)
+  }
+
+  test("tables/resources enumerate declared tables and stored files") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))
+    assert(db.tables == Seq("customer", "orders"))
+    db.fileStore.addNewFile("ann", "spec.pdf", Array[Byte](1, 2, 3))
+    assert(db.resources ==
+      Seq("table_customer", "table_orders", "file_spec.pdf"))
+  }
+
   test("curate through the facade lands verdicts + manifest in the db tree") {
     val db = freshDb().defineTable(TableDef("docs", "doc_id"))
     val docs = graft.core.Tables.load(spark, Sf0001, "documents")
