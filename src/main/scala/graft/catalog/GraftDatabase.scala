@@ -42,6 +42,7 @@ final class GraftDatabase private (
     val n = tdef.copy(name = norm(tdef.name),
       fks = tdef.fks.map(fk => fk.copy(parentTable = norm(fk.parentTable))))
     defs += n.name -> n
+    invalidateSqlEngine() // a memoized engine's FK registry is now stale
     this
   }
 
@@ -149,12 +150,17 @@ final class GraftDatabase private (
       s"cannot modify the PK '${tdef.pk}' via updateMany (reference: " +
         "LiteDB forbids _id transforms)")
     if (!tableExists(name)) return 0L
-    val df = table(name)
-    val result = ConstrainedDml.updateWhere(df, predicate, set)
-    val changed = result.filter(coalesce(predicate, lit(false)))
+    // mark matches BEFORE transforming: a predicate over a SET target
+    // must select by the original values (filtering the transformed frame
+    // would validate — and count — the wrong rows)
+    val marked = table(name)
+      .withColumn("_graft_hit", coalesce(predicate, lit(false)))
+    val applied = ConstrainedDml.updateWhere(marked, col("_graft_hit"), set)
+    val changed = applied.filter(col("_graft_hit")).drop("_graft_hit")
+    val result = applied.drop("_graft_hit")
     requireClean(ConstrainedDml.validateUpdate(
       spark, tdef, changed, result, parentsOf(tdef)))
-    val n = df.filter(coalesce(predicate, lit(false))).count()
+    val n = changed.count()
     writeReplace(name, result)
     n
   }
@@ -321,23 +327,36 @@ final class GraftDatabase private (
       sqlEngine = Some(e)
       e
     }
-    val kw = liteSql.trim.takeWhile(!_.isWhitespace).toUpperCase
-    val out = engine.execute(liteSql)
-    val dirty = engine.modified
-    if (dirty.nonEmpty) {
-      dirty.foreach { case (n, state) =>
+    try {
+      val out = engine.execute(liteSql)
+      engine.modified.foreach { case (n, state) =>
         // DELETE may legitimately leave orphans (no cascade in the SQL
         // layer); INSERT/UPDATE outcomes must still satisfy declared
-        // constraints, like the reference's index maintenance
-        if (kw != "DELETE" && defs.contains(n)) {
-          val tdef = defs(n)
-          requireClean(ConstrainedDml.validateUpdate(
-            spark, tdef, decollate(state), decollate(state), parentsOf(tdef)))
+        // constraints, like the reference's index maintenance — checked
+        // against the rows the statement actually touched, so
+        // pre-existing state never re-fails
+        defs.get(n).foreach { tdef =>
+          if (engine.lastSetTargets.exists(_.equalsIgnoreCase(tdef.pk)))
+            throw new IllegalArgumentException(
+              s"cannot modify the PK '${tdef.pk}' via SQL UPDATE " +
+                "(reference: LiteDB forbids _id transforms)")
+          engine.changedRows.get(n).foreach { changed =>
+            requireClean(ConstrainedDml.validateUpdate(
+              spark, tdef, decollate(changed), decollate(state),
+              parentsOf(tdef)))
+          }
         }
         writeReplace(n, decollate(state))
       }
+      out
+    } catch {
+      case t: Throwable =>
+        // a failed statement (parse error, constraint violation) may have
+        // rebound the engine's in-memory views to the rejected state —
+        // discard it so nothing leaks into later calls or persists
+        invalidateSqlEngine()
+        throw t
     }
-    out
   }
 
   /** Strip engine-collation tags before persisting (stored bytes are

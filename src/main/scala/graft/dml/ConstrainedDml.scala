@@ -148,14 +148,27 @@ object ConstrainedDml {
   /** UpdateMany with a transform expression over matching rows
     * (TableCollection.cs:1305-1328; SQL `UPDATE c SET Name = UPPER($.Name)
     * WHERE …`): each (column -> expression) applies only where `predicate`
-    * holds; other rows pass through unchanged.
+    * holds; other rows pass through unchanged. The predicate and EVERY
+    * transform evaluate against the ORIGINAL row (one transform document
+    * per row, like the reference) — so `Map(a -> b, b -> a)` swaps, and a
+    * predicate over a transformed column matches the pre-update values.
     */
   def updateWhere(df: DataFrame,
       predicate: org.apache.spark.sql.Column,
-      transforms: Map[String, org.apache.spark.sql.Column]): DataFrame =
-    transforms.foldLeft(df) { case (d, (name, e)) =>
-      d.withColumn(name, when(predicate, e).otherwise(col(name)))
-    }
+      transforms: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val names = transforms.keys.toSeq
+    val staged = df.select(
+      col("*") +:
+        coalesce(predicate, lit(false)).as("_graft_upd_pred") +:
+        names.zipWithIndex.map { case (n, i) =>
+          transforms(n).as(s"_graft_upd_rhs$i")
+        }: _*)
+    names.zipWithIndex.foldLeft(staged) { case (d, (n, i)) =>
+      val prev = if (df.columns.contains(n)) col(n) else lit(null)
+      d.withColumn(n,
+        when(col("_graft_upd_pred"), col(s"_graft_upd_rhs$i")).otherwise(prev))
+    }.drop("_graft_upd_pred" +: names.indices.map(i => s"_graft_upd_rhs$i"): _*)
+  }
 
   /** Delete rows matching `predicate` from `table`, walking FKs per their
     * OnDelete action (TableCollection.cs:316-460). Returns the new state of

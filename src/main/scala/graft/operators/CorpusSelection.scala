@@ -35,10 +35,15 @@ object CorpusSelection {
   def selectToTokenBudget(docs: DataFrame, idCol: String, qualityCol: String,
       tokenCol: String, budget: Long, qualityBuckets: Int = 20,
       subBuckets: Int = 256): DataFrame = {
+    // null quality ranks WORST (bucket -1, below every scored stratum):
+    // unguarded, floor(null * b) is null and least() skips nulls, which
+    // would land null-quality docs in the TOP bucket
     val bucketed = docs
-      .withColumn("bucket", least(
-        floor(col(qualityCol) * qualityBuckets).cast("int"),
-        lit(qualityBuckets - 1)))
+      .withColumn("bucket",
+        when(col(qualityCol).isNotNull, least(
+          floor(col(qualityCol) * qualityBuckets).cast("int"),
+          lit(qualityBuckets - 1)))
+        .otherwise(lit(-1)))
       .withColumn("sub",
         (graft.functions.TextFunctions.hash48(col(idCol).cast("string"))
           % subBuckets).cast("int"))
@@ -48,17 +53,19 @@ object CorpusSelection {
       .agg(sum(col(tokenCol)).as("btoks"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(-_._1)
+    // sentinel must sit below the null-quality bucket (-1), which is a
+    // real, selectable stratum
     var cum = 0L
-    var cutoff = -1
+    var cutoff = Int.MinValue
     var aboveTokens = 0L
     bucketTotals.foreach { case (b, t) =>
-      if (cutoff == -1) {
+      if (cutoff == Int.MinValue) {
         if (cum + t > budget) { cutoff = b; aboveTokens = cum }
         else cum += t
       }
     }
 
-    if (cutoff == -1) {
+    if (cutoff == Int.MinValue) {
       // the whole corpus fits the budget
       bucketed.withColumn("selected", lit(true))
     } else {

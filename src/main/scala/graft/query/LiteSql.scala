@@ -68,6 +68,8 @@ final class LiteSql(
     // tabs/double spaces are data, not syntax
     val sql = replaceOutsideQuotes(liteSql.trim, _.replaceAll("\\s+", " "))
     val kw = sql.takeWhile(!_.isWhitespace).toUpperCase
+    lastChangedRowsVar = Map.empty
+    lastSetTargetsVar = Nil
     refreshViews() // see run(): another instance may hold the view names
     kw match {
       case "SELECT" => run(sql)
@@ -85,6 +87,10 @@ final class LiteSql(
           s"malformed INSERT document(s): ${docs.mkString("; ")}")
         val merged = current(name).unionByName(incoming, allowMissingColumns = true)
         rebind(name, merged)
+        // the inserted rows aligned to the merged schema (missing cols
+        // null) — what a persisting caller validates as "new"
+        lastChangedRowsVar += name ->
+          merged.limit(0).unionByName(incoming, allowMissingColumns = true)
         Seq(docs.size.toLong).toDF("n_affected")
       case "UPDATE" =>
         // UPDATE <col> SET <path>=<expr>[,...] [WHERE <pred>] (Update.cs);
@@ -114,7 +120,7 @@ final class LiteSql(
             assignments.zipWithIndex.map { case ((_, rhs), i) =>
               rhs.as(s"_rhs$i")
             }: _*)
-        val updated = assignments.zipWithIndex.foldLeft(staged) {
+        val applied = assignments.zipWithIndex.foldLeft(staged) {
           case (d, ((target, _), i)) =>
             // LiteDB's UPDATE creates missing paths (Commands/Update.cs):
             // a new column starts null on non-matching rows
@@ -124,8 +130,14 @@ final class LiteSql(
             d.withColumn(target,
               when(org.apache.spark.sql.functions.col("_pred"),
                 org.apache.spark.sql.functions.col(s"_rhs$i")).otherwise(prev))
-        }.drop("_pred" +: assignments.indices.map(i => s"_rhs$i"): _*)
+        }
+        val helperCols = "_pred" +: assignments.indices.map(i => s"_rhs$i")
+        val updated = applied.drop(helperCols: _*)
         rebind(name, updated)
+        lastChangedRowsVar += name ->
+          applied.filter(org.apache.spark.sql.functions.col("_pred"))
+            .drop(helperCols: _*)
+        lastSetTargetsVar = assignments.map(_._1)
         Seq(n).toDF("n_affected")
       case "DELETE" =>
         // DELETE <col> WHERE <pred> (Commands/Delete.cs); NULL-predicate
@@ -155,11 +167,23 @@ final class LiteSql(
   }
 
   private var dirtyNames: Set[String] = Set.empty
+  private var lastChangedRowsVar: Map[String, DataFrame] = Map.empty
+  private var lastSetTargetsVar: Seq[String] = Nil
 
   /** Tables rebound by DML since construction (name -> current state) —
     * what a persisting caller (GraftDatabase.sql) must write back.
     */
   def modified: Map[String, DataFrame] = dirtyNames.map(n => n -> current(n)).toMap
+
+  /** The rows the LAST execute() actually inserted/updated (per table) —
+    * the incoming set a persisting caller validates constraints against,
+    * so pre-existing rows (e.g. orphans a cascade-free SQL DELETE left)
+    * never re-fail validation.
+    */
+  def changedRows: Map[String, DataFrame] = lastChangedRowsVar
+
+  /** SET target columns of the last UPDATE (for PK-immutability checks). */
+  def lastSetTargets: Seq[String] = lastSetTargetsVar
 
   /** $-path translation only (for WHERE/SET fragments): member paths plus
     * the array segments documented on translateDollarPaths.

@@ -110,7 +110,9 @@ final class FileStore(spark: SparkSession, root: String) {
         throw new IllegalStateException(
           s"user [$user] already checked out version [$coVersion]"))
     }
-    val v = version.getOrElse(meta.getAs[Int]("current_version"))
+    // <= 0 means "no specific version" (same sentinel the gate above
+    // uses), resolving to the current version rather than a failed lookup
+    val v = version.filter(_ > 0).getOrElse(meta.getAs[Int]("current_version"))
     val rows = versions
       .filter(col("file_id") === fileId && col("version") === v)
       .select("content").collect()

@@ -192,9 +192,15 @@ class StreamingSketch(depth: Int, width: Int) extends Serializable {
     val rows = graft.operators.Sketches
       .cmsBuild(weighted, "k", "cnt", depth, width)
       .collect() // bounded: <= depth*width rows by construction
-    acc = rows.foldLeft(acc) { (m, r) =>
-      val key = (r.getInt(0), r.getInt(1))
-      m.updated(key, m.getOrElse(key, 0L) + r.getLong(2))
+    // the fold is read-modify-write: two streams attached to one sketch
+    // merge from different foreachBatch threads, so it must be atomic or
+    // an interleaved write drops counts (breaking est >= exact). The
+    // Spark job above stays outside the lock.
+    synchronized {
+      acc = rows.foldLeft(acc) { (m, r) =>
+        val key = (r.getInt(0), r.getInt(1))
+        m.updated(key, m.getOrElse(key, 0L) + r.getLong(2))
+      }
     }
   }
 

@@ -77,6 +77,23 @@ class ConstrainedDmlSpec extends AnyFunSuite {
     assert(amounts == Seq(500.0, 100.0, 99.0))
   }
 
+  test("updateWhere evaluates every transform against the ORIGINAL row") {
+    // swap: both RHS see pre-update values (one transform doc per row)
+    val df = Seq((1, "a", "b")).toDF("id", "x", "y")
+    val swapped = updateWhere(df, lit(true),
+      Map("x" -> col("y"), "y" -> col("x"))).head()
+    assert(swapped.getString(1) == "b" && swapped.getString(2) == "a")
+
+    // a predicate over a SET target matches by original values even when
+    // another transform in the same map rewrites that column first
+    val t = Seq((1, "open", 0), (2, "closed", 0)).toDF("id", "status", "cnt")
+    val out = updateWhere(t, col("status") === "open",
+      Map("status" -> lit("done"), "cnt" -> (col("cnt") + 1)))
+      .orderBy("id").select("status", "cnt").collect()
+    assert(out(0).getString(0) == "done" && out(0).getInt(1) == 1)
+    assert(out(1).getString(0) == "closed" && out(1).getInt(1) == 0)
+  }
+
   test("cascade delete removes children transitively") {
     val states = Map(
       "customer" -> (customers, customerDef),

@@ -49,6 +49,21 @@ class CorpusSelectionSpec extends AnyFunSuite {
     assert(r.filter(!$"selected").count() == 0L)
   }
 
+  test("null quality ranks worst: scored docs fill the budget first") {
+    val docs = Seq(
+      (1L, Some(0.9), 100L), (2L, Some(0.8), 100L),
+      (3L, None, 100L), (4L, None, 100L))
+      .toDF("doc_id", "q", "n_toks")
+    val r = CorpusSelection
+      .selectToTokenBudget(docs, "doc_id", "q", "n_toks", budget = 200L)
+    val sel = r.filter($"selected").select($"doc_id").as[Long].collect().toSet
+    assert(sel == Set(1L, 2L)) // null-quality docs never displace scored ones
+    // and with room for everything, null-quality docs are still eligible
+    val all = CorpusSelection
+      .selectToTokenBudget(docs, "doc_id", "q", "n_toks", budget = 1000L)
+    assert(all.filter($"selected").count() == 4L)
+  }
+
   test("a zero budget selects nothing") {
     val docs = mkDocs(50)
     val r = CorpusSelection

@@ -35,6 +35,11 @@ class FileStoreSpec extends AnyFunSuite {
     // version-pinned checkout
     val (_, v1) = fs.checkOut("ana", id, Some(1))
     assert(new String(v1, "UTF-8") == "v1 content")
+    fs.abandonCheckout("ana", id)
+    // version <= 0 is the "no specific version" sentinel -> current
+    val (_, v0) = fs.checkOut("ana", id, Some(0))
+    assert(new String(v0, "UTF-8") == "v3 content")
+    fs.abandonCheckout("ana", id)
     // version history carries hashes and sizes
     val hist = fs.fileVersions(id).collect()
       .map(r => r.getAs[Int]("version") -> r.getAs[Long]("n_bytes")).toMap

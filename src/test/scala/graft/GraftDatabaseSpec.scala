@@ -248,6 +248,55 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.table("customer").count() == 2)
   }
 
+  test("a rejected SQL statement leaves no trace in later sql() calls") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    intercept[IllegalStateException] {
+      db.sql("""INSERT INTO customer VALUES {"id": 9, "name": "ann", "age": 5}""")
+    }
+    // the rejected row neither shows in reads nor piggybacks on later DML
+    assert(db.sql("SELECT $.id FROM customer").count() == 2)
+    db.sql("DELETE customer WHERE $.id = 2")
+    assert(db.table("customer").select("id").as[Int].collect().toSet == Set(1))
+  }
+
+  test("SQL UPDATE cannot rewrite the PK; orphans from SQL DELETE do " +
+      "not block later valid writes") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0)).toDF("id", "customer_id", "amount"))
+
+    intercept[IllegalArgumentException] {
+      db.sql("UPDATE customer SET $.id = $.id + 1000")
+    }
+    assert(db.table("customer").select("id").as[Int].collect().toSet ==
+      Set(1, 2))
+
+    // SQL DELETE is cascade-free (reference behavior): orphans order 10…
+    db.sql("DELETE customer WHERE $.id = 1")
+    // …and a later valid insert is judged on ITS rows, not the old orphan
+    val ins = db.sql(
+      """INSERT INTO orders VALUES {"id": 11, "customer_id": 2, "amount": 5.0}""")
+    assert(ins.first().getLong(0) == 1)
+    assert(db.table("orders").count() == 2)
+  }
+
+  test("updateMany with a predicate over its own SET target still " +
+      "validates the matched rows") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0)).toDF("id", "customer_id", "amount"))
+    // repointing customer_id from 1 to a nonexistent parent must throw:
+    // the changed-row set is selected by ORIGINAL values
+    intercept[IllegalStateException] {
+      db.updateMany("orders", col("customer_id") === 1,
+        Map("customer_id" -> lit(999)))
+    }
+    assert(db.table("orders").select("customer_id").as[Int].head() == 1)
+  }
+
   test("sql() sees dynamic document tables; table names are " +
       "case-insensitive like the reference") {
     val db = GraftDatabase(spark, "demo",
