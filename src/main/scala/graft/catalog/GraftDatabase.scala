@@ -178,6 +178,78 @@ final class GraftDatabase private (
     if (!tableExists(name)) None
     else table(name).filter(col(tableDef(name).pk) === lit(id)).take(1).headOption
 
+  /** Direct aggregate accessors (TableCollection.cs:196-257 Count/Exists,
+    * :1077-1116 Min/Max) — thin views over the fluent chain.
+    */
+  def count(name: String): Long =
+    if (tableExists(name)) table(name).count() else 0L
+  def count(name: String, predicate: org.apache.spark.sql.Column): Long =
+    if (tableExists(name)) table(name).filter(predicate).count() else 0L
+  def exists(name: String, predicate: org.apache.spark.sql.Column): Boolean =
+    tableExists(name) && !table(name).filter(predicate).isEmpty
+  def min(name: String, column: String): Any =
+    table(name).agg(org.apache.spark.sql.functions.min(col(column))).head().get(0)
+  def max(name: String, column: String): Any =
+    table(name).agg(org.apache.spark.sql.functions.max(col(column))).head().get(0)
+
+  // ---- indexes (EnsureIndex/DropIndex, TableCollection.cs:307,535-583) ---
+
+  /** EnsureIndex analog. A distributed columnar engine has no B-tree; the
+    * honest equivalent is LAYOUT: rewrite the table range-clustered and
+    * sorted on the column, so parquet row-group min/max statistics prune
+    * scans on that column (the "index seek" path of SURVEY §2.1). Like
+    * the reference's index rebuild, this is a one-time maintenance pass —
+    * later inserts append unclustered until the next ensureIndex. With
+    * `unique`, the column is checked for duplicates first and recorded so
+    * subsequent constraint-checked writes enforce it. Returns true when
+    * the index was (re)built, false if an identical one is registered.
+    */
+  def ensureIndex(name: String, column: String,
+      unique: Boolean = false): Boolean = {
+    if (indexes(name).contains((column, unique))) return false
+    if (unique) {
+      val dupes = table(name).filter(col(column).isNotNull)
+        .groupBy(column).count()
+        .filter(col("count") > 1).count()
+      if (dupes > 0) throw new IllegalStateException(
+        s"cannot build unique index: $dupes duplicate values in $name.$column")
+      val tdef = tableDef(name)
+      if (!tdef.uniqueCols.contains(column))
+        defs += tdef.name -> tdef.copy(uniqueCols = tdef.uniqueCols :+ column)
+    }
+    if (tableExists(name))
+      writeReplace(name, table(name)
+        .repartitionByRange(col(column)).sortWithinPartitions(column))
+    writeIndexMeta(name,
+      indexes(name).filterNot(_._1 == column) :+ ((column, unique)))
+    true
+  }
+
+  /** DropIndex (TableCollection.cs:307). Deregisters only — the data
+    * layout is left as-is, like dropping a B-tree leaves the heap.
+    */
+  def dropIndex(name: String, column: String): Boolean = {
+    val cur = indexes(name)
+    val kept = cur.filterNot(_._1 == column)
+    if (kept.size == cur.size) false
+    else { writeIndexMeta(name, kept); true }
+  }
+
+  /** Registered indexes for a table: (column, unique). */
+  def indexes(name: String): Seq[(String, Boolean)] = {
+    val p = Paths.get(s"$tablesDir/.${norm(name)}_indexes")
+    if (!Files.exists(p)) Nil
+    else new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .filter(_.nonEmpty).toSeq.map { line =>
+        val Array(c, u) = line.split("\t")
+        (c, u.toBoolean)
+      }
+  }
+
+  private def writeIndexMeta(name: String, ix: Seq[(String, Boolean)]): Unit =
+    Files.write(Paths.get(s"$tablesDir/.${norm(name)}_indexes"),
+      ix.map { case (c, u) => s"$c\t$u" }.mkString("\n").getBytes("UTF-8"))
+
   private def parentsOf(tdef: TableDef): Map[String, DataFrame] =
     tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
 
@@ -291,7 +363,7 @@ final class GraftDatabase private (
       // collapse exact-timestamp duplicates (ingest-time dedup in the
       // reference, TsCollection.cs:43-103) so neighbor picks are unique
       tsRange(guid, start, end).groupBy("point_guid", "ts")
-        .agg(max(col("value")).as("value")),
+        .agg(org.apache.spark.sql.functions.max(col("value")).as("value")),
       "point_guid", "ts", "value", stepSeconds)
 
   // ---- LiteDB SQL dialect over this database's tables --------------------

@@ -322,6 +322,56 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.sql("SELECT $.tag FROM notes").count() == 1)
   }
 
+  test("ensureIndex range-clusters the table; unique indexes register " +
+      "and enforce; direct count/exists/min/max work") {
+    val db = freshDb()
+    // write in shuffled order so clustering is observable
+    db.insert("customer", (1 to 400).map(i => ((i * 263) % 401, s"n$i", i))
+      .toDF("id", "name", "age"))
+
+    assert(db.ensureIndex("customer", "id"))
+    assert(!db.ensureIndex("customer", "id")) // already registered
+    assert(db.indexes("customer") == Seq(("id", false)))
+
+    // the "index": per-file id ranges are disjoint, so row-group min/max
+    // stats prune a point/range scan to one file
+    val parts = Option(new java.io.File(db.tablePath("customer"))
+      .listFiles()).get.filter(_.getName.endsWith(".parquet")).map(_.toString)
+    if (parts.length > 1) {
+      val ranges = parts.map { p =>
+        val r = spark.read.parquet(p).agg(min($"id"), max($"id")).head()
+        (r.getInt(0), r.getInt(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: $hi > $lo")
+      }
+    }
+
+    // unique index: registers as a unique constraint that insert enforces
+    assert(db.ensureIndex("customer", "name", unique = true))
+    intercept[IllegalStateException] {
+      db.insert("customer", Seq((9999, "n1", 1)).toDF("id", "name", "age"))
+    }
+    // a column with duplicates refuses a unique index
+    db.insert("orders",
+      Seq((1, 1, 5.0), (2, 1, 5.0)).toDF("id", "customer_id", "amount"))
+    intercept[IllegalStateException] {
+      db.ensureIndex("orders", "amount", unique = true)
+    }
+
+    assert(db.dropIndex("customer", "id"))
+    assert(!db.dropIndex("customer", "id"))
+    assert(db.indexes("customer") == Seq(("name", true)))
+
+    assert(db.count("customer") == 400)
+    assert(db.count("customer", $"age" <= 10) == 10)
+    assert(db.exists("customer", $"name" === "n7"))
+    assert(!db.exists("customer", $"name" === "zzz"))
+    assert(db.min("customer", "age") == 1)
+    assert(db.max("customer", "age") == 400)
+    assert(db.count("nope") == 0 && !db.exists("nope", lit(true)))
+  }
+
   test("tables/resources enumerate declared tables and stored files") {
     val db = freshDb()
     db.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))
