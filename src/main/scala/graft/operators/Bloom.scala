@@ -51,6 +51,28 @@ object Bloom {
         .as("bloom"))
   }
 
+  /** Fail loudly when the filter is saturated. FP rate ~= load^k where
+    * load = set-bit share: a blocklist that outgrew `mBits` silently
+    * degrades `bloom_hit` toward constant-true (the filter still
+    * "works", it just stops filtering) — at corpus scale that silent
+    * degradation must be an error, not a perf cliff. The check is one
+    * action over the single filter row (<= mBits/32 words).
+    */
+  def requireUnsaturated(bloomRow: DataFrame, mBits: Int,
+      maxLoad: Double = 0.5): DataFrame = {
+    val setBits = bloomRow.select(
+      aggregate(transform(col("bloom"), w => bit_count(w)),
+        lit(0), (a, b) => a + b).as("set_bits"))
+      .head().getInt(0)
+    val load = setBits.toDouble / mBits
+    require(load <= maxLoad,
+      f"Bloom filter saturated: $setBits of $mBits bits set " +
+        f"(load $load%.2f > $maxLoad%.2f) — size mBits to the blocklist " +
+        "(~14 bits/key for 1%% FP) instead of probing a filter that " +
+        "passes everything")
+    bloomRow
+  }
+
   private val BitMasks: Column =
     array((0 until 32).map(b => lit(1L << b)): _*)
 

@@ -154,6 +154,14 @@ object Dedup {
       evalSet: DataFrame, evalId: String, textCol: String,
       wordGrams: Int = 2, k: Int = 8, bands: Int = 2,
       threshold: Double = 0.5): DataFrame = {
+    // CONTRACT: `evalSet` is the bounded side (a benchmark suite or one
+    // ingest increment — thousands to low millions of docs), and the
+    // broadcasts below encode that asymmetry; the corpus side never
+    // shuffles. An eval set that is a constant FRACTION of the corpus
+    // (the catalog's modulo splits are testdata stand-ins) violates the
+    // contract and fails loudly at Spark's broadcast size limit — for
+    // symmetric corpus-vs-corpus matching use lshBandedPairs, whose
+    // banded self-join shuffles both sides.
     def shExpr = graft.functions.GraftFunctions.word_shingles(
       tokens(col(textCol)), wordGrams)
     def bkExpr = graft.functions.GraftFunctions.lsh_band_keys(

@@ -11,6 +11,19 @@ import graft.sources.FileSources
   */
 object PipelineQueries {
 
+  /** Scratch location for sink/source round-trips. A FIXED per-name dir
+    * (overwritten each run — no per-run temp leak) under
+    * SPARK_GRAFT_SCRATCH, defaulting to the local tmpdir. On a real
+    * cluster the env var MUST point at a shared filesystem: a
+    * driver-local path would scatter executor writes across machines
+    * and the read back would be partial.
+    */
+  private def scratchDir(name: String): String = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      System.getProperty("java.io.tmpdir"))
+    s"$base/$name"
+  }
+
   /** DuckDB replica of Multimodal.StubDecoder(16) + Similarity.norm:
     * feature i = first 24 bits of md5(utf8(text) || '|' || i) scaled to
     * [-1, 1], squashed through FLOAT, norm accumulated in list order.
@@ -65,7 +78,7 @@ object PipelineQueries {
     Q("q72_csv_roundtrip",
       (s, dir) => {
         val src = Tables.load(s, dir, "supplier")
-        val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        val tmp = scratchDir("graft-csv-roundtrip")
         FileSources.writeCsv(src, tmp)
         val back = FileSources.readCsv(s, tmp, schema = Some(src.schema))
         back.agg(count(lit(1)).as("n"),
@@ -81,7 +94,7 @@ object PipelineQueries {
     Q("q73_json_roundtrip",
       (s, dir) => {
         val src = Tables.load(s, dir, "part")
-        val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+        val tmp = scratchDir("graft-json-roundtrip")
         FileSources.writeJson(src, tmp)
         val back = FileSources.readJson(s, tmp, schema = Some(src.schema))
         back.agg(count(lit(1)).as("n"),
@@ -99,6 +112,11 @@ object PipelineQueries {
     // companions and (b) the accuracy CONTRACT: the HLL++ estimate must sit
     // within its rsd band and the approx quantiles within their rank-error
     // band of the exact quantiles — DuckDB asserts TRUE, Spark proves it.
+    // The EXACT companions (countDistinct, percentile) are the
+    // verification harness, not the production path: exact percentile
+    // buffers a per-group value map (unbounded memory at 100 TB) — at
+    // scale only the sketch columns run; the exact band-check runs on a
+    // bounded sample or a small SF, as here.
     Q("q74_approx_sketches",
       (s, dir) =>
         Tables.load(s, dir, "lineitem")
@@ -131,39 +149,44 @@ object PipelineQueries {
     // Sequence packing for LLM training: assign each doc to the
     // fixed-capacity token bin where its start offset falls (greedy
     // in-order fill), then report per-bin stats. Deterministic — the pack
-    // order is (doc_id) within each (lang, source) shard, so results are
-    // reproducible run-over-run. Packing is per SHARD (lang x source), not
-    // per lang alone: at 100 TB a per-lang window would serialize the sort
-    // onto a handful of partitions, while shards are bounded by layout
-    // (exactly how real pipelines pack per input file).
+    // order is (doc_id) within each (lang, source, shard) group. The
+    // shard key (doc_id % 64) is the load-bound: (lang, source) alone is
+    // content-derived with a small constant cardinality, so its dominant
+    // combination (en x web) is a constant FRACTION of the corpus and its
+    // window sort would serialize onto one task at 100 TB; the hash shard
+    // caps every window partition at ~1/64 of a (lang, source) group —
+    // raise the modulus with the corpus, exactly how real pipelines pack
+    // per input shard. Packing quality is unaffected (bins are
+    // per-stream; streams are a deployment choice).
     Q("q80_sequence_pack",
       (s, dir) => {
         val cap = 512
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang", "source").orderBy("doc_id")
+          .partitionBy("lang", "source", "shard").orderBy("doc_id")
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"),
+            (col("doc_id") % 64).as("shard"),
             graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"))
           .withColumn("cum", sum(col("n_toks")).over(w))
           .withColumn("bin",
             floor((col("cum") - col("n_toks")) / lit(cap.toDouble)).cast("long"))
-          .groupBy("lang", "source", "bin")
+          .groupBy("lang", "source", "shard", "bin")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"))
       },
       Some("""WITH d AS (
-          SELECT lang, source, doc_id,
+          SELECT lang, source, doc_id, doc_id % 64 AS shard,
             LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
               x -> LEN(x) > 0)) AS n_toks
           FROM documents),
         c AS (
-          SELECT lang, source, doc_id, n_toks,
-            SUM(n_toks) OVER (PARTITION BY lang, source ORDER BY doc_id
+          SELECT lang, source, shard, doc_id, n_toks,
+            SUM(n_toks) OVER (PARTITION BY lang, source, shard ORDER BY doc_id
               ROWS UNBOUNDED PRECEDING) AS cum
           FROM d)
-        SELECT lang, source,
+        SELECT lang, source, shard,
           CAST(FLOOR((cum - n_toks) / 512.0) AS BIGINT) AS bin,
           COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
-        FROM c GROUP BY 1, 2, 3"""),
+        FROM c GROUP BY 1, 2, 3, 4"""),
       "sequence packing into 512-token training bins (greedy in-order, " +
         "per-shard windows so no lang-skewed sort at scale)"),
 

@@ -337,6 +337,12 @@ object TextQueries {
             explode_outer(col("grams")).as("gram"))
           .filter(col("gram").isNotNull)
           .select(col("doc_id"), size(col("grams")).as("n_grams"), col("gram"))
+          // broadcast(ev) encodes the decontamination CONTRACT: the eval
+          // side is a benchmark suite (thousands of docs), bounded by
+          // construction, NOT a corpus fraction — the doc_id % 5 split
+          // here is only the testdata stand-in for it. An eval set that
+          // outgrows the contract fails loudly at Spark's broadcast
+          // limit rather than silently degrading.
           .join(broadcast(ev), "gram")
           .groupBy("doc_id", "n_grams")
           .agg(count(lit(1)).as("n_hits"))
@@ -505,7 +511,6 @@ object TextQueries {
     // rollup run over the reduced distinct-pair table.
     Q("q92_span_dedup",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val spans = Tables.load(s, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .select(col("doc_id"),
@@ -513,8 +518,12 @@ object TextQueries {
           .select(col("doc_id"), md5(col("span")).as("h"))
         val perDoc = spans.groupBy(col("h"), col("doc_id"))
           .agg(count(lit(1)).as("c"))
-        perDoc
-          .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("h")))
+        // cross-doc span counts via agg + join, NOT count().over(
+        // Window.partitionBy(h)): a hot span (boilerplate present in 1e7+
+        // docs at 100 TB) would form ONE window partition on one task —
+        // and AQE splits skewed join partitions, never window partitions
+        val hCounts = perDoc.groupBy("h").agg(count(lit(1)).as("ndocs"))
+        perDoc.join(hCounts, "h")
           .groupBy("doc_id")
           .agg(sum(col("c")).as("n_spans"),
             sum(when(col("ndocs") >= 2, col("c")).otherwise(0L)).as("n_dup"))
@@ -642,9 +651,16 @@ object TextQueries {
         val fps = Tables.load(s, dir, "documents")
           .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         val block = fps.filter(col("doc_id") % 5 === 0).select("fp").distinct()
-        val bloomRow = Bloom.build(block, "fp", numHashes = 3, mBits = 4096)
+        // mBits scales WITH the blocklist (16 bits/key, word-aligned): a
+        // fixed size silently saturates as the blocklist grows — at sf1
+        // a 4096-bit filter already passed everything. The count is one
+        // bounded agg; the oracle computes the identical size in SQL,
+        // and requireUnsaturated fails loudly if sizing ever regresses.
+        val mBits = (((block.count() * 16 + 31) / 32) * 32).toInt
+        val bloomRow = Bloom.requireUnsaturated(
+          Bloom.build(block, "fp", numHashes = 3, mBits = mBits), mBits)
         Bloom.probe(fps.filter(col("doc_id") % 5 =!= 0), "fp", bloomRow,
-            numHashes = 3, mBits = 4096)
+            numHashes = 3, mBits = mBits)
           .join(block.withColumn("exact_hit", lit(true)), Seq("fp"), "left")
           .select(col("doc_id"), col("bloom_hit"),
             coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
@@ -797,6 +813,12 @@ object TextQueries {
     // vocab-sized, O(|merges|) string passes each — and broadcast-joins
     // back to the token stream; the corpus-sized side never pays the
     // merge loop. Pure codegen string ops (see applyMerges).
+    // Scale note: a raw web-corpus distinct-word table grows with the
+    // corpus (Heaps' law) — at 100 TB the vocab side is first CAPPED to
+    // the tokenizer's working vocabulary (q96's top-merges shape /
+    // q108's topVocab) before this broadcast; encoding then falls back
+    // to character-split for out-of-vocab words. The forced broadcast
+    // fails loudly at Spark's size limit if that cap is skipped.
     Q("q113_bpe_encode",
       (s, dir) => {
         import graft.operators.TokenizerTraining
@@ -976,17 +998,20 @@ object TextQueries {
         FROM hs)
       SELECT doc_id, UNNEST(fps) AS fp FROM ws"""
 
-  /** DuckDB replica of Bloom.build/probe with k=3, m=4096 over the eval
-    * split's fingerprints: same md5-derived 48-bit positions, same
-    * 32-bit words, so the bit pattern — and every false positive — is
-    * identical. Generated, not hand-written (12 hex-digit folds).
+  /** DuckDB replica of Bloom.build/probe with k=3 and m sized to the
+    * blocklist (16 bits/key, word-aligned — the same integer formula as
+    * the Spark side) over the eval split's fingerprints: same
+    * md5-derived 48-bit positions, same 32-bit words, so the bit
+    * pattern — and every false positive — is identical. Generated, not
+    * hand-written (12 hex-digit folds).
     */
   lazy val bloomBlocklistOracleSql: String = {
     def v48(h: String): String = (1 to 12).map(k =>
       s"(STRPOS('0123456789abcdef', SUBSTR($h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
       .mkString(" + ")
+    val m = "(SELECT m FROM msize)"
     val posDefs = (0 until 3).map(j =>
-      s"CAST((${v48(s"MD5('$j|' || fp)")}) % 4096 AS BIGINT) AS p$j")
+      s"CAST((${v48(s"MD5('$j|' || fp)")}) % $m AS BIGINT) AS p$j")
       .mkString(",\n          ")
     def hit(p: String): String =
       s"(bloom[CAST($p // 32 AS INT) + 1] & " +
@@ -996,6 +1021,8 @@ object TextQueries {
           MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents),
       block AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 = 0),
+      msize AS (
+        SELECT ((COUNT(*) * 16 + 31) // 32) * 32 AS m FROM block),
       bpos AS (
         SELECT $posDefs
         FROM block),
@@ -1004,10 +1031,14 @@ object TextQueries {
         SELECT pos // 32 AS word_idx,
           BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
         FROM bflat GROUP BY 1),
-      dense AS (
-        SELECT r.i AS i, COALESCE(b.bits, 0) AS bits
-        FROM RANGE(0, 128) r(i) LEFT JOIN bw b ON b.word_idx = r.i),
-      arr AS (SELECT LIST(bits ORDER BY i) AS bloom FROM dense),
+      bwmap AS (
+        SELECT MAP_FROM_ENTRIES(LIST(ROW(word_idx, bits))) AS m2 FROM bw),
+      arr AS (
+        -- scalar RANGE (expression context) — the RANGE *table function*
+        -- cannot take the msize subquery
+        SELECT LIST_TRANSFORM(RANGE(0, CAST(ms.m // 32 AS INT)),
+          i -> COALESCE(MAP_EXTRACT(b.m2, i)[1], 0)) AS bloom
+        FROM bwmap b, msize ms),
       pp AS (
         SELECT doc_id, fp, $posDefs
         FROM fps WHERE doc_id % 5 <> 0)

@@ -35,6 +35,14 @@ object VectorQueries {
     * assignment is a per-row fold (no shuffle); the repartition +
     * shuffle_hash hints make both self-join sides canonicalize to ONE
     * reused exchange, so assignment/cosine inputs compute once.
+    *
+    * nlist SIZING is the load-bound and must scale with the corpus:
+    * cells average N/nlist vectors and pair-gen is O(cell²), so pick
+    * nlist ~ N/targetCellSize (e.g. 1e9 vectors / 100k-vector cells =
+    * 10k centroids, kmeansTrain at that k) — the 8 testdata centroids
+    * here are the deterministic-oracle stand-in, not the production
+    * setting. Oversized cells fail loudly downstream at
+    * clusterPairsBlocked's maxBlockEdges guard instead of OOMing.
     */
   private def cellBlockedPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
