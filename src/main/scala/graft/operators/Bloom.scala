@@ -73,6 +73,27 @@ object Bloom {
     bloomRow
   }
 
+  /** In-plan saturation guard: same check as [[requireUnsaturated]] but
+    * embedded as a filter over the one-row build, so it costs zero extra
+    * Spark jobs — the assertion evaluates once when the filter row is
+    * materialized for broadcast, and a saturated filter fails the query
+    * instead of silently passing everything. Prefer this form inside
+    * composed queries; use [[requireUnsaturated]] when a driver-side
+    * checkpoint between build and probe is wanted.
+    */
+  def guard(bloomRow: DataFrame, mBits: Int,
+      maxLoad: Double = 0.5): DataFrame = {
+    val setBits = aggregate(transform(col("bloom"), w => bit_count(w)),
+      lit(0), (a, b) => a + b)
+    bloomRow.where(coalesce(
+      assert_true(setBits.cast("double") / mBits <= maxLoad,
+        concat(lit("Bloom filter saturated: "), setBits.cast("string"),
+          lit(s" of $mBits bits set (load > $maxLoad) — size mBits to the " +
+            "blocklist (~14 bits/key for 1% FP) instead of probing a " +
+            "filter that passes everything"))),
+      lit(true)))
+  }
+
   private val BitMasks: Column =
     array((0 until 32).map(b => lit(1L << b)): _*)
 

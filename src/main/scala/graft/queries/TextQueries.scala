@@ -511,24 +511,54 @@ object TextQueries {
     // rollup run over the reduced distinct-pair table.
     Q("q92_span_dedup",
       (s, dir) => {
+        // The explicit isNotNull is a no-op on the data but load-bearing
+        // for the plan: the final left join infers isnotnull(doc_id) and
+        // pushes it into the probe branch only — without pre-seeding the
+        // same filter on the shared base, the two perDoc subtrees stop
+        // canonicalizing equal and ReuseExchange can't share the
+        // span-stream shuffle.
         val spans = Tables.load(s, dir, "documents")
+          .filter(col("doc_id").isNotNull)
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .select(col("doc_id"),
             explode(wordShingles(col("t"), 10)).as("span"))
           .select(col("doc_id"), md5(col("span")).as("h"))
         val perDoc = spans.groupBy(col("h"), col("doc_id"))
           .agg(count(lit(1)).as("c"))
-        // cross-doc span counts via agg + join, NOT count().over(
-        // Window.partitionBy(h)): a hot span (boilerplate present in 1e7+
-        // docs at 100 TB) would form ONE window partition on one task —
-        // and AQE splits skewed join partitions, never window partitions
-        val hCounts = perDoc.groupBy("h").agg(count(lit(1)).as("ndocs"))
-        perDoc.join(hCounts, "h")
+        // Cross-doc duplicate marking via agg + join against the FILTERED
+        // duplicated-span set, NOT count().over(Window.partitionBy(h)): a
+        // hot span (boilerplate present in 1e7+ docs at 100 TB) would
+        // form ONE window partition on one task — and AQE splits skewed
+        // join partitions, never window partitions. The filter makes the
+        // join side |spans seen in >= 2 docs|, proportional to the
+        // actual duplication, not the corpus — so the join is small/
+        // broadcastable in the common case and AQE-handled otherwise.
+        // h_occ = sum(c) is carried ONLY so this branch keeps `c` in use:
+        // without it, column pruning rewrites its copy of perDoc to a
+        // keys-only distinct, the two partial-agg subtrees stop
+        // canonicalizing equal, and ReuseExchange can no longer share
+        // the span-stream shuffle — the whole tokenize/shingle/md5
+        // pipeline would run twice (measured 2.5x on the full query at
+        // sf1). least(c, h_occ) below is an identity (h_occ is a sum
+        // including c, so h_occ >= c) that Catalyst has no rule to
+        // prune away.
+        val dupSpans = perDoc.groupBy("h")
+          .agg(count(lit(1)).as("ndocs"), sum(col("c")).as("h_occ"))
+          .filter(col("ndocs") >= 2)
+        val nDup = perDoc.join(dupSpans, "h")
           .groupBy("doc_id")
-          .agg(sum(col("c")).as("n_spans"),
-            sum(when(col("ndocs") >= 2, col("c")).otherwise(0L)).as("n_dup"))
-          .select(col("doc_id"), col("n_spans"), col("n_dup"),
-            round(col("n_dup").cast("double") /
+          .agg(sum(least(col("c"), col("h_occ"))).as("n_dup"))
+        // n_spans needs no shuffle at all: every position emits exactly
+        // one 10-token window (short docs emit their single tail span),
+        // so the count is greatest(len-10, 0)+1 straight off the scan.
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (greatest(size(tokens(col("text"))) - 10, lit(0)) + 1)
+              .cast("long").as("n_spans"))
+          .join(nDup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            round(coalesce(col("n_dup"), lit(0L)).cast("double") /
               col("n_spans").cast("double"), 6).as("dup_frac"))
       },
       Some("""WITH toks AS (
@@ -650,14 +680,25 @@ object TextQueries {
         import graft.operators.Bloom
         val fps = Tables.load(s, dir, "documents")
           .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        val block = fps.filter(col("doc_id") % 5 === 0).select("fp").distinct()
+        // The blocklist is the BOUNDED side (the Bloom contract: small
+        // enough for its bit array to broadcast) with three consumers —
+        // the size count, the build, and the exact-hit join. The
+        // recompute per consumer is a scan of only the blocklist split;
+        // persisting it measured SLOWER here (columnar cache build +
+        // InMemoryTableScan overhead exceeds the bounded recompute). In
+        // production the blocklist is a materialized table, not lineage,
+        // which removes the recompute entirely.
+        val block = fps.filter(col("doc_id") % 5 === 0).select("fp")
+          .distinct()
         // mBits scales WITH the blocklist (16 bits/key, word-aligned): a
         // fixed size silently saturates as the blocklist grows — at sf1
         // a 4096-bit filter already passed everything. The count is one
-        // bounded agg; the oracle computes the identical size in SQL,
-        // and requireUnsaturated fails loudly if sizing ever regresses.
+        // bounded agg (and materializes the cache); the oracle computes
+        // the identical size in SQL, and the in-plan guard fails loudly
+        // if sizing ever regresses — at zero extra jobs, unlike the
+        // action-based requireUnsaturated.
         val mBits = (((block.count() * 16 + 31) / 32) * 32).toInt
-        val bloomRow = Bloom.requireUnsaturated(
+        val bloomRow = Bloom.guard(
           Bloom.build(block, "fp", numHashes = 3, mBits = mBits), mBits)
         Bloom.probe(fps.filter(col("doc_id") % 5 =!= 0), "fp", bloomRow,
             numHashes = 3, mBits = mBits)

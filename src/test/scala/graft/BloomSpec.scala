@@ -46,4 +46,28 @@ class BloomSpec extends AnyFunSuite {
       Bloom.build(keys, "k", numHashes = 2, mBits = 100)
     }
   }
+
+  test("guard passes a sized filter through unchanged, fails a saturated one") {
+    val keys = (1 to 100).map(i => s"member-$i").toDF("k")
+    val sized = Bloom.guard(
+      Bloom.build(keys, "k", numHashes = 3, mBits = 8192), 8192)
+    // value-identical to the unguarded build
+    assert(sized.collect().head.getSeq[Long](0) ==
+      Bloom.build(keys, "k", numHashes = 3, mBits = 8192)
+        .collect().head.getSeq[Long](0))
+    // requireUnsaturated agrees (the action-based twin)
+    Bloom.requireUnsaturated(
+      Bloom.build(keys, "k", numHashes = 3, mBits = 8192), 8192)
+
+    val saturated = Bloom.guard(
+      Bloom.build(keys, "k", numHashes = 3, mBits = 128), 128)
+    val e = intercept[Exception] { saturated.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("saturated")))
+    intercept[IllegalArgumentException] {
+      Bloom.requireUnsaturated(
+        Bloom.build(keys, "k", numHashes = 3, mBits = 128), 128)
+    }
+  }
 }
