@@ -111,10 +111,24 @@ object Bench {
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     runner.shutdownNow()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nFailed = results.count(_._2 < 0)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver records only a bounded tail of stdout, which truncates a
+    // catalog this size mid-line; persist the full per-query map to the
+    // repo so the round's timings stay reproducible from a committed
+    // artifact regardless of stdout capture limits.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
+    println(line)
     spark.stop()
   }
 }

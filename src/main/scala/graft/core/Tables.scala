@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -20,14 +20,22 @@ object Tables {
     // native function registration is idempotent; loading a table is the
     // common entry point, so every consumer session gets the functions
     graft.functions.GraftFunctions.register(spark)
-    // events.ts is physically TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read it as a long and floor-convert to micros (the
-    // same truncation DuckDB applies when it reads nanos into TIMESTAMP).
+    // The testdata's timestamp physical types have shipped in three forms
+    // across driver rounds: TIMESTAMP(NANOS) (Spark's vectorized reader
+    // rejects it — read as long via nanosAsLong and floor to micros, the
+    // same truncation DuckDB applies), TIMESTAMP_UTC, and TIMESTAMP_NTZ
+    // (micros, no tz annotation). Normalize all three to TimestampType here
+    // so every consumer sees one type; the session TZ is pinned UTC
+    // everywhere, so the NTZ->TZ cast is an exact relabel, not a shift.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (acc, f) => acc.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
   }
 
   /** Register all tables as temp views (used by SQL-form queries/tests). */

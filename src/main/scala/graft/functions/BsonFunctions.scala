@@ -137,13 +137,19 @@ object BsonFunctions {
   def sort(arr: Column): Column = array_sort(arr)
 
   // ---- DataTypes.cs: constructors / casts / predicates -------------------
-  def int32(c: Column): Column = c.cast("int")
-  def int64(c: Column): Column = c.cast("long")
-  def double(c: Column): Column = c.cast("double")
-  def decimal(c: Column): Column = c.cast("decimal(38,18)")
+  // try_cast, not cast: the reference's converters return BsonValue.Null
+  // when a value cannot convert (DataTypes.cs:106-188); under Spark 4's
+  // ANSI default a plain cast would instead THROW on the first bad string.
+  // String parsing is invariant-culture — NumberStyles.Any forms
+  // ("1,234.5", "(123)", "$1.50") return null here; pinned in
+  // BsonFunctionsSpec as a documented divergence.
+  def int32(c: Column): Column = c.try_cast("int")
+  def int64(c: Column): Column = c.try_cast("long")
+  def double(c: Column): Column = c.try_cast("double")
+  def decimal(c: Column): Column = c.try_cast("decimal(38,18)")
   def string(c: Column): Column = c.cast("string")
-  def boolean(c: Column): Column = c.cast("boolean")
-  def datetime(c: Column): Column = c.cast("timestamp")
+  def boolean(c: Column): Column = c.try_cast("boolean")
+  def datetime(c: Column): Column = c.try_cast("timestamp")
   /** GUID() / GUID(s) (DataTypes.cs:31/:269). */
   def guid(): Column = expr("uuid()")
   def guid(c: Column): Column = org.apache.spark.sql.functions.lower(c)

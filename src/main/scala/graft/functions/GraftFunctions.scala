@@ -39,11 +39,19 @@ object GraftFunctions {
       s"native-function shape parameters must be integer literals, got $other")
   }
 
-  def register(spark: SparkSession): Unit =
+  // Registering replaces any existing binding and Spark logs a "function
+  // replaced" warning each time; guard per-session so repeated Tables.load
+  // calls don't spam hundreds of warnings into the driver log.
+  private val registeredTag = "graft.functions.registered"
+
+  def register(spark: SparkSession): Unit = {
+    if (spark.conf.getOption(registeredTag).contains("true")) return
     all.foreach { case (name, builder, _) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    spark.conf.set(registeredTag, "true")
+  }
 
   /** SQL-facing descriptions for SparkSessionExtensions.injectFunction. */
   def descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -71,12 +71,25 @@ object Dedup {
     * Plan shape: explode band keys → shuffle on (band, bucket) → within-
     * bucket self-join → distinct pairs → verify. No cross-bucket pairs are
     * ever materialized, so this survives 100× scale-up.
+    *
+    * `maxBucketSize` caps the band-bucket size: within-bucket pair emission
+    * is quadratic in bucket size, and on real web corpora one
+    * boilerplate-heavy shard (identical headers/footers minhashed into the
+    * same band) can put millions of docs in one bucket — the standard
+    * guard (Leskovec et al., MMDS ch.3 practice) is to DROP buckets above
+    * a threshold: a bucket that large is boilerplate collision, not a dup
+    * cluster, and its pairs would be verified away at O(n²) cost. The
+    * filter runs on the already-bucket-partitioned exchange (window count,
+    * no extra shuffle or scan) BEFORE the self-join, so the quadratic
+    * product of a pathological bucket is never generated. Dropped buckets
+    * are observable via [[lshBucketStats]] with the same parameters.
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, k: Int = 8, bands: Int = 2,
       threshold: Double = 0.5,
-      wordGrams: Option[Int] = None): DataFrame = {
+      wordGrams: Option[Int] = None,
+      maxBucketSize: Int = 8192): DataFrame = {
     // `wordGrams = Some(g)` shingles on word g-grams instead of character
     // n-grams: ~6x fewer shingles per document at the same dedup quality,
     // so 6x fewer minhash evaluations — the right default for documents
@@ -115,8 +128,16 @@ object Dedup {
     // repartition on bucket: the self-join co-partitions AND both sides
     // resolve to one reused exchange, so the signature computation runs
     // once, not once per join side
+    // bucket-size cap as a window count over the SAME bucket-partitioned
+    // exchange the self-join uses — both join sides still canonicalize to
+    // one reused subtree, so the guard costs one in-partition sort, zero
+    // extra shuffles, zero extra scans
     val buckets = bucketSrc.select(col("id"), explode(col("_bk")).as("bucket"))
       .repartition(col("bucket"))
+      .withColumn("_bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
     // shuffle-hash hint: with both sides co-partitioned on bucket the two
     // join inputs canonicalize to ONE reused exchange; a broadcast build
     // would re-run the whole signature computation on the build side
@@ -136,6 +157,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Band-bucket occupancy audit for [[minhashLshPairs]] — same band-key
+    * computation, aggregated to one row per bucket with the size and
+    * whether the cap drops it. This is the observability surface for the
+    * `maxBucketSize` guard: run it with the pair-gen parameters to see how
+    * much of the corpus a cap excludes before trusting the capped output.
+    * One scan + one count-agg (map-side combined) — linear at any scale.
+    */
+  def lshBucketStats(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, k: Int = 8, bands: Int = 2,
+      wordGrams: Option[Int] = None,
+      maxBucketSize: Int = 8192): DataFrame = {
+    val bandKeysExpr = wordGrams match {
+      case Some(g) => graft.functions.GraftFunctions.lsh_band_keys(
+        tokens(col(textCol)), g, k, bands)
+      case None =>
+        val sh = array_distinct(charShingles(col(textCol), shingleN))
+        val sigs = (0 until k).map(i => minhashValue(sh, i))
+        lshBandKeysFromCols(sigs, bands, k / bands)
+    }
+    docs.select(col(idCol).as("id"), explode(bandKeysExpr).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("dropped", col("n_docs") > maxBucketSize)
+  }
+
   /** Cross-corpus MinHash+LSH decontamination matches — the fuzzy
     * companion of exact n-gram decontamination: candidate (train, eval)
     * pairs come from band-key collisions, verified with CONTAINMENT
@@ -153,7 +199,8 @@ object Dedup {
   def minhashLshCrossMatches(corpus: DataFrame, corpusId: String,
       evalSet: DataFrame, evalId: String, textCol: String,
       wordGrams: Int = 2, k: Int = 8, bands: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 65536): DataFrame = {
     // CONTRACT: `evalSet` is the bounded side (a benchmark suite or one
     // ingest increment — thousands to low millions of docs), and the
     // broadcasts below encode that asymmetry; the corpus side never
@@ -166,10 +213,28 @@ object Dedup {
       tokens(col(textCol)), wordGrams)
     def bkExpr = graft.functions.GraftFunctions.lsh_band_keys(
       tokens(col(textCol)), wordGrams, k, bands)
-    val evalBuckets = evalSet.select(col(evalId).as("eval_id"), bkExpr.as("_bk"))
+    val evalBucketsAll = evalSet.select(col(evalId).as("eval_id"), bkExpr.as("_bk"))
       .select(col("eval_id"), explode(col("_bk")).as("bucket"))
     val corpusBuckets = corpus.select(col(corpusId).as("train_id"), bkExpr.as("_bk"))
       .select(col("train_id"), explode(col("_bk")).as("bucket"))
+    // Band-bucket cap, the cross-corpus analog of minhashLshPairs's guard:
+    // one boilerplate band key shared by an eval doc and millions of train
+    // docs would explode the candidate join. The corpus must NOT shuffle,
+    // so the guard is a separate counting pass: scan the corpus band keys,
+    // broadcast-semi-join to the (bounded) eval bucket-key set so only
+    // colliding buckets are counted, map-side-combine to one count per
+    // bucket (output bounded by |eval buckets|), and drop the pathological
+    // buckets from the EVAL side before candidate generation — the
+    // quadratic product of a dropped bucket is never generated. Costs one
+    // extra linear map-side scan; buys a hard bound on candidate volume.
+    val evalBucketKeys = evalBucketsAll.select("bucket").distinct()
+    val overloaded = corpusBuckets
+      .join(broadcast(evalBucketKeys), "bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("_n_train"))
+      .filter(col("_n_train") > maxBucketSize)
+      .select("bucket")
+    val evalBuckets = evalBucketsAll
+      .join(broadcast(overloaded), Seq("bucket"), "left_anti")
     // materialize candidates ONCE: the two broadcasts below are distinct
     // subtrees with no exchange reuse, so without this the full-corpus
     // band-key scan — the expensive pass — would execute twice

@@ -26,6 +26,22 @@ object NaturalQueries {
         WHERE CONTAINS(p_name, 'widget') OR p_name LIKE 'small%'"""),
       "contains/startswith predicates incl. OR conjunction (QueryEngine.cs:402-564)"),
 
+    // Parenthesized WHERE groups — beyond the reference (QueryEngine.cs
+    // splits flat on AND/OR), but the first thing a real user hits mixing
+    // conjunctions; the text form lowers to the same Cond.group nodes the
+    // JSON IR's anyOf already uses (q78).
+    Q("q118_nl_paren_groups",
+      (s, dir) => GraftQueryEngine(s, dir).run(
+        "FIND orders WHERE (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH') " +
+          "AND (o_totalprice > 250000 OR o_orderstatus = 'P') " +
+          "SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice"),
+      Some("""SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+          AND (o_totalprice > 250000 OR o_orderstatus = 'P')"""),
+      "parenthesized WHERE groups in the NL grammar (beyond-reference; " +
+        "lowers to the JSON IR's group nodes)"),
+
     Q("q62_nl_innerjoin_flatten",
       (s, dir) => GraftQueryEngine(s, dir).run(
         "FIND customer WHERE c_acctbal > 9000 SELECT c_custkey, c_name as person " +

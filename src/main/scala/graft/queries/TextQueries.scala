@@ -43,7 +43,64 @@ object TextQueries {
     * md5 min-wise signatures, md5 band keys, bucket self-join, true
     * shingle-set Jaccard verification.
     */
-  lazy val lshPairsOracleSql: String = {
+  lazy val lshPairsOracleSql: String = lshPairsOracle(None)
+
+  /** Same pipeline with the band-bucket cap applied before pair-gen —
+    * buckets holding more than `cap` docs are dropped, mirroring
+    * `Dedup.minhashLshPairs(maxBucketSize = cap)`.
+    */
+  def lshPairsCappedOracleSql(cap: Int): String = lshPairsOracle(Some(cap))
+
+  private def lshPairsOracle(cap: Option[Int]): String = {
+    val mh = (0 until 8).map(i =>
+      s"LIST_MIN(LIST_TRANSFORM(shs, x -> MD5('$i|' || x))) AS mh$i").mkString(",\n          ")
+    val bandKeys = (0 until 2).map { b =>
+      val parts = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(" || ',' || ")
+      s"MD5('$b|' || $parts)"
+    }.mkString(", ")
+    val bucketsSrc = cap match {
+      case Some(c) =>
+        s"""(SELECT doc_id, bucket FROM (
+          SELECT doc_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS _bsz
+          FROM buckets0) WHERE _bsz <= $c)"""
+      case None => "buckets0"
+    }
+    s"""WITH toks AS (
+        SELECT doc_id,
+          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
+            x -> LEN(x) > 0) AS t
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(t) - 2, 0) + 1),
+            i -> ARRAY_TO_STRING(t[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' '))) AS shs
+        FROM toks),
+      sig AS (
+        SELECT doc_id, shs,
+          $mh
+        FROM sh),
+      buckets0 AS (
+        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig),
+      buckets AS (
+        SELECT doc_id, bucket FROM $bucketsSrc),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      SELECT p.id1, p.id2,
+        ROUND(CAST(LEN(LIST_INTERSECT(s1.shs, s2.shs)) AS DOUBLE)
+          / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(s1.shs, s2.shs))), 1), 6) AS jaccard
+      FROM pairs p
+      JOIN sh s1 ON s1.doc_id = p.id1
+      JOIN sh s2 ON s2.doc_id = p.id2
+      WHERE ROUND(CAST(LEN(LIST_INTERSECT(s1.shs, s2.shs)) AS DOUBLE)
+          / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(s1.shs, s2.shs))), 1), 6) >= 0.5"""
+  }
+
+  /** DuckDB replica of Dedup.lshBucketStats(word bigrams, k=8, bands=2):
+    * per-band-bucket occupancy with the cap's dropped flag.
+    */
+  def lshBucketStatsOracleSql(cap: Int): String = {
     val mh = (0 until 8).map(i =>
       s"LIST_MIN(LIST_TRANSFORM(shs, x -> MD5('$i|' || x))) AS mh$i").mkString(",\n          ")
     val bandKeys = (0 until 2).map { b =>
@@ -65,19 +122,9 @@ object TextQueries {
           $mh
         FROM sh),
       buckets AS (
-        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM buckets a JOIN buckets b
-          ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      SELECT p.id1, p.id2,
-        ROUND(CAST(LEN(LIST_INTERSECT(s1.shs, s2.shs)) AS DOUBLE)
-          / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(s1.shs, s2.shs))), 1), 6) AS jaccard
-      FROM pairs p
-      JOIN sh s1 ON s1.doc_id = p.id1
-      JOIN sh s2 ON s2.doc_id = p.id2
-      WHERE ROUND(CAST(LEN(LIST_INTERSECT(s1.shs, s2.shs)) AS DOUBLE)
-          / GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(s1.shs, s2.shs))), 1), 6) >= 0.5"""
+        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig)
+      SELECT bucket, COUNT(*) AS n_docs, COUNT(*) > $cap AS dropped
+      FROM buckets GROUP BY 1"""
   }
 
   /** DuckDB replica of Dedup.minhashLshCrossMatches (word bigrams, k=8,
@@ -254,6 +301,32 @@ object TextQueries {
       Some(TextQueries.lshPairsOracleSql),
       "MinHash+LSH near-dup pairs: banding prunes the pair space, true " +
         "Jaccard verifies candidates (the 100 TB dedup path)"),
+
+    // The band-bucket cap exercised where it FIRES: maxBucketSize=2 drops
+    // the oversized buckets at this scale, and the oracle models the same
+    // drop (QUALIFY on the per-bucket count) — so the guard's semantics,
+    // not just its presence, are oracle-verified cross-engine. Production
+    // default (8192) never fires at bench scales; q48 pins that path.
+    Q("q116_lsh_bucket_cap",
+      (s, dir) =>
+        Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 8, bands = 2, threshold = 0.5,
+          wordGrams = Some(2), maxBucketSize = 2),
+      Some(TextQueries.lshPairsCappedOracleSql(2)),
+      "LSH pair-gen under a band-bucket size cap (boilerplate-collision " +
+        "guard): oversized buckets dropped before the quadratic self-join"),
+
+    // Observability for the cap: one row per band bucket with its
+    // occupancy and whether the cap excludes it. This is what an operator
+    // reads before trusting capped pair output on a new corpus.
+    Q("q117_lsh_bucket_stats",
+      (s, dir) =>
+        Dedup.lshBucketStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 8, bands = 2,
+          wordGrams = Some(2), maxBucketSize = 2),
+      Some(TextQueries.lshBucketStatsOracleSql(2)),
+      "band-bucket occupancy audit: size + dropped flag per bucket under " +
+        "the pair-gen cap"),
 
     Q("q27_fingerprint",
       (s, dir) =>

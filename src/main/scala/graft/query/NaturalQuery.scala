@@ -459,8 +459,12 @@ object NaturalQuery {
       }
     }.toSeq
 
-  /** Split a WHERE body into conditions on AND/OR (no parentheses in the
-    * reference grammar), respecting quoted strings.
+  /** Split a WHERE body into conditions on AND/OR, respecting quoted
+    * strings and parenthesized groups. The reference grammar has no
+    * parentheses (QueryEngine.cs:388-578 splits flat) — groups exceed it
+    * because mixed AND/OR without them is the first thing a real user
+    * needs; the serialized-IR anyOf/allOf nodes already lower to the same
+    * `Cond.group` shape, so the text form reuses that path unchanged.
     */
   private def parseConds(s: String): Seq[Cond] = {
     if (s.isEmpty) return Nil
@@ -473,6 +477,7 @@ object NaturalQuery {
     var conj = "AND"
     var cur = new StringBuilder
     var inQ = false
+    var depth = 0
     var i = 0
     def flush(next: String): Unit = {
       val f = cur.toString.trim
@@ -480,14 +485,41 @@ object NaturalQuery {
       conj = next; cur = new StringBuilder
     }
     while (i < s.length) {
-      if (s.charAt(i) == '\'') { inQ = !inQ; cur += '\''; i += 1 }
-      else if (!inQ && matchesKeyword(s, i, "AND") &&
+      val ch = s.charAt(i)
+      if (ch == '\'') { inQ = !inQ; cur += '\''; i += 1 }
+      else if (!inQ && ch == '(') { depth += 1; cur += ch; i += 1 }
+      else if (!inQ && ch == ')') { depth -= 1; cur += ch; i += 1 }
+      else if (!inQ && depth == 0 && matchesKeyword(s, i, "AND") &&
           !matchesNotPrefix(cur.toString)) { flush("AND"); i += 3 }
-      else if (!inQ && matchesKeyword(s, i, "OR")) { flush("OR"); i += 2 }
-      else { cur += s.charAt(i); i += 1 }
+      else if (!inQ && depth == 0 && matchesKeyword(s, i, "OR")) { flush("OR"); i += 2 }
+      else { cur += ch; i += 1 }
     }
+    require(depth == 0, s"unbalanced parentheses in condition: $s")
     flush("AND")
     out.toSeq
+  }
+
+  /** Whether `s` is one whole parenthesized group — its first '(' closes
+    * at its last character (quote-aware), so stripping the outer pair is
+    * safe. `(a=1) x (b=2)` is NOT whole even though it starts and ends
+    * with parens.
+    */
+  private def isWholeGroup(s: String): Boolean = {
+    if (!(s.startsWith("(") && s.endsWith(")"))) return false
+    var inQ = false
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && ch == '(') depth += 1
+      else if (!inQ && ch == ')') {
+        depth -= 1
+        if (depth == 0) return i == s.length - 1
+      }
+      i += 1
+    }
+    false
   }
 
   /** `is not null` contains "not", and `x != 'a and b'` is quoted — the only
@@ -521,6 +553,9 @@ object NaturalQuery {
 
   private def parseCond(frag: String, conj: String): Cond = {
     val f = frag.trim
+    if (isWholeGroup(f))
+      return Cond("", "group", None, conj,
+        group = parseConds(f.substring(1, f.length - 1).trim))
     val lower = f.toLowerCase
     // phrase predicates first
     val phraseOps = Seq("is not null", "is null", "is empty")

@@ -98,4 +98,32 @@ class BsonFunctionsSpec extends AnyFunSuite {
     val after = System.currentTimeMillis() / 1000 + 1
     assert(oidRow.getLong(1) >= before && oidRow.getLong(1) <= after)
   }
+
+  test("DOUBLE/DECIMAL string parsing is invariant-culture (documented " +
+      "divergence from the reference's NumberStyles.Any)") {
+    // The reference parses cast strings with the collation's culture and
+    // NumberStyles.Any (DataTypes.cs:106-188): en-US accepts thousands
+    // separators ("1,234.5" -> 1234.5), parentheses negatives ("(123)" ->
+    // -123), and currency symbols ("$1.50" -> 1.5). This engine uses
+    // Spark's invariant cast: those forms return NULL (the reference's
+    // not-convertible result), and only the invariant forms parse. Pinned
+    // here so the divergence is a documented contract, not a latent
+    // surprise — a pipeline migrating culture-formatted string numerics
+    // must normalize separators upstream (regexp_replace) first.
+    val rows = Seq("1234.5", "  42  ", "1e3", "-0.25",   // parse identically
+      "1,234.5", "(123)", "$1.50", "1.234,5")            // culture forms -> NULL
+      .toDF("s")
+      .select(col("s"), B.double(col("s")).as("d"),
+        B.decimal(col("s")).cast("double").as("dec"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows("1234.5") == (Some(1234.5), Some(1234.5)))
+    assert(rows("  42  ") == (Some(42.0), Some(42.0)))   // whitespace trimmed
+    assert(rows("1e3") == (Some(1000.0), Some(1000.0)))  // exponent accepted
+    assert(rows("-0.25") == (Some(-0.25), Some(-0.25)))
+    assert(rows("1,234.5") == (None, None)) // en-US thousands: ref 1234.5
+    assert(rows("(123)") == (None, None))   // parentheses negative: ref -123
+    assert(rows("$1.50") == (None, None))   // currency symbol: ref 1.5
+    assert(rows("1.234,5") == (None, None)) // de-DE separators: ref(de) 1234.5
+  }
 }

@@ -302,4 +302,46 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(native == composable)
   }
+
+  test("band-bucket cap: recall unchanged on non-pathological data") {
+    val docs = graft.core.Tables.load(spark, SparkSessionFixture.Sf0001,
+      "documents")
+    def pairs(cap: Int) = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 8, bands = 2, threshold = 0.5, wordGrams = Some(2),
+      maxBucketSize = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    // buckets here are far below the production default, so capped ==
+    // uncapped: the guard must not change results where it doesn't fire
+    assert(pairs(8192) == pairs(Int.MaxValue))
+  }
+
+  test("band-bucket cap: a boilerplate bucket is dropped before pair-gen " +
+      "and is visible in lshBucketStats") {
+    // 50 identical docs: every band bucket holds all 50 — pathological
+    val boiler = (1L to 50L).map(i => (i, "common header footer boilerplate " +
+      "shared across every page of the crawl")).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(boiler, "doc_id", "text",
+      k = 8, bands = 2, threshold = 0.5, wordGrams = Some(2),
+      maxBucketSize = 10)
+    assert(capped.count() == 0, "oversized buckets must not emit pairs")
+    val stats = Dedup.lshBucketStats(boiler, "doc_id", "text",
+      k = 8, bands = 2, wordGrams = Some(2), maxBucketSize = 10)
+      .as[(String, Long, Boolean)].collect()
+    assert(stats.nonEmpty && stats.forall { case (_, n, dropped) =>
+      n == 50L && dropped })
+    // cross-corpus guard: the same boilerplate corpus against a small eval
+    // set — the overloaded bucket is excluded, so no candidates survive
+    val eval = Seq((100L, "common header footer boilerplate shared across " +
+      "every page of the crawl")).toDF("doc_id", "text")
+    val cross = Dedup.minhashLshCrossMatches(boiler, "doc_id", eval,
+      "doc_id", "text", wordGrams = 2, k = 8, bands = 2,
+      threshold = 0.5, maxBucketSize = 10)
+    assert(cross.count() == 0)
+    // and with a permissive cap the same inputs DO match — the zero above
+    // comes from the guard, not from the pipeline failing to match
+    val crossUncapped = Dedup.minhashLshCrossMatches(boiler, "doc_id", eval,
+      "doc_id", "text", wordGrams = 2, k = 8, bands = 2,
+      threshold = 0.5, maxBucketSize = 1000)
+    assert(crossUncapped.count() == 50)
+  }
 }

@@ -239,4 +239,41 @@ class NaturalQuerySpec extends AnyFunSuite {
     // a positional consumer of the IR must see (u, c_custkey, tag)
     assert(got.columns.toSeq == Seq("u", "c_custkey", "tag"))
   }
+
+  test("parser: parenthesized WHERE groups nest and bind correctly") {
+    val p = NaturalQuery.parse(
+      "FIND t WHERE (a = 1 OR b = 2) AND (c = 3 OR (d = 4 AND e = 5))")
+    assert(p.where.size == 2)
+    val g1 = p.where(0)
+    assert(g1.group.map(c => (c.field, c.conj)) == Seq(("a", "AND"), ("b", "OR")))
+    val g2 = p.where(1)
+    assert(g2.conj == "AND")
+    assert(g2.group.head.field == "c")
+    // nested group inside the second group
+    assert(g2.group(1).conj == "OR" && g2.group(1).group.map(_.field) == Seq("d", "e"))
+  }
+
+  test("parenthesized groups change semantics vs the flat split") {
+    // flat: a OR b AND c == ((a OR b) AND c) under left-fold = 0 rows for
+    // a contradictory (b AND c); the group form a OR (b AND c) keeps all
+    // of a — deterministic discriminator on any data with BUILDING rows
+    val flat = engine.run(
+      "FIND customer WHERE c_mktsegment = 'BUILDING' OR c_custkey > 0 " +
+        "AND c_custkey < 0").count()
+    val grouped = engine.run(
+      "FIND customer WHERE c_mktsegment = 'BUILDING' OR " +
+        "(c_custkey > 0 AND c_custkey < 0)").count()
+    val building = graft.core.Tables.load(spark, Sf0001, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(building > 0)
+    assert(flat == 0L)
+    assert(grouped == building)
+  }
+
+  test("parens inside quoted literals are not group delimiters") {
+    val p = NaturalQuery.parse("FIND t WHERE a = '(not a group' AND b = 'x)'")
+    assert(p.where.map(_.field) == Seq("a", "b"))
+    intercept[IllegalArgumentException](
+      NaturalQuery.parse("FIND t WHERE (a = 1 OR b = 2"))
+  }
 }
