@@ -261,7 +261,10 @@ final class GraftDatabase private (
     * TableCollection.cs:316-460), persisting every affected table.
     */
   def delete(name: String, predicate: org.apache.spark.sql.Column): Unit = {
-    val states = defs.map { case (n, d) => n -> ((table(n), d)) }
+    // defined-but-never-written tables have no rows, so they can neither
+    // restrict nor cascade — and reading their absent directory would throw
+    val states = defs.filter { case (n, _) => tableExists(n) }
+      .map { case (n, d) => n -> ((table(n), d)) }
     val updated = ConstrainedDml.deleteCascade(spark, states, norm(name), predicate)
     // two-phase swap: every new state's plan reads the CURRENT directories
     // (possibly of other affected tables), so all temp writes must finish
@@ -303,6 +306,12 @@ final class GraftDatabase private (
     */
   lazy val fileStore: graft.sources.FileStore =
     new graft.sources.FileStore(spark, filesDir)
+
+  /** Users/permissions layer (the reference's `Users/UserManager.cs`
+    * surface): backed by `sys_users`/`sys_permissions` facade tables with
+    * the cascade FK the reference declares on Permission.UserId.
+    */
+  lazy val users: UserManager = new UserManager(this)
 
   /** Typed fluent query over a table (the reference's
     * `col.Query().Where(...).OrderBy(...).Select(...)` surface,
