@@ -454,6 +454,46 @@ final class GraftDatabase private (
     }: _*)
   }
 
+  // ---- system/diagnostic collections -------------------------------------
+
+  /** Query a system collection by its `$name` — the facade twin of
+    * `db.Execute("SELECT $ FROM $cols")` in the reference
+    * (`LiteDB/Engine/SystemCollections/Register.cs:14-33`). `options`
+    * carries the collection's argument where the reference takes one:
+    * `$query` takes `sql`, `$file` takes `path` (+ optional
+    * `format`=csv|json, default csv). See [[SystemCollections]] for each
+    * collection's lakehouse mapping.
+    */
+  def system(name: String, options: Map[String, String] = Map.empty): DataFrame = {
+    def dataTables: Seq[(String, String)] =
+      tables.filter(tableExists).map(t => t -> tablePath(t))
+    name match {
+      case "$database"     => SystemCollections.sysDatabase(this)
+      case "$cols"         => SystemCollections.sysCols(this)
+      case "$indexes"      => SystemCollections.sysIndexes(this)
+      case "$sequences"    => SystemCollections.sysSequences(this)
+      case "$transactions" => SystemCollections.sysTransactions(spark)
+      case "$snapshots"    => SystemCollections.sysSnapshots(spark)
+      case "$open_cursors" => SystemCollections.sysOpenCursors(spark)
+      case "$dump"         => SystemCollections.fileManifest(spark, dataTables)
+      case "$page_list"    => SystemCollections.rowGroupManifest(spark, dataTables)
+      case "$query"        => sql(options.getOrElse("sql",
+        throw new IllegalArgumentException("$query needs options(\"sql\")")))
+      case "$file" =>
+        val path = options.getOrElse("path",
+          throw new IllegalArgumentException("$file needs options(\"path\")"))
+        options.getOrElse("format", "csv") match {
+          case "csv"  => graft.sources.FileSources.readCsv(spark, path)
+          case "json" => graft.sources.FileSources.readJson(spark, path)
+          case other  => throw new IllegalArgumentException(
+            s"unsupported $$file format '$other' (csv|json)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown system collection '$other' " +
+          s"(known: ${SystemCollections.names.mkString(", ")})")
+    }
+  }
+
   // ---- natural-language query over this database's tables ----------------
 
   /** Run a FIND/WHERE/SELECT/INCLUDE/INNERJOIN natural-language query

@@ -386,7 +386,23 @@ object RelationalQueries {
       Some(zorderOracleSql),
       "Z-order layout key: bit-interleaved (orderkey, partkey) cells " +
         "with their min/max rectangles — the multi-column data-skipping " +
-        "layout, computed as pure codegen long arithmetic")
+        "layout, computed as pure codegen long arithmetic"),
+
+    Q("q119_sys_table_stats",
+      (s, dir) => {
+        val tables = Seq("region", "nation", "customer", "supplier",
+          "part", "orders", "lineitem", "events", "documents", "embeddings")
+        graft.catalog.SystemCollections
+          .tableStats(s, tables.map(t => t -> s"$dir/$t.parquet"))
+          .select(col("tbl"), col("num_rows"))
+      },
+      Some(Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .map(t => s"SELECT '$t' AS tbl, COUNT(*) AS num_rows FROM $t")
+        .mkString("\n        UNION ALL ")),
+      "$dump system collection (SysDump.cs / SysPageList.cs analog): " +
+        "per-table row counts from the distributed parquet-footer " +
+        "manifest — zero data pages read; must equal COUNT(*)")
   )
 
   /** DuckDB replica of Layout.zValue(bits=8) over the same mod-256
