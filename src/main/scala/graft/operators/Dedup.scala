@@ -132,12 +132,17 @@ object Dedup {
     // exchange the self-join uses — both join sides still canonicalize to
     // one reused subtree, so the guard costs one in-partition sort, zero
     // extra shuffles, zero extra scans
-    val buckets = bucketSrc.select(col("id"), explode(col("_bk")).as("bucket"))
+    val bucketsAll = bucketSrc
+      .select(col("id"), explode(col("_bk")).as("bucket"))
       .repartition(col("bucket"))
-      .withColumn("_bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("_bsz") <= maxBucketSize)
-      .drop("_bsz")
+    // maxBucketSize <= 0 disables the guard (dev/audit escape hatch)
+    val buckets =
+      if (maxBucketSize <= 0) bucketsAll
+      else bucketsAll
+        .withColumn("_bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+        .filter(col("_bsz") <= maxBucketSize)
+        .drop("_bsz")
     // shuffle-hash hint: with both sides co-partitioned on bucket the two
     // join inputs canonicalize to ONE reused exchange; a broadcast build
     // would re-run the whole signature computation on the build side
@@ -190,11 +195,12 @@ object Dedup {
     *
     * Scale shape (100 TB): the eval/benchmark side is always small, so
     * every eval artifact (band buckets, shingle sets, the surviving
-    * candidate pair set) is BROADCAST; the corpus side is scanned exactly
-    * once, map-side only — band keys via the native one-pass expression,
-    * candidates and verification resolved by broadcast hash joins. The
-    * corpus never shuffles; only the candidate pairs (bounded by band
-    * collisions) do, in the distinct.
+    * candidate pair set) is BROADCAST; the corpus side is scanned once at
+    * full band-key cost plus a ~0.4% hash-sampled slice for the
+    * bucket-cap guard, map-side only — band keys via the native one-pass
+    * expression, candidates and verification resolved by broadcast hash
+    * joins. The corpus never shuffles; only the candidate pairs (bounded
+    * by band collisions) do, in the distinct.
     */
   def minhashLshCrossMatches(corpus: DataFrame, corpusId: String,
       evalSet: DataFrame, evalId: String, textCol: String,
@@ -213,28 +219,66 @@ object Dedup {
       tokens(col(textCol)), wordGrams)
     def bkExpr = graft.functions.GraftFunctions.lsh_band_keys(
       tokens(col(textCol)), wordGrams, k, bands)
-    val evalBucketsAll = evalSet.select(col(evalId).as("eval_id"), bkExpr.as("_bk"))
+    // eval band keys materialize ONCE (bounded side by contract): three
+    // consumers below — the bucket-key set for the guard's semi-join, the
+    // guard's anti-join, and the candidate broadcast — would otherwise
+    // each re-scan the eval table and recompute its band keys
+    val evalBucketsAll = evalSet
+      .select(col(evalId).as("eval_id"), bkExpr.as("_bk"))
       .select(col("eval_id"), explode(col("_bk")).as("bucket"))
+      .localCheckpoint(true)
     val corpusBuckets = corpus.select(col(corpusId).as("train_id"), bkExpr.as("_bk"))
       .select(col("train_id"), explode(col("_bk")).as("bucket"))
     // Band-bucket cap, the cross-corpus analog of minhashLshPairs's guard:
     // one boilerplate band key shared by an eval doc and millions of train
     // docs would explode the candidate join. The corpus must NOT shuffle,
-    // so the guard is a separate counting pass: scan the corpus band keys,
+    // so the guard is a separate counting pass: compute corpus band keys,
     // broadcast-semi-join to the (bounded) eval bucket-key set so only
     // colliding buckets are counted, map-side-combine to one count per
     // bucket (output bounded by |eval buckets|), and drop the pathological
     // buckets from the EVAL side before candidate generation — the
-    // quadratic product of a dropped bucket is never generated. Costs one
-    // extra linear map-side scan; buys a hard bound on candidate volume.
-    val evalBucketKeys = evalBucketsAll.select("bucket").distinct()
-    val overloaded = corpusBuckets
-      .join(broadcast(evalBucketKeys), "bucket")
-      .groupBy("bucket").agg(count(lit(1)).as("_n_train"))
-      .filter(col("_n_train") > maxBucketSize)
-      .select("bucket")
-    val evalBuckets = evalBucketsAll
-      .join(broadcast(overloaded), Seq("bucket"), "left_anti")
+    // quadratic product of a dropped bucket is never generated.
+    //
+    // The counting pass SAMPLES the corpus: band keys (tokenize + minhash)
+    // are the dominant cost of this whole operator, and counting them
+    // exactly would double it. The sample is a deterministic hash-mod on
+    // the doc id (never df.sample — partitioning-dependent), at a rate
+    // that puts ~256 expected sampled docs in a bucket sitting AT the
+    // threshold, so detection at the default cap is ±6% (Poisson), and
+    // caps <= 256 count exactly. A pathology guard needs a reliable trip
+    // wire, not an exact census; cost falls from a second full band-key
+    // scan to ~0.4% of one at the default cap.
+    // maxBucketSize <= 0 disables the guard (dev/audit escape hatch).
+    // A corpus with <= maxBucketSize rows provably cannot overfill any
+    // bucket, so the guard's broadcast-stage chain is skipped outright —
+    // the check reads at most maxBucketSize+1 ids (limit short-circuits
+    // the scan), so it is cheap at 100 TB and free-ish below the cap.
+    val capPlus1 =
+      if (maxBucketSize >= Int.MaxValue) Int.MaxValue else maxBucketSize + 1
+    val guardNeeded = maxBucketSize > 0 &&
+      corpus.select(col(corpusId)).limit(capPlus1).count() > maxBucketSize
+    val evalBuckets = if (!guardNeeded) evalBucketsAll else {
+      val evalBucketKeys = evalBucketsAll.select("bucket").distinct()
+      val sampleDen = 1L << 16
+      val sampleNum = math.max(1L, math.min(sampleDen,
+        math.round(256.0 / maxBucketSize * sampleDen)))
+      val guardSrc =
+        if (sampleNum >= sampleDen) corpus
+        else corpus.filter(
+          pmod(xxhash64(col(corpusId)), lit(sampleDen)) < lit(sampleNum))
+      val guardBuckets = guardSrc
+        .select(col(corpusId).as("train_id"), bkExpr.as("_bk"))
+        .select(col("train_id"), explode(col("_bk")).as("bucket"))
+      val sampledCap =
+        if (sampleNum >= sampleDen) maxBucketSize.toLong
+        else maxBucketSize.toLong * sampleNum / sampleDen
+      val overloaded = guardBuckets
+        .join(broadcast(evalBucketKeys), "bucket")
+        .groupBy("bucket").agg(count(lit(1)).as("_n_train"))
+        .filter(col("_n_train") > sampledCap)
+        .select("bucket")
+      evalBucketsAll.join(broadcast(overloaded), Seq("bucket"), "left_anti")
+    }
     // materialize candidates ONCE: the two broadcasts below are distinct
     // subtrees with no exchange reuse, so without this the full-corpus
     // band-key scan — the expensive pass — would execute twice

@@ -344,4 +344,27 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.5, maxBucketSize = 1000)
     assert(crossUncapped.count() == 50)
   }
+
+  test("cross-corpus cap: the SAMPLED guard branch (cap > 256) still " +
+      "drops a pathological bucket") {
+    // caps <= 256 count exactly; above that the guard hash-samples the
+    // corpus (deterministic xxhash mod, never df.sample). 3000 identical
+    // docs against cap 1024 -> rate 0.25, expected ~750 sampled hits vs
+    // the sampled threshold 256 — >20 sigma above it, and exactly
+    // reproducible for fixed ids
+    val boiler = (1L to 3000L).map(i => (i, "common header footer " +
+      "boilerplate shared across every page of the crawl"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100000L, "common header footer boilerplate shared " +
+      "across every page of the crawl")).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshCrossMatches(boiler, "doc_id", eval,
+      "doc_id", "text", wordGrams = 2, k = 8, bands = 2,
+      threshold = 0.5, maxBucketSize = 1024)
+    assert(capped.count() == 0, "sampled guard must drop the bucket")
+    // guard disabled: the same inputs match — the zero is the guard's
+    val off = Dedup.minhashLshCrossMatches(boiler, "doc_id", eval,
+      "doc_id", "text", wordGrams = 2, k = 8, bands = 2,
+      threshold = 0.5, maxBucketSize = 0)
+    assert(off.count() == 3000)
+  }
 }
