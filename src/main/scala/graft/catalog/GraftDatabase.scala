@@ -92,6 +92,7 @@ final class GraftDatabase private (
       ConstrainedDml.validateInsert(spark, tdef, rows, existing, parents)
     if (violations.nonEmpty)
       throw new IllegalStateException(s"constraint violations: $violations")
+    enforceLimitSize()
     rows.write.mode("append").parquet(tablePath(name))
     invalidateSqlEngine()
   }
@@ -283,6 +284,7 @@ final class GraftDatabase private (
   }
 
   private def writeReplace(name: String, df: DataFrame): Unit = {
+    enforceLimitSize()
     // write-to-temp then swap: the plan reads the directory being replaced,
     // so overwrite-in-place would corrupt it, and collect()-then-rewrite
     // does not scale — the temp write is fully distributed
@@ -292,6 +294,48 @@ final class GraftDatabase private (
     deleteRecursively(dst)
     Files.move(tmp, dst)
     invalidateSqlEngine()
+  }
+
+  // ---- engine pragmas (EnginePragmas.cs) ----------------------------------
+
+  /** Per-database pragma store; see [[Pragmas]] for each one's mapping. */
+  lazy val pragmas: Pragmas = new Pragmas(root, () => collation.toString)
+
+  def pragma(name: String): Any = pragmas.get(name)
+  def setPragma(name: String, value: Any): Unit = pragmas.set(name, value)
+
+  /** LIMIT_SIZE is enforced at the write choke point: once the store has
+    * grown past the pragma, further writes fail — the facade analog of
+    * the reference refusing to allocate pages past the limit.
+    */
+  private def enforceLimitSize(): Unit = {
+    val limit = pragmas.get(Pragmas.LimitSize).asInstanceOf[Long]
+    if (limit != Long.MaxValue) {
+      val current = Pragmas.storeSize(root)
+      if (current > limit) throw new IllegalStateException(
+        s"database size limit reached (LIMIT_SIZE=$limit, store=$current)")
+    }
+  }
+
+  /** The CHECKPOINT pragma's maintenance action: compact every table
+    * directory holding more than CHECKPOINT data files (the WAL-pages-
+    * before-checkpoint analog for a parquet store; 0 disables, like the
+    * reference). Returns the compacted table names.
+    */
+  def checkpoint(targetBytes: Long = 128L << 20): Seq[String] = {
+    val threshold = pragmas.get(Pragmas.Checkpoint).asInstanceOf[Int]
+    if (threshold <= 0) Nil
+    else tables.filter(tableExists).filter { t =>
+      val dir = Paths.get(tablePath(t))
+      val s = Files.list(dir)
+      val n = try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .count() finally s.close()
+      n > threshold
+    }.map { t =>
+      graft.core.Layout.compact(spark, tablePath(t), targetBytes)
+      invalidateSqlEngine()
+      t
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -348,9 +392,11 @@ final class GraftDatabase private (
   /** Append points (point_guid, ts, value[, priority]) to the TS store,
     * date-partitioned.
     */
-  def tsAppend(points: DataFrame): Unit =
+  def tsAppend(points: DataFrame): Unit = {
+    enforceLimitSize()
     points.withColumn("date", to_date(col("ts")))
       .write.mode("append").partitionBy("date").parquet(tsDir)
+  }
 
   /** Range read with LOCF (GetTimeSeries(start, end),
     * TsCollection.cs:130-185). Partition pruning applies via the date

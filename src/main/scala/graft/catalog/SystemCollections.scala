@@ -158,8 +158,15 @@ object SystemCollections {
   private[catalog] def sysDatabase(db: GraftDatabase): DataFrame = {
     val spark = db.spark
     import spark.implicits._
-    Seq((db.name, db.root, db.tables.size.toLong, db.collation.toString))
-      .toDF("name", "root", "n_tables", "collation")
+    val p = db.pragmas
+    Seq((db.name, db.root, db.tables.size.toLong, db.collation.toString,
+      p.get(Pragmas.UserVersion).asInstanceOf[Int],
+      p.get(Pragmas.Timeout).asInstanceOf[Int],
+      p.get(Pragmas.LimitSize).asInstanceOf[Long],
+      p.get(Pragmas.UtcDate).asInstanceOf[Boolean],
+      p.get(Pragmas.Checkpoint).asInstanceOf[Int]))
+      .toDF("name", "root", "n_tables", "collation", "user_version",
+        "timeout", "limit_size", "utc_date", "checkpoint")
   }
 
   /** `$cols` — user tables plus the system names (`SysCols.cs:12-30`). */
