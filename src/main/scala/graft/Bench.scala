@@ -122,8 +122,10 @@ object Bench {
     // catalog this size mid-line; persist the full per-query map to the
     // repo so the round's timings stay reproducible from a committed
     // artifact regardless of stdout capture limits.
+    // cwd-relative default: works on any checkout (sbt runs from the
+    // project root), overridable for out-of-tree runs
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case NonFatal(e) =>

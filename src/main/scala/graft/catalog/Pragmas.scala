@@ -65,14 +65,14 @@ final class Pragmas(root: String, collationName: () => String) {
     val p = load()
     name.toUpperCase match {
       case UserVersion =>
-        p.setProperty(UserVersion, asLong(name, value).toInt.toString)
+        p.setProperty(UserVersion, asInt(name, value).toString)
       case Collation => throw new IllegalStateException(
         "Pragma COLLATION is read only. Use Rebuild options.")
       case Timeout =>
-        val v = asLong(name, value)
+        val v = asInt(name, value)
         if (v <= 0) throw new IllegalArgumentException(
           "Pragma TIMEOUT must be greater than zero")
-        p.setProperty(Timeout, v.toInt.toString)
+        p.setProperty(Timeout, v.toString)
       case LimitSize =>
         val v = asLong(name, value)
         if (v < MinLimitSize) throw new IllegalArgumentException(
@@ -90,10 +90,10 @@ final class Pragmas(root: String, collationName: () => String) {
             "a lakehouse must not make stored bytes reader-local)")
       }
       case Checkpoint =>
-        val v = asLong(name, value)
+        val v = asInt(name, value)
         if (v < 0) throw new IllegalArgumentException(
           "Pragma CHECKPOINT must be greater or equal to zero")
-        p.setProperty(Checkpoint, v.toInt.toString)
+        p.setProperty(Checkpoint, v.toString)
       case other => throw new IllegalArgumentException(
         s"unknown pragma '$other' (known: ${names.mkString(", ")})")
     }
@@ -109,6 +109,16 @@ final class Pragmas(root: String, collationName: () => String) {
     case s: String if s.matches("-?\\d+") => s.toLong
     case other => throw new IllegalArgumentException(
       s"pragma $name expects an integer, got $other")
+  }
+
+  // int-typed pragmas must range-check BEFORE narrowing — a silent .toInt
+  // wrap would store a value the validation just rejected
+  private def asInt(name: String, value: Any): Int = {
+    val v = asLong(name, value)
+    if (v < Int.MinValue || v > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"pragma $name is a 32-bit value, got $v")
+    v.toInt
   }
 }
 

@@ -190,7 +190,7 @@ object SystemCollections {
   private[catalog] def sysSequences(db: GraftDatabase): DataFrame = {
     val spark = db.spark
     import spark.implicits._
-    db.tables.flatMap { t =>
+    db.tables.filter(db.tableExists).flatMap { t =>
       val pk = db.tableDef(t).pk
       val df = db.table(t)
       if (df.schema.fields.exists(f => f.name == pk &&

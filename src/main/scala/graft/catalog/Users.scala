@@ -77,6 +77,14 @@ final class UserManager(db: GraftDatabase) {
   // on successful auth, evicted on failure or unknown user
   private val authCache =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // grants cache (same precedent as authCache): a SecuredDatabase gates
+  // EVERY operation, and re-scanning sys_users + sys_permissions per call
+  // would launch two collect jobs each time. Invalidated on any mutation
+  // of the user/permission tables.
+  private val grantsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Permission]]()
+
+  private def invalidateGrants(): Unit = grantsCache.clear()
 
   private def usersDf: Option[DataFrame] =
     if (db.tableExists(UsersTable)) Some(db.table(UsersTable)) else None
@@ -120,6 +128,7 @@ final class UserManager(db: GraftDatabase) {
       Seq((UUID.randomUUID().toString, uid,
         permission.resource, permission.actions)).toDF(
         "perm_id", "user_id", "resource", "actions"))
+    invalidateGrants()
   }
 
   /** Authenticate (UserManager.cs:39-59): success caches the user,
@@ -148,17 +157,26 @@ final class UserManager(db: GraftDatabase) {
       db.delete(UsersTable, col("user_id") === uid)
     }
     authCache.remove(username.toLowerCase)
+    invalidateGrants()
   }
 
-  /** All grants of a user, wildcard first. */
-  def permissions(username: String): Seq[Permission] =
-    findUser(username).toSeq.flatMap { case (uid, _) =>
-      if (!db.tableExists(PermsTable)) Nil
-      else db.table(PermsTable).filter(col("user_id") === uid)
-        .select("resource", "actions").collect()
-        .map(r => Permission(r.getString(0), r.getInt(1))).toSeq
-        .sortBy(p => (p.resource != "*", p.resource))
+  /** All grants of a user, wildcard first (cached; see grantsCache). */
+  def permissions(username: String): Seq[Permission] = {
+    val key = username.toLowerCase
+    val cached = grantsCache.get(key)
+    if (cached != null) cached
+    else {
+      val loaded = findUser(username).toSeq.flatMap { case (uid, _) =>
+        if (!db.tableExists(PermsTable)) Nil
+        else db.table(PermsTable).filter(col("user_id") === uid)
+          .select("resource", "actions").collect()
+          .map(r => Permission(r.getString(0), r.getInt(1))).toSeq
+          .sortBy(p => (p.resource != "*", p.resource))
+      }
+      grantsCache.put(key, loaded)
+      loaded
     }
+  }
 
   /** Whether `username` holds `action` on `resource`: a grant matches if
     * its resource is `"*"` or equals the resource case-insensitively, and
@@ -246,7 +264,10 @@ final class SecuredDatabase(db: GraftDatabase, users: UserManager,
     check(name, Write); db.insert(name, rows)
   }
   def upsert(name: String, rows: DataFrame): Unit = {
-    check(name, Write); db.upsert(name, rows)
+    // upsert both inserts new rows AND overwrites existing ones by PK —
+    // gate on Write + Update, or a Write-only grant could replace any row
+    // whose PK it knows
+    check(name, Write); check(name, Update); db.upsert(name, rows)
   }
   def update(name: String, rows: DataFrame): Long = {
     check(name, Update); db.update(name, rows)

@@ -25,8 +25,11 @@ object Tables {
     // rejects it — read as long via nanosAsLong and floor to micros, the
     // same truncation DuckDB applies), TIMESTAMP_UTC, and TIMESTAMP_NTZ
     // (micros, no tz annotation). Normalize all three to TimestampType here
-    // so every consumer sees one type; the session TZ is pinned UTC
-    // everywhere, so the NTZ->TZ cast is an exact relabel, not a shift.
+    // so every consumer sees one type. The NTZ->TZ cast is an exact
+    // relabel ONLY under a UTC session TZ — the engine's contract — so the
+    // loader pins it itself (same pattern as nanosAsLong below) instead of
+    // trusting every entry point's session builder to have done it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val df =

@@ -108,18 +108,8 @@ object Dedup {
     // jaccardPairsByCooccurrence)
     val sh = docs.select(col(idCol).as("id"), shsExpr.as("shs"))
       .repartition(col("id"))
-    // band keys: for the word-gram path, one native one-pass expression
-    // (tokens -> shingles -> k minhashes -> band keys); the composable
-    // HOF pipeline cannot enter codegen and interprets k md5 trees per
-    // shingle (measured 4 s of q48's 5 s). Char-shingle path keeps the
-    // composable form (same semantics, fewer callers).
-    val bandKeysExpr = wordGrams match {
-      case Some(g) => graft.functions.GraftFunctions.lsh_band_keys(
-        tokens(col(textCol)), g, k, bands)
-      case None =>
-        val sigs = (0 until k).map(i => minhashValue(col("shs"), i))
-        lshBandKeysFromCols(sigs, bands, k / bands)
-    }
+    val bandKeysExpr =
+      lshBandKeys(col(textCol), col("shs"), wordGrams, k, bands)
     val bucketSrc = wordGrams match {
       case Some(_) => docs.select(col(idCol).as("id"),
         bandKeysExpr.as("_bk")).repartition(col("id"))
@@ -169,18 +159,32 @@ object Dedup {
     * much of the corpus a cap excludes before trusting the capped output.
     * One scan + one count-agg (map-side combined) — linear at any scale.
     */
+  /** The ONE construction point for LSH band keys, shared by pair-gen
+    * and its occupancy audit so the two can never desynchronize. For the
+    * word-gram path, one native one-pass expression (tokens -> shingles
+    * -> k minhashes -> band keys): the composable HOF pipeline cannot
+    * enter codegen and interprets k md5 trees per shingle (measured 4 s
+    * of q48's 5 s). The char-shingle path keeps the composable form over
+    * the caller-supplied shingle column (same semantics, fewer callers).
+    */
+  private def lshBandKeys(textCol: org.apache.spark.sql.Column,
+      shingles: org.apache.spark.sql.Column,
+      wordGrams: Option[Int], k: Int, bands: Int): org.apache.spark.sql.Column =
+    wordGrams match {
+      case Some(g) =>
+        graft.functions.GraftFunctions.lsh_band_keys(tokens(textCol), g, k, bands)
+      case None =>
+        val sigs = (0 until k).map(i => minhashValue(shingles, i))
+        lshBandKeysFromCols(sigs, bands, k / bands)
+    }
+
   def lshBucketStats(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, k: Int = 8, bands: Int = 2,
       wordGrams: Option[Int] = None,
       maxBucketSize: Int = 8192): DataFrame = {
-    val bandKeysExpr = wordGrams match {
-      case Some(g) => graft.functions.GraftFunctions.lsh_band_keys(
-        tokens(col(textCol)), g, k, bands)
-      case None =>
-        val sh = array_distinct(charShingles(col(textCol), shingleN))
-        val sigs = (0 until k).map(i => minhashValue(sh, i))
-        lshBandKeysFromCols(sigs, bands, k / bands)
-    }
+    val bandKeysExpr = lshBandKeys(col(textCol),
+      array_distinct(charShingles(col(textCol), shingleN)),
+      wordGrams, k, bands)
     docs.select(col(idCol).as("id"), explode(bandKeysExpr).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"))

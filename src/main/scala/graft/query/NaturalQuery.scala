@@ -488,7 +488,14 @@ object NaturalQuery {
       val ch = s.charAt(i)
       if (ch == '\'') { inQ = !inQ; cur += '\''; i += 1 }
       else if (!inQ && ch == '(') { depth += 1; cur += ch; i += 1 }
-      else if (!inQ && ch == ')') { depth -= 1; cur += ch; i += 1 }
+      else if (!inQ && ch == ')') {
+        depth -= 1
+        // a close with no open must fail NOW: a net-zero scan like
+        // "a = 1) AND (b = 2" would otherwise pass the final balance
+        // check and silently parse as one mangled leaf condition
+        require(depth >= 0, s"unbalanced parentheses in condition: $s")
+        cur += ch; i += 1
+      }
       else if (!inQ && depth == 0 && matchesKeyword(s, i, "AND") &&
           !matchesNotPrefix(cur.toString)) { flush("AND"); i += 3 }
       else if (!inQ && depth == 0 && matchesKeyword(s, i, "OR")) { flush("OR"); i += 2 }

@@ -275,5 +275,9 @@ class NaturalQuerySpec extends AnyFunSuite {
     assert(p.where.map(_.field) == Seq("a", "b"))
     intercept[IllegalArgumentException](
       NaturalQuery.parse("FIND t WHERE (a = 1 OR b = 2"))
+    // close-before-open nets to zero depth — must still be rejected, not
+    // silently parsed as one mangled leaf condition
+    intercept[IllegalArgumentException](
+      NaturalQuery.parse("FIND t WHERE a = 1) AND (b = 2"))
   }
 }

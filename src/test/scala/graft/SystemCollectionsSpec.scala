@@ -59,6 +59,12 @@ class SystemCollectionsSpec extends AnyFunSuite {
     assert(seqs("orders") == 13L)
   }
 
+  test("$sequences skips defined-but-never-written tables") {
+    val db = freshDb().defineTable(TableDef("empty_t", "id"))
+    val seqs = db.system("$sequences").collect().map(_.getString(0)).toSet
+    assert(seqs == Set("customer", "orders"))
+  }
+
   test("$dump and $page_list agree with each other and with COUNT(*)") {
     val db = freshDb()
     val dump = db.system("$dump")

@@ -101,5 +101,16 @@ class UsersSpec extends AnyFunSuite {
     assert(editor.table("items").count() == 3)
     intercept[SecurityException](editor.delete("items",
       org.apache.spark.sql.functions.col("id") === 1))
+
+    // upsert can OVERWRITE existing rows by PK, so Write alone must not
+    // unlock it — it gates on Write + Update
+    users.addUser("writeonly", "pw",
+      Permission("items", ActionFlags.Write))
+    intercept[SecurityException](users.secured("writeonly")
+      .upsert("items", Seq((1L, "hacked")).toDF("id", "name")))
+    editor.upsert("items", Seq((1L, "renamed")).toDF("id", "name"))
+    assert(editor.table("items")
+      .filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .collect().head.getString(1) == "renamed")
   }
 }
