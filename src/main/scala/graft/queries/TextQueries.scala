@@ -38,6 +38,29 @@ object TextQueries {
     SELECT doc_id, $digits AS simhash FROM t"""
   }
 
+  /** DuckDB replica of Dedup.simhashHammingPairs(maxHamming = 3) — but
+    * deliberately WITHOUT the banding: brute-force all-pairs Hamming over
+    * the same md5-keyed fingerprints. Because banding with
+    * maxHamming < bands is exact (pigeonhole over bit-blocks), the
+    * banded Spark plan and this O(n²) scan must produce the identical
+    * pair set — the oracle therefore verifies the recall guarantee
+    * itself, not just the arithmetic.
+    */
+  lazy val simhashHammingOracleSql: String = {
+    // 64-bit fingerprint halves as BIGINTs folded from the hex digits
+    def hexVal(off: String): String =
+      "LIST_REDUCE(LIST_PREPEND(0::BIGINT, LIST_TRANSFORM(RANGE(1, 9), " +
+        s"i -> (STRPOS('0123456789abcdef', SUBSTR(simhash, i$off, 1)) - 1)::BIGINT)), " +
+        "(a, d) -> a * 16 + d)"
+    val ham = "(BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo)))"
+    s"""WITH sim AS ($simhashMd5OracleSql),
+      h AS (SELECT doc_id, ${hexVal("")} AS hi, ${hexVal(" + 8")} AS lo
+        FROM sim)
+      SELECT a.doc_id AS id1, b.doc_id AS id2, $ham::INT AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE $ham <= 3"""
+  }
+
   /** DuckDB replica of Dedup.minhashLshPairs(word bigrams, k=8, bands=2,
     * t=0.5):
     * md5 min-wise signatures, md5 band keys, bucket self-join, true
@@ -327,6 +350,18 @@ object TextQueries {
       Some(TextQueries.lshBucketStatsOracleSql(2)),
       "band-bucket occupancy audit: size + dropped flag per bucket under " +
         "the pair-gen cap"),
+
+    // SimHash near-dup DETECTION (q26 grades only the fingerprint):
+    // banded Hamming candidate generation, exact by pigeonhole for
+    // maxHamming < bands. The oracle is the un-banded brute-force scan,
+    // so a green row proves the banding loses no pairs.
+    Q("q120_simhash_neardup",
+      (s, dir) =>
+        Dedup.simhashHammingPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", bands = 4, maxHamming = 3),
+      Some(TextQueries.simhashHammingOracleSql),
+      "SimHash near-dup pairs via exact Hamming banding (Manku WWW'07): " +
+        "one shuffle on 16-bit blocks, bit_count(xor) verify in-bucket"),
 
     Q("q27_fingerprint",
       (s, dir) =>

@@ -367,4 +367,43 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.5, maxBucketSize = 0)
     assert(off.count() == 3000)
   }
+
+  test("simhashHammingPairs equals brute-force Hamming (banding is exact " +
+      "for maxHamming < bands)") {
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+    val banded = Dedup.simhashHammingPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // brute force: all pairs over the same md5-keyed fingerprints
+    val sigs = docs.select($"doc_id",
+      Dedup.simhashMd5($"text").as("sig")).as[(Long, String)].collect()
+    def bits(hex: String): Long = java.lang.Long.parseUnsignedLong(hex, 16)
+    val brute = (for {
+      (i1, s1) <- sigs; (i2, s2) <- sigs if i1 < i2
+      h = java.lang.Long.bitCount(bits(s1) ^ bits(s2)) if h <= 3
+    } yield (i1, i2, h)).toSet
+    assert(brute.nonEmpty, "fixture corpus should contain near-dups")
+    assert(banded == brute)
+  }
+
+  test("simhashHammingPairs: parameter contract and bucket cap") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashHammingPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 4) // pigeonhole broken -> refuse
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashHammingPairs(docs, "doc_id", "text", bands = 3)
+    }
+    // a pile of identical docs saturates every band bucket; the cap drops
+    // them before the quadratic pair emission
+    val boiler = (1L to 50L).map(i => (i, "same boilerplate text"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashHammingPairs(boiler, "doc_id", "text",
+      bands = 4, maxHamming = 3, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simhashHammingPairs(boiler, "doc_id", "text",
+      bands = 4, maxHamming = 3, maxBucketSize = 0)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
 }
