@@ -230,4 +230,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
     assert(p.split("Exchange").length - 1 <= 1, p)
   }
+
+  test("q120: simhash banding self-joins in-bucket on one reused exchange " +
+      "(never a cross pair expansion)") {
+    val exec = SparkEntry.queries("q120_simhash_neardup")(spark, Sf0001)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") &&
+      l.contains("bucket")), p)
+    // both sides of the in-bucket self-join canonicalize to the SAME
+    // bucket-partitioned exchange (the q45 pattern): the fingerprint
+    // computation + explode + shuffle runs once, not once per side
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    val exs = inner.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("bucket") => e
+    }
+    assert(exs.size == 2 && exs.head.sameResult(exs.last), p)
+  }
 }
