@@ -660,6 +660,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Production-throughput twin of [[simhashHammingPairs]] over the
+    * xxhash64-keyed 64-bit fingerprint ([[simhash64]], ~3x cheaper per
+    * token than the md5 variant): banding is bit-shift arithmetic on one
+    * LongType column and the Hamming verify is a single bit_count(xor).
+    * Same exactness guarantee (maxHamming < bands), same bucket cap.
+    * xxhash64 is engine-specific, so this path is property-tested against
+    * the brute-force scan (DedupSpec) rather than SQL-oracle-gated; the
+    * md5 variant (q120) carries the cross-engine proof of the shared
+    * banding scheme.
+    */
+  def simhashHammingPairs64(
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBucketSize: Int = 8192): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must divide 64 bits, got $bands")
+    require(maxHamming < bands,
+      s"banding is exact only for maxHamming < bands " +
+        s"(pigeonhole), got maxHamming=$maxHamming bands=$bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sigs = docs
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .repartition(col("id"))
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("|", lit(b.toString),
+        shiftright(col("sig"), b * width).bitwiseAND(mask))
+    }: _*)
+    val bucketsAll = sigs
+      .select(col("id"), col("sig"), explode(bandKeys).as("bucket"))
+      .repartition(col("bucket"))
+    val buckets =
+      if (maxBucketSize <= 0) bucketsAll
+      else bucketsAll
+        .withColumn("_bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+        .filter(col("_bsz") <= maxBucketSize)
+        .drop("_bsz")
+    buckets.as("a").hint("shuffle_hash")
+      .join(buckets.as("b").hint("shuffle_hash"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming64(col("a.sig"), col("b.sig")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over near-dup pairs: assign every id the minimum
     * id reachable through the pair graph (the canonical doc of its dup
     * cluster). Label-propagation via iterated joins — O(diameter)

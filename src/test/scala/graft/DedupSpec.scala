@@ -387,6 +387,23 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("simhashHammingPairs64 (xxhash64 production path) equals " +
+      "brute-force Hamming over the 64-bit fingerprints") {
+    val docs = graft.core.Tables.load(spark, Sf0001, "documents")
+    val banded = Dedup.simhashHammingPairs64(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val sigs = docs.select($"doc_id",
+      Dedup.simhash64($"text").as("sig")).as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, s1) <- sigs; (i2, s2) <- sigs if i1 < i2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (i1, i2, h)).toSet
+    assert(brute.nonEmpty, "fixture corpus should contain near-dups")
+    assert(banded == brute)
+  }
+
   test("simhashHammingPairs: parameter contract and bucket cap") {
     intercept[IllegalArgumentException] {
       Dedup.simhashHammingPairs(docs, "doc_id", "text",
