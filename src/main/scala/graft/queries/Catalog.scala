@@ -24,8 +24,8 @@ final case class Q(
 object Catalog {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ TimeSeriesQueries.all ++
-      VectorQueries.all ++ DomainQueries.all ++ NaturalQueries.all ++
-      PipelineQueries.all
+      EventQueries.all ++ VectorQueries.all ++ DomainQueries.all ++
+      NaturalQueries.all ++ PipelineQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

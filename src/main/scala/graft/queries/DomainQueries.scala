@@ -215,6 +215,37 @@ object DomainQueries {
         WHERE lang = 'en' AND doc_id % 5 = 1"""),
       "dynamic (schemaless) documents: pinned columns + JSON overflow, " +
         "Find on pinned+overflow fields, hot-field promotion " +
-        "(TableCollection.cs:666-703 Find(columnName, value))")
+        "(TableCollection.cs:666-703 Find(columnName, value))"),
+
+    // Column-level AES (analytic mapping of AesStream.cs password
+    // encryption, SURVEY §2.11): ECB for deterministic (joinable)
+    // ciphertext, GCM for production randomized+authenticated, wrong-key
+    // GCM decrypt nulls out under try_aes_decrypt. All facts the oracle
+    // can state about correct crypto reduce to exact counts — ciphertext
+    // bytes themselves are (and must be) unpredictable to the oracle.
+    Q("q127_aes_column",
+      (s, dir) => {
+        import graft.core.ColumnCrypto._
+        val pw = "graft-secret"
+        Tables.load(s, dir, "documents")
+          .select(col("text"),
+            decrypt(encrypt(col("text"), pw, deterministic = true), pw,
+              deterministic = true).as("ecb_rt"),
+            decrypt(encrypt(col("text"), pw), pw).as("gcm_rt"),
+            encrypt(col("text"), pw, deterministic = true).as("ecb_ct"),
+            tryDecrypt(encrypt(col("text"), pw), "wrong-password")
+              .as("bad_key"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("ecb_rt") === col("text"), 1)).as("n_ecb_ok"),
+            count(when(col("gcm_rt") === col("text"), 1)).as("n_gcm_ok"),
+            countDistinct(col("ecb_ct")).as("n_distinct_cipher"),
+            count(when(col("bad_key").isNull, 1)).as("n_wrong_key_null"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs, COUNT(*) AS n_ecb_ok,
+        COUNT(*) AS n_gcm_ok, COUNT(DISTINCT text) AS n_distinct_cipher,
+        COUNT(*) AS n_wrong_key_null FROM documents"""),
+      "column-level AES-256 round-trip (AesStream.cs password contract " +
+        "as codegen aes_encrypt/aes_decrypt; deterministic-ECB ciphertext " +
+        "cardinality equals plaintext cardinality, wrong-key GCM nulls)")
   )
 }

@@ -695,6 +695,73 @@ object PipelineQueries {
       },
       "training-shard assignment + manifest: hash sharding, per-shard " +
         "token inventory, order-independent content checksum"),
+
+    // Materialized-view maintenance: merge a delta batch into a kept
+    // aggregate WITHOUT rescanning the base — count/sum are algebraic,
+    // so base + delta partials combine with a coalescing full-outer join
+    // on the group key. This is the nightly-refresh shape at 100 TB: the
+    // base aggregate is corpus-sized but the base *data* is never read
+    // again; the full recompute the oracle runs is exactly what this
+    // avoids. Decimal accumulation keeps the merge bit-equal to it.
+    Q("q128_incremental_agg_merge",
+      (s, dir) => {
+        val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"),
+            col("value").cast("decimal(28,8)").as("v"))
+        def part(df: org.apache.spark.sql.DataFrame, n: String, sv: String) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as(n), sum(col("v")).as(sv))
+        part(ev.filter(col("ts") < cutoff), "bn", "bs")
+          .join(part(ev.filter(col("ts") >= cutoff), "dn", "ds"),
+            Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("bs"), lit(0).cast("decimal(28,8)")) +
+              coalesce(col("ds"), lit(0).cast("decimal(28,8)")))
+              .cast("double").as("total_value"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1"""),
+      "incremental aggregate maintenance: algebraic base+delta partial " +
+        "merge equals the full recompute the oracle performs"),
+
+    // Deterministic seeded training order: every epoch-reproducible
+    // pipeline needs a *seeded* global shuffle, not rand(). Order key =
+    // md5 of (seed, doc), shard = key mod N, offset = rank within the
+    // shard — so the sort is per-shard (N independent bounded sorts),
+    // never a single global total order.
+    Q("q129_training_order",
+      (s, dir) => {
+        val h = graft.functions.TextFunctions.hash48(
+          concat(lit("epoch7|"), col("doc_id").cast("string")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"),
+            pmod(h, lit(8L)).cast("int").as("shard"))
+          .withColumn("offset", (row_number().over(w) - 1).cast("long"))
+          .select("doc_id", "shard", "offset")
+      },
+      Some {
+        val v48 = (1 to 12).map(k =>
+          "(STRPOS('0123456789abcdef', SUBSTR(m, " + k + ", 1)) - 1) * " +
+            (1L << (4 * (12 - k)))).mkString(" + ")
+        s"""WITH d AS (
+            SELECT doc_id,
+              SUBSTR(MD5('epoch7|' || CAST(doc_id AS VARCHAR)), 1, 12) AS m
+            FROM documents),
+          hd AS (SELECT doc_id, CAST($v48 AS BIGINT) AS h FROM d)
+          SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+            ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+              AS offset
+          FROM hd"""
+      },
+      "seeded epoch shuffle: reproducible pseudo-random training order " +
+        "via hash ranking inside hash shards (per-shard sorts, no global " +
+        "total-order sort)"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

@@ -402,7 +402,51 @@ object RelationalQueries {
         .mkString("\n        UNION ALL ")),
       "$dump system collection (SysDump.cs / SysPageList.cs analog): " +
         "per-table row counts from the distributed parquet-footer " +
-        "manifest — zero data pages read; must equal COUNT(*)")
+        "manifest — zero data pages read; must equal COUNT(*)"),
+
+    // PIVOT to the bounded event-type taxonomy. Shipped as conditional
+    // aggregation — count(when(type=t)) per value — which is ONE shuffle
+    // of |users| pre-aggregated rows. The .pivot(values) API plans a
+    // (key, type) pre-aggregate + pivotfirst = TWO exchanges, and an
+    // *inferred* value list adds a distinct-collect job on top; PlanSpec
+    // gates the 1-exchange form, QueriesSpec pins that it is row-equal
+    // to the .pivot API.
+    Q("q130_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val aggs = types.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"n_$t"))
+        Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(aggs.head, aggs.tail: _*)
+      },
+      Some("""SELECT user_id,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY 1"""),
+      "PIVOT to the bounded type taxonomy (conditional-aggregation form: " +
+        "one shuffle; row-equal to the .pivot API, which plans two)"),
+
+    // UNPIVOT (melt): wide metric columns to (key, metric, val) rows via
+    // the native unpivot operator — an in-plan Expand, never a UNION of
+    // per-column scans (which would read the table K times).
+    Q("q131_unpivot",
+      (s, dir) =>
+        Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+            col("p_retailprice").as("retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("size"), col("retailprice")), "metric", "val"),
+      Some("""SELECT p_partkey, 'size' AS metric,
+          CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val
+        FROM part"""),
+      "UNPIVOT/melt via the native operator (single scan + Expand; the " +
+        "SQL-92 UNION-ALL form the oracle uses reads the table per metric)")
   )
 
   /** DuckDB replica of Layout.zValue(bits=8) over the same mod-256

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the event-analytics family (q121-q126); full value
+  * parity is the driver's DuckDB gate.
+  */
+class EventQueriesSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, Sf0001)
+
+  test("q121 funnel: stage k reached iff t_k set, and times strictly advance") {
+    val rows = run("q121_funnel_steps").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getAs[Int]("reached_stage")
+      val ts = Seq("t1_us", "t2_us", "t3_us").map(c =>
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c)))
+      assert(ts.count(_.isDefined) == stage,
+        s"stage $stage but times $ts for user ${r.getAs[Long]("user_id")}")
+      ts.flatten.sliding(2).foreach {
+        case Seq(a, b) => assert(a < b, s"non-advancing funnel times $ts")
+        case _ =>
+      }
+    }
+  }
+
+  test("q123 band range join equals the naive nested-loop form") {
+    val banded = run("q123_band_range_join")
+    val part = graft.core.Tables.load(spark, Sf0001, "part")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val naive = graft.core.Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_extendedprice"))
+      .crossJoin(part)
+      .filter(col("l_extendedprice")
+        .between(col("p_retailprice") * 0.99, col("p_retailprice") * 1.01))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_close"))
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+  }
+
+  test("q126 hopping windows: every event lands in exactly 4 windows") {
+    val perType = run("q126_hopping_window")
+      .groupBy("event_type").agg(sum(col("n")).as("window_rows"))
+    val events = graft.core.Tables.load(spark, Sf0001, "events")
+      .groupBy("event_type").agg((count(lit(1)) * 4).as("expected"))
+    val bad = perType.join(events, "event_type")
+      .filter(col("window_rows") =!= col("expected"))
+    assert(bad.count() == 0)
+  }
+
+  test("q125 attribution: purchase credit conserves the purchase count") {
+    val attributed = run("q125_last_touch_attribution")
+      .agg(sum(col("n_purchases"))).collect()(0).getLong(0)
+    val purchases = graft.core.Tables.load(spark, Sf0001, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed == purchases)
+  }
+
+  test("q129 training order: offsets are a dense permutation per shard " +
+    "and the order is reproducible") {
+    val a = run("q129_training_order").collect()
+    val b = run("q129_training_order").collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    a.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val offs = rows.map(_.getAs[Long]("offset")).sorted
+      assert(offs.sameElements(offs.indices.map(_.toLong)))
+    }
+  }
+
+  test("q124 co-occurrence: pairs are ordered and support <= user count") {
+    val rows = run("q124_type_cooccurrence").collect()
+    val nUsers = graft.core.Tables.load(spark, Sf0001, "events")
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("n_users") <= nUsers)
+    }
+  }
+}

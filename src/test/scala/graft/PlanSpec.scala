@@ -254,4 +254,40 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(exs.size == 2 && exs.head.sameResult(exs.last), p)
   }
+
+  test("q121: the funnel fold is ONE shuffle with a map-side partial " +
+    "collect, and the stage filter is pushed to the scan") {
+    val p = plan("q121_funnel_steps")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_collect_list"), p)
+    assert(p.contains("PushedFilters: [In(event_type"), p)
+  }
+
+  test("q123: the banded range join plans as an equi-join on the band " +
+    "key, never a nested-loop or cartesian") {
+    val p = plan("q123_band_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin [b#") || p.contains("HashJoin [b "), p)
+  }
+
+  test("q126: hopping windows expand in-plan (Expand), not via a join " +
+    "against a window table") {
+    val p = plan("q126_hopping_window")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q130: explicit-value pivot is ONE hash aggregate with a map-side " +
+    "partial (no distinct-collect pre-job, no extra exchange)") {
+    val p = plan("q130_pivot")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_pivotfirst") || p.contains("partial_count"), p)
+  }
+
+  test("q131: unpivot is a single scan + Expand, not per-metric unions") {
+    val p = plan("q131_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -53,6 +53,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(firsts.filter(col("n_genesis") =!= 1).count() == 0)
   }
 
+  test("q130: the conditional-aggregation pivot is row-equal to the " +
+    ".pivot API form") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val api = graft.core.Tables.load(spark, Sf0001, "events")
+      .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    val shipped = run("q130_pivot")
+    assert(shipped.exceptAll(api).isEmpty && api.exceptAll(shipped).isEmpty)
+  }
+
   test("entry() returns the flattened include join") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq == Seq("person", "amount"))
