@@ -118,31 +118,42 @@ object EventQueries {
     // trick buckets both sides by floor(price/W) with W chosen >= the
     // widest interval (0.02 * max price ~ 20 < 32), replicates the
     // bounded side to its 3 neighbor buckets, and turns the range join
-    // into an equi-shuffle + residual BETWEEN filter. Work becomes
-    // O(pairs-in-neighboring-buckets), data-parallel on the band key.
+    // into an equi-shuffle + residual BETWEEN filter.
+    //
+    // Second scale lever: the matched COUNT depends only on the VALUES,
+    // so both sides first compact to distinct prices with multiplicity
+    // weights — the band join runs over distinct-value pairs (never row
+    // pairs; a duplicate-heavy corpus would otherwise go quadratic in
+    // replicas, the q48 phenomenon) and per-part results come back via
+    // one equi-join on price. On fully-distinct data the compaction is a
+    // free no-op and the plan degrades to the plain banded join.
     Q("q123_band_range_join",
       (s, dir) => {
         val width = 32.0
-        val parts = Tables.load(s, dir, "part")
+        val partPrices = Tables.load(s, dir, "part")
           .select(col("p_partkey"), col("p_retailprice"))
+        val distinctP = partPrices.select("p_retailprice").distinct()
           .withColumn("b", explode(array((-1 to 1).map(k =>
             (floor(col("p_retailprice") / width) + k).cast("long")): _*)))
         val items = Tables.load(s, dir, "lineitem")
-          .select(col("l_extendedprice"))
+          .groupBy("l_extendedprice").agg(count(lit(1)).as("w"))
           .withColumn("b", floor(col("l_extendedprice") / width).cast("long"))
-        parts.join(items, "b")
+        val perPrice = distinctP.join(items, "b")
           .filter(col("l_extendedprice")
             .between(col("p_retailprice") * 0.99, col("p_retailprice") * 1.01))
-          .groupBy("p_partkey")
-          .agg(count(lit(1)).as("n_close"))
+          .groupBy("p_retailprice")
+          .agg(sum(col("w")).as("n_close"))
+        partPrices.join(perPrice, "p_retailprice")
+          .select(col("p_partkey"), col("n_close"))
       },
       Some("""SELECT p_partkey, COUNT(*) AS n_close
         FROM part JOIN lineitem
           ON l_extendedprice BETWEEN p_retailprice * 0.99
                                  AND p_retailprice * 1.01
         GROUP BY 1"""),
-      "non-equi range join via grid bucketing (equi-shuffle + residual " +
-        "filter replaces the nested-loop the naive BETWEEN join plans)"),
+      "non-equi range join via grid bucketing + distinct-value compaction " +
+        "(equi-shuffle over weighted distinct prices replaces the " +
+        "nested-loop the naive BETWEEN join plans; row-pair-free)"),
 
     // Co-occurrence mining: which event types appear together in the
     // same user's history, with support = number of users. The self-join
