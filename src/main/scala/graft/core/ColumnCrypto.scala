@@ -1,6 +1,7 @@
 package graft.core
 
-import java.security.MessageDigest
+import javax.crypto.SecretKeyFactory
+import javax.crypto.spec.PBEKeySpec
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -23,17 +24,36 @@ import org.apache.spark.sql.functions._
   *    (and oracle-checkable). The classic determinism/leakage trade-off:
   *    ECB leaks equality, exactly what a joinable encrypted key needs.
   *
-  * The key is SHA-256(password) (32 bytes -> AES-256), mirroring the
-  * reference's derive-from-password contract without its per-file salt
-  * (the salt defends a file header we don't have; key rotation in a lake
-  * is a KMS re-wrap, not a per-file salt).
+  * The key is PBKDF2-SHA256(password, app salt, 120k) (32 bytes ->
+  * AES-256): the reference's derive-from-password contract with real
+  * stretching — a raw hash would let an attacker holding the encrypted
+  * parquet test passwords at GPU hash speed. The salt is a fixed
+  * application string (decrypt must re-derive the same key from the
+  * password alone, same constraint as the reference's connection
+  * string); pass a per-deployment salt to partition key spaces. Per-file
+  * salts and rotation are the KMS's job in a lake. Derivation runs once
+  * per Column construction on the driver — never per row.
   */
 object ColumnCrypto {
 
-  /** AES-256 key bytes derived from a password. */
-  def deriveKey(password: String): Array[Byte] =
-    MessageDigest.getInstance("SHA-256")
-      .digest(password.getBytes("UTF-8"))
+  private val Iterations = 120000
+  val DefaultSalt = "graft.columncrypto.v1"
+
+  // 120k PBKDF2 iterations cost ~100 ms; a query touching several
+  // columns re-derives the same key, so memoize per (password, salt).
+  // Keys stay in driver memory either way (they are baked into the
+  // Column literals).
+  private val keyCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Byte]]()
+
+  /** AES-256 key bytes derived from a password (PBKDF2-SHA256, 120k). */
+  def deriveKey(password: String, salt: String = DefaultSalt): Array[Byte] =
+    keyCache.computeIfAbsent((password, salt), { case (pw, sa) =>
+      val spec = new PBEKeySpec(pw.toCharArray,
+        sa.getBytes("UTF-8"), Iterations, 256)
+      SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(spec).getEncoded
+    })
 
   /** Encrypt a string/binary column. Deterministic = ECB (joinable,
     * equality-leaking), otherwise GCM (randomized, authenticated).

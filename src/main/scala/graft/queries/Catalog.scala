@@ -21,6 +21,20 @@ final case class Q(
     oracle: Option[String],
     doc: String = "")
 
+/** Shared DuckDB-oracle SQL fragments. */
+object OracleSql {
+
+  /** Decodes the first `digits` hex chars of SQL expression `h` into a
+    * BIGINT — the oracle-side twin of `TextFunctions.hash48` (digits=12)
+    * / the 24-bit md5 buckets (digits=6). ONE definition so the decode
+    * can never drift out of sync with the Scala hash across queries.
+    */
+  def hexToBigint(h: String, digits: Int): String =
+    (1 to digits).map(k =>
+      s"(STRPOS('0123456789abcdef', SUBSTR($h, $k, 1)) - 1) * " +
+        (1L << (4 * (digits - k)))).mkString(" + ")
+}
+
 object Catalog {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ TimeSeriesQueries.all ++

@@ -241,8 +241,11 @@ object DomainQueries {
             countDistinct(col("ecb_ct")).as("n_distinct_cipher"),
             count(when(col("bad_key").isNull, 1)).as("n_wrong_key_null"))
       },
-      Some("""SELECT COUNT(*) AS n_docs, COUNT(*) AS n_ecb_ok,
-        COUNT(*) AS n_gcm_ok, COUNT(DISTINCT text) AS n_distinct_cipher,
+      // n_ecb_ok/n_gcm_ok count COUNT(text), not COUNT(*): encrypt(NULL)
+      // is NULL on the Spark side, so a future fixture with NULL texts
+      // must not fail the gate (the driver HAS varied fixtures before)
+      Some("""SELECT COUNT(*) AS n_docs, COUNT(text) AS n_ecb_ok,
+        COUNT(text) AS n_gcm_ok, COUNT(DISTINCT text) AS n_distinct_cipher,
         COUNT(*) AS n_wrong_key_null FROM documents"""),
       "column-level AES-256 round-trip (AesStream.cs password contract " +
         "as codegen aes_encrypt/aes_decrypt; deterministic-ECB ciphertext " +

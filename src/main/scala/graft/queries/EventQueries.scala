@@ -88,7 +88,7 @@ object EventQueries {
     Q("q122_retention_cohorts",
       (s, dir) =>
         Tables.load(s, dir, "events")
-          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
           .withColumn("first_us",
             min(col("us")).over(Window.partitionBy("user_id")))
           .select(

@@ -30,9 +30,7 @@ object PipelineQueries {
     */
   lazy val stubFeaturesOracleSql: String = {
     // value of the first 6 hex chars of an md5 string `h`
-    val v24 = (1 to 6).map(k =>
-      s"(STRPOS('0123456789abcdef', SUBSTR(h, $k, 1)) - 1) * ${1L << (4 * (6 - k))}")
-      .mkString(" + ")
+    val v24 = OracleSql.hexToBigint("h", 6)
     s"""WITH f AS (
         SELECT doc_id,
           LIST_TRANSFORM(
@@ -214,9 +212,7 @@ object PipelineQueries {
               .as("achieved_rate"))
       },
       Some {
-        val v24 = (1 to 6).map(k =>
-          s"(STRPOS('0123456789abcdef', SUBSTR(h, $k, 1)) - 1) * ${1L << (4 * (6 - k))}")
-          .mkString(" + ")
+        val v24 = OracleSql.hexToBigint("h", 6)
         s"""WITH d AS (
           SELECT lang,
             CASE WHEN lang = 'en' THEN 0.35
@@ -640,9 +636,7 @@ object PipelineQueries {
             col("ord").as("h"))
       },
       Some {
-        val v48 = (1 to 12).map(k =>
-          "(STRPOS('0123456789abcdef', SUBSTR(m, " + k + ", 1)) - 1) * " +
-            (1L << (4 * (12 - k)))).mkString(" + ")
+        val v48 = OracleSql.hexToBigint("m", 12)
         s"""WITH d AS (
             SELECT doc_id, lang,
               SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 12) AS m
@@ -678,9 +672,7 @@ object PipelineQueries {
               lit(281474976710656L)).cast("long").as("checksum48"))
       },
       Some {
-        val v48 = (1 to 12).map(k =>
-          "(STRPOS('0123456789abcdef', SUBSTR(m, " + k + ", 1)) - 1) * " +
-            (1L << (4 * (12 - k)))).mkString(" + ")
+        val v48 = OracleSql.hexToBigint("m", 12)
         s"""WITH d AS (
             SELECT doc_id,
               LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
@@ -746,9 +738,7 @@ object PipelineQueries {
           .select("doc_id", "shard", "offset")
       },
       Some {
-        val v48 = (1 to 12).map(k =>
-          "(STRPOS('0123456789abcdef', SUBSTR(m, " + k + ", 1)) - 1) * " +
-            (1L << (4 * (12 - k)))).mkString(" + ")
+        val v48 = OracleSql.hexToBigint("m", 12)
         s"""WITH d AS (
             SELECT doc_id,
               SUBSTR(MD5('epoch7|' || CAST(doc_id AS VARCHAR)), 1, 12) AS m
@@ -768,9 +758,7 @@ object PipelineQueries {
     * same md5 fold of the canonical id (first 12 hex digits mod 10).
     */
   lazy val leakageFreeSplitOracleSql: String = {
-    val v48 = (1 to 12).map(k =>
-      "(STRPOS('0123456789abcdef', SUBSTR(h, " + k + ", 1)) - 1) * " +
-        (1L << (4 * (12 - k)))).mkString(" + ")
+    val v48 = OracleSql.hexToBigint("h", 12)
     s"""WITH kl AS ($keeplistOracleSql),
       kh AS (
         SELECT doc_id, canonical_id,
@@ -787,9 +775,7 @@ object PipelineQueries {
     * cumsum overflows) and same ascending sub-bucket refinement.
     */
   lazy val tokenBudgetOracleSql: String = {
-    val v48 = (1 to 12).map(k =>
-      "(STRPOS('0123456789abcdef', SUBSTR(h, " + k + ", 1)) - 1) * " +
-        (1L << (4 * (12 - k)))).mkString(" + ")
+    val v48 = OracleSql.hexToBigint("h", 12)
     s"""WITH t AS (
         SELECT doc_id, text,
           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),

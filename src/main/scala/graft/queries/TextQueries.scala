@@ -1126,9 +1126,7 @@ object TextQueries {
     * `h`: 12 hex digits to a 48-bit BIGINT. Shared by the winnowing /
     * bloom / count-min oracles.
     */
-  private def v48Fold(h: String): String = (1 to 12).map(k =>
-    s"(STRPOS('0123456789abcdef', SUBSTR($h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
-    .mkString(" + ")
+  private def v48Fold(h: String): String = OracleSql.hexToBigint(h, 12)
 
   /** DuckDB replica of Dedup.winnowPostings(k=5, w=4): the same 12-hex
     * md5 prefix per 5-char gram (fixed-width lowercase hex orders like
@@ -1155,9 +1153,7 @@ object TextQueries {
     * hand-written (12 hex-digit folds).
     */
   lazy val bloomBlocklistOracleSql: String = {
-    def v48(h: String): String = (1 to 12).map(k =>
-      s"(STRPOS('0123456789abcdef', SUBSTR($h, $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
-      .mkString(" + ")
+    def v48(h: String): String = OracleSql.hexToBigint(h, 12)
     val m = "(SELECT m FROM msize)"
     val posDefs = (0 until 3).map(j =>
       s"CAST((${v48(s"MD5('$j|' || fp)")}) % $m AS BIGINT) AS p$j")
