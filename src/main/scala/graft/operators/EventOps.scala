@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators shared by the catalog (q121/q123), the
+  * streaming twins, and library users: the ordered-funnel fold and the
+  * compacted banded range join. Both are written so the expensive step
+  * is a keyed shuffle — never a nested loop or a driver pass.
+  */
+object EventOps {
+
+  /** Ordered 3-stage funnel with strict forward progression: per user,
+    * t1 = min ts of stage-1, t2 = min stage-2 ts AFTER t1, t3 = min
+    * stage-3 ts AFTER t2. ONE shuffle: events group to their user,
+    * sort_array orders the history, an aggregate() fold advances the
+    * stage machine. Columns expected: `userCol`, `usCol` (epoch micros),
+    * `idCol` (unique tiebreak), `typeCol`.
+    *
+    * Output: (userCol, reached_stage, t1_us, t2_us, t3_us).
+    */
+  def funnel(events: DataFrame, stages: (String, String, String),
+      userCol: String = "user_id", usCol: String = "us",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    val (s1, s2, s3) = stages
+    val init = struct(lit(0).as("stage"),
+      lit(null).cast("long").as("t1"), lit(null).cast("long").as("t2"),
+      lit(null).cast("long").as("t3"))
+    def step(acc: Column, e: Column): Column =
+      when(acc.getField("stage") === 0 && e.getField("event_type") === s1,
+        struct(lit(1).as("stage"), e.getField("us").as("t1"),
+          lit(null).cast("long").as("t2"), lit(null).cast("long").as("t3")))
+      .when(acc.getField("stage") === 1 && e.getField("event_type") === s2 &&
+            e.getField("us") > acc.getField("t1"),
+        struct(lit(2).as("stage"), acc.getField("t1").as("t1"),
+          e.getField("us").as("t2"), lit(null).cast("long").as("t3")))
+      .when(acc.getField("stage") === 2 && e.getField("event_type") === s3 &&
+            e.getField("us") > acc.getField("t2"),
+        struct(lit(3).as("stage"), acc.getField("t1").as("t1"),
+          acc.getField("t2").as("t2"), e.getField("us").as("t3")))
+      .otherwise(acc)
+    events
+      .filter(col(typeCol).isin(s1, s2, s3))
+      .select(col(userCol), col(usCol).as("us"), col(idCol).as("event_id"),
+        col(typeCol).as("event_type"))
+      .groupBy(userCol)
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .withColumn("f", aggregate(col("evs"), init, step))
+      .select(col(userCol),
+        col("f.stage").as("reached_stage"), col("f.t1").as("t1_us"),
+        col("f.t2").as("t2_us"), col("f.t3").as("t3_us"))
+  }
+
+  /** Count, per key row, the values of `right` falling within
+    * [x*loFactor, x*hiFactor] of the key's `x` — a non-equi range join
+    * WITHOUT a nested loop. Both sides compact to distinct values with
+    * multiplicity weights, the join runs on a grid of width `width`
+    * (which must be >= the widest interval so +/-1 neighbor buckets
+    * cover it), and per-value counts map back with one equi-join. Cost
+    * scales with distinct-value pairs, never row pairs.
+    *
+    * Output: `left` columns + `n_close` (inner: rows with zero matches
+    * drop, mirroring a SQL inner range join).
+    */
+  def bandedRangeCount(left: DataFrame, leftValCol: String,
+      right: DataFrame, rightValCol: String, width: Double,
+      loFactor: Double, hiFactor: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    val distinctL = left.select(col(leftValCol)).distinct()
+      .withColumn("_b", explode(array((-1 to 1).map(k =>
+        (floor(col(leftValCol) / width) + k).cast("long")): _*)))
+    val weights = right
+      .groupBy(col(rightValCol)).agg(count(lit(1)).as("_w"))
+      .withColumn("_b", floor(col(rightValCol) / width).cast("long"))
+    val perValue = distinctL.join(weights, "_b")
+      .filter(col(rightValCol)
+        .between(col(leftValCol) * loFactor, col(leftValCol) * hiFactor))
+      .groupBy(col(leftValCol))
+      .agg(sum(col("_w")).as("n_close"))
+    left.join(perValue, leftValCol)
+  }
+}

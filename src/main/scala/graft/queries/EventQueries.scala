@@ -27,38 +27,11 @@ object EventQueries {
     // a production funnel bounds with a time-range predicate pushed to
     // the scan.
     Q("q121_funnel_steps",
-      (s, dir) => {
-        val stages = Seq("signup", "click", "purchase")
-        val init = struct(lit(0).as("stage"),
-          lit(null).cast("long").as("t1"), lit(null).cast("long").as("t2"),
-          lit(null).cast("long").as("t3"))
-        Tables.load(s, dir, "events")
-          .filter(col("event_type").isin(stages: _*))
-          .select(col("user_id"), unix_micros(col("ts")).as("us"),
-            col("event_id"), col("event_type"))
-          .groupBy("user_id")
-          .agg(sort_array(collect_list(
-            struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
-          .withColumn("f", aggregate(col("evs"), init, (acc, e) =>
-            when(acc.getField("stage") === 0 &&
-                 e.getField("event_type") === "signup",
-              struct(lit(1).as("stage"), e.getField("us").as("t1"),
-                lit(null).cast("long").as("t2"), lit(null).cast("long").as("t3")))
-            .when(acc.getField("stage") === 1 &&
-                  e.getField("event_type") === "click" &&
-                  e.getField("us") > acc.getField("t1"),
-              struct(lit(2).as("stage"), acc.getField("t1").as("t1"),
-                e.getField("us").as("t2"), lit(null).cast("long").as("t3")))
-            .when(acc.getField("stage") === 2 &&
-                  e.getField("event_type") === "purchase" &&
-                  e.getField("us") > acc.getField("t2"),
-              struct(lit(3).as("stage"), acc.getField("t1").as("t1"),
-                acc.getField("t2").as("t2"), e.getField("us").as("t3")))
-            .otherwise(acc)))
-          .select(col("user_id"),
-            col("f.stage").as("reached_stage"), col("f.t1").as("t1_us"),
-            col("f.t2").as("t2_us"), col("f.t3").as("t3_us"))
-      },
+      (s, dir) =>
+        graft.operators.EventOps.funnel(
+          Tables.load(s, dir, "events")
+            .withColumn("us", unix_micros(col("ts"))),
+          ("signup", "click", "purchase")),
       Some("""WITH e AS (
           SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events
           WHERE event_type IN ('signup', 'click', 'purchase')),
@@ -128,24 +101,14 @@ object EventQueries {
     // one equi-join on price. On fully-distinct data the compaction is a
     // free no-op and the plan degrades to the plain banded join.
     Q("q123_band_range_join",
-      (s, dir) => {
-        val width = 32.0
-        val partPrices = Tables.load(s, dir, "part")
-          .select(col("p_partkey"), col("p_retailprice"))
-        val distinctP = partPrices.select("p_retailprice").distinct()
-          .withColumn("b", explode(array((-1 to 1).map(k =>
-            (floor(col("p_retailprice") / width) + k).cast("long")): _*)))
-        val items = Tables.load(s, dir, "lineitem")
-          .groupBy("l_extendedprice").agg(count(lit(1)).as("w"))
-          .withColumn("b", floor(col("l_extendedprice") / width).cast("long"))
-        val perPrice = distinctP.join(items, "b")
-          .filter(col("l_extendedprice")
-            .between(col("p_retailprice") * 0.99, col("p_retailprice") * 1.01))
-          .groupBy("p_retailprice")
-          .agg(sum(col("w")).as("n_close"))
-        partPrices.join(perPrice, "p_retailprice")
-          .select(col("p_partkey"), col("n_close"))
-      },
+      (s, dir) =>
+        graft.operators.EventOps.bandedRangeCount(
+          Tables.load(s, dir, "part")
+            .select(col("p_partkey"), col("p_retailprice")),
+          "p_retailprice",
+          Tables.load(s, dir, "lineitem"), "l_extendedprice",
+          width = 32.0, loFactor = 0.99, hiFactor = 1.01)
+          .select(col("p_partkey"), col("n_close")),
       Some("""SELECT p_partkey, COUNT(*) AS n_close
         FROM part JOIN lineitem
           ON l_extendedprice BETWEEN p_retailprice * 0.99
@@ -236,6 +199,133 @@ object EventQueries {
           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total
         FROM h GROUP BY 1, 2"""),
       "hopping event-time windows (1h/15min; batch form of the streaming " +
-        "windowed aggregation, each event in duration/slide windows)")
+        "windowed aggregation, each event in duration/slide windows)"),
+
+    // Path mining: the most frequent 3-step event paths where each hop
+    // follows within 30 min (the q34 session gap). Two lead() calls over
+    // ONE window spec = a single shuffle+sort per user; the path space is
+    // |type vocabulary|^3 — a product property, so the aggregate output
+    // stays bounded no matter the corpus size.
+    Q("q132_event_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("us"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("u2", lead(col("us"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .withColumn("u3", lead(col("us"), 2).over(w))
+          .filter(col("t3").isNotNull &&
+            col("u2") - col("us") <= gapUs && col("u3") - col("u2") <= gapUs)
+          .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+            col("t3").as("step3"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH l AS (
+          SELECT user_id, event_type AS step1, EPOCH_US(ts) AS us,
+            LEAD(event_type, 1) OVER w AS step2,
+            LEAD(EPOCH_US(ts), 1) OVER w AS u2,
+            LEAD(event_type, 2) OVER w AS step3,
+            LEAD(EPOCH_US(ts), 2) OVER w AS u3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT step1, step2, step3, COUNT(*) AS n
+        FROM l
+        WHERE step3 IS NOT NULL
+          AND u2 - us <= 1800000000 AND u3 - u2 <= 1800000000
+        GROUP BY 1, 2, 3"""),
+      "3-step path mining with per-hop session gap (one window pass; " +
+        "path space bounded by the type taxonomy cubed)"),
+
+    // First-order transition matrix with gap bound: P(next type | type)
+    // as exact counts + a probability derived from them. The probability
+    // divides two exact longs IN THE SAME WAY on both engines, so the
+    // doubles compare bit-for-bit. One window pass + one bounded-key agg.
+    Q("q133_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        val trans = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("us"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .withColumn("u2", lead(col("us"), 1).over(w))
+          .filter(col("to_type").isNotNull && col("u2") - col("us") <= gapUs)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        trans
+          .withColumn("row_total",
+            sum(col("n")).over(Window.partitionBy("from_type")))
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("row_total")).as("p"))
+      },
+      Some("""WITH l AS (
+          SELECT event_type AS from_type, EPOCH_US(ts) AS us,
+            LEAD(event_type, 1) OVER w AS to_type,
+            LEAD(EPOCH_US(ts), 1) OVER w AS u2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        t AS (
+          SELECT from_type, to_type, COUNT(*) AS n FROM l
+          WHERE to_type IS NOT NULL AND u2 - us <= 1800000000
+          GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+        FROM t"""),
+      "event transition matrix (Sankey edges): gap-bounded next-event " +
+        "counts row-normalized to probabilities"),
+
+    // Z-score anomaly detection per event type. Values quantize to 4dp
+    // BIGINTs (the catalog's established cross-engine quantization
+    // pattern), so the moments are EXACT integers; the double formula
+    // ((sq - s*s/n) / (n-1), IEEE sqrt) is then spelled identically on
+    // both sides, making the flag threshold — and the outlier counts —
+    // bit-deterministic. One scan, one bounded-key agg, then a broadcast
+    // of 5 rows back onto the stream: anomaly scoring at 100 TB is a
+    // map, not a shuffle.
+    Q("q134_zscore_outliers",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 10000, 0).cast("long").as("v4"))
+        val stats = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v4").cast("decimal(28,0)")).as("s"),
+            sum((col("v4") * col("v4")).cast("decimal(38,0)")).as("sq"))
+          .select(col("event_type"), col("n"),
+            (col("s").cast("double") / col("n")).as("mean4"),
+            sqrt((col("sq").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / col("n"))
+              / (col("n") - 1)).as("std4"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("v4").cast("double") - col("mean4")) / col("std4"))
+          .groupBy(col("event_type"), col("n"),
+            round(col("mean4") / 10000.0, 6).as("mean_r"))
+          .agg(count(when(abs(col("z")) > 2.5, 1)).as("n_outliers"))
+          .select("event_type", "n", "n_outliers", "mean_r")
+      },
+      Some("""WITH q AS (
+          SELECT event_type,
+            CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4 FROM events),
+        st AS (
+          SELECT event_type, COUNT(*) AS n, SUM(v4) AS s,
+            SUM(v4 * v4) AS sq
+          FROM q GROUP BY 1),
+        m AS (
+          SELECT event_type, n, CAST(s AS DOUBLE) / n AS mean4,
+            SQRT((CAST(sq AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS std4
+          FROM st)
+        SELECT q.event_type, m.n,
+          COUNT(CASE WHEN ABS((CAST(q.v4 AS DOUBLE) - m.mean4) / m.std4) > 2.5
+            THEN 1 END) AS n_outliers,
+          ROUND(m.mean4 / 10000.0, 6) AS mean_r
+        FROM q JOIN m ON q.event_type = m.event_type
+        GROUP BY 1, 2, 4"""),
+      "z-score outlier counts per type: exact integer moments over " +
+        "4dp-quantized values, identically-spelled double formula both " +
+        "engines, stats broadcast back so scoring is a map-side pass")
   )
 }

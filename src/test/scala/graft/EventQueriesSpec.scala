@@ -70,6 +70,40 @@ class EventQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q133 transition matrix: each row's outgoing probabilities sum to 1") {
+    val rows = run("q133_transition_matrix").collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (t, rs) =>
+      val total = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$t sums to $total")
+    }
+  }
+
+  test("q132 paths: every step is a known type and each event starts at " +
+    "most one path") {
+    val types = Set("click", "error", "purchase", "signup", "view")
+    val rows = run("q132_event_paths").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("step1", "step2", "step3").foreach(c =>
+        assert(types(r.getAs[String](c))))
+    }
+    val nPaths = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = graft.core.Tables.load(spark, Sf0001, "events").count()
+    assert(nPaths <= nEvents)
+  }
+
+  test("q134 outliers: bounded by the group size and mean inside the " +
+    "value range") {
+    val ev = graft.core.Tables.load(spark, Sf0001, "events")
+      .agg(min(col("value")), max(col("value"))).collect()(0)
+    val (lo, hi) = (ev.getDouble(0), ev.getDouble(1))
+    run("q134_zscore_outliers").collect().foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+      val m = r.getAs[Double]("mean_r")
+      assert(m >= lo && m <= hi)
+    }
+  }
+
   test("q124 co-occurrence: pairs are ordered and support <= user count") {
     val rows = run("q124_type_cooccurrence").collect()
     val nUsers = graft.core.Tables.load(spark, Sf0001, "events")

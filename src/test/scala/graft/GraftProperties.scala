@@ -168,4 +168,61 @@ object GraftProperties extends Properties("graft") {
         val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
         scores(df) == scores(df.repartition(7))
     }
+
+  private val funnelGen: Gen[List[(Long, Long, String)]] = for {
+    n <- Gen.choose(0, 30)
+    rows <- Gen.listOfN(n, for {
+      user <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 50L) // small domain forces ts collisions
+      t <- Gen.oneOf("signup", "click", "purchase", "view")
+    } yield (user, ts, t))
+  } yield rows
+
+  property("funnelFoldEqualsSequentialMins") = Prop.forAll(funnelGen) { rows =>
+    val withIds = rows.zipWithIndex.map { case ((u, ts, t), i) =>
+      (u, ts, i.toLong, t)
+    }
+    val got = graft.operators.EventOps.funnel(
+        withIds.toDF("user_id", "us", "event_id", "event_type"),
+        ("signup", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> (
+        r.getAs[Int]("reached_stage"),
+        Option(r.getAs[Any]("t1_us")), Option(r.getAs[Any]("t2_us")),
+        Option(r.getAs[Any]("t3_us")))).toMap
+    // reference: sequential mins with strict progression, plain Scala
+    val expected = withIds.filter(r => r._4 != "view").groupBy(_._1).map {
+      case (u, evs) =>
+        val t1 = evs.filter(_._4 == "signup").map(_._2).minOption
+        val t2 = t1.flatMap(a =>
+          evs.filter(e => e._4 == "click" && e._2 > a).map(_._2).minOption)
+        val t3 = t2.flatMap(b =>
+          evs.filter(e => e._4 == "purchase" && e._2 > b).map(_._2).minOption)
+        val stage = Seq(t1, t2, t3).count(_.isDefined)
+        u -> ((stage, t1.map(x => x: Any), t2.map(x => x: Any),
+          t3.map(x => x: Any)))
+    }
+    got == expected
+  }
+
+  private val bandGen: Gen[(List[(Long, Double)], List[Double])] = for {
+    nl <- Gen.choose(1, 15); nr <- Gen.choose(0, 40)
+    // duplicate-heavy domains exercise the distinct-compaction path
+    left <- Gen.listOfN(nl, Gen.choose(1, 40).map(_ * 25.0))
+    right <- Gen.listOfN(nr, Gen.choose(1, 45).map(_ * 23.0))
+  } yield (left.zipWithIndex.map { case (v, i) => (i.toLong, v) }, right)
+
+  property("bandedRangeCountEqualsNaiveFilter") = Prop.forAll(bandGen) {
+    case (left, right) =>
+      val (lo, hi) = (0.95, 1.05)
+      // width must cover the widest interval: 0.10 * max(left) <= 100
+      val got = graft.operators.EventOps.bandedRangeCount(
+          left.toDF("k", "x"), "x", right.map(Tuple1(_)).toDF("v"), "v",
+          width = 128.0, loFactor = lo, hiFactor = hi)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("n_close"))
+        .toMap
+      val expected = left.map { case (k, x) =>
+        k -> right.count(v => v >= x * lo && v <= x * hi).toLong
+      }.filter(_._2 > 0).toMap // inner semantics: zero-match keys drop
+      got == expected
+  }
 }

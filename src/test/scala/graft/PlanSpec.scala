@@ -268,7 +268,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q123_band_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
-    assert(p.contains("HashJoin [b#") || p.contains("HashJoin [b "), p)
+    assert("HashJoin \\[_b#".r.findFirstIn(p).isDefined, p)
   }
 
   test("q126: hopping windows expand in-plan (Expand), not via a join " +
@@ -289,5 +289,21 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q131_unpivot")
     assert(p.contains("Expand"), p)
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q132/q133: path mining reads the events scan once — leads ride " +
+    "one window pass, no self-join") {
+    for (q <- Seq("q132_event_paths", "q133_transition_matrix")) {
+      val p = plan(q)
+      assert("FileScan parquet".r.findAllIn(p).size == 1, s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+    }
+  }
+
+  test("q134: the per-type stats come back via broadcast — the event " +
+    "stream never sort-merges") {
+    val p = plan("q134_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
