@@ -178,4 +178,44 @@ class ScaleSmokeSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == want)
   }
+
+  test("funnel scales: 2000 users x ~100 events, one shuffle, no per-key " +
+    "blowup") {
+    val evs = big.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      element_at(
+        array(lit("signup"), lit("click"), lit("purchase"), lit("view")),
+        (pmod(col("event_id"), lit(4)) + 1).cast("int")).as("event_type"))
+    val out = graft.operators.EventOps.funnel(
+      evs, ("signup", "click", "purchase")).cache()
+    val n = out.count()
+    val users = big.select("user_id").distinct().count()
+    assert(n > 0 && n <= users, s"got $n of $users users")
+    // sanity: stages are monotone-complete (t set iff stage reached)
+    assert(out.filter(col("reached_stage") >= 1 && col("t1_us").isNull)
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("bandedRangeCount is distinct-bounded: 1000x replication leaves " +
+    "the join on the same distinct-value pairs") {
+    // 50 distinct left values x100 dup, 40 distinct right values x1000 dup
+    val left = spark.range(5000).select(col("id").as("k"),
+      ((col("id") % 50) * 25.0 + 100.0).as("x"))
+    val right = spark.range(40000).select(
+      ((col("id") % 40) * 23.0 + 100.0).as("v"))
+    val out = graft.operators.EventOps.bandedRangeCount(
+      left, "x", right, "v", width = 256.0, loFactor = 0.9, hiFactor = 1.1)
+      .collect()
+    // plain-Scala expectation over the distinct domains
+    val xs = (0 until 50).map(i => i * 25.0 + 100.0)
+    val vs = (0 until 40).map(i => i * 23.0 + 100.0)
+    val expect = xs.map(x =>
+      x -> vs.count(v => v >= x * 0.9 && v <= x * 1.1).toLong * 1000L).toMap
+    out.foreach { r =>
+      val x = r.getAs[Double]("x")
+      assert(r.getAs[Long]("n_close") == expect(x), s"x=$x")
+    }
+    assert(out.length == 100 * expect.count(_._2 > 0))
+  }
 }
