@@ -52,6 +52,40 @@ object EventOps {
         col("f.t2").as("t2_us"), col("f.t3").as("t3_us"))
   }
 
+  /** N-stage generalization of [[funnel]]: the state is the array of
+    * stage timestamps taken so far (size = reached stage), advanced when
+    * the next stage's type arrives strictly after the last taken time.
+    * Same single-shuffle shape; stage count is a query constant, so the
+    * fold stays a codegen-friendly array expression.
+    *
+    * Output: (userCol, reached_stage, stage_ts — array of epoch-micros,
+    * one per reached stage, in order).
+    */
+  def funnelN(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", usCol: String = "us",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val stageArr = array(stages.map(lit): _*)
+    def step(acc: Column, e: Column): Column =
+      when(size(acc) < stages.size &&
+           e.getField("event_type") === element_at(stageArr, size(acc) + 1) &&
+           (size(acc) === 0 ||
+             e.getField("us") > element_at(acc, -1)),
+        concat(acc, array(e.getField("us"))))
+      .otherwise(acc)
+    events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol), col(usCol).as("us"), col(idCol).as("event_id"),
+        col(typeCol).as("event_type"))
+      .groupBy(userCol)
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .withColumn("f",
+        aggregate(col("evs"), array().cast("array<long>"), step))
+      .select(col(userCol), size(col("f")).as("reached_stage"),
+        col("f").as("stage_ts"))
+  }
+
   /** Count, per key row, the values of `right` falling within
     * [x*loFactor, x*hiFactor] of the key's `x` — a non-equi range join
     * WITHOUT a nested loop. Both sides compact to distinct values with

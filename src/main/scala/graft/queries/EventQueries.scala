@@ -326,6 +326,42 @@ object EventQueries {
         GROUP BY 1, 2, 4"""),
       "z-score outlier counts per type: exact integer moments over " +
         "4dp-quantized values, identically-spelled double formula both " +
-        "engines, stats broadcast back so scoring is a map-side pass")
+        "engines, stats broadcast back so scoring is a map-side pass"),
+
+    // N-stage funnel (EventOps.funnelN): same single-shuffle fold as
+    // q121 but with array state, graded here at 4 stages. The oracle is
+    // the K-join chain — K shuffles where the fold needs one.
+    Q("q135_funnel_four_stage",
+      (s, dir) =>
+        graft.operators.EventOps.funnelN(
+          Tables.load(s, dir, "events")
+            .withColumn("us", unix_micros(col("ts"))),
+          Seq("signup", "view", "click", "purchase"))
+          .select(col("user_id"), col("reached_stage"),
+            element_at(col("stage_ts"), 1).as("t1_us"),
+            element_at(col("stage_ts"), 2).as("t2_us"),
+            element_at(col("stage_ts"), 3).as("t3_us"),
+            element_at(col("stage_ts"), 4).as("t4_us")),
+      Some("""WITH e AS (
+          SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events
+          WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'view' AND us > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'click' AND us > t2 GROUP BY 1),
+        s4 AS (SELECT e.user_id, MIN(us) AS t4 FROM e JOIN s3 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t3 GROUP BY 1)
+        SELECT u.user_id,
+          CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+               WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1
+               ELSE 0 END AS reached_stage,
+          t1 AS t1_us, t2 AS t2_us, t3 AS t3_us, t4 AS t4_us
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)"""),
+      "4-stage funnel via the N-stage array fold (one shuffle vs the " +
+        "oracle's 4-join chain)")
   )
 }

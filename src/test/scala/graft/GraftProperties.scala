@@ -204,6 +204,27 @@ object GraftProperties extends Properties("graft") {
     got == expected
   }
 
+  property("funnelNGeneralizesTheThreeStageFold") = Prop.forAll(funnelGen) {
+    rows =>
+      val withIds = rows.zipWithIndex.map { case ((u, ts, t), i) =>
+        (u, ts, i.toLong, t)
+      }
+      val df = withIds.toDF("user_id", "us", "event_id", "event_type")
+      val stages = ("signup", "click", "purchase")
+      val three = graft.operators.EventOps.funnel(df, stages)
+        .collect().map(r => r.getAs[Long]("user_id") -> (
+          r.getAs[Int]("reached_stage"),
+          Seq("t1_us", "t2_us", "t3_us").flatMap(c =>
+            Option(r.getAs[Any](c)).map(_.asInstanceOf[Long])))).toMap
+      val n = graft.operators.EventOps.funnelN(
+          df, Seq("signup", "click", "purchase"))
+        .collect().map(r => r.getAs[Long]("user_id") -> (
+          r.getAs[Int]("reached_stage"),
+          r.getSeq[Long](r.fieldIndex("stage_ts")).toList.map(x => x: Long)))
+        .toMap
+      three.view.mapValues { case (s, ts) => (s, ts.toList) }.toMap == n
+  }
+
   private val bandGen: Gen[(List[(Long, Double)], List[Double])] = for {
     nl <- Gen.choose(1, 15); nr <- Gen.choose(0, 40)
     // duplicate-heavy domains exercise the distinct-compaction path
