@@ -86,13 +86,55 @@ object EventOps {
         col("f").as("stage_ts"))
   }
 
+  /** Per-group z-score outlier counts (q134): values quantize to 4dp
+    * BIGINTs so the moments are exact integers; the double formula
+    * ((sq - s*s/n) / (n-1), IEEE sqrt) is deterministic across engines.
+    * Zero-variance and single-row groups report ZERO outliers — an
+    * unguarded |z| > t would flag a constant group 100% outlier, because
+    * z is NaN there and Spark orders NaN above every number. The
+    * per-group stats broadcast back, so scoring is a map-side pass.
+    */
+  def zscoreOutlierCounts(events: DataFrame, typeCol: String,
+      valueCol: String, threshold: Double = 2.5): DataFrame = {
+    val ev = events.select(col(typeCol),
+      round(col(valueCol) * 10000, 0).cast("long").as("v4"))
+    val stats = ev.groupBy(typeCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("v4").cast("decimal(28,0)")).as("s"),
+        // square in DECIMAL: a LONG v4*v4 overflows (ANSI throw) once
+        // |value| passes ~3e5
+        sum(col("v4").cast("decimal(19,0)") *
+          col("v4").cast("decimal(19,0)")).as("sq"))
+      .select(col(typeCol), col("n"),
+        (col("s").cast("double") / col("n")).as("mean4"),
+        // try_divide: ANSI mode throws DIVIDE_BY_ZERO on the n=1 group's
+        // (n - 1) divisor; the null it returns instead is filtered by
+        // the outlier guard below
+        sqrt(try_divide(col("sq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n"),
+          col("n") - 1)).as("std4"))
+    ev.join(broadcast(stats), typeCol)
+      .withColumn("z", try_divide(
+        col("v4").cast("double") - col("mean4"), col("std4")))
+      .groupBy(col(typeCol), col("n"),
+        round(col("mean4") / 10000.0, 6).as("mean_r"))
+      // guard: zero-variance (std4 = 0 -> z null via try_divide) and
+      // single-row (std4 null/NaN) groups report zero outliers
+      .agg(count(when(col("std4").isNotNull && !isnan(col("std4")) &&
+        col("std4") > 0 && abs(col("z")) > threshold, 1)).as("n_outliers"))
+      .select(col(typeCol), col("n"), col("n_outliers"), col("mean_r"))
+  }
+
   /** Count, per key row, the values of `right` falling within
     * [x*loFactor, x*hiFactor] of the key's `x` — a non-equi range join
     * WITHOUT a nested loop. Both sides compact to distinct values with
-    * multiplicity weights, the join runs on a grid of width `width`
-    * (which must be >= the widest interval so +/-1 neighbor buckets
-    * cover it), and per-value counts map back with one equi-join. Cost
-    * scales with distinct-value pairs, never row pairs.
+    * multiplicity weights, the join runs on a grid of width `width`, and
+    * per-value counts map back with one equi-join. Cost scales with
+    * distinct-value pairs, never row pairs. Each left value explodes to
+    * exactly the buckets its own interval spans — correctness never
+    * depends on `width`, which only trades replication (small width,
+    * more buckets per interval) against bucket occupancy (large width,
+    * more residual-filter work per bucket).
     *
     * Output: `left` columns + `n_close` (inner: rows with zero matches
     * drop, mirroring a SQL inner range join).
@@ -101,9 +143,13 @@ object EventOps {
       right: DataFrame, rightValCol: String, width: Double,
       loFactor: Double, hiFactor: Double): DataFrame = {
     require(width > 0, "width must be positive")
+    require(loFactor <= hiFactor, "loFactor must be <= hiFactor")
+    val loB = floor(least(col(leftValCol) * loFactor,
+      col(leftValCol) * hiFactor) / width).cast("long")
+    val hiB = floor(greatest(col(leftValCol) * loFactor,
+      col(leftValCol) * hiFactor) / width).cast("long")
     val distinctL = left.select(col(leftValCol)).distinct()
-      .withColumn("_b", explode(array((-1 to 1).map(k =>
-        (floor(col(leftValCol) / width) + k).cast("long")): _*)))
+      .withColumn("_b", explode(sequence(loB, hiB)))
     val weights = right
       .groupBy(col(rightValCol)).agg(count(lit(1)).as("_w"))
       .withColumn("_b", floor(col(rightValCol) / width).cast("long"))

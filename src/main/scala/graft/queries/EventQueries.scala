@@ -88,10 +88,10 @@ object EventQueries {
     // Banded range join: lineitems priced within +/-1% of a part's list
     // price, WITHOUT an equi-key. The naive plan is a nested-loop
     // (BroadcastNestedLoopJoin — quadratic scan work at scale); the grid
-    // trick buckets both sides by floor(price/W) with W chosen >= the
-    // widest interval (0.02 * max price ~ 20 < 32), replicates the
-    // bounded side to its 3 neighbor buckets, and turns the range join
-    // into an equi-shuffle + residual BETWEEN filter.
+    // trick buckets both sides by floor(price/W), replicates each part
+    // price to exactly the buckets its interval spans (width is a pure
+    // tuning knob, never a correctness precondition), and turns the
+    // range join into an equi-shuffle + residual BETWEEN filter.
     //
     // Second scale lever: the matched COUNT depends only on the VALUES,
     // so both sides first compact to distinct prices with multiplicity
@@ -286,32 +286,15 @@ object EventQueries {
     // of 5 rows back onto the stream: anomaly scoring at 100 TB is a
     // map, not a shuffle.
     Q("q134_zscore_outliers",
-      (s, dir) => {
-        val ev = Tables.load(s, dir, "events")
-          .select(col("event_type"),
-            round(col("value") * 10000, 0).cast("long").as("v4"))
-        val stats = ev.groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            sum(col("v4").cast("decimal(28,0)")).as("s"),
-            sum((col("v4") * col("v4")).cast("decimal(38,0)")).as("sq"))
-          .select(col("event_type"), col("n"),
-            (col("s").cast("double") / col("n")).as("mean4"),
-            sqrt((col("sq").cast("double") -
-              col("s").cast("double") * col("s").cast("double") / col("n"))
-              / (col("n") - 1)).as("std4"))
-        ev.join(broadcast(stats), "event_type")
-          .withColumn("z", (col("v4").cast("double") - col("mean4")) / col("std4"))
-          .groupBy(col("event_type"), col("n"),
-            round(col("mean4") / 10000.0, 6).as("mean_r"))
-          .agg(count(when(abs(col("z")) > 2.5, 1)).as("n_outliers"))
-          .select("event_type", "n", "n_outliers", "mean_r")
-      },
+      (s, dir) =>
+        graft.operators.EventOps.zscoreOutlierCounts(
+          Tables.load(s, dir, "events"), "event_type", "value"),
       Some("""WITH q AS (
           SELECT event_type,
             CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4 FROM events),
         st AS (
           SELECT event_type, COUNT(*) AS n, SUM(v4) AS s,
-            SUM(v4 * v4) AS sq
+            SUM(v4::HUGEINT * v4::HUGEINT) AS sq
           FROM q GROUP BY 1),
         m AS (
           SELECT event_type, n, CAST(s AS DOUBLE) / n AS mean4,
@@ -319,7 +302,8 @@ object EventQueries {
               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS std4
           FROM st)
         SELECT q.event_type, m.n,
-          COUNT(CASE WHEN ABS((CAST(q.v4 AS DOUBLE) - m.mean4) / m.std4) > 2.5
+          COUNT(CASE WHEN NOT ISNAN(m.std4) AND m.std4 > 0
+            AND ABS((CAST(q.v4 AS DOUBLE) - m.mean4) / m.std4) > 2.5
             THEN 1 END) AS n_outliers,
           ROUND(m.mean4 / 10000.0, 6) AS mean_r
         FROM q JOIN m ON q.event_type = m.event_type
@@ -337,11 +321,15 @@ object EventQueries {
           Tables.load(s, dir, "events")
             .withColumn("us", unix_micros(col("ts"))),
           Seq("signup", "view", "click", "purchase"))
+          // try_element_at: a partial funnel's stage_ts is shorter than 4
+          // and plain element_at THROWS under ANSI mode (every seed-42
+          // user happens to finish all 4 stages, so only a partial-funnel
+          // corpus would reveal it — the unit test covers one)
           .select(col("user_id"), col("reached_stage"),
-            element_at(col("stage_ts"), 1).as("t1_us"),
-            element_at(col("stage_ts"), 2).as("t2_us"),
-            element_at(col("stage_ts"), 3).as("t3_us"),
-            element_at(col("stage_ts"), 4).as("t4_us")),
+            try_element_at(col("stage_ts"), lit(1)).as("t1_us"),
+            try_element_at(col("stage_ts"), lit(2)).as("t2_us"),
+            try_element_at(col("stage_ts"), lit(3)).as("t3_us"),
+            try_element_at(col("stage_ts"), lit(4)).as("t4_us")),
       Some("""WITH e AS (
           SELECT user_id, EPOCH_US(ts) AS us, event_type FROM events
           WHERE event_type IN ('signup', 'view', 'click', 'purchase')),

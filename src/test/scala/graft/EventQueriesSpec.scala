@@ -104,6 +104,39 @@ class EventQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("zscoreOutlierCounts: zero-variance and single-row groups report " +
+    "ZERO outliers (NaN z-scores must not flag everything)") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(("const", 7.0)) ++ Seq(("single", 3.0)) ++
+      (1 to 50).map(i => ("vary", i.toDouble)) :+ ("vary", 1e6))
+      .toDF("event_type", "value")
+    val out = graft.operators.EventOps
+      .zscoreOutlierCounts(df, "event_type", "value")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_outliers")).toMap
+    assert(out("const") == 0, out)
+    assert(out("single") == 0, out)
+    assert(out("vary") == 1, out) // the 1e6 spike, and only it
+  }
+
+  test("q135 survives partial funnels: a user stuck at stage 2 yields " +
+    "null t3/t4, not an ANSI array error") {
+    import spark.implicits._
+    val evs = Seq(
+      (1L, 100L, 1L, "signup"), (1L, 200L, 2L, "view"), // stops at 2
+      (2L, 50L, 3L, "view")) // never signs up: stage 0
+      .toDF("user_id", "us", "event_id", "event_type")
+    val out = graft.operators.EventOps.funnelN(
+        evs, Seq("signup", "view", "click", "purchase"))
+      .select(col("user_id"), col("reached_stage"),
+        try_element_at(col("stage_ts"), lit(3)).as("t3"),
+        try_element_at(col("stage_ts"), lit(4)).as("t4"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Int]("reached_stage") == 2)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("t3")))
+    assert(out(2L).getAs[Int]("reached_stage") == 0)
+  }
+
   test("q124 co-occurrence: pairs are ordered and support <= user count") {
     val rows = run("q124_type_cooccurrence").collect()
     val nUsers = graft.core.Tables.load(spark, Sf0001, "events")

@@ -234,11 +234,11 @@ object GraftProperties extends Properties("graft") {
 
   property("bandedRangeCountEqualsNaiveFilter") = Prop.forAll(bandGen) {
     case (left, right) =>
-      val (lo, hi) = (0.95, 1.05)
-      // width must cover the widest interval: 0.10 * max(left) <= 100
+      val (lo, hi) = (0.7, 1.3) // wide band + tiny width: intervals span
+      // many buckets, exercising the per-row bucket-range derivation
       val got = graft.operators.EventOps.bandedRangeCount(
           left.toDF("k", "x"), "x", right.map(Tuple1(_)).toDF("v"), "v",
-          width = 128.0, loFactor = lo, hiFactor = hi)
+          width = 16.0, loFactor = lo, hiFactor = hi)
         .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("n_close"))
         .toMap
       val expected = left.map { case (k, x) =>
@@ -246,4 +246,27 @@ object GraftProperties extends Properties("graft") {
       }.filter(_._2 > 0).toMap // inner semantics: zero-match keys drop
       got == expected
   }
+
+  property("funnelNEmitsNullSafePartialFunnels") =
+    Prop.forAll(funnelGen) { rows =>
+      // q135's projection must survive users at EVERY stage depth —
+      // element_at on a short stage_ts array throws under ANSI mode
+      val withIds = rows.zipWithIndex.map { case ((u, ts, t), i) =>
+        (u, ts, i.toLong, t)
+      }
+      val out = graft.operators.EventOps.funnelN(
+          withIds.toDF("user_id", "us", "event_id", "event_type"),
+          Seq("signup", "click", "purchase"))
+        .select(col("user_id"), col("reached_stage"),
+          try_element_at(col("stage_ts"), lit(1)).as("t1"),
+          try_element_at(col("stage_ts"), lit(2)).as("t2"),
+          try_element_at(col("stage_ts"), lit(3)).as("t3"))
+        .collect()
+      out.forall { r =>
+        val stage = r.getAs[Int]("reached_stage")
+        Seq("t1", "t2", "t3").zipWithIndex.forall { case (c, i) =>
+          r.isNullAt(r.fieldIndex(c)) == (stage < i + 1)
+        }
+      }
+    }
 }
