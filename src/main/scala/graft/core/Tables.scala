@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -36,9 +36,25 @@ object Tables {
       if (name == "events" && raw.schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else raw
-    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
-      (acc, f) => acc.withColumn(f.name, col(f.name).cast(TimestampType))
-    }
+    val tzFixed = df.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(df) { (acc, f) =>
+        acc.withColumn(f.name, col(f.name).cast(TimestampType))
+      }
+    // Same insurance for the vector table: the engine's codegen vector
+    // expressions are float-typed (VectorExpressions matches
+    // ArrayType(FloatType)); if a future testdata round ships embeddings
+    // as list<double>, normalize at the same seam that absorbed the
+    // timestamp drift rather than breaking 15 vector queries at once.
+    // Scoped to the embeddings table so a genuinely double-valued array
+    // elsewhere is never silently narrowed.
+    if (name != "embeddings") tzFixed
+    else tzFixed.schema.fields
+      .collect { case f if (f.dataType match {
+        case ArrayType(DoubleType, _) => true; case _ => false
+      }) => f }
+      .foldLeft(tzFixed) { (acc, f) =>
+        acc.withColumn(f.name, col(f.name).cast(ArrayType(FloatType)))
+      }
   }
 
   /** Register all tables as temp views (used by SQL-form queries/tests). */

@@ -65,6 +65,22 @@ class TablesPhysicalTypeSpec extends AnyFunSuite {
     assert(loadedMicros(dir) == expected)
   }
 
+  test("embeddings shipped as list<double> normalize to array<float>") {
+    val dir = Files.createTempDirectory("phys-emb").toString
+    import spark.implicits._
+    Seq((1L, Seq(0.25, -1.5), 0), (2L, Seq(3.75, 0.5), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Tables.load(spark, dir, "embeddings")
+    assert(df.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+    // the float-typed codegen path must accept it end-to-end
+    val d = df.select(graft.operators.Similarity
+      .norm(col("embedding")).as("n")).orderBy("n").collect()
+    assert(math.abs(d.head.getDouble(0) - math.sqrt(0.25 * 0.25 + 1.5 * 1.5))
+      < 1e-6)
+  }
+
   test("orders/lineitem date columns normalize too") {
     val dir = Files.createTempDirectory("phys-orders").toString
     import spark.implicits._
