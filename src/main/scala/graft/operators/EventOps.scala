@@ -109,10 +109,14 @@ object EventOps {
         (col("s").cast("double") / col("n")).as("mean4"),
         // try_divide: ANSI mode throws DIVIDE_BY_ZERO on the n=1 group's
         // (n - 1) divisor; the null it returns instead is filtered by
-        // the outlier guard below
-        sqrt(try_divide(col("sq").cast("double") -
+        // the outlier guard below. greatest(0): catastrophic cancellation
+        // can round a zero-variance group's sq - s^2/n to a TINY NEGATIVE
+        // (large values, 4dp quantization) — DuckDB's SQRT hard-errors on
+        // it, so both engines clamp identically and the group lands in
+        // the std4 = 0 guard.
+        sqrt(greatest(lit(0d), try_divide(col("sq").cast("double") -
           col("s").cast("double") * col("s").cast("double") / col("n"),
-          col("n") - 1)).as("std4"))
+          col("n") - 1))).as("std4"))
     ev.join(broadcast(stats), typeCol)
       .withColumn("z", try_divide(
         col("v4").cast("double") - col("mean4"), col("std4")))

@@ -165,8 +165,11 @@ object DomainQueries {
           .select(col("key").as("user_id"), col("resolved"), col("priority"))
       },
       Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
-          (EPOCH_US(ts) - EPOCH_US(TIMESTAMP '2024-01-01')) * 100000
-            + event_id % 100000 AS ord
+          -- HUGEINT composite (ts, event_id) key: a BIGINT encoding with
+          -- event_id % 100000 wraps the tiebreak once ids reach 1e5 and
+          -- can resolve same-ts writes to the wrong 'latest'
+          (EPOCH_US(ts) - EPOCH_US(TIMESTAMP '2024-01-01'))::HUGEINT
+            * 1000000000000 + event_id AS ord
           FROM events)
         SELECT user_id,
           COALESCE(

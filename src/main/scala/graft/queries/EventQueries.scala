@@ -297,9 +297,13 @@ object EventQueries {
             SUM(v4::HUGEINT * v4::HUGEINT) AS sq
           FROM q GROUP BY 1),
         m AS (
+          -- GREATEST(0, ...): cancellation can round zero variance to a
+          -- tiny negative and DuckDB SQRT errors on negatives; clamping
+          -- mirrors the Spark side so the group hits the std4 = 0 guard
           SELECT event_type, n, CAST(s AS DOUBLE) / n AS mean4,
-            SQRT((CAST(sq AS DOUBLE)
-              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS std4
+            SQRT(GREATEST(0, (CAST(sq AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)))
+              AS std4
           FROM st)
         SELECT q.event_type, m.n,
           COUNT(CASE WHEN NOT ISNAN(m.std4) AND m.std4 > 0

@@ -307,9 +307,16 @@ object PipelineQueries {
         val ratio = bcnt
           .crossJoin(broadcast(
             bcnt.agg(sum(col("t_cnt")).as("t_tot"), sum(col("r_cnt")).as("r_tot"))))
+          // every factor to DOUBLE before multiplying: the LONG products
+          // ((r_cnt+1)*(t_tot+256)) ANSI-overflow around 1e10 corpus
+          // tokens, and the oracle's DECIMAL literal overflows DuckDB
+          // even earlier; the double trees are identical on both sides,
+          // so parity holds while the overflow cliff disappears
           .select(col("b"),
-            round(lit(1e9) * (col("t_cnt") + lit(1L)) * (col("r_tot") + lit(256L)) /
-              ((col("r_cnt") + lit(1L)) * (col("t_tot") + lit(256L))))
+            round(lit(1e9) * (col("t_cnt") + lit(1L)).cast("double") *
+              (col("r_tot") + lit(256L)).cast("double") /
+              ((col("r_cnt") + lit(1L)).cast("double") *
+                (col("t_tot") + lit(256L)).cast("double")))
               .cast("long").as("ratio_ppb"))
         toks.filter(col("doc_id") % 5 =!= 0)
           .join(broadcast(ratio), "b")
@@ -336,8 +343,11 @@ object PipelineQueries {
           FROM t GROUP BY b),
         tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM bc),
         ratio AS (
-          SELECT b, CAST(ROUND(1000000000.0 * (t_cnt + 1) * (r_tot + 256)
-              / ((r_cnt + 1) * (t_tot + 256)), 0) AS BIGINT) AS ratio_ppb
+          SELECT b, CAST(ROUND(
+              CAST(1000000000 AS DOUBLE) * CAST(t_cnt + 1 AS DOUBLE)
+                * CAST(r_tot + 256 AS DOUBLE)
+              / (CAST(r_cnt + 1 AS DOUBLE) * CAST(t_tot + 256 AS DOUBLE)),
+              0) AS BIGINT) AS ratio_ppb
           FROM bc, tot)
         SELECT doc_id, COUNT(*) AS n_toks,
           ROUND(CAST(SUM(ratio_ppb) AS DOUBLE)

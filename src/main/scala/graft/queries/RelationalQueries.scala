@@ -369,7 +369,7 @@ object RelationalQueries {
     // parquet min/max stats prune scans on EITHER column. The key is
     // pure long arithmetic (core/Layout.zValue — shifts and masks, no
     // UDF); the per-cell min/max spans in the output ARE the locality
-    // proof (every 1024-key cell covers a 32x16 rectangle of the
+    // proof (every 1024-key cell covers a 32x32 rectangle of the
     // 256x256 grid). Shape: map-side key + ONE partial-agg shuffle.
     Q("q110_zorder_key",
       (s, dir) => {

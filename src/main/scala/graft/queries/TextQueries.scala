@@ -61,34 +61,21 @@ object TextQueries {
       WHERE $ham <= 3"""
   }
 
-  /** DuckDB replica of Dedup.minhashLshPairs(word bigrams, k=8, bands=2,
-    * t=0.5):
-    * md5 min-wise signatures, md5 band keys, bucket self-join, true
-    * shingle-set Jaccard verification.
+  /** Shared minhash-LSH signature pipeline for EVERY LSH oracle (word
+    * bigrams, k=8, bands=2): toks -> distinct shingles -> md5 min-wise
+    * signatures -> band keys, ending in `buckets0(doc_id, bucket)`. ONE
+    * definition so the pair-gen (q48/q116), occupancy-audit (q117), and
+    * cross-match (q84/q112) replicas can never drift apart on the
+    * shingle or banding scheme — the same reason v48Fold is shared.
     */
-  lazy val lshPairsOracleSql: String = lshPairsOracle(None)
-
-  /** Same pipeline with the band-bucket cap applied before pair-gen —
-    * buckets holding more than `cap` docs are dropped, mirroring
-    * `Dedup.minhashLshPairs(maxBucketSize = cap)`.
-    */
-  def lshPairsCappedOracleSql(cap: Int): String = lshPairsOracle(Some(cap))
-
-  private def lshPairsOracle(cap: Option[Int]): String = {
+  private lazy val lshSigCtes: String = {
     val mh = (0 until 8).map(i =>
       s"LIST_MIN(LIST_TRANSFORM(shs, x -> MD5('$i|' || x))) AS mh$i").mkString(",\n          ")
     val bandKeys = (0 until 2).map { b =>
       val parts = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(" || ',' || ")
       s"MD5('$b|' || $parts)"
     }.mkString(", ")
-    val bucketsSrc = cap match {
-      case Some(c) =>
-        s"""(SELECT doc_id, bucket FROM (
-          SELECT doc_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS _bsz
-          FROM buckets0) WHERE _bsz <= $c)"""
-      case None => "buckets0"
-    }
-    s"""WITH toks AS (
+    s"""toks AS (
         SELECT doc_id,
           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
             x -> LEN(x) > 0) AS t
@@ -103,7 +90,31 @@ object TextQueries {
           $mh
         FROM sh),
       buckets0 AS (
-        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig),
+        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig)"""
+  }
+
+  /** DuckDB replica of Dedup.minhashLshPairs(word bigrams, k=8, bands=2,
+    * t=0.5):
+    * md5 min-wise signatures, md5 band keys, bucket self-join, true
+    * shingle-set Jaccard verification.
+    */
+  lazy val lshPairsOracleSql: String = lshPairsOracle(None)
+
+  /** Same pipeline with the band-bucket cap applied before pair-gen —
+    * buckets holding more than `cap` docs are dropped, mirroring
+    * `Dedup.minhashLshPairs(maxBucketSize = cap)`.
+    */
+  def lshPairsCappedOracleSql(cap: Int): String = lshPairsOracle(Some(cap))
+
+  private def lshPairsOracle(cap: Option[Int]): String = {
+    val bucketsSrc = cap match {
+      case Some(c) =>
+        s"""(SELECT doc_id, bucket FROM (
+          SELECT doc_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS _bsz
+          FROM buckets0) WHERE _bsz <= $c)"""
+      case None => "buckets0"
+    }
+    s"""WITH $lshSigCtes,
       buckets AS (
         SELECT doc_id, bucket FROM $bucketsSrc),
       pairs AS (
@@ -123,32 +134,10 @@ object TextQueries {
   /** DuckDB replica of Dedup.lshBucketStats(word bigrams, k=8, bands=2):
     * per-band-bucket occupancy with the cap's dropped flag.
     */
-  def lshBucketStatsOracleSql(cap: Int): String = {
-    val mh = (0 until 8).map(i =>
-      s"LIST_MIN(LIST_TRANSFORM(shs, x -> MD5('$i|' || x))) AS mh$i").mkString(",\n          ")
-    val bandKeys = (0 until 2).map { b =>
-      val parts = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(" || ',' || ")
-      s"MD5('$b|' || $parts)"
-    }.mkString(", ")
-    s"""WITH toks AS (
-        SELECT doc_id,
-          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
-            x -> LEN(x) > 0) AS t
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(t) - 2, 0) + 1),
-            i -> ARRAY_TO_STRING(t[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' '))) AS shs
-        FROM toks),
-      sig AS (
-        SELECT doc_id, shs,
-          $mh
-        FROM sh),
-      buckets AS (
-        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig)
+  def lshBucketStatsOracleSql(cap: Int): String =
+    s"""WITH $lshSigCtes
       SELECT bucket, COUNT(*) AS n_docs, COUNT(*) > $cap AS dropped
-      FROM buckets GROUP BY 1"""
-  }
+      FROM buckets0 GROUP BY 1"""
 
   /** DuckDB replica of Dedup.minhashLshCrossMatches (word bigrams, k=8,
     * bands=2, containment 0.5) over the train (doc_id%5<>0) vs eval
@@ -163,34 +152,13 @@ object TextQueries {
     * same md5 min-wise signatures, band keys, and containment round.
     */
   private def lshCrossMatchOracle(trainCond: String, evalCond: String): String = {
-    val mh = (0 until 8).map(i =>
-      s"LIST_MIN(LIST_TRANSFORM(shs, x -> MD5('$i|' || x))) AS mh$i").mkString(",\n          ")
-    val bandKeys = (0 until 2).map { b =>
-      val parts = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(" || ',' || ")
-      s"MD5('$b|' || $parts)"
-    }.mkString(", ")
     val contain =
       """ROUND(CAST(LEN(LIST_INTERSECT(t.shs, e.shs)) AS DOUBLE)
           / GREATEST(LEN(e.shs), 1), 6)"""
-    s"""WITH toks AS (
-        SELECT doc_id,
-          LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'),
-            x -> LEN(x) > 0) AS t
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(t) - 2, 0) + 1),
-            i -> ARRAY_TO_STRING(t[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' '))) AS shs
-        FROM toks),
-      sig AS (
-        SELECT doc_id, shs,
-          $mh
-        FROM sh),
-      buckets AS (
-        SELECT doc_id, UNNEST([$bandKeys]) AS bucket FROM sig),
+    s"""WITH $lshSigCtes,
       cand AS (
         SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
-        FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        FROM buckets0 a JOIN buckets0 b ON a.bucket = b.bucket
         WHERE a.doc_id $trainCond AND b.doc_id $evalCond)
       SELECT c.train_id, c.eval_id, $contain AS containment
       FROM cand c
@@ -805,7 +773,14 @@ object TextQueries {
         // the identical size in SQL, and the in-plan guard fails loudly
         // if sizing ever regresses — at zero extra jobs, unlike the
         // action-based requireUnsaturated.
-        val mBits = (((block.count() * 16 + 31) / 32) * 32).toInt
+        // Long sizing with loud bounds: .toInt on count*16 wraps NEGATIVE
+        // past ~134M keys (nonsense moduli), and an empty blocklist would
+        // make mBits 0 (modulo-by-zero probes) — floor at one word so an
+        // empty filter correctly blocks nothing.
+        val mBitsL = math.max(32L, ((block.count() * 16 + 31) / 32) * 32)
+        require(mBitsL <= Int.MaxValue,
+          s"bloom blocklist needs $mBitsL bits; shard the blocklist")
+        val mBits = mBitsL.toInt
         val bloomRow = Bloom.guard(
           Bloom.build(block, "fp", numHashes = 3, mBits = mBits), mBits)
         Bloom.probe(fps.filter(col("doc_id") % 5 =!= 0), "fp", bloomRow,
@@ -1167,7 +1142,9 @@ object TextQueries {
         FROM documents),
       block AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 5 = 0),
       msize AS (
-        SELECT ((COUNT(*) * 16 + 31) // 32) * 32 AS m FROM block),
+        -- GREATEST mirrors the Scala one-word floor for empty blocklists
+        SELECT GREATEST(32, ((COUNT(*) * 16 + 31) // 32) * 32) AS m
+        FROM block),
       bpos AS (
         SELECT $posDefs
         FROM block),

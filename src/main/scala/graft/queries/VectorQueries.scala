@@ -121,7 +121,8 @@ object VectorQueries {
         SELECT e.vec_id, c.cid,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ${l2("e.embedding", "c.cv")}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL),
       cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
       cand AS (SELECT vec_id FROM cells WHERE cell IN (SELECT cid FROM probes))
       SELECT e.vec_id, ROUND($dotSql / ($normESql * $normQSql), 6) AS score
@@ -152,10 +153,14 @@ object VectorQueries {
         SELECT vec_id AS cid, embedding AS cv FROM embeddings
         WHERE vec_id BETWEEN 1 AND 8),
       assign AS (
+        -- embedding IS NOT NULL mirrors the Spark side's sentinel-cell
+        -- exclusion (ivfAssign -> cell -1): a null-embedding fixture row
+        -- must be absent from cells on BOTH engines
         SELECT e.vec_id, c.cid,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ${l2("e.embedding", "c.cv")}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cents c),
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.embedding IS NOT NULL),
       cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1)"""
   }
 
@@ -312,10 +317,13 @@ object VectorQueries {
         SELECT vec_id AS cid, embedding AS cv FROM embeddings
         WHERE vec_id BETWEEN 1 AND 8),
       asg AS (
+        -- null embeddings excluded, mirroring semDedupKeepList (the
+        -- Spark side documents: rows with a null embedding are absent)
         SELECT e.vec_id, c.cid, ${l2("e.embedding", "c.cv")} AS d,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ${l2("e.embedding", "c.cv")}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cents c),
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.embedding IS NOT NULL),
       cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
       cdist AS (SELECT vec_id, ROUND(MIN(d), 6) AS centroid_dist
         FROM asg GROUP BY vec_id),
@@ -488,7 +496,7 @@ object VectorQueries {
         Similarity.ivfTopK(
           s.table("embeddings_ivf_cells").filter(col("vec_id") =!= 0),
           "vec_id", "embedding", queryVec(s, dir), k = 10,
-          centroids8(s, dir), nProbe = 2)
+          cents, nProbe = 2)
       },
       Some(VectorQueries.annIvfOracleSql),
       "IVF ANN over an ingest-time cell-partitioned layout: assignment " +
