@@ -95,8 +95,11 @@ object BsonFunctions {
   def pow(c: Column, p: Column): Column = org.apache.spark.sql.functions.pow(c, p)
   /** RANDOM / RANDOM(min, max) (Misc.cs:217-236). */
   def random(): Column = rand()
+  // floor, not cast: int-cast truncates toward zero, which pushes the
+  // (min, min+1) sliver of a negative range onto 0 — outside [min, max)
+  // and non-uniform; floor keeps Random.Next's [min, max) contract
   def random(min: Int, max: Int): Column =
-    (rand() * (max - min) + min).cast("int")
+    floor(rand() * (max - min) + min).cast("int")
 
   // ---- Misc.cs: doc/array/JSON -------------------------------------------
   /** JSON(s): parse with an explicit schema (schema-on-read; the dynamic
@@ -172,9 +175,15 @@ object BsonFunctions {
     * are compile-time; the value-level forms test castability.
     */
   def isNull(c: Column): Column = c.isNull
+  // regex AND range: digits alone admit values whose int32()/int64()
+  // conversion overflows to null (e.g. "3000000000" for int32), breaking
+  // the "predicate gates the cast" contract
   def isInt32(c: Column): Column =
-    org.apache.spark.sql.functions.trim(c.cast("string")).rlike("^[+-]?\\d+$")
-  def isInt64(c: Column): Column = isInt32(c)
+    org.apache.spark.sql.functions.trim(c.cast("string")).rlike("^[+-]?\\d+$") &&
+      int32(c).isNotNull
+  def isInt64(c: Column): Column =
+    org.apache.spark.sql.functions.trim(c.cast("string")).rlike("^[+-]?\\d+$") &&
+      int64(c).isNotNull
   def isDouble(c: Column): Column = RefFunctions.isNumeric(c.cast("string"))
   def isString(c: Column): Column = c.cast("string").isNotNull
   def isBoolean(c: Column): Column =

@@ -38,16 +38,31 @@ object RefFunctions {
       case "hour" => truncDiv(us, 3600L * 1000000)
       case "day" => truncDiv(us, 86400L * 1000000)
       case "month" =>
-        // calendar month difference, decremented if end's day-of-month is
-        // earlier than start's (DateExtensions.MonthDifference)
-        val months = (year(end) - year(start)) * 12 + (month(end) - month(start))
-        (months - when(dayofmonth(end) < dayofmonth(start), 1).otherwise(0))
-          .cast("long")
+        // DateExtensions.MonthDifference VERBATIM: calendar-month delta
+        // plus a day fraction over the (negative) day count from end to
+        // end.AddMonths(1), truncated toward zero. The fraction form is
+        // what makes the end < start direction truncate toward zero too —
+        // a day-only decrement (this function's previous form) inflated
+        // negative magnitudes. add_months clamps day-of-month exactly
+        // like C# AddMonths, so month-end fractions match bit-for-bit.
+        val compMonth = ((year(end) - year(start)) * 12 +
+          (month(end) - month(start))).cast("double")
+        val dEnd = end.cast("date")
+        val daysInEndMonth =
+          datediff(dEnd, add_months(dEnd, 1)).cast("double")
+        val m = compMonth +
+          (dayofmonth(start) - dayofmonth(end)).cast("double") / daysInEndMonth
+        (signum(m) * floor(abs(m))).cast("long")
       case "year" =>
-        // full calendar years elapsed (DateExtensions.YearDifference)
-        val months = (year(end) - year(start)) * 12 + (month(end) - month(start))
-        val adj = months - when(dayofmonth(end) < dayofmonth(start), 1).otherwise(0)
-        truncDiv(adj.cast("long"), 12L)
+        // DateExtensions.YearDifference VERBATIM — year delta with an
+        // only-ever-decrement month/day adjustment. Deliberately
+        // asymmetric for end < start (the reference never increments);
+        // mirroring the quirk beats idealizing it.
+        (year(end) - year(start) -
+          when(month(end) === month(start) &&
+            dayofmonth(end) < dayofmonth(start), 1)
+            .when(month(end) < month(start), 1)
+            .otherwise(0)).cast("long")
       case other =>
         throw new IllegalArgumentException(s"unsupported DATEDIFF unit: $other")
     }

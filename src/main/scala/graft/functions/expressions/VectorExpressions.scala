@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accumulation is sequential in array order in both eval and codegen, so
   * results are bit-identical to the composable form (and to the DuckDB
-  * oracle's list_reduce).
+  * oracle's list_reduce). Mismatched array lengths return NULL — the
+  * same verdict the composable zip_with form reaches via null padding —
+  * so a truncated/corrupt embedding drops out of rankings instead of
+  * scoring plausibly over the common prefix.
   */
 abstract class VectorBinaryExpression extends BinaryExpression
     with Serializable {
@@ -45,7 +48,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -67,14 +71,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $a.getFloat($i);
-          double $yi = (double) $b.getFloat($i);
-          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = (double) $a.getFloat($i);
+            double $yi = (double) $b.getFloat($i);
+            $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 
@@ -92,7 +100,8 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -110,13 +119,17 @@ case class L2Distance(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
-          $acc += $d * $d;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+            $acc += $d * $d;
+          }
+          ${ev.value} = java.lang.Math.sqrt($acc);
         }
-        ${ev.value} = java.lang.Math.sqrt($acc);
       """
     })
 
@@ -134,7 +147,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -150,12 +164,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

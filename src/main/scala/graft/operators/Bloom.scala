@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Portable Bloom-filter membership for blocklist checks at corpus scale
   * (URL blocklists, decontamination fingerprint sets, opt-out lists).
   *
-  * Scale shape (100 TB): the build side collapses to at most `mBits/64`
-  * rows (one per 64-bit word) via a single bounded aggregation, then the
+  * Scale shape (100 TB): the build side collapses to at most `mBits/32`
+  * rows (one per 32-bit word — int words keep the bit_or aggregation
+  * portable to the DuckDB oracle) via a single bounded aggregation, then the
   * whole filter travels to the probe side as ONE broadcast row holding a
   * dense `array<long>`. The probe is a pure projection — no explode, no
   * shuffle of the big side, no per-row join — so membership runs at scan

@@ -19,8 +19,12 @@ object DataQuality {
   /** One report row per rule: (rule, n_rows, n_violations, pass). */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one expectation required")
+    // coalesce(sum, 0): on an EMPTY frame sum yields null per rule, which
+    // would read as neither pass nor fail (and NPE a getBoolean) — an
+    // empty increment is zero violations, reported explicitly
     val aggs = rules.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v_$name")
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)),
+        lit(0L)).as(s"_v_$name")
     }
     val row = df.agg(count(lit(1)).as("_n"), aggs: _*)
     row.select(explode(array(rules.map { case (name, _) =>

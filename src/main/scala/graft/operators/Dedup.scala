@@ -174,6 +174,10 @@ object Dedup {
       case Some(g) =>
         graft.functions.GraftFunctions.lsh_band_keys(tokens(textCol), g, k, bands)
       case None =>
+        // same contract as the native path (LshBandKeysExpr requires it):
+        // silently flooring k / bands would band over fewer minhashes
+        // than the (1/b)^(1/r) threshold the scaladoc advertises
+        require(k % bands == 0, s"k ($k) must divide into bands ($bands)")
         val sigs = (0 until k).map(i => minhashValue(shingles, i))
         lshBandKeysFromCols(sigs, bands, k / bands)
     }
@@ -188,7 +192,11 @@ object Dedup {
     docs.select(col(idCol).as("id"), explode(bandKeysExpr).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("dropped", col("n_docs") > maxBucketSize)
+      // maxBucketSize <= 0 means "guard disabled" in minhashLshPairs;
+      // the audit must report the same thing (nothing dropped), not the
+      // opposite (everything dropped)
+      .withColumn("dropped",
+        if (maxBucketSize > 0) col("n_docs") > maxBucketSize else lit(false))
   }
 
   /** Cross-corpus MinHash+LSH decontamination matches — the fuzzy

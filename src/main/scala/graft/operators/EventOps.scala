@@ -96,7 +96,9 @@ object EventOps {
     */
   def zscoreOutlierCounts(events: DataFrame, typeCol: String,
       valueCol: String, threshold: Double = 2.5): DataFrame = {
-    val ev = events.select(col(typeCol),
+    // null measurements are ignored entirely: counting them in n while
+    // sum skips them would shift every mean/std in the group
+    val ev = events.filter(col(valueCol).isNotNull).select(col(typeCol),
       round(col(valueCol) * 10000, 0).cast("long").as("v4"))
     val stats = ev.groupBy(typeCol)
       .agg(count(lit(1)).as("n"),

@@ -34,8 +34,12 @@ object SkewJoin {
     */
   def hotKeys(df: DataFrame, key: String, threshold: Double = 10.0): DataFrame = {
     val counts = df.groupBy(key).agg(count(lit(1)).as("n"))
-    val mean = counts.agg(avg(col("n"))).head().getDouble(0)
-    counts.filter(col("n") > mean * threshold)
+    // avg over zero groups is null; an empty input has no hot keys
+    // (getDouble on the null would NPE)
+    val mean = Option(counts.agg(avg(col("n"))).head().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    if (mean == 0.0) counts.limit(0).withColumn("skew_factor", lit(0.0))
+    else counts.filter(col("n") > mean * threshold)
       .withColumn("skew_factor", round(col("n") / mean, 2))
   }
 }

@@ -291,7 +291,8 @@ object EventQueries {
           Tables.load(s, dir, "events"), "event_type", "value"),
       Some("""WITH q AS (
           SELECT event_type,
-            CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4 FROM events),
+            CAST(ROUND(value * 10000, 0) AS BIGINT) AS v4 FROM events
+          WHERE value IS NOT NULL),
         st AS (
           SELECT event_type, COUNT(*) AS n, SUM(v4) AS s,
             SUM(v4::HUGEINT * v4::HUGEINT) AS sq

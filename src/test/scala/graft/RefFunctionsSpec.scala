@@ -49,6 +49,31 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(out("y2") == ((48L, 4L)))
   }
 
+  test("dateDiffTrunc month/year mirror the reference for end < start " +
+    "(MonthDifference truncates toward zero; YearDifference only ever " +
+    "decrements — its negative asymmetry is the reference's own)") {
+    // expectations hand-computed from DateExtensions.cs:23-52
+    val df = Seq(
+      // compMonth=-2, frac=(15-20)/-31=+0.161 -> trunc(-1.839) = -1
+      ("m_neg_adj", ts("2024-03-15 00:00:00"), ts("2024-01-20 00:00:00")),
+      // compMonth=-2, frac=(15-10)/-31=-0.161 -> trunc(-2.161) = -2
+      ("m_neg", ts("2024-03-15 00:00:00"), ts("2024-01-10 00:00:00")),
+      // compMonth=1, end Feb1->Mar1 leap: frac=(31-1)/-29=-1.034 -> 0
+      ("m_clamp", ts("2024-01-31 00:00:00"), ts("2024-02-01 00:00:00"))
+    ).toDF("k", "a", "b")
+    val m = df.select($"k", dateDiffTrunc("month", $"a", $"b").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(m("m_neg_adj") == -1L)
+    assert(m("m_neg") == -2L)
+    assert(m("m_clamp") == 0L)
+    // years=-2; endMonth(8) > startMonth(6): the reference does NOT
+    // increment toward zero -> stays -2
+    val y = Seq(("y_neg", ts("2024-06-10 00:00:00"), ts("2022-08-05 00:00:00")))
+      .toDF("k", "a", "b")
+      .select(dateDiffTrunc("year", $"a", $"b")).as[Long].head()
+    assert(y == -2L)
+  }
+
   test("sumLenient/avgLenient skip non-numeric values silently") {
     val df = Seq("10", "oops", "2.5", "", "N/A", "-0.5").toDF("v")
     val (s, a) = df.agg(sumLenient($"v").as("s"), avgLenient($"v").as("a"))

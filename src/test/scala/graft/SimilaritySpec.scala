@@ -53,6 +53,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("mismatched vector lengths return NULL, matching the composable " +
+    "forms' null-padding verdict (never a prefix score)") {
+    val rows = Seq(
+      (1L, Seq(1f, 2f, 3f)),      // full length
+      (2L, Seq(1f, 2f))           // truncated/corrupt
+    ).toDF("id", "v")
+    val q = Seq(0.5f, 0.5f, 0.5f)
+    val out = rows.select($"id",
+        Similarity.cosine($"v", typedLit(q)).as("c"),
+        Similarity.l2($"v", typedLit(q)).as("l"))
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == ((false, false)))
+    assert(out(2L) == ((true, true)))
+  }
+
   test("kmeansStep computes per-cell per-position means") {
     val cents = Seq(0L -> Seq(0f, 0f, 0f, 0f), 1L -> Seq(10f, 10f, 10f, 10f))
     val rows = Similarity.kmeansStep(vecs, "v", cents)
