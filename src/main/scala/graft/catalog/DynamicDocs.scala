@@ -39,12 +39,18 @@ object DynamicDocs {
   def fromJson(spark: SparkSession, docs: org.apache.spark.sql.Dataset[String],
       pinned: StructType): DataFrame = {
     val raw = spark.read.json(docs)
-    val rawCols = raw.columns.toSet
-    val pinnedNames = pinned.fields.map(_.name)
+    // case-INSENSITIVE pinned matching, agreeing with find/field's
+    // equalsIgnoreCase resolution: a doc field "userid" must populate a
+    // pinned "userId" column, not land unqueryably in the overflow
+    val rawByLower = raw.columns.map(c => c.toLowerCase -> c).toMap
     val typed = pinned.fields.map(f =>
-      (if (rawCols.contains(f.name)) col(f.name).cast(f.dataType)
-      else lit(null).cast(f.dataType)).as(f.name))
-    val extraCols = raw.columns.filterNot(pinnedNames.contains).sorted
+      (rawByLower.get(f.name.toLowerCase) match {
+        case Some(rc) => col(rc).cast(f.dataType)
+        case None => lit(null).cast(f.dataType)
+      }).as(f.name))
+    val pinnedLower = pinned.fields.map(_.name.toLowerCase).toSet
+    val extraCols = raw.columns
+      .filterNot(c => pinnedLower.contains(c.toLowerCase)).sorted
     val overflow =
       if (extraCols.isEmpty) lit("{}")
       else to_json(struct(extraCols.map(col): _*))

@@ -16,14 +16,19 @@ final class FluentQuery private[catalog] (
     orderBys: Seq[Column] = Nil,
     selects: Seq[Column] = Nil,
     offsetN: Int = 0,
-    limitN: Option[Int] = None) {
+    limitN: Option[Int] = None,
+    // retags child frames to the base's engine collation: joining a
+    // collated string key against a plain one is an analysis error in
+    // Spark 4 (INDETERMINATE_COLLATION)
+    collate: DataFrame => DataFrame = identity) {
 
   private def copy(
       wheres: Seq[Column] = wheres,
       includes: Seq[(DataFrame, String, String, String)] = includes,
       orderBys: Seq[Column] = orderBys, selects: Seq[Column] = selects,
       offsetN: Int = offsetN, limitN: Option[Int] = limitN) =
-    new FluentQuery(base, wheres, includes, orderBys, selects, offsetN, limitN)
+    new FluentQuery(base, wheres, includes, orderBys, selects, offsetN,
+      limitN, collate)
 
   /** AND-accumulating predicate (LiteQueryable.Where). */
   def where(cond: Column): FluentQuery = copy(wheres = wheres :+ cond)
@@ -49,7 +54,8 @@ final class FluentQuery private[catalog] (
   def toDf: DataFrame = {
     var df = base
     wheres.foreach(w => df = df.filter(w))
-    includes.foreach { case (child, baseKey, childKey, asName) =>
+    includes.foreach { case (childRaw, baseKey, childKey, asName) =>
+      val child = collate(childRaw)
       // aggregate the child side first, then left-join the per-key arrays:
       // a parent with no children gets an empty array (not a single
       // all-null struct), and the shuffle is on the child table only —

@@ -53,8 +53,12 @@ final class GraftDatabase private (
 
   def tableExists(name: String): Boolean =
     Files.exists(Paths.get(tablePath(name), "_SUCCESS")) ||
-      (Files.exists(Paths.get(tablePath(name))) &&
-        Files.list(Paths.get(tablePath(name))).findFirst().isPresent)
+      (Files.exists(Paths.get(tablePath(name))) && {
+        // close the directory stream: every insert/count/sql routes
+        // through here and an unclosed Files.list leaks one fd per call
+        val s = Files.list(Paths.get(tablePath(name)))
+        try s.findFirst().isPresent finally s.close()
+      })
 
   /** Read a table (empty-schema error if absent, like reference's lazy
     * collection creation — callers insert first).
@@ -153,17 +157,22 @@ final class GraftDatabase private (
     if (!tableExists(name)) return 0L
     // mark matches BEFORE transforming: a predicate over a SET target
     // must select by the original values (filtering the transformed frame
-    // would validate — and count — the wrong rows)
+    // would validate — and count — the wrong rows). Cached for the same
+    // reason update() caches: validation, count, and the persisted write
+    // each re-evaluate the frame, and a nondeterministic predicate must
+    // select ONE row set across all three.
     val marked = table(name)
-      .withColumn("_graft_hit", coalesce(predicate, lit(false)))
-    val applied = ConstrainedDml.updateWhere(marked, col("_graft_hit"), set)
-    val changed = applied.filter(col("_graft_hit")).drop("_graft_hit")
-    val result = applied.drop("_graft_hit")
-    requireClean(ConstrainedDml.validateUpdate(
-      spark, tdef, changed, result, parentsOf(tdef)))
-    val n = changed.count()
-    writeReplace(name, result)
-    n
+      .withColumn("_graft_hit", coalesce(predicate, lit(false))).cache()
+    try {
+      val applied = ConstrainedDml.updateWhere(marked, col("_graft_hit"), set)
+      val changed = applied.filter(col("_graft_hit")).drop("_graft_hit")
+      val result = applied.drop("_graft_hit")
+      requireClean(ConstrainedDml.validateUpdate(
+        spark, tdef, changed, result, parentsOf(tdef)))
+      val n = changed.count()
+      writeReplace(name, result)
+      n
+    } finally marked.unpersist()
   }
 
   /** Set one column on ALL documents (TableCollection.cs:1150 SetAll —
@@ -209,9 +218,12 @@ final class GraftDatabase private (
       unique: Boolean = false): Boolean = {
     if (indexes(name).contains((column, unique))) return false
     if (unique) {
-      val dupes = table(name).filter(col(column).isNotNull)
-        .groupBy(column).count()
-        .filter(col("count") > 1).count()
+      // a defined-but-unmaterialized table trivially has no duplicates —
+      // reading it would throw on the absent path
+      val dupes = if (!tableExists(name)) 0L
+        else table(name).filter(col(column).isNotNull)
+          .groupBy(column).count()
+          .filter(col("count") > 1).count()
       if (dupes > 0) throw new IllegalStateException(
         s"cannot build unique index: $dupes duplicate values in $name.$column")
       val tdef = tableDef(name)
@@ -262,9 +274,14 @@ final class GraftDatabase private (
     * TableCollection.cs:316-460), persisting every affected table.
     */
   def delete(name: String, predicate: org.apache.spark.sql.Column): Unit = {
+    // deleting from an unmaterialized table is a no-op (update() parity),
+    // and a dynamic insertDocuments-created table has no entry in `defs` —
+    // both previously crashed deleteCascade's states(table) lookup
+    if (!tableExists(name)) return
     // defined-but-never-written tables have no rows, so they can neither
     // restrict nor cascade — and reading their absent directory would throw
-    val states = defs.filter { case (n, _) => tableExists(n) }
+    val states = (defs + (norm(name) -> tableDef(name)))
+      .filter { case (n, _) => tableExists(n) }
       .map { case (n, d) => n -> ((table(n), d)) }
     val updated = ConstrainedDml.deleteCascade(spark, states, norm(name), predicate)
     // two-phase swap: every new state's plan reads the CURRENT directories
@@ -366,7 +383,8 @@ final class GraftDatabase private (
     * collation, without per-predicate rewrites.
     */
   def query(name: String): FluentQuery =
-    new FluentQuery(collation.collate(table(name)))
+    new FluentQuery(collation.collate(table(name)),
+      collate = collation.collate)
 
   /** Ingest raw JSON documents as a dynamic table (the reference's raw
     * BsonDocument collections): `pinned` fields become typed columns, the

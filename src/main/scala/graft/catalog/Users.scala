@@ -282,10 +282,20 @@ final class SecuredDatabase(db: GraftDatabase, users: UserManager,
 
   /** String-query surfaces execute arbitrary reads — gate on Execute at
     * the database scope (`"*"`), since the touched tables aren't known
-    * until translation.
+    * until translation. SQL **DML** additionally requires the matching
+    * write grant: `db.sql` persists INSERT/UPDATE/DELETE, so an
+    * Execute-only role (the reference's operator) must not reach a
+    * mutation the typed surfaces would have refused.
     */
   def sql(liteSql: String): DataFrame = {
-    check("*", Execute); db.sql(liteSql)
+    check("*", Execute)
+    liteSql.trim.takeWhile(!_.isWhitespace).toUpperCase match {
+      case "INSERT" => check("*", Write)
+      case "UPDATE" => check("*", Update)
+      case "DELETE" => check("*", Delete)
+      case _ => ()
+    }
+    db.sql(liteSql)
   }
   def find(nlQuery: String): DataFrame = {
     check("*", Execute); db.find(nlQuery)

@@ -60,8 +60,12 @@ object HashChain {
   def verify(chain: DataFrame, keyCol: String, tsMicrosCol: String,
       tieCol: String, dataCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsMicrosCol), col(tieCol))
+    // coalesce to the literal "null": build hashes a null payload as the
+    // interpolated string "null", while concat_ws silently DROPS null
+    // columns — without this, every null-data row false-alarms as tampered
     val recomputed = sha2(concat_ws("-",
-      col(tsMicrosCol).cast("string"), col("previous_hash"), col(dataCol)), 256)
+      col(tsMicrosCol).cast("string"), col("previous_hash"),
+      coalesce(col(dataCol).cast("string"), lit("null"))), 256)
     chain
       .withColumn("hash_valid", recomputed === col("hash"))
       .withColumn("link_valid",

@@ -82,9 +82,13 @@ final class LiteSql(
             throw new IllegalArgumentException(s"bad INSERT: $sql"))
         val name = m.group(1).toLowerCase
         val docs = splitTopLevelDocs(m.group(2))
-        val incoming = spark.read.json(docs.toDS())
-        require(!incoming.columns.contains("_corrupt_record"),
+        val incomingRaw = spark.read.json(docs.toDS())
+        require(!incomingRaw.columns.contains("_corrupt_record"),
           s"malformed INSERT document(s): ${docs.mkString("; ")}")
+        // collate BEFORE the union: the registered view's string columns
+        // carry the engine collation and Spark 4 refuses to union
+        // collated with plain strings (INCOMPATIBLE_COLUMN_TYPE)
+        val incoming = collation.collate(incomingRaw)
         val merged = current(name).unionByName(incoming, allowMissingColumns = true)
         rebind(name, merged)
         // the inserted rows aligned to the merged schema (missing cols
@@ -359,11 +363,13 @@ final class LiteSql(
     val mask = quoteMask(s)
     var i = 0
     while (i < s.length) {
+      // isIdentChar (incl. '_'): a column like `where_clause` must not
+      // split at its keyword prefix
       if (!mask(i) && i + kw.length <= s.length &&
           s.regionMatches(true, i, kw, 0, kw.length) &&
-          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
           (i + kw.length >= s.length ||
-            !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+            !isIdentChar(s.charAt(i + kw.length))))
         return (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
       i += 1
     }
@@ -441,8 +447,12 @@ final class LiteSql(
     // $-paths (outside quotes): member paths, array index/filter segments
     sql = translateDollarPaths(sql, itemVar = None, depth = 0)
 
-    // INCLUDE list -> LEFT JOINs after FROM
-    val IncRe = "(?i)\\bFROM\\s+(\\w+)\\s+INCLUDE\\s+([\\w\\s,]+?)(?=(?i:WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|$))".r
+    // INCLUDE list -> LEFT JOINs after FROM. The terminating keyword must
+    // be a WHOLE word after whitespace: without \b a child named
+    // `workorders` would be truncated at the OR of ORDER, and a
+    // multi-child list could stop mid-identifier.
+    val IncRe = ("(?i)\\bFROM\\s+(\\w+)\\s+INCLUDE\\s+([\\w\\s,]+?)" +
+      "(?=\\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET)\\b|\\s*$)").r
     sql = IncRe.replaceAllIn(sql, m => {
       val base = m.group(1).toLowerCase
       val joins = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map { child =>

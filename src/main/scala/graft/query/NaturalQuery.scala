@@ -552,9 +552,12 @@ object NaturalQuery {
   private def matchesKeyword(s: String, i: Int, kw: String): Boolean = {
     if (i + kw.length > s.length) return false
     if (!s.regionMatches(true, i, kw, 0, kw.length)) return false
-    val beforeOk = i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))
+    // '_' is an identifier char: without it, a field like `limit_score`
+    // would be parsed as the LIMIT keyword mid-identifier
+    def ident(c: Char) = c == '_' || Character.isLetterOrDigit(c)
+    val beforeOk = i == 0 || !ident(s.charAt(i - 1))
     val after = i + kw.length
-    val afterOk = after >= s.length || !Character.isLetterOrDigit(s.charAt(after))
+    val afterOk = after >= s.length || !ident(s.charAt(after))
     beforeOk && afterOk
   }
 

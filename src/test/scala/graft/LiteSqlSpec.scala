@@ -205,4 +205,31 @@ class LiteSqlSpec extends AnyFunSuite {
       .select($"lo", $"hi").head()
     assert((r2.getLong(0), r2.getLong(1)) == ((30L, 40L)))
   }
+
+  test("INSERT under IgnoreCase collation unions cleanly (collated vs " +
+    "plain strings was an analysis error)") {
+    import graft.query.LiteSql
+    val fresh = new LiteSql(spark,
+      Map("people" -> Seq((1L, "Ann")).toDF("id", "name")), Map.empty,
+      graft.core.Collation.IgnoreCase)
+    fresh.execute("""INSERT INTO people VALUES {"id": 2, "name": "bob"}""")
+    assert(fresh.table("people").count() == 2)
+    // and the engine collation actually applies to the merged rows
+    assert(fresh.run("SELECT $.id FROM people WHERE $.name = 'BOB'")
+      .count() == 1)
+  }
+
+  test("INCLUDE child names containing keyword substrings parse whole " +
+    "(workorders must not truncate at ORDER)") {
+    import graft.query.LiteSql
+    val fresh = new LiteSql(spark,
+      Map("plant" -> Seq((1L, "p1")).toDF("id", "name"),
+        "workorders" -> Seq((10L, 1L, "fix")).toDF("wid", "plant_id", "task")),
+      Map(("plant", "workorders") -> (("id", "plant_id"))))
+    val out = fresh.run(
+      "SELECT $.name FROM plant INCLUDE workorders WHERE $.id = 1")
+    assert(out.count() == 1)
+    val both = fresh.run("SELECT $.name FROM plant INCLUDE workorders")
+    assert(both.count() == 1)
+  }
 }

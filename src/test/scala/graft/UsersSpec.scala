@@ -113,4 +113,21 @@ class UsersSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("id") === 1L)
       .collect().head.getString(1) == "renamed")
   }
+
+  test("SQL DML through a secured handle requires the matching write " +
+    "grant, not just Execute (no permission laundering via db.sql)") {
+    val db = freshDb()
+    db.defineTable(graft.dml.ConstrainedDml.TableDef("items", "id"))
+    db.insert("items", Seq((1L, "a")).toDF("id", "name"))
+    val users = db.users
+    users.addUser("op", "pw", Permission.Default.operator) // Read|Execute
+    val op = users.secured("op")
+    assert(op.sql("SELECT $.id FROM items").count() == 1) // reads fine
+    intercept[SecurityException](op.sql("DELETE items WHERE $.id = 1"))
+    intercept[SecurityException](
+      op.sql("""INSERT INTO items VALUES {"id": 9, "name": "z"}"""))
+    intercept[SecurityException](
+      op.sql("UPDATE items SET $.name = 'x' WHERE $.id = 1"))
+    assert(db.table("items").count() == 1) // nothing mutated
+  }
 }
