@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *    outside the (cell, label) pair blocks; vec_ids 0..8 (query vector +
   *    centroids) stay unique to replica 0.
   * region/nation stay fixed (dimensions, like TPC-H).
+  *
+  * Known exception to linearity: SIMHASH banding (q120). Replicas of a
+  * doc differ by one token, so their 64-bit fingerprints stay within the
+  * Hamming radius by construction — they ARE near-duplicates, and a
+  * near-dup detector finding them is correct output, not blowup; the
+  * q120 SCALE.md record attributes its pair growth to exactly this.
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
@@ -40,12 +46,25 @@ object GenScale {
     val suppBase = maxOf(load("supplier"), "s_suppkey")
     val partBase = maxOf(load("part"), "p_partkey")
     val orderBase = maxOf(load("orders"), "o_orderkey")
-    val eventBase = maxOf(load("events"), "event_id")
-    val userBase = maxOf(load("events"), "user_id")
-    val docBase = maxOf(load("documents"), "doc_id")
-    val vecBase = maxOf(load("embeddings"), "vec_id")
-    val nLabels = load("embeddings")
-      .agg(countDistinct(col("label"))).head().getLong(0)
+    // one scan for both events maxes; one scan for all embeddings stats
+    val evMax = load("events")
+      .agg(max(col("event_id")), max(col("user_id"))).head()
+    val (eventBase, userBase) = (evMax.getLong(0) + 1, evMax.getLong(1) + 1)
+    val docStats = load("documents")
+      .agg(max(col("doc_id")), max(col("n_chars"))).head()
+    val docBase = docStats.getLong(0) + 1
+    val embStats = load("embeddings")
+      .agg(max(col("vec_id")), countDistinct(col("label"))).head()
+    val (vecBase, nLabels) = (embStats.getLong(0) + 1, embStats.getLong(1))
+    // invariant guards for the anti-cross-replica tricks below: the
+    // n_chars offset needs per-replica headroom, and the label rotation
+    // only separates identical vectors while factor <= nLabels
+    require(docStats.getLong(1) < 1000,
+      s"n_chars max ${docStats.getLong(1)} >= 1000: replica jaccard " +
+        "blocks would overlap — raise the offset stride")
+    require(factor <= nLabels,
+      s"factor $factor > $nLabels labels: identical embedding copies " +
+        "would share (cell, label) blocks and pair-gen goes quadratic")
 
     /** Union `factor` remapped copies (replica column `_r` drives the
       * offsets, dropped on write).

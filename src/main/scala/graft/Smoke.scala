@@ -37,7 +37,10 @@ object Smoke {
     val stream = spark.readStream.schema(staged.schema).parquet(s"$tmp/in")
     val q = IngestPipeline.fanOut(stream, s"$tmp/fact", s"$tmp/rollup",
       s"$tmp/audit", s"$tmp/ckpt", Trigger.AvailableNow())
-    q.awaitTermination(120000)
+    // fail loudly on timeout: proceeding against a still-running stream
+    // would read partial sinks and could pass spuriously
+    assert(q.awaitTermination(120000),
+      "streaming fan-out did not finish within 120s")
     val factRows = spark.read.parquet(s"$tmp/fact").count()
     val rollupRows = spark.read.parquet(s"$tmp/rollup").count()
     println(s"[smoke] streaming fan-out fact=$factRows rollup=$rollupRows")

@@ -18,13 +18,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // prefix-match like Bench's SPARK_GRAFT_ONLY (an exact-only filter
+    // silently verified ZERO queries on a bare "q23")
+    val selected = SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(p => name == p || name.startsWith(p)))
+      }
+    if (only.isDefined && selected.isEmpty)
+      System.err.println(s"[verify] WARNING: filter matched no queries")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        // never mask a JVM-fatal error (OOM): limping on silently fails
+        // every later query while the run still exits 0
+        case fatal: VirtualMachineError => throw fatal
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
