@@ -21,8 +21,25 @@ import org.apache.spark.sql.functions._
   *    production choice; ciphertexts are non-deterministic by design.
   *  - mode "ECB": deterministic — equal plaintexts give equal
   *    ciphertexts, which keeps encrypted columns groupable/joinable
-  *    (and oracle-checkable). The classic determinism/leakage trade-off:
-  *    ECB leaks equality, exactly what a joinable encrypted key needs.
+  *    (and oracle-checkable). The determinism/leakage trade-off is
+  *    stronger than whole-value equality: each 16-byte AES block is
+  *    encrypted independently, so for plaintexts longer than one block
+  *    ECB also leaks shared aligned prefixes and repeated blocks
+  *    *within and across* values. Restrict ECB to short identifier-like
+  *    keys; for a joinable handle next to non-leaking ciphertext, the
+  *    better construction is an HMAC blind-index column alongside GCM
+  *    ciphertext (or AES-SIV where the runtime offers it — Spark's
+  *    aes_encrypt does not).
+  *
+  * SECURITY NOTE — key visibility in plan strings: the derived key is
+  * baked into the Column as a binary literal, so it appears verbatim in
+  * `explain()` output, the Spark UI SQL tab, event logs, and serialized
+  * plans shipped to executors. That is inherent to expression-literal
+  * key delivery; a deployment that must keep keys out of plan/telemetry
+  * surfaces should deliver them via executor-side secret lookup inside
+  * a UDF (trading away codegen) or encrypt at the storage/KMS layer
+  * instead. This repo's own plan dumps (PlanDump) redact long hex
+  * literals so PLANS.md never carries key material.
   *
   * The key is PBKDF2-SHA256(password, app salt, 120k) (32 bytes ->
   * AES-256): the reference's derive-from-password contract with real
@@ -41,8 +58,10 @@ object ColumnCrypto {
 
   // 120k PBKDF2 iterations cost ~100 ms; a query touching several
   // columns re-derives the same key, so memoize per (password, salt).
-  // Keys stay in driver memory either way (they are baked into the
-  // Column literals).
+  // NOTE: the key does NOT stay confined to driver memory — baked into
+  // the Column literal it travels with the plan (explain output, UI SQL
+  // tab, event logs, executor-serialized plans); see the security note
+  // in the object Scaladoc.
   private val keyCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Byte]]()
 

@@ -132,7 +132,10 @@ object EventOps {
   }
 
   /** Count, per key row, the values of `right` falling within
-    * [x*loFactor, x*hiFactor] of the key's `x` — a non-equi range join
+    * [min(x*loFactor, x*hiFactor), max(x*loFactor, x*hiFactor)] of the
+    * key's `x` (the min/max normalization makes negative `x`, which
+    * inverts the two products, count its true interval) — a non-equi
+    * range join
     * WITHOUT a nested loop. Both sides compact to distinct values with
     * multiplicity weights, the join runs on a grid of width `width`, and
     * per-value counts map back with one equi-join. Cost scales with
@@ -159,9 +162,14 @@ object EventOps {
     val weights = right
       .groupBy(col(rightValCol)).agg(count(lit(1)).as("_w"))
       .withColumn("_b", floor(col(rightValCol) / width).cast("long"))
+    // residual filter bounds use least/greatest like the bucket bounds:
+    // a negative left value inverts x*lo vs x*hi, and a plain BETWEEN on
+    // the inverted interval is vacuously empty — the banding would then
+    // generate the right buckets but the filter would drop every match
     val perValue = distinctL.join(weights, "_b")
-      .filter(col(rightValCol)
-        .between(col(leftValCol) * loFactor, col(leftValCol) * hiFactor))
+      .filter(col(rightValCol).between(
+        least(col(leftValCol) * loFactor, col(leftValCol) * hiFactor),
+        greatest(col(leftValCol) * loFactor, col(leftValCol) * hiFactor)))
       .groupBy(col(leftValCol))
       .agg(sum(col("_w")).as("n_close"))
     left.join(perValue, leftValCol)

@@ -711,18 +711,27 @@ object PipelineQueries {
         val ev = Tables.load(s, dir, "events")
           .select(col("user_id"), col("ts"),
             col("value").cast("decimal(28,8)").as("v"))
-        def part(df: org.apache.spark.sql.DataFrame, n: String, sv: String) =
+        // each partial carries a non-null count so the merged sum can be
+        // NULL exactly when the full recompute's SUM is NULL (all values
+        // NULL on both sides) — coalesce(NULL,0)+coalesce(NULL,0)=0 would
+        // silently diverge from SUM's all-NULL→NULL semantics
+        def part(df: org.apache.spark.sql.DataFrame, n: String, sv: String,
+            nn: String) =
           df.groupBy("user_id")
-            .agg(count(lit(1)).as(n), sum(col("v")).as(sv))
-        part(ev.filter(col("ts") < cutoff), "bn", "bs")
-          .join(part(ev.filter(col("ts") >= cutoff), "dn", "ds"),
+            .agg(count(lit(1)).as(n), sum(col("v")).as(sv),
+              count(col("v")).as(nn))
+        part(ev.filter(col("ts") < cutoff), "bn", "bs", "bnn")
+          .join(part(ev.filter(col("ts") >= cutoff), "dn", "ds", "dnn"),
             Seq("user_id"), "full_outer")
           .select(col("user_id"),
             (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
               .as("n_events"),
-            (coalesce(col("bs"), lit(0).cast("decimal(28,8)")) +
-              coalesce(col("ds"), lit(0).cast("decimal(28,8)")))
-              .cast("double").as("total_value"))
+            when(coalesce(col("bnn"), lit(0L)) +
+                coalesce(col("dnn"), lit(0L)) === 0L,
+              lit(null).cast("double"))
+              .otherwise((coalesce(col("bs"), lit(0).cast("decimal(28,8)")) +
+                coalesce(col("ds"), lit(0).cast("decimal(28,8)")))
+                .cast("double")).as("total_value"))
       },
       Some("""SELECT user_id, COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS total_value

@@ -227,9 +227,11 @@ object GraftProperties extends Properties("graft") {
 
   private val bandGen: Gen[(List[(Long, Double)], List[Double])] = for {
     nl <- Gen.choose(1, 15); nr <- Gen.choose(0, 40)
-    // duplicate-heavy domains exercise the distinct-compaction path
-    left <- Gen.listOfN(nl, Gen.choose(1, 40).map(_ * 25.0))
-    right <- Gen.listOfN(nr, Gen.choose(1, 45).map(_ * 23.0))
+    // duplicate-heavy domains exercise the distinct-compaction path;
+    // negative left/right values exercise the inverted-interval path
+    // (x<0 flips x*lo vs x*hi — both banding AND residual must agree)
+    left <- Gen.listOfN(nl, Gen.choose(-20, 40).map(_ * 25.0))
+    right <- Gen.listOfN(nr, Gen.choose(-25, 45).map(_ * 23.0))
   } yield (left.zipWithIndex.map { case (v, i) => (i.toLong, v) }, right)
 
   property("bandedRangeCountEqualsNaiveFilter") = Prop.forAll(bandGen) {
@@ -242,7 +244,8 @@ object GraftProperties extends Properties("graft") {
         .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("n_close"))
         .toMap
       val expected = left.map { case (k, x) =>
-        k -> right.count(v => v >= x * lo && v <= x * hi).toLong
+        val (blo, bhi) = (math.min(x * lo, x * hi), math.max(x * lo, x * hi))
+        k -> right.count(v => v >= blo && v <= bhi).toLong
       }.filter(_._2 > 0).toMap // inner semantics: zero-match keys drop
       got == expected
   }
