@@ -248,6 +248,50 @@ final class GraftDatabase private (
     else { writeIndexMeta(name, kept); true }
   }
 
+  /** DropCollection analog (`LiteDB/Engine/LiteEngine.cs` via SqlParser
+    * ParseDrop): removes the table's data directory, its index registry,
+    * and its TableDef. Returns true when something existed. Like the
+    * reference (no FK metadata), other tables' FK declarations pointing
+    * at the dropped table are not validated here — they fail loudly at
+    * the next constraint-checked write.
+    */
+  def dropCollection(name: String): Boolean = {
+    val n = norm(name)
+    val existed = tableExists(n) || defs.contains(n)
+    deleteRecursively(Paths.get(tablePath(n)))
+    Files.deleteIfExists(Paths.get(s"$tablesDir/.${n}_indexes"))
+    defs -= n
+    invalidateSqlEngine()
+    existed
+  }
+
+  /** RenameCollection analog (SqlParser ParseRename): moves the data
+    * directory + index registry and re-keys the TableDef, retargeting
+    * other tables' FKs that referenced the old name. Returns true when
+    * the source existed (as data or as a definition).
+    */
+  def renameCollection(name: String, newName: String): Boolean = {
+    val (o, n) = (norm(name), norm(newName))
+    if (o == n) return tableExists(o) || defs.contains(o)
+    require(!tableExists(n) && !defs.contains(n),
+      s"cannot rename $name: target collection $newName exists")
+    val existed = tableExists(o) || defs.contains(o)
+    if (tableExists(o))
+      Files.move(Paths.get(tablePath(o)), Paths.get(tablePath(n)))
+    val oldIx = Paths.get(s"$tablesDir/.${o}_indexes")
+    if (Files.exists(oldIx))
+      Files.move(oldIx, Paths.get(s"$tablesDir/.${n}_indexes"))
+    defs = defs.map { case (k, td) =>
+      val renamed = td.copy(
+        name = if (k == o) n else td.name,
+        fks = td.fks.map(fk =>
+          if (fk.parentTable == o) fk.copy(parentTable = n) else fk))
+      (if (k == o) n else k) -> renamed
+    }
+    invalidateSqlEngine()
+    existed
+  }
+
   /** Registered indexes for a table: (column, unique). */
   def indexes(name: String): Seq[(String, Boolean)] = {
     val p = Paths.get(s"$tablesDir/.${norm(name)}_indexes")
@@ -455,6 +499,26 @@ final class GraftDatabase private (
   private var sqlEngine: Option[graft.query.LiteSql] = None
   private def invalidateSqlEngine(): Unit = sqlEngine = None
 
+  /** The SQL layer's storage hook: DDL/admin statements parsed by LiteSql
+    * act on THIS facade (SqlParser.cs routes them to LiteEngine the same
+    * way). Every action invalidates the memoized engine itself, so the
+    * next statement rebuilds its view map from the changed catalog.
+    */
+  private lazy val facadeAdmin: graft.query.LiteSql.Admin =
+    new graft.query.LiteSql.Admin {
+      private val db = GraftDatabase.this
+      def dropCollection(name: String): Boolean = db.dropCollection(name)
+      def renameCollection(name: String, newName: String): Boolean =
+        db.renameCollection(name, newName)
+      def ensureIndex(collection: String, column: String,
+          unique: Boolean): Boolean = db.ensureIndex(collection, column, unique)
+      def dropIndex(collection: String, column: String): Boolean =
+        db.dropIndex(collection, column)
+      def pragma(name: String): Any = db.pragma(name)
+      def setPragma(name: String, value: Any): Unit = db.setPragma(name, value)
+      def checkpoint(): Seq[String] = db.checkpoint()
+    }
+
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY
     * @key, INSERT/UPDATE/DELETE/EXPLAIN) against this database's tables —
     * the facade twin of `db.Execute(sql)` in the reference. FK
@@ -468,7 +532,8 @@ final class GraftDatabase private (
   def sql(liteSql: String): DataFrame = {
     val engine = sqlEngine.getOrElse {
       val loaded = tables.filter(tableExists).map(n => n -> table(n)).toMap
-      val e = new graft.query.LiteSql(spark, loaded, fkRegistry, collation)
+      val e = new graft.query.LiteSql(spark, loaded, fkRegistry, collation,
+        admin = Some(facadeAdmin))
       sqlEngine = Some(e)
       e
     }

@@ -22,11 +22,17 @@ final class LiteSql(
     spark: SparkSession,
     tables: Map[String, DataFrame],
     foreignKeys: Map[(String, String), (String, String)],
-    collation: graft.core.Collation = graft.core.Collation.Binary) {
+    collation: graft.core.Collation = graft.core.Collation.Binary,
+    admin: Option[LiteSql.Admin] = None) {
 
   def this(spark: SparkSession, tables: Map[String, DataFrame],
       foreignKeys: Map[(String, String), (String, String)]) =
-    this(spark, tables, foreignKeys, graft.core.Collation.Binary)
+    this(spark, tables, foreignKeys, graft.core.Collation.Binary, None)
+
+  def this(spark: SparkSession, tables: Map[String, DataFrame],
+      foreignKeys: Map[(String, String), (String, String)],
+      collation: graft.core.Collation) =
+    this(spark, tables, foreignKeys, collation, None)
 
   // DML (INSERT/UPDATE/DELETE) rebinds the table's view, mirroring the
   // reference's mutable collections (SqlParser dispatch, SqlParser.cs:32-49).
@@ -56,10 +62,13 @@ final class LiteSql(
     spark.sql(translate(liteSql))
   }
 
-  /** Full command dispatch by first keyword (SqlParser.cs:32-49; the
-    * storage-engine commands CHECKPOINT/REBUILD/PRAGMA/BEGIN/COMMIT have
-    * no analog — Parquet/Delta owns storage). DML returns a 1-row frame
-    * with the affected-row count, like the reference's ExecuteNonQuery.
+  /** Full command dispatch by first keyword (SqlParser.cs:32-49):
+    * SELECT/EXPLAIN/INSERT/UPDATE/DELETE here; DROP/RENAME/CREATE INDEX/
+    * PRAGMA/CHECKPOINT/REBUILD parse here and act through the [[LiteSql.Admin]]
+    * hook (the owning GraftDatabase); BEGIN/COMMIT/ROLLBACK remain the
+    * storage log's scope. DML returns a 1-row frame with the
+    * affected-row count, like the reference's ExecuteNonQuery; DDL
+    * returns a 1-row `result` boolean like BsonDataReader(result).
     */
   def execute(liteSql: String): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
@@ -157,8 +166,117 @@ final class LiteSql(
         val n = df.filter(hit).count()
         rebind(name, df.filter(!hit))
         Seq(n).toDF("n_affected")
+      case "DROP" =>
+        // DROP INDEX {collection}.{indexName} | DROP COLLECTION {name}
+        // (SqlParser.cs ParseDrop). Index names ARE column names here:
+        // ensureIndex registers layout per column (GraftDatabase), so the
+        // reference's separate index-name namespace collapses onto the
+        // indexed column.
+        val IdxRe = "(?i)^DROP INDEX (\\w+)\\.(\\w+)\\s*;?$".r
+        val ColRe = "(?i)^DROP COLLECTION (\\w+)\\s*;?$".r
+        sql match {
+          case IdxRe(c, ix) =>
+            val ok = admin.map(_.dropIndex(c.toLowerCase, ix)).getOrElse(
+              throw new UnsupportedOperationException(
+                "DROP INDEX needs a database-backed engine (GraftDatabase.sql)"))
+            Seq(ok).toDF("result")
+          case ColRe(c) =>
+            val name = c.toLowerCase
+            val existedInMem = current.contains(name)
+            // admin (the facade) is authoritative about persisted state;
+            // the in-memory view map unbinds either way
+            val ok = admin.map(_.dropCollection(name)).getOrElse(existedInMem)
+            if (existedInMem) {
+              current -= name
+              dirtyNames -= name
+              spark.catalog.dropTempView(name)
+            }
+            Seq(ok).toDF("result")
+          case _ => throw new IllegalArgumentException(
+            s"bad DROP (expected DROP INDEX c.ix | DROP COLLECTION c): $sql")
+        }
+      case "RENAME" =>
+        // RENAME COLLECTION {name} TO {newName} (SqlParser.cs ParseRename)
+        val m = "(?i)^RENAME COLLECTION (\\w+) TO (\\w+)\\s*;?$".r
+          .findFirstMatchIn(sql).getOrElse(
+            throw new IllegalArgumentException(s"bad RENAME: $sql"))
+        val (from, to) = (m.group(1).toLowerCase, m.group(2).toLowerCase)
+        require(!current.contains(to),
+          s"cannot rename $from to $to: target collection exists")
+        val ok = admin match {
+          case Some(a) =>
+            // the facade moves the directory, so this instance's cached
+            // frame for `from` (a file-listing snapshot of the OLD path)
+            // is dead — unbind it; the facade rebuilds the engine fresh
+            val r = a.renameCollection(from, to)
+            current.get(from).foreach { _ =>
+              current -= from
+              spark.catalog.dropTempView(from)
+            }
+            dirtyNames -= from
+            r
+          case None =>
+            // in-memory rename: re-key the view map (frames stay valid)
+            current.get(from) match {
+              case Some(df) =>
+                current = current - from + (to -> df)
+                spark.catalog.dropTempView(from)
+                df.createOrReplaceTempView(to)
+                if (dirtyNames(from)) dirtyNames = dirtyNames - from + to
+                true
+              case None => false
+            }
+        }
+        Seq(ok).toDF("result")
+      case "CREATE" =>
+        // CREATE [UNIQUE] INDEX {name} ON {collection} ({expr})
+        // (SqlParser.cs ParseCreate). The index expression must reduce to
+        // a single column: the lakehouse "index" is a range-clustered
+        // sorted layout on that column (GraftDatabase.ensureIndex), and a
+        // computed expression has no stored column to cluster on.
+        val m = ("(?i)^CREATE (UNIQUE )?INDEX (\\w+) ON (\\w+) " +
+          "\\((.+)\\)\\s*;?$").r.findFirstMatchIn(sql).getOrElse(
+            throw new IllegalArgumentException(
+              s"bad CREATE (expected CREATE [UNIQUE] INDEX ix ON c (expr)): $sql"))
+        val unique = m.group(1) != null
+        val coll = m.group(3).toLowerCase
+        val column = translateExpr(m.group(4).trim)
+        require(column.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+          s"index expression must be a plain column path, got: $column")
+        val ok = admin.map(_.ensureIndex(coll, column, unique)).getOrElse(
+          throw new UnsupportedOperationException(
+            "CREATE INDEX needs a database-backed engine (GraftDatabase.sql)"))
+        Seq(ok).toDF("result")
+      case "PRAGMA" =>
+        // PRAGMA NAME | PRAGMA NAME = VALUE (SqlParser.cs ParsePragma)
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          "PRAGMA needs a database-backed engine (GraftDatabase.sql)"))
+        val SetRe = "(?i)^PRAGMA (\\w+)\\s*=\\s*(.+?)\\s*;?$".r
+        val GetRe = "(?i)^PRAGMA (\\w+)\\s*;?$".r
+        sql match {
+          case SetRe(n, raw) =>
+            val v: Any =
+              raw.toLongOption.getOrElse[Any](
+                raw.toBooleanOption.getOrElse[Any](
+                  raw.stripPrefix("'").stripSuffix("'")
+                    .stripPrefix("\"").stripSuffix("\"")))
+            a.setPragma(n, v)
+            Seq(true).toDF("result")
+          case GetRe(n) =>
+            Seq((n.toUpperCase, String.valueOf(a.pragma(n))))
+              .toDF("name", "value")
+          case _ => throw new IllegalArgumentException(s"bad PRAGMA: $sql")
+        }
+      case "CHECKPOINT" | "REBUILD" =>
+        // CHECKPOINT flushes the WAL, REBUILD rewrites the datafile
+        // (SqlParser.cs). The parquet-store analog of both is small-file
+        // compaction maintenance; returns the number of compacted tables.
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          s"$kw needs a database-backed engine (GraftDatabase.sql)"))
+        Seq(a.checkpoint().size.toLong).toDF("n_affected")
       case other => throw new IllegalArgumentException(
-        s"unsupported command $other (storage-engine commands have no analog)")
+        s"unsupported command $other " +
+          "(BEGIN/COMMIT/ROLLBACK are the storage log's scope)")
     }
   }
 
@@ -484,6 +602,23 @@ final class LiteSql(
 }
 
 object LiteSql {
+
+  /** Storage-side hooks for the DDL/admin commands (`SqlParser.cs:38-49`
+    * dispatch): the SQL layer parses, the owning database acts. A
+    * standalone LiteSql (no admin) still supports in-memory DROP/RENAME
+    * COLLECTION on its view map; index/pragma/checkpoint commands need
+    * the facade because they are storage-layout concerns.
+    */
+  trait Admin {
+    def dropCollection(name: String): Boolean
+    def renameCollection(name: String, newName: String): Boolean
+    def ensureIndex(collection: String, column: String, unique: Boolean): Boolean
+    def dropIndex(collection: String, column: String): Boolean
+    def pragma(name: String): Any
+    def setPragma(name: String, value: Any): Unit
+    def checkpoint(): Seq[String]
+  }
+
   def apply(spark: SparkSession, sfDir: String): LiteSql =
     apply(spark, sfDir, graft.core.Collation.Binary)
 
