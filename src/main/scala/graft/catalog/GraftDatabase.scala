@@ -215,8 +215,25 @@ final class GraftDatabase private (
     * the index was (re)built, false if an identical one is registered.
     */
   def ensureIndex(name: String, column: String,
-      unique: Boolean = false): Boolean = {
-    if (indexes(name).contains((column, unique))) return false
+      unique: Boolean = false): Boolean =
+    ensureIndex(name, column, column, unique)
+
+  /** Named form (`CREATE [UNIQUE] INDEX ix ON c (col)`): the reference
+    * keys its index registry by NAME (`SqlParser/Commands/Create.cs`),
+    * so DROP INDEX resolves `c.ix` later. A name collision with a
+    * DIFFERENT column fails loudly, like LiteDB's "index already exists
+    * with a different expression"; a same-column re-registration
+    * replaces the entry (one clustered layout per column).
+    */
+  def ensureIndex(name: String, indexName: String, column: String,
+      unique: Boolean): Boolean = {
+    val cur = indexDefs(name)
+    if (cur.contains((indexName, column, unique))) return false
+    cur.find(_._1 == indexName).foreach { case (_, c, _) =>
+      if (c != column) throw new IllegalStateException(
+        s"index $indexName already exists on $name.$c with a different " +
+          s"expression (requested $column)")
+    }
     if (unique) {
       // a defined-but-unmaterialized table trivially has no duplicates —
       // reading it would throw on the absent path
@@ -234,18 +251,33 @@ final class GraftDatabase private (
       writeReplace(name, table(name)
         .repartitionByRange(col(column)).sortWithinPartitions(column))
     writeIndexMeta(name,
-      indexes(name).filterNot(_._1 == column) :+ ((column, unique)))
+      cur.filterNot(d => d._1 == indexName || d._2 == column) :+
+        ((indexName, column, unique)))
     true
   }
 
-  /** DropIndex (TableCollection.cs:307). Deregisters only — the data
-    * layout is left as-is, like dropping a B-tree leaves the heap.
+  /** DropIndex (TableCollection.cs:307) by index name — or, for indexes
+    * registered without an explicit name, by column. Deregisters only —
+    * the data layout is left as-is, like dropping a B-tree leaves the
+    * heap — but a unique index's constraint goes with it (the reference's
+    * uniqueness lives ON the index).
     */
-  def dropIndex(name: String, column: String): Boolean = {
-    val cur = indexes(name)
-    val kept = cur.filterNot(_._1 == column)
-    if (kept.size == cur.size) false
-    else { writeIndexMeta(name, kept); true }
+  def dropIndex(name: String, indexName: String): Boolean = {
+    val cur = indexDefs(name)
+    val hit = cur.find(_._1 == indexName)
+      .orElse(cur.find(d => d._1 == d._2 && d._2 == indexName))
+    hit match {
+      case None => false
+      case Some((ix, column, unique)) =>
+        if (unique) {
+          val tdef = tableDef(name)
+          if (tdef.uniqueCols.contains(column))
+            defs += tdef.name ->
+              tdef.copy(uniqueCols = tdef.uniqueCols.filterNot(_ == column))
+        }
+        writeIndexMeta(name, cur.filterNot(_._1 == ix))
+        true
+    }
   }
 
   /** DropCollection analog (`LiteDB/Engine/LiteEngine.cs` via SqlParser
@@ -276,11 +308,19 @@ final class GraftDatabase private (
     require(!tableExists(n) && !defs.contains(n),
       s"cannot rename $name: target collection $newName exists")
     val existed = tableExists(o) || defs.contains(o)
+    // recoverability ordering: clear any stale target registry (a crashed
+    // earlier rename could have left one — move without REPLACE_EXISTING
+    // would throw on it), move the small registry file FIRST, then the
+    // data directory. A failure between the two leaves both stores
+    // readable under their original directory with a re-runnable rename;
+    // the reverse order could strand the data under the new name with the
+    // registry still keyed to the old one.
+    val oldIx = Paths.get(s"$tablesDir/.${o}_indexes")
+    val newIx = Paths.get(s"$tablesDir/.${n}_indexes")
+    Files.deleteIfExists(newIx)
+    if (Files.exists(oldIx)) Files.move(oldIx, newIx)
     if (tableExists(o))
       Files.move(Paths.get(tablePath(o)), Paths.get(tablePath(n)))
-    val oldIx = Paths.get(s"$tablesDir/.${o}_indexes")
-    if (Files.exists(oldIx))
-      Files.move(oldIx, Paths.get(s"$tablesDir/.${n}_indexes"))
     defs = defs.map { case (k, td) =>
       val renamed = td.copy(
         name = if (k == o) n else td.name,
@@ -293,19 +333,29 @@ final class GraftDatabase private (
   }
 
   /** Registered indexes for a table: (column, unique). */
-  def indexes(name: String): Seq[(String, Boolean)] = {
+  def indexes(name: String): Seq[(String, Boolean)] =
+    indexDefs(name).map(d => (d._2, d._3))
+
+  /** Named index registry rows: (indexName, column, unique). Legacy
+    * 2-field registry lines (column\tunique) read as name == column.
+    */
+  def indexDefs(name: String): Seq[(String, String, Boolean)] = {
     val p = Paths.get(s"$tablesDir/.${norm(name)}_indexes")
     if (!Files.exists(p)) Nil
     else new String(Files.readAllBytes(p), "UTF-8").split("\n")
       .filter(_.nonEmpty).toSeq.map { line =>
-        val Array(c, u) = line.split("\t")
-        (c, u.toBoolean)
+        line.split("\t") match {
+          case Array(ix, c, u) => (ix, c, u.toBoolean)
+          case Array(c, u)     => (c, c, u.toBoolean)
+          case _ => throw new IllegalStateException(s"bad index registry line: $line")
+        }
       }
   }
 
-  private def writeIndexMeta(name: String, ix: Seq[(String, Boolean)]): Unit =
+  private def writeIndexMeta(name: String,
+      ix: Seq[(String, String, Boolean)]): Unit =
     Files.write(Paths.get(s"$tablesDir/.${norm(name)}_indexes"),
-      ix.map { case (c, u) => s"$c\t$u" }.mkString("\n").getBytes("UTF-8"))
+      ix.map { case (n, c, u) => s"$n\t$c\t$u" }.mkString("\n").getBytes("UTF-8"))
 
   private def parentsOf(tdef: TableDef): Map[String, DataFrame] =
     tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
@@ -510,10 +560,11 @@ final class GraftDatabase private (
       def dropCollection(name: String): Boolean = db.dropCollection(name)
       def renameCollection(name: String, newName: String): Boolean =
         db.renameCollection(name, newName)
-      def ensureIndex(collection: String, column: String,
-          unique: Boolean): Boolean = db.ensureIndex(collection, column, unique)
-      def dropIndex(collection: String, column: String): Boolean =
-        db.dropIndex(collection, column)
+      def ensureIndex(collection: String, indexName: String, column: String,
+          unique: Boolean): Boolean =
+        db.ensureIndex(collection, indexName, column, unique)
+      def dropIndex(collection: String, indexName: String): Boolean =
+        db.dropIndex(collection, indexName)
       def pragma(name: String): Any = db.pragma(name)
       def setPragma(name: String, value: Any): Unit = db.setPragma(name, value)
       def checkpoint(): Seq[String] = db.checkpoint()

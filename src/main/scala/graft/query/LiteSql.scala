@@ -43,6 +43,10 @@ final class LiteSql(
   // (LiteDB/Utils/Collation.cs via BsonValue.CompareTo).
   private var current: Map[String, DataFrame] =
     tables.map { case (n, df) => n -> collation.collate(df) }
+  // mutable twin of the constructor FK registry: in-memory RENAME
+  // COLLECTION re-keys entries so INCLUDE keeps resolving declared keys
+  // (the facade path instead rebuilds the whole engine with a fresh map)
+  private var fks: Map[(String, String), (String, String)] = foreignKeys
   refreshViews()
 
   /** Temp views are session-global, so another live LiteSql instance (e.g.
@@ -168,10 +172,11 @@ final class LiteSql(
         Seq(n).toDF("n_affected")
       case "DROP" =>
         // DROP INDEX {collection}.{indexName} | DROP COLLECTION {name}
-        // (SqlParser.cs ParseDrop). Index names ARE column names here:
-        // ensureIndex registers layout per column (GraftDatabase), so the
-        // reference's separate index-name namespace collapses onto the
-        // indexed column.
+        // (SqlParser.cs ParseDrop). Index names resolve through the
+        // facade's name→column registry (GraftDatabase.indexDefs), so
+        // the reference-compatible sequence CREATE INDEX ix ON c (a);
+        // DROP INDEX c.ix works; a bare column name still resolves for
+        // indexes registered without an explicit name.
         val IdxRe = "(?i)^DROP INDEX (\\w+)\\.(\\w+)\\s*;?$".r
         val ColRe = "(?i)^DROP COLLECTION (\\w+)\\s*;?$".r
         sql match {
@@ -217,12 +222,18 @@ final class LiteSql(
             r
           case None =>
             // in-memory rename: re-key the view map (frames stay valid)
+            // AND the FK registry, so INCLUDE against the renamed
+            // collection still resolves the declared keys instead of
+            // silently failing over to convention-based guessing
             current.get(from) match {
               case Some(df) =>
                 current = current - from + (to -> df)
                 spark.catalog.dropTempView(from)
                 df.createOrReplaceTempView(to)
                 if (dirtyNames(from)) dirtyNames = dirtyNames - from + to
+                fks = fks.map { case ((p, c), v) =>
+                  (if (p == from) to else p, if (c == from) to else c) -> v
+                }
                 true
               case None => false
             }
@@ -239,12 +250,13 @@ final class LiteSql(
             throw new IllegalArgumentException(
               s"bad CREATE (expected CREATE [UNIQUE] INDEX ix ON c (expr)): $sql"))
         val unique = m.group(1) != null
+        val ixName = m.group(2)
         val coll = m.group(3).toLowerCase
         val column = translateExpr(m.group(4).trim)
         require(column.matches("[A-Za-z_][A-Za-z0-9_.]*"),
           s"index expression must be a plain column path, got: $column")
-        val ok = admin.map(_.ensureIndex(coll, column, unique)).getOrElse(
-          throw new UnsupportedOperationException(
+        val ok = admin.map(_.ensureIndex(coll, ixName, column, unique))
+          .getOrElse(throw new UnsupportedOperationException(
             "CREATE INDEX needs a database-backed engine (GraftDatabase.sql)"))
         Seq(ok).toDF("result")
       case "PRAGMA" =>
@@ -574,7 +586,7 @@ final class LiteSql(
     sql = IncRe.replaceAllIn(sql, m => {
       val base = m.group(1).toLowerCase
       val joins = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map { child =>
-        val (pk, fk) = foreignKeys.getOrElse((base, child.toLowerCase),
+        val (pk, fk) = fks.getOrElse((base, child.toLowerCase),
           throw new IllegalArgumentException(s"no FK between $base and $child"))
         s"LEFT JOIN ${child.toLowerCase} ON $base.$pk = ${child.toLowerCase}.$fk"
       }
@@ -612,8 +624,14 @@ object LiteSql {
   trait Admin {
     def dropCollection(name: String): Boolean
     def renameCollection(name: String, newName: String): Boolean
-    def ensureIndex(collection: String, column: String, unique: Boolean): Boolean
-    def dropIndex(collection: String, column: String): Boolean
+    /** Register/rebuild a named index over one column (the reference
+      * keys indexes by NAME — `SqlParser/Commands/Create.cs` — so DROP
+      * INDEX can resolve `collection.indexName` later).
+      */
+    def ensureIndex(collection: String, indexName: String, column: String,
+        unique: Boolean): Boolean
+    /** Drop by index name (or, for unnamed registrations, column name). */
+    def dropIndex(collection: String, indexName: String): Boolean
     def pragma(name: String): Any
     def setPragma(name: String, value: Any): Unit
     def checkpoint(): Seq[String]

@@ -372,6 +372,121 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.count("nope") == 0 && !db.exists("nope", lit(true)))
   }
 
+  test("SQL CREATE/DROP INDEX through the facade: named registry, " +
+      "unique enforcement, reference dispatch (SqlParser.cs:32-49)") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40), (3, "cal", 30))
+      .toDF("id", "name", "age"))
+
+    // CREATE INDEX registers under the INDEX NAME (Create.cs), so the
+    // reference-compatible DROP INDEX c.ixName resolves it
+    assert(db.sql("CREATE INDEX ix_age ON customer ($.age)")
+      .head().getBoolean(0))
+    assert(db.indexDefs("customer") == Seq(("ix_age", "age", false)))
+    // identical re-create is a no-op returning false (EnsureIndex parity)
+    assert(!db.sql("CREATE INDEX ix_age ON customer (age)")
+      .head().getBoolean(0))
+    // same name, different column: loud failure (LiteDB throws
+    // "index already exists with a different expression")
+    intercept[IllegalStateException] {
+      db.sql("CREATE INDEX ix_age ON customer (id)")
+    }
+    // computed expressions have no stored column to cluster on
+    intercept[IllegalArgumentException] {
+      db.sql("CREATE INDEX ix_up ON customer (UPPER($.name))")
+    }
+
+    // CREATE UNIQUE INDEX: registers the constraint, insert enforces it
+    assert(db.sql("CREATE UNIQUE INDEX ix_name ON customer (name)")
+      .head().getBoolean(0))
+    intercept[IllegalStateException] {
+      db.insert("customer", Seq((9, "ann", 1)).toDF("id", "name", "age"))
+    }
+    // a duplicated column refuses a unique index
+    intercept[IllegalStateException] {
+      db.sql("CREATE UNIQUE INDEX ix_dup ON customer (age)")
+    }
+
+    // DROP INDEX by {collection}.{indexName}; the unique constraint goes
+    // with its index, so the previously-rejected insert now lands
+    assert(db.sql("DROP INDEX customer.ix_name").head().getBoolean(0))
+    assert(!db.sql("DROP INDEX customer.ix_name").head().getBoolean(0))
+    db.insert("customer", Seq((9, "ann", 1)).toDF("id", "name", "age"))
+    assert(db.count("customer") == 4)
+    assert(db.sql("DROP INDEX customer.ix_age").head().getBoolean(0))
+    assert(db.indexDefs("customer").isEmpty)
+  }
+
+  test("SQL DROP/RENAME COLLECTION through the facade: persisted state, " +
+      "FK retargeting, stale-frame unbind") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0), (12, 2, 99.0))
+      .toDF("id", "customer_id", "amount"))
+
+    // RENAME the PARENT: orders' declared FK retargets to the new name,
+    // so constraint-checked writes validate against the renamed table
+    assert(db.sql("RENAME COLLECTION customer TO clients")
+      .head().getBoolean(0))
+    assert(db.tableExists("clients") && !db.tableExists("customer"))
+    assert(db.sql("SELECT $.name FROM clients WHERE $.age > 35")
+      .as[String].collect().toSeq == Seq("bob"))
+    // stale frame unbound: the old name no longer resolves
+    intercept[Exception](db.sql("SELECT $ FROM customer").collect())
+    // FK now points at clients: a valid child insert passes, orphan fails
+    db.insert("orders", Seq((13, 1, 1.0)).toDF("id", "customer_id", "amount"))
+    intercept[IllegalStateException] {
+      db.insert("orders", Seq((14, 99, 1.0)).toDF("id", "customer_id", "amount"))
+    }
+    // INCLUDE through the retargeted FK still joins on declared keys
+    val inc = db.sql(
+      "SELECT $.name, $.amount FROM clients INCLUDE orders WHERE $.age < 35")
+    assert(inc.count() == 2)
+    // unique(name) survived the rename on the renamed def
+    intercept[IllegalStateException] {
+      db.insert("clients", Seq((5, "ann", 9)).toDF("id", "name", "age"))
+    }
+    // rename onto an existing collection fails loudly
+    intercept[IllegalArgumentException] {
+      db.sql("RENAME COLLECTION clients TO orders")
+    }
+
+    // DROP COLLECTION removes data + index registry + definition
+    db.ensureIndex("orders", "id")
+    assert(db.sql("DROP COLLECTION orders").head().getBoolean(0))
+    assert(!db.tableExists("orders"))
+    assert(db.indexDefs("orders").isEmpty)
+    assert(!db.sql("DROP COLLECTION orders").head().getBoolean(0))
+    intercept[Exception](db.sql("SELECT $ FROM orders").collect())
+    // the surviving table still answers
+    assert(db.sql("SELECT $.id FROM clients").count() == 2)
+  }
+
+  test("SQL PRAGMA and CHECKPOINT through the facade") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))
+
+    // PRAGMA NAME = VALUE, then PRAGMA NAME reads it back
+    assert(db.sql("PRAGMA USER_VERSION = 7").head().getBoolean(0))
+    val got = db.sql("PRAGMA USER_VERSION").head()
+    assert(got.getString(0) == "USER_VERSION" && got.getString(1) == "7")
+    // read-only pragma rejected like the reference
+    intercept[IllegalStateException](db.sql("PRAGMA COLLATION = 'x'"))
+    intercept[IllegalArgumentException](db.sql("PRAGMA NOPE"))
+
+    // CHECKPOINT compacts tables holding more than the CHECKPOINT pragma's
+    // file count; with the pragma at 1 and several small appends, the
+    // customer table qualifies and reports as compacted
+    db.insert("customer", Seq((2, "bob", 40)).toDF("id", "name", "age"))
+    db.insert("customer", Seq((3, "cal", 50)).toDF("id", "name", "age"))
+    db.sql("PRAGMA CHECKPOINT = 1")
+    assert(db.sql("CHECKPOINT").head().getLong(0) >= 1)
+    assert(db.count("customer") == 3) // content survives compaction
+    // a second pass finds nothing left to compact
+    assert(db.sql("CHECKPOINT").head().getLong(0) == 0)
+  }
+
   test("tables/resources enumerate declared tables and stored files") {
     val db = freshDb()
     db.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))

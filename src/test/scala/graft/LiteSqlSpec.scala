@@ -136,8 +136,50 @@ class LiteSqlSpec extends AnyFunSuite {
       .head().getString(0)
     assert(plan.contains("Physical Plan"))
 
-    // storage-engine commands are explicitly unsupported
-    intercept[IllegalArgumentException](fresh.execute("CHECKPOINT"))
+    // storage-layout commands need a database-backed engine: an
+    // admin-less instance parses them but cannot act
+    intercept[UnsupportedOperationException](fresh.execute("CHECKPOINT"))
+    intercept[UnsupportedOperationException](fresh.execute("REBUILD"))
+    intercept[UnsupportedOperationException](fresh.execute("PRAGMA USER_VERSION"))
+    intercept[UnsupportedOperationException](
+      fresh.execute("CREATE INDEX ix_age ON friend (age)"))
+    intercept[UnsupportedOperationException](
+      fresh.execute("DROP INDEX friend.ix_age"))
+  }
+
+  test("DDL dispatch without an admin: in-memory DROP/RENAME COLLECTION") {
+    import graft.query.LiteSql
+    val fresh = new LiteSql(spark,
+      Map("plant" -> Seq((1L, "p1"), (2L, "p2")).toDF("id", "name"),
+        "workorders" -> Seq((10L, 1L, "fix"), (11L, 2L, "oil"))
+          .toDF("wid", "plant_id", "task")),
+      Map(("plant", "workorders") -> (("id", "plant_id"))))
+
+    // RENAME COLLECTION re-keys the view map AND the FK registry:
+    // INCLUDE against the renamed parent still joins on the DECLARED
+    // keys (id = plant_id), not convention guessing
+    assert(fresh.execute("RENAME COLLECTION plant TO factory")
+      .head().getBoolean(0))
+    assert(fresh.run("SELECT $.name FROM factory WHERE $.id = 1").count() == 1)
+    val joined = fresh.run(
+      "SELECT factory.name, workorders.task FROM factory INCLUDE workorders " +
+        "WHERE factory.id = 1")
+    assert(joined.select("task").as[String].collect().toSeq == Seq("fix"))
+    // the old name is gone
+    intercept[Exception](fresh.run("SELECT $ FROM plant").collect())
+    // renaming a missing collection reports false (reference: no-op)
+    assert(!fresh.execute("RENAME COLLECTION plant TO ghost")
+      .head().getBoolean(0))
+    // renaming onto an existing collection fails loudly
+    intercept[IllegalArgumentException](
+      fresh.execute("RENAME COLLECTION factory TO workorders"))
+
+    // DROP COLLECTION unbinds the view; second drop reports false
+    assert(fresh.execute("DROP COLLECTION workorders").head().getBoolean(0))
+    intercept[Exception](fresh.run("SELECT $ FROM workorders").collect())
+    assert(!fresh.execute("DROP COLLECTION workorders").head().getBoolean(0))
+    // malformed DROP is a parse error, not a silent no-op
+    intercept[IllegalArgumentException](fresh.execute("DROP banana"))
   }
 
   test("DML edge cases: nulls, quoted keywords, function commas, new columns") {
