@@ -14,9 +14,15 @@ import graft.ts.TimeSeriesOps
   * `Tables/`, `TimeSeries/`, `Files/` sub-stores; typed table accessors;
   * constraint-checked writes.
   *
-  * Storage is parquet directories (one per table, date-partitioned for the
-  * time-series store) — the layout that scales to a cluster; swapping in a
-  * transactional table format only changes `write`/`read` here.
+  * The `Tables/` store is backed by [[TxLog]] — a multi-table ACID
+  * commit log over immutable parquet files (the lakehouse analog of the
+  * reference's WAL + snapshot isolation, `WalIndexService.cs:143-291`):
+  * every DML/DDL action is one atomic log commit, a cascade delete
+  * commits ALL affected tables in one version, concurrent readers keep
+  * valid plans over the immutable files they resolved, and stale
+  * writers fail with a conflict instead of silently losing updates.
+  * The append-only time-series store stays date-partitioned parquet
+  * (appends commute; no log needed).
   */
 final class GraftDatabase private (
     val spark: SparkSession, val name: String, val root: String,
@@ -27,6 +33,8 @@ final class GraftDatabase private (
   private val filesDir = s"$root/Files"
   Seq(tablesDir, tsDir, filesDir)
     .foreach(d => Files.createDirectories(Paths.get(d)))
+
+  private val txlog = new TxLog(spark, root)
 
   private var defs: Map[String, TableDef] = Map.empty
 
@@ -51,30 +59,36 @@ final class GraftDatabase private (
 
   def tablePath(name: String): String = s"$tablesDir/${norm(name)}"
 
+  /** A table exists once a commit bound files to it (the reference's
+    * lazy collection creation: first insert materializes).
+    */
   def tableExists(name: String): Boolean =
-    Files.exists(Paths.get(tablePath(name), "_SUCCESS")) ||
-      (Files.exists(Paths.get(tablePath(name))) && {
-        // close the directory stream: every insert/count/sql routes
-        // through here and an unclosed Files.list leaks one fd per call
-        val s = Files.list(Paths.get(tablePath(name)))
-        try s.findFirst().isPresent finally s.close()
-      })
+    txlog.snapshot().tables.contains(norm(name))
 
-  /** Read a table (empty-schema error if absent, like reference's lazy
-    * collection creation — callers insert first).
+  /** Read a table at the current committed snapshot. The returned
+    * frame's plan is bound to IMMUTABLE files, so it stays valid (and
+    * keeps answering with its snapshot's data) across later commits —
+    * reader/writer isolation without blocking.
     */
-  def table(name: String): DataFrame = spark.read.parquet(tablePath(name))
+  def table(name: String): DataFrame =
+    txlog.read(norm(name)).getOrElse(throw new IllegalArgumentException(
+      s"table '${norm(name)}' does not exist (no committed data)"))
 
-  /** All table names: declared via `defineTable` plus any materialized on
-    * disk (IotDatabase.cs:45 Tables()).
+  /** The table's live data files at the current snapshot (diagnostics,
+    * manifest queries, layout inspection).
     */
-  def tables: Seq[String] = {
-    val onDisk = Option(new java.io.File(tablesDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.endsWith("_tmp_swap"))
-      .map(_.getName)
-    (defs.keySet ++ onDisk).toSeq.sorted
-  }
+  def liveFiles(name: String): Seq[String] = txlog.liveFiles(norm(name))
+
+  /** Latest committed log version (every DML/DDL action is exactly one
+    * commit; a cascade across N tables is still one).
+    */
+  def logVersion: Long = txlog.version
+
+  /** All table names: declared via `defineTable` plus any committed in
+    * the log (IotDatabase.cs:45 Tables()).
+    */
+  def tables: Seq[String] =
+    (defs.keySet ++ txlog.snapshot().tables.keySet).toSeq.sorted
 
   /** Resource listing — `table_<name>` rows like the reference's
     * `IotDatabase.Resources` (IotDatabase.cs:114-131), plus
@@ -89,7 +103,9 @@ final class GraftDatabase private (
     * TableCollection.cs:922-1070).
     */
   def insert(name: String, rows: DataFrame): Unit = {
+    requireNoOpenTx()
     val tdef = tableDef(name)
+    val base = txlog.version
     val existing = if (tableExists(name)) Some(table(name)) else None
     val parents = tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
     val violations =
@@ -97,7 +113,10 @@ final class GraftDatabase private (
     if (violations.nonEmpty)
       throw new IllegalStateException(s"constraint violations: $violations")
     enforceLimitSize()
-    rows.write.mode("append").parquet(tablePath(name))
+    // an append is an ADD action — but it was VALIDATED against `base`
+    // (unique/PK sets), so a concurrent same-table commit must conflict
+    txlog.commit(Seq(TxLog.Add(norm(name), txlog.stage(norm(name), rows))),
+      readVersion = base)
     invalidateSqlEngine()
   }
 
@@ -106,13 +125,15 @@ final class GraftDatabase private (
     * index-maintaining upsert.
     */
   def upsert(name: String, rows: DataFrame): Unit = {
+    requireNoOpenTx()
     val tdef = tableDef(name)
+    val base = txlog.version
     val merged =
       if (tableExists(name)) ConstrainedDml.upsert(table(name), rows, tdef.pk)
       else rows
     requireClean(ConstrainedDml.validateUpdate(
       spark, tdef, rows, merged, parentsOf(tdef)))
-    writeReplace(name, merged)
+    writeReplace(name, merged, base)
   }
 
   /** Update existing documents by PK (TableCollection.cs:1256-1298):
@@ -121,7 +142,9 @@ final class GraftDatabase private (
     * inserts; that is `upsert`). Returns the number of rows replaced.
     */
   def update(name: String, rows: DataFrame): Long = {
+    requireNoOpenTx()
     val tdef = tableDef(name)
+    val base = txlog.version
     if (!tableExists(name)) return 0L
     val existing = table(name)
     // cache: the frame is evaluated twice (count + the persisted merge) —
@@ -135,7 +158,7 @@ final class GraftDatabase private (
         val merged = ConstrainedDml.upsert(existing, matched, tdef.pk)
         requireClean(ConstrainedDml.validateUpdate(
           spark, tdef, matched, merged, parentsOf(tdef)))
-        writeReplace(name, merged)
+        writeReplace(name, merged, base)
       }
       n
     } finally matched.unpersist()
@@ -150,10 +173,12 @@ final class GraftDatabase private (
     */
   def updateMany(name: String, predicate: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
+    requireNoOpenTx()
     val tdef = tableDef(name)
     require(!set.contains(tdef.pk),
       s"cannot modify the PK '${tdef.pk}' via updateMany (reference: " +
         "LiteDB forbids _id transforms)")
+    val base = txlog.version
     if (!tableExists(name)) return 0L
     // mark matches BEFORE transforming: a predicate over a SET target
     // must select by the original values (filtering the transformed frame
@@ -170,7 +195,7 @@ final class GraftDatabase private (
       requireClean(ConstrainedDml.validateUpdate(
         spark, tdef, changed, result, parentsOf(tdef)))
       val n = changed.count()
-      writeReplace(name, result)
+      writeReplace(name, result, base)
       n
     } finally marked.unpersist()
   }
@@ -281,46 +306,47 @@ final class GraftDatabase private (
   }
 
   /** DropCollection analog (`LiteDB/Engine/LiteEngine.cs` via SqlParser
-    * ParseDrop): removes the table's data directory, its index registry,
-    * and its TableDef. Returns true when something existed. Like the
-    * reference (no FK metadata), other tables' FK declarations pointing
-    * at the dropped table are not validated here — they fail loudly at
-    * the next constraint-checked write.
+    * ParseDrop): one DEL log commit unbinds the table (its immutable
+    * files stay on disk until vacuum, so a concurrent reader's plan
+    * keeps answering), plus index-registry and TableDef cleanup.
+    * Returns true when something existed. Like the reference (no FK
+    * metadata), other tables' FK declarations pointing at the dropped
+    * table are not validated here — they fail loudly at the next
+    * constraint-checked write.
     */
   def dropCollection(name: String): Boolean = {
+    requireNoOpenTx()
     val n = norm(name)
     val existed = tableExists(n) || defs.contains(n)
-    deleteRecursively(Paths.get(tablePath(n)))
+    if (tableExists(n)) txlog.commit(Seq(TxLog.Del(n)))
     Files.deleteIfExists(Paths.get(s"$tablesDir/.${n}_indexes"))
     defs -= n
     invalidateSqlEngine()
     existed
   }
 
-  /** RenameCollection analog (SqlParser ParseRename): moves the data
-    * directory + index registry and re-keys the TableDef, retargeting
-    * other tables' FKs that referenced the old name. Returns true when
-    * the source existed (as data or as a definition).
+  /** RenameCollection analog (SqlParser ParseRename): one REN log
+    * commit re-keys the table→files binding — a metadata-only atomic
+    * action, no data movement, safe under concurrent readers (their
+    * plans hold the immutable files) — then re-keys the index registry
+    * and the TableDefs, retargeting other tables' FKs that referenced
+    * the old name. Returns true when the source existed (as data or as
+    * a definition).
     */
   def renameCollection(name: String, newName: String): Boolean = {
+    requireNoOpenTx()
     val (o, n) = (norm(name), norm(newName))
     if (o == n) return tableExists(o) || defs.contains(o)
     require(!tableExists(n) && !defs.contains(n),
       s"cannot rename $name: target collection $newName exists")
     val existed = tableExists(o) || defs.contains(o)
-    // recoverability ordering: clear any stale target registry (a crashed
-    // earlier rename could have left one — move without REPLACE_EXISTING
-    // would throw on it), move the small registry file FIRST, then the
-    // data directory. A failure between the two leaves both stores
-    // readable under their original directory with a re-runnable rename;
-    // the reverse order could strand the data under the new name with the
-    // registry still keyed to the old one.
+    if (tableExists(o)) txlog.commit(Seq(TxLog.Ren(o, n)))
+    // the registry sidecar is tiny metadata: clear any stale target file
+    // (a crashed earlier rename), then re-key
     val oldIx = Paths.get(s"$tablesDir/.${o}_indexes")
     val newIx = Paths.get(s"$tablesDir/.${n}_indexes")
     Files.deleteIfExists(newIx)
     if (Files.exists(oldIx)) Files.move(oldIx, newIx)
-    if (tableExists(o))
-      Files.move(Paths.get(tablePath(o)), Paths.get(tablePath(n)))
     defs = defs.map { case (k, td) =>
       val renamed = td.copy(
         name = if (k == o) n else td.name,
@@ -365,45 +391,43 @@ final class GraftDatabase private (
       throw new IllegalStateException(s"constraint violations: $vs")
 
   /** Delete with FK actions (cascade/restrict/set-null walk,
-    * TableCollection.cs:316-460), persisting every affected table.
+    * TableCollection.cs:316-460), committing EVERY affected table in
+    * ONE atomic log version — the multi-table transactional cascade the
+    * reference runs inside a single WAL transaction
+    * (`TransactionService.cs:125-282`). All staged writes are fully
+    * distributed; a crash before the commit publishes leaves the store
+    * at the pre-delete snapshot.
     */
   def delete(name: String, predicate: org.apache.spark.sql.Column): Unit = {
+    requireNoOpenTx()
     // deleting from an unmaterialized table is a no-op (update() parity),
     // and a dynamic insertDocuments-created table has no entry in `defs` —
     // both previously crashed deleteCascade's states(table) lookup
+    val base = txlog.version
     if (!tableExists(name)) return
     // defined-but-never-written tables have no rows, so they can neither
-    // restrict nor cascade — and reading their absent directory would throw
+    // restrict nor cascade — and reading their absent files would throw
     val states = (defs + (norm(name) -> tableDef(name)))
       .filter { case (n, _) => tableExists(n) }
       .map { case (n, d) => n -> ((table(n), d)) }
     val updated = ConstrainedDml.deleteCascade(spark, states, norm(name), predicate)
-    // two-phase swap: every new state's plan reads the CURRENT directories
-    // (possibly of other affected tables), so all temp writes must finish
-    // before any directory is replaced
-    val tmps = updated.map { case (n, df) =>
-      val tmp = Paths.get(tablePath(n) + "_tmp_swap")
-      df.write.mode("overwrite").parquet(tmp.toString)
-      n -> tmp
+    // stage all new states (reads the CURRENT immutable files — never a
+    // self-overwrite), then publish ONE commit covering every table
+    val actions = updated.toSeq.map { case (n, df) =>
+      TxLog.Put(n, txlog.stage(n, df)): TxLog.Action
     }
-    tmps.foreach { case (n, tmp) =>
-      val dst = Paths.get(tablePath(n))
-      deleteRecursively(dst)
-      Files.move(tmp, dst)
-    }
+    if (actions.nonEmpty) txlog.commit(actions, readVersion = base)
     invalidateSqlEngine()
   }
 
-  private def writeReplace(name: String, df: DataFrame): Unit = {
+  private def writeReplace(name: String, df: DataFrame,
+      base: Long = -1L): Unit = {
     enforceLimitSize()
-    // write-to-temp then swap: the plan reads the directory being replaced,
-    // so overwrite-in-place would corrupt it, and collect()-then-rewrite
-    // does not scale — the temp write is fully distributed
-    val dst = Paths.get(tablePath(name))
-    val tmp = Paths.get(tablePath(name) + "_tmp_swap")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursively(dst)
-    Files.move(tmp, dst)
+    // stage-then-commit: the plan reads the table's CURRENT immutable
+    // files while the staged write lands in a fresh directory — fully
+    // distributed, never a self-overwrite, atomic at the log publish
+    val n = norm(name)
+    txlog.commit(Seq(TxLog.Put(n, txlog.stage(n, df))), readVersion = base)
     invalidateSqlEngine()
   }
 
@@ -429,31 +453,93 @@ final class GraftDatabase private (
   }
 
   /** The CHECKPOINT pragma's maintenance action: compact every table
-    * directory holding more than CHECKPOINT data files (the WAL-pages-
-    * before-checkpoint analog for a parquet store; 0 disables, like the
-    * reference). Returns the compacted table names.
+    * whose snapshot holds more than CHECKPOINT live data files (the
+    * WAL-pages-before-checkpoint analog; 0 disables, like the
+    * reference), then VACUUM — retire data files no retained snapshot
+    * references and truncate the log below its newest checkpoint, the
+    * twin of the reference's WAL truncation after checkpoint
+    * (`WalIndexService.cs:Checkpoint`). Returns the compacted table
+    * names.
     */
   def checkpoint(targetBytes: Long = 128L << 20): Seq[String] = {
+    requireNoOpenTx()
     val threshold = pragmas.get(Pragmas.Checkpoint).asInstanceOf[Int]
     if (threshold <= 0) Nil
-    else tables.filter(tableExists).filter { t =>
-      val dir = Paths.get(tablePath(t))
-      val s = Files.list(dir)
-      val n = try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .count() finally s.close()
-      n > threshold
-    }.map { t =>
-      graft.core.Layout.compact(spark, tablePath(t), targetBytes)
+    else {
+      val snap = txlog.snapshot()
+      val out = snap.tables.toSeq.sortBy(_._1)
+        .filter(_._2.size > threshold)
+        .map { case (t, files) =>
+          val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
+          val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          writeReplace(t, table(t).repartition(parts), base = snap.version)
+          t
+        }
+      txlog.vacuum()
       invalidateSqlEngine()
-      t
+      out
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+  // ---- transactions (BEGIN/COMMIT/ROLLBACK, SqlParser.cs:32-49 →
+  //      TransactionService.cs:125-282) ----------------------------------
+
+  // table → uncommitted state staged by sql() DML since BEGIN
+  private var txBuffer: Option[
+    scala.collection.mutable.LinkedHashMap[String, DataFrame]] = None
+
+  /** True while a SQL transaction is open. */
+  def inTransaction: Boolean = txBuffer.isDefined
+
+  // direct facade DML/DDL while a SQL transaction is open would bypass
+  // its atomicity — finish the transaction first
+  private def requireNoOpenTx(): Unit =
+    if (txBuffer.isDefined) throw new IllegalStateException(
+      "a SQL transaction is open: COMMIT or ROLLBACK it before direct " +
+        "facade writes")
+
+  /** Open a transaction: subsequent `sql()` DML buffers its table
+    * states (visible to later statements in the SAME transaction, not
+    * to facade reads) until COMMIT publishes them as ONE atomic log
+    * version. Returns false when a transaction is already open, like
+    * the reference's `LiteEngine.BeginTrans`.
+    */
+  def beginTrans(): Boolean =
+    if (txBuffer.isDefined) false
+    else {
+      txBuffer = Some(scala.collection.mutable.LinkedHashMap.empty)
+      true
     }
+
+  /** Publish every table the open transaction touched in one atomic
+    * log commit (all-or-nothing across tables, the WAL-confirm analog).
+    * Returns false when no transaction is open.
+    */
+  def commitTrans(): Boolean = txBuffer match {
+    case None => false
+    case Some(buf) =>
+      txBuffer = None
+      if (buf.nonEmpty) {
+        enforceLimitSize()
+        val actions = buf.toSeq.map { case (n, df) =>
+          TxLog.Put(n, txlog.stage(n, df)): TxLog.Action
+        }
+        txlog.commit(actions)
+      }
+      invalidateSqlEngine()
+      true
+  }
+
+  /** Discard the open transaction's buffered states; the store stays at
+    * the last committed snapshot. Returns false when none is open.
+    */
+  def rollbackTrans(): Boolean = txBuffer match {
+    case None => false
+    case Some(_) =>
+      txBuffer = None
+      invalidateSqlEngine() // engine views may hold rejected states
+      true
+  }
 
   /** Versioned file store under `Files/` (the reference's
     * `IotDatabase.Files` check-in/check-out surface,
@@ -568,6 +654,9 @@ final class GraftDatabase private (
       def pragma(name: String): Any = db.pragma(name)
       def setPragma(name: String, value: Any): Unit = db.setPragma(name, value)
       def checkpoint(): Seq[String] = db.checkpoint()
+      def beginTrans(): Boolean = db.beginTrans()
+      def commitTrans(): Boolean = db.commitTrans()
+      def rollbackTrans(): Boolean = db.rollbackTrans()
     }
 
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY
@@ -589,13 +678,21 @@ final class GraftDatabase private (
       e
     }
     try {
+      val wasInTx = txBuffer.isDefined
       val out = engine.execute(liteSql)
-      engine.modified.foreach { case (n, state) =>
-        // DELETE may legitimately leave orphans (no cascade in the SQL
-        // layer); INSERT/UPDATE outcomes must still satisfy declared
-        // constraints, like the reference's index maintenance — checked
-        // against the rows the statement actually touched, so
-        // pre-existing state never re-fails
+      // constraint check per statement (both modes): DELETE may
+      // legitimately leave orphans (no cascade in the SQL layer);
+      // INSERT/UPDATE outcomes must satisfy declared constraints, like
+      // the reference's index maintenance — checked against the rows
+      // the statement actually touched, so pre-existing state never
+      // re-fails. Parent tables read the ENGINE's current state when
+      // it was modified earlier in an open transaction.
+      def parentStates(tdef: TableDef): Map[String, DataFrame] =
+        tdef.fks.map { fk =>
+          fk.parentTable -> engine.modified.get(fk.parentTable)
+            .map(decollate).getOrElse(table(fk.parentTable))
+        }.toMap
+      def check(n: String, state: DataFrame): Unit =
         defs.get(n).foreach { tdef =>
           if (engine.lastSetTargets.exists(_.equalsIgnoreCase(tdef.pk)))
             throw new IllegalArgumentException(
@@ -604,17 +701,37 @@ final class GraftDatabase private (
           engine.changedRows.get(n).foreach { changed =>
             requireClean(ConstrainedDml.validateUpdate(
               spark, tdef, decollate(changed), decollate(state),
-              parentsOf(tdef)))
+              parentStates(tdef)))
           }
         }
-        writeReplace(n, decollate(state))
+      txBuffer match {
+        case Some(buf) =>
+          // open transaction: validate now, buffer the state, persist
+          // nothing — later statements in this tx see the engine's
+          // in-memory views; COMMIT publishes the buffer atomically
+          engine.modified.foreach { case (n, state) =>
+            check(n, state)
+            buf(n) = decollate(state)
+          }
+        case None if wasInTx =>
+          // this statement WAS the COMMIT/ROLLBACK: the transaction
+          // already published (or discarded) the buffered states —
+          // re-persisting engine.modified here would double-commit
+          ()
+        case None =>
+          engine.modified.foreach { case (n, state) =>
+            check(n, state)
+            writeReplace(n, decollate(state))
+          }
       }
       out
     } catch {
       case t: Throwable =>
         // a failed statement (parse error, constraint violation) may have
         // rebound the engine's in-memory views to the rejected state —
-        // discard it so nothing leaks into later calls or persists
+        // discard it; inside a transaction the reference auto-rolls-back
+        // the whole transaction on a failed statement, and so do we
+        txBuffer = None
         invalidateSqlEngine()
         throw t
     }
@@ -645,8 +762,11 @@ final class GraftDatabase private (
     * collection's lakehouse mapping.
     */
   def system(name: String, options: Map[String, String] = Map.empty): DataFrame = {
+    // manifest collections enumerate the SNAPSHOT's live files, never
+    // the raw directory tree (which also holds not-yet-vacuumed files
+    // of older versions)
     def dataTables: Seq[(String, String)] =
-      tables.filter(tableExists).map(t => t -> tablePath(t))
+      tables.filter(tableExists).flatMap(t => liveFiles(t).map(f => t -> f))
     name match {
       case "$database"     => SystemCollections.sysDatabase(this)
       case "$cols"         => SystemCollections.sysCols(this)

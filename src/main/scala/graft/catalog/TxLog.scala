@@ -1,0 +1,356 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal multi-table ACID commit log over immutable parquet files —
+  * the lakehouse replacement for the reference's WAL + snapshot
+  * isolation (`LiteDB/Engine/Services/WalIndexService.cs:143-291`,
+  * `TransactionService.cs:125-282`). The reference keeps a page-level
+  * WAL and confirms transactions by appending a commit page; readers
+  * resolve each page through the WAL index at their start version.
+  * The same contract re-expressed for a file-based store:
+  *
+  *   - data files are IMMUTABLE: every write stages NEW parquet files
+  *     under the table directory and never touches live ones
+  *   - a version file under `_txlog/` lists, per commit, the actions
+  *     that change table → file-set bindings; the COMMITTED state is
+  *     exactly the set of published version files
+  *   - publishing is a single atomic filesystem primitive (hard-link
+  *     creation, which fails if the target exists), so one commit wins
+  *     any race — the optimistic-concurrency analog of the reference's
+  *     exclusive commit lock
+  *   - readers resolve a table to a concrete file list at their
+  *     snapshot version; because files are immutable and vacuum only
+  *     retires files unreferenced by retained versions, a long-running
+  *     reader's plan stays valid while writers commit (snapshot
+  *     isolation without any reader/writer blocking)
+  *
+  * Scale posture: the log holds METADATA only (file paths), a few
+  * hundred bytes per commit; snapshot resolution replays at most
+  * `checkpointEvery` action files past the newest checkpoint, never the
+  * whole history. Data movement stays fully distributed — staging a
+  * table state is an ordinary parquet write job.
+  *
+  * Layout under a database root:
+  * {{{
+  *   _txlog/v00000001.txt        one commit: action lines
+  *   _txlog/v00000010.ckpt.txt   full-snapshot checkpoint
+  *   Tables/{table}/d-{uuid}/part-*.parquet   immutable data files
+  * }}}
+  *
+  * Action lines (tab-separated):
+  * {{{
+  *   PUT  table  f1,f2,...   replace the table's file set
+  *   ADD  table  f1,f2,...   append files to the table's set
+  *   DEL  table              drop the table
+  *   REN  old    new         rename the table
+  * }}}
+  */
+final class TxLog(spark: SparkSession, root: String) {
+  import TxLog._
+
+  private val logDir = Paths.get(root, "_txlog")
+  Files.createDirectories(logDir)
+
+  // ---- version discovery ---------------------------------------------------
+
+  /** Latest committed version (0 = empty log). */
+  def version: Long = listVersions().lastOption.getOrElse(0L)
+
+  private def listVersions(): Seq[Long] = {
+    val s = Files.list(logDir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case VersionRe(n) => n.toLong }
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  private def listCheckpoints(): Seq[Long] = {
+    val s = Files.list(logDir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case CkptRe(n) => n.toLong }
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  // ---- snapshots -----------------------------------------------------------
+
+  // the facade resolves the head snapshot on every tableExists/read;
+  // cache it keyed by version (one cheap dir listing validates it)
+  @volatile private var headCache: Option[Snapshot] = None
+
+  /** Table → relative-file-list binding at the latest committed version. */
+  def snapshot(): Snapshot = {
+    val v = version
+    headCache match {
+      case Some(s) if s.version == v => s
+      case _ =>
+        val s = snapshotAt(v)
+        headCache = Some(s)
+        s
+    }
+  }
+
+  /** Replay from the newest checkpoint at or below `v` (bounded work:
+    * at most `checkpointEvery` action files), like the reference's WAL
+    * index resolving a read version without scanning the whole log.
+    */
+  def snapshotAt(v: Long): Snapshot = {
+    val ckpt = listCheckpoints().filter(_ <= v).lastOption
+    val base: Map[String, Vector[String]] = ckpt match {
+      case None => Map.empty
+      case Some(c) => parse(Files.readAllLines(ckptFile(c)).asScala.toSeq)
+        .foldLeft(Map.empty[String, Vector[String]])(applyAction)
+    }
+    val tables = ((ckpt.getOrElse(0L) + 1) to v).foldLeft(base) { (acc, i) =>
+      val f = versionFile(i)
+      if (!Files.exists(f)) acc // gap (vacuumed below a checkpoint)
+      else parse(Files.readAllLines(f).asScala.toSeq).foldLeft(acc)(applyAction)
+    }
+    Snapshot(v, tables)
+  }
+
+  private def applyAction(state: Map[String, Vector[String]],
+      a: Action): Map[String, Vector[String]] = a match {
+    case Put(t, fs)  => state.updated(t, fs.toVector)
+    case Add(t, fs)  => state.updated(t, state.getOrElse(t, Vector.empty) ++ fs)
+    case Del(t)      => state - t
+    case Ren(o, n)   => state.get(o) match {
+      case Some(fs) => state - o + (n -> fs)
+      case None     => state
+    }
+  }
+
+  /** Read a table at the latest snapshot: an explicit-file-list parquet
+    * scan over immutable files — the plan stays valid across later
+    * commits (snapshot isolation for readers).
+    */
+  def read(table: String): Option[DataFrame] =
+    snapshot().tables.get(table).map(readFiles)
+
+  def readAt(v: Long, table: String): Option[DataFrame] =
+    snapshotAt(v).tables.get(table).map(readFiles)
+
+  private def readFiles(rel: Seq[String]): DataFrame =
+    spark.read.parquet(rel.map(r => s"$root/$r"): _*)
+
+  /** Absolute paths of a table's live data files (diagnostics/manifest). */
+  def liveFiles(table: String): Seq[String] =
+    snapshot().tables.getOrElse(table, Vector.empty).map(r => s"$root/$r")
+
+  // ---- staging -------------------------------------------------------------
+
+  /** Write `df` as a fresh immutable file set under the table's
+    * directory and return the root-relative paths. A distributed write
+    * job; nothing becomes visible until a commit references the files.
+    */
+  def stage(table: String, df: DataFrame): Seq[String] = {
+    val rel = s"Tables/$table/d-${UUID.randomUUID().toString.take(12)}"
+    val dir = Paths.get(root, rel)
+    df.write.mode("error").parquet(dir.toString)
+    val s = Files.list(dir)
+    try {
+      val parts = s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted
+      require(parts.nonEmpty, s"staged write produced no data files: $dir")
+      parts.map(p => s"$rel/$p")
+    } finally s.close()
+  }
+
+  // ---- commit --------------------------------------------------------------
+
+  /** Atomically publish `actions` as one commit. Optimistic: when the
+    * caller passes the `readVersion` its staged state was computed
+    * against, any interleaved commit touching one of this commit's
+    * tables is a write-write conflict → [[TxLog.ConflictException]]
+    * (the reference rolls back on WAL version conflict the same way).
+    * `readVersion = -1` marks a BLIND commit (pure appends, drops) that
+    * commutes with concurrent writers and only retries the publish.
+    * Returns the committed version.
+    */
+  def commit(actions: Seq[Action], readVersion: Long = -1L): Long = {
+    require(actions.nonEmpty, "empty commit")
+    val mine = actions.flatMap(_.touches).toSet
+    def assertNoConflict(from: Long, to: Long): Unit =
+      (from to to).foreach { v =>
+        val f = versionFile(v)
+        if (Files.exists(f)) {
+          val theirs = parse(Files.readAllLines(f).asScala.toSeq)
+            .flatMap(_.touches).toSet
+          if (theirs.intersect(mine).nonEmpty)
+            throw new ConflictException(
+              s"concurrent commit $v touched ${theirs.intersect(mine)}")
+        }
+      }
+    if (readVersion >= 0) assertNoConflict(readVersion + 1, version)
+    var attempt = version + 1
+    var guard = 0
+    while (true) {
+      guard += 1
+      if (guard > 1000) throw new IllegalStateException(
+        "commit retry guard tripped (livelock?)")
+      val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
+      try {
+        Files.write(tmp, actions.map(render).mkString("\n").getBytes("UTF-8"))
+        publish(tmp, versionFile(attempt))
+        maybeCheckpoint(attempt)
+        return attempt
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the race: another writer published `attempt`. Re-check
+          // every interleaved commit; any overlap on our tables is a
+          // real write-write conflict, else retry at the new head.
+          val latest = version
+          assertNoConflict(attempt, latest)
+          attempt = latest + 1
+      } finally Files.deleteIfExists(tmp)
+    }
+    -1L // unreachable
+  }
+
+  /** Single-FS compare-and-swap: hard-link creation is atomic and fails
+    * with FileAlreadyExistsException when the target exists — exactly
+    * one concurrent publisher of a given version wins. (Object stores
+    * would swap this for a conditional PUT; the contract is the same.)
+    */
+  private def publish(tmp: Path, target: Path): Unit = {
+    try {
+      Files.createLink(target, tmp)
+    } catch {
+      case _: UnsupportedOperationException =>
+        // filesystems without hard links: move-without-replace still
+        // throws on an existing target, with a negligible race window
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  private def maybeCheckpoint(v: Long): Unit =
+    if (v % checkpointEvery == 0) {
+      val snap = snapshotAt(v)
+      val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
+      try {
+        val lines = snap.tables.toSeq.sortBy(_._1)
+          .map { case (t, fs) => render(Put(t, fs)) }
+        Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+        try publish(tmp, ckptFile(v))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally Files.deleteIfExists(tmp)
+    }
+
+  // ---- maintenance ---------------------------------------------------------
+
+  /** Retire data files unreferenced by any of the newest `keepVersions`
+    * snapshots, plus log files older than the newest checkpoint below
+    * the retention floor. Bounds the reader-validity window the same
+    * way the reference's CHECKPOINT truncates the WAL: readers pinned
+    * to retained versions stay valid; older cursors must re-resolve.
+    * Returns the deleted data directories.
+    */
+  def vacuum(keepVersions: Int = 2): Seq[String] = {
+    val vs = listVersions()
+    if (vs.isEmpty) return Nil
+    val floor = vs.takeRight(math.max(1, keepVersions)).head
+    val retained: Set[String] = vs.filter(_ >= floor)
+      .flatMap(v => snapshotAt(v).tables.values.flatten)
+      .map(r => Paths.get(root, r).getParent.toString).toSet
+    // delete whole staged directories none of the retained versions use
+    val tablesRoot = Paths.get(root, "Tables")
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (Files.exists(tablesRoot)) {
+      val ts = Files.list(tablesRoot)
+      val tableDirs = try ts.iterator().asScala.filter(Files.isDirectory(_))
+        .toVector finally ts.close()
+      tableDirs.foreach { td =>
+        val ds = Files.list(td)
+        val staged = try ds.iterator().asScala
+          .filter(d => Files.isDirectory(d) &&
+            d.getFileName.toString.startsWith("d-")).toVector
+          finally ds.close()
+        staged.foreach { d =>
+          if (!retained.contains(d.toString)) {
+            deleteRecursively(d)
+            deleted += d.toString
+          }
+        }
+      }
+    }
+    // drop log files below the newest checkpoint <= floor (snapshotAt
+    // for retained versions never needs them)
+    listCheckpoints().filter(_ <= floor).lastOption.foreach { c =>
+      vs.filter(_ < c).foreach(v => Files.deleteIfExists(versionFile(v)))
+      listCheckpoints().filter(_ < c).foreach(x => Files.deleteIfExists(ckptFile(x)))
+    }
+    deleted.toSeq
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+
+  private def versionFile(v: Long): Path = logDir.resolve(f"v$v%08d.txt")
+  private def ckptFile(v: Long): Path = logDir.resolve(f"v$v%08d.ckpt.txt")
+
+  private def parse(lines: Seq[String]): Seq[Action] =
+    lines.filter(_.nonEmpty).map { line =>
+      line.split("\t") match {
+        case Array("PUT", t, fs) => Put(t, fs.split(",").toSeq.filter(_.nonEmpty))
+        case Array("PUT", t)     => Put(t, Nil)
+        case Array("ADD", t, fs) => Add(t, fs.split(",").toSeq.filter(_.nonEmpty))
+        case Array("DEL", t)     => Del(t)
+        case Array("REN", o, n)  => Ren(o, n)
+        case _ => throw new IllegalStateException(s"bad txlog line: $line")
+      }
+    }
+
+  private def render(a: Action): String = a match {
+    case Put(t, fs) => s"PUT\t$t\t${fs.mkString(",")}"
+    case Add(t, fs) => s"ADD\t$t\t${fs.mkString(",")}"
+    case Del(t)     => s"DEL\t$t"
+    case Ren(o, n)  => s"REN\t$o\t$n"
+  }
+}
+
+object TxLog {
+  private val VersionRe = "v(\\d{8})\\.txt".r
+  private val CkptRe = "v(\\d{8})\\.ckpt\\.txt".r
+
+  /** Commits replay in this frequency's windows; also the upper bound on
+    * action files a snapshot resolution reads.
+    */
+  val checkpointEvery: Long = 10L
+
+  /** One committed state: table → root-relative immutable file list. */
+  final case class Snapshot(version: Long, tables: Map[String, Vector[String]])
+
+  sealed trait Action { def touches: Seq[String] }
+  final case class Put(table: String, files: Seq[String]) extends Action {
+    def touches: Seq[String] = Seq(table)
+  }
+  final case class Add(table: String, files: Seq[String]) extends Action {
+    def touches: Seq[String] = Seq(table)
+  }
+  final case class Del(table: String) extends Action {
+    def touches: Seq[String] = Seq(table)
+  }
+  final case class Ren(from: String, to: String) extends Action {
+    def touches: Seq[String] = Seq(from, to)
+  }
+
+  /** Write-write conflict: the optimistic commit lost to an overlapping
+    * one (the reference's WAL version-conflict rollback).
+    */
+  final class ConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+}

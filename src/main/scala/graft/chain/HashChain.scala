@@ -71,4 +71,56 @@ object HashChain {
       .withColumn("link_valid",
         coalesce(lag(col("hash"), 1).over(w), lit("")) === col("previous_hash"))
   }
+
+  /** Checkpointed-cursor verify: check ONLY rows appended after each
+    * key's last verified position instead of recomputing the whole
+    * chain per pass — the reference re-verifies everything every time
+    * (`BlockCollection.cs:138-162`), which an append-only audit table
+    * outgrows. The cursor row carries each key's verified-frontier
+    * (ts, tie, hash); the first new row's `previous_hash` is checked
+    * against that frontier hash, so rewriting history at or before the
+    * frontier still trips the first incremental pass (link breaks), and
+    * tampering inside the new suffix trips `hash_valid`/`link_valid`
+    * exactly as the full verify would. Chain integrity BEHIND the
+    * frontier was already attested by the pass that produced the cursor
+    * — that is the checkpoint contract.
+    *
+    * Scale shape: the cursor is one bounded row per key (broadcast);
+    * the verified prefix is filtered out before the window, so each
+    * pass costs O(new rows), and with a ts-partitioned chain table the
+    * frontier predicate prunes old partitions at the scan.
+    */
+  def verifyIncremental(chain: DataFrame, cursor: DataFrame, keyCol: String,
+      tsMicrosCol: String, tieCol: String, dataCol: String): DataFrame = {
+    val cur = cursor.select(col(keyCol), col("cur_ts"), col("cur_tie"),
+      col("cur_hash"))
+    val joined = chain.join(broadcast(cur), Seq(keyCol), "left")
+    val fresh = joined.filter(col("cur_ts").isNull ||
+      col(tsMicrosCol) > col("cur_ts") ||
+      (col(tsMicrosCol) === col("cur_ts") && col(tieCol) > col("cur_tie")))
+    val w = Window.partitionBy(keyCol).orderBy(col(tsMicrosCol), col(tieCol))
+    val recomputed = sha2(concat_ws("-",
+      col(tsMicrosCol).cast("string"), col("previous_hash"),
+      coalesce(col(dataCol).cast("string"), lit("null"))), 256)
+    fresh
+      .withColumn("hash_valid", recomputed === col("hash"))
+      .withColumn("link_valid",
+        coalesce(lag(col("hash"), 1).over(w),
+          coalesce(col("cur_hash"), lit(""))) === col("previous_hash"))
+      .drop("cur_ts", "cur_tie", "cur_hash")
+  }
+
+  /** The verified-frontier cursor of a (fully or incrementally) verified
+    * chain: per key, the (ts, tie, hash) of the newest row. Feed the
+    * result of one pass into the next `verifyIncremental`.
+    */
+  def cursorFrom(chain: DataFrame, keyCol: String, tsMicrosCol: String,
+      tieCol: String): DataFrame =
+    chain.groupBy(col(keyCol))
+      .agg(max(struct(col(tsMicrosCol), col(tieCol), col("hash")))
+        .as("_frontier"))
+      .select(col(keyCol),
+        col("_frontier").getField(tsMicrosCol).as("cur_ts"),
+        col("_frontier").getField(tieCol).as("cur_tie"),
+        col("_frontier").getField("hash").as("cur_hash"))
 }

@@ -418,6 +418,71 @@ object Dedup {
       col("cluster_id"), (col("_rk") === 1).as("keep"))
   }
 
+  /** SemDeDup (Abbas et al. 2023) in its SCALING regime: cluster count
+    * grows with the corpus so cell sizes stay bounded and total work
+    * stays near-linear. Blocking uses sign-LSH cells with
+    * `bits = min{b : 2^b · targetCellSize ≥ N}` (integer rule, no
+    * floating log — both engines pick the identical b): assignment is
+    * O(N·bits·dim) — a per-row fold, NO per-centroid scan — so unlike a
+    * fixed-nlist Voronoi config neither assignment nor pair generation
+    * is quadratic in N. The kept representative is the member nearest
+    * its CELL CENTROID (exact fixed-point per-position mean, order-
+    * independent and oracle-replicable), preserving the published
+    * keep-nearest-centroid semantics. Pair generation is O(N·
+    * targetCellSize) in expectation; grossly skewed cells fail loudly at
+    * clusterPairsBlocked's maxBlockEdges guard. The cell-mean table is
+    * N/targetCellSize rows (broadcastable up to ~10M vectors per
+    * executor-GiB; beyond that, swap the broadcast for a shuffle join —
+    * the shape is otherwise unchanged).
+    */
+  def semDedupScaled(vectors: DataFrame, idCol: String, vecCol: String,
+      eps: Double, dim: Int, targetCellSize: Int = 128): DataFrame = {
+    import graft.operators.Similarity
+    val valid = vectors.filter(col(vecCol).isNotNull)
+    val n = valid.count()
+    val bits = (4 to 20)
+      .find(b => (1L << b) * targetCellSize >= n).getOrElse(20)
+    val planes = Similarity.hyperplanes(bits, dim)
+    val assigned = valid
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", Similarity.signBucket(col("v"), planes))
+      .repartition(col("cell"))
+    // exact per-cell mean: fixed-point (1e-6) longs summed in DECIMAL —
+    // order-independent, so the centroid is bit-identical across engines
+    // and partitionings (same contract as Similarity.kmeansStep)
+    val means = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cell", "p")
+      .agg(round(sum(round(col("x").cast("double") * lit(1000000.0))
+          .cast("long").cast("decimal(38,0)")).cast("double") /
+        (count(lit(1)) * lit(1000000.0)), 6).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        e => e.getField("m").cast("float")).as("mv"))
+    val withDist = assigned
+      .join(broadcast(means), Seq("cell"))
+      .withColumn("centroid_dist",
+        round(Similarity.l2(col("v"), col("mv")), 6))
+      .select(col("id"), col("cell"), col("v"), col("centroid_dist"))
+    val pairs = withDist.as("a").hint("shuffle_hash")
+      .join(withDist.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.cell").as("block_key"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("score"))
+      .filter(col("score") >= eps)
+    val labels = clusterPairsBlocked(pairs, "block_key")
+    val ranked = withDist.select(col("id"), col("cell"), col("centroid_dist"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("centroid_dist").asc, col("id").asc)))
+    ranked.select(col("id"), col("cell"), col("centroid_dist"),
+      col("cluster_id"), (col("_rk") === 1).as("keep"))
+  }
+
   /** True Jaccard over distinct character n-gram shingle sets. */
   def jaccardShingles(t1: Column, t2: Column, n: Int): Column = {
     val s1 = array_distinct(charShingles(t1, n))

@@ -321,4 +321,38 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Measured IVF retrieval quality: train `nlist` centroids (Lloyd),
+    * then for the `nQueries` lowest-id vectors compare `ivfTopK` at
+    * `nProbe` against the brute-force cosine top-k (self excluded).
+    * Returns (mean recall@k, mean fraction of vectors scanned) — the
+    * quality/cost trade an ANN operator must REPORT, not assume
+    * (`IotVectorDb.cs:163-190` is the search contract; recall is what
+    * validates the approximation). The query loop is driver-side but
+    * bounded by `nQueries`; every per-query step is a distributed job
+    * over the cached assignment.
+    */
+  def recallAtK(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, nProbe: Int, k: Int, nQueries: Int): (Double, Double) = {
+    val e = vectors.filter(col(vecCol).isNotNull)
+    val cents = kmeansTrain(e, idCol, vecCol, nlist, iters = 3)
+    val assigned = ivfAssign(e, idCol, vecCol, cents).cache()
+    try {
+      val n = assigned.count().toDouble
+      val qs = assigned.orderBy(col(idCol)).limit(nQueries)
+        .select(col(idCol).cast("long"), col(vecCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val per = qs.map { case (qid, qv) =>
+        val others = assigned.filter(col(idCol) =!= qid)
+        val brute = cosineTopK(others, idCol, vecCol, qv, k)
+          .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+        val approx = ivfTopK(others, idCol, vecCol, qv, k, cents, nProbe)
+          .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+        val probes = nearestCentroids(qv, cents, nProbe)
+        val scanned = assigned.filter(col("cell").isin(probes: _*)).count() / n
+        (brute.intersect(approx).size.toDouble / k, scanned)
+      }
+      (per.map(_._1).sum / per.length, per.map(_._2).sum / per.length)
+    } finally assigned.unpersist()
+  }
 }

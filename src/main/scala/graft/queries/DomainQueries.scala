@@ -252,6 +252,133 @@ object DomainQueries {
         COUNT(*) AS n_wrong_key_null FROM documents"""),
       "column-level AES-256 round-trip (AesStream.cs password contract " +
         "as codegen aes_encrypt/aes_decrypt; deterministic-ECB ciphertext " +
-        "cardinality equals plaintext cardinality, wrong-key GCM nulls)")
+        "cardinality equals plaintext cardinality, wrong-key GCM nulls)"),
+
+    // The EXECUTED cascade (vs q53's plan): load a 3-level FK chain into
+    // a log-backed GraftDatabase, run the cascading delete through the
+    // facade, and read the survivors back from COMMITTED state. The
+    // require() pins the ACID contract — all three tables publish in ONE
+    // atomic commit-log version (TransactionService.cs:125-282 analog) —
+    // so the correctness gate fails if the cascade ever splits into
+    // per-table commits. Inputs are %4-sampled so the write cost stays
+    // proportionate at bench scale; the oracle mirrors the sample.
+    Q("q136_cascade_exec",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.{Cascade, Fk, TableDef}
+        val base = java.nio.file.Files.createTempDirectory("graft-q136").toString
+        val db = GraftDatabase(s, "q136", base)
+          .defineTable(TableDef("customer", "c_custkey"))
+          .defineTable(TableDef("orders", "o_orderkey",
+            fks = Seq(Fk("o_custkey", "customer", "c_custkey", Cascade))))
+          .defineTable(TableDef("lineitem", "l_rowid",
+            fks = Seq(Fk("l_orderkey", "orders", "o_orderkey", Cascade))))
+        db.insert("customer", Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal")))
+        db.insert("orders", Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_custkey")))
+        // the synthetic lineitem has no unique natural key (duplicate
+        // (l_orderkey, l_linenumber) pairs exist) — assign a surrogate
+        // rowid; its values never reach the output, only the counts do
+        db.insert("lineitem", Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(monotonically_increasing_id().as("l_rowid"),
+            col("l_orderkey")))
+        val v0 = db.logVersion
+        db.delete("customer", col("c_acctbal") < 100)
+        require(db.logVersion == v0 + 1,
+          s"cascade must publish as ONE atomic commit (was ${db.logVersion - v0})")
+        import s.implicits._
+        Seq("customer", "orders", "lineitem").map(t => (t, db.count(t)))
+          .toDF("table_name", "n_rows")
+          .withColumn("n_commits", lit(1L))
+      },
+      Some("""WITH doomed AS (
+          SELECT c_custkey FROM customer WHERE c_acctbal < 100),
+        o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 = 0),
+        l AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey % 4 = 0),
+        del_o AS (SELECT o_orderkey FROM o
+          WHERE o_custkey IN (SELECT c_custkey FROM doomed))
+        SELECT 'customer' AS table_name,
+          (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM doomed)) AS n_rows,
+          CAST(1 AS BIGINT) AS n_commits
+        UNION ALL
+        SELECT 'orders',
+          (SELECT COUNT(*) FROM o
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del_o)),
+          CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem',
+          (SELECT COUNT(*) FROM l
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_o)),
+          CAST(1 AS BIGINT)"""),
+      "EXECUTED cascade delete through the ACID commit log: 3-level FK " +
+        "chain, all affected tables in one atomic version, survivors " +
+        "read from committed state (TableCollection.cs:316-460 walk + " +
+        "WAL-transaction atomicity)"),
+
+    // CREATE INDEX → range-clustered layout → PRUNED read → DROP INDEX,
+    // all through the SQL dispatch (SqlParser.cs:32-49). The pruning
+    // evidence is in-query: after clustering, per-file [min,max] ranges
+    // on the indexed column are disjoint, so the BETWEEN probe overlaps
+    // at most a quarter of the files — the require() fails if the
+    // "lakehouse index" ever stops clustering. maxRecordsPerFile forces
+    // a multi-file layout at test scale (at production scale the
+    // 128MB-file default gives the same granularity for free).
+    Q("q137_ddl_roundtrip",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q137").toString
+        val db = GraftDatabase(s, "q137", base)
+          .defineTable(TableDef("orders", "o_orderkey"))
+        db.insert("orders", Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        val prev = s.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        try {
+          s.conf.set("spark.sql.files.maxRecordsPerFile", "1000")
+          require(db.sql("CREATE INDEX ix_cust ON orders (o_custkey)")
+            .head().getBoolean(0), "CREATE INDEX must build")
+        } finally s.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+        // pruning gate: files whose [min,max] o_custkey range overlaps
+        // the probe window vs total files of the clustered layout
+        val files = db.liveFiles("orders")
+        val ranges = s.read.parquet(files: _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("o_custkey")).as("lo"), max(col("o_custkey")).as("hi"))
+          .collect()
+        val over = ranges.count(r =>
+          r.getAs[Number]("lo").longValue <= 200L &&
+            r.getAs[Number]("hi").longValue >= 100L)
+        // the gate activates once the layout has enough files to show
+        // pruning (sf0.01+); below that the whole table is one file and
+        // there is nothing to prune
+        require(ranges.length < 4 || over <= math.max(1, ranges.length / 4),
+          s"index layout must prune: $over of ${ranges.length} files " +
+            "overlap the probe range")
+        val out = db.sql(
+          "SELECT o_custkey, COUNT(o_orderkey) AS n_orders, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+            "AS sum_price FROM orders " +
+            "WHERE o_custkey BETWEEN 100 AND 200 GROUP BY o_custkey")
+        val rows = out.collect() // materialize BEFORE dropping the index
+        require(db.sql("DROP INDEX orders.ix_cust").head().getBoolean(0),
+          "DROP INDEX must deregister")
+        require(db.indexDefs("orders").isEmpty, "registry must be empty")
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(rows: _*)), out.schema)
+      },
+      Some("""SELECT o_custkey, COUNT(o_orderkey) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 4 = 0 AND o_custkey BETWEEN 100 AND 200
+        GROUP BY o_custkey"""),
+      "SQL DDL round-trip: CREATE INDEX → range-clustered multi-file " +
+        "layout (disjoint per-file min/max ⇒ row-group pruning) → " +
+        "BETWEEN probe → DROP INDEX, with the pruning ratio asserted " +
+        "in-query")
   )
 }

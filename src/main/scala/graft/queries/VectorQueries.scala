@@ -305,51 +305,75 @@ object VectorQueries {
     pqAdcSql(ivfCtes, " AND e.vec_id IN (SELECT vec_id FROM cand)")
   }
 
-  /** DuckDB replica of Dedup.semDedupKeepList(centroids 1..8, eps 0.3):
-    * same assignment + min centroid distance, cell-blocked cosine pairs,
-    * transitive-closure components, nearest-to-centroid representative.
+  /** DuckDB replica of Dedup.semDedupScaled(eps 0.3, targetCellSize 128):
+    * the same integer bit-count rule, sign-LSH cells over the literal
+    * deterministic hyperplanes, exact fixed-point cell means, cell-blocked
+    * cosine pairs, transitive-closure components, nearest-to-cell-centroid
+    * representative.
     */
-  lazy val semDedupOracleSql: String = {
-    def l2(a: String, b: String): String =
-      "SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
-        s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y))"
-    s"""WITH RECURSIVE cents AS (
-        SELECT vec_id AS cid, embedding AS cv FROM embeddings
-        WHERE vec_id BETWEEN 1 AND 8),
+  lazy val semDedupScaledOracleSql: String = {
+    val planes = Similarity.hyperplanes(nPlanes = 20, dim = 64)
+    val values = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::FLOAT[])"
+    }.mkString(", ")
+    val dotPlane =
+      "LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65), " +
+        "i -> e.embedding[i]::DOUBLE * pl.v[i]::DOUBLE)), (a,b) -> a+b)"
+    s"""WITH RECURSIVE
+      cnt AS (SELECT COUNT(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+      -- smallest b in [4,20] with 2^b * 128 >= N: integer arithmetic,
+      -- never a floating log2 whose ulp could flip the ceil
+      bits AS (SELECT COALESCE(MIN(CAST(b AS INT)), 20) AS nb
+        FROM RANGE(4, 21) t(b), cnt
+        WHERE (1::BIGINT << CAST(b AS INT)) * 128 >= cnt.n),
+      planes(p, v) AS (VALUES $values),
       asg AS (
-        -- null embeddings excluded, mirroring semDedupKeepList (the
-        -- Spark side documents: rows with a null embedding are absent)
-        SELECT e.vec_id, c.cid, ${l2("e.embedding", "c.cv")} AS d,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ${l2("e.embedding", "c.cv")}, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cents c
-        WHERE e.embedding IS NOT NULL),
-      cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
-      cdist AS (SELECT vec_id, ROUND(MIN(d), 6) AS centroid_dist
-        FROM asg GROUP BY vec_id),
-      p AS (
+        SELECT e.vec_id,
+          CAST(SUM(CASE WHEN $dotPlane >= 0
+            THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS cell
+        FROM embeddings e CROSS JOIN planes pl, bits
+        WHERE e.embedding IS NOT NULL AND pl.p < bits.nb
+        GROUP BY e.vec_id),
+      x AS (
+        SELECT a.cell, CAST(t.i AS INT) AS pos,
+          CAST(ROUND(e.embedding[CAST(t.i AS INT)]::DOUBLE * 1000000.0)
+            AS BIGINT) AS f
+        FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+        CROSS JOIN RANGE(1, 65) t(i)),
+      pm AS (SELECT cell, pos,
+          CAST(ROUND(CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+            AS FLOAT) AS m
+        FROM x GROUP BY cell, pos),
+      mvs AS (SELECT cell, LIST(m ORDER BY pos) AS mv FROM pm GROUP BY cell),
+      d AS (
+        SELECT e.vec_id, a.cell,
+          ROUND(SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(RANGE(1,65),
+            k -> (e.embedding[k]::DOUBLE - mv.mv[k]::DOUBLE)
+               * (e.embedding[k]::DOUBLE - mv.mv[k]::DOUBLE))),
+            (x2,y2) -> x2+y2)), 6) AS centroid_dist
+        FROM embeddings e
+        JOIN asg a ON a.vec_id = e.vec_id
+        JOIN mvs mv ON mv.cell = a.cell),
+      p2 AS (
         SELECT a.vec_id AS id1, b.vec_id AS id2
         FROM embeddings a
-        JOIN cells ca ON ca.vec_id = a.vec_id
+        JOIN asg ca ON ca.vec_id = a.vec_id
         JOIN embeddings b ON a.vec_id < b.vec_id
-        JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+        JOIN asg cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
         WHERE ROUND(${cosSql("a", "b")}, 6) >= 0.3),
-      edges AS (SELECT id1 AS src, id2 AS dst FROM p
-        UNION SELECT id2, id1 FROM p),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM p2
+        UNION SELECT id2, id1 FROM p2),
       reach AS (
         SELECT src AS id, src AS r FROM edges
         UNION
         SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
       labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-      f AS (
-        SELECT e.vec_id, cl.cell, cd.centroid_dist,
-          COALESCE(l.cluster_id, e.vec_id) AS cluster_id
-        FROM embeddings e
-        JOIN cells cl ON cl.vec_id = e.vec_id
-        JOIN cdist cd ON cd.vec_id = e.vec_id
-        LEFT JOIN labels l ON l.id = e.vec_id),
+      f2 AS (
+        SELECT d.vec_id, d.cell, d.centroid_dist,
+          COALESCE(l.cluster_id, d.vec_id) AS cluster_id
+        FROM d LEFT JOIN labels l ON l.id = d.vec_id),
       ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
-          ORDER BY centroid_dist, vec_id) AS rk FROM f)
+          ORDER BY centroid_dist, vec_id) AS rk FROM f2)
       SELECT vec_id, cell, centroid_dist, cluster_id, (rk = 1) AS keep
       FROM ranked"""
   }
@@ -564,15 +588,20 @@ object VectorQueries {
 
     // SemDeDup (Abbas et al. 2023): semantic near-dup removal keeping the
     // member nearest its cluster centroid — the curation step between
-    // fuzzy text dedup and training. Cell-blocked pairs + blocked CC +
-    // a per-component representative window.
+    // fuzzy text dedup and training. Graded in its SCALING regime: the
+    // cell count grows with the corpus (bits = min{b : 2^b·128 ≥ N}), so
+    // assignment is a per-row O(bits·dim) fold and pair generation stays
+    // ~linear — no stage is O(N²/const). The fixed-nlist Voronoi variant
+    // (Dedup.semDedupKeepList) remains for small curated sets and is
+    // spec-covered in DedupSpec.
     Q("q89_semdedup",
-      (s, dir) => graft.operators.Dedup.semDedupKeepList(
+      (s, dir) => graft.operators.Dedup.semDedupScaled(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        centroids8(s, dir), eps = 0.3)
+        eps = 0.3, dim = 64, targetCellSize = 128)
         .withColumnRenamed("id", "vec_id"),
-      Some(VectorQueries.semDedupOracleSql),
-      "SemDeDup keep-list: IVF-cell-blocked cosine components, " +
+      Some(VectorQueries.semDedupScaledOracleSql),
+      "SemDeDup keep-list at corpus-scaled cell count: sign-LSH cells, " +
+        "exact fixed-point cell centroids, blocked CC, " +
         "nearest-to-centroid representative kept"),
 
     Q("q46_dup_clusters",

@@ -286,9 +286,24 @@ final class LiteSql(
         val a = admin.getOrElse(throw new UnsupportedOperationException(
           s"$kw needs a database-backed engine (GraftDatabase.sql)"))
         Seq(a.checkpoint().size.toLong).toDF("n_affected")
+      case "BEGIN" | "COMMIT" | "ROLLBACK" =>
+        // BEGIN/COMMIT/ROLLBACK [TRANS|TRANSACTION] (SqlParser.cs:32-41
+        // → LiteEngine.BeginTrans/Commit/Rollback): statements between
+        // BEGIN and COMMIT publish as ONE atomic commit in the storage
+        // log; the boolean result mirrors the reference (false for
+        // BEGIN-inside-tx or COMMIT/ROLLBACK-without-tx)
+        require(sql.matches(s"(?i)$kw(\\s+TRANS(ACTION)?)?\\s*;?"),
+          s"bad $kw (expected $kw [TRANS|TRANSACTION]): $sql")
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          s"$kw needs a database-backed engine (GraftDatabase.sql)"))
+        val ok = kw match {
+          case "BEGIN"    => a.beginTrans()
+          case "COMMIT"   => a.commitTrans()
+          case "ROLLBACK" => a.rollbackTrans()
+        }
+        Seq(ok).toDF("result")
       case other => throw new IllegalArgumentException(
-        s"unsupported command $other " +
-          "(BEGIN/COMMIT/ROLLBACK are the storage log's scope)")
+        s"unsupported command $other")
     }
   }
 
@@ -635,6 +650,12 @@ object LiteSql {
     def pragma(name: String): Any
     def setPragma(name: String, value: Any): Unit
     def checkpoint(): Seq[String]
+    /** BEGIN/COMMIT/ROLLBACK (LiteEngine.BeginTrans/Commit/Rollback):
+      * false on BEGIN-inside-tx or COMMIT/ROLLBACK-without-tx.
+      */
+    def beginTrans(): Boolean
+    def commitTrans(): Boolean
+    def rollbackTrans(): Boolean
   }
 
   def apply(spark: SparkSession, sfDir: String): LiteSql =

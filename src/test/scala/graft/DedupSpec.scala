@@ -239,6 +239,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set(1L, 4L)) // null rows absent, no -1 mega-block
   }
 
+  test("semDedupScaled: near-dups collapse to the nearest-to-cell-centroid " +
+      "representative; nulls excluded; bit rule is the integer minimum") {
+    // 4-dim vectors; with 6 rows and targetCellSize=1 the rule picks
+    // bits = min{b in [4,20] : 2^b >= 6} = 4 (2^3=8 would suffice but 4
+    // is the clamp floor — the assertion pins the published rule)
+    val vs = Seq(
+      (1L, Some(Seq(1f, 1f, 1f, 1f))),
+      (2L, Some(Seq(2f, 2f, 2f, 2f))),   // cosine 1.0 with v1
+      (3L, Some(Seq(-5f, 4f, -3f, 2f))), // unrelated direction
+      (4L, Option.empty[Seq[Float]])     // null: absent from output
+    ).toDF("id", "v")
+    val out = graft.operators.Dedup
+      .semDedupScaled(vs, "id", "v", eps = 0.9, dim = 4, targetCellSize = 1)
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // v1 and v2 share a sign-LSH cell (same direction) and cosine 1.0:
+    // one cluster, exactly one keeper — the member nearest the cell mean
+    assert(out(1L)._4 == out(2L)._4)
+    assert(Seq(out(1L), out(2L)).count(_._5) == 1)
+    // the cell mean of {1111, 2222} is 1.5×ones: v2 and v1 are
+    // equidistant? no — |1-1.5|·2 = |2-1.5|·2, tie → lowest id keeps
+    assert(out(1L)._5, "equidistant tie must keep the lowest id")
+    // the unrelated vector is its own singleton cluster and kept
+    assert(out(3L)._4 == 3L && out(3L)._5)
+  }
+
   test("minhashLshCrossMatches flags contaminated train docs by containment") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // identical to eval 100

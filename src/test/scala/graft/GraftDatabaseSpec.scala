@@ -334,9 +334,9 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.indexes("customer") == Seq(("id", false)))
 
     // the "index": per-file id ranges are disjoint, so row-group min/max
-    // stats prune a point/range scan to one file
-    val parts = Option(new java.io.File(db.tablePath("customer"))
-      .listFiles()).get.filter(_.getName.endsWith(".parquet")).map(_.toString)
+    // stats prune a point/range scan to one file (live files resolve
+    // through the commit log's snapshot)
+    val parts = db.liveFiles("customer").toArray
     if (parts.length > 1) {
       val ranges = parts.map { p =>
         val r = spark.read.parquet(p).agg(min($"id"), max($"id")).head()

@@ -113,6 +113,25 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(crossReplica == 0)
   }
 
+  test("IVF recall@10 >= 0.9 at nProbe=4 with corpus-scaled trained " +
+      "centroids (measured, not assumed)") {
+    // the ANN search contract (IotVectorDb.cs:163-190) is only honest
+    // with a measured recall: train nlist = N/100 centroids on the real
+    // sf0.1 embeddings, probe 4 cells (~20% of vectors scanned), and
+    // compare ivfTopK against brute force over 20 query vectors.
+    // kmeansTrain is deterministic (lowest-id seeds, exact fixed-point
+    // means), so this is a stable regression gate, and the SCALE.md
+    // table extends the same measurement to sf1 (N/1000 and 64-cell
+    // configs, recall 0.995-1.0 at 6-20% scanned).
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .filter(col("embedding").isNotNull)
+    val (recall, scanned) = graft.operators.Similarity.recallAtK(
+      e, "vec_id", "embedding", nlist = 20, nProbe = 4, k = 10, nQueries = 20)
+    assert(recall >= 0.9, f"recall@10 = $recall%.3f < 0.9")
+    assert(scanned <= 0.35,
+      f"probe scanned $scanned%.3f of vectors — pruning is not happening")
+  }
+
   test("IVF assignment scales: every replicated vector lands in one cell") {
     val e = Tables.load(spark, Sf0001, "embeddings")
     val centroids = e.filter(col("vec_id").between(1, 8))

@@ -338,4 +338,84 @@ class StreamingSpec extends AnyFunSuite {
       assert(svc.lastResult("boom").isEmpty)
     } finally svc.shutdown()
   }
+
+  test("ContinuousQueryService callback ordering: OnSuccess fires AFTER " +
+      "lastResult/executions update (QueryExecutionService.cs parity)") {
+    val svc = new ContinuousQueryService(spark)
+    try {
+      // the callback snapshots the SERVICE state it observed — the
+      // reference updates LastResult before invoking OnSuccess, so a
+      // callback that reads the registry must see the fresh rows
+      val observed = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, Long)]() // (rowsArgValue, cachedValue, executions)
+      svc.register(svc.Config(
+        "ordered",
+        s => { import s.implicits._; Seq(42L).toDF("n") },
+        intervalMillis = 200L,
+        onSuccess = rows => observed.add((
+          rows.head.getLong(0),
+          svc.lastResult("ordered").headOption.map(_.getLong(0)).getOrElse(-1L),
+          svc.executions("ordered")))))
+      val deadline = System.currentTimeMillis() + 30000
+      while (observed.size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(observed.size >= 2)
+      observed.forEach { case (arg, cached, execs) =>
+        assert(arg == 42L && cached == 42L,
+          "onSuccess must observe the already-cached result")
+        assert(execs >= 1, "executions must be incremented before onSuccess")
+      }
+    } finally svc.shutdown()
+  }
+
+  test("ContinuousQueryService under an intermittent query: OnFailure " +
+      "fires after lastError is set, lastResult stays the stale SUCCESS " +
+      "value, recovery clears lastError") {
+    val svc = new ContinuousQueryService(spark)
+    try {
+      val mode = new java.util.concurrent.atomic.AtomicInteger(0) // 0 ok,1 fail
+      val failuresSeen = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, Boolean, Long)]() // (errMsg, lastErrorSetAtCallback, staleVal)
+      svc.register(svc.Config(
+        "flaky",
+        s => {
+          import s.implicits._
+          if (mode.get() == 1) throw new RuntimeException("tick failed")
+          Seq(7L).toDF("n")
+        },
+        intervalMillis = 150L,
+        onFailure = t => failuresSeen.add((
+          t.getMessage,
+          svc.lastError("flaky").nonEmpty,
+          svc.lastResult("flaky").headOption.map(_.getLong(0)).getOrElse(-1L)))))
+
+      val deadline = System.currentTimeMillis() + 30000
+      // phase 1: wait for a cached success
+      while (svc.executions("flaky") < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(svc.lastResult("flaky").head.getLong(0) == 7L)
+
+      // phase 2: flip to failing; the callback must observe lastError
+      // ALREADY set and lastResult still the stale success (the
+      // reference keeps LastResult across failed ticks)
+      mode.set(1)
+      while (failuresSeen.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val (msg, errSet, stale) = failuresSeen.peek()
+      assert(msg == "tick failed" && errSet,
+        "onFailure must fire after lastError is recorded")
+      assert(stale == 7L, "a failed tick must not clobber the cached result")
+      assert(svc.lastResult("flaky").head.getLong(0) == 7L)
+      val execsAtFailure = svc.executions("flaky")
+
+      // phase 3: recover; lastError clears, executions resume
+      mode.set(0)
+      while ((svc.lastError("flaky").nonEmpty ||
+        svc.executions("flaky") == execsAtFailure) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(svc.lastError("flaky").isEmpty, "recovery must clear lastError")
+      assert(svc.executions("flaky") > execsAtFailure)
+      assert(svc.lastResult("flaky").head.getLong(0) == 7L)
+    } finally svc.shutdown()
+  }
 }

@@ -1,0 +1,259 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.CyclicBarrier
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{GraftDatabase, TxLog}
+import graft.dml.ConstrainedDml.{Cascade, Fk, TableDef}
+
+/** The ACID layer: commit-log semantics (atomic publish, optimistic
+  * conflicts, snapshot isolation, checkpoint/vacuum) and the facade's
+  * transactional surface (BEGIN/COMMIT/ROLLBACK, atomic cascade) —
+  * replacing the reference's WAL + snapshot reads
+  * (`WalIndexService.cs:143-291`, `TransactionService.cs:125-282`).
+  */
+class TxLogSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private def freshLog(): (TxLog, String) = {
+    val root = Files.createTempDirectory("graft-txlog").toString
+    (new TxLog(spark, root), root)
+  }
+
+  private def freshDb(): GraftDatabase = {
+    val base = Files.createTempDirectory("graft-txdb").toString
+    GraftDatabase(spark, "txdemo", base)
+      .defineTable(TableDef("customer", "id", uniqueCols = Seq("name")))
+      .defineTable(TableDef("orders", "id",
+        fks = Seq(Fk("customer_id", "customer", "id", Cascade))))
+  }
+
+  test("commit publishes atomically and versions replay in order") {
+    val (log, _) = freshLog()
+    assert(log.version == 0)
+    val f1 = log.stage("t", Seq((1, "a")).toDF("id", "v"))
+    assert(log.read("t").isEmpty) // staged-not-committed is invisible
+    assert(log.commit(Seq(TxLog.Put("t", f1))) == 1)
+    assert(log.read("t").get.count() == 1)
+
+    val f2 = log.stage("t", Seq((2, "b")).toDF("id", "v"))
+    assert(log.commit(Seq(TxLog.Add("t", f2))) == 2)
+    assert(log.read("t").get.count() == 2)
+
+    // PUT replaces; DEL unbinds; REN re-keys — all metadata-only
+    val f3 = log.stage("t", Seq((9, "z")).toDF("id", "v"))
+    log.commit(Seq(TxLog.Put("t", f3)))
+    assert(log.read("t").get.select("id").as[Int].collect().toSeq == Seq(9))
+    log.commit(Seq(TxLog.Ren("t", "u")))
+    assert(log.read("t").isEmpty && log.read("u").get.count() == 1)
+    log.commit(Seq(TxLog.Del("u")))
+    assert(log.read("u").isEmpty)
+  }
+
+  test("snapshot isolation: a reader's plan keeps answering with its " +
+      "snapshot across later commits") {
+    val (log, _) = freshLog()
+    log.commit(Seq(TxLog.Put("t",
+      log.stage("t", Seq((1, "old"), (2, "old")).toDF("id", "v")))))
+    val reader = log.read("t").get // plan bound to v1's immutable files
+
+    // writer replaces the table twice
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq((1, "new")).toDF("id", "v")))))
+    log.commit(Seq(TxLog.Put("t", log.stage("t",
+      Seq((7, "newer")).toDF("id", "v")))))
+
+    // the old reader still sees v1; a new reader sees the head
+    assert(reader.select("v").as[String].collect().toSet == Set("old"))
+    assert(reader.count() == 2)
+    assert(log.read("t").get.select("v").as[String].head() == "newer")
+    // and time travel reconstructs any retained version
+    assert(log.readAt(2, "t").get.select("v").as[String].head() == "new")
+  }
+
+  test("optimistic concurrency: a stale writer conflicts instead of " +
+      "silently losing the other's update") {
+    val (log, _) = freshLog()
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq((1, 10)).toDF("id", "x")))))
+    val base = log.version
+
+    // writer A commits first (built against `base`)
+    log.commit(Seq(TxLog.Put("t",
+      log.stage("t", Seq((1, 11)).toDF("id", "x")))), readVersion = base)
+    // writer B, also built against `base`, must fail — not overwrite A
+    val fB = log.stage("t", Seq((1, 99)).toDF("id", "x"))
+    intercept[TxLog.ConflictException] {
+      log.commit(Seq(TxLog.Put("t", fB)), readVersion = base)
+    }
+    assert(log.read("t").get.select("x").as[Int].head() == 11)
+
+    // a stale writer touching a DIFFERENT table proceeds (no overlap)
+    log.commit(Seq(TxLog.Put("other",
+      log.stage("other", Seq(1).toDF("id")))), readVersion = base)
+    assert(log.read("other").isDefined)
+  }
+
+  test("two racing committers: exactly one same-table writer wins") {
+    val (log, _) = freshLog()
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq((1, 0)).toDF("id", "x")))))
+    val base = log.version
+    // pre-stage both so the race is purely over the log publish
+    val fa = log.stage("t", Seq((1, 1)).toDF("id", "x"))
+    val fb = log.stage("t", Seq((1, 2)).toDF("id", "x"))
+
+    val barrier = new CyclicBarrier(2)
+    @volatile var conflicts = 0
+    @volatile var wins = 0
+    val threads = Seq(fa, fb).map { f =>
+      new Thread(() => {
+        barrier.await()
+        try { log.commit(Seq(TxLog.Put("t", f)), readVersion = base)
+          synchronized { wins += 1 } }
+        catch { case _: TxLog.ConflictException =>
+          synchronized { conflicts += 1 } }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins == 1 && conflicts == 1, s"wins=$wins conflicts=$conflicts")
+    assert(log.read("t").get.count() == 1)
+  }
+
+  test("checkpoint + vacuum: snapshots resolve after log truncation, " +
+      "retired files disappear, retained versions stay readable") {
+    val (log, root) = freshLog()
+    // 12 commits → a checkpoint lands at v10
+    (1 to 12).foreach { i =>
+      log.commit(Seq(TxLog.Put("t", log.stage("t", Seq(i).toDF("n")))))
+    }
+    assert(log.version == 12)
+    assert(log.read("t").get.select("n").as[Int].head() == 12)
+
+    val dataDirsBefore = Files.list(Paths.get(root, "Tables", "t"))
+      .filter(Files.isDirectory(_)).count()
+    assert(dataDirsBefore == 12)
+
+    val deleted = log.vacuum(keepVersions = 2)
+    assert(deleted.nonEmpty)
+    val dataDirsAfter = Files.list(Paths.get(root, "Tables", "t"))
+      .filter(Files.isDirectory(_)).count()
+    assert(dataDirsAfter == 2) // v11 + v12 file sets retained
+
+    // head still resolves (replay from the checkpoint, truncated log)
+    assert(log.read("t").get.select("n").as[Int].head() == 12)
+    assert(log.readAt(11, "t").get.select("n").as[Int].head() == 11)
+  }
+
+  test("facade: concurrent reader during update keeps its snapshot; " +
+      "new reads see the committed update") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    val before = db.table("customer") // snapshot-bound plan
+
+    assert(db.updateMany("customer", org.apache.spark.sql.functions.lit(true),
+      Map("age" -> org.apache.spark.sql.functions.lit(99))) == 2)
+
+    // the pre-update reader still answers with ITS snapshot
+    assert(before.select("age").as[Int].collect().toSet == Set(30, 40))
+    // a post-update reader sees the new state
+    assert(db.table("customer").select("age").as[Int].collect().toSet == Set(99))
+  }
+
+  test("facade: cascade delete commits all affected tables in ONE " +
+      "atomic log version") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 250.0), (11, 1, 50.0), (12, 2, 99.0))
+      .toDF("id", "customer_id", "amount"))
+    val preCustomer = db.table("customer")
+    val preOrders = db.table("orders")
+    val vBefore = db.logVersion
+
+    db.delete("customer", org.apache.spark.sql.functions.col("id") === 1)
+
+    // ONE commit covered both tables (atomic multi-table cascade)
+    assert(db.logVersion == vBefore + 1)
+    assert(db.table("customer").count() == 1)
+    assert(db.table("orders").select("id").as[Int].collect().toSet == Set(12))
+    // pre-delete readers keep their consistent pair of snapshots
+    assert(preCustomer.count() == 2 && preOrders.count() == 3)
+  }
+
+  test("facade SQL transactions: BEGIN buffers, statements see their " +
+      "own writes, COMMIT publishes once, ROLLBACK discards") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    val vBefore = db.logVersion
+
+    // BEGIN; two statements; both visible inside the tx, invisible outside
+    assert(db.sql("BEGIN TRANS").head().getBoolean(0))
+    assert(!db.sql("BEGIN").head().getBoolean(0)) // nested begin: false
+    db.sql("""INSERT INTO customer VALUES {"id": 3, "name": "cal", "age": 20}""")
+    db.sql("UPDATE customer SET $.age = $.age + 1 WHERE $.id = 3")
+    // the SAME transaction reads its own uncommitted writes
+    assert(db.sql("SELECT $.age FROM customer WHERE $.id = 3")
+      .head().getLong(0) == 21)
+    // the committed store has NOT moved
+    assert(db.logVersion == vBefore)
+    assert(db.table("customer").count() == 2)
+
+    // COMMIT publishes everything as one version
+    assert(db.sql("COMMIT").head().getBoolean(0))
+    assert(db.logVersion == vBefore + 1)
+    assert(db.table("customer").count() == 3)
+    assert(db.findById("customer", 3).get.getAs[Long]("age") == 21)
+    assert(!db.sql("COMMIT").head().getBoolean(0)) // no open tx
+
+    // ROLLBACK discards buffered statements
+    db.sql("BEGIN")
+    db.sql("DELETE customer WHERE $.id = 1")
+    assert(db.sql("ROLLBACK").head().getBoolean(0))
+    assert(db.table("customer").count() == 3)
+    assert(db.logVersion == vBefore + 1)
+  }
+
+  test("facade SQL transactions: a failed statement auto-rolls-back; " +
+      "direct facade writes are fenced while a tx is open") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+
+    db.sql("BEGIN")
+    db.sql("""INSERT INTO customer VALUES {"id": 3, "name": "cal", "age": 20}""")
+    // unique(name) violation inside the tx → whole tx rolls back
+    intercept[IllegalStateException] {
+      db.sql("""INSERT INTO customer VALUES {"id": 4, "name": "ann", "age": 1}""")
+    }
+    assert(!db.inTransaction)
+    assert(db.table("customer").count() == 2) // cal's insert gone too
+
+    // direct facade DML while a tx is open is fenced (it would bypass
+    // the transaction's atomicity)
+    db.sql("BEGIN")
+    intercept[IllegalStateException] {
+      db.insert("customer", Seq((5, "eve", 9)).toDF("id", "name", "age"))
+    }
+    assert(db.sql("ROLLBACK").head().getBoolean(0))
+    // and after the rollback the insert lands
+    db.insert("customer", Seq((5, "eve", 9)).toDF("id", "name", "age"))
+    assert(db.table("customer").count() == 3)
+  }
+
+  test("facade: checkpoint compacts multi-file tables and vacuums " +
+      "retired versions") {
+    val db = freshDb()
+    (1 to 4).foreach { i =>
+      db.insert("customer", Seq((i, s"n$i", 20 + i)).toDF("id", "name", "age"))
+    }
+    assert(db.liveFiles("customer").size == 4)
+    db.setPragma("CHECKPOINT", 1)
+    assert(db.checkpoint() == Seq("customer"))
+    assert(db.liveFiles("customer").size == 1)
+    assert(db.count("customer") == 4) // content survives compaction
+    assert(db.checkpoint().isEmpty)   // nothing left to compact
+  }
+}
