@@ -252,6 +252,8 @@ final class GraftDatabase private (
     */
   def ensureIndex(name: String, indexName: String, column: String,
       unique: Boolean): Boolean = {
+    requireNoOpenTx()
+    val base = txlog.version // the rebuild reads this snapshot's rows
     val cur = indexDefs(name)
     if (cur.contains((indexName, column, unique))) return false
     cur.find(_._1 == indexName).foreach { case (_, c, _) =>
@@ -274,7 +276,7 @@ final class GraftDatabase private (
     }
     if (tableExists(name))
       writeReplace(name, table(name)
-        .repartitionByRange(col(column)).sortWithinPartitions(column))
+        .repartitionByRange(col(column)).sortWithinPartitions(column), base)
     writeIndexMeta(name,
       cur.filterNot(d => d._1 == indexName || d._2 == column) :+
         ((indexName, column, unique)))
@@ -572,11 +574,13 @@ final class GraftDatabase private (
     */
   def insertDocuments(name: String, docs: Seq[String],
       pinned: org.apache.spark.sql.types.StructType): Unit = {
+    requireNoOpenTx()
+    val base = txlog.version
     val incoming = DynamicDocs.fromJson(spark, docs, pinned)
     val merged = if (tableExists(name))
       table(name).unionByName(incoming, allowMissingColumns = true)
     else incoming
-    writeReplace(name, merged)
+    writeReplace(name, merged, base)
   }
 
   /** Find over a dynamic table: pinned columns filter natively, overflow

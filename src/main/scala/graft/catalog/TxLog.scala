@@ -201,7 +201,10 @@ final class TxLog(spark: SparkSession, root: String) {
       try {
         Files.write(tmp, actions.map(render).mkString("\n").getBytes("UTF-8"))
         publish(tmp, versionFile(attempt))
-        maybeCheckpoint(attempt)
+        // the commit IS durable once published; a checkpoint is a pure
+        // replay optimization derivable from the log, so its failure
+        // must not make a succeeded commit look failed
+        try maybeCheckpoint(attempt) catch { case _: Throwable => () }
         return attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

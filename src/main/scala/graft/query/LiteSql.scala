@@ -69,8 +69,9 @@ final class LiteSql(
   /** Full command dispatch by first keyword (SqlParser.cs:32-49):
     * SELECT/EXPLAIN/INSERT/UPDATE/DELETE here; DROP/RENAME/CREATE INDEX/
     * PRAGMA/CHECKPOINT/REBUILD parse here and act through the [[LiteSql.Admin]]
-    * hook (the owning GraftDatabase); BEGIN/COMMIT/ROLLBACK remain the
-    * storage log's scope. DML returns a 1-row frame with the
+    * hook (the owning GraftDatabase), as do BEGIN/COMMIT/ROLLBACK
+    * (buffered statements publish as ONE atomic commit-log version on
+    * COMMIT). DML returns a 1-row frame with the
     * affected-row count, like the reference's ExecuteNonQuery; DDL
     * returns a 1-row `result` boolean like BsonDataReader(result).
     */

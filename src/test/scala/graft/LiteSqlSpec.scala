@@ -145,6 +145,13 @@ class LiteSqlSpec extends AnyFunSuite {
       fresh.execute("CREATE INDEX ix_age ON friend (age)"))
     intercept[UnsupportedOperationException](
       fresh.execute("DROP INDEX friend.ix_age"))
+    intercept[UnsupportedOperationException](fresh.execute("BEGIN TRANS"))
+    intercept[UnsupportedOperationException](fresh.execute("COMMIT"))
+    intercept[UnsupportedOperationException](fresh.execute("ROLLBACK"))
+    // malformed transaction statements are parse errors, not dispatches
+    intercept[IllegalArgumentException](fresh.execute("BEGIN banana"))
+    // anything else is still an unsupported command
+    intercept[IllegalArgumentException](fresh.execute("VACUUM friend"))
   }
 
   test("DDL dispatch without an admin: in-memory DROP/RENAME COLLECTION") {

@@ -161,6 +161,23 @@ class TxLogSpec extends AnyFunSuite {
     assert(db.table("customer").select("age").as[Int].collect().toSet == Set(99))
   }
 
+  test("facade: readers stay valid across DROP and RENAME (metadata-only " +
+      "actions; files retire only at vacuum)") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    val reader = db.table("customer")
+    assert(db.renameCollection("customer", "folks"))
+    // the pre-rename reader still answers from its immutable files,
+    // and the binding moved without any data movement
+    assert(reader.count() == 2)
+    assert(db.table("folks").count() == 2)
+    val reader2 = db.table("folks")
+    assert(db.dropCollection("folks"))
+    assert(reader2.count() == 2) // unbound, not deleted — vacuum retires
+    assert(!db.tableExists("folks"))
+  }
+
   test("facade: cascade delete commits all affected tables in ONE " +
       "atomic log version") {
     val db = freshDb()
