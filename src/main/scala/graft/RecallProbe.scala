@@ -34,11 +34,11 @@ object RecallProbe {
     val e = graft.core.Tables.load(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull)
     val n = e.count()
-    val (recall, scanned) = Similarity.recallAtK(
-      e, "vec_id", "embedding", nlist, nProbe, k, nQueries)
-
-    // timing: same trained cells, mean per-query wall over nQueries
+    // train ONCE: the quality measurement and the timing loop share the
+    // same (deterministic) centroids
     val cents = Similarity.kmeansTrain(e, "vec_id", "embedding", nlist, 3)
+    val (recall, scanned) = Similarity.recallAtK(
+      e, "vec_id", "embedding", nlist, nProbe, k, nQueries, Some(cents))
     val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents).cache()
     assigned.count()
     val qs = assigned.orderBy(col("vec_id")).limit(nQueries)

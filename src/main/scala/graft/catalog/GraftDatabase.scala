@@ -36,6 +36,26 @@ final class GraftDatabase private (
 
   private val txlog = new TxLog(spark, root)
 
+  // Upgrade path: a root written by the pre-commit-log layout holds
+  // tables as Tables/<t>/part-*.parquet with no log. Import them on
+  // first open — one commit referencing the files IN PLACE (no data
+  // movement) — so an existing database never opens silently empty.
+  if (txlog.version == 0L) {
+    val legacy = Option(new java.io.File(tablesDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && !d.getName.startsWith("."))
+      .flatMap { d =>
+        val parts = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .map(f => s"Tables/${d.getName}/${f.getName}").sorted.toSeq
+        if (parts.nonEmpty)
+          Some(TxLog.Put(d.getName.toLowerCase, parts): TxLog.Action)
+        else None
+      }
+    if (legacy.nonEmpty) txlog.commit(legacy.toSeq)
+  }
+
   private var defs: Map[String, TableDef] = Map.empty
 
   /** Declare a table with its constraints (the reference declares via
@@ -114,9 +134,12 @@ final class GraftDatabase private (
       throw new IllegalStateException(s"constraint violations: $violations")
     enforceLimitSize()
     // an append is an ADD action — but it was VALIDATED against `base`
-    // (unique/PK sets), so a concurrent same-table commit must conflict
+    // (unique/PK sets, FK PARENTS), so a concurrent commit touching
+    // this table OR a validated parent must conflict (a parent delete
+    // interleaving with this insert is the classic write-skew orphan)
     txlog.commit(Seq(TxLog.Add(norm(name), txlog.stage(norm(name), rows))),
-      readVersion = base)
+      readVersion = base,
+      readTables = tdef.fks.map(_.parentTable).toSet)
     invalidateSqlEngine()
   }
 
@@ -133,7 +156,7 @@ final class GraftDatabase private (
       else rows
     requireClean(ConstrainedDml.validateUpdate(
       spark, tdef, rows, merged, parentsOf(tdef)))
-    writeReplace(name, merged, base)
+    writeReplace(name, merged, base, tdef.fks.map(_.parentTable).toSet)
   }
 
   /** Update existing documents by PK (TableCollection.cs:1256-1298):
@@ -158,7 +181,7 @@ final class GraftDatabase private (
         val merged = ConstrainedDml.upsert(existing, matched, tdef.pk)
         requireClean(ConstrainedDml.validateUpdate(
           spark, tdef, matched, merged, parentsOf(tdef)))
-        writeReplace(name, merged, base)
+        writeReplace(name, merged, base, tdef.fks.map(_.parentTable).toSet)
       }
       n
     } finally matched.unpersist()
@@ -195,7 +218,7 @@ final class GraftDatabase private (
       requireClean(ConstrainedDml.validateUpdate(
         spark, tdef, changed, result, parentsOf(tdef)))
       val n = changed.count()
-      writeReplace(name, result, base)
+      writeReplace(name, result, base, tdef.fks.map(_.parentTable).toSet)
       n
     } finally marked.unpersist()
   }
@@ -274,6 +297,17 @@ final class GraftDatabase private (
       if (!tdef.uniqueCols.contains(column))
         defs += tdef.name -> tdef.copy(uniqueCols = tdef.uniqueCols :+ column)
     }
+    // a same-column re-registration replaces the old entry; if the old
+    // entry was UNIQUE and the new one is not, its constraint leaves
+    // with it (otherwise the constraint would be orphaned: enforced
+    // forever with no registry entry left to drop)
+    val replaced = cur.filter(d => d._1 == indexName || d._2 == column)
+    if (!unique && replaced.exists(_._3)) {
+      val tdef = tableDef(name)
+      if (tdef.uniqueCols.contains(column))
+        defs += tdef.name ->
+          tdef.copy(uniqueCols = tdef.uniqueCols.filterNot(_ == column))
+    }
     if (tableExists(name))
       writeReplace(name, table(name)
         .repartitionByRange(col(column)).sortWithinPartitions(column), base)
@@ -290,6 +324,7 @@ final class GraftDatabase private (
     * uniqueness lives ON the index).
     */
   def dropIndex(name: String, indexName: String): Boolean = {
+    requireNoOpenTx() // registry + constraint changes cannot roll back
     val cur = indexDefs(name)
     val hit = cur.find(_._1 == indexName)
       .orElse(cur.find(d => d._1 == d._2 && d._2 == indexName))
@@ -418,28 +453,52 @@ final class GraftDatabase private (
     val actions = updated.toSeq.map { case (n, df) =>
       TxLog.Put(n, txlog.stage(n, df)): TxLog.Action
     }
-    if (actions.nonEmpty) txlog.commit(actions, readVersion = base)
+    // read set = every table the cascade walk CONSULTED (restrict
+    // checks read children it may not rewrite) — an interleaved commit
+    // on any of them invalidates the walk and must conflict
+    if (actions.nonEmpty) txlog.commit(actions, readVersion = base,
+      readTables = states.keySet.toSet)
     invalidateSqlEngine()
   }
 
   private def writeReplace(name: String, df: DataFrame,
-      base: Long = -1L): Unit = {
+      base: Long = -1L, readTables: Set[String] = Set.empty): Unit = {
     enforceLimitSize()
     // stage-then-commit: the plan reads the table's CURRENT immutable
     // files while the staged write lands in a fresh directory — fully
     // distributed, never a self-overwrite, atomic at the log publish
     val n = norm(name)
-    txlog.commit(Seq(TxLog.Put(n, txlog.stage(n, df))), readVersion = base)
+    txlog.commit(Seq(TxLog.Put(n, txlog.stage(n, df))), readVersion = base,
+      readTables = readTables)
     invalidateSqlEngine()
   }
 
   // ---- engine pragmas (EnginePragmas.cs) ----------------------------------
 
-  /** Per-database pragma store; see [[Pragmas]] for each one's mapping. */
-  lazy val pragmas: Pragmas = new Pragmas(root, () => collation.toString)
+  /** Per-database pragma store; see [[Pragmas]] for each one's mapping.
+    * LIMIT_SIZE validations measure LIVE bytes (below), not the raw
+    * directory walk.
+    */
+  lazy val pragmas: Pragmas =
+    new Pragmas(root, () => collation.toString, () => liveStoreSize())
 
   def pragma(name: String): Any = pragmas.get(name)
   def setPragma(name: String, value: Any): Unit = pragmas.set(name, value)
+
+  /** LIVE bytes of the store: the current snapshot's data files plus the
+    * always-live TimeSeries/ and Files/ subtrees. Retired versions
+    * awaiting vacuum deliberately do NOT count — if they did, deleting
+    * rows would INCREASE the accounted size, and a LIMIT_SIZE'd database
+    * could wedge permanently (every write refused, including the
+    * checkpoint compaction that would reclaim the space).
+    */
+  private def liveStoreSize(): Long = {
+    val live = txlog.snapshot().tables.values.flatten.map { r =>
+      val p = Paths.get(s"$root/$r")
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    live + Pragmas.storeSize(tsDir) + Pragmas.storeSize(filesDir)
+  }
 
   /** LIMIT_SIZE is enforced at the write choke point: once the store has
     * grown past the pragma, further writes fail — the facade analog of
@@ -448,7 +507,7 @@ final class GraftDatabase private (
   private def enforceLimitSize(): Unit = {
     val limit = pragmas.get(Pragmas.LimitSize).asInstanceOf[Long]
     if (limit != Long.MaxValue) {
-      val current = Pragmas.storeSize(root)
+      val current = liveStoreSize()
       if (current > limit) throw new IllegalStateException(
         s"database size limit reached (LIMIT_SIZE=$limit, store=$current)")
     }
@@ -526,7 +585,15 @@ final class GraftDatabase private (
         val actions = buf.toSeq.map { case (n, df) =>
           TxLog.Put(n, txlog.stage(n, df)): TxLog.Action
         }
-        txlog.commit(actions)
+        // the transaction's statements read the engine's views (loaded
+        // at the memoized base version) and validated against FK
+        // parents — conflict-check the whole read set so an interleaved
+        // external commit fails this COMMIT instead of being lost
+        val parents = buf.keysIterator.flatMap(n =>
+          defs.get(n).map(_.fks.map(_.parentTable)).getOrElse(Nil)).toSet
+        txlog.commit(actions,
+          readVersion = sqlEngine.map(_._2).getOrElse(-1L),
+          readTables = parents)
       }
       invalidateSqlEngine()
       true
@@ -633,10 +700,12 @@ final class GraftDatabase private (
       (fk.parentTable, td.name) -> (fk.parentCol, fk.childCol))).toMap
 
   // Memoized SQL engine over ALL tables (declared + materialized dynamic
-  // ones). Dropped on every facade write: its DataFrames hold file-listing
-  // snapshots of the swapped directories, and re-registering per call
-  // would cost a whole-catalog footer read per statement.
-  private var sqlEngine: Option[graft.query.LiteSql] = None
+  // ones), paired with the LOG VERSION its views were loaded at — the
+  // read version every DML it produces must be conflict-checked against.
+  // Dropped on every facade write: its DataFrames hold file-listing
+  // snapshots, and re-registering per call would cost a whole-catalog
+  // footer read per statement.
+  private var sqlEngine: Option[(graft.query.LiteSql, Long)] = None
   private def invalidateSqlEngine(): Unit = sqlEngine = None
 
   /** The SQL layer's storage hook: DDL/admin statements parsed by LiteSql
@@ -674,12 +743,13 @@ final class GraftDatabase private (
     * cascading lives on `delete`).
     */
   def sql(liteSql: String): DataFrame = {
-    val engine = sqlEngine.getOrElse {
+    val (engine, engineBase) = sqlEngine.getOrElse {
+      val base = txlog.version
       val loaded = tables.filter(tableExists).map(n => n -> table(n)).toMap
       val e = new graft.query.LiteSql(spark, loaded, fkRegistry, collation,
         admin = Some(facadeAdmin))
-      sqlEngine = Some(e)
-      e
+      sqlEngine = Some((e, base))
+      (e, base)
     }
     try {
       val wasInTx = txBuffer.isDefined
@@ -725,7 +795,13 @@ final class GraftDatabase private (
         case None =>
           engine.modified.foreach { case (n, state) =>
             check(n, state)
-            writeReplace(n, decollate(state))
+            // conflict-checked against the version the engine's views
+            // were LOADED at (the data this statement actually read),
+            // with FK parents in the read set — a concurrent writer
+            // since then must conflict, not be silently overwritten
+            writeReplace(n, decollate(state), base = engineBase,
+              readTables = defs.get(n).map(_.fks.map(_.parentTable).toSet)
+                .getOrElse(Set.empty))
           }
       }
       out

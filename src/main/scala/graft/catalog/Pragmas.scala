@@ -29,7 +29,12 @@ import java.util.Properties
   *     .checkpoint()` compacts any table directory holding more than
   *     this many data files (0 disables, like the reference).
   */
-final class Pragmas(root: String, collationName: () => String) {
+final class Pragmas(root: String, collationName: () => String,
+    storeSizeFn: () => Long) {
+
+  /** Raw-walk size fallback for callers without a live-size notion. */
+  def this(root: String, collationName: () => String) =
+    this(root, collationName, () => Pragmas.storeSize(root))
 
   import Pragmas._
 
@@ -77,7 +82,7 @@ final class Pragmas(root: String, collationName: () => String) {
         val v = asLong(name, value)
         if (v < MinLimitSize) throw new IllegalArgumentException(
           s"Pragma LIMIT_SIZE must be at least 4 pages ($MinLimitSize bytes)")
-        val current = storeSize(root)
+        val current = storeSizeFn()
         if (v < current) throw new IllegalArgumentException(
           "Pragma LIMIT_SIZE must be greater or equal to the current " +
             s"store size ($current bytes)")

@@ -160,13 +160,14 @@ object SystemCollections {
     import spark.implicits._
     val p = db.pragmas
     Seq((db.name, db.root, db.tables.size.toLong, db.collation.toString,
+      db.logVersion,
       p.get(Pragmas.UserVersion).asInstanceOf[Int],
       p.get(Pragmas.Timeout).asInstanceOf[Int],
       p.get(Pragmas.LimitSize).asInstanceOf[Long],
       p.get(Pragmas.UtcDate).asInstanceOf[Boolean],
       p.get(Pragmas.Checkpoint).asInstanceOf[Int]))
-      .toDF("name", "root", "n_tables", "collation", "user_version",
-        "timeout", "limit_size", "utc_date", "checkpoint")
+      .toDF("name", "root", "n_tables", "collation", "log_version",
+        "user_version", "timeout", "limit_size", "utc_date", "checkpoint")
   }
 
   /** `$cols` — user tables plus the system names (`SysCols.cs:12-30`). */

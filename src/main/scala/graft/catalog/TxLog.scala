@@ -170,15 +170,19 @@ final class TxLog(spark: SparkSession, root: String) {
   /** Atomically publish `actions` as one commit. Optimistic: when the
     * caller passes the `readVersion` its staged state was computed
     * against, any interleaved commit touching one of this commit's
-    * tables is a write-write conflict → [[TxLog.ConflictException]]
-    * (the reference rolls back on WAL version conflict the same way).
-    * `readVersion = -1` marks a BLIND commit (pure appends, drops) that
-    * commutes with concurrent writers and only retries the publish.
-    * Returns the committed version.
+    * tables — or one of `readTables`, the tables the caller READ to
+    * validate (FK parents, restrict children): covering the read set
+    * closes the write-skew window, where two non-overlapping writes
+    * each validate against state the other invalidates — is a conflict
+    * → [[TxLog.ConflictException]] (the reference rolls back on WAL
+    * version conflict the same way). `readVersion = -1` marks a BLIND
+    * commit (pure appends, drops) that commutes with concurrent writers
+    * and only retries the publish. Returns the committed version.
     */
-  def commit(actions: Seq[Action], readVersion: Long = -1L): Long = {
+  def commit(actions: Seq[Action], readVersion: Long = -1L,
+      readTables: Set[String] = Set.empty): Long = {
     require(actions.nonEmpty, "empty commit")
-    val mine = actions.flatMap(_.touches).toSet
+    val mine = actions.flatMap(_.touches).toSet ++ readTables
     def assertNoConflict(from: Long, to: Long): Unit =
       (from to to).foreach { v =>
         val f = versionFile(v)
@@ -208,11 +212,12 @@ final class TxLog(spark: SparkSession, root: String) {
         return attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // lost the race: another writer published `attempt`. Re-check
-          // every interleaved commit; any overlap on our tables is a
-          // real write-write conflict, else retry at the new head.
+          // lost the race: another writer published `attempt`. For a
+          // versioned (readVersion >= 0) commit, re-check every
+          // interleaved commit — overlap is a real write-write conflict;
+          // a BLIND commit commutes by contract and just retries.
           val latest = version
-          assertNoConflict(attempt, latest)
+          if (readVersion >= 0) assertNoConflict(attempt, latest)
           attempt = latest + 1
       } finally Files.deleteIfExists(tmp)
     }
@@ -255,9 +260,16 @@ final class TxLog(spark: SparkSession, root: String) {
     * the retention floor. Bounds the reader-validity window the same
     * way the reference's CHECKPOINT truncates the WAL: readers pinned
     * to retained versions stay valid; older cursors must re-resolve.
-    * Returns the deleted data directories.
+    *
+    * `minAgeMs` is the in-flight-commit guard: a directory staged by a
+    * writer that has not PUBLISHED yet is unreferenced by every
+    * snapshot, and deleting it would corrupt that writer's commit the
+    * moment it lands — so only directories older than the grace window
+    * are eligible (the same reason Delta's VACUUM has a retention
+    * floor). Returns the deleted data directories.
     */
-  def vacuum(keepVersions: Int = 2): Seq[String] = {
+  def vacuum(keepVersions: Int = 2,
+      minAgeMs: Long = 15L * 60 * 1000): Seq[String] = {
     val vs = listVersions()
     if (vs.isEmpty) return Nil
     val floor = vs.takeRight(math.max(1, keepVersions)).head
@@ -277,8 +289,11 @@ final class TxLog(spark: SparkSession, root: String) {
           .filter(d => Files.isDirectory(d) &&
             d.getFileName.toString.startsWith("d-")).toVector
           finally ds.close()
+        val cutoff = System.currentTimeMillis() - minAgeMs
         staged.foreach { d =>
-          if (!retained.contains(d.toString)) {
+          val oldEnough = minAgeMs <= 0 ||
+            Files.getLastModifiedTime(d).toMillis < cutoff
+          if (oldEnough && !retained.contains(d.toString)) {
             deleteRecursively(d)
             deleted += d.toString
           }

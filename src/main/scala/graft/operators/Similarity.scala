@@ -333,9 +333,12 @@ object Similarity {
     * over the cached assignment.
     */
   def recallAtK(vectors: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, nProbe: Int, k: Int, nQueries: Int): (Double, Double) = {
+      nlist: Int, nProbe: Int, k: Int, nQueries: Int,
+      trained: Option[Seq[(Long, Seq[Float])]] = None): (Double, Double) = {
     val e = vectors.filter(col(vecCol).isNotNull)
-    val cents = kmeansTrain(e, idCol, vecCol, nlist, iters = 3)
+    // callers that already trained (e.g. to time probes afterwards)
+    // pass the centroids in rather than re-running Lloyd
+    val cents = trained.getOrElse(kmeansTrain(e, idCol, vecCol, nlist, iters = 3))
     val assigned = ivfAssign(e, idCol, vecCol, cents).cache()
     try {
       val n = assigned.count().toDouble

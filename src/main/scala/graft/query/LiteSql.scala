@@ -103,7 +103,12 @@ final class LiteSql(
         // carry the engine collation and Spark 4 refuses to union
         // collated with plain strings (INCOMPATIBLE_COLUMN_TYPE)
         val incoming = collation.collate(incomingRaw)
-        val merged = current(name).unionByName(incoming, allowMissingColumns = true)
+        // INSERT INTO an unknown collection CREATES it, like the
+        // reference's lazy collection materialization (Insert.cs via
+        // LiteEngine.Insert) — the first document set defines the schema
+        val merged = current.get(name)
+          .map(_.unionByName(incoming, allowMissingColumns = true))
+          .getOrElse(incoming)
         rebind(name, merged)
         // the inserted rows aligned to the merged schema (missing cols
         // null) — what a persisting caller validates as "new"
@@ -118,6 +123,9 @@ final class LiteSql(
           .findFirstMatchIn(sql).getOrElse(
             throw new IllegalArgumentException(s"bad UPDATE: $sql"))
         val name = m.group(1).toLowerCase
+        // UPDATE on an unknown collection affects 0 documents, like the
+        // reference (no lazy creation on update)
+        if (!current.contains(name)) return Seq(0L).toDF("n_affected")
         val (setPart, wherePart) = splitAtKeyword(m.group(2), "WHERE")
         val pred = wherePart.map(w => expr(translateExpr(w))).getOrElse(lit(true))
         val df = current(name)
@@ -164,6 +172,8 @@ final class LiteSql(
           .findFirstMatchIn(sql).getOrElse(
             throw new IllegalArgumentException(s"bad DELETE: $sql"))
         val name = m.group(1).toLowerCase
+        // DELETE on an unknown collection affects 0 documents (reference)
+        if (!current.contains(name)) return Seq(0L).toDF("n_affected")
         val df = current(name)
         val pred = Option(m.group(2))
           .map(w => expr(translateExpr(w))).getOrElse(lit(true))

@@ -417,6 +417,27 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.indexDefs("customer").isEmpty)
   }
 
+  test("same-column index re-registration under a new name replaces the " +
+      "old entry AND its unique constraint (no orphaned uniqueness)") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    assert(db.sql("CREATE UNIQUE INDEX ix1 ON customer (name)")
+      .head().getBoolean(0))
+    // re-register the SAME column under a new, NON-unique name: the old
+    // entry leaves the registry and takes its constraint with it
+    assert(db.sql("CREATE INDEX ix2 ON customer (name)").head().getBoolean(0))
+    assert(db.indexDefs("customer") == Seq(("ix2", "name", false)))
+    db.insert("customer", Seq((3, "ann", 9)).toDF("id", "name", "age"))
+    assert(db.count("customer") == 3) // duplicate now legal
+    // DROP INDEX inside an open transaction is fenced (registry changes
+    // cannot roll back)
+    db.sql("BEGIN")
+    intercept[Exception](db.sql("DROP INDEX customer.ix2"))
+    assert(!db.inTransaction) // failed statement auto-rolled-back
+    assert(db.sql("DROP INDEX customer.ix2").head().getBoolean(0))
+  }
+
   test("SQL DROP/RENAME COLLECTION through the facade: persisted state, " +
       "FK retargeting, stale-frame unbind") {
     val db = freshDb()
@@ -461,6 +482,23 @@ class GraftDatabaseSpec extends AnyFunSuite {
     intercept[Exception](db.sql("SELECT $ FROM orders").collect())
     // the surviving table still answers
     assert(db.sql("SELECT $.id FROM clients").count() == 2)
+  }
+
+  test("SQL INSERT INTO an unknown collection creates AND persists it " +
+      "(reference lazy collection materialization)") {
+    val db = freshDb()
+    val ins = db.sql(
+      """INSERT INTO pets VALUES {"id": 1, "kind": "cat"}, {"id": 2, "kind": "dog"}""")
+    assert(ins.head().getLong(0) == 2)
+    assert(db.tableExists("pets"))
+    assert(db.tables.contains("pets"))
+    assert(db.table("pets").count() == 2)
+    assert(db.sql("SELECT $.kind FROM pets WHERE $.id = 1")
+      .as[String].head() == "cat")
+    // and unknown-collection UPDATE/DELETE are 0-affected no-ops
+    assert(db.sql("UPDATE ghosts SET $.x = 1").head().getLong(0) == 0)
+    assert(db.sql("DELETE ghosts").head().getLong(0) == 0)
+    assert(!db.tableExists("ghosts"))
   }
 
   test("SQL PRAGMA and CHECKPOINT through the facade") {

@@ -154,6 +154,28 @@ class LiteSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](fresh.execute("VACUUM friend"))
   }
 
+  test("INSERT creates an unknown collection lazily; UPDATE/DELETE on an " +
+      "unknown collection affect 0 docs (reference lazy-materialization)") {
+    import graft.query.LiteSql
+    val fresh = new LiteSql(spark,
+      Map("friend" -> Seq((1L, "ann")).toDF("id", "name")), Map.empty)
+
+    // UPDATE/DELETE on a collection that does not exist: 0 affected, no error
+    assert(fresh.execute("UPDATE ghosts SET $.x = 1").head().getLong(0) == 0)
+    assert(fresh.execute("DELETE ghosts WHERE $.x = 1").head().getLong(0) == 0)
+
+    // INSERT INTO an unknown collection creates it with the docs' schema
+    val ins = fresh.execute(
+      """INSERT INTO pets VALUES {"id": 1, "kind": "cat"}, {"id": 2, "kind": "dog"}""")
+    assert(ins.head().getLong(0) == 2)
+    assert(fresh.run("SELECT $.kind FROM pets WHERE $.id = 2")
+      .as[String].head() == "dog")
+    // and the new collection participates in later DML
+    assert(fresh.execute("DELETE pets WHERE $.kind = 'cat'")
+      .head().getLong(0) == 1)
+    assert(fresh.table("pets").count() == 1)
+  }
+
   test("DDL dispatch without an admin: in-memory DROP/RENAME COLLECTION") {
     import graft.query.LiteSql
     val fresh = new LiteSql(spark,

@@ -58,9 +58,13 @@ class PragmasSpec extends AnyFunSuite {
       (1 to 400).map(j => (i * 2654435761L + j * 40503L).toHexString)
         .mkString
     db.insert("t", (1 to 40).map(i => (i, blob(i))).toDF("id", "v"))
-    val size = Pragmas.storeSize(db.root)
+    // LIMIT_SIZE accounts LIVE bytes (the snapshot's data files), not the
+    // raw directory walk — retired versions awaiting vacuum must never
+    // count, or deletes would inflate the accounted size
+    val size = db.liveFiles("t")
+      .map(f => Files.size(java.nio.file.Paths.get(f))).sum
     assert(size > Pragmas.MinLimitSize)
-    // a limit below the current size is itself rejected (reference rule)
+    // a limit below the current live size is itself rejected (reference rule)
     intercept[IllegalArgumentException](db.setPragma("LIMIT_SIZE", size - 1))
     db.setPragma("LIMIT_SIZE", size + 512)
     // this write is allowed (store still under the limit) but grows the
