@@ -104,6 +104,48 @@ final class GraftDatabase private (
     */
   def logVersion: Long = txlog.version
 
+  /** Time travel: read a table as of a committed log version (bounded
+    * by vacuum retention — retired versions' files are reclaimed).
+    * None when the table did not exist at that version.
+    */
+  def tableAt(name: String, version: Long): Option[DataFrame] =
+    txlog.readAt(version, norm(name))
+
+  /** Commit history (version, action, target, n_files) — the
+    * lakehouse DESCRIBE-HISTORY twin, also served as `system("$log")`.
+    */
+  def history: DataFrame = {
+    import spark.implicits._
+    txlog.history().toDF("version", "action", "target", "n_files")
+  }
+
+  /** Idempotent batch append for streaming sinks: the (appId, batchId)
+    * marker rides the commit, and a REPLAYED batch (stream restart,
+    * foreachBatch retry) is skipped — exactly-once table state from
+    * at-least-once delivery, the Delta streaming-txn pattern.
+    * Constraint-checked like `insert`; returns false when the batch was
+    * already applied (nothing written).
+    */
+  def insertBatch(name: String, rows: DataFrame, appId: String,
+      batchId: Long): Boolean = {
+    requireNoOpenTx()
+    if (txlog.snapshot().txns.get(appId).exists(_ >= batchId)) return false
+    val tdef = tableDef(name)
+    val base = txlog.version
+    val existing = if (tableExists(name)) Some(table(name)) else None
+    val parents = tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
+    requireClean(ConstrainedDml.validateInsert(
+      spark, tdef, rows, existing, parents))
+    enforceLimitSize()
+    txlog.commit(
+      Seq(TxLog.Add(norm(name), txlog.stage(norm(name), rows)),
+        TxLog.Txn(appId, batchId)),
+      readVersion = base,
+      readTables = tdef.fks.map(_.parentTable).toSet)
+    invalidateSqlEngine()
+    true
+  }
+
   /** All table names: declared via `defineTable` plus any committed in
     * the log (IotDatabase.cs:45 Tables()).
     */
@@ -857,6 +899,7 @@ final class GraftDatabase private (
       case "$open_cursors" => SystemCollections.sysOpenCursors(spark)
       case "$dump"         => SystemCollections.fileManifest(spark, dataTables)
       case "$page_list"    => SystemCollections.rowGroupManifest(spark, dataTables)
+      case "$log"          => history // commit history (beyond-reference)
       case "$query"        => sql(options.getOrElse("sql",
         throw new IllegalArgumentException("$query needs options(\"sql\")")))
       case "$file" =>

@@ -227,5 +227,5 @@ object SystemCollections {
   /** Collection names this registry serves (mirrors `Register.cs:16-31`). */
   val names: Seq[String] = Seq("$database", "$cols", "$indexes",
     "$sequences", "$transactions", "$snapshots", "$open_cursors",
-    "$file", "$dump", "$page_list", "$query")
+    "$file", "$dump", "$page_list", "$query", "$log")
 }

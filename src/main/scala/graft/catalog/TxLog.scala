@@ -104,28 +104,29 @@ final class TxLog(spark: SparkSession, root: String) {
     */
   def snapshotAt(v: Long): Snapshot = {
     val ckpt = listCheckpoints().filter(_ <= v).lastOption
-    val base: Map[String, Vector[String]] = ckpt match {
-      case None => Map.empty
+    val base: Snapshot = ckpt match {
+      case None => Snapshot(0L, Map.empty)
       case Some(c) => parse(Files.readAllLines(ckptFile(c)).asScala.toSeq)
-        .foldLeft(Map.empty[String, Vector[String]])(applyAction)
+        .foldLeft(Snapshot(c, Map.empty))(applyAction)
     }
-    val tables = ((ckpt.getOrElse(0L) + 1) to v).foldLeft(base) { (acc, i) =>
+    ((ckpt.getOrElse(0L) + 1) to v).foldLeft(base) { (acc, i) =>
       val f = versionFile(i)
       if (!Files.exists(f)) acc // gap (vacuumed below a checkpoint)
       else parse(Files.readAllLines(f).asScala.toSeq).foldLeft(acc)(applyAction)
-    }
-    Snapshot(v, tables)
+    }.copy(version = v)
   }
 
-  private def applyAction(state: Map[String, Vector[String]],
-      a: Action): Map[String, Vector[String]] = a match {
-    case Put(t, fs)  => state.updated(t, fs.toVector)
-    case Add(t, fs)  => state.updated(t, state.getOrElse(t, Vector.empty) ++ fs)
-    case Del(t)      => state - t
-    case Ren(o, n)   => state.get(o) match {
-      case Some(fs) => state - o + (n -> fs)
-      case None     => state
+  private def applyAction(snap: Snapshot, a: Action): Snapshot = a match {
+    case Put(t, fs)  => snap.copy(tables = snap.tables.updated(t, fs.toVector))
+    case Add(t, fs)  => snap.copy(tables = snap.tables.updated(
+      t, snap.tables.getOrElse(t, Vector.empty) ++ fs))
+    case Del(t)      => snap.copy(tables = snap.tables - t)
+    case Ren(o, n)   => snap.tables.get(o) match {
+      case Some(fs) => snap.copy(tables = snap.tables - o + (n -> fs))
+      case None     => snap
     }
+    case Txn(a2, b)  => snap.copy(txns = snap.txns.updated(
+      a2, math.max(b, snap.txns.getOrElse(a2, Long.MinValue))))
   }
 
   /** Read a table at the latest snapshot: an explicit-file-list parquet
@@ -182,6 +183,15 @@ final class TxLog(spark: SparkSession, root: String) {
   def commit(actions: Seq[Action], readVersion: Long = -1L,
       readTables: Set[String] = Set.empty): Long = {
     require(actions.nonEmpty, "empty commit")
+    // idempotence: a commit carrying an (appId, batchId) already applied
+    // at the CURRENT head is a replay — skip it (exactly-once state from
+    // at-least-once delivery). Re-checked on every publish retry, so two
+    // racing replayers of the same batch apply it exactly once.
+    def alreadyApplied(): Boolean = actions.exists {
+      case Txn(a, b) => snapshot().txns.get(a).exists(_ >= b)
+      case _ => false
+    }
+    if (alreadyApplied()) return version
     val mine = actions.flatMap(_.touches).toSet ++ readTables
     def assertNoConflict(from: Long, to: Long): Unit =
       (from to to).foreach { v =>
@@ -217,6 +227,7 @@ final class TxLog(spark: SparkSession, root: String) {
           // interleaved commit — overlap is a real write-write conflict;
           // a BLIND commit commutes by contract and just retries.
           val latest = version
+          if (alreadyApplied()) return latest
           if (readVersion >= 0) assertNoConflict(attempt, latest)
           attempt = latest + 1
       } finally Files.deleteIfExists(tmp)
@@ -245,8 +256,12 @@ final class TxLog(spark: SparkSession, root: String) {
       val snap = snapshotAt(v)
       val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
       try {
+        // full snapshot = table bindings + the txn idempotence ledger
+        // (replay after truncation must still recognize applied batches)
         val lines = snap.tables.toSeq.sortBy(_._1)
-          .map { case (t, fs) => render(Put(t, fs)) }
+          .map { case (t, fs) => render(Put(t, fs)) } ++
+          snap.txns.toSeq.sortBy(_._1)
+            .map { case (a, b) => render(Txn(a, b)) }
         Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
         try publish(tmp, ckptFile(v))
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
@@ -317,6 +332,23 @@ final class TxLog(spark: SparkSession, root: String) {
       finally s.close()
     }
 
+  /** Commit-history rows (version, action, target, n_files) — the
+    * DESCRIBE-HISTORY diagnostic. Versions truncated by vacuum report
+    * only from the surviving log files.
+    */
+  def history(): Seq[(Long, String, String, Long)] =
+    listVersions().flatMap { v =>
+      val f = versionFile(v)
+      if (!Files.exists(f)) Nil
+      else parse(Files.readAllLines(f).asScala.toSeq).map {
+        case Put(t, fs) => (v, "PUT", t, fs.size.toLong)
+        case Add(t, fs) => (v, "ADD", t, fs.size.toLong)
+        case Del(t)     => (v, "DEL", t, 0L)
+        case Ren(o, n)  => (v, "REN", s"$o->$n", 0L)
+        case Txn(a, b)  => (v, "TXN", s"$a#$b", 0L)
+      }
+    }
+
   private def versionFile(v: Long): Path = logDir.resolve(f"v$v%08d.txt")
   private def ckptFile(v: Long): Path = logDir.resolve(f"v$v%08d.ckpt.txt")
 
@@ -328,6 +360,7 @@ final class TxLog(spark: SparkSession, root: String) {
         case Array("ADD", t, fs) => Add(t, fs.split(",").toSeq.filter(_.nonEmpty))
         case Array("DEL", t)     => Del(t)
         case Array("REN", o, n)  => Ren(o, n)
+        case Array("TXN", a, b)  => Txn(a, b.toLong)
         case _ => throw new IllegalStateException(s"bad txlog line: $line")
       }
     }
@@ -337,6 +370,7 @@ final class TxLog(spark: SparkSession, root: String) {
     case Add(t, fs) => s"ADD\t$t\t${fs.mkString(",")}"
     case Del(t)     => s"DEL\t$t"
     case Ren(o, n)  => s"REN\t$o\t$n"
+    case Txn(a, b)  => s"TXN\t$a\t$b"
   }
 }
 
@@ -349,8 +383,12 @@ object TxLog {
     */
   val checkpointEvery: Long = 10L
 
-  /** One committed state: table → root-relative immutable file list. */
-  final case class Snapshot(version: Long, tables: Map[String, Vector[String]])
+  /** One committed state: table → root-relative immutable file list,
+    * plus the idempotence ledger (writer appId → highest applied
+    * batchId — the Delta-style streaming txn marker).
+    */
+  final case class Snapshot(version: Long, tables: Map[String, Vector[String]],
+      txns: Map[String, Long] = Map.empty)
 
   sealed trait Action { def touches: Seq[String] }
   final case class Put(table: String, files: Seq[String]) extends Action {
@@ -364,6 +402,14 @@ object TxLog {
   }
   final case class Ren(from: String, to: String) extends Action {
     def touches: Seq[String] = Seq(from, to)
+  }
+  /** Idempotence marker: this commit applied writer `appId`'s `batchId`.
+    * A later commit attempt carrying an already-applied (appId, batchId)
+    * is skipped — exactly-once table state from at-least-once delivery
+    * (streaming foreachBatch replays, retried jobs).
+    */
+  final case class Txn(appId: String, batchId: Long) extends Action {
+    def touches: Seq[String] = Nil
   }
 
   /** Write-write conflict: the optimistic commit lost to an overlapping

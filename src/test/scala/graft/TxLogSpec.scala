@@ -346,6 +346,57 @@ class TxLogSpec extends AnyFunSuite {
     assert(db.table("customer").count() == 501)
   }
 
+  test("time travel + $log history: committed versions stay readable " +
+      "until vacuum and the commit history narrates them") {
+    val db = freshDb()
+    db.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))
+    val v1 = db.logVersion
+    db.insert("customer", Seq((2, "bob", 40)).toDF("id", "name", "age"))
+    db.delete("customer", org.apache.spark.sql.functions.col("id") === 1)
+    assert(db.table("customer").count() == 1)
+    // as-of reads reconstruct each retained version
+    assert(db.tableAt("customer", v1).get.count() == 1)
+    assert(db.tableAt("customer", v1 + 1).get.count() == 2)
+    assert(db.tableAt("nope", v1).isEmpty)
+    // $log narrates: two ADDs then the cascade PUT
+    val h = db.system("$log").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(h.count(_._2 == "ADD") == 2)
+    assert(h.exists(x => x._2 == "PUT" && x._3 == "customer"))
+  }
+
+  test("insertBatch is idempotent: a replayed (appId, batchId) is " +
+      "skipped, exactly-once state from at-least-once delivery") {
+    val db = freshDb()
+    val b0 = Seq((1, "ann", 30), (2, "bob", 40)).toDF("id", "name", "age")
+    assert(db.insertBatch("customer", b0, "ingest", 0L))
+    assert(db.count("customer") == 2)
+    val vAfter = db.logVersion
+
+    // the replay: same appId+batchId → skipped, nothing written
+    assert(!db.insertBatch("customer", b0, "ingest", 0L))
+    assert(db.count("customer") == 2)
+    assert(db.logVersion == vAfter)
+    // an OLDER batch id is also a replay (batch ids are monotonic)
+    assert(!db.insertBatch("customer", b0, "ingest", -1L))
+
+    // a new batch applies; a different appId has its own ledger
+    assert(db.insertBatch("customer",
+      Seq((3, "cal", 20)).toDF("id", "name", "age"), "ingest", 1L))
+    assert(db.count("customer") == 3)
+    assert(db.insertBatch("customer",
+      Seq((4, "dee", 25)).toDF("id", "name", "age"), "backfill", 0L))
+    assert(db.count("customer") == 4)
+
+    // the ledger survives checkpoint truncation: force a checkpoint
+    // past every commit, vacuum the log, and replay again
+    (1 to 10).foreach(k => db.setAll("customer", "age", k))
+    db.setPragma("CHECKPOINT", 1)
+    db.checkpoint()
+    assert(!db.insertBatch("customer", b0, "ingest", 1L))
+    assert(db.count("customer") == 4)
+  }
+
   test("facade: checkpoint compacts multi-file tables and vacuums " +
       "retired versions") {
     val db = freshDb()
