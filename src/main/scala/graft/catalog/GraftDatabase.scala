@@ -652,6 +652,36 @@ final class GraftDatabase private (
       true
   }
 
+  /** REBUILD with options (`RebuildOptions.cs`: new Collation and/or
+    * Password): compact EVERY table to right-sized files (the shrink),
+    * vacuum retired versions, and return a facade bound to the new
+    * collation. Stored bytes are collation-agnostic here (collation
+    * applies at read), so the collation change is metadata — unlike the
+    * reference, no index re-sort is needed; the compaction IS the
+    * datafile rewrite. A rebuild password is refused loudly:
+    * file-at-rest encryption is delegated to the lake/KMS (SURVEY
+    * §2.11); column-level AES is `core.ColumnCrypto`.
+    */
+  def rebuild(newCollation: Option[graft.core.Collation] = None,
+      password: Option[String] = None,
+      targetBytes: Long = 128L << 20): GraftDatabase = {
+    requireNoOpenTx()
+    require(password.isEmpty,
+      "rebuild password is not supported: file-at-rest encryption is " +
+        "the lake/KMS layer's concern (column-level AES: core.ColumnCrypto)")
+    val snap = txlog.snapshot()
+    snap.tables.toSeq.sortBy(_._1).foreach { case (t, files) =>
+      val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
+      val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      writeReplace(t, table(t).repartition(parts), base = snap.version)
+    }
+    txlog.vacuum()
+    val out = new GraftDatabase(spark, name, root,
+      newCollation.getOrElse(collation))
+    out.defs = defs // declarations survive the rebuild, like the reference
+    out
+  }
+
   /** Versioned file store under `Files/` (the reference's
     * `IotDatabase.Files` check-in/check-out surface,
     * `FileManager/FileCollection.cs`).

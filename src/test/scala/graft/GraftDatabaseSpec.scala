@@ -525,6 +525,29 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.sql("CHECKPOINT").head().getLong(0) == 0)
   }
 
+  test("rebuild compacts every table and can change the engine collation " +
+      "(RebuildOptions.cs: Collation; Password refused loudly)") {
+    val db = freshDb()
+    (1 to 4).foreach(i =>
+      db.insert("customer", Seq((i, s"N$i", i)).toDF("id", "name", "age")))
+    assert(db.liveFiles("customer").size == 4)
+
+    val db2 = db.rebuild(Some(graft.core.Collation.IgnoreCase))
+    assert(db2.liveFiles("customer").size == 1) // the shrink
+    assert(db2.count("customer") == 4)
+    assert(db2.pragma("COLLATION").toString ==
+      graft.core.Collation.IgnoreCase.toString)
+    // the new collation applies engine-wide on the rebuilt facade
+    assert(db2.sql("SELECT $.id FROM customer WHERE $.name = 'n2'")
+      .count() == 1)
+    // declarations survive: unique(name) still enforced
+    intercept[IllegalStateException] {
+      db2.insert("customer", Seq((9, "N1", 1)).toDF("id", "name", "age"))
+    }
+    // rebuild password: file-at-rest crypto is delegated, refuse loudly
+    intercept[IllegalArgumentException](db2.rebuild(password = Some("x")))
+  }
+
   test("tables/resources enumerate declared tables and stored files") {
     val db = freshDb()
     db.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.CyclicBarrier
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.catalog.{GraftDatabase, TxLog}
 import graft.dml.ConstrainedDml.{Cascade, Fk, TableDef}
@@ -395,6 +396,22 @@ class TxLogSpec extends AnyFunSuite {
     db.checkpoint()
     assert(!db.insertBatch("customer", b0, "ingest", 1L))
     assert(db.count("customer") == 4)
+  }
+
+  test("log-backed reads keep scan pushdown: filters reach the parquet " +
+      "scan of the explicit-file-list plan") {
+    val db = freshDb()
+    db.insert("customer", (1 to 200).map(i => (i, s"n$i", i))
+      .toDF("id", "name", "age"))
+    val plan = db.table("customer").filter(col("age") > 150)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(age), GreaterThan(age,150)]"),
+      s"pushdown missing from log-backed scan:\n$plan")
+    // and column pruning: a 1-column projection reads a 1-column schema
+    val pruned = db.table("customer").select("name")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<name:string>"),
+      s"column pruning missing:\n$pruned")
   }
 
   test("facade: checkpoint compacts multi-file tables and vacuums " +
