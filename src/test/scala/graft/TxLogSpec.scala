@@ -414,6 +414,74 @@ class TxLogSpec extends AnyFunSuite {
       s"column pruning missing:\n$pruned")
   }
 
+  test("model check: 200 random actions replay to the same state as an " +
+      "independent fold, through checkpoints and a fresh instance") {
+    // pure metadata: snapshot resolution never touches data files, so the
+    // model can commit fake paths and compare table->files maps exactly
+    val (log, root) = freshLog()
+    val rnd = new scala.util.Random(42)
+    val tables = Vector("a", "b", "c", "d")
+    var model = Map.empty[String, Vector[String]]
+    var modelTxns = Map.empty[String, Long]
+    (1 to 200).foreach { i =>
+      val t = tables(rnd.nextInt(tables.size))
+      val action: TxLog.Action = rnd.nextInt(5) match {
+        case 0 => TxLog.Put(t, Seq(s"Tables/$t/f$i-1", s"Tables/$t/f$i-2"))
+        case 1 => TxLog.Add(t, Seq(s"Tables/$t/f$i"))
+        case 2 => TxLog.Del(t)
+        case 3 =>
+          val dst = tables(rnd.nextInt(tables.size))
+          if (dst == t || model.contains(dst)) TxLog.Add(t, Seq(s"Tables/$t/f$i"))
+          else TxLog.Ren(t, dst)
+        case 4 => TxLog.Txn(s"app${rnd.nextInt(2)}", i.toLong)
+      }
+      log.commit(Seq(action))
+      // the independent model fold
+      action match {
+        case TxLog.Put(x, fs) => model = model.updated(x, fs.toVector)
+        case TxLog.Add(x, fs) =>
+          model = model.updated(x, model.getOrElse(x, Vector.empty) ++ fs)
+        case TxLog.Del(x) => model = model - x
+        case TxLog.Ren(o, n) => model.get(o) match {
+          case Some(fs) => model = model - o + (n -> fs)
+          case None => ()
+        }
+        case TxLog.Txn(a, b) =>
+          modelTxns = modelTxns.updated(a,
+            math.max(b, modelTxns.getOrElse(a, Long.MinValue)))
+      }
+      if (i % 37 == 0) { // spot-check along the way
+        val s = log.snapshot()
+        assert(s.tables == model, s"diverged at step $i")
+        assert(s.txns == modelTxns, s"txns diverged at step $i")
+      }
+    }
+    // checkpoints exist (200 commits / every 10) and a FRESH instance —
+    // no caches, replay from the newest checkpoint — agrees exactly
+    val fresh = new TxLog(spark, root)
+    assert(fresh.version == 200)
+    assert(fresh.snapshot().tables == model)
+    assert(fresh.snapshot().txns == modelTxns)
+  }
+
+  test("stray files in the log directory (crashed writers' tmp files) " +
+      "do not corrupt version discovery or replay") {
+    val (log, root) = freshLog()
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq(1).toDF("n")))))
+    // simulate crashed commit attempts and unrelated junk
+    Files.write(Paths.get(root, "_txlog", ".commit42.tmp"),
+      "PUT\tghost\tTables/ghost/x".getBytes("UTF-8"))
+    Files.write(Paths.get(root, "_txlog", "junk.txt"), "x".getBytes("UTF-8"))
+    Files.write(Paths.get(root, "_txlog", "v99999999.txt.partial"),
+      "PUT\tghost\tTables/ghost/x".getBytes("UTF-8"))
+    assert(log.version == 1)
+    assert(log.snapshot().tables.keySet == Set("t"))
+    assert(log.read("t").get.count() == 1)
+    // and the next commit proceeds normally past the junk
+    log.commit(Seq(TxLog.Add("t", log.stage("t", Seq(2).toDF("n")))))
+    assert(log.read("t").get.count() == 2)
+  }
+
   test("facade: checkpoint compacts multi-file tables and vacuums " +
       "retired versions") {
     val db = freshDb()
