@@ -86,7 +86,30 @@ final class LiteSql(
     lastSetTargetsVar = Nil
     refreshViews() // see run(): another instance may hold the view names
     kw match {
-      case "SELECT" => run(sql)
+      case "SELECT" =>
+        // SELECT {expr} [INTO {newcollection}[:{autoId}]] FROM ...
+        // (Select.cs:15): with INTO, run the query, land its rows in the
+        // target collection (append when it exists, like the reference's
+        // ExecuteQueryInto insert loop), and return the inserted count.
+        // The :autoId tag parses and is ignored — collections here carry
+        // natural PKs, not engine-assigned ObjectIds.
+        val IntoRe = "(?i)^(\\w+)(\\s*:\\s*\\w+)?\\s+(FROM\\b.*)$".r
+        splitAtKeyword(sql, "INTO") match {
+          case (head, Some(rest)) if IntoRe.findFirstMatchIn(rest).isDefined =>
+            val m = IntoRe.findFirstMatchIn(rest).get
+            val target = m.group(1).toLowerCase
+            val out = run(head + " " + m.group(3))
+            val n = out.count()
+            val incoming = collation.collate(out)
+            val merged = current.get(target)
+              .map(_.unionByName(incoming, allowMissingColumns = true))
+              .getOrElse(incoming)
+            rebind(target, merged)
+            lastChangedRowsVar += target ->
+              merged.limit(0).unionByName(incoming, allowMissingColumns = true)
+            Seq(n).toDF("n_affected")
+          case _ => run(sql)
+        }
       case "EXPLAIN" =>
         spark.sql("EXPLAIN FORMATTED " + translate(sql.drop("EXPLAIN".length)))
       case "INSERT" =>

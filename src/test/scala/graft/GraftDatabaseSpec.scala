@@ -499,6 +499,12 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.sql("UPDATE ghosts SET $.x = 1").head().getLong(0) == 0)
     assert(db.sql("DELETE ghosts").head().getLong(0) == 0)
     assert(!db.tableExists("ghosts"))
+
+    // SELECT INTO persists its result as a new collection too
+    assert(db.sql("SELECT $.id, $.kind INTO cats FROM pets WHERE $.kind = 'cat'")
+      .head().getLong(0) == 1)
+    assert(db.tableExists("cats"))
+    assert(db.table("cats").count() == 1)
   }
 
   test("SQL PRAGMA and CHECKPOINT through the facade") {

@@ -176,6 +176,38 @@ class LiteSqlSpec extends AnyFunSuite {
     assert(fresh.table("pets").count() == 1)
   }
 
+  test("SELECT INTO lands query results as a collection (Select.cs INTO " +
+      "clause, ExecuteQueryInto); append on existing; :autoId parses") {
+    import graft.query.LiteSql
+    val fresh = new LiteSql(spark,
+      Map("friend" -> Seq((1L, "ann", 30L), (2L, "bob", 40L), (3L, "cal", 22L))
+        .toDF("id", "name", "age")),
+      Map.empty)
+
+    // create a new collection from a filtered projection
+    val n = fresh.execute(
+      "SELECT $.id, $.name INTO elders FROM friend WHERE $.age > 25")
+    assert(n.head().getLong(0) == 2)
+    assert(fresh.run("SELECT $ FROM elders").count() == 2)
+    assert(fresh.table("elders").columns.toSeq == Seq("id", "name"))
+
+    // INTO an EXISTING collection appends (the reference's insert loop)
+    val n2 = fresh.execute(
+      "SELECT $.id, $.name INTO elders FROM friend WHERE $.age < 25")
+    assert(n2.head().getLong(0) == 1)
+    assert(fresh.table("elders").count() == 3)
+
+    // the :autoId tag parses and is ignored (natural PKs here)
+    val n3 = fresh.execute(
+      "SELECT $.id INTO ids : INT FROM friend WHERE $.id = 1")
+    assert(n3.head().getLong(0) == 1)
+    assert(fresh.table("ids").count() == 1)
+
+    // a quoted 'INTO' is data, not a clause
+    assert(fresh.execute("SELECT $.name FROM friend WHERE $.name = 'go INTO x'")
+      .count() == 0)
+  }
+
   test("DDL dispatch without an admin: in-memory DROP/RENAME COLLECTION") {
     import graft.query.LiteSql
     val fresh = new LiteSql(spark,
