@@ -43,7 +43,12 @@ final class GraftDatabase private (
   if (txlog.version == 0L) {
     val legacy = Option(new java.io.File(tablesDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(d => d.isDirectory && !d.getName.startsWith("."))
+      // `*_tmp_swap` is crash junk from the pre-log two-phase rewrite
+      // (temp write landed, swap didn't) — the old layout's `tables`
+      // listing filtered it, and importing it would commit a phantom
+      // table carrying a stale duplicate copy of the real one's rows
+      .filter(d => d.isDirectory && !d.getName.startsWith(".") &&
+        !d.getName.endsWith("_tmp_swap"))
       .flatMap { d =>
         val parts = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
@@ -572,16 +577,22 @@ final class GraftDatabase private (
       val snap = txlog.snapshot()
       val out = snap.tables.toSeq.sortBy(_._1)
         .filter(_._2.size > threshold)
-        .map { case (t, files) =>
-          val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
-          val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-          writeReplace(t, table(t).repartition(parts), base = snap.version)
-          t
-        }
+        .map { case (t, files) => compactTable(t, files, targetBytes, snap.version) }
       txlog.vacuum()
       invalidateSqlEngine()
       out
     }
+  }
+
+  /** Rewrite one table into ceil(liveBytes / targetBytes) right-sized
+    * files — the shared shrink step of CHECKPOINT and REBUILD.
+    */
+  private def compactTable(t: String, files: Seq[String],
+      targetBytes: Long, base: Long): String = {
+    val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    writeReplace(t, table(t).repartition(parts), base = base)
+    t
   }
 
   // ---- transactions (BEGIN/COMMIT/ROLLBACK, SqlParser.cs:32-49 →
@@ -671,11 +682,14 @@ final class GraftDatabase private (
         "the lake/KMS layer's concern (column-level AES: core.ColumnCrypto)")
     val snap = txlog.snapshot()
     snap.tables.toSeq.sortBy(_._1).foreach { case (t, files) =>
-      val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
-      val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      writeReplace(t, table(t).repartition(parts), base = snap.version)
+      compactTable(t, files, targetBytes, snap.version)
     }
-    txlog.vacuum()
+    // REBUILD's contract is reclaiming space NOW: like the reference
+    // (which rebuilds into a fresh datafile under an exclusive lock),
+    // it runs with no concurrent writers — requireNoOpenTx above — so
+    // the in-flight-commit grace window and the extra retained version
+    // that a routine vacuum keeps would only defeat the shrink here
+    txlog.vacuum(keepVersions = 1, minAgeMs = 0)
     val out = new GraftDatabase(spark, name, root,
       newCollation.getOrElse(collation))
     out.defs = defs // declarations survive the rebuild, like the reference

@@ -196,13 +196,21 @@ final class TxLog(spark: SparkSession, root: String) {
     def assertNoConflict(from: Long, to: Long): Unit =
       (from to to).foreach { v =>
         val f = versionFile(v)
-        if (Files.exists(f)) {
-          val theirs = parse(Files.readAllLines(f).asScala.toSeq)
-            .flatMap(_.touches).toSet
-          if (theirs.intersect(mine).nonEmpty)
-            throw new ConflictException(
-              s"concurrent commit $v touched ${theirs.intersect(mine)}")
-        }
+        if (!Files.exists(f))
+          // versions are dense (the publish CAS admits no gaps), so a
+          // missing file in the checked range means vacuum truncated it
+          // — the interleaved commit can no longer be inspected. Fail
+          // SAFE: an unverifiable conflict is a conflict; silently
+          // skipping it would let a stale writer overwrite commits that
+          // landed before the truncation.
+          throw new ConflictException(
+            s"cannot validate against commit $v: log truncated by " +
+              "vacuum below the writer's read version — re-read and retry")
+        val theirs = parse(Files.readAllLines(f).asScala.toSeq)
+          .flatMap(_.touches).toSet
+        if (theirs.intersect(mine).nonEmpty)
+          throw new ConflictException(
+            s"concurrent commit $v touched ${theirs.intersect(mine)}")
       }
     if (readVersion >= 0) assertNoConflict(readVersion + 1, version)
     var attempt = version + 1
@@ -245,9 +253,17 @@ final class TxLog(spark: SparkSession, root: String) {
       Files.createLink(target, tmp)
     } catch {
       case _: UnsupportedOperationException =>
-        // filesystems without hard links: move-without-replace still
-        // throws on an existing target, with a negligible race window
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        // filesystems without hard links: ATOMIC_MOVE alone is NOT a
+        // CAS — POSIX rename(2) silently replaces an existing target,
+        // so two racing committers of the same version would both
+        // "win". Claim the version with an exclusive create (O_EXCL,
+        // atomic, throws FileAlreadyExistsException on a lost race),
+        // then land the content over the empty placeholder. A reader
+        // in the tiny claim→move window sees an empty commit, which
+        // parses as zero actions — benign.
+        Files.createFile(target)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -288,9 +304,11 @@ final class TxLog(spark: SparkSession, root: String) {
     val vs = listVersions()
     if (vs.isEmpty) return Nil
     val floor = vs.takeRight(math.max(1, keepVersions)).head
-    val retained: Set[String] = vs.filter(_ >= floor)
+    val retainedFiles: Set[String] = vs.filter(_ >= floor)
       .flatMap(v => snapshotAt(v).tables.values.flatten)
-      .map(r => Paths.get(root, r).getParent.toString).toSet
+      .map(r => Paths.get(root, r).toString).toSet
+    val retained: Set[String] =
+      retainedFiles.map(f => Paths.get(f).getParent.toString)
     // delete whole staged directories none of the retained versions use
     val tablesRoot = Paths.get(root, "Tables")
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -300,17 +318,30 @@ final class TxLog(spark: SparkSession, root: String) {
         .toVector finally ts.close()
       tableDirs.foreach { td =>
         val ds = Files.list(td)
-        val staged = try ds.iterator().asScala
-          .filter(d => Files.isDirectory(d) &&
-            d.getFileName.toString.startsWith("d-")).toVector
-          finally ds.close()
+        val (staged, loose) = try {
+          val entries = ds.iterator().asScala.toVector
+          (entries.filter(d => Files.isDirectory(d) &&
+            d.getFileName.toString.startsWith("d-")),
+            // legacy-layout imports bind part files DIRECTLY under the
+            // table dir; once a rewrite retires them they are reclaimed
+            // at file granularity (the dir itself stays — it is the
+            // table root and holds the live d-* children)
+            entries.filter(f => Files.isRegularFile(f) &&
+              f.getFileName.toString.endsWith(".parquet")))
+        } finally ds.close()
         val cutoff = System.currentTimeMillis() - minAgeMs
+        def oldEnough(p: Path): Boolean = minAgeMs <= 0 ||
+          Files.getLastModifiedTime(p).toMillis < cutoff
         staged.foreach { d =>
-          val oldEnough = minAgeMs <= 0 ||
-            Files.getLastModifiedTime(d).toMillis < cutoff
-          if (oldEnough && !retained.contains(d.toString)) {
+          if (oldEnough(d) && !retained.contains(d.toString)) {
             deleteRecursively(d)
             deleted += d.toString
+          }
+        }
+        loose.foreach { f =>
+          if (oldEnough(f) && !retainedFiles.contains(f.toString)) {
+            Files.deleteIfExists(f)
+            deleted += f.toString
           }
         }
       }
@@ -354,10 +385,14 @@ final class TxLog(spark: SparkSession, root: String) {
 
   private def parse(lines: Seq[String]): Seq[Action] =
     lines.filter(_.nonEmpty).map { line =>
-      line.split("\t") match {
+      // limit -1 keeps trailing empty fields: "ADD\tt\t" (an accepted
+      // empty-file-list commit) must round-trip as a 3-field line, not
+      // collapse to 2 fields and poison the log as unparseable
+      line.split("\t", -1) match {
         case Array("PUT", t, fs) => Put(t, fs.split(",").toSeq.filter(_.nonEmpty))
         case Array("PUT", t)     => Put(t, Nil)
         case Array("ADD", t, fs) => Add(t, fs.split(",").toSeq.filter(_.nonEmpty))
+        case Array("ADD", t)     => Add(t, Nil)
         case Array("DEL", t)     => Del(t)
         case Array("REN", o, n)  => Ren(o, n)
         case Array("TXN", a, b)  => Txn(a, b.toLong)

@@ -98,7 +98,13 @@ final class LiteSql(
           case (head, Some(rest)) if IntoRe.findFirstMatchIn(rest).isDefined =>
             val m = IntoRe.findFirstMatchIn(rest).get
             val target = m.group(1).toLowerCase
-            val out = run(head + " " + m.group(3))
+            // pin the result rows before counting: count() and the later
+            // persist are separate Spark actions, and for a
+            // nondeterministic query (LIMIT without ORDER BY, random
+            // exprs) a recompute could land DIFFERENT rows than the
+            // n_affected reported. localCheckpoint materializes once —
+            // also halving the work for deterministic queries.
+            val out = run(head + " " + m.group(3)).localCheckpoint(eager = true)
             val n = out.count()
             val incoming = collation.collate(out)
             val merged = current.get(target)

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.CyclicBarrier
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.col
 
@@ -480,6 +482,83 @@ class TxLogSpec extends AnyFunSuite {
     // and the next commit proceeds normally past the junk
     log.commit(Seq(TxLog.Add("t", log.stage("t", Seq(2).toDF("n")))))
     assert(log.read("t").get.count() == 2)
+  }
+
+  test("a stale writer whose read version was truncated by vacuum fails " +
+      "safe with a conflict instead of silently overwriting") {
+    val (log, _) = freshLog()
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq(1).toDF("n")))))
+    val stale = log.version // = 1
+    // 11 more commits → checkpoint at v10; vacuum truncates v1..v9
+    (2 to 12).foreach { i =>
+      log.commit(Seq(TxLog.Put("t", log.stage("t", Seq(i).toDF("n")))))
+    }
+    log.vacuum(keepVersions = 2, minAgeMs = 0)
+    // the commits the stale writer must validate against are gone —
+    // unverifiable is a conflict, not a green light
+    val f = log.stage("t", Seq(99).toDF("n"))
+    intercept[TxLog.ConflictException] {
+      log.commit(Seq(TxLog.Put("t", f)), readVersion = stale)
+    }
+    assert(log.read("t").get.select("n").as[Int].head() == 12)
+    // a FRESH read version still commits normally
+    log.commit(Seq(TxLog.Put("t", f)), readVersion = log.version)
+    assert(log.read("t").get.select("n").as[Int].head() == 99)
+  }
+
+  test("an empty-file-list ADD commit round-trips; the log stays " +
+      "readable for replay, new instances, and later commits") {
+    val (log, root) = freshLog()
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq(1).toDF("n")))))
+    log.commit(Seq(TxLog.Add("t", Nil))) // renders with a trailing tab
+    assert(log.version == 2)
+    assert(log.read("t").get.count() == 1)
+    // a fresh instance replays the same log from disk
+    val log2 = new TxLog(spark, root)
+    assert(log2.snapshot().tables.keySet == Set("t"))
+    // a versioned commit scanning past the empty-ADD line still parses
+    // it (no overlap with "u" → proceeds rather than poisoning the log)
+    log2.commit(Seq(TxLog.Put("u",
+      log2.stage("u", Seq(2).toDF("n")))), readVersion = 1)
+    assert(log2.read("u").get.select("n").as[Int].head() == 2)
+  }
+
+  test("crash junk from the old two-phase rewrite (*_tmp_swap) is not " +
+      "imported as a phantom table") {
+    val base = Files.createTempDirectory("graft-legacy-junk").toString
+    val root = s"$base/old"
+    Seq((1, "ann"), (2, "bob")).toDF("id", "name")
+      .write.parquet(s"$root/Tables/customer")
+    // a crashed pre-log writeReplace left its temp dir behind
+    Seq((1, "stale"), (2, "stale")).toDF("id", "name")
+      .write.parquet(s"$root/Tables/customer_tmp_swap")
+    val db = GraftDatabase(spark, "old", base)
+    assert(db.tableExists("customer"))
+    assert(!db.tableExists("customer_tmp_swap"))
+    assert(db.table("customer").count() == 2)
+  }
+
+  test("legacy-imported loose part files are reclaimed once a rewrite " +
+      "retires them (rebuild shrinks to the live version)") {
+    val base = Files.createTempDirectory("graft-legacy-vac").toString
+    val root = s"$base/old"
+    Seq((1, "ann"), (2, "bob")).toDF("id", "name")
+      .write.parquet(s"$root/Tables/customer")
+    val db = GraftDatabase(spark, "old", base)
+    // rewrite the table: the in-place imported files are now retired
+    db.setAll("customer", "name", "x")
+    assert(db.table("customer").count() == 2)
+    def looseParquet(): Seq[String] = {
+      val s = Files.list(Paths.get(root, "Tables", "customer"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    assert(looseParquet().nonEmpty, "fixture: imported files present")
+    db.rebuild() // REBUILD reclaims retired versions immediately
+    assert(looseParquet().isEmpty,
+      "legacy loose files must be vacuumed once unreferenced")
+    assert(db.table("customer").count() == 2)
   }
 
   test("facade: checkpoint compacts multi-file tables and vacuums " +
