@@ -26,7 +26,8 @@ import graft.ts.TimeSeriesOps
   */
 final class GraftDatabase private (
     val spark: SparkSession, val name: String, val root: String,
-    val collation: graft.core.Collation) {
+    val collation: graft.core.Collation,
+    password: Option[String] = None) {
 
   private val tablesDir = s"$root/Tables"
   private val tsDir = s"$root/TimeSeries"
@@ -34,7 +35,13 @@ final class GraftDatabase private (
   Seq(tablesDir, tsDir, filesDir)
     .foreach(d => Files.createDirectories(Paths.get(d)))
 
-  private val txlog = new TxLog(spark, root)
+  // transparent file-at-rest encryption (AesStream.cs analog): with a
+  // password, every parquet read/write across the Tables/TimeSeries/
+  // Files stores carries the PME options — see core.FileCrypto
+  private val ioOptions: Map[String, String] =
+    password.map(graft.core.FileCrypto.options).getOrElse(Map.empty)
+
+  private val txlog = new TxLog(spark, root, ioOptions)
 
   // Upgrade path: a root written by the pre-commit-log layout holds
   // tables as Tables/<t>/part-*.parquet with no log. Import them on
@@ -666,33 +673,38 @@ final class GraftDatabase private (
   /** REBUILD with options (`RebuildOptions.cs`: new Collation and/or
     * Password): compact EVERY table to right-sized files (the shrink),
     * vacuum retired versions, and return a facade bound to the new
-    * collation. Stored bytes are collation-agnostic here (collation
-    * applies at read), so the collation change is metadata — unlike the
-    * reference, no index re-sort is needed; the compaction IS the
-    * datafile rewrite. A rebuild password is refused loudly:
-    * file-at-rest encryption is delegated to the lake/KMS (SURVEY
-    * §2.11); column-level AES is `core.ColumnCrypto`.
+    * collation and password. Stored bytes are collation-agnostic here
+    * (collation applies at read), so the collation change is metadata —
+    * unlike the reference, no index re-sort is needed; the compaction IS
+    * the datafile rewrite. The `password` option is reference-faithful:
+    * it is the REBUILT database's password — Some(p) (re-)encrypts every
+    * table file (transparent at-rest encryption, `core.FileCrypto`),
+    * None rebuilds to plaintext, exactly like LiteDB's
+    * `Rebuild(new RebuildOptions { Password = ... })`.
     */
   def rebuild(newCollation: Option[graft.core.Collation] = None,
       password: Option[String] = None,
       targetBytes: Long = 128L << 20): GraftDatabase = {
     requireNoOpenTx()
-    require(password.isEmpty,
-      "rebuild password is not supported: file-at-rest encryption is " +
-        "the lake/KMS layer's concern (column-level AES: core.ColumnCrypto)")
+    // the rebuilt facade holds the NEW crypto options; rewrites read
+    // through THIS facade (old password) and stage through the new one
+    val out = new GraftDatabase(spark, name, root,
+      newCollation.getOrElse(collation), password)
+    out.defs = defs // declarations survive the rebuild, like the reference
     val snap = txlog.snapshot()
     snap.tables.toSeq.sortBy(_._1).foreach { case (t, files) =>
-      compactTable(t, files, targetBytes, snap.version)
+      val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
+      val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      out.writeReplace(t, table(t).repartition(parts), base = snap.version)
     }
     // REBUILD's contract is reclaiming space NOW: like the reference
     // (which rebuilds into a fresh datafile under an exclusive lock),
     // it runs with no concurrent writers — requireNoOpenTx above — so
     // the in-flight-commit grace window and the extra retained version
-    // that a routine vacuum keeps would only defeat the shrink here
+    // that a routine vacuum keeps would only defeat the shrink here.
+    // With a password change this is also the security step: the old
+    // password's files are DELETED here, not left readable
     txlog.vacuum(keepVersions = 1, minAgeMs = 0)
-    val out = new GraftDatabase(spark, name, root,
-      newCollation.getOrElse(collation))
-    out.defs = defs // declarations survive the rebuild, like the reference
     out
   }
 
@@ -701,7 +713,7 @@ final class GraftDatabase private (
     * `FileManager/FileCollection.cs`).
     */
   lazy val fileStore: graft.sources.FileStore =
-    new graft.sources.FileStore(spark, filesDir)
+    new graft.sources.FileStore(spark, filesDir, ioOptions)
 
   /** Users/permissions layer (the reference's `Users/UserManager.cs`
     * surface): backed by `sys_users`/`sys_permissions` facade tables with
@@ -750,7 +762,7 @@ final class GraftDatabase private (
   def tsAppend(points: DataFrame): Unit = {
     enforceLimitSize()
     points.withColumn("date", to_date(col("ts")))
-      .write.mode("append").partitionBy("date").parquet(tsDir)
+      .write.options(ioOptions).mode("append").partitionBy("date").parquet(tsDir)
   }
 
   /** Range read with LOCF (GetTimeSeries(start, end),
@@ -759,7 +771,7 @@ final class GraftDatabase private (
     */
   def tsRange(guid: String, start: java.sql.Timestamp,
       end: java.sql.Timestamp): DataFrame =
-    spark.read.parquet(tsDir)
+    spark.read.options(ioOptions).parquet(tsDir)
       .filter(col("point_guid") === guid &&
         col("date").between(to_date(lit(start)), to_date(lit(end))) &&
         col("ts").between(lit(start), lit(end)))
@@ -997,5 +1009,47 @@ object GraftDatabase {
     */
   def apply(spark: SparkSession, name: String, baseDir: String,
       collation: graft.core.Collation): GraftDatabase =
-    new GraftDatabase(spark, name, s"$baseDir/$name", collation)
+    apply(spark, name, baseDir, collation, None)
+
+  /** Open with transparent file-at-rest encryption (the reference's
+    * connection-string `Password=`, `AesStream.cs`): every data file is
+    * written/read with Parquet Modular Encryption keyed from the
+    * password (`core.FileCrypto`). A password mismatch with the
+    * on-disk state fails loudly HERE — the reference's
+    * encryption-indicator check — not deep inside a later scan.
+    */
+  def apply(spark: SparkSession, name: String, baseDir: String,
+      collation: graft.core.Collation,
+      password: Option[String]): GraftDatabase = {
+    val root = s"$baseDir/$name"
+    probeEncryptionState(spark, root).foreach { enc =>
+      if (enc && password.isEmpty) throw new IllegalStateException(
+        s"database '$name' is encrypted: open it with its password")
+      if (!enc && password.isDefined) throw new IllegalStateException(
+        s"database '$name' is not encrypted: open it without a password " +
+          "(rebuild(password = ...) encrypts it)")
+    }
+    new GraftDatabase(spark, name, root, collation, password)
+  }
+
+  /** Footer magic of one existing data file: Some(true) = encrypted
+    * store, Some(false) = plaintext, None = empty database (either
+    * password state is fine). Checks the commit log's head snapshot, or
+    * the legacy layout's loose files for a not-yet-imported directory.
+    */
+  private def probeEncryptionState(spark: SparkSession,
+      root: String): Option[Boolean] = {
+    val log = new TxLog(spark, root)
+    val first: Option[String] =
+      if (log.version > 0L)
+        log.snapshot().tables.values.flatten.toSeq.headOption.map(r => s"$root/$r")
+      else Option(new java.io.File(s"$root/Tables").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && !d.getName.startsWith("."))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+        .find(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(_.getPath)
+    first.map(graft.core.FileCrypto.isEncryptedFile)
+  }
 }

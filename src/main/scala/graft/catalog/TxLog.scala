@@ -51,7 +51,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   REN  old    new         rename the table
   * }}}
   */
-final class TxLog(spark: SparkSession, root: String) {
+final class TxLog(spark: SparkSession, root: String,
+    ioOptions: Map[String, String] = Map.empty) {
   import TxLog._
 
   private val logDir = Paths.get(root, "_txlog")
@@ -140,7 +141,7 @@ final class TxLog(spark: SparkSession, root: String) {
     snapshotAt(v).tables.get(table).map(readFiles)
 
   private def readFiles(rel: Seq[String]): DataFrame =
-    spark.read.parquet(rel.map(r => s"$root/$r"): _*)
+    spark.read.options(ioOptions).parquet(rel.map(r => s"$root/$r"): _*)
 
   /** Absolute paths of a table's live data files (diagnostics/manifest). */
   def liveFiles(table: String): Seq[String] =
@@ -155,7 +156,7 @@ final class TxLog(spark: SparkSession, root: String) {
   def stage(table: String, df: DataFrame): Seq[String] = {
     val rel = s"Tables/$table/d-${UUID.randomUUID().toString.take(12)}"
     val dir = Paths.get(root, rel)
-    df.write.mode("error").parquet(dir.toString)
+    df.write.options(ioOptions).mode("error").parquet(dir.toString)
     val s = Files.list(dir)
     try {
       val parts = s.iterator().asScala.map(_.getFileName.toString)

@@ -379,6 +379,45 @@ object DomainQueries {
       "SQL DDL round-trip: CREATE INDEX → range-clustered multi-file " +
         "layout (disjoint per-file min/max ⇒ row-group pruning) → " +
         "BETWEEN probe → DROP INDEX, with the pruning ratio asserted " +
-        "in-query")
+        "in-query"),
+
+    // Transparent file-at-rest encryption (AesStream.cs:50-110 →
+    // Parquet Modular Encryption, core.FileCrypto): load a table into a
+    // password-opened database, assert in-query that every data file
+    // carries the encrypted-footer magic AND is opaque to a reader
+    // without the key, then aggregate through the facade — results must
+    // match the plaintext oracle exactly (encryption is transparent to
+    // the query layer; AES-GCM runs inside the executor-side parquet
+    // codec, never in the plan).
+    Q("q138_encrypted_store",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q138").toString
+        val db = GraftDatabase(s, "q138", base, graft.core.Collation.Binary,
+          Some("q138-at-rest-key"))
+          .defineTable(TableDef("orders", "o_orderkey"))
+        db.insert("orders", Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        val files = db.liveFiles("orders")
+        require(files.nonEmpty &&
+          files.forall(graft.core.FileCrypto.isEncryptedFile),
+          "store files must carry the encrypted-footer magic (PARE)")
+        require(scala.util.Try(s.read.parquet(files.head).collect()).isFailure,
+          "an encrypted file must be opaque without the key")
+        db.table("orders")
+          .groupBy((col("o_custkey") % 10).cast("long").as("bucket"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+      },
+      Some("""SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+        COUNT(o_orderkey) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1"""),
+      "transparent at-rest encryption: password-opened store, every file " +
+        "AES-GCM-encrypted (PME) and opaque without the key, query " +
+        "results identical to plaintext — the AesStream.cs analog")
   )
 }

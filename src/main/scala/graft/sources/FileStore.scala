@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   * Directory ingest uses Spark's `binaryFile` source, so bulk file loads
   * are distributed reads, not driver loops.
   */
-final class FileStore(spark: SparkSession, root: String) {
+final class FileStore(spark: SparkSession, root: String,
+    ioOptions: Map[String, String] = Map.empty) {
   import FileStore._
 
   private val versionsDir = s"$root/versions"
@@ -53,19 +54,20 @@ final class FileStore(spark: SparkSession, root: String) {
 
   /** All stored versions (blob table). */
   def versions: DataFrame =
-    if (hasData(versionsDir)) spark.read.parquet(versionsDir)
+    if (hasData(versionsDir)) spark.read.options(ioOptions).parquet(versionsDir)
     else emptyVersions(spark)
 
   /** The unified checkout/access event log (FileCheckoutRecord +
     * FileAccessLog).
     */
   def events: DataFrame =
-    if (hasData(eventsDir)) spark.read.parquet(eventsDir)
+    if (hasData(eventsDir)) spark.read.options(ioOptions).parquet(eventsDir)
     else emptyEvents(spark)
 
   /** Current file metadata (FileMetadata collection). */
   def files: DataFrame =
-    if (hasData(filesPath)) spark.read.parquet(filesPath).filter(!col("deleted"))
+    if (hasData(filesPath)) spark.read.options(ioOptions).parquet(filesPath)
+      .filter(!col("deleted"))
     else emptyFiles(spark)
 
   /** Version history of one file (FileRecord.FileVersions analog). */
@@ -177,7 +179,7 @@ final class FileStore(spark: SparkSession, root: String) {
       .select(col("file_id"), lit(1).as("version"), lit(ts).as("ts_us"),
         sha2(col("content"), 256).as("sha256"),
         length(col("content")).cast("long").as("n_bytes"), col("content"))
-      .write.mode("append").parquet(versionsDir)
+      .write.options(ioOptions).mode("append").parquet(versionsDir)
     val metas = paths.map { p =>
       val name = p.substring(p.lastIndexOf('/') + 1)
       Meta(ids(p), name, extOf(name), 1, ts, deleted = false)
@@ -207,7 +209,7 @@ final class FileStore(spark: SparkSession, root: String) {
     import spark.implicits._
     Seq((fileId, newVersion, ts, sha, content.length.toLong, content))
       .toDF("file_id", "version", "ts_us", "sha256", "n_bytes", "content")
-      .write.mode("append").parquet(versionsDir)
+      .write.options(ioOptions).mode("append").parquet(versionsDir)
     if (isNew)
       insertMeta(Meta(fileId, fileName, extOf(fileName), newVersion, ts,
         deleted = false))
@@ -244,7 +246,7 @@ final class FileStore(spark: SparkSession, root: String) {
       (base + i + 1, fileId, user, op, version, status, ts)
     }
       .toDF("seq", "file_id", "user", "op", "version", "status", "ts_us")
-      .write.mode("append").parquet(eventsDir)
+      .write.options(ioOptions).mode("append").parquet(eventsDir)
   }
 
   private case class Meta(fileId: String, fileName: String, fileExt: String,
@@ -252,7 +254,7 @@ final class FileStore(spark: SparkSession, root: String) {
 
   private def allMeta: Seq[Meta] =
     if (!hasData(filesPath)) Nil
-    else spark.read.parquet(filesPath).collect().toIndexedSeq.map(r => Meta(
+    else spark.read.options(ioOptions).parquet(filesPath).collect().toIndexedSeq.map(r => Meta(
       r.getAs[String]("file_id"), r.getAs[String]("file_name"),
       r.getAs[String]("file_ext"), r.getAs[Int]("current_version"),
       r.getAs[Long]("ts_us"), r.getAs[Boolean]("deleted")))
@@ -264,7 +266,7 @@ final class FileStore(spark: SparkSession, root: String) {
         m.deleted))
       .toDF("file_id", "file_name", "file_ext", "current_version", "ts_us",
         "deleted")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
+      .coalesce(1).write.options(ioOptions).mode("overwrite").parquet(tmp)
     val dst = Paths.get(filesPath)
     if (Files.exists(dst)) {
       val w = Files.walk(dst)

@@ -532,7 +532,7 @@ class GraftDatabaseSpec extends AnyFunSuite {
   }
 
   test("rebuild compacts every table and can change the engine collation " +
-      "(RebuildOptions.cs: Collation; Password refused loudly)") {
+      "(RebuildOptions.cs: Collation; Password encrypts, FileCryptoSpec)") {
     val db = freshDb()
     (1 to 4).foreach(i =>
       db.insert("customer", Seq((i, s"N$i", i)).toDF("id", "name", "age")))
@@ -550,8 +550,12 @@ class GraftDatabaseSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       db2.insert("customer", Seq((9, "N1", 1)).toDF("id", "name", "age"))
     }
-    // rebuild password: file-at-rest crypto is delegated, refuse loudly
-    intercept[IllegalArgumentException](db2.rebuild(password = Some("x")))
+    // rebuild password: encrypts the whole store in place (the at-rest
+    // contract itself is pinned by FileCryptoSpec; here just the seam)
+    val db3 = db2.rebuild(password = Some("x"))
+    assert(db3.count("customer") == 4)
+    assert(db3.liveFiles("customer")
+      .forall(graft.core.FileCrypto.isEncryptedFile))
   }
 
   test("tables/resources enumerate declared tables and stored files") {
