@@ -43,7 +43,7 @@ object CryptoBench {
         (tw, tr)
       }
 
-      val enc = graft.core.FileCrypto.options("bench-passphrase")
+      val enc = graft.core.FileCrypto.options("bench-passphrase", "bench-salt")
       // alternate and keep the min of 3 to damp machine noise
       val plain = (1 to 3).map(_ => run(Map.empty))
       val crypt = (1 to 3).map(_ => run(enc))

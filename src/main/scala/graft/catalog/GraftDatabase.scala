@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,9 +39,12 @@ final class GraftDatabase private (
 
   // transparent file-at-rest encryption (AesStream.cs analog): with a
   // password, every parquet read/write across the Tables/TimeSeries/
-  // Files stores carries the PME options — see core.FileCrypto
+  // Files stores carries the PME options — see core.FileCrypto. The
+  // per-database random salt persists beside the stores, like the
+  // reference's in-file salt (AesStream.cs:57-79)
   private val ioOptions: Map[String, String] =
-    password.map(graft.core.FileCrypto.options).getOrElse(Map.empty)
+    password.map(p => graft.core.FileCrypto.options(
+      p, GraftDatabase.ensureCryptoSalt(root))).getOrElse(Map.empty)
 
   private val txlog = new TxLog(spark, root, ioOptions)
 
@@ -407,6 +412,7 @@ final class GraftDatabase private (
     */
   def dropCollection(name: String): Boolean = {
     requireNoOpenTx()
+    requireNotRetired()
     val n = norm(name)
     val existed = tableExists(n) || defs.contains(n)
     if (tableExists(n)) txlog.commit(Seq(TxLog.Del(n)))
@@ -426,6 +432,7 @@ final class GraftDatabase private (
     */
   def renameCollection(name: String, newName: String): Boolean = {
     requireNoOpenTx()
+    requireNotRetired()
     val (o, n) = (norm(name), norm(newName))
     if (o == n) return tableExists(o) || defs.contains(o)
     require(!tableExists(n) && !defs.contains(n),
@@ -558,7 +565,18 @@ final class GraftDatabase private (
     * grown past the pragma, further writes fail — the facade analog of
     * the reference refusing to allocate pages past the limit.
     */
+  // rebuild() retires this facade for WRITES (its crypto options and
+  // compaction baseline are stale; a retired facade writing would land
+  // files in the pre-rebuild encryption state). Reads re-resolve the
+  // head snapshot, so after a password flip they fail inside the scan
+  // (old crypto options) — switch to the facade rebuild returned.
+  @volatile private var retired = false
+  private def requireNotRetired(): Unit =
+    if (retired) throw new IllegalStateException(
+      "facade retired by rebuild(): write through the facade rebuild returned")
+
   private def enforceLimitSize(): Unit = {
+    requireNotRetired()
     val limit = pragmas.get(Pragmas.LimitSize).asInstanceOf[Long]
     if (limit != Long.MaxValue) {
       val current = liveStoreSize()
@@ -592,13 +610,16 @@ final class GraftDatabase private (
   }
 
   /** Rewrite one table into ceil(liveBytes / targetBytes) right-sized
-    * files — the shared shrink step of CHECKPOINT and REBUILD.
+    * files — the shared shrink step of CHECKPOINT and REBUILD. `via` is
+    * the facade that STAGES the rewrite (REBUILD passes the new facade
+    * so the write lands under the new password's crypto options, while
+    * the read still resolves through THIS facade's).
     */
   private def compactTable(t: String, files: Seq[String],
-      targetBytes: Long, base: Long): String = {
+      targetBytes: Long, base: Long, via: GraftDatabase = this): String = {
     val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    writeReplace(t, table(t).repartition(parts), base = base)
+    via.writeReplace(t, table(t).repartition(parts), base = base)
     t
   }
 
@@ -613,11 +634,16 @@ final class GraftDatabase private (
   def inTransaction: Boolean = txBuffer.isDefined
 
   // direct facade DML/DDL while a SQL transaction is open would bypass
-  // its atomicity — finish the transaction first
-  private def requireNoOpenTx(): Unit =
+  // its atomicity — finish the transaction first. Every DML/DDL entry
+  // point passes through here, so the rebuild retirement fence rides
+  // along: it must fire BEFORE validation reads touch the pre-rebuild
+  // snapshot (whose files the rebuild vacuumed).
+  private def requireNoOpenTx(): Unit = {
+    requireNotRetired()
     if (txBuffer.isDefined) throw new IllegalStateException(
       "a SQL transaction is open: COMMIT or ROLLBACK it before direct " +
         "facade writes")
+  }
 
   /** Open a transaction: subsequent `sql()` DML buffers its table
     * states (visible to later statements in the SAME transaction, not
@@ -625,12 +651,14 @@ final class GraftDatabase private (
     * version. Returns false when a transaction is already open, like
     * the reference's `LiteEngine.BeginTrans`.
     */
-  def beginTrans(): Boolean =
+  def beginTrans(): Boolean = {
+    requireNotRetired()
     if (txBuffer.isDefined) false
     else {
       txBuffer = Some(scala.collection.mutable.LinkedHashMap.empty)
       true
     }
+  }
 
   /** Publish every table the open transaction touched in one atomic
     * log commit (all-or-nothing across tables, the WAL-confirm analog).
@@ -686,6 +714,7 @@ final class GraftDatabase private (
       password: Option[String] = None,
       targetBytes: Long = 128L << 20): GraftDatabase = {
     requireNoOpenTx()
+    requireNotRetired()
     // the rebuilt facade holds the NEW crypto options; rewrites read
     // through THIS facade (old password) and stage through the new one
     val out = new GraftDatabase(spark, name, root,
@@ -693,10 +722,13 @@ final class GraftDatabase private (
     out.defs = defs // declarations survive the rebuild, like the reference
     val snap = txlog.snapshot()
     snap.tables.toSeq.sortBy(_._1).foreach { case (t, files) =>
-      val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
-      val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      out.writeReplace(t, table(t).repartition(parts), base = snap.version)
+      compactTable(t, files, targetBytes, snap.version, via = out)
     }
+    // the TimeSeries/ and Files/ stores flip password state too — the
+    // reference rebuilds the WHOLE datafile, not one collection class
+    rewriteStoreDir(tsDir, Seq("date"), out)
+    Seq("versions", "events", "files")
+      .foreach(sub => rewriteStoreDir(s"$filesDir/$sub", Nil, out))
     // REBUILD's contract is reclaiming space NOW: like the reference
     // (which rebuilds into a fresh datafile under an exclusive lock),
     // it runs with no concurrent writers — requireNoOpenTx above — so
@@ -705,7 +737,35 @@ final class GraftDatabase private (
     // With a password change this is also the security step: the old
     // password's files are DELETED here, not left readable
     txlog.vacuum(keepVersions = 1, minAgeMs = 0)
+    // fence THIS facade's writes: it would stage under the OLD crypto
+    // options into the now-rebuilt store
+    retired = true
     out
+  }
+
+  /** Rewrite one non-log store directory (TimeSeries/, Files/ subdirs) under
+    * the rebuilt facade's crypto options: read old, write new beside
+    * it, swap. Exclusive by REBUILD's contract.
+    */
+  private def rewriteStoreDir(dir: String, partitionCols: Seq[String],
+      out: GraftDatabase): Unit = {
+    val p = Paths.get(dir)
+    val hasParquet = Files.exists(p) && {
+      val s = Files.walk(p)
+      try s.anyMatch(f => f.toString.endsWith(".parquet")) finally s.close()
+    }
+    if (hasParquet) {
+      val tmp = s"$dir.rebuild"
+      val df = spark.read.options(ioOptions).parquet(dir)
+      val w = df.write.options(out.ioOptions).mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp)
+      val del = Files.walk(p)
+      try del.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally del.close()
+      Files.move(Paths.get(tmp), p)
+    }
   }
 
   /** Versioned file store under `Files/` (the reference's
@@ -713,7 +773,8 @@ final class GraftDatabase private (
     * `FileManager/FileCollection.cs`).
     */
   lazy val fileStore: graft.sources.FileStore =
-    new graft.sources.FileStore(spark, filesDir, ioOptions)
+    new graft.sources.FileStore(spark, filesDir, ioOptions,
+      () => requireNotRetired())
 
   /** Users/permissions layer (the reference's `Users/UserManager.cs`
     * surface): backed by `sys_users`/`sys_permissions` facade tables with
@@ -1040,7 +1101,7 @@ object GraftDatabase {
   private def probeEncryptionState(spark: SparkSession,
       root: String): Option[Boolean] = {
     val log = new TxLog(spark, root)
-    val first: Option[String] =
+    val fromTables: Option[String] =
       if (log.version > 0L)
         log.snapshot().tables.values.flatten.toSeq.headOption.map(r => s"$root/$r")
       else Option(new java.io.File(s"$root/Tables").listFiles())
@@ -1050,6 +1111,45 @@ object GraftDatabase {
         .find(f => f.isFile && f.getName.endsWith(".parquet") &&
           !f.getName.startsWith(".") && !f.getName.startsWith("_"))
         .map(_.getPath)
+    // a database can hold ONLY time-series points or checked-in files —
+    // those stores must trip the open-time check too
+    val first = fromTables.orElse(
+      Seq(s"$root/TimeSeries", s"$root/Files").collectFirst(
+        Function.unlift { d =>
+          val p = Paths.get(d)
+          if (!Files.exists(p)) None
+          else {
+            val s = Files.walk(p)
+            try s.iterator().asScala.find(f =>
+              f.getFileName.toString.endsWith(".parquet") &&
+                !f.getFileName.toString.startsWith("."))
+              .map(_.toString)
+            finally s.close()
+          }
+        }))
     first.map(graft.core.FileCrypto.isEncryptedFile)
+  }
+
+  /** Load-or-create the database's random crypto salt
+    * (`<root>/_crypto.salt`): the stored-salt property of the
+    * reference's AesStream header, one per database. Created with an
+    * exclusive write so two first-openers agree.
+    */
+  private[catalog] def ensureCryptoSalt(root: String): String = {
+    val p = Paths.get(root, "_crypto.salt")
+    if (!Files.exists(p)) {
+      val bytes = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(bytes)
+      val hex = bytes.map("%02x".format(_)).mkString
+      try {
+        Files.createDirectories(p.getParent)
+        Files.write(p, hex.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // racer won
+      }
+    }
+    new String(Files.readAllBytes(p), "UTF-8").trim
   }
 }

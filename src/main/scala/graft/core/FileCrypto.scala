@@ -46,22 +46,36 @@ object FileCrypto {
     */
   val MasterKeyId = "graft-master"
 
-  /** Read/write options enabling PME for one passphrase. Safe to set on
-    * reads of PLAINTEXT files too (the factory only engages for files
-    * with encrypted footers), which is what lets REBUILD flip a
-    * database between plaintext and encrypted states.
+  /** Conf key carrying the per-database salt to the KMS client. */
+  val SaltConfKey = "graft.encryption.salt"
+
+  /** Read/write options enabling PME for one passphrase + per-database
+    * salt. Safe to set on reads of PLAINTEXT files too (the factory
+    * only engages for files with encrypted footers), which is what lets
+    * REBUILD flip a database between plaintext and encrypted states.
+    *
+    * The salt (random, persisted under the database root — see
+    * `GraftDatabase.ensureCryptoSalt`) is the reference's stored-salt
+    * property (`AesStream.cs:57-79`): without it, every database
+    * sharing a passphrase would derive the SAME master key, and one
+    * precomputed PBKDF2 table per candidate password would test
+    * against any database at rest.
     */
-  def options(passphrase: String): Map[String, String] = {
+  def options(passphrase: String, salt: String): Map[String, String] = {
     require(passphrase.nonEmpty, "empty database password")
+    require(salt.nonEmpty, "empty crypto salt")
     Map(
       "parquet.crypto.factory.class" ->
         "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
       "parquet.encryption.kms.client.class" ->
         classOf[PassphraseKmsClient].getName,
       "parquet.encryption.key.access.token" -> passphrase,
-      // distinct instance id per passphrase: belt-and-braces against any
-      // cross-database sharing in the per-JVM KMS/KEK caches
-      "parquet.encryption.kms.instance.id" -> s"graft-${digest(passphrase)}",
+      SaltConfKey -> salt,
+      // distinct instance id per (passphrase, salt): the per-JVM
+      // KMS/KEK caches key on (token, instance id), so two databases
+      // sharing a passphrase but not a salt must not share clients
+      "parquet.encryption.kms.instance.id" ->
+        s"graft-${digest(s"$passphrase:$salt")}",
       "parquet.encryption.uniform.key" -> MasterKeyId)
   }
 
@@ -105,11 +119,16 @@ final class PassphraseKmsClient extends LocalWrapKmsClient {
   }
 
   override protected def getMasterKeyFromServer(keyId: String): Array[Byte] = {
-    // deterministic per-(passphrase, keyId) AES-256 master key; the
-    // reference's Rfc2898DeriveBytes(password, salt) analog with the
-    // key id as salt (AesStream.cs:85-91)
+    // per-(passphrase, database salt, keyId) AES-256 master key — the
+    // reference's Rfc2898DeriveBytes(password, storedSalt)
+    // (AesStream.cs:85-91); the random salt rides the hadoop conf from
+    // FileCrypto.options
+    val salt = hadoopConfiguration.getTrimmed(FileCrypto.SaltConfKey, "")
+    if (salt.isEmpty) throw new KeyAccessDeniedException(
+      s"missing ${FileCrypto.SaltConfKey}: the database's crypto salt " +
+        "must accompany its password")
     val spec = new PBEKeySpec(kmsToken.toCharArray,
-      s"graft-pme:$keyId".getBytes("UTF-8"), 120000, 256)
+      s"graft-pme:$salt:$keyId".getBytes("UTF-8"), 120000, 256)
     SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
       .generateSecret(spec).getEncoded
   }

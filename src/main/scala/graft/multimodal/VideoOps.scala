@@ -55,32 +55,49 @@ object VideoOps {
 
   // ---- delta encode (RtspClient.cs:113-199) -------------------------------
 
+  /** The reference's per-frame recording decision
+    * (`RtspClient.cs:131-152`): full frame when there is no previous,
+    * the cadence counter expired, the size changed, or the diff would
+    * not be smaller; else a difference frame. ONE implementation shared
+    * by the batch and streaming encoders — the policy cannot diverge.
+    */
+  private def encodeStep(prev: Array[Byte], counter: Int, f: Frame,
+      fullEvery: Int): (Array[Byte], Int, DeltaRecord) = {
+    val (isFull, payload) =
+      if (prev == null || counter >= fullEvery ||
+          f.data.length != prev.length) (true, f.data)
+      else {
+        val diff = frameDifferences(prev, f.data)
+        if (diff.length >= f.data.length) (true, f.data)
+        else (false, diff)
+      }
+    (f.data, if (isFull) 0 else counter + 1,
+      DeltaRecord(f.camera, f.seq, f.ts_us, isFull, payload))
+  }
+
   /** Encode raw frames into delta records, per camera in seq order.
-    * Parallel ACROSS cameras; within one camera the fold carries one
-    * previous frame + the full-frame counter, exactly the reference's
-    * recording state.
+    * Parallel ACROSS cameras; within one camera the fold streams over a
+    * SORTED partition iterator carrying one previous frame + the
+    * full-frame counter — a camera's recording never has to fit in
+    * memory, matching the one-frame state claim above.
     */
   def encodeDelta(frames: Dataset[Frame],
       fullEvery: Int = FullFrameInterval): Dataset[DeltaRecord] = {
     import frames.sparkSession.implicits._
-    frames.groupByKey(_.camera).flatMapGroups { (cam, it) =>
-      val ordered = it.toVector.sortBy(_.seq)
-      var prev: Array[Byte] = null
-      var counter = 0
-      ordered.map { f =>
-        val (isFull, payload) =
-          if (prev == null || counter >= fullEvery ||
-              f.data.length != prev.length) (true, f.data)
-          else {
-            val diff = frameDifferences(prev, f.data)
-            if (diff.length >= f.data.length) (true, f.data)
-            else (false, diff)
-          }
-        if (isFull) counter = 0 else counter += 1
-        prev = f.data
-        DeltaRecord(cam, f.seq, f.ts_us, isFull, payload)
+    frames.repartition(col("camera"))
+      .sortWithinPartitions("camera", "seq")
+      .as[Frame]
+      .mapPartitions { it =>
+        var cam: String = null
+        var prev: Array[Byte] = null
+        var counter = 0
+        it.map { f =>
+          if (f.camera != cam) { cam = f.camera; prev = null; counter = 0 }
+          val (p2, c2, rec) = encodeStep(prev, counter, f, fullEvery)
+          prev = p2; counter = c2
+          rec
+        }
       }
-    }
   }
 
   /** Streaming twin of [[encodeDelta]]: the per-camera recording state
@@ -96,30 +113,35 @@ object VideoOps {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     frames.groupByKey(_.camera).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-      (cam: String, it: Iterator[Frame],
+      (_: String, it: Iterator[Frame],
           state: org.apache.spark.sql.streaming.GroupState[CamState]) =>
-        var (prev, counter) = state.getOption
-          .map(s => (s.prev, s.counter)).getOrElse((null: Array[Byte], 0))
-        val out = it.toVector.sortBy(_.seq).map { f =>
-          val (isFull, payload) =
-            if (prev == null || counter >= fullEvery ||
-                f.data.length != prev.length) (true, f.data)
-            else {
-              val diff = frameDifferences(prev, f.data)
-              if (diff.length >= f.data.length) (true, f.data)
-              else (false, diff)
-            }
-          if (isFull) counter = 0 else counter += 1
-          prev = f.data
-          DeltaRecord(cam, f.seq, f.ts_us, isFull, payload)
+        var (prev, counter, lastSeq) = state.getOption
+          .map(s => (s.prev, s.counter, s.lastSeq))
+          .getOrElse((null: Array[Byte], 0, Long.MinValue))
+        val out = it.toVector.sortBy(_.seq).flatMap { f =>
+          // a frame at or before the encoded high-water mark arrived
+          // LATE across batches: its diff baseline is gone, and
+          // emitting it would patch the wrong frame at decode — drop
+          // it (the reference's socket loop cannot see reordering; a
+          // distributed source can)
+          if (f.seq <= lastSeq) None
+          else {
+            lastSeq = f.seq
+            val (p2, c2, rec) = encodeStep(prev, counter, f, fullEvery)
+            prev = p2; counter = c2
+            Some(rec)
+          }
         }
-        state.update(CamState(prev, counter))
+        state.update(CamState(prev, counter, lastSeq))
         out.iterator
     }
   }
 
-  /** Keyed recording state of one camera (previous frame + counter). */
-  final case class CamState(prev: Array[Byte], counter: Int)
+  /** Keyed recording state of one camera: previous frame, full-frame
+    * cadence counter, and the encoded seq high-water mark (late-frame
+    * guard).
+    */
+  final case class CamState(prev: Array[Byte], counter: Int, lastSeq: Long)
 
   /** Changed bytes as `[int32-LE index][value]` pairs
     * (`GetFrameDifferences`, `RtspClient.cs:176-189`).
@@ -212,6 +234,8 @@ object VideoOps {
       out += ((isFull, java.util.Arrays.copyOfRange(bytes, p + 5, p + 5 + len)))
       p += 5 + len
     }
+    // a cut mid-HEADER must also reject, not silently drop the record
+    require(p == bytes.length, s"truncated container header at $p")
     out.toSeq
   }
 

@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * are distributed reads, not driver loops.
   */
 final class FileStore(spark: SparkSession, root: String,
-    ioOptions: Map[String, String] = Map.empty) {
+    ioOptions: Map[String, String] = Map.empty,
+    checkWritable: () => Unit = () => ()) {
   import FileStore._
 
   private val versionsDir = s"$root/versions"
@@ -82,6 +83,7 @@ final class FileStore(spark: SparkSession, root: String,
 
   /** AddNewFile: first check-in creates version 1 and returns the new id. */
   def addNewFile(user: String, fileName: String, content: Array[Byte]): String = {
+    checkWritable()
     val fileId = java.util.UUID.randomUUID().toString
     checkInInternal(user, fileId, content, isNew = true, fileName = fileName)
     fileId
@@ -141,6 +143,7 @@ final class FileStore(spark: SparkSession, root: String,
     * delete — the scale-friendly form; compaction reclaims them).
     */
   def deleteFile(user: String, fileId: String): Unit = {
+    checkWritable()
     if (metadata(fileId).isEmpty) return
     activeCheckout(fileId).foreach { co =>
       if (!co.getAs[String]("user").equalsIgnoreCase(user))
@@ -152,6 +155,7 @@ final class FileStore(spark: SparkSession, root: String,
 
   /** RenameFile (FileCollection.cs:767). */
   def renameFile(user: String, fileId: String, newName: String): Unit = {
+    checkWritable()
     require(metadata(fileId).nonEmpty, s"file not found: $fileId")
     upsertMeta(fileId, r => r.copy(fileName = newName, fileExt = extOf(newName)))
     appendEvent(fileId, user, "rename", -1, StatusNone)
@@ -166,6 +170,7 @@ final class FileStore(spark: SparkSession, root: String,
     * Returns (originalPath -> fileId).
     */
   def ingestDirectory(user: String, dir: String): Map[String, String] = {
+    checkWritable()
     import spark.implicits._
     val paths = spark.read.format("binaryFile").load(dir)
       .select("path").as[String].collect().toSeq
@@ -191,8 +196,11 @@ final class FileStore(spark: SparkSession, root: String,
 
   // ---- internals ----------------------------------------------------------
 
+  // checkIn / checkOut / abandonCheckout converge here or on logEvent —
+  // both append parquet, so both honor the facade's write fence
   private def checkInInternal(user: String, fileId: String,
       content: Array[Byte], isNew: Boolean, fileName: String = ""): Unit = {
+    checkWritable()
     val existing = metadata(fileId)
     if (isNew && existing.nonEmpty)
       throw new IllegalStateException("file exists: cannot add new file with same id")
@@ -239,6 +247,7 @@ final class FileStore(spark: SparkSession, root: String,
     */
   private def appendEvents(
       rows: Seq[(String, String, String, Int, String)]): Unit = {
+    checkWritable()
     import spark.implicits._
     val base = events.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
     val ts = now()

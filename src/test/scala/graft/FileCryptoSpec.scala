@@ -110,6 +110,78 @@ class FileCryptoSpec extends AnyFunSuite {
     assert(back.liveFiles("customer").forall(!FileCrypto.isEncryptedFile(_)))
   }
 
+  test("rebuild(password) flips the TimeSeries and Files stores too, and " +
+      "the retired pre-rebuild facade is fenced from writing") {
+    val (plain, _) = fresh(None)
+    plain.insert("customer", Seq((1, "ann")).toDF("id", "name"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    plain.tsAppend(Seq(("g1", t0, 1.0)).toDF("point_guid", "ts", "value"))
+    plain.fileStore.addNewFile("ann", "a.txt", "hi".getBytes("UTF-8"))
+
+    val enc = plain.rebuild(password = Some("s3cret"))
+    // EVERY parquet under the root is now encrypted — tables, TS, files
+    def states(root: String): Set[Boolean] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        val it = walk.iterator()
+        var acc = Set.empty[Boolean]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.toString.endsWith(".parquet"))
+            acc += FileCrypto.isEncryptedFile(p.toString)
+        }
+        acc
+      } finally walk.close()
+    }
+    assert(states(enc.root) == Set(true),
+      "rebuild must re-encrypt TimeSeries/ and Files/, not just Tables/")
+    // and they stay readable through the new facade
+    assert(enc.tsRange("g1", t0, t0).count() == 1)
+    assert(enc.fileStore.files.count() == 1)
+
+    // the OLD facade must not write plaintext into the encrypted store
+    intercept[IllegalStateException](
+      plain.insert("customer", Seq((2, "bob")).toDF("id", "name")))
+    intercept[IllegalStateException](
+      plain.tsAppend(Seq(("g1", t0, 2.0)).toDF("point_guid", "ts", "value")))
+    intercept[IllegalStateException](
+      plain.fileStore.addNewFile("ann", "b.txt", "x".getBytes("UTF-8")))
+    intercept[IllegalStateException](plain.dropCollection("customer"))
+
+    // decrypting back flips all three stores to plaintext
+    val back = enc.rebuild()
+    assert(states(back.root) == Set(false))
+    assert(back.tsRange("g1", t0, t0).count() == 1)
+  }
+
+  test("a database holding only time-series data still fails loudly when " +
+      "reopened without its password") {
+    val (db, base) = fresh(Some("s3cret"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    db.tsAppend(Seq(("g1", t0, 1.0)).toDF("point_guid", "ts", "value"))
+    val e = intercept[IllegalStateException](GraftDatabase(spark, "vault", base))
+    assert(e.getMessage.contains("encrypted"))
+  }
+
+  test("each database gets its own random salt, so a shared passphrase " +
+      "does not mean a shared master key (AesStream.cs stored salt)") {
+    val (db1, base1) = fresh(Some("same-pass"))
+    val (db2, base2) = fresh(Some("same-pass"))
+    db1.insert("t", Seq(1).toDF("id"))
+    db2.insert("t", Seq(2).toDF("id"))
+    val s1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base1, "vault", "_crypto.salt"))
+    val s2 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base2, "vault", "_crypto.salt"))
+    assert(!java.util.Arrays.equals(s1, s2), "salts must be random per db")
+    // both still round-trip under their own salt
+    assert(db1.table("t").count() == 1 && db2.table("t").count() == 1)
+    // and the salt persists: reopening reads the stored one
+    val again = GraftDatabase(spark, "vault", base1,
+      graft.core.Collation.Binary, Some("same-pass"))
+    assert(again.table("t").count() == 1)
+  }
+
   test("the time-series and file stores encrypt under the same password") {
     val (db, _) = fresh(Some("s3cret"))
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")

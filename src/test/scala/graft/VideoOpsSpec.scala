@@ -158,6 +158,32 @@ class VideoOpsSpec extends AnyFunSuite {
     assert(VideoOps.parseSessionId("RTSP/1.0 454 Session Not Found\r\n\r\n").isEmpty)
   }
 
+  test("a frame arriving LATE across micro-batches is dropped, not " +
+      "encoded against the wrong baseline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Frame]
+    val out = VideoOps.encodeDeltaStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("video_late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(frame("c", 0, 64, Nil), frame("c", 2, 64, Seq((5, 9))))
+      q.processAllAvailable()
+      // seq 1 is behind the encoded high-water mark (2): must be dropped
+      mem.addData(frame("c", 1, 64, Seq((9, 9))), frame("c", 3, 64, Seq((6, 9))))
+      q.processAllAvailable()
+      val rows = spark.table("video_late_out").as[DeltaRecord]
+        .collect().sortBy(_.seq)
+      assert(rows.map(_.seq).toSeq == Seq(0L, 2L, 3L),
+        "late seq 1 must be dropped")
+      // the surviving chain still reconstructs frame 3 exactly
+      val f3 = VideoOps.applyDifferences(
+        VideoOps.applyDifferences(rows(0).payload, rows(1).payload),
+        rows(2).payload)
+      assert(f3(6) == 9 && f3(5) == 7)
+    } finally q.stop()
+  }
+
   test("parseContainer rejects truncated wire data instead of looping") {
     val rec = DeltaRecord("c", 0, 0, is_full = true, Array[Byte](1, 2, 3))
     val bytes = VideoOps.containerBytes(Seq(rec))
@@ -166,5 +192,11 @@ class VideoOpsSpec extends AnyFunSuite {
       java.util.Arrays.equals(parsed.head._2, Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](
       VideoOps.parseContainer(bytes.dropRight(1)))
+    // a cut mid-HEADER of a later record must also reject, not silently
+    // drop the trailing record
+    val two = VideoOps.containerBytes(Seq(rec,
+      DeltaRecord("c", 1, 1, is_full = true, Array[Byte](4, 5))))
+    intercept[IllegalArgumentException](
+      VideoOps.parseContainer(two.take(bytes.length + 2)))
   }
 }
