@@ -237,4 +237,41 @@ class ScaleSmokeSpec extends AnyFunSuite {
     }
     assert(out.length == 100 * expect.count(_._2 > 0))
   }
+
+  test("video delta store scales: 60 cameras x 100 frames encode with " +
+      "one frame of state and decode across 600 independent GOP groups") {
+    import graft.multimodal.VideoOps
+    import graft.multimodal.VideoOps.Frame
+    import spark.implicits._
+    // distributed frame synthesis — a camera's stream never sits on the
+    // driver; frames share a static background with 2 moving bytes
+    val frames = spark.range(6000).as[Long].map { i =>
+      val cam = s"cam${i / 100}"
+      val seq = i % 100
+      val data = Array.fill[Byte](256)(7)
+      data((seq % 250).toInt) = (seq % 97).toByte
+      data(255) = (i / 100 % 31).toByte // camera signature byte
+      Frame(cam, seq, seq * 1000L, data)
+    }
+    val enc = VideoOps.encodeDelta(frames).cache()
+    // the reference cadence: key frame at 0 and then every 11th stored
+    val stats = VideoOps.deltaStats(enc).collect()
+    assert(stats.length == 60)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_full") == 10, s"${r.getString(0)} gops")
+      // diffs carry ~2 changed bytes x 5, key frames 256 — far below raw
+      assert(r.getAs[Long]("stored_bytes") < 100L * 256 / 2,
+        s"${r.getString(0)} compression lost")
+    }
+    // GOP-parallel reconstruction is exact for every camera/frame
+    val decoded = VideoOps.decodeDelta(enc)
+      .map(f => (f.camera, f.seq, java.util.Arrays.hashCode(f.data)))
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val expect = frames
+      .map(f => (f.camera, f.seq, java.util.Arrays.hashCode(f.data)))
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(decoded.size == 6000)
+    assert(decoded == expect)
+    enc.unpersist()
+  }
 }
