@@ -34,6 +34,11 @@ final class GraftDatabase private (
   private val tablesDir = s"$root/Tables"
   private val tsDir = s"$root/TimeSeries"
   private val filesDir = s"$root/Files"
+  // complete any store-directory exchange a crashed REBUILD left behind
+  // — BEFORE createDirectories, which would otherwise materialize an
+  // empty live dir and make recovery drop the retired copy
+  (Seq(tsDir) ++ Seq("versions", "events", "files").map(s => s"$filesDir/$s"))
+    .foreach(d => graft.core.FsUtils.recoverSwap(Paths.get(d)))
   Seq(tablesDir, tsDir, filesDir)
     .foreach(d => Files.createDirectories(Paths.get(d)))
 
@@ -714,7 +719,14 @@ final class GraftDatabase private (
       password: Option[String] = None,
       targetBytes: Long = 128L << 20): GraftDatabase = {
     requireNoOpenTx()
-    requireNotRetired()
+    // fence THIS facade's writes BEFORE the rewrite starts, not after:
+    // a concurrent writer slipping in mid-rebuild would stage a file
+    // under the OLD crypto options that the final vacuum then RETAINS
+    // (its commit lands after the rewrites), silently breaking the
+    // "old password's files are deleted" contract. A failed rebuild
+    // leaves the facade retired too — the store may be mixed-state, so
+    // rerun rebuild from a fresh facade rather than keep writing
+    retired = true
     // the rebuilt facade holds the NEW crypto options; rewrites read
     // through THIS facade (old password) and stage through the new one
     val out = new GraftDatabase(spark, name, root,
@@ -737,9 +749,6 @@ final class GraftDatabase private (
     // With a password change this is also the security step: the old
     // password's files are DELETED here, not left readable
     txlog.vacuum(keepVersions = 1, minAgeMs = 0)
-    // fence THIS facade's writes: it would stage under the OLD crypto
-    // options into the now-rebuilt store
-    retired = true
     out
   }
 
@@ -760,11 +769,10 @@ final class GraftDatabase private (
       val w = df.write.options(out.ioOptions).mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp)
-      val del = Files.walk(p)
-      try del.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally del.close()
-      Files.move(Paths.get(tmp), p)
+      // crash-safe exchange: the data is on disk in `dir` or
+      // `dir.retire` at every instant; recoverSwap at open completes an
+      // interrupted exchange
+      graft.core.FsUtils.swapDirectory(Paths.get(tmp), p)
     }
   }
 
@@ -1141,15 +1149,26 @@ object GraftDatabase {
       val bytes = new Array[Byte](16)
       new java.security.SecureRandom().nextBytes(bytes)
       val hex = bytes.map("%02x".format(_)).mkString
+      Files.createDirectories(p.getParent)
+      // write-then-link CAS (same primitive as TxLog.publish): the salt
+      // file appears fully written or not at all — a bare CREATE_NEW +
+      // write would let a concurrent opener read an empty/partial salt
+      // and derive a master key that never exists again
+      val tmp = Files.createTempFile(p.getParent, ".salt", ".tmp")
       try {
-        Files.createDirectories(p.getParent)
-        Files.write(p, hex.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => () // racer won
-      }
+        Files.write(tmp, hex.getBytes("UTF-8"))
+        try Files.createLink(p, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // racer won
+          case _: UnsupportedOperationException =>
+            if (!Files.exists(p)) Files.move(tmp, p)
+        }
+      } finally Files.deleteIfExists(tmp)
     }
-    new String(Files.readAllBytes(p), "UTF-8").trim
+    val salt = new String(Files.readAllBytes(p), "UTF-8").trim
+    require(salt.nonEmpty,
+      s"corrupt crypto salt at $p: restore it from backup — without the " +
+        "original salt the database's master keys cannot be re-derived")
+    salt
   }
 }

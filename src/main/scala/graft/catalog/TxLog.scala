@@ -357,12 +357,7 @@ final class TxLog(spark: SparkSession, root: String,
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally s.close()
-    }
+    graft.core.FsUtils.deleteRecursively(p)
 
   /** Commit-history rows (version, action, target, n_files) — the
     * DESCRIBE-HISTORY diagnostic. Versions truncated by vacuum report

@@ -41,6 +41,12 @@ import org.apache.parquet.crypto.keytools.{KmsClient, LocalWrapKmsClient}
   * per passphrase per JVM.
   */
 object FileCrypto {
+  // Format note: the key-derivation input (passphrase + per-database
+  // salt + key id) and the salt file location (<root>/_crypto.salt) are
+  // the feature's v1 on-disk contract — any change needs a legacy
+  // derivation fallback keyed off the footer's key metadata, or it
+  // bricks existing stores.
+
   /** Single uniform master-key id: footer + every column under one key,
     * the whole-file posture of the reference's AesStream.
     */

@@ -37,6 +37,8 @@ final class FileStore(spark: SparkSession, root: String,
   private val versionsDir = s"$root/versions"
   private val eventsDir = s"$root/events"
   private val filesPath = s"$root/files"
+  // complete a metadata-swap a crash interrupted (writeMeta)
+  graft.core.FsUtils.recoverSwap(Paths.get(filesPath))
   Files.createDirectories(Paths.get(root))
 
   // ---- table views --------------------------------------------------------
@@ -276,14 +278,10 @@ final class FileStore(spark: SparkSession, root: String,
       .toDF("file_id", "file_name", "file_ext", "current_version", "ts_us",
         "deleted")
       .coalesce(1).write.options(ioOptions).mode("overwrite").parquet(tmp)
-    val dst = Paths.get(filesPath)
-    if (Files.exists(dst)) {
-      val w = Files.walk(dst)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally w.close()
-    }
-    Files.move(Paths.get(tmp), dst)
+    // crash-safe exchange (data always on disk in files/ or
+    // files.retire); recoverSwap at FileStore construction completes an
+    // interrupted one
+    graft.core.FsUtils.swapDirectory(Paths.get(tmp), Paths.get(filesPath))
   }
 
   private def insertMeta(m: Meta): Unit = writeMeta(allMeta :+ m)
