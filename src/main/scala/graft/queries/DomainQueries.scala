@@ -418,6 +418,63 @@ object DomainQueries {
         FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1"""),
       "transparent at-rest encryption: password-opened store, every file " +
         "AES-GCM-encrypted (PME) and opaque without the key, query " +
-        "results identical to plaintext — the AesStream.cs analog")
+        "results identical to plaintext — the AesStream.cs analog"),
+
+    // The EXECUTED insert→upsert→updateMany→delete chain (vs the
+    // spec-only DML rows): every mutation is one commit-log version, and
+    // the survivors are read back from COMMITTED state. The oracle
+    // replays the same chain relationally. Mirrors TableCollection.cs
+    // Insert/Upsert (:1195-1240) / UpdateMany / DeleteMany semantics on
+    // the log-backed store.
+    Q("q139_dml_exec",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q139").toString
+        val db = GraftDatabase(s, "q139", base)
+          .defineTable(TableDef("orders", "o_orderkey"))
+        val src = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        db.insert("orders", src.filter(col("o_orderkey") % 5 === 0))
+        val v1 = db.logVersion
+        // upsert: %10==0 rows EXIST (update in place), %10==1 are NEW
+        db.upsert("orders", src
+          .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 10 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+        db.updateMany("orders", col("o_custkey") % 7 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + 100)))
+        db.delete("orders", col("o_custkey") % 11 === 0)
+        require(db.logVersion == v1 + 3,
+          s"upsert+update+delete must be 3 commits (was ${db.logVersion - v1})")
+        db.table("orders")
+          .groupBy((col("o_custkey") % 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice AS p
+          FROM orders WHERE o_orderkey % 5 = 0),
+        ups AS (
+          SELECT o_orderkey, o_custkey, o_totalprice * 2 AS p
+          FROM orders WHERE o_orderkey % 10 IN (0, 1)),
+        merged AS (
+          SELECT * FROM ups
+          UNION ALL
+          SELECT * FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)),
+        upd AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_custkey % 7 = 0 THEN p + 100 ELSE p END AS p
+          FROM merged),
+        fin AS (SELECT * FROM upd WHERE o_custkey % 11 <> 0)
+        SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM fin GROUP BY 1"""),
+      "EXECUTED DML chain on the ACID store: insert, key-matched upsert " +
+        "(update existing + insert new in one commit), predicated " +
+        "transform update, predicated delete — one log version each, " +
+        "survivors read from committed state")
   )
 }

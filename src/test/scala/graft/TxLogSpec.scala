@@ -561,6 +561,34 @@ class TxLogSpec extends AnyFunSuite {
     assert(db.table("customer").count() == 2)
   }
 
+  test("two INSTANCES over the same root race a commit: the filesystem " +
+      "CAS arbitrates (the cross-process shape, not shared JVM state)") {
+    val (log, root) = freshLog()
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq((1, 0)).toDF("id", "x")))))
+    val base = log.version
+    // separate TxLog objects = no shared caches; only the log files
+    val logA = new TxLog(spark, root)
+    val logB = new TxLog(spark, root)
+    val fa = logA.stage("t", Seq((1, 1)).toDF("id", "x"))
+    val fb = logB.stage("t", Seq((1, 2)).toDF("id", "x"))
+    val barrier = new CyclicBarrier(2)
+    @volatile var wins = 0
+    @volatile var conflicts = 0
+    val threads = Seq((logA, fa), (logB, fb)).map { case (l, f) =>
+      new Thread(() => {
+        barrier.await()
+        try { l.commit(Seq(TxLog.Put("t", f)), readVersion = base)
+          synchronized { wins += 1 } }
+        catch { case _: TxLog.ConflictException =>
+          synchronized { conflicts += 1 } }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins == 1 && conflicts == 1, s"wins=$wins conflicts=$conflicts")
+    // a third instance agrees on the surviving state
+    assert(new TxLog(spark, root).read("t").get.count() == 1)
+  }
+
   test("facade: checkpoint compacts multi-file tables and vacuums " +
       "retired versions") {
     val db = freshDb()
