@@ -274,15 +274,50 @@ final class GraftDatabase private (
     // each re-evaluate the frame, and a nondeterministic predicate must
     // select ONE row set across all three.
     val marked = table(name)
-      .withColumn("_graft_hit", coalesce(predicate, lit(false))).cache()
+      .withColumn("_graft_hit", coalesce(predicate, lit(false)))
+      .withColumn("_graft_file", input_file_name()).cache()
     try {
       val applied = ConstrainedDml.updateWhere(marked, col("_graft_hit"), set)
-      val changed = applied.filter(col("_graft_hit")).drop("_graft_hit")
-      val result = applied.drop("_graft_hit")
+      val changed = applied.filter(col("_graft_hit"))
+        .drop("_graft_hit", "_graft_file")
+      val result = applied.drop("_graft_hit", "_graft_file")
       requireClean(ConstrainedDml.validateUpdate(
         spark, tdef, changed, result, parentsOf(tdef)))
       val n = changed.count()
-      writeReplace(name, result, base, tdef.fks.map(_.parentTable).toSet)
+      if (n == 0L) return 0L // no matches: no rewrite, no version bump
+
+      // File-granular copy-on-write (the Delta/Iceberg shape, and the
+      // 100 TB reason the commit log exists): only files CONTAINING a
+      // matching row are rewritten; untouched files keep their paths in
+      // the new version's binding. An update hitting 1% of a table's
+      // files rewrites 1%, not 100%.
+      val hitRaw = marked.filter(col("_graft_hit"))
+        .select("_graft_file").distinct()
+        .collect().map(_.getString(0))
+      val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
+      val allRel = txlog.snapshot().tables.getOrElse(norm(name), Vector.empty)
+      val keepRel = allRel.filterNot(r =>
+        hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+      val touchedRows = ConstrainedDml.updateWhere(
+        marked.filter(col("_graft_file").isin(hitRaw: _*)),
+        col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
+      val granular =
+        // path mapping must account for every hit file, and the
+        // transform must not drift the schema (a typed SET could) —
+        // otherwise the mixed-generation file list would be unreadable
+        keepRel.size + hitAbs.size == allRel.size &&
+          touchedRows.schema.map(f => (f.name, f.dataType)) ==
+            table(name).schema.map(f => (f.name, f.dataType))
+      if (granular) {
+        enforceLimitSize()
+        txlog.commit(Seq(TxLog.Put(norm(name),
+          keepRel ++ txlog.stage(norm(name), touchedRows))),
+          readVersion = base,
+          readTables = tdef.fks.map(_.parentTable).toSet)
+        invalidateSqlEngine()
+      } else {
+        writeReplace(name, result, base, tdef.fks.map(_.parentTable).toSet)
+      }
       n
     } finally marked.unpersist()
   }

@@ -589,6 +589,39 @@ class TxLogSpec extends AnyFunSuite {
     assert(new TxLog(spark, root).read("t").get.count() == 1)
   }
 
+  test("updateMany is file-granular copy-on-write: untouched files keep " +
+      "their paths, only files holding matches rewrite") {
+    val db = freshDb()
+    // 4 insert batches -> 4 immutable files with disjoint id ranges
+    (0 until 4).foreach { b =>
+      db.insert("customer", (1 to 10).map(i => (b * 10 + i, s"n${b * 10 + i}",
+        20 + b)).toDF("id", "name", "age").coalesce(1))
+    }
+    val before = db.liveFiles("customer")
+    assert(before.size == 4)
+    // ids 11-20 live in exactly one file
+    val n = db.updateMany("customer",
+      org.apache.spark.sql.functions.col("id").between(11, 20),
+      Map("age" -> org.apache.spark.sql.functions.lit(99)))
+    assert(n == 10)
+    val after = db.liveFiles("customer")
+    val kept = before.toSet.intersect(after.toSet)
+    assert(kept.size == 3,
+      s"3 of 4 files must survive untouched (kept ${kept.size})")
+    assert(after.toSet.diff(before.toSet).nonEmpty, "one file rewritten")
+    // content is exact
+    assert(db.count("customer") == 40)
+    assert(db.table("customer")
+      .filter(org.apache.spark.sql.functions.col("age") === 99).count() == 10)
+    // a no-match update is a true no-op: no rewrite, no version bump
+    val v = db.logVersion
+    assert(db.updateMany("customer",
+      org.apache.spark.sql.functions.col("id") === 9999,
+      Map("age" -> org.apache.spark.sql.functions.lit(1))) == 0)
+    assert(db.logVersion == v)
+    assert(db.liveFiles("customer").toSet == after.toSet)
+  }
+
   test("facade: checkpoint compacts multi-file tables and vacuums " +
       "retired versions") {
     val db = freshDb()
