@@ -544,15 +544,43 @@ final class GraftDatabase private (
     val base = txlog.version
     if (!tableExists(name)) return
     // defined-but-never-written tables have no rows, so they can neither
-    // restrict nor cascade — and reading their absent files would throw
+    // restrict nor cascade — and reading their absent files would throw.
+    // Frames carry the scan-time file id so the walk's hit frames can
+    // name the files each table was touched in (file-granular rewrite).
     val states = (defs + (norm(name) -> tableDef(name)))
       .filter { case (n, _) => tableExists(n) }
-      .map { case (n, d) => n -> ((table(n), d)) }
-    val updated = ConstrainedDml.deleteCascade(spark, states, norm(name), predicate)
+      .map { case (n, d) =>
+        n -> ((table(n).withColumn("_graft_file", input_file_name()), d))
+      }
+    val (updated, hits) = ConstrainedDml.deleteCascadeWithHits(
+      spark, states, norm(name), predicate)
+    // nothing matched: a true no-op (no rewrite, no version bump)
+    if (hits.get(norm(name)).forall(_.isEmpty)) return
     // stage all new states (reads the CURRENT immutable files — never a
-    // self-overwrite), then publish ONE commit covering every table
+    // self-overwrite), then publish ONE commit covering every table.
+    // File-granular copy-on-write per table: only files CONTAINING a
+    // touched (deleted or set-null) row rewrite; the rest keep their
+    // paths — a cascade pruning 1% of each table's files stages 1%.
     val actions = updated.toSeq.map { case (n, df) =>
-      TxLog.Put(n, txlog.stage(n, df)): TxLog.Action
+      val plain = df.drop("_graft_file")
+      val granular = hits.get(n).flatMap { hit =>
+        val hitRaw = hit.select("_graft_file").distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty)
+        val hitAbs = hitRaw
+          .map(r => new java.net.URI(r).getPath).toSet
+        val allRel = txlog.snapshot().tables.getOrElse(n, Vector.empty)
+        val keepRel = allRel.filterNot(r =>
+          hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+        val touched = df.filter(col("_graft_file").isin(hitRaw: _*))
+          .drop("_graft_file")
+        if (hitRaw.nonEmpty &&
+            keepRel.size + hitAbs.size == allRel.size &&
+            touched.schema.map(f => (f.name, f.dataType)) ==
+              plain.schema.map(f => (f.name, f.dataType)))
+          Some(TxLog.Put(n, keepRel ++ txlog.stage(n, touched)): TxLog.Action)
+        else None
+      }
+      granular.getOrElse(TxLog.Put(n, txlog.stage(n, plain)): TxLog.Action)
     }
     // read set = every table the cascade walk CONSULTED (restrict
     // checks read children it may not rewrite) — an interleaved commit

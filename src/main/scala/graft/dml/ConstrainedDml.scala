@@ -194,7 +194,21 @@ object ConstrainedDml {
       spark: SparkSession,
       states: Map[String, (DataFrame, TableDef)],
       table: String,
-      predicate: org.apache.spark.sql.Column): Map[String, DataFrame] = {
+      predicate: org.apache.spark.sql.Column): Map[String, DataFrame] =
+    deleteCascadeWithHits(spark, states, table, predicate)._1
+
+  /** [[deleteCascade]] plus, per changed table, the frame of rows the
+    * walk TOUCHED there (deleted or FK-set-null) — the facade derives
+    * file-granular rewrites from it (only files holding a touched row
+    * rewrite). Every hit frame descends directly from that table's scan,
+    * so scan-time columns like `input_file_name()` survive into it.
+    */
+  def deleteCascadeWithHits(
+      spark: SparkSession,
+      states: Map[String, (DataFrame, TableDef)],
+      table: String,
+      predicate: org.apache.spark.sql.Column)
+      : (Map[String, DataFrame], Map[String, DataFrame]) = {
     val (rows, tdef) = states(table)
     val doomedKeys = rows.filter(predicate).select(col(tdef.pk)).cache()
     deleteByKeys(spark, states, table, doomedKeys)
@@ -204,11 +218,15 @@ object ConstrainedDml {
       spark: SparkSession,
       states: Map[String, (DataFrame, TableDef)],
       table: String,
-      doomedKeys: DataFrame): Map[String, DataFrame] = {
+      doomedKeys: DataFrame)
+      : (Map[String, DataFrame], Map[String, DataFrame]) = {
     val (rows, tdef) = states(table)
     // thread state updates through the walk: if two FK paths reach the same
     // table (diamond), the second pass must see the first pass's deletes
     var current: Map[String, (DataFrame, TableDef)] = states
+    var hits: Map[String, DataFrame] = Map.empty
+    def addHit(n: String, df: DataFrame): Unit =
+      hits = hits.updated(n, hits.get(n).map(_.unionByName(df)).getOrElse(df))
 
     current.foreach { case (childName, (_, childDef)) =>
       childDef.fks.filter(_.parentTable == table).foreach { fk =>
@@ -224,12 +242,16 @@ object ConstrainedDml {
             if (n > 0) throw new IllegalStateException(
               s"restrictive FK: $childName.${fk.childCol} has $n dependent rows")
           case Cascade =>
+            addHit(childName, affected)
             val childDoomed = affected.select(col(childDef.pk)).cache()
-            val sub = deleteByKeys(spark, current - table, childName, childDoomed)
+            val (sub, subHits) =
+              deleteByKeys(spark, current - table, childName, childDoomed)
             current = current.map { case (n, (df, d)) =>
               n -> ((sub.getOrElse(n, df), d))
             }
+            subHits.foreach { case (n, df) => addHit(n, df) }
           case SetNull =>
+            addHit(childName, affected)
             val marked = childRows.join(broadcast(doomedKeys
                 .withColumnRenamed(tdef.pk, "_doomed")),
               childRows(fk.childCol) === col("_doomed"), "left")
@@ -246,9 +268,13 @@ object ConstrainedDml {
     val remaining = rows.join(broadcast(doomedKeys
         .withColumnRenamed(tdef.pk, "_doomed")),
       rows(tdef.pk) === col("_doomed"), "left_anti")
+    addHit(table, rows.join(broadcast(doomedKeys
+        .withColumnRenamed(tdef.pk, "_doomed2")),
+      rows(tdef.pk) === col("_doomed2"), "left_semi"))
     // report every table whose state changed (plus this one)
-    current.collect {
+    val changed = current.collect {
       case (n, (df, _)) if !(df eq states(n)._1) => n -> df
     } + (table -> remaining)
+    (changed, hits.filter { case (n, _) => changed.contains(n) })
   }
 }

@@ -622,6 +622,38 @@ class TxLogSpec extends AnyFunSuite {
     assert(db.liveFiles("customer").toSet == after.toSet)
   }
 
+  test("cascade delete is file-granular in EVERY affected table: files " +
+      "without touched rows keep their paths across the one atomic commit") {
+    val db = freshDb()
+    (0 until 3).foreach { b =>
+      db.insert("customer", (1 to 5).map(i => (b * 10 + i, s"n${b * 10 + i}",
+        30)).toDF("id", "name", "age").coalesce(1))
+      db.insert("orders", (1 to 5).map(i => (b * 100 + i, b * 10 + i))
+        .toDF("id", "customer_id").coalesce(1))
+    }
+    val custBefore = db.liveFiles("customer")
+    val ordBefore = db.liveFiles("orders")
+    assert(custBefore.size == 3 && ordBefore.size == 3)
+    val v0 = db.logVersion
+    // batch-1 customers (ids 11-15) live in one customer file; their
+    // orders (101-105... wait, ids 101-105 reference 11-15) in one orders file
+    db.delete("customer", col("id").between(11, 15))
+    assert(db.logVersion == v0 + 1) // still ONE atomic commit
+    assert(db.count("customer") == 10 && db.count("orders") == 10)
+    assert(custBefore.toSet.intersect(db.liveFiles("customer").toSet).size == 2,
+      "2 of 3 customer files must survive untouched")
+    assert(ordBefore.toSet.intersect(db.liveFiles("orders").toSet).size == 2,
+      "2 of 3 orders files must survive untouched")
+    // the rewritten state is empty for the doomed batch, so the staged
+    // replacement may be an empty file set — content must still be exact
+    assert(db.table("orders").select("customer_id").as[Int]
+      .collect().forall(c => c < 11 || c > 15))
+    // no-match delete: true no-op
+    val v1 = db.logVersion
+    db.delete("customer", col("id") === 9999)
+    assert(db.logVersion == v1)
+  }
+
   test("facade: checkpoint compacts multi-file tables and vacuums " +
       "retired versions") {
     val db = freshDb()
