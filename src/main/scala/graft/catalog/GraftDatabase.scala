@@ -215,12 +215,34 @@ final class GraftDatabase private (
     requireNoOpenTx()
     val tdef = tableDef(name)
     val base = txlog.version
-    val merged =
-      if (tableExists(name)) ConstrainedDml.upsert(table(name), rows, tdef.pk)
-      else rows
+    if (!tableExists(name)) {
+      requireClean(ConstrainedDml.validateUpdate(
+        spark, tdef, rows, rows, parentsOf(tdef)))
+      writeReplace(name, rows, base, tdef.fks.map(_.parentTable).toSet)
+      return
+    }
+    val merged = ConstrainedDml.upsert(table(name), rows, tdef.pk)
     requireClean(ConstrainedDml.validateUpdate(
       spark, tdef, rows, merged, parentsOf(tdef)))
-    writeReplace(name, merged, base, tdef.fks.map(_.parentTable).toSet)
+    // file-granular: only files holding a PK the batch REPLACES rewrite;
+    // a batch of all-new PKs is a pure append (every file kept)
+    val marked = table(name).withColumn("_graft_file", input_file_name())
+    val hitRaw = marked
+      .join(rows.select(col(tdef.pk)), Seq(tdef.pk), "left_semi")
+      .select("_graft_file").distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    val touched = ConstrainedDml.upsert(
+      marked.filter(col("_graft_file").isin(hitRaw: _*)).drop("_graft_file"),
+      rows, tdef.pk)
+    enforceLimitSize()
+    fileGranularPut(name, hitRaw, touched) match {
+      case Some(action) =>
+        txlog.commit(Seq(action), readVersion = base,
+          readTables = tdef.fks.map(_.parentTable).toSet)
+        invalidateSqlEngine()
+      case None =>
+        writeReplace(name, merged, base, tdef.fks.map(_.parentTable).toSet)
+    }
   }
 
   /** Update existing documents by PK (TableCollection.cs:1256-1298):
@@ -245,7 +267,27 @@ final class GraftDatabase private (
         val merged = ConstrainedDml.upsert(existing, matched, tdef.pk)
         requireClean(ConstrainedDml.validateUpdate(
           spark, tdef, matched, merged, parentsOf(tdef)))
-        writeReplace(name, merged, base, tdef.fks.map(_.parentTable).toSet)
+        // file-granular: rewrite only the files holding a replaced PK
+        val marked = existing.withColumn("_graft_file", input_file_name())
+        val hitRaw = marked
+          .join(matched.select(col(tdef.pk)), Seq(tdef.pk), "left_semi")
+          .select("_graft_file").distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty)
+        val touched = ConstrainedDml.upsert(
+          marked.filter(col("_graft_file").isin(hitRaw: _*))
+            .drop("_graft_file"),
+          matched, tdef.pk)
+        enforceLimitSize()
+        (if (hitRaw.nonEmpty) fileGranularPut(name, hitRaw, touched)
+         else None) match {
+          case Some(action) =>
+            txlog.commit(Seq(action), readVersion = base,
+              readTables = tdef.fks.map(_.parentTable).toSet)
+            invalidateSqlEngine()
+          case None =>
+            writeReplace(name, merged, base,
+              tdef.fks.map(_.parentTable).toSet)
+        }
       }
       n
     } finally matched.unpersist()
@@ -293,30 +335,18 @@ final class GraftDatabase private (
       // files rewrites 1%, not 100%.
       val hitRaw = marked.filter(col("_graft_hit"))
         .select("_graft_file").distinct()
-        .collect().map(_.getString(0))
-      val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
-      val allRel = txlog.snapshot().tables.getOrElse(norm(name), Vector.empty)
-      val keepRel = allRel.filterNot(r =>
-        hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+        .collect().map(_.getString(0)).filter(_.nonEmpty)
       val touchedRows = ConstrainedDml.updateWhere(
         marked.filter(col("_graft_file").isin(hitRaw: _*)),
         col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
-      val granular =
-        // path mapping must account for every hit file, and the
-        // transform must not drift the schema (a typed SET could) —
-        // otherwise the mixed-generation file list would be unreadable
-        keepRel.size + hitAbs.size == allRel.size &&
-          touchedRows.schema.map(f => (f.name, f.dataType)) ==
-            table(name).schema.map(f => (f.name, f.dataType))
-      if (granular) {
-        enforceLimitSize()
-        txlog.commit(Seq(TxLog.Put(norm(name),
-          keepRel ++ txlog.stage(norm(name), touchedRows))),
-          readVersion = base,
-          readTables = tdef.fks.map(_.parentTable).toSet)
-        invalidateSqlEngine()
-      } else {
-        writeReplace(name, result, base, tdef.fks.map(_.parentTable).toSet)
+      enforceLimitSize() // before any staging, like the full-rewrite path
+      fileGranularPut(name, hitRaw, touchedRows) match {
+        case Some(action) if hitRaw.nonEmpty =>
+          txlog.commit(Seq(action), readVersion = base,
+            readTables = tdef.fks.map(_.parentTable).toSet)
+          invalidateSqlEngine()
+        case _ =>
+          writeReplace(name, result, base, tdef.fks.map(_.parentTable).toSet)
       }
       n
     } finally marked.unpersist()
@@ -566,19 +596,9 @@ final class GraftDatabase private (
       val granular = hits.get(n).flatMap { hit =>
         val hitRaw = hit.select("_graft_file").distinct()
           .collect().map(_.getString(0)).filter(_.nonEmpty)
-        val hitAbs = hitRaw
-          .map(r => new java.net.URI(r).getPath).toSet
-        val allRel = txlog.snapshot().tables.getOrElse(n, Vector.empty)
-        val keepRel = allRel.filterNot(r =>
-          hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
-        val touched = df.filter(col("_graft_file").isin(hitRaw: _*))
-          .drop("_graft_file")
-        if (hitRaw.nonEmpty &&
-            keepRel.size + hitAbs.size == allRel.size &&
-            touched.schema.map(f => (f.name, f.dataType)) ==
-              plain.schema.map(f => (f.name, f.dataType)))
-          Some(TxLog.Put(n, keepRel ++ txlog.stage(n, touched)): TxLog.Action)
-        else None
+        if (hitRaw.isEmpty) None
+        else fileGranularPut(n, hitRaw,
+          df.filter(col("_graft_file").isin(hitRaw: _*)).drop("_graft_file"))
       }
       granular.getOrElse(TxLog.Put(n, txlog.stage(n, plain)): TxLog.Action)
     }
@@ -588,6 +608,27 @@ final class GraftDatabase private (
     if (actions.nonEmpty) txlog.commit(actions, readVersion = base,
       readTables = states.keySet.toSet)
     invalidateSqlEngine()
+  }
+
+  /** File-granular PUT action (the Delta/Iceberg copy-on-write shape):
+    * bind the files NOT in `hitRaw` unchanged and stage `touched` as
+    * their replacement. None when the raw↔log path mapping does not
+    * account for every hit file or the replacement drifts the schema —
+    * the caller then falls back to a full rewrite. An EMPTY hit set is
+    * a pure append (all files kept, `touched` staged alongside).
+    */
+  private def fileGranularPut(name: String, hitRaw: Array[String],
+      touched: DataFrame): Option[TxLog.Action] = {
+    val n = norm(name)
+    val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
+    val allRel = txlog.snapshot().tables.getOrElse(n, Vector.empty)
+    val keepRel = allRel.filterNot(r =>
+      hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+    val ok = keepRel.size + hitAbs.size == allRel.size &&
+      touched.schema.map(f => (f.name, f.dataType)) ==
+        table(name).schema.map(f => (f.name, f.dataType))
+    if (ok) Some(TxLog.Put(n, keepRel ++ txlog.stage(n, touched)))
+    else None
   }
 
   private def writeReplace(name: String, df: DataFrame,

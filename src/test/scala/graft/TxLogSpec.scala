@@ -622,6 +622,39 @@ class TxLogSpec extends AnyFunSuite {
     assert(db.liveFiles("customer").toSet == after.toSet)
   }
 
+  test("upsert and update are file-granular: replaced PKs rewrite their " +
+      "file, all-new PKs append without touching any existing file") {
+    val db = freshDb()
+    (0 until 3).foreach { b =>
+      db.insert("customer", (1 to 5).map(i => (b * 10 + i, s"n${b * 10 + i}",
+        30)).toDF("id", "name", "age").coalesce(1))
+    }
+    val before = db.liveFiles("customer")
+    assert(before.size == 3)
+    // upsert replacing PKs of the middle batch only
+    db.upsert("customer", Seq((11, "x11", 99), (12, "x12", 99))
+      .toDF("id", "name", "age").coalesce(1))
+    val afterUpsert = db.liveFiles("customer")
+    assert(before.toSet.intersect(afterUpsert.toSet).size == 2,
+      "2 of 3 files must survive a one-file upsert")
+    assert(db.count("customer") == 15)
+    // upsert of ALL-NEW PKs appends: every live file keeps its path
+    db.upsert("customer", Seq((91, "new", 1)).toDF("id", "name", "age")
+      .coalesce(1))
+    val afterAppend = db.liveFiles("customer")
+    assert(afterUpsert.toSet.subsetOf(afterAppend.toSet),
+      "an all-new-PK upsert must not rewrite any existing file")
+    assert(db.count("customer") == 16)
+    // update (PK-matched replace) is granular too
+    val preUpdate = db.liveFiles("customer")
+    assert(db.update("customer",
+      Seq((21, "u21", 50)).toDF("id", "name", "age").coalesce(1)) == 1)
+    assert(preUpdate.toSet.intersect(db.liveFiles("customer").toSet).size ==
+      preUpdate.size - 1, "update must rewrite exactly one file")
+    assert(db.table("customer").filter(col("id") === 21)
+      .select("age").as[Int].head() == 50)
+  }
+
   test("cascade delete is file-granular in EVERY affected table: files " +
       "without touched rows keep their paths across the one atomic commit") {
     val db = freshDb()
