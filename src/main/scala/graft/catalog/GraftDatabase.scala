@@ -221,28 +221,29 @@ final class GraftDatabase private (
       writeReplace(name, rows, base, tdef.fks.map(_.parentTable).toSet)
       return
     }
-    val merged = ConstrainedDml.upsert(table(name), rows, tdef.pk)
-    requireClean(ConstrainedDml.validateUpdate(
-      spark, tdef, rows, merged, parentsOf(tdef)))
-    // file-granular: only files holding a PK the batch REPLACES rewrite;
-    // a batch of all-new PKs is a pure append (every file kept)
-    val marked = table(name).withColumn("_graft_file", input_file_name())
-    val hitRaw = marked
-      .join(rows.select(col(tdef.pk)), Seq(tdef.pk), "left_semi")
-      .select("_graft_file").distinct()
-      .collect().map(_.getString(0)).filter(_.nonEmpty)
-    val touched = ConstrainedDml.upsert(
-      marked.filter(col("_graft_file").isin(hitRaw: _*)).drop("_graft_file"),
-      rows, tdef.pk)
-    enforceLimitSize()
-    fileGranularPut(name, hitRaw, touched) match {
-      case Some(action) =>
-        txlog.commit(Seq(action), readVersion = base,
-          readTables = tdef.fks.map(_.parentTable).toSet)
-        invalidateSqlEngine()
-      case None =>
-        writeReplace(name, merged, base, tdef.fks.map(_.parentTable).toSet)
-    }
+    // cache the incoming batch: the hit-file collect and the staged
+    // write are separate jobs, and a nondeterministic source could
+    // otherwise replace a key in one and land a duplicate in the other
+    val batch = rows.cache()
+    try {
+      if (batch.isEmpty) return // empty batch: true no-op, no version
+      val merged = ConstrainedDml.upsert(table(name), batch, tdef.pk)
+      requireClean(ConstrainedDml.validateUpdate(
+        spark, tdef, batch, merged, parentsOf(tdef)))
+      // file-granular: only files holding a PK the batch REPLACES
+      // rewrite; a batch of all-new PKs is a pure append (files kept)
+      val marked = table(name).withColumn("_graft_file", input_file_name())
+      val hitRaw = marked
+        .join(batch.select(col(tdef.pk)), Seq(tdef.pk), "left_semi")
+        .select("_graft_file").distinct()
+        .collect().map(_.getString(0)).filter(_.nonEmpty)
+      val touched = ConstrainedDml.upsert(
+        marked.filter(col("_graft_file").isin(hitRaw: _*))
+          .drop("_graft_file"),
+        batch, tdef.pk)
+      commitGranularOrFull(name, tdef, base, hitRaw, touched,
+        table(name).schema, emptyHitsAppend = true)(merged)
+    } finally batch.unpersist()
   }
 
   /** Update existing documents by PK (TableCollection.cs:1256-1298):
@@ -277,17 +278,8 @@ final class GraftDatabase private (
           marked.filter(col("_graft_file").isin(hitRaw: _*))
             .drop("_graft_file"),
           matched, tdef.pk)
-        enforceLimitSize()
-        (if (hitRaw.nonEmpty) fileGranularPut(name, hitRaw, touched)
-         else None) match {
-          case Some(action) =>
-            txlog.commit(Seq(action), readVersion = base,
-              readTables = tdef.fks.map(_.parentTable).toSet)
-            invalidateSqlEngine()
-          case None =>
-            writeReplace(name, merged, base,
-              tdef.fks.map(_.parentTable).toSet)
-        }
+        commitGranularOrFull(name, tdef, base, hitRaw, touched,
+          existing.schema, emptyHitsAppend = false)(merged)
       }
       n
     } finally matched.unpersist()
@@ -339,15 +331,9 @@ final class GraftDatabase private (
       val touchedRows = ConstrainedDml.updateWhere(
         marked.filter(col("_graft_file").isin(hitRaw: _*)),
         col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
-      enforceLimitSize() // before any staging, like the full-rewrite path
-      fileGranularPut(name, hitRaw, touchedRows) match {
-        case Some(action) if hitRaw.nonEmpty =>
-          txlog.commit(Seq(action), readVersion = base,
-            readTables = tdef.fks.map(_.parentTable).toSet)
-          invalidateSqlEngine()
-        case _ =>
-          writeReplace(name, result, base, tdef.fks.map(_.parentTable).toSet)
-      }
+      commitGranularOrFull(name, tdef, base, hitRaw, touchedRows,
+        marked.drop("_graft_hit", "_graft_file").schema,
+        emptyHitsAppend = false)(result)
       n
     } finally marked.unpersist()
   }
@@ -591,16 +577,26 @@ final class GraftDatabase private (
     // File-granular copy-on-write per table: only files CONTAINING a
     // touched (deleted or set-null) row rewrite; the rest keep their
     // paths — a cascade pruning 1% of each table's files stages 1%.
-    val actions = updated.toSeq.map { case (n, df) =>
+    val actions = updated.toSeq.flatMap { case (n, df) =>
       val plain = df.drop("_graft_file")
-      val granular = hits.get(n).flatMap { hit =>
-        val hitRaw = hit.select("_graft_file").distinct()
-          .collect().map(_.getString(0)).filter(_.nonEmpty)
-        if (hitRaw.isEmpty) None
-        else fileGranularPut(n, hitRaw,
-          df.filter(col("_graft_file").isin(hitRaw: _*)).drop("_graft_file"))
+      def full = TxLog.Put(n, txlog.stage(n, plain)): TxLog.Action
+      hits.get(n) match {
+        case Some(hit) =>
+          val hitRaw = hit.select("_graft_file").distinct()
+            .collect().map(_.getString(0)).filter(_.nonEmpty)
+          if (hitRaw.nonEmpty)
+            Some(fileGranularPut(n, hitRaw,
+              df.filter(col("_graft_file").isin(hitRaw: _*))
+                .drop("_graft_file"), plain.schema).getOrElse(full))
+          // the walk VISITED this table but touched no row in it (a
+          // cascade whose doomed parents have no children here): its
+          // state is unchanged — emit nothing rather than a pointless
+          // full rewrite of an untouched table. If rows WERE touched
+          // but carry no file id, the mapping failed — rewrite fully.
+          else if (hit.isEmpty) None
+          else Some(full)
+        case None => Some(full) // changed with no hit record: rewrite
       }
-      granular.getOrElse(TxLog.Put(n, txlog.stage(n, plain)): TxLog.Action)
     }
     // read set = every table the cascade walk CONSULTED (restrict
     // checks read children it may not rewrite) — an interleaved commit
@@ -618,7 +614,9 @@ final class GraftDatabase private (
     * a pure append (all files kept, `touched` staged alongside).
     */
   private def fileGranularPut(name: String, hitRaw: Array[String],
-      touched: DataFrame): Option[TxLog.Action] = {
+      touched: DataFrame,
+      expectedSchema: org.apache.spark.sql.types.StructType)
+      : Option[TxLog.Action] = {
     val n = norm(name)
     val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
     val allRel = txlog.snapshot().tables.getOrElse(n, Vector.empty)
@@ -626,9 +624,34 @@ final class GraftDatabase private (
       hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
     val ok = keepRel.size + hitAbs.size == allRel.size &&
       touched.schema.map(f => (f.name, f.dataType)) ==
-        table(name).schema.map(f => (f.name, f.dataType))
+        expectedSchema.map(f => (f.name, f.dataType))
     if (ok) Some(TxLog.Put(n, keepRel ++ txlog.stage(n, touched)))
     else None
+  }
+
+  /** The shared tail of every single-table granular DML: commit the
+    * file-granular PUT when it holds, else fall back to the full
+    * rewrite. `emptyHitsAppend` is upsert's shape (no replaced key =
+    * pure append); update/updateMany treat an empty hit set as a
+    * mapping failure instead.
+    */
+  private def commitGranularOrFull(name: String, tdef: TableDef, base: Long,
+      hitRaw: Array[String], touched: DataFrame,
+      expectedSchema: org.apache.spark.sql.types.StructType,
+      emptyHitsAppend: Boolean)(fallback: => DataFrame): Unit = {
+    enforceLimitSize()
+    val granular =
+      if (hitRaw.nonEmpty || emptyHitsAppend)
+        fileGranularPut(name, hitRaw, touched, expectedSchema)
+      else None
+    granular match {
+      case Some(action) =>
+        txlog.commit(Seq(action), readVersion = base,
+          readTables = tdef.fks.map(_.parentTable).toSet)
+        invalidateSqlEngine()
+      case None =>
+        writeReplace(name, fallback, base, tdef.fks.map(_.parentTable).toSet)
+    }
   }
 
   private def writeReplace(name: String, df: DataFrame,

@@ -669,7 +669,7 @@ class TxLogSpec extends AnyFunSuite {
     assert(custBefore.size == 3 && ordBefore.size == 3)
     val v0 = db.logVersion
     // batch-1 customers (ids 11-15) live in one customer file; their
-    // orders (101-105... wait, ids 101-105 reference 11-15) in one orders file
+    // orders (ids 101-105, referencing customers 11-15) in one orders file
     db.delete("customer", col("id").between(11, 15))
     assert(db.logVersion == v0 + 1) // still ONE atomic commit
     assert(db.count("customer") == 10 && db.count("orders") == 10)
@@ -685,6 +685,15 @@ class TxLogSpec extends AnyFunSuite {
     val v1 = db.logVersion
     db.delete("customer", col("id") === 9999)
     assert(db.logVersion == v1)
+    // a cascade whose doomed parents have NO children must not touch
+    // the child table at all — no orders file churn, no orders action
+    db.insert("customer", Seq((91, "lone", 30)).toDF("id", "name", "age"))
+    val ordBefore2 = db.liveFiles("orders").toSet
+    val v2 = db.logVersion
+    db.delete("customer", col("id") === 91)
+    assert(db.logVersion == v2 + 1)
+    assert(db.liveFiles("orders").toSet == ordBefore2,
+      "childless cascade must leave the child table's files untouched")
   }
 
   test("facade: checkpoint compacts multi-file tables and vacuums " +
