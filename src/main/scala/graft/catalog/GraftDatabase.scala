@@ -1087,15 +1087,63 @@ final class GraftDatabase private (
           // re-persisting engine.modified here would double-commit
           ()
         case None =>
-          engine.modified.foreach { case (n, state) =>
-            check(n, state)
+          engine.modified.foreach { case (n, state0) =>
+            check(n, state0)
+            val state = decollate(state0)
+            val readTabs = defs.get(n).map(_.fks.map(_.parentTable).toSet)
+              .getOrElse(Set.empty)
+            // File-granular persist, like the facade DML: the statement
+            // knows which rows it touched (changedRows/deletedRows), so
+            // only files HOLDING one of their PKs rewrite; rows with
+            // brand-new PKs (INSERT, SELECT INTO an existing table)
+            // append. Falls back to the full rewrite when the table has
+            // no declared PK, isn't materialized yet, or mapping fails.
+            val touchedKeys = (engine.changedRows.get(n).toSeq ++
+              engine.deletedRows.get(n).toSeq).map(decollate)
+            val granularDone = defs.get(n).exists { tdef =>
+              val pk = tdef.pk
+              touchedKeys.nonEmpty && tableExists(n) &&
+                state.columns.contains(pk) &&
+                touchedKeys.forall(_.columns.contains(pk)) && {
+                  val keys = touchedKeys.map(_.select(col(pk)))
+                    .reduce(_ unionByName _).distinct()
+                  if (keys.isEmpty)
+                    // the statement matched no row (0-hit UPDATE/
+                    // DELETE): state is unchanged — persist nothing
+                    true
+                  else {
+                    val marked = table(n)
+                      .withColumn("_graft_file", input_file_name())
+                    val hitRaw = marked.join(keys, Seq(pk), "left_semi")
+                      .select("_graft_file").distinct()
+                      .collect().map(_.getString(0)).filter(_.nonEmpty)
+                    val hitPks = marked
+                      .filter(col("_graft_file").isin(hitRaw: _*))
+                      .select(col(pk))
+                    val newPks = keys.join(marked.select(col(pk)),
+                      Seq(pk), "left_anti")
+                    val touched = state.join(
+                      hitPks.unionByName(newPks).distinct(),
+                      Seq(pk), "left_semi")
+                    enforceLimitSize()
+                    fileGranularPut(n, hitRaw, touched,
+                      table(n).schema) match {
+                      case Some(action) =>
+                        txlog.commit(Seq(action), readVersion = engineBase,
+                          readTables = readTabs)
+                        invalidateSqlEngine()
+                        true
+                      case None => false
+                    }
+                  }
+                }
+            }
             // conflict-checked against the version the engine's views
             // were LOADED at (the data this statement actually read),
             // with FK parents in the read set — a concurrent writer
             // since then must conflict, not be silently overwritten
-            writeReplace(n, decollate(state), base = engineBase,
-              readTables = defs.get(n).map(_.fks.map(_.parentTable).toSet)
-                .getOrElse(Set.empty))
+            if (!granularDone)
+              writeReplace(n, state, base = engineBase, readTables = readTabs)
           }
       }
       out

@@ -83,6 +83,7 @@ final class LiteSql(
     val sql = replaceOutsideQuotes(liteSql.trim, _.replaceAll("\\s+", " "))
     val kw = sql.takeWhile(!_.isWhitespace).toUpperCase
     lastChangedRowsVar = Map.empty
+    lastDeletedRowsVar = Map.empty
     lastSetTargetsVar = Nil
     refreshViews() // see run(): another instance may hold the view names
     kw match {
@@ -209,6 +210,7 @@ final class LiteSql(
         val hit = coalesce(pred, lit(false))
         val n = df.filter(hit).count()
         rebind(name, df.filter(!hit))
+        lastDeletedRowsVar += name -> df.filter(hit)
         Seq(n).toDF("n_affected")
       case "DROP" =>
         // DROP INDEX {collection}.{indexName} | DROP COLLECTION {name}
@@ -357,6 +359,7 @@ final class LiteSql(
 
   private var dirtyNames: Set[String] = Set.empty
   private var lastChangedRowsVar: Map[String, DataFrame] = Map.empty
+  private var lastDeletedRowsVar: Map[String, DataFrame] = Map.empty
   private var lastSetTargetsVar: Seq[String] = Nil
 
   /** Tables rebound by DML since construction (name -> current state) —
@@ -370,6 +373,13 @@ final class LiteSql(
     * never re-fail validation.
     */
   def changedRows: Map[String, DataFrame] = lastChangedRowsVar
+
+  /** The rows the LAST execute() deleted (per table) — kept separate
+    * from [[changedRows]] because deleted rows must NOT re-enter
+    * constraint validation (they are gone from the result state); a
+    * persisting caller uses them to locate the files a DELETE touched.
+    */
+  def deletedRows: Map[String, DataFrame] = lastDeletedRowsVar
 
   /** SET target columns of the last UPDATE (for PK-immutability checks). */
   def lastSetTargets: Seq[String] = lastSetTargetsVar

@@ -655,6 +655,47 @@ class TxLogSpec extends AnyFunSuite {
       .select("age").as[Int].head() == 50)
   }
 
+  test("SQL UPDATE/DELETE/INSERT persist file-granular through the " +
+      "facade: untouched files keep their paths, inserts append") {
+    val db = freshDb()
+    // LONG-typed columns: SQL INSERT documents arrive via JSON inference
+    // (bigint), and matching types lets the append path engage rather
+    // than the schema-drift fallback
+    (0 until 3).foreach { b =>
+      db.insert("customer", (1 to 5).map(i => ((b * 10 + i).toLong,
+        s"n${b * 10 + i}", 30L)).toDF("id", "name", "age").coalesce(1))
+    }
+    val before = db.liveFiles("customer")
+    assert(before.size == 3)
+    // UPDATE hitting only the middle batch's file
+    assert(db.sql("UPDATE customer SET $.age = 77 WHERE $.id = 12")
+      .head().getLong(0) == 1)
+    val afterUpdate = db.liveFiles("customer")
+    assert(before.toSet.intersect(afterUpdate.toSet).size == 2,
+      "SQL UPDATE must rewrite only the file holding the matched row")
+    // DELETE from one file
+    assert(db.sql("DELETE customer WHERE $.id = 21").head().getLong(0) == 1)
+    val afterDelete = db.liveFiles("customer")
+    assert(afterUpdate.toSet.intersect(afterDelete.toSet).size ==
+      afterUpdate.size - 1,
+      "SQL DELETE must rewrite only the file holding the deleted row")
+    // INSERT appends without touching any existing file
+    db.sql("""INSERT INTO customer VALUES {"id": 95, "name": "new", "age": 1}""")
+    assert(afterDelete.toSet.subsetOf(db.liveFiles("customer").toSet),
+      "SQL INSERT must append, not rewrite")
+    assert(db.count("customer") == 15)
+    // 0-match statements are true no-ops: no commit, no file churn
+    val v = db.logVersion
+    assert(db.sql("UPDATE customer SET $.age = 1 WHERE $.id = 888")
+      .head().getLong(0) == 0)
+    assert(db.sql("DELETE customer WHERE $.id = 888").head().getLong(0) == 0)
+    assert(db.logVersion == v, "0-hit SQL DML must not commit versions")
+    // content sanity after the mixed chain
+    assert(db.table("customer").filter(col("id") === 12)
+      .select("age").as[Long].head() == 77L)
+    assert(db.table("customer").filter(col("id") === 21).count() == 0)
+  }
+
   test("cascade delete is file-granular in EVERY affected table: files " +
       "without touched rows keep their paths across the one atomic commit") {
     val db = freshDb()
