@@ -317,17 +317,17 @@ final class GraftDatabase private (
       val result = applied.drop("_graft_hit", "_graft_file")
       requireClean(ConstrainedDml.validateUpdate(
         spark, tdef, changed, result, parentsOf(tdef)))
-      val n = changed.count()
-      if (n == 0L) return 0L // no matches: no rewrite, no version bump
-
       // File-granular copy-on-write (the Delta/Iceberg shape, and the
       // 100 TB reason the commit log exists): only files CONTAINING a
       // matching row are rewritten; untouched files keep their paths in
       // the new version's binding. An update hitting 1% of a table's
-      // files rewrites 1%, not 100%.
-      val hitRaw = marked.filter(col("_graft_hit"))
-        .select("_graft_file").distinct()
-        .collect().map(_.getString(0)).filter(_.nonEmpty)
+      // files rewrites 1%, not 100%. One aggregation yields BOTH the
+      // matched-row count and the hit files.
+      val perFile = marked.filter(col("_graft_hit"))
+        .groupBy("_graft_file").count().collect()
+      val n = perFile.map(_.getLong(1)).sum
+      if (n == 0L) return 0L // no matches: no rewrite, no version bump
+      val hitRaw = perFile.map(_.getString(0)).filter(_.nonEmpty)
       val touchedRows = ConstrainedDml.updateWhere(
         marked.filter(col("_graft_file").isin(hitRaw: _*)),
         col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
@@ -622,6 +622,10 @@ final class GraftDatabase private (
     val allRel = txlog.snapshot().tables.getOrElse(n, Vector.empty)
     val keepRel = allRel.filterNot(r =>
       hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+    // every file hit → granular staging degenerates to a full rewrite
+    // but through an extra per-row file filter; the caller's plain
+    // full-rewrite fallback is the same bytes for less work
+    if (keepRel.isEmpty && allRel.nonEmpty) return None
     val ok = keepRel.size + hitAbs.size == allRel.size &&
       touched.schema.map(f => (f.name, f.dataType)) ==
         expectedSchema.map(f => (f.name, f.dataType))
