@@ -279,7 +279,8 @@ final class GraftDatabase private (
             .drop("_graft_file"),
           matched, tdef.pk)
         commitGranularOrFull(name, tdef, base, hitRaw, touched,
-          existing.schema, emptyHitsAppend = false)(merged)
+          existing.schema, emptyHitsAppend = false,
+          patchSafe = tdef.uniqueCols.isEmpty)(merged)
       }
       n
     } finally matched.unpersist()
@@ -331,9 +332,12 @@ final class GraftDatabase private (
       val touchedRows = ConstrainedDml.updateWhere(
         marked.filter(col("_graft_file").isin(hitRaw: _*)),
         col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
+      // no unique constraints and no new PKs -> the rewrite commutes
+      // with concurrent disjoint-file statements (relative patch)
       commitGranularOrFull(name, tdef, base, hitRaw, touchedRows,
         marked.drop("_graft_hit", "_graft_file").schema,
-        emptyHitsAppend = false)(result)
+        emptyHitsAppend = false,
+        patchSafe = tdef.uniqueCols.isEmpty)(result)
       n
     } finally marked.unpersist()
   }
@@ -585,9 +589,14 @@ final class GraftDatabase private (
           val hitRaw = hit.select("_graft_file").distinct()
             .collect().map(_.getString(0)).filter(_.nonEmpty)
           if (hitRaw.nonEmpty)
+            // deletes cannot create uniqueness violations, but a
+            // cascade SET-NULL can touch a unique column — gate the
+            // commuting patch on the table being constraint-free
             Some(fileGranularPut(n, hitRaw,
               df.filter(col("_graft_file").isin(hitRaw: _*))
-                .drop("_graft_file"), plain.schema).getOrElse(full))
+                .drop("_graft_file"), plain.schema,
+              patchSafe = defs.get(n).forall(_.uniqueCols.isEmpty))
+              .getOrElse(full))
           // the walk VISITED this table but touched no row in it (a
           // cascade whose doomed parents have no children here): its
           // state is unchanged — emit nothing rather than a pointless
@@ -615,12 +624,12 @@ final class GraftDatabase private (
     */
   private def fileGranularPut(name: String, hitRaw: Array[String],
       touched: DataFrame,
-      expectedSchema: org.apache.spark.sql.types.StructType)
-      : Option[TxLog.Action] = {
+      expectedSchema: org.apache.spark.sql.types.StructType,
+      patchSafe: Boolean = false): Option[TxLog.Action] = {
     val n = norm(name)
     val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
     val allRel = txlog.snapshot().tables.getOrElse(n, Vector.empty)
-    val keepRel = allRel.filterNot(r =>
+    val (hitRel, keepRel) = allRel.partition(r =>
       hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
     // every file hit → granular staging degenerates to a full rewrite
     // but through an extra per-row file filter; the caller's plain
@@ -629,8 +638,14 @@ final class GraftDatabase private (
     val ok = keepRel.size + hitAbs.size == allRel.size &&
       touched.schema.map(f => (f.name, f.dataType)) ==
         expectedSchema.map(f => (f.name, f.dataType))
-    if (ok) Some(TxLog.Put(n, keepRel ++ txlog.stage(n, touched)))
-    else None
+    if (!ok) None
+    // patchSafe (no unique constraints a concurrent writer's unseen
+    // rows could break, no new PKs): commit as a RELATIVE remove/add
+    // patch, so concurrent statements on DISJOINT files of this table
+    // both land — the Delta-style concurrency unit
+    else if (patchSafe)
+      Some(TxLog.Patch(n, hitRel, txlog.stage(n, touched)))
+    else Some(TxLog.Put(n, keepRel ++ txlog.stage(n, touched)))
   }
 
   /** The shared tail of every single-table granular DML: commit the
@@ -642,11 +657,12 @@ final class GraftDatabase private (
   private def commitGranularOrFull(name: String, tdef: TableDef, base: Long,
       hitRaw: Array[String], touched: DataFrame,
       expectedSchema: org.apache.spark.sql.types.StructType,
-      emptyHitsAppend: Boolean)(fallback: => DataFrame): Unit = {
+      emptyHitsAppend: Boolean, patchSafe: Boolean = false)(
+      fallback: => DataFrame): Unit = {
     enforceLimitSize()
     val granular =
       if (hitRaw.nonEmpty || emptyHitsAppend)
-        fileGranularPut(name, hitRaw, touched, expectedSchema)
+        fileGranularPut(name, hitRaw, touched, expectedSchema, patchSafe)
       else None
     granular match {
       case Some(action) =>
@@ -1130,8 +1146,13 @@ final class GraftDatabase private (
                       hitPks.unionByName(newPks).distinct(),
                       Seq(pk), "left_semi")
                     enforceLimitSize()
+                    // commuting patch only for UPDATE/DELETE statements
+                    // (they add no PKs) on constraint-free tables
+                    val stmtPatchSafe = tdef.uniqueCols.isEmpty &&
+                      (engine.lastSetTargets.nonEmpty ||
+                        engine.deletedRows.contains(n))
                     fileGranularPut(n, hitRaw, touched,
-                      table(n).schema) match {
+                      table(n).schema, patchSafe = stmtPatchSafe) match {
                       case Some(action) =>
                         txlog.commit(Seq(action), readVersion = engineBase,
                           readTables = readTabs)

@@ -121,6 +121,14 @@ final class TxLog(spark: SparkSession, root: String,
     case Put(t, fs)  => snap.copy(tables = snap.tables.updated(t, fs.toVector))
     case Add(t, fs)  => snap.copy(tables = snap.tables.updated(
       t, snap.tables.getOrElse(t, Vector.empty) ++ fs))
+    case Patch(t, rm, ad) => snap.tables.get(t) match {
+      // relative semantics: apply to WHATEVER the current binding is —
+      // that is what lets two patches over disjoint files commute
+      case Some(fs) =>
+        val rmSet = rm.toSet
+        snap.copy(tables = snap.tables.updated(t, fs.filterNot(rmSet) ++ ad))
+      case None => snap // table dropped by an interleaved commit: stays dropped
+    }
     case Del(t)      => snap.copy(tables = snap.tables - t)
     case Ren(o, n)   => snap.tables.get(o) match {
       case Some(fs) => snap.copy(tables = snap.tables - o + (n -> fs))
@@ -193,7 +201,20 @@ final class TxLog(spark: SparkSession, root: String,
       case _ => false
     }
     if (alreadyApplied()) return version
-    val mine = actions.flatMap(_.touches).toSet ++ readTables
+    // Conflict granularity (the Delta-style remove/add resolution):
+    //  - tables I touch with an ABSOLUTE action (Put/Add/Del/Ren), plus
+    //    my read set, conflict with ANY interleaved touch;
+    //  - tables I touch ONLY via Patch conflict with interleaved
+    //    absolute actions, but COMMUTE with interleaved patches whose
+    //    removed-file sets are disjoint from mine — two writers
+    //    rewriting different files of one table both commit.
+    val myPatches: Map[String, Set[String]] = actions
+      .collect { case Patch(t, rm, _) => t -> rm.toSet }
+      .groupMapReduce(_._1)(_._2)(_ ++ _)
+    val myHard: Set[String] = actions.collect {
+      case a if !a.isInstanceOf[Patch] => a.touches
+    }.flatten.toSet ++ readTables
+    val myPatchOnly = myPatches.keySet -- myHard
     def assertNoConflict(from: Long, to: Long): Unit =
       (from to to).foreach { v =>
         val f = versionFile(v)
@@ -207,11 +228,18 @@ final class TxLog(spark: SparkSession, root: String,
           throw new ConflictException(
             s"cannot validate against commit $v: log truncated by " +
               "vacuum below the writer's read version — re-read and retry")
-        val theirs = parse(Files.readAllLines(f).asScala.toSeq)
-          .flatMap(_.touches).toSet
-        if (theirs.intersect(mine).nonEmpty)
-          throw new ConflictException(
-            s"concurrent commit $v touched ${theirs.intersect(mine)}")
+        parse(Files.readAllLines(f).asScala.toSeq).foreach {
+          case Patch(t, rm, _) =>
+            if (myHard(t)) throw new ConflictException(
+              s"concurrent commit $v patched table $t in my read/write set")
+            if (myPatchOnly(t) && rm.toSet.intersect(myPatches(t)).nonEmpty)
+              throw new ConflictException(
+                s"concurrent commit $v rewrote the same files of $t")
+          case a =>
+            val overlap = a.touches.filter(t => myHard(t) || myPatchOnly(t))
+            if (overlap.nonEmpty) throw new ConflictException(
+              s"concurrent commit $v touched $overlap")
+        }
       }
     if (readVersion >= 0) assertNoConflict(readVersion + 1, version)
     var attempt = version + 1
@@ -370,6 +398,7 @@ final class TxLog(spark: SparkSession, root: String,
       else parse(Files.readAllLines(f).asScala.toSeq).map {
         case Put(t, fs) => (v, "PUT", t, fs.size.toLong)
         case Add(t, fs) => (v, "ADD", t, fs.size.toLong)
+        case Patch(t, rm, ad) => (v, "PATCH", s"$t(-${rm.size})", ad.size.toLong)
         case Del(t)     => (v, "DEL", t, 0L)
         case Ren(o, n)  => (v, "REN", s"$o->$n", 0L)
         case Txn(a, b)  => (v, "TXN", s"$a#$b", 0L)
@@ -389,6 +418,9 @@ final class TxLog(spark: SparkSession, root: String,
         case Array("PUT", t)     => Put(t, Nil)
         case Array("ADD", t, fs) => Add(t, fs.split(",").toSeq.filter(_.nonEmpty))
         case Array("ADD", t)     => Add(t, Nil)
+        case Array("PAT", t, rm, ad) => Patch(t,
+          rm.split(",").toSeq.filter(_.nonEmpty),
+          ad.split(",").toSeq.filter(_.nonEmpty))
         case Array("DEL", t)     => Del(t)
         case Array("REN", o, n)  => Ren(o, n)
         case Array("TXN", a, b)  => Txn(a, b.toLong)
@@ -399,6 +431,7 @@ final class TxLog(spark: SparkSession, root: String,
   private def render(a: Action): String = a match {
     case Put(t, fs) => s"PUT\t$t\t${fs.mkString(",")}"
     case Add(t, fs) => s"ADD\t$t\t${fs.mkString(",")}"
+    case Patch(t, rm, ad) => s"PAT\t$t\t${rm.mkString(",")}\t${ad.mkString(",")}"
     case Del(t)     => s"DEL\t$t"
     case Ren(o, n)  => s"REN\t$o\t$n"
     case Txn(a, b)  => s"TXN\t$a\t$b"
@@ -426,6 +459,17 @@ object TxLog {
     def touches: Seq[String] = Seq(table)
   }
   final case class Add(table: String, files: Seq[String]) extends Action {
+    def touches: Seq[String] = Seq(table)
+  }
+  /** Relative file exchange (Delta's remove/add): new binding = current
+    * binding − `removes` + `adds`, whatever "current" is at apply time.
+    * Patches over DISJOINT removed-file sets commute — the
+    * file-granular DML concurrency unit. Only safe when the writer's
+    * validation cannot be invalidated by rows it did not read (the
+    * facade gates on constraint-free transforms).
+    */
+  final case class Patch(table: String, removes: Seq[String],
+      adds: Seq[String]) extends Action {
     def touches: Seq[String] = Seq(table)
   }
   final case class Del(table: String) extends Action {

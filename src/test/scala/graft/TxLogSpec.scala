@@ -655,6 +655,65 @@ class TxLogSpec extends AnyFunSuite {
       .select("age").as[Int].head() == 50)
   }
 
+  test("concurrent updates to DISJOINT files of one table both commit " +
+      "as relative patches; same-file updates conflict; tables with " +
+      "unique constraints stay on absolute (conservative) commits") {
+    val db = freshDb()
+    db.insert("customer", (1 to 30).map(i => (i, s"n$i", 30))
+      .toDF("id", "name", "age").coalesce(1))
+    (0 until 3).foreach { b =>
+      db.insert("orders", (1 to 5).map(i => (b * 10 + i, b * 10 + i, 1.0))
+        .toDF("id", "customer_id", "amount").coalesce(1))
+    }
+    assert(db.liveFiles("orders").size == 3)
+    val v0 = db.logVersion
+
+    def upd(lo: Int, hi: Int): Unit =
+      db.updateMany("orders", col("id").between(lo, hi),
+        Map("amount" -> org.apache.spark.sql.functions.lit(9.0)))
+    // disjoint id ranges live in different files: both must land
+    val barrier = new CyclicBarrier(2)
+    @volatile var failures = 0
+    val threads = Seq((1, 5), (11, 15)).map { case (lo, hi) =>
+      new Thread(() => {
+        barrier.await()
+        try upd(lo, hi)
+        catch { case _: Throwable => synchronized { failures += 1 } }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures == 0, "disjoint-file updates must BOTH commit")
+    assert(db.logVersion == v0 + 2)
+    assert(db.table("orders").filter(col("amount") === 9.0).count() == 10)
+    // the log records them as relative patches
+    assert(db.history.filter(col("action") === "PATCH").count() >= 2)
+
+    // SAME-file concurrent updates: exactly one wins
+    val barrier2 = new CyclicBarrier(2)
+    @volatile var conflicts = 0
+    val threads2 = (1 to 2).map { _ =>
+      new Thread(() => {
+        barrier2.await()
+        try upd(21, 25)
+        catch { case _: graft.catalog.TxLog.ConflictException =>
+          synchronized { conflicts += 1 } }
+      })
+    }
+    threads2.foreach(_.start()); threads2.foreach(_.join())
+    assert(conflicts == 1, s"same-file race must lose exactly one (got $conflicts)")
+    assert(db.table("orders").filter(col("id").between(21, 25))
+      .filter(col("amount") === 9.0).count() == 5)
+
+    // customer carries unique(name): its granular update stays an
+    // absolute PUT, which conflicts with ANY interleaved write
+    db.insert("customer", Seq((99, "z99", 1)).toDF("id", "name", "age"))
+    db.updateMany("customer", col("id") === 99,
+      Map("age" -> org.apache.spark.sql.functions.lit(2)))
+    val last = db.history.orderBy(col("version").desc).head()
+    assert(last.getString(1) == "PUT",
+      s"unique-constrained table must commit absolute, got ${last.getString(1)}")
+  }
+
   test("SQL UPDATE/DELETE/INSERT persist file-granular through the " +
       "facade: untouched files keep their paths, inserts append") {
     val db = freshDb()
