@@ -1132,7 +1132,17 @@ final class GraftDatabase private (
                     // DELETE): state is unchanged — persist nothing
                     true
                   else {
-                    val marked = table(n)
+                    // hit files resolve at the ENGINE's snapshot — the
+                    // data the statement actually read. If an
+                    // interleaved commit replaced one of them, the
+                    // mapping against the head binding inside
+                    // fileGranularPut fails → absolute fallback → the
+                    // commit's conflict check fires. Resolving at head
+                    // instead would let a commuting patch silently
+                    // revert a concurrent writer's rows.
+                    val atBase = txlog.readAt(engineBase, n)
+                      .getOrElse(table(n))
+                    val marked = atBase
                       .withColumn("_graft_file", input_file_name())
                     val hitRaw = marked.join(keys, Seq(pk), "left_semi")
                       .select("_graft_file").distinct()
@@ -1152,7 +1162,7 @@ final class GraftDatabase private (
                       (engine.lastSetTargets.nonEmpty ||
                         engine.deletedRows.contains(n))
                     fileGranularPut(n, hitRaw, touched,
-                      table(n).schema, patchSafe = stmtPatchSafe) match {
+                      atBase.schema, patchSafe = stmtPatchSafe) match {
                       case Some(action) =>
                         txlog.commit(Seq(action), readVersion = engineBase,
                           readTables = readTabs)

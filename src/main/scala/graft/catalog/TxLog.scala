@@ -45,11 +45,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Action lines (tab-separated):
   * {{{
-  *   PUT  table  f1,f2,...   replace the table's file set
-  *   ADD  table  f1,f2,...   append files to the table's set
-  *   DEL  table              drop the table
-  *   REN  old    new         rename the table
+  *   PUT  table  f1,f2,...          replace the table's file set
+  *   ADD  table  f1,f2,...          append files to the table's set
+  *   PAT  table  r1,r2  a1,a2       relative exchange: current − removes + adds
+  *   DEL  table                     drop the table
+  *   REN  old    new                rename the table
+  *   TXN  appId  batchId            idempotence marker
   * }}}
+  *
+  * Isolation levels (the Delta model): readers are always
+  * snapshot-isolated. ABSOLUTE commits (PUT/ADD/DEL/REN, with the read
+  * set covered) are serializable — any interleaved touch of a
+  * read-or-written table conflicts. PATCH commits are
+  * write-serializable: patches over disjoint file sets commute even
+  * though each writer's predicate scan may have read rows the other
+  * rewrote (classic write-skew is ADMITTED for them) — which is why
+  * the facade only emits patches for transforms whose validation
+  * cannot be invalidated by unread rows (no unique constraints, no new
+  * PKs), and stays absolute everywhere else.
   */
 final class TxLog(spark: SparkSession, root: String,
     ioOptions: Map[String, String] = Map.empty) {

@@ -427,7 +427,7 @@ class TxLogSpec extends AnyFunSuite {
     var modelTxns = Map.empty[String, Long]
     (1 to 200).foreach { i =>
       val t = tables(rnd.nextInt(tables.size))
-      val action: TxLog.Action = rnd.nextInt(5) match {
+      val action: TxLog.Action = rnd.nextInt(6) match {
         case 0 => TxLog.Put(t, Seq(s"Tables/$t/f$i-1", s"Tables/$t/f$i-2"))
         case 1 => TxLog.Add(t, Seq(s"Tables/$t/f$i"))
         case 2 => TxLog.Del(t)
@@ -436,6 +436,11 @@ class TxLogSpec extends AnyFunSuite {
           if (dst == t || model.contains(dst)) TxLog.Add(t, Seq(s"Tables/$t/f$i"))
           else TxLog.Ren(t, dst)
         case 4 => TxLog.Txn(s"app${rnd.nextInt(2)}", i.toLong)
+        case 5 => // relative patch: drop a random prefix, add a file —
+          // exercises existing, empty, and dropped-table bindings
+          val cur = model.getOrElse(t, Vector.empty)
+          TxLog.Patch(t, cur.take(rnd.nextInt(cur.size + 1)),
+            Seq(s"Tables/$t/p$i"))
       }
       log.commit(Seq(action))
       // the independent model fold
@@ -451,6 +456,11 @@ class TxLogSpec extends AnyFunSuite {
         case TxLog.Txn(a, b) =>
           modelTxns = modelTxns.updated(a,
             math.max(b, modelTxns.getOrElse(a, Long.MinValue)))
+        case TxLog.Patch(x, rm, ad) => model.get(x) match {
+          case Some(fs) =>
+            model = model.updated(x, fs.filterNot(rm.toSet) ++ ad)
+          case None => () // patch on a dropped table: stays dropped
+        }
       }
       if (i % 37 == 0) { // spot-check along the way
         val s = log.snapshot()
@@ -688,21 +698,25 @@ class TxLogSpec extends AnyFunSuite {
     // the log records them as relative patches
     assert(db.history.filter(col("action") === "PATCH").count() >= 2)
 
-    // SAME-file concurrent updates: exactly one wins
-    val barrier2 = new CyclicBarrier(2)
-    @volatile var conflicts = 0
-    val threads2 = (1 to 2).map { _ =>
-      new Thread(() => {
-        barrier2.await()
-        try upd(21, 25)
-        catch { case _: graft.catalog.TxLog.ConflictException =>
-          synchronized { conflicts += 1 } }
-      })
+    // SAME-file overlap, pinned deterministically at the log level (a
+    // thread race can legally serialize and never conflict): two
+    // patches built against one base removing the SAME file — the
+    // second must conflict; a patch removing a DIFFERENT file commutes
+    val (log2, _) = freshLog()
+    log2.commit(Seq(TxLog.Add("t", log2.stage("t", Seq(1).toDF("n")))))
+    log2.commit(Seq(TxLog.Add("t", log2.stage("t", Seq(2).toDF("n")))))
+    val base2 = log2.version
+    val Vector(fA, fB) = log2.snapshot().tables("t")
+    log2.commit(Seq(TxLog.Patch("t", Seq(fA),
+      log2.stage("t", Seq(11).toDF("n")))), readVersion = base2)
+    intercept[graft.catalog.TxLog.ConflictException] {
+      log2.commit(Seq(TxLog.Patch("t", Seq(fA),
+        log2.stage("t", Seq(12).toDF("n")))), readVersion = base2)
     }
-    threads2.foreach(_.start()); threads2.foreach(_.join())
-    assert(conflicts == 1, s"same-file race must lose exactly one (got $conflicts)")
-    assert(db.table("orders").filter(col("id").between(21, 25))
-      .filter(col("amount") === 9.0).count() == 5)
+    log2.commit(Seq(TxLog.Patch("t", Seq(fB),
+      log2.stage("t", Seq(22).toDF("n")))), readVersion = base2)
+    assert(log2.read("t").get.select("n").as[Int].collect().toSet ==
+      Set(11, 22))
 
     // customer carries unique(name): its granular update stays an
     // absolute PUT, which conflicts with ANY interleaved write
