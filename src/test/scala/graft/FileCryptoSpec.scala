@@ -182,6 +182,29 @@ class FileCryptoSpec extends AnyFunSuite {
     assert(again.table("t").count() == 1)
   }
 
+  test("file-granular DML composes with encryption: kept files stay, " +
+      "the staged replacement is encrypted, contents are exact") {
+    val (db, _) = fresh(Some("s3cret"))
+    (0 until 3).foreach { b =>
+      db.insert("customer", (1 to 5).map(i => (b * 10 + i, s"n${b * 10 + i}"))
+        .toDF("id", "name").coalesce(1))
+    }
+    val before = db.liveFiles("customer")
+    assert(before.size == 3)
+    db.updateMany("customer",
+      org.apache.spark.sql.functions.col("id").between(11, 15),
+      Map("name" -> org.apache.spark.sql.functions.lit("x")))
+    val after = db.liveFiles("customer")
+    assert(before.toSet.intersect(after.toSet).size == 2,
+      "granular rewrite must keep the two untouched encrypted files")
+    after.foreach(f => assert(FileCrypto.isEncryptedFile(f),
+      s"staged replacement must be encrypted: $f"))
+    assert(db.table("customer")
+      .filter(org.apache.spark.sql.functions.col("name") === "x")
+      .count() == 5)
+    assert(db.count("customer") == 15)
+  }
+
   test("the time-series and file stores encrypt under the same password") {
     val (db, _) = fresh(Some("s3cret"))
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
