@@ -1300,6 +1300,7 @@ object GraftDatabase {
   def apply(spark: SparkSession, name: String, baseDir: String,
       collation: graft.core.Collation,
       password: Option[String]): GraftDatabase = {
+    requireValidDbName(name)
     val root = s"$baseDir/$name"
     probeEncryptionState(spark, root).foreach { enc =>
       if (enc && password.isEmpty) throw new IllegalStateException(
@@ -1309,6 +1310,29 @@ object GraftDatabase {
           "(rebuild(password = ...) encrypts it)")
     }
     new GraftDatabase(spark, name, root, collation, password)
+  }
+
+  /** Database-name validation (`Helper/DbValidator.cs:11-31`): the name
+    * becomes a directory under baseDir, so separators and traversal
+    * must be refused — a name like `../x` would root the database
+    * OUTSIDE the caller's base. Also the reference's length cap and
+    * reserved-prefix checks.
+    */
+  private val ReservedPrefixes =
+    Seq("CON.", "PRN.", "AUX.", "NUL.", "COM1.", "COM2.", "LPT1.", "LPT2.")
+
+  private def requireValidDbName(name: String): Unit = {
+    def bad(reason: String) = throw new IllegalArgumentException(
+      s"invalid database name '$name': $reason")
+    if (name == null || name.trim.isEmpty) bad("empty")
+    if (name.length > 128) bad("longer than 128 characters")
+    if (name == "." || name == "..") bad("path traversal")
+    val invalid = name.find(c => c == '/' || c == '\\' || c == ':' ||
+      c == '*' || c == '?' || c == '"' || c == '<' || c == '>' ||
+      c == '|' || c < ' ')
+    invalid.foreach(c => bad(s"illegal character '$c'"))
+    val up = name.toUpperCase
+    if (ReservedPrefixes.exists(up.startsWith)) bad("reserved device name")
   }
 
   /** Footer magic of one existing data file: Some(true) = encrypted

@@ -558,6 +558,17 @@ class GraftDatabaseSpec extends AnyFunSuite {
       .forall(graft.core.FileCrypto.isEncryptedFile))
   }
 
+  test("database names validate like the reference's DbValidator: " +
+      "traversal, separators, length, and reserved prefixes refuse") {
+    val base = java.nio.file.Files.createTempDirectory("graft-name").toString
+    Seq("", "  ", "..", "a/b", "a\\b", "a:b", "x" * 129, "CON.db", "nul.x")
+      .foreach { bad =>
+        intercept[IllegalArgumentException](GraftDatabase(spark, bad, base))
+      }
+    // a legitimate name (dots inside, dashes, case) opens fine
+    assert(GraftDatabase(spark, "My-DB.v2", base).tables.isEmpty)
+  }
+
   test("tables/resources enumerate declared tables and stored files") {
     val db = freshDb()
     db.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))
