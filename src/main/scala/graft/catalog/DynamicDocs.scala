@@ -57,17 +57,46 @@ object DynamicDocs {
     raw.select(typed :+ overflow.as(OverflowCol): _*)
   }
 
-  /** The reference's `Find(columnName, value)` over a dynamic table:
-    * pinned columns filter natively; anything else is looked up in the
-    * overflow JSON (string-compared, like BsonValue's loose equality on
-    * mixed per-row types).
+  /** The reference's `Find(columnName, value, comparisonType)` modes
+    * (`Base/Comparison.cs`, applied over AsString at
+    * `TableCollection.cs:666-700`).
     */
-  def find(df: DataFrame, field: String, value: Any): DataFrame =
-    resolve(df, field) match {
-      case Left(c) => df.filter(c === lit(value))
-      case Right(path) =>
-        df.filter(get_json_object(col(OverflowCol), path) === lit(value).cast("string"))
+  sealed trait Comparison
+  object Comparison {
+    case object Equals extends Comparison
+    case object StartsWith extends Comparison
+    case object EndsWith extends Comparison
+    case object Contains extends Comparison
+  }
+
+  /** The reference's `Find(columnName, value[, comparisonType])` over a
+    * dynamic table: pinned columns filter natively; anything else is
+    * looked up in the overflow JSON (string-compared, like BsonValue's
+    * loose equality on mixed per-row types). The non-equals modes
+    * compare as strings like the reference's AsString dispatch — and
+    * stay pushdown-friendly (StartsWith maps to a prefix filter the
+    * parquet scan can use).
+    */
+  def find(df: DataFrame, field: String, value: Any,
+      comparison: Comparison = Comparison.Equals): DataFrame = {
+    def apply(c: Column, typedEquals: Boolean): Column = comparison match {
+      case Comparison.Equals =>
+        if (typedEquals) c === lit(value)
+        else c === lit(value).cast("string")
+      case Comparison.StartsWith =>
+        c.cast("string").startsWith(lit(value).cast("string"))
+      case Comparison.EndsWith =>
+        c.cast("string").endsWith(lit(value).cast("string"))
+      case Comparison.Contains =>
+        c.cast("string").contains(lit(value).cast("string"))
     }
+    resolve(df, field) match {
+      case Left(c) => df.filter(apply(c, typedEquals = true))
+      case Right(path) =>
+        df.filter(apply(get_json_object(col(OverflowCol), path),
+          typedEquals = false))
+    }
+  }
 
   /** Project a field regardless of where it lives (typed column or
     * overflow JSON; overflow values surface as strings).

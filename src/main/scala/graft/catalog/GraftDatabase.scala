@@ -965,10 +965,14 @@ final class GraftDatabase private (
   }
 
   /** Find over a dynamic table: pinned columns filter natively, overflow
-    * fields via JSON lookup (TableCollection.Find(columnName, value)).
+    * fields via JSON lookup (TableCollection.Find(columnName, value,
+    * comparisonType) with the reference's Equals/StartsWith/EndsWith/
+    * Contains modes, `Base/Comparison.cs`).
     */
-  def findDocuments(name: String, field: String, value: Any): DataFrame =
-    DynamicDocs.find(table(name), field, value)
+  def findDocuments(name: String, field: String, value: Any,
+      comparison: DynamicDocs.Comparison = DynamicDocs.Comparison.Equals)
+      : DataFrame =
+    DynamicDocs.find(table(name), field, value, comparison)
 
   // ---- time-series store (TimeSeries/ subtree, SURVEY §2.8) --------------
 

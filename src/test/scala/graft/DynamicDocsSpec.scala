@@ -38,6 +38,23 @@ class DynamicDocsSpec extends AnyFunSuite {
     assert(DynamicDocs.find(docs, "nosuch", "x").count() == 0)
   }
 
+  test("find comparison modes (Base/Comparison.cs): StartsWith/EndsWith/" +
+      "Contains on pinned and overflow fields") {
+    import DynamicDocs.Comparison._
+    assert(DynamicDocs.find(docs, "name", "b", StartsWith)
+      .select("id").as[Long].collect().toSeq == Seq(2L)) // bob
+    assert(DynamicDocs.find(docs, "name", "nn", EndsWith)
+      .select("id").as[Long].collect().toSeq == Seq(1L)) // ann
+    assert(DynamicDocs.find(docs, "name", "o", Contains)
+      .select("id").as[Long].collect().toSeq == Seq(2L)) // bob
+    // overflow field (city rides _overflow)
+    assert(DynamicDocs.find(docs, "city", "ber", StartsWith)
+      .select("id").as[Long].collect().toSeq == Seq(1L)) // berlin
+    assert(DynamicDocs.find(docs, "city", "lin", EndsWith)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(DynamicDocs.find(docs, "city", "zzz", Contains).count() == 0)
+  }
+
   test("promote lifts an overflow field into a typed column") {
     val promoted = DynamicDocs.promote(docs, "age", IntegerType)
     assert(promoted.schema("age").dataType == IntegerType)
