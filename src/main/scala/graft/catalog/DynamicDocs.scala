@@ -74,26 +74,39 @@ object DynamicDocs {
     * looked up in the overflow JSON (string-compared, like BsonValue's
     * loose equality on mixed per-row types). The non-equals modes
     * compare as strings like the reference's AsString dispatch — and
-    * stay pushdown-friendly (StartsWith maps to a prefix filter the
-    * parquet scan can use).
+    * under the Binary default stay pushdown-friendly (StartsWith maps
+    * to a prefix filter the parquet scan can use).
+    *
+    * String comparisons route through the engine `collation` like
+    * query() does (the reference collates engine-wide; its default is
+    * IgnoreCase) — under IgnoreCase both sides are lowered, which
+    * trades the prefix pushdown for reference-matching semantics.
+    * Typed (non-string) pinned equality ignores collation.
     */
   def find(df: DataFrame, field: String, value: Any,
-      comparison: Comparison = Comparison.Equals): DataFrame = {
-    def apply(c: Column, typedEquals: Boolean): Column = comparison match {
+      comparison: Comparison = Comparison.Equals,
+      collation: graft.core.Collation = graft.core.Collation.Binary)
+      : DataFrame = {
+    def k(c: Column): Column = collation.key(c)
+    val litStr = k(lit(value).cast("string"))
+    def cmp(c: Column, typedEquals: Boolean): Column = comparison match {
       case Comparison.Equals =>
-        if (typedEquals) c === lit(value)
-        else c === lit(value).cast("string")
-      case Comparison.StartsWith =>
-        c.cast("string").startsWith(lit(value).cast("string"))
-      case Comparison.EndsWith =>
-        c.cast("string").endsWith(lit(value).cast("string"))
-      case Comparison.Contains =>
-        c.cast("string").contains(lit(value).cast("string"))
+        if (typedEquals) c === lit(value) else k(c) === litStr
+      case Comparison.StartsWith => k(c.cast("string")).startsWith(litStr)
+      case Comparison.EndsWith => k(c.cast("string")).endsWith(litStr)
+      case Comparison.Contains => k(c.cast("string")).contains(litStr)
     }
     resolve(df, field) match {
-      case Left(c) => df.filter(apply(c, typedEquals = true))
+      case Left(c) =>
+        val stringTyped = df.schema.fields
+          .find(_.name.equalsIgnoreCase(field))
+          .exists(_.dataType ==
+            org.apache.spark.sql.types.StringType)
+        if (comparison == Comparison.Equals && stringTyped)
+          df.filter(k(c) === litStr)
+        else df.filter(cmp(c, typedEquals = true))
       case Right(path) =>
-        df.filter(apply(get_json_object(col(OverflowCol), path),
+        df.filter(cmp(get_json_object(col(OverflowCol), path),
           typedEquals = false))
     }
   }

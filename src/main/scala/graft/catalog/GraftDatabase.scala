@@ -972,7 +972,7 @@ final class GraftDatabase private (
   def findDocuments(name: String, field: String, value: Any,
       comparison: DynamicDocs.Comparison = DynamicDocs.Comparison.Equals)
       : DataFrame =
-    DynamicDocs.find(table(name), field, value, comparison)
+    DynamicDocs.find(table(name), field, value, comparison, collation)
 
   // ---- time-series store (TimeSeries/ subtree, SURVEY §2.8) --------------
 
@@ -1319,11 +1319,16 @@ object GraftDatabase {
   /** Database-name validation (`Helper/DbValidator.cs:11-31`): the name
     * becomes a directory under baseDir, so separators and traversal
     * must be refused — a name like `../x` would root the database
-    * OUTSIDE the caller's base. Also the reference's length cap and
-    * reserved-prefix checks.
+    * OUTSIDE the caller's base. A documented SUPERSET of the reference's
+    * check: `DbValidator.cs` only refuses the dotted prefixes `CON.` /
+    * `PRN.` / `AUX.` / `NUL.` / `COM1-2.` / `LPT1-2.`, which still lets
+    * through bare device names (`CON`, `COM3`) and trailing dots/spaces
+    * that Windows cannot create as directories — here the full reserved
+    * set is refused whether bare or with an extension.
     */
-  private val ReservedPrefixes =
-    Seq("CON.", "PRN.", "AUX.", "NUL.", "COM1.", "COM2.", "LPT1.", "LPT2.")
+  private val ReservedDeviceNames: Set[String] =
+    (Seq("CON", "PRN", "AUX", "NUL") ++
+      (1 to 9).flatMap(i => Seq(s"COM$i", s"LPT$i"))).toSet
 
   private def requireValidDbName(name: String): Unit = {
     def bad(reason: String) = throw new IllegalArgumentException(
@@ -1335,8 +1340,10 @@ object GraftDatabase {
       c == '*' || c == '?' || c == '"' || c == '<' || c == '>' ||
       c == '|' || c < ' ')
     invalid.foreach(c => bad(s"illegal character '$c'"))
-    val up = name.toUpperCase
-    if (ReservedPrefixes.exists(up.startsWith)) bad("reserved device name")
+    if (name.endsWith(".") || name.endsWith(" "))
+      bad("trailing dot or space")
+    val stem = name.toUpperCase.takeWhile(_ != '.').trim
+    if (ReservedDeviceNames.contains(stem)) bad("reserved device name")
   }
 
   /** Footer magic of one existing data file: Some(true) = encrypted

@@ -55,6 +55,27 @@ class DynamicDocsSpec extends AnyFunSuite {
     assert(DynamicDocs.find(docs, "city", "zzz", Contains).count() == 0)
   }
 
+  test("find routes the engine collation: IgnoreCase matches across case " +
+      "on pinned and overflow fields; Binary stays case-sensitive") {
+    import DynamicDocs.Comparison._
+    import graft.core.Collation
+    // Binary (default): no cross-case hits
+    assert(DynamicDocs.find(docs, "name", "BOB").count() == 0)
+    assert(DynamicDocs.find(docs, "name", "B", StartsWith).count() == 0)
+    // IgnoreCase (the reference's default collation)
+    assert(DynamicDocs.find(docs, "name", "BOB", Equals, Collation.IgnoreCase)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(DynamicDocs.find(docs, "name", "B", StartsWith,
+      Collation.IgnoreCase).select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(DynamicDocs.find(docs, "city", "BER", StartsWith,
+      Collation.IgnoreCase).select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(DynamicDocs.find(docs, "city", "BERLIN", Equals,
+      Collation.IgnoreCase).select("id").as[Long].collect().toSeq == Seq(1L))
+    // typed (non-string) equality is collation-independent
+    assert(DynamicDocs.find(docs, "id", 2L, Equals, Collation.IgnoreCase)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("promote lifts an overflow field into a typed column") {
     val promoted = DynamicDocs.promote(docs, "age", IntegerType)
     assert(promoted.schema("age").dataType == IntegerType)

@@ -561,12 +561,18 @@ class GraftDatabaseSpec extends AnyFunSuite {
   test("database names validate like the reference's DbValidator: " +
       "traversal, separators, length, and reserved prefixes refuse") {
     val base = java.nio.file.Files.createTempDirectory("graft-name").toString
-    Seq("", "  ", "..", "a/b", "a\\b", "a:b", "x" * 129, "CON.db", "nul.x")
+    Seq("", "  ", "..", "a/b", "a\\b", "a:b", "x" * 129, "CON.db", "nul.x",
+      // beyond the reference's dotted-prefix list: bare device names,
+      // COM3-9/LPT3-9, and trailing dot/space are equally uncreatable
+      // as Windows directories
+      "CON", "com3", "LPT9.parquet", "db.", "db ")
       .foreach { bad =>
         intercept[IllegalArgumentException](GraftDatabase(spark, bad, base))
       }
-    // a legitimate name (dots inside, dashes, case) opens fine
+    // a legitimate name (dots inside, dashes, case) opens fine;
+    // device names are only reserved as the stem ("config.sys" is fine)
     assert(GraftDatabase(spark, "My-DB.v2", base).tables.isEmpty)
+    assert(GraftDatabase(spark, "config.sys", base).tables.isEmpty)
   }
 
   test("tables/resources enumerate declared tables and stored files") {
