@@ -34,10 +34,12 @@ final class GraftDatabase private (
   private val tablesDir = s"$root/Tables"
   private val tsDir = s"$root/TimeSeries"
   private val filesDir = s"$root/Files"
+  private val blocksDir = s"$root/Blockchain"
   // complete any store-directory exchange a crashed REBUILD left behind
   // — BEFORE createDirectories, which would otherwise materialize an
   // empty live dir and make recovery drop the retired copy
-  (Seq(tsDir) ++ Seq("versions", "events", "files").map(s => s"$filesDir/$s"))
+  (Seq(tsDir, s"$blocksDir/data") ++
+    Seq("versions", "events", "files").map(s => s"$filesDir/$s"))
     .foreach(d => graft.core.FsUtils.recoverSwap(Paths.get(d)))
   Seq(tablesDir, tsDir, filesDir)
     .foreach(d => Files.createDirectories(Paths.get(d)))
@@ -710,7 +712,8 @@ final class GraftDatabase private (
       val p = Paths.get(s"$root/$r")
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
-    live + Pragmas.storeSize(tsDir) + Pragmas.storeSize(filesDir)
+    live + Pragmas.storeSize(tsDir) + Pragmas.storeSize(filesDir) +
+      Pragmas.storeSize(blocksDir)
   }
 
   /** LIMIT_SIZE is enforced at the write choke point: once the store has
@@ -886,6 +889,16 @@ final class GraftDatabase private (
     // the TimeSeries/ and Files/ stores flip password state too — the
     // reference rebuilds the WHOLE datafile, not one collection class
     rewriteStoreDir(tsDir, Seq("date"), out)
+    rewriteStoreDir(s"$blocksDir/data", Seq("point_guid"), out)
+    // per-guid verify cursors are tiny but must flip password state too,
+    // or the first post-rebuild checkpointVerify fails inside the scan
+    val cursorRoot = Paths.get(s"$blocksDir/_cursor")
+    if (Files.exists(cursorRoot)) {
+      val s = Files.list(cursorRoot)
+      try s.forEach(d =>
+        if (Files.isDirectory(d)) rewriteStoreDir(d.toString, Nil, out))
+      finally s.close()
+    }
     Seq("versions", "events", "files")
       .foreach(sub => rewriteStoreDir(s"$filesDir/$sub", Nil, out))
     // REBUILD's contract is reclaiming space NOW: like the reference
@@ -930,6 +943,16 @@ final class GraftDatabase private (
   lazy val fileStore: graft.sources.FileStore =
     new graft.sources.FileStore(spark, filesDir, ioOptions,
       () => requireNotRetired())
+
+  /** Per-value audit chain (the reference's
+    * `TableCollection.Blocks(iotValueGuid)`,
+    * `Blockchain/BlockCollection.cs`): an append-only hash chain under
+    * `Blockchain/`, partition-pruned per guid. Writes go through the
+    * same size-limit and retirement fences as every other store.
+    */
+  def blocks(iotValueGuid: String): BlockStore =
+    new BlockStore(spark, blocksDir, iotValueGuid, ioOptions,
+      () => enforceLimitSize())
 
   /** Users/permissions layer (the reference's `Users/UserManager.cs`
     * surface): backed by `sys_users`/`sys_permissions` facade tables with

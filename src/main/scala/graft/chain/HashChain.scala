@@ -27,10 +27,14 @@ object HashChain {
 
   /** Build the chain over (key, tsMicros, data) rows, ordered by
     * (tsMicros, tie). Output adds `previous_hash` and `hash`; genesis rows
-    * get previous_hash = "" (Block.cs:17).
+    * get previous_hash = "" (Block.cs:17). `seeds` chains a batch onto an
+    * existing store: a key's first row links to its seeded frontier hash
+    * instead of genesis (how `BlockCollection.Insert` reads the last
+    * block's hash before appending, BlockCollection.cs:53-66).
     */
   def build(spark: SparkSession, df: DataFrame, keyCol: String,
-      tsMicrosCol: String, tieCol: String, dataCol: String): DataFrame = {
+      tsMicrosCol: String, tieCol: String, dataCol: String,
+      seeds: Map[String, String] = Map.empty): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("previous_hash", StringType), StructField("hash", StringType)))
     implicit val enc = RowEncoder.encoderFor(outSchema)
@@ -39,9 +43,9 @@ object HashChain {
     val tieIdx = df.schema.fieldIndex(tieCol)
     val dIdx = df.schema.fieldIndex(dataCol)
     df.groupByKey(r => r.get(kIdx).toString)(org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroups { (_, rows) =>
+      .flatMapGroups { (key, rows) =>
         val sorted = rows.toSeq.sortBy(r => (r.getLong(tsIdx), r.getLong(tieIdx)))
-        var prev = ""
+        var prev = seeds.getOrElse(key, "")
         sorted.iterator.map { r =>
           val h = sha256Hex(s"${r.getLong(tsIdx)}-$prev-${r.get(dIdx)}")
           val out = Row.fromSeq(r.toSeq ++ Seq(prev, h))

@@ -174,4 +174,25 @@ object RefFunctions {
       a.getField(f).as(f))) ++ bFields.map(f => b.getField(f).as(f))
     struct(merged: _*)
   }
+
+  /** The reference's deterministic unique-row fingerprint
+    * (`Base/BaseDatabase.cs:115-145` HashUniqueIdentifiers): SHA-256 hex
+    * of the concatenated `name=value;` pairs. As a codegen'd column it
+    * doubles as a scale-safe synthetic key / dedup id — identical bytes
+    * on both engines because every value is string-cast before hashing.
+    */
+  def hashUniqueIdentifiers(ids: (String, Column)*): Column =
+    sha2(concat(ids.flatMap { case (n, v) =>
+      Seq(lit(s"$n="), v.cast("string"), lit(";"))
+    }: _*), 256)
+
+  /** Driver-side twin over literal pairs — byte-identical to the column
+    * form (and to the reference for values whose `BsonValue.ToString`
+    * matches their string cast).
+    */
+  def hashUniqueIdentifiers(ids: Seq[(String, String)]): String = {
+    val raw = ids.map { case (n, v) => s"$n=$v;" }.mkString
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 }

@@ -86,4 +86,26 @@ object IotValue {
     transform(slots, (s, i) =>
       when(i === QueryDrivenSlot - 1 && value.isNotNull,
         struct(value.as("value"), ts.as("ts"))).otherwise(s))
+
+  /** Password-value hashing (IotValue.cs:1117-1145 ToPasswordHash):
+    * null stays null ("no value"), empty stays empty ("no password" —
+    * the reference distinguishes the two), anything else becomes its
+    * lowercase SHA-256 hex. Codegen'd `sha2`, usable at scan scale.
+    */
+  def toPasswordHash(c: Column): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .when(c === "", lit(""))
+      .otherwise(sha2(c, 256))
+
+  /** IsHash / IsPasswordHash (IotValue.cs:549-584): a 64-char hex
+    * string.
+    */
+  def isHash(c: Column): Column =
+    c.isNotNull && c.rlike("^[a-fA-F0-9]{64}$")
+
+  /** IsPasswordMatches (IotValue.cs:584-616): stored hash equals the
+    * candidate's hash.
+    */
+  def passwordMatches(stored: Column, password: String): Column =
+    stored === toPasswordHash(lit(password))
 }

@@ -475,6 +475,30 @@ object DomainQueries {
       "EXECUTED DML chain on the ACID store: insert, key-matched upsert " +
         "(update existing + insert new in one commit), predicated " +
         "transform update, predicated delete — one log version each, " +
-        "survivors read from committed state")
+        "survivors read from committed state"),
+
+    // HashUniqueIdentifiers (Base/BaseDatabase.cs:115-145): the
+    // reference's deterministic row fingerprint — SHA-256 over the
+    // concatenated "name=value;" pairs — as a codegen'd column,
+    // byte-compared against DuckDB's sha256 of the identical
+    // concatenation. Doubles as a scale-safe synthetic key: computed
+    // at the scan, no shuffle, no driver involvement.
+    Q("q140_unique_id_hash",
+      (s, dir) => {
+        import graft.functions.RefFunctions
+        Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_custkey"),
+            RefFunctions.hashUniqueIdentifiers(
+              "c_custkey" -> col("c_custkey"),
+              "c_name" -> col("c_name")).as("row_hash"))
+      },
+      Some("""SELECT c_custkey,
+        sha256('c_custkey=' || CAST(c_custkey AS VARCHAR) ||
+          ';c_name=' || c_name || ';') AS row_hash
+        FROM customer WHERE c_custkey <= 200"""),
+      "deterministic unique-row fingerprint (HashUniqueIdentifiers): " +
+        "sha256 over name=value; pairs, codegen'd at the scan on both " +
+        "engines")
   )
 }

@@ -124,4 +124,24 @@ class ModelSpec extends AnyFunSuite {
     assert(rows(1L) == ((None, None)))
     assert(rows(2L) == ((Some("v16"), Some(16))))
   }
+
+  test("password-value hashing (IotValue.cs:1117-1145): null/empty pass " +
+      "through, others SHA-256; isHash and passwordMatches agree") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Some("s3cret")), (2L, Some("")), (3L, None))
+      .toDF("id", "pw")
+    val hashed = df.select($"id", IotValue.toPasswordHash($"pw").as("h"))
+    val rows = hashed.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // golden: sha256("s3cret")
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("s3cret".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(1L).contains(expect))
+    assert(rows(2L).contains("")) // empty = "no password", distinct from null
+    assert(rows(3L).isEmpty)
+    assert(hashed.filter(IotValue.isHash($"h")).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(hashed.filter(IotValue.passwordMatches($"h", "s3cret"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(hashed.filter(IotValue.passwordMatches($"h", "wrong")).isEmpty)
+  }
 }

@@ -274,4 +274,30 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(decoded == expect)
     enc.unpersist()
   }
+
+  test("hash-chain build + incremental verify scale across keys: 500 " +
+      "chains x 200 blocks, chain fold parallel per key, verify windowed") {
+    import graft.chain.HashChain
+    import spark.implicits._
+    val rows = spark.range(100000).select(
+      concat(lit("g"), (col("id") % 500)).as("guid"),
+      (col("id") / 500 * 1000L).cast("long").as("ts_us"),
+      (col("id") / 500 + 1).cast("long").as("seq"),
+      concat(lit("payload-"), col("id")).as("data"))
+    val chain = HashChain.build(spark, rows, "guid", "ts_us", "seq", "data")
+      .cache()
+    assert(chain.count() == 100000L)
+    // full verify: one window pass, zero invalid
+    assert(HashChain.verify(chain, "guid", "ts_us", "seq", "data")
+      .filter(!col("hash_valid") || !col("link_valid")).isEmpty)
+    // incremental pass over a 190-block cursor frontier only touches the
+    // 10-block suffix per key
+    val prefix = chain.filter(col("seq") <= 190)
+    val cursor = HashChain.cursorFrom(prefix, "guid", "ts_us", "seq")
+    val fresh = HashChain.verifyIncremental(chain, cursor,
+      "guid", "ts_us", "seq", "data")
+    assert(fresh.count() == 500L * 10)
+    assert(fresh.filter(!col("hash_valid") || !col("link_valid")).isEmpty)
+    chain.unpersist()
+  }
 }
