@@ -73,12 +73,23 @@ final class BlockStore private[catalog] (spark: SparkSession, root: String,
     * chained onto the stored frontier. The batch's chain fold is one
     * task (serial within the chain, like the reference's per-collection
     * insert); returns the number of blocks appended.
+    *
+    * Appends are linearized per guid by an optimistic CAS claim on the
+    * batch's first sequence number (the same create-wins publish shape
+    * as the commit log): two writers that both read frontier seq S race
+    * to create `_claims/<guid>/<S+1>`, the loser fails with
+    * `ConcurrentModificationException` instead of silently FORKING the
+    * chain (two blocks with the same previous_hash — the corruption the
+    * reference's per-collection engine lock prevents). A claim whose
+    * seq never materialized (writer crashed between claim and write)
+    * goes stale after [[BlockStore.StaleClaimMs]] and is taken over.
     */
   def append(rows: DataFrame): Long = {
     checkWritable()
     val frontier = last()
     val seedHash = frontier.map(_.getAs[String]("hash")).getOrElse("")
     val seedSeq = frontier.map(_.getAs[Long]("seq")).getOrElse(0L)
+    claim(seedSeq + 1)
     // batch-local ordering; a batch is bounded (the reference appends
     // one block per call), so the single-partition window is fine
     val ordered = rows.select(
@@ -92,6 +103,29 @@ final class BlockStore private[catalog] (spark: SparkSession, root: String,
     chained.write.options(ioOptions).mode("append")
       .partitionBy("point_guid").parquet(dataDir)
     n
+  }
+
+  private val claimsDir = Paths.get(s"$root/_claims/$guid")
+
+  private def claim(firstSeq: Long): Unit = {
+    Files.createDirectories(claimsDir)
+    val f = claimsDir.resolve(s"$firstSeq.claim")
+    try { Files.createFile(f); () }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age = System.currentTimeMillis() -
+          Files.getLastModifiedTime(f).toMillis
+        val seqLanded = !chain.filter(col("seq") === firstSeq).isEmpty
+        if (!seqLanded && age > BlockStore.StaleClaimMs) {
+          // crashed claimant: its batch never landed. Take over; if two
+          // takers race here, createFile arbitrates again and the loser
+          // sees a FRESH claim -> conflict
+          Files.deleteIfExists(f)
+          claim(firstSeq)
+        } else throw new java.util.ConcurrentModificationException(
+          s"block chain '$guid' advanced concurrently at seq $firstSeq: " +
+            "re-read the frontier and retry the append")
+    }
   }
 
   /** Single-block insert with the reference's dedup quirk
@@ -174,4 +208,11 @@ final class BlockStore private[catalog] (spark: SparkSession, root: String,
     }
     fresh
   }
+}
+
+object BlockStore {
+  /** How long an unlanded append claim may block the seq before a new
+    * writer treats the claimant as crashed and takes over.
+    */
+  val StaleClaimMs: Long = 60000L
 }

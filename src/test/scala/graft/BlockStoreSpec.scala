@@ -137,6 +137,32 @@ class BlockStoreSpec extends AnyFunSuite {
     } finally files.close()
   }
 
+  test("concurrent-append forks are refused: a claimed next-seq fails the " +
+      "second writer; a crashed claimant's stale claim is taken over") {
+    import graft.catalog.BlockStore
+    val db = freshDb()
+    val bs = db.blocks("g-race")
+    bs.append(Seq((1000L, "a")).toDF("ts_us", "data"))
+    // another writer claimed seq 2 but hasn't landed yet -> conflict
+    val claims = java.nio.file.Paths.get(
+      s"${db.root}/Blockchain/_claims/g-race")
+    java.nio.file.Files.createDirectories(claims)
+    val claim2 = claims.resolve("2.claim")
+    java.nio.file.Files.createFile(claim2)
+    intercept[java.util.ConcurrentModificationException] {
+      bs.append(Seq((2000L, "b")).toDF("ts_us", "data"))
+    }
+    assert(bs.count() == 1L, "the refused append must not land")
+    // the claimant crashed: once the claim is stale it is taken over
+    java.nio.file.Files.setLastModifiedTime(claim2,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - BlockStore.StaleClaimMs - 1000))
+    bs.append(Seq((2000L, "b")).toDF("ts_us", "data"))
+    assert(bs.count() == 2L)
+    assert(bs.verify().filter(!col("hash_valid") || !col("link_valid"))
+      .isEmpty)
+  }
+
   test("hashUniqueIdentifiers matches the driver-side twin and the " +
       "reference's name=value; concatenation (BaseDatabase.cs:115-145)") {
     val df = Seq((7L, "ann")).toDF("id", "name")
