@@ -83,13 +83,25 @@ final class BlockStore private[catalog] (spark: SparkSession, root: String,
     * reference's per-collection engine lock prevents). A claim whose
     * seq never materialized (writer crashed between claim and write)
     * goes stale after [[BlockStore.StaleClaimMs]] and is taken over.
+    *
+    * Takeover is FENCED: the claim carries a random owner token, the
+    * slow distributed write lands in a private staging directory, and
+    * only after the token re-validates is the batch published by a
+    * metadata-only file move — so a claimant alive-but-slower than the
+    * staleness window (long GC, slow job) aborts instead of landing a
+    * second block at the taken-over seq. The residual fence→move
+    * window (two adjacent filesystem ops) is closed by a post-publish
+    * exactly-once check that COMPENSATES — deletes this batch's own
+    * files and throws — rather than leaving a forked chain for
+    * `verify()` to discover later.
     */
   def append(rows: DataFrame): Long = {
     checkWritable()
     val frontier = last()
     val seedHash = frontier.map(_.getAs[String]("hash")).getOrElse("")
     val seedSeq = frontier.map(_.getAs[Long]("seq")).getOrElse(0L)
-    claim(seedSeq + 1)
+    val firstSeq = seedSeq + 1
+    val token = claim(firstSeq)
     // batch-local ordering; a batch is bounded (the reference appends
     // one block per call), so the single-partition window is fine
     val ordered = rows.select(
@@ -100,32 +112,89 @@ final class BlockStore private[catalog] (spark: SparkSession, root: String,
     val chained = HashChain.build(spark, ordered, "point_guid", "ts_us",
       "seq", "data", seeds = Map(guid -> seedHash))
     val n = chained.count()
-    chained.write.options(ioOptions).mode("append")
-      .partitionBy("point_guid").parquet(dataDir)
-    n
+    // stage OUTSIDE the fenced window (the write job can take
+    // arbitrarily long); publishing is then a per-file move
+    val staging = Paths.get(
+      s"$root/_staging/$guid/${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      chained.write.options(ioOptions).partitionBy("point_guid")
+        .parquet(staging.toString)
+      validateClaim(firstSeq, token)
+      val moved = publishStaged(staging)
+      if (chain.filter(col("seq") === firstSeq).count() > 1) {
+        // a fenced-out writer interleaved inside the fence→move window:
+        // undo OUR files (theirs stay — their chain is intact) and abort
+        moved.foreach(Files.deleteIfExists)
+        throw new java.util.ConcurrentModificationException(
+          s"block chain '$guid' forked at seq $firstSeq by a concurrent " +
+            "append; this batch was rolled back — re-read and retry")
+      }
+      n
+    } finally graft.core.FsUtils.deleteRecursively(staging)
+  }
+
+  /** Move every staged part file into the live store (same relative
+    * partition directory; Spark part-file names are globally unique).
+    * Returns the destination paths for compensation.
+    */
+  private def publishStaged(staging: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.walk(staging)
+    val parts = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith(".")).toVector
+    } finally s.close()
+    parts.map { p =>
+      val dest = Paths.get(dataDir).resolve(staging.relativize(p))
+      Files.createDirectories(dest.getParent)
+      Files.move(p, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      dest
+    }
   }
 
   private val claimsDir = Paths.get(s"$root/_claims/$guid")
 
-  private def claim(firstSeq: Long): Unit = {
+  private def claim(firstSeq: Long): String = {
     Files.createDirectories(claimsDir)
     val f = claimsDir.resolve(s"$firstSeq.claim")
-    try { Files.createFile(f); () }
-    catch {
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      Files.write(f, token.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      token
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val age = System.currentTimeMillis() -
           Files.getLastModifiedTime(f).toMillis
         val seqLanded = !chain.filter(col("seq") === firstSeq).isEmpty
         if (!seqLanded && age > BlockStore.StaleClaimMs) {
           // crashed claimant: its batch never landed. Take over; if two
-          // takers race here, createFile arbitrates again and the loser
-          // sees a FRESH claim -> conflict
+          // takers race here, CREATE_NEW arbitrates again and the loser
+          // sees a FRESH claim -> conflict. The ousted claimant, if
+          // merely slow, fails its token re-validation before publishing
           Files.deleteIfExists(f)
           claim(firstSeq)
         } else throw new java.util.ConcurrentModificationException(
           s"block chain '$guid' advanced concurrently at seq $firstSeq: " +
             "re-read the frontier and retry the append")
     }
+  }
+
+  /** Fencing check: we still own the claim we wrote. A taker that
+    * declared us stale replaced the token (or a cleanup removed it) —
+    * either way our batch must NOT publish.
+    */
+  private def validateClaim(firstSeq: Long, token: String): Unit = {
+    val f = claimsDir.resolve(s"$firstSeq.claim")
+    val owner = try new String(Files.readAllBytes(f), "UTF-8")
+      catch { case _: java.io.IOException => "" }
+    if (owner != token)
+      throw new java.util.ConcurrentModificationException(
+        s"block chain '$guid' claim at seq $firstSeq was taken over " +
+          "(this writer exceeded the staleness window); batch aborted " +
+          "before publish — re-read the frontier and retry")
   }
 
   /** Single-block insert with the reference's dedup quirk

@@ -823,23 +823,29 @@ final class GraftDatabase private (
     case None => false
     case Some(buf) =>
       txBuffer = None
-      if (buf.nonEmpty) {
-        enforceLimitSize()
-        val actions = buf.toSeq.map { case (n, df) =>
-          TxLog.Put(n, txlog.stage(n, df)): TxLog.Action
+      // always drop the memoized engine, even when staging or the log
+      // commit throws (e.g. a ConflictException): it still holds the
+      // transaction's rebound in-memory views, and keeping it would
+      // make later db.sql() calls read the ROLLED-BACK states as if
+      // they had committed
+      try {
+        if (buf.nonEmpty) {
+          enforceLimitSize()
+          val actions = buf.toSeq.map { case (n, df) =>
+            TxLog.Put(n, txlog.stage(n, df)): TxLog.Action
+          }
+          // the transaction's statements read the engine's views (loaded
+          // at the memoized base version) and validated against FK
+          // parents — conflict-check the whole read set so an interleaved
+          // external commit fails this COMMIT instead of being lost
+          val parents = buf.keysIterator.flatMap(n =>
+            defs.get(n).map(_.fks.map(_.parentTable)).getOrElse(Nil)).toSet
+          txlog.commit(actions,
+            readVersion = sqlEngine.map(_._2).getOrElse(-1L),
+            readTables = parents)
         }
-        // the transaction's statements read the engine's views (loaded
-        // at the memoized base version) and validated against FK
-        // parents — conflict-check the whole read set so an interleaved
-        // external commit fails this COMMIT instead of being lost
-        val parents = buf.keysIterator.flatMap(n =>
-          defs.get(n).map(_.fks.map(_.parentTable)).getOrElse(Nil)).toSet
-        txlog.commit(actions,
-          readVersion = sqlEngine.map(_._2).getOrElse(-1L),
-          readTables = parents)
-      }
-      invalidateSqlEngine()
-      true
+        true
+      } finally invalidateSqlEngine()
   }
 
   /** Discard the open transaction's buffered states; the store stays at

@@ -65,7 +65,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * PKs), and stays absolute everywhere else.
   */
 final class TxLog(spark: SparkSession, root: String,
-    ioOptions: Map[String, String] = Map.empty) {
+    ioOptions: Map[String, String] = Map.empty,
+    primitive: CommitPrimitive = CommitPrimitive.posix) {
   import TxLog._
 
   private val logDir = Paths.get(root, "_txlog")
@@ -100,17 +101,55 @@ final class TxLog(spark: SparkSession, root: String,
   // cache it keyed by version (one cheap dir listing validates it)
   @volatile private var headCache: Option[Snapshot] = None
 
-  /** Table → relative-file-list binding at the latest committed version. */
+  /** Table → relative-file-list binding at the latest committed version.
+    *
+    * Defense against publishers without full-content atomicity (the
+    * [[CommitPrimitive]] contract forbids it, but a legacy claim→move
+    * fallback or a crashed old-version writer can leave one): a
+    * ZERO-BYTE newest version file is treated as in-flight — the head
+    * resolves at the newest NON-EMPTY version and is NOT cached, so
+    * once the content lands the very next call sees it. Caching the
+    * empty read would serve a snapshot missing commit v's actions for
+    * v's whole lifetime (a durable lost-visibility anomaly, not a
+    * transient).
+    */
   def snapshot(): Snapshot = {
     val v = version
     headCache match {
       case Some(s) if s.version == v => s
       case _ =>
-        val s = snapshotAt(v)
-        headCache = Some(s)
-        s
+        if (v > 0 && !settled(versionFile(v))) {
+          // in-flight head: answer below it, never cache
+          val vs = listVersions().filter(x => x < v && hasContent(versionFile(x)))
+          snapshotAt(vs.lastOption.getOrElse(0L))
+        } else {
+          val s = snapshotAt(v)
+          headCache = Some(s)
+          s
+        }
     }
   }
+
+  /** Spin briefly for an in-flight (zero-byte) file to land its
+    * content; true once non-empty (or gone — vacuumed), false if still
+    * empty after the wait.
+    */
+  private def settled(f: Path, waitMs: Long = 250L): Boolean = {
+    val deadline = System.currentTimeMillis() + waitMs
+    while (isEmptyFile(f)) {
+      if (System.currentTimeMillis() > deadline) return false
+      Thread.sleep(10)
+    }
+    true
+  }
+
+  private def isEmptyFile(f: Path): Boolean =
+    try Files.exists(f) && Files.size(f) == 0
+    catch { case _: java.io.IOException => false } // raced a vacuum: gone
+
+  private def hasContent(f: Path): Boolean =
+    try Files.size(f) > 0
+    catch { case _: java.io.IOException => false }
 
   /** Replay from the newest checkpoint at or below `v` (bounded work:
     * at most `checkpointEvery` action files), like the reference's WAL
@@ -123,11 +162,15 @@ final class TxLog(spark: SparkSession, root: String,
       case Some(c) => parse(Files.readAllLines(ckptFile(c)).asScala.toSeq)
         .foldLeft(Snapshot(c, Map.empty))(applyAction)
     }
-    ((ckpt.getOrElse(0L) + 1) to v).foldLeft(base) { (acc, i) =>
-      val f = versionFile(i)
-      if (!Files.exists(f)) acc // gap (vacuumed below a checkpoint)
-      else parse(Files.readAllLines(f).asScala.toSeq).foldLeft(acc)(applyAction)
-    }.copy(version = v)
+    // replay the LISTED versions in range (missing = vacuumed below a
+    // checkpoint) — never the dense numeric range, whose iteration cost
+    // would be O(head version), not O(files since checkpoint)
+    listVersions().filter(i => i > ckpt.getOrElse(0L) && i <= v)
+      .foldLeft(base) { (acc, i) =>
+        val f = versionFile(i)
+        if (!Files.exists(f)) acc // raced a vacuum between list and read
+        else parse(Files.readAllLines(f).asScala.toSeq).foldLeft(acc)(applyAction)
+      }.copy(version = v)
   }
 
   private def applyAction(snap: Snapshot, a: Action): Snapshot = a match {
@@ -241,6 +284,14 @@ final class TxLog(spark: SparkSession, root: String,
           throw new ConflictException(
             s"cannot validate against commit $v: log truncated by " +
               "vacuum below the writer's read version — re-read and retry")
+        if (!settled(f))
+          // zero-byte after the settle window: an in-flight or dead
+          // publish from a non-conforming primitive. Its actions cannot
+          // be inspected, so fail SAFE like the truncation case — after
+          // the caller re-reads, its read version moves past this slot
+          throw new ConflictException(
+            s"cannot validate against commit $v: version file still " +
+              "in-flight/empty — re-read and retry")
         parse(Files.readAllLines(f).asScala.toSeq).foreach {
           case Patch(t, rm, _) =>
             if (myHard(t)) throw new ConflictException(
@@ -254,17 +305,24 @@ final class TxLog(spark: SparkSession, root: String,
               s"concurrent commit $v touched $overlap")
         }
       }
-    if (readVersion >= 0) assertNoConflict(readVersion + 1, version)
-    var attempt = version + 1
+    // capture the head ONCE: evaluating `version` again for the first
+    // publish attempt would open a TOCTOU hole — a commit landing
+    // between the two listings would sit between the validated range
+    // and the attempted slot, never conflict-checked (the first-try
+    // publish succeeds, so the lost-race recheck never runs)
+    val head = version
+    if (readVersion >= 0) assertNoConflict(readVersion + 1, head)
+    val content = actions.map(render).mkString("\n").getBytes("UTF-8")
+    var attempt = head + 1
     var guard = 0
     while (true) {
       guard += 1
       if (guard > 1000) throw new IllegalStateException(
         "commit retry guard tripped (livelock?)")
-      val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
       try {
-        Files.write(tmp, actions.map(render).mkString("\n").getBytes("UTF-8"))
-        publish(tmp, versionFile(attempt))
+        // full-content atomic publish (hard-link CAS locally, a
+        // conditional PUT on object stores) — see CommitPrimitive
+        primitive.putIfAbsent(versionFile(attempt), content)
         // the commit IS durable once published; a checkpoint is a pure
         // replay optimization derivable from the log, so its failure
         // must not make a succeeded commit look failed
@@ -279,51 +337,30 @@ final class TxLog(spark: SparkSession, root: String,
           val latest = version
           if (alreadyApplied()) return latest
           if (readVersion >= 0) assertNoConflict(attempt, latest)
+          if (latest < attempt)
+            // the slot is CLAIMED but nothing has landed (fallback-lock
+            // publish in flight): back off instead of burning the retry
+            // guard — either the claimant's commit lands (version
+            // advances) or its lock goes stale and is taken over
+            Thread.sleep(25)
           attempt = latest + 1
-      } finally Files.deleteIfExists(tmp)
+      }
     }
     -1L // unreachable
-  }
-
-  /** Single-FS compare-and-swap: hard-link creation is atomic and fails
-    * with FileAlreadyExistsException when the target exists — exactly
-    * one concurrent publisher of a given version wins. (Object stores
-    * would swap this for a conditional PUT; the contract is the same.)
-    */
-  private def publish(tmp: Path, target: Path): Unit = {
-    try {
-      Files.createLink(target, tmp)
-    } catch {
-      case _: UnsupportedOperationException =>
-        // filesystems without hard links: ATOMIC_MOVE alone is NOT a
-        // CAS — POSIX rename(2) silently replaces an existing target,
-        // so two racing committers of the same version would both
-        // "win". Claim the version with an exclusive create (O_EXCL,
-        // atomic, throws FileAlreadyExistsException on a lost race),
-        // then land the content over the empty placeholder. A reader
-        // in the tiny claim→move window sees an empty commit, which
-        // parses as zero actions — benign.
-        Files.createFile(target)
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-    }
   }
 
   private def maybeCheckpoint(v: Long): Unit =
     if (v % checkpointEvery == 0) {
       val snap = snapshotAt(v)
-      val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
-      try {
-        // full snapshot = table bindings + the txn idempotence ledger
-        // (replay after truncation must still recognize applied batches)
-        val lines = snap.tables.toSeq.sortBy(_._1)
-          .map { case (t, fs) => render(Put(t, fs)) } ++
-          snap.txns.toSeq.sortBy(_._1)
-            .map { case (a, b) => render(Txn(a, b)) }
-        Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-        try publish(tmp, ckptFile(v))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } finally Files.deleteIfExists(tmp)
+      // full snapshot = table bindings + the txn idempotence ledger
+      // (replay after truncation must still recognize applied batches)
+      val lines = snap.tables.toSeq.sortBy(_._1)
+        .map { case (t, fs) => render(Put(t, fs)) } ++
+        snap.txns.toSeq.sortBy(_._1)
+          .map { case (a, b) => render(Txn(a, b)) }
+      try primitive.putIfAbsent(ckptFile(v),
+        lines.mkString("\n").getBytes("UTF-8"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
 
   // ---- maintenance ---------------------------------------------------------
@@ -452,8 +489,11 @@ final class TxLog(spark: SparkSession, root: String,
 }
 
 object TxLog {
-  private val VersionRe = "v(\\d{8})\\.txt".r
-  private val CkptRe = "v(\\d{8})\\.ckpt\\.txt".r
+  // 8+ digits: the writer pads to 8 (f"v$v%08d") but GROWS past
+  // 99,999,999 commits — an exact-8 match would stop discovering them,
+  // silently resetting `version` and colliding publishes
+  private val VersionRe = "v(\\d{8,})\\.txt".r
+  private val CkptRe = "v(\\d{8,})\\.ckpt\\.txt".r
 
   /** Commits replay in this frequency's windows; also the upper bound on
     * action files a snapshot resolution reads.

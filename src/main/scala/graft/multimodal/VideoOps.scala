@@ -61,7 +61,7 @@ object VideoOps {
     * not be smaller; else a difference frame. ONE implementation shared
     * by the batch and streaming encoders — the policy cannot diverge.
     */
-  private def encodeStep(prev: Array[Byte], counter: Int, f: Frame,
+  private[multimodal] def encodeStep(prev: Array[Byte], counter: Int, f: Frame,
       fullEvery: Int): (Array[Byte], Int, DeltaRecord) = {
     val (isFull, payload) =
       if (prev == null || counter >= fullEvery ||
@@ -265,7 +265,7 @@ object VideoOps {
         l.substring(8).trim.split(";").head.trim
     }
 
-  private def intLe(v: Int): Array[Byte] = Array(
+  private[multimodal] def intLe(v: Int): Array[Byte] = Array(
     (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 

@@ -197,4 +197,45 @@ class BlockStoreSpec extends AnyFunSuite {
     assert(sdb.query.orderBy(col("id")).select(col("id")).toDf
       .as[Long].collect().toSeq == Seq(2L, 3L))
   }
+
+  test("history-retiring maintenance between incremental verifies: after " +
+      "a rebuild (chain compaction + version vacuum), the persisted " +
+      "cursor still catches a tamper landed in the retained suffix — " +
+      "and a dirty pass never advances it") {
+    val db = freshDb()
+    val bs = db.blocks("g-vac")
+    bs.append(Seq((1000L, "a"), (2000L, "b")).toDF("ts_us", "data"))
+    assert(bs.checkpointVerify().count() == 2) // cursor lands at "b"
+
+    // retire history: rebuild rewrites the chain's parquet layout and
+    // vacuums retired table versions (the BlockStore analog of the
+    // TxLog vacuum window the incremental cursor must survive)
+    val db2 = db.rebuild()
+    val bs2 = db2.blocks("g-vac")
+    assert(bs2.count() == 2L)
+    assert(bs2.checkpointVerify().isEmpty,
+      "rebuild must not reset the verified frontier")
+
+    // new suffix past the cursor, then tamper it on disk
+    bs2.append(Seq((3000L, "c"), (4000L, "d")).toDF("ts_us", "data"))
+    val dir = s"${db.root}/Blockchain/data"
+    val tampered = spark.read.parquet(dir)
+      .withColumn("data", when(col("data") === "c", "C!").otherwise(col("data")))
+    val tmp = s"${db.root}/tampered"
+    tampered.write.partitionBy("point_guid").parquet(tmp)
+    graft.core.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(dir))
+
+    // the incremental pass checks ONLY the suffix — and flags the tamper
+    val p = bs2.checkpointVerify()
+    assert(p.count() == 2, "only the post-cursor suffix re-verifies")
+    assert(p.filter(!col("hash_valid")).select("data").as[String]
+      .collect().toSeq == Seq("C!"))
+    // a dirty pass must NOT advance the cursor: the tamper is still
+    // reported on the next pass, not silently checkpointed away
+    val p2 = bs2.checkpointVerify()
+    assert(p2.filter(!col("hash_valid")).count() == 1,
+      "cursor advanced past a failed verification")
+  }
 }

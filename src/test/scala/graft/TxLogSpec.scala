@@ -823,4 +823,230 @@ class TxLogSpec extends AnyFunSuite {
     assert(db.count("customer") == 4) // content survives compaction
     assert(db.checkpoint().isEmpty)   // nothing left to compact
   }
+
+  // ---- commit primitive seam (object-store portability + the
+  // ---- no-hardlink publish window) --------------------------------------
+
+  /** Object-store stand-in: ONLY a conditional put — no hard links, no
+    * atomic rename-without-replace (S3 `If-None-Match: *` semantics).
+    * Claims are arbitrated in-process (the store's server-side CAS);
+    * the object materializes atomically on success.
+    */
+  private final class PutIfAbsentPrimitive extends graft.catalog.CommitPrimitive {
+    private val slots = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[String]()
+    override def putIfAbsent(target: java.nio.file.Path,
+        content: Array[Byte]): Unit = {
+      if (Files.exists(target) || !slots.add(target.toString))
+        throw new java.nio.file.FileAlreadyExistsException(target.toString)
+      val tmp = Files.createTempFile(target.getParent, ".obj", ".tmp")
+      Files.write(tmp, content)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def raceSuite(mk: String => TxLog): Unit = {
+    val root = Files.createTempDirectory("graft-prim").toString
+    val log = mk(root)
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq((1, 0)).toDF("id", "x")))))
+    val base = log.version
+    // same-table race: exactly one versioned writer wins
+    val fa = log.stage("t", Seq((1, 1)).toDF("id", "x"))
+    val fb = log.stage("t", Seq((1, 2)).toDF("id", "x"))
+    val barrier = new CyclicBarrier(2)
+    @volatile var wins = 0
+    @volatile var conflicts = 0
+    val threads = Seq(fa, fb).map { f =>
+      new Thread(() => {
+        barrier.await()
+        try { log.commit(Seq(TxLog.Put("t", f)), readVersion = base)
+          synchronized { wins += 1 } }
+        catch { case _: TxLog.ConflictException =>
+          synchronized { conflicts += 1 } }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins == 1 && conflicts == 1, s"wins=$wins conflicts=$conflicts")
+    assert(log.read("t").get.count() == 1)
+    // stale writer conflicts after the fact too
+    intercept[TxLog.ConflictException] {
+      log.commit(Seq(TxLog.Put("t",
+        log.stage("t", Seq((1, 9)).toDF("id", "x")))), readVersion = base)
+    }
+    // blind commits on different tables both land through a lost race
+    val ga = log.stage("a", Seq(1).toDF("x"))
+    val gb = log.stage("b", Seq(1).toDF("x"))
+    val barrier2 = new CyclicBarrier(2)
+    val t2 = Seq(("a", ga), ("b", gb)).map { case (t, f) =>
+      new Thread(() => { barrier2.await()
+        log.commit(Seq(TxLog.Put(t, f))) })
+    }
+    t2.foreach(_.start()); t2.foreach(_.join())
+    assert(log.read("a").isDefined && log.read("b").isDefined)
+    // no version file is ever empty, and no claim lock is left behind
+    val s = Files.list(Paths.get(root, "_txlog"))
+    val leftovers = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".lock") || n.endsWith(".tmp")).toSeq
+    finally s.close()
+    assert(leftovers.isEmpty, s"leftover publish artifacts: $leftovers")
+    (1L to log.version).foreach { v =>
+      val f = Paths.get(root, "_txlog", f"v$v%08d.txt")
+      assert(Files.size(f) > 0, s"empty committed version file v$v")
+    }
+  }
+
+  test("no-hardlink fallback (sidecar-lock publish): the full race suite " +
+      "passes and no empty version file is ever observable") {
+    raceSuite(r => new TxLog(spark, r,
+      primitive = new graft.catalog.PosixCommitPrimitive(forceNoLinks = true)))
+  }
+
+  test("object-store primitive (put-if-absent only, no links, no atomic " +
+      "rename) passes the full race suite") {
+    raceSuite(r => new TxLog(spark, r, primitive = new PutIfAbsentPrimitive))
+  }
+
+  test("a zero-byte head version file (frozen legacy claim→move window) " +
+      "is in-flight: readers resolve below it and never cache it") {
+    val (log, root) = freshLog()
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq((1, "a")).toDF("id", "v")))))
+    assert(log.read("t").get.count() == 1)
+
+    // freeze the window: an empty v2 appears (a non-conforming
+    // publisher claimed the slot but its content has not landed)
+    val v2 = Paths.get(root, "_txlog", "v00000002.txt")
+    Files.createFile(v2)
+    // readers answer at v1 — repeatedly, without caching the empty head
+    (1 to 3).foreach { _ =>
+      assert(log.snapshot().tables("t").nonEmpty)
+      assert(log.read("t").get.count() == 1)
+    }
+    // the content lands (end of the frozen window): the VERY NEXT read
+    // sees commit 2's actions — a cached empty head would serve the
+    // stale v1 state for v2's whole lifetime
+    val f2 = log.stage("t", Seq((2, "b"), (3, "c")).toDF("id", "v"))
+    Files.write(v2, s"PUT\tt\t${f2.mkString(",")}".getBytes("UTF-8"))
+    assert(log.read("t").get.count() == 2)
+    assert(log.version == 2)
+
+    // and a versioned writer cannot silently validate "through" a still
+    // -empty slot: it fails safe instead of missing the hidden commit
+    val v3 = Paths.get(root, "_txlog", "v00000003.txt")
+    Files.createFile(v3)
+    val f4 = log.stage("t", Seq((9, "z")).toDF("id", "v"))
+    intercept[TxLog.ConflictException] {
+      // readVersion = 2: the only commit to validate is the EMPTY v3
+      log.commit(Seq(TxLog.Put("t", f4)), readVersion = 2)
+    }
+  }
+
+  test("fallback publish: a stale claim lock from a crashed committer is " +
+      "fenced and taken over") {
+    val root = Files.createTempDirectory("graft-stale").toString
+    val log = new TxLog(spark, root,
+      primitive = new graft.catalog.PosixCommitPrimitive(forceNoLinks = true))
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq(1).toDF("x")))))
+    // a claimant crashed after claiming v2: lock exists, no version file
+    val lock = Paths.get(root, "_txlog", "v00000002.txt.lock")
+    Files.write(lock, "dead-claimant-token".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() -
+        graft.catalog.CommitPrimitive.StaleLockMs - 5000))
+    // a new committer takes the slot over instead of livelocking
+    val v = log.commit(Seq(TxLog.Put("t", log.stage("t", Seq(2).toDF("x")))))
+    assert(v == 2)
+    assert(log.read("t").get.count() == 1)
+    // ...while a FRESH lock (live, slow claimant) makes the committer
+    // back off — not steal the claim — until the claimant's commit
+    // lands, after which the blind committer takes the NEXT slot
+    val fresh = Paths.get(root, "_txlog", "v00000003.txt.lock")
+    Files.write(fresh, "live-claimant-token".getBytes("UTF-8"))
+    val lander = new Thread(() => {
+      Thread.sleep(300)
+      // the slow claimant finishes: content lands atomically, lock goes
+      Files.write(Paths.get(root, "_txlog", "v00000003.txt"),
+        "DEL\tnothing".getBytes("UTF-8"))
+      Files.deleteIfExists(fresh)
+    })
+    lander.start()
+    val v2 = log.commit(Seq(TxLog.Put("u", log.stage("u", Seq(1).toDF("x")))))
+    lander.join()
+    assert(v2 == 4, s"blind committer must land AFTER the live claim (got $v2)")
+    assert(log.read("u").isDefined)
+  }
+
+  test("version files wider than 8 digits stay discoverable (no silent " +
+      "version reset past 99,999,999 commits)") {
+    val (log, root) = freshLog()
+    log.commit(Seq(TxLog.Put("t", log.stage("t", Seq((1, "a")).toDF("id", "v")))))
+    // simulate a log deep into its life: a 9-digit version
+    val wide = Paths.get(root, "_txlog", "v100000000.txt")
+    Files.copy(Paths.get(root, "_txlog", "v00000001.txt"), wide)
+    val fresh = new TxLog(spark, root)
+    assert(fresh.version == 100000000L,
+      "9-digit version files must be discovered")
+    assert(fresh.read("t").get.count() == 1)
+  }
+
+  test("commit validates against the head it publishes over: an " +
+      "interleaved commit landing just before publish is conflict-checked") {
+    val root = Files.createTempDirectory("graft-toctou").toString
+    val setup = new TxLog(spark, root)
+    setup.commit(Seq(TxLog.Put("t",
+      setup.stage("t", Seq((1, 10)).toDF("id", "x")))))
+    val base = setup.version
+    // interloper fires through the victim's publish hook: its commit
+    // lands AFTER the victim's conflict validation, BEFORE its publish
+    // — the exact window a second `version` listing used to leave
+    // unvalidated
+    @volatile var fired = false
+    val hooked = new graft.catalog.CommitPrimitive {
+      override def putIfAbsent(target: java.nio.file.Path,
+          content: Array[Byte]): Unit = {
+        if (!fired) {
+          fired = true
+          val other = new TxLog(spark, root)
+          other.commit(Seq(TxLog.Put("t",
+            other.stage("t", Seq((1, 77)).toDF("id", "x")))))
+        }
+        graft.catalog.CommitPrimitive.posix.putIfAbsent(target, content)
+      }
+    }
+    val victim = new TxLog(spark, root, primitive = hooked)
+    val f = victim.stage("t", Seq((1, 99)).toDF("id", "x"))
+    intercept[TxLog.ConflictException] {
+      victim.commit(Seq(TxLog.Put("t", f)), readVersion = base)
+    }
+    // the interleaved update survived — not silently overwritten
+    assert(new TxLog(spark, root).read("t").get
+      .select("x").as[Int].head() == 77)
+  }
+
+  test("direct-API commitTrans that conflicts still invalidates the SQL " +
+      "engine: later reads must not see the rolled-back states") {
+    val base = Files.createTempDirectory("graft-txinval").toString
+    val db1 = GraftDatabase(spark, "invaldb", base)
+      .defineTable(TableDef("customer", "id"))
+    db1.insert("customer", Seq((1, "ann", 30)).toDF("id", "name", "age"))
+
+    assert(db1.beginTrans())
+    db1.sql("""INSERT INTO customer VALUES {"id": 3, "name": "cal", "age": 20}""")
+    db1.sql("UPDATE customer SET $.age = 99 WHERE $.id = 1")
+
+    // an external commit invalidates the transaction's read version
+    val db2 = GraftDatabase(spark, "invaldb", base)
+      .defineTable(TableDef("customer", "id"))
+    db2.insert("customer", Seq((2, "bob", 40)).toDF("id", "name", "age"))
+
+    intercept[graft.catalog.TxLog.ConflictException](db1.commitTrans())
+    assert(!db1.inTransaction)
+    // the memoized engine must NOT keep serving the rolled-back views:
+    // cal's insert and ann's update are gone; bob is visible
+    assert(db1.sql("SELECT COUNT(*) FROM customer").head().getLong(0) == 2)
+    assert(db1.sql("SELECT $.age FROM customer WHERE $.id = 1")
+      .head().getAs[Number](0).longValue == 30L)
+    assert(db1.table("customer").count() == 2)
+  }
 }
