@@ -29,7 +29,8 @@ import graft.ts.TimeSeriesOps
 final class GraftDatabase private (
     val spark: SparkSession, val name: String, val root: String,
     val collation: graft.core.Collation,
-    password: Option[String] = None) {
+    password: Option[String] = None,
+    commitPrimitive: CommitPrimitive = CommitPrimitive.posix) {
 
   private val tablesDir = s"$root/Tables"
   private val tsDir = s"$root/TimeSeries"
@@ -53,7 +54,7 @@ final class GraftDatabase private (
     password.map(p => graft.core.FileCrypto.options(
       p, GraftDatabase.ensureCryptoSalt(root))).getOrElse(Map.empty)
 
-  private val txlog = new TxLog(spark, root, ioOptions)
+  private val txlog = new TxLog(spark, root, ioOptions, commitPrimitive)
 
   // Upgrade path: a root written by the pre-commit-log layout holds
   // tables as Tables/<t>/part-*.parquet with no log. Import them on
@@ -886,7 +887,7 @@ final class GraftDatabase private (
     // the rebuilt facade holds the NEW crypto options; rewrites read
     // through THIS facade (old password) and stage through the new one
     val out = new GraftDatabase(spark, name, root,
-      newCollation.getOrElse(collation), password)
+      newCollation.getOrElse(collation), password, commitPrimitive)
     out.defs = defs // declarations survive the rebuild, like the reference
     val snap = txlog.snapshot()
     snap.tables.toSeq.sortBy(_._1).foreach { case (t, files) =>
@@ -1332,7 +1333,18 @@ object GraftDatabase {
     */
   def apply(spark: SparkSession, name: String, baseDir: String,
       collation: graft.core.Collation,
-      password: Option[String]): GraftDatabase = {
+      password: Option[String]): GraftDatabase =
+    apply(spark, name, baseDir, collation, password, CommitPrimitive.posix)
+
+  /** Open with an explicit commit primitive — the one knob a cloud
+    * deployment changes: pass a conditional-write [[CommitPrimitive]]
+    * (S3 `If-None-Match: *`, GCS generation-match 0) and every ACID
+    * commit publishes through it; all other layers already speak
+    * immutable listed objects.
+    */
+  def apply(spark: SparkSession, name: String, baseDir: String,
+      collation: graft.core.Collation, password: Option[String],
+      commitPrimitive: CommitPrimitive): GraftDatabase = {
     requireValidDbName(name)
     val root = s"$baseDir/$name"
     probeEncryptionState(spark, root).foreach { enc =>
@@ -1342,7 +1354,7 @@ object GraftDatabase {
         s"database '$name' is not encrypted: open it without a password " +
           "(rebuild(password = ...) encrypts it)")
     }
-    new GraftDatabase(spark, name, root, collation, password)
+    new GraftDatabase(spark, name, root, collation, password, commitPrimitive)
   }
 
   /** Database-name validation (`Helper/DbValidator.cs:11-31`): the name

@@ -1024,6 +1024,41 @@ class TxLogSpec extends AnyFunSuite {
       .select("x").as[Int].head() == 77)
   }
 
+  test("the whole facade stack runs on an object-store primitive " +
+      "(put-if-absent only): DML, SQL transactions, cascade, rebuild") {
+    val base = Files.createTempDirectory("graft-cloud").toString
+    val prim = new PutIfAbsentPrimitive
+    def open() = GraftDatabase(spark, "clouddb", base,
+      graft.core.Collation.Binary, None, prim)
+      .defineTable(TableDef("customer", "id"))
+      .defineTable(TableDef("orders", "id",
+        fks = Seq(Fk("customer_id", "customer", "id", Cascade))))
+    val db = open()
+    db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+      .toDF("id", "name", "age"))
+    db.insert("orders", Seq((10, 1, 5.0), (11, 2, 7.0))
+      .toDF("id", "customer_id", "total"))
+    db.updateMany("customer", col("id") === 1,
+      Map("age" -> org.apache.spark.sql.functions.lit(31)))
+    // SQL transaction commits atomically through the same primitive
+    db.sql("BEGIN")
+    db.sql("""INSERT INTO customer VALUES {"id": 3, "name": "cal", "age": 20}""")
+    db.sql("UPDATE customer SET $.age = $.age + 1 WHERE $.id = 3")
+    assert(db.sql("COMMIT").head().getBoolean(0))
+    assert(db.count("customer") == 3)
+    // executed cascade: one atomic version across both tables
+    db.delete("customer", col("id") === 1)
+    assert(db.count("customer") == 2 && db.count("orders") == 1)
+    // rebuild compacts + vacuums through the primitive too
+    val db2 = db.rebuild()
+    assert(db2.count("customer") == 2 && db2.count("orders") == 1)
+    assert(db2.findById("customer", 3).get.getAs[Long]("age") == 21)
+    // a fresh facade over the same store replays the log it published
+    val replay = GraftDatabase(spark, "clouddb", base,
+      graft.core.Collation.Binary, None, prim)
+    assert(replay.table("customer").count() == 2)
+  }
+
   test("direct-API commitTrans that conflicts still invalidates the SQL " +
       "engine: later reads must not see the rolled-back states") {
     val base = Files.createTempDirectory("graft-txinval").toString
