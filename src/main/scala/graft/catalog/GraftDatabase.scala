@@ -144,6 +144,127 @@ final class GraftDatabase private (
     txlog.history().toDF("version", "action", "target", "n_files")
   }
 
+  /** Row-level change feed between two committed versions, computed as
+    * a snapshot diff: each returned row carries the table's columns
+    * plus `_change_type` ('insert' | 'delete'); an update surfaces as a
+    * delete of the old row and an insert of the new one.
+    *
+    * Scale contract: the diff reads ONLY the files EXCHANGED between
+    * the two versions (removed by `from`→`to` vs added), never the
+    * whole table — so its cost is proportional to the churn, not the
+    * table size. Rows that a file-granular rewrite copied through
+    * unchanged appear on both sides and cancel under the multiset
+    * difference (`exceptAll`), so the feed is exact even though the
+    * log records file exchanges, not row deltas.
+    */
+  def changes(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val n = norm(name)
+    val before = txlog.snapshotAt(fromVersion).tables.getOrElse(n, Vector.empty)
+    val after = txlog.snapshotAt(toVersion).tables.getOrElse(n, Vector.empty)
+    val removed = before.filterNot(after.toSet)
+    val added = after.filterNot(before.toSet)
+    def readRel(rel: Seq[String]): DataFrame =
+      spark.read.options(ioOptions).parquet(rel.map(r => s"$root/$r"): _*)
+    (removed.nonEmpty, added.nonEmpty) match {
+      case (false, false) =>
+        // no churn: an empty feed in the table's current (or last-known)
+        // schema, so downstream unions stay well-typed
+        val schemaSource = if (after.nonEmpty) readRel(after.take(1))
+          else if (before.nonEmpty) readRel(before.take(1))
+          else throw new IllegalArgumentException(
+            s"table '$n' has no data in either version")
+        schemaSource.limit(0).withColumn("_change_type", lit(""))
+      case _ =>
+        val remDf = if (removed.nonEmpty) Some(readRel(removed)) else None
+        val addDf = if (added.nonEmpty) Some(readRel(added)) else None
+        // align by name: exceptAll is positional, and two staged writes
+        // of one logical schema may have ordered columns differently
+        val cols = addDf.getOrElse(remDf.get).columns.toSeq
+        def aligned(df: DataFrame) = df.select(cols.map(col): _*)
+        val rem = remDf.map(aligned)
+        val add = addDf.map(aligned)
+        val inserts = (add, rem) match {
+          case (Some(a), Some(r)) => a.exceptAll(r)
+          case (Some(a), None)    => a
+          case (None, _)          => add.getOrElse(rem.get).limit(0)
+        }
+        val deletes = (rem, add) match {
+          case (Some(r), Some(a)) => r.exceptAll(a)
+          case (Some(r), None)    => r
+          case (None, _)          => rem.getOrElse(add.get).limit(0)
+        }
+        inserts.withColumn("_change_type", lit("insert"))
+          .unionByName(deletes.withColumn("_change_type", lit("delete")))
+    }
+  }
+
+  /** Bin-pack small files (the lakehouse OPTIMIZE): read ONLY the live
+    * files under `smallThreshold` bytes, coalesce them into
+    * ceil(bytes/targetBytes) right-sized files, and commit the exchange
+    * as a RELATIVE patch — so right-sized files are never rewritten
+    * (write amplification proportional to the small-file backlog, not
+    * the table), and the compaction COMMUTES with concurrent DML on
+    * disjoint files instead of conflicting with it (the reason this is
+    * a Patch, not the full-table rewrite `checkpoint` does). `coalesce`
+    * keeps the repack shuffle-free. Returns (filesBefore, filesAfter).
+    */
+  def optimize(name: String, targetBytes: Long = 128L << 20,
+      smallThreshold: Long = 64L << 20): (Int, Int) = {
+    requireNotRetired(); requireNoOpenTx()
+    val n = norm(name)
+    val snap = txlog.snapshot()
+    val files = snap.tables.getOrElse(n, throw new IllegalArgumentException(
+      s"table '$n' does not exist (no committed data)"))
+    val sized = files.map(r => r -> Files.size(Paths.get(s"$root/$r")))
+    val small = sized.filter(_._2 < smallThreshold)
+    if (small.size < 2) return (files.size, files.size) // nothing to pack
+    val bytes = small.map(_._2).sum
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val smallRel = small.map(_._1)
+    val packed = spark.read.options(ioOptions)
+      .parquet(smallRel.map(r => s"$root/$r"): _*).coalesce(parts)
+    txlog.commit(Seq(TxLog.Patch(n, smallRel, txlog.stage(n, packed))),
+      readVersion = snap.version)
+    invalidateSqlEngine()
+    (files.size, files.size - small.size + parts)
+  }
+
+  /** Retire data files no retained snapshot references and log files
+    * below the retention floor (the lakehouse VACUUM; delegates to the
+    * commit log). `minAgeMs` guards in-flight staged-but-unpublished
+    * writes — see TxLog.vacuum. Returns the deleted paths.
+    */
+  def vacuum(keepVersions: Int = 2,
+      minAgeMs: Long = 15L * 60 * 1000): Seq[String] =
+    txlog.vacuum(keepVersions, minAgeMs)
+
+  /** Zero-copy shallow clone: bind `dst` to `src`'s CURRENT immutable
+    * file list in one metadata-only commit — O(1) in the data size
+    * (nothing is read or written), the lakehouse SHALLOW CLONE. The
+    * clone and the source then diverge independently: every write is
+    * copy-on-write over shared immutable files, and vacuum retains any
+    * file while EITHER table's retained snapshots reference it, so
+    * dropping one never strands the other. The source's TableDef
+    * (PK/constraints), if declared, carries over to the clone.
+    */
+  def cloneCollection(src: String, dst: String): Long = {
+    requireNotRetired(); requireNoOpenTx()
+    val (s0, d0) = (norm(src), norm(dst))
+    require(d0.matches("[a-z_][a-z0-9_]*"),
+      s"invalid collection name '$dst' (letters/digits/underscore)")
+    val snap = txlog.snapshot()
+    val files = snap.tables.getOrElse(s0, throw new IllegalArgumentException(
+      s"table '$s0' does not exist (no committed data)"))
+    require(!snap.tables.contains(d0), s"cannot clone onto existing table '$d0'")
+    val v = txlog.commit(Seq(TxLog.Put(d0, files)),
+      readVersion = snap.version, readTables = Set(s0))
+    defs.get(s0).foreach(td => defs += d0 -> td.copy(name = d0))
+    invalidateSqlEngine()
+    v
+  }
+
   /** Idempotent batch append for streaming sinks: the (appId, batchId)
     * marker rides the commit, and a REPLAYED batch (stream restart,
     * foreachBatch retry) is skipped — exactly-once table state from
@@ -1078,6 +1199,12 @@ final class GraftDatabase private (
       def beginTrans(): Boolean = db.beginTrans()
       def commitTrans(): Boolean = db.commitTrans()
       def rollbackTrans(): Boolean = db.rollbackTrans()
+      def tableAt(name: String, version: Long): Option[DataFrame] =
+        db.tableAt(name, version)
+      def optimizeCollection(name: String): (Int, Int) = db.optimize(name)
+      def cloneCollection(src: String, dst: String): Boolean = {
+        db.cloneCollection(src, dst); true
+      }
     }
 
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY

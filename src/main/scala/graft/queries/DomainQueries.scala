@@ -499,6 +499,172 @@ object DomainQueries {
         FROM customer WHERE c_custkey <= 200"""),
       "deterministic unique-row fingerprint (HashUniqueIdentifiers): " +
         "sha256 over name=value; pairs, codegen'd at the scan on both " +
-        "engines")
+        "engines"),
+
+    // Time travel over the commit log: three committed states (insert,
+    // delete, transform-update), each read back AS OF its version — v1
+    // and v2 through the facade (tableAt), v3 through the SQL dialect's
+    // `FROM t VERSION AS OF v` — and summarized. Works because data
+    // files are immutable and a snapshot is just a version's file
+    // binding (TxLog.snapshotAt replays bounded metadata, never data);
+    // the oracle recomputes each state relationally from the source.
+    Q("q141_time_travel",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q141").toString
+        val db = GraftDatabase(s, "q141", base)
+          .defineTable(TableDef("nation", "n_nationkey"))
+        db.insert("nation", Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"), col("n_name")))
+        val v1 = db.logVersion
+        db.delete("nation", col("n_regionkey") === 0)
+        val v2 = db.logVersion
+        db.updateMany("nation", col("n_regionkey") === 1,
+          Map("n_name" -> concat(col("n_name"), lit("_X"))))
+        val v3 = db.logVersion
+        def stats(df: org.apache.spark.sql.DataFrame, tag: Long) =
+          df.agg(count(lit(1)).as("n_rows"),
+            sum(when(col("n_name").endsWith("_X"), 1L).otherwise(0L))
+              .as("n_marked"))
+            .select(lit(tag).as("ver"), col("n_rows"), col("n_marked"))
+        stats(db.tableAt("nation", v1).get, 1L)
+          .unionByName(stats(db.tableAt("nation", v2).get, 2L))
+          .unionByName(stats(
+            db.sql(s"SELECT n_name FROM nation VERSION AS OF $v3"), 3L))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS ver,
+          (SELECT COUNT(*) FROM nation) AS n_rows,
+          CAST(0 AS BIGINT) AS n_marked
+        UNION ALL
+        SELECT 2, (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0),
+          CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 3, (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0),
+          (SELECT COUNT(*) FROM nation
+            WHERE n_regionkey = 1)"""),
+      "time travel: immutable files + versioned metadata make every " +
+        "committed state readable AS OF its version (facade tableAt + " +
+        "SQL VERSION AS OF), bounded-metadata replay, zero data copies"),
+
+    // Row-level change feed from a snapshot DIFF: delete + append on a
+    // log-backed table, then changes(v0, head) reconstructs exact
+    // row-level inserts/deletes from the EXCHANGED files only — rows a
+    // file-granular rewrite copied through unchanged appear on both
+    // sides and cancel under exceptAll, so the feed's cost tracks the
+    // churn, not the table (the Delta CDF contract, computed post-hoc).
+    Q("q142_change_feed",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q142").toString
+        val db = GraftDatabase(s, "q142", base)
+          .defineTable(TableDef("supplier", "s_suppkey"))
+        val src = Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        db.insert("supplier", src)
+        val v0 = db.logVersion
+        db.delete("supplier", col("s_suppkey") % 4 === 1)
+        db.insert("supplier", src.filter(col("s_suppkey") % 3 === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + 1000000))
+        val feed = db.changes("supplier", v0, db.logVersion)
+        feed.groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("s_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_acctbal"))
+      },
+      Some("""SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM supplier WHERE s_suppkey % 4 = 1
+        UNION ALL
+        SELECT 'insert', COUNT(*),
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        FROM supplier WHERE s_suppkey % 3 = 0"""),
+      "change data feed as a snapshot diff: exact row-level " +
+        "inserts/deletes reconstructed from only the files EXCHANGED " +
+        "between two versions (multiset exceptAll cancels rewrite " +
+        "pass-through rows) — cost proportional to churn, not table size"),
+
+    // OPTIMIZE (small-file bin-packing): six single-file appends leave a
+    // small-file backlog; optimize() reads ONLY the small files,
+    // coalesces them shuffle-free into ceil(bytes/target) right-sized
+    // files, and commits the exchange as a RELATIVE patch (commutes with
+    // concurrent disjoint-file DML, never rewrites right-sized files).
+    // File counts are pinned in-query; the data must round-trip exactly.
+    Q("q143_optimize",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q143").toString
+        val db = GraftDatabase(s, "q143", base)
+          .defineTable(TableDef("part", "p_partkey"))
+        val src = Tables.load(s, dir, "part").filter(col("p_partkey") <= 1200)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        (0 until 6).foreach(i =>
+          db.insert("part", src.filter(col("p_partkey") % 6 === i)
+            .repartition(1)))
+        val (fb, fa) = db.optimize("part")
+        require(fb == 6 && fa == 1,
+          s"optimize must pack 6 small files into 1 (got $fb -> $fa)")
+        require(db.liveFiles("part").size == 1,
+          "committed snapshot must hold exactly the packed file")
+        db.table("part")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p_retailprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM part WHERE p_partkey <= 1200 GROUP BY 1"""),
+      "lakehouse OPTIMIZE: bin-pack ONLY the small files (shuffle-free " +
+        "coalesce), publish as a commuting relative patch, data " +
+        "byte-exact across the repack — write amplification tracks the " +
+        "backlog, not the table"),
+
+    // Zero-copy shallow clone: one metadata-only commit binds the clone
+    // to the source's immutable files (O(1) in data size — pinned
+    // in-query: identical physical file lists, exactly one version
+    // bump). Copy-on-write then lets the clone diverge while the source
+    // is untouched — also pinned. The experiment-branch primitive a
+    // 100 TB curation pipeline uses to fork a corpus for free.
+    Q("q144_shallow_clone",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q144").toString
+        val db = GraftDatabase(s, "q144", base)
+          .defineTable(TableDef("customer", "c_custkey"))
+        db.insert("customer", Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 1000)
+          .select(col("c_custkey"), col("c_acctbal")))
+        val filesSrc = db.liveFiles("customer")
+        val v0 = db.logVersion
+        db.sql("CLONE COLLECTION customer TO customer2")
+        require(db.logVersion == v0 + 1,
+          "clone must be exactly one metadata-only commit")
+        require(db.liveFiles("customer2") == filesSrc,
+          "clone must share the source's physical files (zero copy)")
+        db.delete("customer2", col("c_custkey") % 5 === 0)
+        require(db.liveFiles("customer") == filesSrc,
+          "source files must be untouched after clone DML (copy-on-write)")
+        import s.implicits._
+        def stats(t: String) = db.table(t)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_acctbal"))
+          .select(lit(t).as("table_name"), col("n_rows"), col("sum_acctbal"))
+        stats("customer").unionByName(stats("customer2"))
+      },
+      Some("""SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer WHERE c_custkey <= 1000
+        UNION ALL
+        SELECT 'customer2', COUNT(*),
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        FROM customer WHERE c_custkey <= 1000 AND c_custkey % 5 <> 0"""),
+      "zero-copy shallow clone: metadata-only commit shares immutable " +
+        "files, copy-on-write divergence leaves the source untouched, " +
+        "vacuum retains any file either table still references")
   )
 }

@@ -344,6 +344,28 @@ final class LiteSql(
           case "ROLLBACK" => a.rollbackTrans()
         }
         Seq(ok).toDF("result")
+      case "OPTIMIZE" =>
+        // OPTIMIZE {collection} — bin-pack the table's small files into
+        // right-sized ones (dialect extension; the store-level analog of
+        // the reference's REBUILD, but file-granular and non-blocking)
+        val m = "(?i)^OPTIMIZE (\\w+)\\s*;?$".r.findFirstMatchIn(sql)
+          .getOrElse(throw new IllegalArgumentException(
+            s"bad OPTIMIZE (expected OPTIMIZE collection): $sql"))
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          "OPTIMIZE needs a database-backed engine (GraftDatabase.sql)"))
+        val (b, after) = a.optimizeCollection(m.group(1).toLowerCase)
+        Seq((b.toLong, after.toLong)).toDF("files_before", "files_after")
+      case "CLONE" =>
+        // CLONE COLLECTION {src} TO {dst} — zero-copy shallow clone
+        // (dialect extension): one metadata-only commit, O(1) in data
+        val m = "(?i)^CLONE COLLECTION (\\w+) TO (\\w+)\\s*;?$".r
+          .findFirstMatchIn(sql).getOrElse(
+            throw new IllegalArgumentException(
+              s"bad CLONE (expected CLONE COLLECTION src TO dst): $sql"))
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          "CLONE needs a database-backed engine (GraftDatabase.sql)"))
+        val ok = a.cloneCollection(m.group(1).toLowerCase, m.group(2).toLowerCase)
+        Seq(ok).toDF("result")
       case other => throw new IllegalArgumentException(
         s"unsupported command $other")
     }
@@ -635,6 +657,22 @@ final class LiteSql(
     // WHERE clause is data); same rule as execute()
     var sql = replaceOutsideQuotes(liteSql.trim, _.replaceAll("\\s+", " "))
 
+    // Time travel: `FROM <t> VERSION AS OF <v>` binds a view of the
+    // table at committed log version v (GraftDatabase.tableAt — needs a
+    // database-backed engine). The view name is version-suffixed, so it
+    // never clobbers the live binding and two versions can join.
+    val VasofRe = "(?i)\\bFROM\\s+(\\w+)\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\b".r
+    sql = VasofRe.replaceAllIn(sql, m => {
+      val (t, v) = (m.group(1).toLowerCase, m.group(2).toLong)
+      val a = admin.getOrElse(throw new UnsupportedOperationException(
+        "VERSION AS OF needs a database-backed engine (GraftDatabase.sql)"))
+      val df = a.tableAt(t, v).getOrElse(throw new IllegalArgumentException(
+        s"table '$t' does not exist at version $v"))
+      val view = s"${t}__vasof_$v"
+      collation.collate(df).createOrReplaceTempView(view)
+      s"FROM $view"
+    })
+
     // GROUP BY's @key alias substitutes BEFORE path translation, so the
     // substituted group expression translates like any other
     sql = substituteGroupKey(sql)
@@ -706,6 +744,14 @@ object LiteSql {
     def beginTrans(): Boolean
     def commitTrans(): Boolean
     def rollbackTrans(): Boolean
+    /** Time travel: the table as of a committed log version (None when
+      * it did not exist at that version).
+      */
+    def tableAt(name: String, version: Long): Option[DataFrame]
+    /** Bin-pack the collection's small files; (filesBefore, filesAfter). */
+    def optimizeCollection(name: String): (Int, Int)
+    /** Zero-copy shallow clone src → dst (metadata-only commit). */
+    def cloneCollection(src: String, dst: String): Boolean
   }
 
   def apply(spark: SparkSession, sfDir: String): LiteSql =

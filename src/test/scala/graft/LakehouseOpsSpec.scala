@@ -1,0 +1,207 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.catalog.GraftDatabase
+import graft.dml.ConstrainedDml.TableDef
+
+/** Lakehouse table operations layered on the commit log: time travel
+  * (facade `tableAt` + SQL `VERSION AS OF`), the snapshot-diff change
+  * feed (`changes`), small-file bin-packing (`optimize` / SQL
+  * `OPTIMIZE`), and zero-copy shallow clone (`cloneCollection` / SQL
+  * `CLONE COLLECTION`). The reference has no analog (single-node WAL
+  * reuses pages in place); these are the operations the same contract
+  * buys once state is immutable-files + versioned metadata.
+  */
+class LakehouseOpsSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private def freshDb(pk: String = "id"): GraftDatabase = {
+    val base = Files.createTempDirectory("graft-lakehouse").toString
+    GraftDatabase(spark, "lakehouse", base).defineTable(TableDef("t", pk))
+  }
+
+  private def rows(n: Int) =
+    (1 to n).map(i => (i, i * 10L, s"r$i")).toDF("id", "v", "name")
+
+  // ---- time travel ---------------------------------------------------------
+
+  test("tableAt reads every committed state; VERSION AS OF matches it") {
+    val db = freshDb()
+    db.insert("t", rows(10))
+    val v1 = db.logVersion
+    db.delete("t", col("id") <= 3)
+    val v2 = db.logVersion
+    db.updateMany("t", col("id") === 10, Map("v" -> lit(999L)))
+    val v3 = db.logVersion
+
+    assert(db.tableAt("t", v1).get.count() == 10)
+    assert(db.tableAt("t", v2).get.count() == 7)
+    assert(db.tableAt("t", v2).get.filter(col("v") === 999).count() == 0)
+    assert(db.tableAt("t", v3).get.filter(col("v") === 999).count() == 1)
+    // a version BELOW the table's creation: no binding
+    assert(db.tableAt("t", 0L).isEmpty)
+
+    // the SQL dialect's time travel reads the same states
+    assert(db.sql(s"SELECT COUNT(*) AS n FROM t VERSION AS OF $v1")
+      .as[Long].head() == 10)
+    assert(db.sql(s"SELECT COUNT(*) AS n FROM t VERSION AS OF $v2")
+      .as[Long].head() == 7)
+    // two versions of one table can meet in a single statement (the
+    // version-suffixed views never collide with the live binding)
+    assert(db.sql(
+      s"SELECT COUNT(*) AS n FROM t VERSION AS OF $v1 " +
+        s"WHERE id NOT IN (SELECT id FROM t VERSION AS OF $v2)")
+      .as[Long].head() == 3)
+  }
+
+  test("VERSION AS OF without a database-backed engine is rejected") {
+    val engine = new graft.query.LiteSql(spark,
+      Map("t" -> rows(3)), Map.empty)
+    intercept[UnsupportedOperationException] {
+      engine.run("SELECT * FROM t VERSION AS OF 1")
+    }
+  }
+
+  // ---- change feed ---------------------------------------------------------
+
+  test("changes() is row-exact across a file-granular rewrite and reads " +
+      "only the exchanged files") {
+    val db = freshDb()
+    db.insert("t", rows(30).repartition(3))
+    val v0 = db.logVersion
+    assert(db.liveFiles("t").size == 3)
+    val before = db.liveFiles("t").toSet
+
+    // rewrite ONE row: the granular patch rewrites only its file, and
+    // that file's untouched rows ride along on both sides of the diff
+    db.updateMany("t", col("id") === 7, Map("v" -> lit(777L)))
+    val v1 = db.logVersion
+    val after = db.liveFiles("t").toSet
+    assert(before.intersect(after).size == 2,
+      "granular update must keep the two untouched files")
+
+    val feed = db.changes("t", v0, v1)
+    val got = feed.select("id", "v", "_change_type")
+      .as[(Int, Long, String)].collect().toSet
+    assert(got == Set((7, 70L, "delete"), (7, 777L, "insert")),
+      s"pass-through rows must cancel, got $got")
+
+    // scale contract: the diff's scan set is exactly the exchanged files
+    val exchanged = (before -- after) ++ (after -- before)
+    val scanned = feed.inputFiles.map(u => new java.net.URI(u).getPath).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(
+      exchanged.map(p => Paths.get(p).toAbsolutePath.toString)),
+      s"diff must read only exchanged files; read $scanned")
+  }
+
+  test("changes() classifies pure appends and reports no churn as empty") {
+    val db = freshDb()
+    db.insert("t", rows(5))
+    val v0 = db.logVersion
+    assert(db.changes("t", v0, v0).count() == 0)
+    db.insert("t", (6 to 8).map(i => (i, i * 10L, s"r$i"))
+      .toDF("id", "v", "name"))
+    val feed = db.changes("t", v0, db.logVersion)
+    assert(feed.filter(col("_change_type") === "insert").count() == 3)
+    assert(feed.filter(col("_change_type") === "delete").count() == 0)
+  }
+
+  // ---- optimize ------------------------------------------------------------
+
+  test("optimize packs only small files, leaves right-sized ones, and " +
+      "publishes a relative patch") {
+    val db = freshDb()
+    // one LARGE file (1000 rows) + four small single-row appends
+    db.insert("t", (1 to 1000).map(i => (i, i * 10L, s"r$i"))
+      .toDF("id", "v", "name").repartition(1))
+    val bigFile = db.liveFiles("t").head
+    (1001 to 1004).foreach(i => db.insert("t",
+      Seq((i, i * 10L, s"r$i")).toDF("id", "v", "name")))
+    assert(db.liveFiles("t").size == 5)
+    val vBefore = db.logVersion
+
+    // threshold BETWEEN the sizes: the big file must stay untouched
+    val bigBytes = Files.size(Paths.get(bigFile))
+    val smallMax = db.liveFiles("t").filterNot(_ == bigFile)
+      .map(f => Files.size(Paths.get(f))).max
+    assert(smallMax < bigBytes, "fixture: appends must be smaller")
+    val (fb, fa) = db.optimize("t", smallThreshold = (smallMax + bigBytes) / 2)
+    assert(fb == 5 && fa == 2, s"expected 5 -> 2 files, got $fb -> $fa")
+    assert(db.liveFiles("t").contains(bigFile),
+      "right-sized file must keep its physical path (never rewritten)")
+    assert(db.logVersion == vBefore + 1)
+    // the exchange is a RELATIVE patch, so it commutes with concurrent
+    // DML on disjoint files instead of conflicting with it
+    assert(db.history.filter(col("version") === db.logVersion)
+      .select("action").as[String].collect().forall(_ == "PATCH"))
+    // data round-trips exactly
+    assert(db.table("t").count() == 1004)
+    assert(db.table("t").agg(org.apache.spark.sql.functions.sum("v"))
+      .as[Long].head() == (1 to 1004).map(_ * 10L).sum)
+  }
+
+  test("optimize with nothing to pack is a no-op (no version bump)") {
+    val db = freshDb()
+    db.insert("t", rows(10).repartition(1))
+    val v = db.logVersion
+    val (fb, fa) = db.optimize("t")
+    assert(fb == 1 && fa == 1 && db.logVersion == v)
+  }
+
+  test("SQL OPTIMIZE surfaces the file counts") {
+    val db = freshDb()
+    (1 to 3).foreach(i => db.insert("t",
+      Seq((i, i * 10L, s"r$i")).toDF("id", "v", "name")))
+    val out = db.sql("OPTIMIZE t").as[(Long, Long)].head()
+    assert(out == ((3L, 1L)))
+  }
+
+  // ---- shallow clone -------------------------------------------------------
+
+  test("clone is metadata-only, diverges copy-on-write, and survives " +
+      "dropping + vacuuming the source") {
+    val base = Files.createTempDirectory("graft-lakehouse").toString
+    val db = GraftDatabase(spark, "lakehouse", base)
+      .defineTable(TableDef("t", "id"))
+    db.insert("t", rows(20))
+    val srcFiles = db.liveFiles("t")
+    val v0 = db.logVersion
+
+    db.cloneCollection("t", "t2")
+    assert(db.logVersion == v0 + 1, "clone must be exactly one commit")
+    assert(db.liveFiles("t2") == srcFiles, "zero copy: shared files")
+
+    // diverge BOTH sides; each write is copy-on-write over shared files
+    db.delete("t2", col("id") <= 5)
+    db.updateMany("t", col("id") === 1, Map("v" -> lit(111L)))
+    assert(db.table("t").count() == 20 && db.table("t2").count() == 15)
+    assert(db.table("t2").filter(col("v") === 111).count() == 0)
+
+    // the clone carries the source's TableDef: PK duplicates rejected
+    intercept[IllegalStateException] {
+      db.insert("t2", Seq((6, 0L, "dup")).toDF("id", "v", "name"))
+    }
+
+    // dropping the source and vacuuming ALL history must not strand the
+    // clone: retention is computed across every table's retained
+    // snapshots, and t2 still references some of the original files
+    db.dropCollection("t")
+    db.vacuum(keepVersions = 1, minAgeMs = 0)
+    assert(db.table("t2").count() == 15)
+    assert(db.table("t2").agg(org.apache.spark.sql.functions.sum("v"))
+      .as[Long].head() == (6 to 20).map(_ * 10L).sum)
+  }
+
+  test("SQL CLONE COLLECTION clones and rejects an existing target") {
+    val db = freshDb()
+    db.insert("t", rows(4))
+    assert(db.sql("CLONE COLLECTION t TO t3").as[Boolean].head())
+    assert(db.sql("SELECT COUNT(*) AS n FROM t3").as[Long].head() == 4)
+    intercept[Exception] { db.sql("CLONE COLLECTION t TO t3") }
+  }
+}
