@@ -161,12 +161,22 @@ final class GraftDatabase private (
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val n = norm(name)
+    val snapTo = txlog.snapshotAt(toVersion)
     val before = txlog.snapshotAt(fromVersion).tables.getOrElse(n, Vector.empty)
-    val after = txlog.snapshotAt(toVersion).tables.getOrElse(n, Vector.empty)
+    val after = snapTo.tables.getOrElse(n, Vector.empty)
     val removed = before.filterNot(after.toSet)
     val added = after.filterNot(before.toSet)
-    def readRel(rel: Seq[String]): DataFrame =
-      spark.read.options(ioOptions).parquet(rel.map(r => s"$root/$r"): _*)
+    // pin both sides to the TO version's stored schema when one exists:
+    // across a metadata-only ADD COLUMN the removed files null-fill the
+    // new column, keeping the two sides union-compatible
+    val pinned = snapTo.schemas.get(n)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    def readRel(rel: Seq[String]): DataFrame = {
+      val reader = spark.read.options(ioOptions)
+      pinned.map(reader.schema).getOrElse(reader)
+        .parquet(rel.map(r => s"$root/$r"): _*)
+    }
     (removed.nonEmpty, added.nonEmpty) match {
       case (false, false) =>
         // no churn: an empty feed in the table's current (or last-known)
@@ -223,13 +233,60 @@ final class GraftDatabase private (
     val bytes = small.map(_._2).sum
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val smallRel = small.map(_._1)
-    val packed = spark.read.options(ioOptions)
+    // pin to the stored schema when one exists: the backlog may mix
+    // files written before and after an ADD COLUMN, and an unpinned
+    // read would silently drop the newer files' columns from the pack
+    val reader = spark.read.options(ioOptions)
+    val packed = txlog.storedSchema(n).map(reader.schema).getOrElse(reader)
       .parquet(smallRel.map(r => s"$root/$r"): _*).coalesce(parts)
     txlog.commit(Seq(TxLog.Patch(n, smallRel, txlog.stage(n, packed))),
       readVersion = snap.version)
     invalidateSqlEngine()
     (files.size, files.size - small.size + parts)
   }
+
+  /** Metadata-only ADD COLUMN (schema evolution): commit the table's
+    * widened schema to the log WITHOUT touching a data file — reads pin
+    * to the stored schema, so every file written before the column
+    * existed null-fills it (the Delta/Iceberg add-column shape; at
+    * 100 TB the alternative is rewriting the table). Also bootstraps
+    * schema-pinned reads for the table: once a stored schema exists,
+    * scans skip footer inference and later widening writes keep it in
+    * sync automatically (see the write paths' schema sync).
+    */
+  def addColumn(name: String, column: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit = {
+    requireNotRetired(); requireNoOpenTx()
+    val n = norm(name)
+    val snap = txlog.snapshot()
+    require(snap.tables.contains(n),
+      s"table '$n' does not exist (no committed data)")
+    val cur = txlog.storedSchema(n).getOrElse(table(n).schema)
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"column '$column' already exists on '$n'")
+    val next = org.apache.spark.sql.types.StructType(cur.fields :+
+      org.apache.spark.sql.types.StructField(column, dataType, nullable = true))
+    txlog.commit(Seq(TxLog.Sch(n, next.json)), readVersion = snap.version)
+    invalidateSqlEngine()
+  }
+
+  /** Keep a log-held schema in sync with a widening write: when the
+    * table HAS a stored schema and the staged rows carry columns it
+    * lacks, the same commit extends it (otherwise the pinned read would
+    * hide the new columns). Tables without a stored schema keep
+    * footer-inferred reads — addColumn opts a table in.
+    */
+  private def schemaSyncActions(n: String,
+      staged: org.apache.spark.sql.types.StructType): Seq[TxLog.Action] =
+    txlog.storedSchema(n) match {
+      case Some(cur) =>
+        val known = cur.fieldNames.map(_.toLowerCase).toSet
+        val extra = staged.fields.filterNot(f => known(f.name.toLowerCase))
+        if (extra.isEmpty) Nil
+        else Seq(TxLog.Sch(n, org.apache.spark.sql.types.StructType(
+          cur.fields ++ extra.map(_.copy(nullable = true))).json))
+      case None => Nil
+    }
 
   /** Retire data files no retained snapshot references and log files
     * below the retention floor (the lakehouse VACUUM; delegates to the
@@ -325,7 +382,9 @@ final class GraftDatabase private (
     // (unique/PK sets, FK PARENTS), so a concurrent commit touching
     // this table OR a validated parent must conflict (a parent delete
     // interleaving with this insert is the classic write-skew orphan)
-    txlog.commit(Seq(TxLog.Add(norm(name), txlog.stage(norm(name), rows))),
+    txlog.commit(
+      TxLog.Add(norm(name), txlog.stage(norm(name), rows)) +:
+        schemaSyncActions(norm(name), rows.schema),
       readVersion = base,
       readTables = tdef.fks.map(_.parentTable).toSet)
     invalidateSqlEngine()
@@ -790,7 +849,8 @@ final class GraftDatabase private (
       else None
     granular match {
       case Some(action) =>
-        txlog.commit(Seq(action), readVersion = base,
+        txlog.commit(action +: schemaSyncActions(norm(name), touched.schema),
+          readVersion = base,
           readTables = tdef.fks.map(_.parentTable).toSet)
         invalidateSqlEngine()
       case None =>
@@ -805,8 +865,9 @@ final class GraftDatabase private (
     // files while the staged write lands in a fresh directory — fully
     // distributed, never a self-overwrite, atomic at the log publish
     val n = norm(name)
-    txlog.commit(Seq(TxLog.Put(n, txlog.stage(n, df))), readVersion = base,
-      readTables = readTables)
+    txlog.commit(
+      TxLog.Put(n, txlog.stage(n, df)) +: schemaSyncActions(n, df.schema),
+      readVersion = base, readTables = readTables)
     invalidateSqlEngine()
   }
 
@@ -1205,6 +1266,9 @@ final class GraftDatabase private (
       def cloneCollection(src: String, dst: String): Boolean = {
         db.cloneCollection(src, dst); true
       }
+      def addColumn(name: String, column: String, ddlType: String): Unit =
+        db.addColumn(name, column,
+          org.apache.spark.sql.types.DataType.fromDDL(ddlType))
     }
 
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY

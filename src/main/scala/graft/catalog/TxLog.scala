@@ -50,6 +50,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   PAT  table  r1,r2  a1,a2       relative exchange: current − removes + adds
   *   DEL  table                     drop the table
   *   REN  old    new                rename the table
+  *   SCH  table  b64(schema json)   set the table's authoritative schema
   *   TXN  appId  batchId            idempotence marker
   * }}}
   *
@@ -185,11 +186,18 @@ final class TxLog(spark: SparkSession, root: String,
         snap.copy(tables = snap.tables.updated(t, fs.filterNot(rmSet) ++ ad))
       case None => snap // table dropped by an interleaved commit: stays dropped
     }
-    case Del(t)      => snap.copy(tables = snap.tables - t)
+    case Del(t)      => snap.copy(tables = snap.tables - t,
+      schemas = snap.schemas - t)
     case Ren(o, n)   => snap.tables.get(o) match {
-      case Some(fs) => snap.copy(tables = snap.tables - o + (n -> fs))
+      case Some(fs) =>
+        val moved = snap.copy(tables = snap.tables - o + (n -> fs))
+        snap.schemas.get(o) match {
+          case Some(sc) => moved.copy(schemas = moved.schemas - o + (n -> sc))
+          case None     => moved
+        }
       case None     => snap
     }
+    case Sch(t, js)  => snap.copy(schemas = snap.schemas.updated(t, js))
     case Txn(a2, b)  => snap.copy(txns = snap.txns.updated(
       a2, math.max(b, snap.txns.getOrElse(a2, Long.MinValue))))
   }
@@ -198,14 +206,39 @@ final class TxLog(spark: SparkSession, root: String,
     * scan over immutable files — the plan stays valid across later
     * commits (snapshot isolation for readers).
     */
-  def read(table: String): Option[DataFrame] =
-    snapshot().tables.get(table).map(readFiles)
+  def read(table: String): Option[DataFrame] = {
+    val s = snapshot()
+    s.tables.get(table).map(readFiles(_, s.schemas.get(table)))
+  }
 
-  def readAt(v: Long, table: String): Option[DataFrame] =
-    snapshotAt(v).tables.get(table).map(readFiles)
+  def readAt(v: Long, table: String): Option[DataFrame] = {
+    val s = snapshotAt(v)
+    s.tables.get(table).map(readFiles(_, s.schemas.get(table)))
+  }
 
-  private def readFiles(rel: Seq[String]): DataFrame =
-    spark.read.options(ioOptions).parquet(rel.map(r => s"$root/$r"): _*)
+  /** The table's log-held authoritative schema, when one was committed
+    * (addColumn / a write that widened it). Tables without one read
+    * with parquet footer inference, as before.
+    */
+  def storedSchema(table: String): Option[
+      org.apache.spark.sql.types.StructType] =
+    snapshot().schemas.get(table).map(parseSchema)
+
+  private def parseSchema(json: String) =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Schema-pinned when the log holds one: files written BEFORE a
+    * column existed null-fill it (metadata-only ADD COLUMN), files
+    * carrying extra columns project them away — and no job spends
+    * footer reads inferring what the log already knows.
+    */
+  private def readFiles(rel: Seq[String],
+      schemaJson: Option[String] = None): DataFrame = {
+    val reader = spark.read.options(ioOptions)
+    schemaJson.map(j => reader.schema(parseSchema(j))).getOrElse(reader)
+      .parquet(rel.map(r => s"$root/$r"): _*)
+  }
 
   /** Absolute paths of a table's live data files (diagnostics/manifest). */
   def liveFiles(table: String): Seq[String] =
@@ -356,6 +389,8 @@ final class TxLog(spark: SparkSession, root: String,
       // (replay after truncation must still recognize applied batches)
       val lines = snap.tables.toSeq.sortBy(_._1)
         .map { case (t, fs) => render(Put(t, fs)) } ++
+        snap.schemas.toSeq.sortBy(_._1)
+          .map { case (t, js) => render(Sch(t, js)) } ++
         snap.txns.toSeq.sortBy(_._1)
           .map { case (a, b) => render(Txn(a, b)) }
       try primitive.putIfAbsent(ckptFile(v),
@@ -451,6 +486,7 @@ final class TxLog(spark: SparkSession, root: String,
         case Patch(t, rm, ad) => (v, "PATCH", s"$t(-${rm.size})", ad.size.toLong)
         case Del(t)     => (v, "DEL", t, 0L)
         case Ren(o, n)  => (v, "REN", s"$o->$n", 0L)
+        case Sch(t, _)  => (v, "SCH", t, 0L)
         case Txn(a, b)  => (v, "TXN", s"$a#$b", 0L)
       }
     }
@@ -473,6 +509,8 @@ final class TxLog(spark: SparkSession, root: String,
           ad.split(",").toSeq.filter(_.nonEmpty))
         case Array("DEL", t)     => Del(t)
         case Array("REN", o, n)  => Ren(o, n)
+        case Array("SCH", t, b64) => Sch(t, new String(
+          java.util.Base64.getDecoder.decode(b64), "UTF-8"))
         case Array("TXN", a, b)  => Txn(a, b.toLong)
         case _ => throw new IllegalStateException(s"bad txlog line: $line")
       }
@@ -484,6 +522,8 @@ final class TxLog(spark: SparkSession, root: String,
     case Patch(t, rm, ad) => s"PAT\t$t\t${rm.mkString(",")}\t${ad.mkString(",")}"
     case Del(t)     => s"DEL\t$t"
     case Ren(o, n)  => s"REN\t$o\t$n"
+    case Sch(t, js) => s"SCH\t$t\t${java.util.Base64.getEncoder
+      .encodeToString(js.getBytes("UTF-8"))}"
     case Txn(a, b)  => s"TXN\t$a\t$b"
   }
 }
@@ -505,7 +545,8 @@ object TxLog {
     * batchId — the Delta-style streaming txn marker).
     */
   final case class Snapshot(version: Long, tables: Map[String, Vector[String]],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      schemas: Map[String, String] = Map.empty)
 
   sealed trait Action { def touches: Seq[String] }
   final case class Put(table: String, files: Seq[String]) extends Action {
@@ -530,6 +571,15 @@ object TxLog {
   }
   final case class Ren(from: String, to: String) extends Action {
     def touches: Seq[String] = Seq(from, to)
+  }
+  /** Set the table's authoritative schema (StructType JSON). Reads pin
+    * to it: older files null-fill columns added after they were
+    * written — metadata-only ADD COLUMN — and schema inference stops
+    * costing footer reads. ABSOLUTE for conflicts (interleaving a
+    * schema change with any touch of the table is a real race).
+    */
+  final case class Sch(table: String, schemaJson: String) extends Action {
+    def touches: Seq[String] = Seq(table)
   }
   /** Idempotence marker: this commit applied writer `appId`'s `batchId`.
     * A later commit attempt carrying an already-applied (appId, batchId)

@@ -665,6 +665,46 @@ object DomainQueries {
         FROM customer WHERE c_custkey <= 1000 AND c_custkey % 5 <> 0"""),
       "zero-copy shallow clone: metadata-only commit shares immutable " +
         "files, copy-on-write divergence leaves the source untouched, " +
-        "vacuum retains any file either table still references")
+        "vacuum retains any file either table still references"),
+
+    // Schema evolution without rewrites: ALTER COLLECTION ADD COLUMN
+    // commits the widened schema to the log only (pinned in-query: one
+    // version bump, physical file list unchanged). Reads pin to the
+    // stored schema, so pre-evolution files null-fill the column, and a
+    // widening append keeps the stored schema in sync in its own
+    // commit. At 100 TB the alternative is rewriting the table.
+    Q("q145_schema_evolution",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q145").toString
+        val db = GraftDatabase(s, "q145", base)
+          .defineTable(TableDef("orders", "o_orderkey"))
+        val src = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        db.insert("orders", src.filter(col("o_orderkey") % 7 === 0))
+        val files0 = db.liveFiles("orders")
+        val v0 = db.logVersion
+        db.sql("ALTER COLLECTION orders ADD COLUMN o_tier BIGINT")
+        require(db.logVersion == v0 + 1 && db.liveFiles("orders") == files0,
+          "ADD COLUMN must be one metadata-only commit (no file touched)")
+        db.insert("orders", src.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_tier", (col("o_custkey") % 3).cast("long")))
+        db.table("orders")
+          .groupBy(col("o_tier"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_custkey").cast("decimal(18,0)"))
+              .cast("double").as("sum_cust"))
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS o_tier, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_custkey AS DECIMAL(18,0))) AS DOUBLE) AS sum_cust
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT CAST(o_custkey % 3 AS BIGINT), COUNT(*),
+          CAST(SUM(CAST(o_custkey AS DECIMAL(18,0))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 7 = 3 GROUP BY 1"""),
+      "metadata-only schema evolution: ADD COLUMN touches zero data " +
+        "files, pre-evolution rows null-fill on pinned reads, widening " +
+        "appends auto-extend the log-held schema")
   )
 }

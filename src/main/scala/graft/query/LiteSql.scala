@@ -355,6 +355,18 @@ final class LiteSql(
           "OPTIMIZE needs a database-backed engine (GraftDatabase.sql)"))
         val (b, after) = a.optimizeCollection(m.group(1).toLowerCase)
         Seq((b.toLong, after.toLong)).toDF("files_before", "files_after")
+      case "ALTER" =>
+        // ALTER COLLECTION {c} ADD COLUMN {name} {type} — metadata-only
+        // schema evolution (dialect extension): no data file is touched;
+        // older files null-fill the column on read
+        val m = ("(?i)^ALTER COLLECTION (\\w+) ADD COLUMN (\\w+) " +
+          "([\\w()<>, ]+?)\\s*;?$").r.findFirstMatchIn(sql).getOrElse(
+            throw new IllegalArgumentException(
+              s"bad ALTER (expected ALTER COLLECTION c ADD COLUMN name type): $sql"))
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          "ALTER needs a database-backed engine (GraftDatabase.sql)"))
+        a.addColumn(m.group(1).toLowerCase, m.group(2), m.group(3).trim)
+        Seq(true).toDF("result")
       case "CLONE" =>
         // CLONE COLLECTION {src} TO {dst} — zero-copy shallow clone
         // (dialect extension): one metadata-only commit, O(1) in data
@@ -752,6 +764,8 @@ object LiteSql {
     def optimizeCollection(name: String): (Int, Int)
     /** Zero-copy shallow clone src → dst (metadata-only commit). */
     def cloneCollection(src: String, dst: String): Boolean
+    /** Metadata-only ADD COLUMN; `ddlType` is a Spark DDL type name. */
+    def addColumn(name: String, column: String, ddlType: String): Unit
   }
 
   def apply(spark: SparkSession, sfDir: String): LiteSql =

@@ -197,6 +197,100 @@ class LakehouseOpsSpec extends AnyFunSuite {
       .as[Long].head() == (6 to 20).map(_ * 10L).sum)
   }
 
+  // ---- schema evolution ----------------------------------------------------
+
+  test("addColumn is metadata-only and older files null-fill the column") {
+    val db = freshDb()
+    db.insert("t", rows(10))
+    val files = db.liveFiles("t")
+    val v0 = db.logVersion
+    db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
+    assert(db.logVersion == v0 + 1, "ADD COLUMN must be one commit")
+    assert(db.liveFiles("t") == files, "ADD COLUMN must touch no data file")
+    assert(db.table("t").schema.fieldNames.toSeq ==
+      Seq("id", "v", "name", "score"))
+    assert(db.table("t").filter(col("score").isNull).count() == 10)
+    intercept[IllegalArgumentException] {
+      db.addColumn("t", "SCORE", org.apache.spark.sql.types.LongType)
+    }
+  }
+
+  test("a widening write extends the stored schema in the same commit") {
+    val db = freshDb()
+    db.insert("t", rows(5))
+    db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
+    // append rows that carry yet ANOTHER column: the commit must widen
+    // the stored schema, or the pinned read would hide it
+    db.insert("t", Seq((6, 60L, "r6", 0.5, "en"))
+      .toDF("id", "v", "name", "score", "lang"))
+    val t = db.table("t")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "name", "score", "lang"))
+    assert(t.filter(col("lang").isNull).count() == 5)
+    assert(t.filter(col("lang") === "en").count() == 1)
+    // updating an evolved table round-trips the widened schema
+    db.updateMany("t", col("id") === 2, Map("score" -> lit(9.5)))
+    assert(db.table("t").filter(col("score") === 9.5)
+      .select("id").as[Int].head() == 2)
+  }
+
+  test("the stored schema follows RENAME, dies with DROP, and survives " +
+      "checkpoint replay + vacuum") {
+    val db = freshDb()
+    db.insert("t", rows(3))
+    db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
+    db.renameCollection("t", "u")
+    assert(db.table("u").schema.fieldNames.contains("score"))
+    // push past a checkpoint boundary and truncate the log below it:
+    // the schema must replay from the checkpoint, not the lost commits
+    (1 to 12).foreach(i => db.updateMany("u", col("id") === 1,
+      Map("v" -> lit(i.toLong))))
+    db.vacuum(keepVersions = 1, minAgeMs = 0)
+    val db2 = GraftDatabase(spark,
+      "lakehouse", Paths.get(db.root).getParent.toString)
+    assert(db2.table("u").schema.fieldNames.contains("score"))
+    assert(db2.table("u").filter(col("score").isNull).count() == 3)
+    // DROP clears it: a recreated table starts schema-free
+    db.dropCollection("u")
+    db.insert("u", Seq((1, "fresh")).toDF("id", "w"))
+    assert(db.table("u").schema.fieldNames.toSeq == Seq("id", "w"))
+  }
+
+  test("SQL ALTER COLLECTION ADD COLUMN evolves through the dialect") {
+    val db = freshDb()
+    db.insert("t", rows(4))
+    assert(db.sql("ALTER COLLECTION t ADD COLUMN score DOUBLE")
+      .as[Boolean].head())
+    assert(db.sql("SELECT COUNT(*) AS n FROM t WHERE score IS NULL")
+      .as[Long].head() == 4)
+  }
+
+  test("optimize packs a backlog that straddles an ADD COLUMN without " +
+      "losing the new column") {
+    val db = freshDb()
+    db.insert("t", rows(2).repartition(1))
+    db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
+    db.insert("t", Seq((3, 30L, "r3", 1.5))
+      .toDF("id", "v", "name", "score").repartition(1))
+    val (fb, fa) = db.optimize("t")
+    assert(fb == 2 && fa == 1)
+    val t = db.table("t")
+    assert(t.count() == 3 && t.filter(col("score") === 1.5).count() == 1)
+  }
+
+  test("changes() stays union-compatible across an ADD COLUMN") {
+    val db = freshDb()
+    db.insert("t", rows(3))
+    val v0 = db.logVersion
+    db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
+    db.insert("t", Seq((4, 40L, "r4", 2.5)).toDF("id", "v", "name", "score"))
+    db.delete("t", col("id") === 1)
+    val feed = db.changes("t", v0, db.logVersion)
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").as[Int].collect().toSet == Set(4))
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Int].collect().toSet == Set(1))
+  }
+
   test("SQL CLONE COLLECTION clones and rejects an existing target") {
     val db = freshDb()
     db.insert("t", rows(4))
