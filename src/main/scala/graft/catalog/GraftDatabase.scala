@@ -210,6 +210,26 @@ final class GraftDatabase private (
     }
   }
 
+  /** Incremental change-feed cursor: everything that changed since
+    * `fromVersion`, plus the head version to persist as the next
+    * cursor. The polling consumption loop of a CDC pipeline:
+    * {{{
+    *   var cur = db.logVersion
+    *   while (running) {
+    *     val (feed, next) = db.changesSince("t", cur)
+    *     if (next > cur) { process(feed); cur = next }
+    *   }
+    * }}}
+    * Exactly-once downstream when the consumer persists `next`
+    * atomically with its output (the same contract as insertBatch's
+    * idempotence marker on the write side). Bounded by vacuum
+    * retention like any snapshot read.
+    */
+  def changesSince(name: String, fromVersion: Long): (DataFrame, Long) = {
+    val head = txlog.version
+    (changes(name, fromVersion, head), head)
+  }
+
   /** Bin-pack small files (the lakehouse OPTIMIZE): read ONLY the live
     * files under `smallThreshold` bytes, coalesce them into
     * ceil(bytes/targetBytes) right-sized files, and commit the exchange
@@ -342,7 +362,8 @@ final class GraftDatabase private (
     enforceLimitSize()
     txlog.commit(
       Seq(TxLog.Add(norm(name), txlog.stage(norm(name), rows)),
-        TxLog.Txn(appId, batchId)),
+        TxLog.Txn(appId, batchId)) ++
+        schemaSyncActions(norm(name), rows.schema),
       readVersion = base,
       readTables = tdef.fks.map(_.parentTable).toSet)
     invalidateSqlEngine()
@@ -1014,8 +1035,9 @@ final class GraftDatabase private (
       try {
         if (buf.nonEmpty) {
           enforceLimitSize()
-          val actions = buf.toSeq.map { case (n, df) =>
-            TxLog.Put(n, txlog.stage(n, df)): TxLog.Action
+          val actions = buf.toSeq.flatMap { case (n, df) =>
+            (TxLog.Put(n, txlog.stage(n, df)): TxLog.Action) +:
+              schemaSyncActions(n, df.schema)
           }
           // the transaction's statements read the engine's views (loaded
           // at the memoized base version) and validated against FK

@@ -111,6 +111,29 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(feed.filter(col("_change_type") === "delete").count() == 0)
   }
 
+  test("changesSince advances a CDC cursor across commit batches") {
+    val db = freshDb()
+    db.insert("t", rows(5))
+    var cursor = db.logVersion
+    val (empty, same) = db.changesSince("t", cursor)
+    assert(empty.count() == 0 && same == cursor)
+
+    db.insert("t", Seq((6, 60L, "r6")).toDF("id", "v", "name"))
+    db.delete("t", col("id") === 2)
+    val (feed1, v1) = db.changesSince("t", cursor)
+    assert(v1 > cursor)
+    assert(feed1.select("id", "_change_type").as[(Int, String)]
+      .collect().toSet == Set((6, "insert"), (2, "delete")))
+    cursor = v1
+
+    // the cursor fences consumed history: only NEW churn appears
+    db.updateMany("t", col("id") === 3, Map("v" -> lit(333L)))
+    val (feed2, v2) = db.changesSince("t", cursor)
+    assert(feed2.select("id", "v", "_change_type").as[(Int, Long, String)]
+      .collect().toSet == Set((3, 30L, "delete"), (3, 333L, "insert")))
+    assert(v2 == v1 + 1)
+  }
+
   // ---- optimize ------------------------------------------------------------
 
   test("optimize packs only small files, leaves right-sized ones, and " +
