@@ -102,21 +102,21 @@ final class BlockStore private[catalog] (spark: SparkSession, root: String,
     val seedSeq = frontier.map(_.getAs[Long]("seq")).getOrElse(0L)
     val firstSeq = seedSeq + 1
     val token = claim(firstSeq)
-    // batch-local ordering; a batch is bounded (the reference appends
-    // one block per call), so the single-partition window is fine
-    val ordered = rows.select(
-      lit(guid).as("point_guid"), col("ts_us").cast("long").as("ts_us"),
-      (row_number().over(Window.orderBy(col("ts_us"))).cast("long") +
-        lit(seedSeq)).as("seq"),
-      col("data").cast("string").as("data"))
-    val chained = HashChain.build(spark, ordered, "point_guid", "ts_us",
-      "seq", "data", seeds = Map(guid -> seedHash))
-    val n = chained.count()
     // stage OUTSIDE the fenced window (the write job can take
     // arbitrarily long); publishing is then a per-file move
     val staging = Paths.get(
       s"$root/_staging/$guid/${java.util.UUID.randomUUID().toString.take(12)}")
     try {
+      // batch-local ordering; a batch is bounded (the reference appends
+      // one block per call), so the single-partition window is fine
+      val ordered = rows.select(
+        lit(guid).as("point_guid"), col("ts_us").cast("long").as("ts_us"),
+        (row_number().over(Window.orderBy(col("ts_us"))).cast("long") +
+          lit(seedSeq)).as("seq"),
+        col("data").cast("string").as("data"))
+      val chained = HashChain.build(spark, ordered, "point_guid", "ts_us",
+        "seq", "data", seeds = Map(guid -> seedHash))
+      val n = chained.count()
       chained.write.options(ioOptions).partitionBy("point_guid")
         .parquet(staging.toString)
       validateClaim(firstSeq, token)
@@ -130,7 +130,27 @@ final class BlockStore private[catalog] (spark: SparkSession, root: String,
             "append; this batch was rolled back — re-read and retry")
       }
       n
-    } finally graft.core.FsUtils.deleteRecursively(staging)
+    } finally {
+      graft.core.FsUtils.deleteRecursively(staging)
+      // release the claim while the token is still ours — on SUCCESS
+      // (the landed seq now arbitrates duplicates, and claims must not
+      // accumulate forever) and on FAILURE (a wedged claim would make
+      // every retry at this seq fail 'advanced concurrently' for the
+      // whole staleness window after one transient batch error). A
+      // taken-over claim carries another owner's token and is left
+      // alone. No takeover can interleave with this read→delete: ours
+      // is fresh on the failure path and the seq has landed on the
+      // success path, and either condition disables the takeover branch.
+      releaseClaim(firstSeq, token)
+    }
+  }
+
+  private def releaseClaim(firstSeq: Long, token: String): Unit = {
+    val f = claimsDir.resolve(s"$firstSeq.claim")
+    try {
+      if (new String(Files.readAllBytes(f), "UTF-8") == token)
+        Files.deleteIfExists(f)
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Move every staged part file into the live store (same relative

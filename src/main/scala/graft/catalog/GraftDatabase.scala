@@ -160,6 +160,16 @@ final class GraftDatabase private (
   def changes(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    // a cursor below the vacuum retention floor must FAIL, not feed:
+    // snapshotAt of a truncated version reconstructs an EMPTY state, so
+    // the diff would silently re-emit the whole table as inserts.
+    // fromVersion = 0 stays the explicit bootstrap ("initial snapshot
+    // load"); anything else unresolvable needs a re-bootstrap upstream.
+    if (fromVersion > 0 && !txlog.resolvableAt(fromVersion))
+      throw new IllegalStateException(
+        s"changes($name, $fromVersion, ...): version $fromVersion was " +
+          "truncated by vacuum — re-bootstrap the consumer from a full " +
+          "snapshot (changes from version 0)")
     val n = norm(name)
     val snapTo = txlog.snapshotAt(toVersion)
     val before = txlog.snapshotAt(fromVersion).tables.getOrElse(n, Vector.empty)
@@ -169,14 +179,8 @@ final class GraftDatabase private (
     // pin both sides to the TO version's stored schema when one exists:
     // across a metadata-only ADD COLUMN the removed files null-fill the
     // new column, keeping the two sides union-compatible
-    val pinned = snapTo.schemas.get(n)
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    def readRel(rel: Seq[String]): DataFrame = {
-      val reader = spark.read.options(ioOptions)
-      pinned.map(reader.schema).getOrElse(reader)
-        .parquet(rel.map(r => s"$root/$r"): _*)
-    }
+    def readRel(rel: Seq[String]): DataFrame =
+      txlog.readFiles(rel, snapTo.schemas.get(n))
     (removed.nonEmpty, added.nonEmpty) match {
       case (false, false) =>
         // no churn: an empty feed in the table's current (or last-known)
@@ -226,7 +230,7 @@ final class GraftDatabase private (
     * retention like any snapshot read.
     */
   def changesSince(name: String, fromVersion: Long): (DataFrame, Long) = {
-    val head = txlog.version
+    val head = txlog.settledVersion
     (changes(name, fromVersion, head), head)
   }
 
@@ -256,13 +260,15 @@ final class GraftDatabase private (
     // pin to the stored schema when one exists: the backlog may mix
     // files written before and after an ADD COLUMN, and an unpinned
     // read would silently drop the newer files' columns from the pack
-    val reader = spark.read.options(ioOptions)
-    val packed = txlog.storedSchema(n).map(reader.schema).getOrElse(reader)
-      .parquet(smallRel.map(r => s"$root/$r"): _*).coalesce(parts)
-    txlog.commit(Seq(TxLog.Patch(n, smallRel, txlog.stage(n, packed))),
+    val packed = txlog.readFiles(smallRel, snap.schemas.get(n)).coalesce(parts)
+    // report what actually STAGED, not the planned partition count —
+    // the scan may pack small inputs into fewer partitions than
+    // ceil(bytes/target), and coalesce cannot split them back up
+    val staged = txlog.stage(n, packed)
+    txlog.commit(Seq(TxLog.Patch(n, smallRel, staged)),
       readVersion = snap.version)
     invalidateSqlEngine()
-    (files.size, files.size - small.size + parts)
+    (files.size, files.size - small.size + staged.size)
   }
 
   /** Metadata-only ADD COLUMN (schema evolution): commit the table's
@@ -290,18 +296,42 @@ final class GraftDatabase private (
     invalidateSqlEngine()
   }
 
-  /** Keep a log-held schema in sync with a widening write: when the
-    * table HAS a stored schema and the staged rows carry columns it
-    * lacks, the same commit extends it (otherwise the pinned read would
-    * hide the new columns). Tables without a stored schema keep
-    * footer-inferred reads — addColumn opts a table in.
+  /** Keep a log-held schema in sync with a write: when the table HAS a
+    * stored schema and the staged rows carry columns it lacks, the same
+    * commit extends it (otherwise the pinned read would hide the new
+    * columns). A PARTIAL write (append / granular patch — old files
+    * stay live) staging a KNOWN column at a DIFFERENT type is rejected
+    * at write time: committing it would leave files of two physical
+    * types behind one pinned schema, and every later read of the table
+    * would throw inside the parquet reader — an unreadable committed
+    * table with no error at the write that caused it. A FULL replace
+    * (Put of the whole binding: every live file rewrites) instead
+    * re-syncs the stored schema to the staged one, which is how a
+    * type-changing transform update lands consistently. Tables without
+    * a stored schema keep footer-inferred reads — addColumn opts in.
     */
   private def schemaSyncActions(n: String,
-      staged: org.apache.spark.sql.types.StructType): Seq[TxLog.Action] =
+      staged: org.apache.spark.sql.types.StructType,
+      fullReplace: Boolean = false): Seq[TxLog.Action] =
     txlog.storedSchema(n) match {
+      case Some(cur) if fullReplace =>
+        val same = cur.fields.map(f => (f.name.toLowerCase, f.dataType))
+          .sortBy(_._1).toSeq ==
+          staged.fields.map(f => (f.name.toLowerCase, f.dataType))
+            .sortBy(_._1).toSeq
+        if (same) Nil
+        else Seq(TxLog.Sch(n, org.apache.spark.sql.types.StructType(
+          staged.fields.map(_.copy(nullable = true))).json))
       case Some(cur) =>
-        val known = cur.fieldNames.map(_.toLowerCase).toSet
-        val extra = staged.fields.filterNot(f => known(f.name.toLowerCase))
+        val knownType = cur.fields
+          .map(f => f.name.toLowerCase -> f.dataType).toMap
+        staged.fields.foreach(f => knownType.get(f.name.toLowerCase)
+          .foreach(t => if (t != f.dataType) throw new IllegalStateException(
+            s"append stages column '${f.name}' as ${f.dataType.simpleString} " +
+              s"but table '$n' stores it as ${t.simpleString}; cast the " +
+              "incoming column (a partial write cannot change a type)")))
+        val extra = staged.fields
+          .filterNot(f => knownType.contains(f.name.toLowerCase))
         if (extra.isEmpty) Nil
         else Seq(TxLog.Sch(n, org.apache.spark.sql.types.StructType(
           cur.fields ++ extra.map(_.copy(nullable = true))).json))
@@ -354,7 +384,7 @@ final class GraftDatabase private (
     requireNoOpenTx()
     if (txlog.snapshot().txns.get(appId).exists(_ >= batchId)) return false
     val tdef = tableDef(name)
-    val base = txlog.version
+    val base = txlog.settledVersion
     val existing = if (tableExists(name)) Some(table(name)) else None
     val parents = tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
     requireClean(ConstrainedDml.validateInsert(
@@ -391,7 +421,7 @@ final class GraftDatabase private (
   def insert(name: String, rows: DataFrame): Unit = {
     requireNoOpenTx()
     val tdef = tableDef(name)
-    val base = txlog.version
+    val base = txlog.settledVersion
     val existing = if (tableExists(name)) Some(table(name)) else None
     val parents = tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
     val violations =
@@ -418,7 +448,7 @@ final class GraftDatabase private (
   def upsert(name: String, rows: DataFrame): Unit = {
     requireNoOpenTx()
     val tdef = tableDef(name)
-    val base = txlog.version
+    val base = txlog.settledVersion
     if (!tableExists(name)) {
       requireClean(ConstrainedDml.validateUpdate(
         spark, tdef, rows, rows, parentsOf(tdef)))
@@ -458,7 +488,7 @@ final class GraftDatabase private (
   def update(name: String, rows: DataFrame): Long = {
     requireNoOpenTx()
     val tdef = tableDef(name)
-    val base = txlog.version
+    val base = txlog.settledVersion
     if (!tableExists(name)) return 0L
     val existing = table(name)
     // cache: the frame is evaluated twice (count + the persisted merge) —
@@ -504,7 +534,7 @@ final class GraftDatabase private (
     require(!set.contains(tdef.pk),
       s"cannot modify the PK '${tdef.pk}' via updateMany (reference: " +
         "LiteDB forbids _id transforms)")
-    val base = txlog.version
+    val base = txlog.settledVersion
     if (!tableExists(name)) return 0L
     // mark matches BEFORE transforming: a predicate over a SET target
     // must select by the original values (filtering the transformed frame
@@ -599,7 +629,7 @@ final class GraftDatabase private (
   def ensureIndex(name: String, indexName: String, column: String,
       unique: Boolean): Boolean = {
     requireNoOpenTx()
-    val base = txlog.version // the rebuild reads this snapshot's rows
+    val base = txlog.settledVersion // the rebuild reads this snapshot's rows
     val cur = indexDefs(name)
     if (cur.contains((indexName, column, unique))) return false
     cur.find(_._1 == indexName).foreach { case (_, c, _) =>
@@ -765,7 +795,7 @@ final class GraftDatabase private (
     // deleting from an unmaterialized table is a no-op (update() parity),
     // and a dynamic insertDocuments-created table has no entry in `defs` —
     // both previously crashed deleteCascade's states(table) lookup
-    val base = txlog.version
+    val base = txlog.settledVersion
     if (!tableExists(name)) return
     // defined-but-never-written tables have no rows, so they can neither
     // restrict nor cascade — and reading their absent files would throw.
@@ -887,7 +917,8 @@ final class GraftDatabase private (
     // distributed, never a self-overwrite, atomic at the log publish
     val n = norm(name)
     txlog.commit(
-      TxLog.Put(n, txlog.stage(n, df)) +: schemaSyncActions(n, df.schema),
+      TxLog.Put(n, txlog.stage(n, df)) +:
+        schemaSyncActions(n, df.schema, fullReplace = true),
       readVersion = base, readTables = readTables)
     invalidateSqlEngine()
   }
@@ -1037,7 +1068,7 @@ final class GraftDatabase private (
           enforceLimitSize()
           val actions = buf.toSeq.flatMap { case (n, df) =>
             (TxLog.Put(n, txlog.stage(n, df)): TxLog.Action) +:
-              schemaSyncActions(n, df.schema)
+              schemaSyncActions(n, df.schema, fullReplace = true)
           }
           // the transaction's statements read the engine's views (loaded
           // at the memoized base version) and validated against FK
@@ -1190,7 +1221,7 @@ final class GraftDatabase private (
   def insertDocuments(name: String, docs: Seq[String],
       pinned: org.apache.spark.sql.types.StructType): Unit = {
     requireNoOpenTx()
-    val base = txlog.version
+    val base = txlog.settledVersion
     val incoming = DynamicDocs.fromJson(spark, docs, pinned)
     val merged = if (tableExists(name))
       table(name).unionByName(incoming, allowMissingColumns = true)
@@ -1305,7 +1336,7 @@ final class GraftDatabase private (
     */
   def sql(liteSql: String): DataFrame = {
     val (engine, engineBase) = sqlEngine.getOrElse {
-      val base = txlog.version
+      val base = txlog.settledVersion
       val loaded = tables.filter(tableExists).map(n => n -> table(n)).toMap
       val e = new graft.query.LiteSql(spark, loaded, fkRegistry, collation,
         admin = Some(facadeAdmin))

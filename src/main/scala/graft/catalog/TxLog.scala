@@ -75,8 +75,22 @@ final class TxLog(spark: SparkSession, root: String,
 
   // ---- version discovery ---------------------------------------------------
 
-  /** Latest committed version (0 = empty log). */
+  /** Latest committed version (0 = empty log). Counts a zero-byte
+    * IN-FLIGHT head too — the raw slot counter the publish CAS needs.
+    * Readers and DML validation bases want [[settledVersion]] instead.
+    */
   def version: Long = listVersions().lastOption.getOrElse(0L)
+
+  /** The newest SETTLED version — the head snapshot's version, which
+    * resolves BELOW a zero-byte in-flight publish. DML validation
+    * bases and change-feed cursors MUST use this, not raw [[version]]:
+    * a base taken at an unsettled head v sits at-or-above the
+    * in-flight slot, so commit()'s conflict check (readVersion+1 ..)
+    * would never inspect v — its actions, landing later, would be
+    * silently skipped by validation (lost conflict) and by any feed
+    * whose cursor already moved past v.
+    */
+  def settledVersion: Long = snapshot().version
 
   private def listVersions(): Seq[Long] = {
     val s = Files.list(logDir)
@@ -216,6 +230,19 @@ final class TxLog(spark: SparkSession, root: String,
     s.tables.get(table).map(readFiles(_, s.schemas.get(table)))
   }
 
+  /** True when `snapshotAt(v)` can faithfully reconstruct version v:
+    * either a checkpoint at or below v survives, or the log was never
+    * truncated (version 1 still listed). After vacuum retires history,
+    * snapshotAt of a version below the surviving checkpoint would
+    * silently return an EMPTY state — readers that must not mistake
+    * truncation for emptiness (the change feed's cursor) check this
+    * first, the read-side twin of commit()'s fail-safe on truncated
+    * conflict ranges.
+    */
+  def resolvableAt(v: Long): Boolean =
+    v == 0L || listCheckpoints().exists(_ <= v) ||
+      listVersions().headOption.contains(1L)
+
   /** The table's log-held authoritative schema, when one was committed
     * (addColumn / a write that widened it). Tables without one read
     * with parquet footer inference, as before.
@@ -231,9 +258,11 @@ final class TxLog(spark: SparkSession, root: String,
   /** Schema-pinned when the log holds one: files written BEFORE a
     * column existed null-fill it (metadata-only ADD COLUMN), files
     * carrying extra columns project them away — and no job spends
-    * footer reads inferring what the log already knows.
+    * footer reads inferring what the log already knows. Public as THE
+    * one read implementation for explicit file lists (the change feed
+    * and OPTIMIZE read exchanged/backlog subsets through it).
     */
-  private def readFiles(rel: Seq[String],
+  def readFiles(rel: Seq[String],
       schemaJson: Option[String] = None): DataFrame = {
     val reader = spark.read.options(ioOptions)
     schemaJson.map(j => reader.schema(parseSchema(j))).getOrElse(reader)

@@ -51,14 +51,18 @@ final class RtspSocketClient(host: String, port: Int, url: String,
     var attempt = 0
     var last: Exception = null
     while (socket == null && attempt <= maxRetries) {
+      val s = new Socket()
       try {
-        val s = new Socket()
         s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
         socket = s
         in = new DataInputStream(s.getInputStream)
         out = s.getOutputStream
       } catch {
         case e: java.io.IOException =>
+          // close the failed attempt's socket: a long-lived ingest
+          // process retrying many dead cameras must not leak one file
+          // descriptor per attempt until GC
+          try s.close() catch { case _: java.io.IOException => () }
           last = e
           attempt += 1
           onRetrying(s"Connection failed. Retrying in ${retryDelayMs}ms...")
@@ -68,11 +72,19 @@ final class RtspSocketClient(host: String, port: Int, url: String,
     if (socket == null)
       throw new java.io.IOException(s"RTSP connect failed after " +
         s"$maxRetries retries: $last")
-    setup()
-    play()
+    try {
+      setup()
+      play()
+    } catch {
+      // a failed handshake must not strand the established TCP
+      // connection: callers retry with a fresh client
+      case e: Throwable => disconnect(); throw e
+    }
     onConnected("Connected to RTSP server.")
-    sessionId.getOrElse(
-      throw new java.io.IOException("SETUP response carried no session id"))
+    sessionId.getOrElse {
+      disconnect()
+      throw new java.io.IOException("SETUP response carried no session id")
+    }
   }
 
   /** SETUP → parse session (`RtspClient.cs:78-92`; the tolerant

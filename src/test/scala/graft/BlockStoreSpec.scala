@@ -163,6 +163,36 @@ class BlockStoreSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("claims are released on success and on a failed batch, so a retry " +
+      "never waits out the staleness window") {
+    val db = freshDb()
+    val bs = db.blocks("g-claims")
+    bs.append(Seq((1000L, "a")).toDF("ts_us", "data"))
+    val claims = java.nio.file.Paths.get(
+      s"${db.root}/Blockchain/_claims/g-claims")
+    def liveClaims() =
+      Option(claims.toFile.list()).map(_.length).getOrElse(0)
+    assert(liveClaims() == 0,
+      "a successful append must release its claim (no accumulation)")
+    // a batch that fails AFTER claiming (missing the data column) must
+    // release too — otherwise every retry at this seq would fail
+    // 'advanced concurrently' for the whole staleness window
+    intercept[Exception] {
+      bs.append(Seq((2000L, "b")).toDF("ts_us", "wrong_col"))
+    }
+    assert(liveClaims() == 0, "a failed append must release its claim")
+    bs.append(Seq((2000L, "b")).toDF("ts_us", "data")) // immediate retry
+    assert(bs.count() == 2L)
+    // a claim OWNED BY ANOTHER writer is never released by our failure
+    val foreign = claims.resolve("3.claim")
+    java.nio.file.Files.write(foreign, "other-token".getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      bs.append(Seq((3000L, "c")).toDF("ts_us", "data"))
+    }
+    assert(java.nio.file.Files.exists(foreign),
+      "another writer's claim must survive our conflict")
+  }
+
   test("hashUniqueIdentifiers matches the driver-side twin and the " +
       "reference's name=value; concatenation (BaseDatabase.cs:115-145)") {
     val df = Seq((7L, "ann")).toDF("id", "name")

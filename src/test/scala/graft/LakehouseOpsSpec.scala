@@ -168,6 +168,47 @@ class LakehouseOpsSpec extends AnyFunSuite {
       .as[Long].head() == (1 to 1004).map(_ * 10L).sum)
   }
 
+  test("optimize commutes with concurrent DML on disjoint files: both " +
+      "commit, neither retries from scratch") {
+    val db = freshDb()
+    // big file holding ids 1..1000 + four single-row small appends
+    db.insert("t", (1 to 1000).map(i => (i, i * 10L, s"r$i"))
+      .toDF("id", "v", "name").repartition(1))
+    (1001 to 1004).foreach(i => db.insert("t",
+      Seq((i, i * 10L, s"r$i")).toDF("id", "v", "name")))
+    val bigFile = db.liveFiles("t").head
+    val smallMax = db.liveFiles("t").drop(1)
+      .map(f => Files.size(Paths.get(f))).max
+    val threshold = (smallMax + Files.size(Paths.get(bigFile))) / 2
+
+    // race: OPTIMIZE packs the small backlog while updateMany patches a
+    // row INSIDE the big file — the two relative patches exchange
+    // disjoint files, so both must land whatever the interleaving
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var optResult: (Int, Int) = null
+    @volatile var dmlRows = -1L
+    @volatile var failure: Throwable = null
+    val tOpt = new Thread(() => {
+      barrier.await()
+      try optResult = db.optimize("t", smallThreshold = threshold)
+      catch { case e: Throwable => failure = e }
+    })
+    val tDml = new Thread(() => {
+      barrier.await()
+      try dmlRows = db.updateMany("t", col("id") === 500,
+        Map("v" -> lit(5555L)))
+      catch { case e: Throwable => failure = e }
+    })
+    tOpt.start(); tDml.start(); tOpt.join(); tDml.join()
+    if (failure != null) throw failure
+    assert(optResult._1 == 5 && optResult._2 == 2,
+      s"optimize must pack 5 -> 2 files, got $optResult")
+    assert(dmlRows == 1L)
+    assert(db.table("t").count() == 1004)
+    assert(db.table("t").filter(col("v") === 5555L)
+      .select("id").as[Int].head() == 500)
+  }
+
   test("optimize with nothing to pack is a no-op (no version bump)") {
     val db = freshDb()
     db.insert("t", rows(10).repartition(1))
@@ -312,6 +353,77 @@ class LakehouseOpsSpec extends AnyFunSuite {
       .select("id").as[Int].collect().toSet == Set(4))
     assert(feed.filter(col("_change_type") === "delete")
       .select("id").as[Int].collect().toSet == Set(1))
+  }
+
+  test("a partial write staging a known column at a different type is " +
+      "rejected; a full rewrite re-syncs the stored type") {
+    val db = freshDb()
+    db.insert("t", rows(4))
+    db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
+    // append with score as INT: committing it would leave two physical
+    // types behind one pinned schema — every later read would throw
+    // inside the parquet reader. Must fail AT THE WRITE.
+    val ex = intercept[IllegalStateException] {
+      db.insert("t", Seq((5, 50L, "r5", 7))
+        .toDF("id", "v", "name", "score"))
+    }
+    assert(ex.getMessage.contains("cast the incoming column"))
+    assert(db.table("t").count() == 4, "rejected append must not commit")
+    // transform updates COERCE the SET value to the column's stored
+    // type (when/otherwise), so granular DML cannot drift a type either
+    db.updateMany("t", col("id") === 1, Map("score" -> lit(1)))
+    assert(db.table("t").schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(db.table("t").filter(col("score") === 1.0d).count() == 1)
+    // the FULL-replace path (a transaction's Put rewrites every live
+    // file) re-syncs the stored schema when the committed state widens
+    db.sql("BEGIN")
+    db.sql("""INSERT INTO t VALUES {"id": 9, "v": 90, "name": "r9",
+      "score": 2.5, "lang": "en"}""")
+    db.sql("COMMIT")
+    assert(db.table("t").schema.fieldNames.contains("lang"),
+      "a widening transactional rewrite must extend the stored schema")
+    assert(db.table("t").filter(col("lang").isNull).count() == 4)
+  }
+
+  test("changes() fails loudly on a cursor vacuumed below the retention " +
+      "floor instead of re-emitting the table as inserts") {
+    val db = freshDb()
+    db.insert("t", rows(5))
+    val stale = db.logVersion
+    // push past a checkpoint boundary, then truncate the log below it
+    (1 to 12).foreach(i => db.updateMany("t", col("id") === 1,
+      Map("v" -> lit(i.toLong))))
+    db.vacuum(keepVersions = 1, minAgeMs = 0)
+    val ex = intercept[IllegalStateException] {
+      db.changes("t", stale, db.logVersion)
+    }
+    assert(ex.getMessage.contains("truncated by vacuum"))
+    // version 0 stays the explicit bootstrap: full current state as inserts
+    val boot = db.changes("t", 0L, db.logVersion)
+    assert(boot.filter(col("_change_type") === "insert").count() == 5)
+  }
+
+  test("DML bases on the SETTLED head: an in-flight empty commit is a " +
+      "conflict, not a silently skipped one") {
+    val db = freshDb()
+    db.insert("t", rows(3))
+    // simulate a non-conforming publisher's claim→write window: a
+    // zero-byte version file at the head slot
+    val logDir = Paths.get(db.root, "_txlog")
+    val v = db.logVersion
+    val inflight = logDir.resolve(f"v${v + 1}%08d.txt")
+    Files.createFile(inflight)
+    // the insert validates at the settled base (v), so the conflict
+    // check MUST inspect v+1 — unreadable ⇒ fail safe, never skip
+    intercept[java.util.ConcurrentModificationException] {
+      db.insert("t", Seq((4, 40L, "r4")).toDF("id", "v", "name"))
+    }
+    // once the in-flight commit lands, the same insert validates
+    // against it and goes through
+    Files.write(inflight, "ADD\tother\t".getBytes("UTF-8"))
+    db.insert("t", Seq((4, 40L, "r4")).toDF("id", "v", "name"))
+    assert(db.table("t").count() == 4)
   }
 
   test("SQL CLONE COLLECTION clones and rejects an existing target") {
