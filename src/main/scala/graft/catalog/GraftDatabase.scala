@@ -234,6 +234,64 @@ final class GraftDatabase private (
     (changes(name, fromVersion, head), head)
   }
 
+  /** Apply a change feed (the output of [[changes]]/[[changesSince]] on
+    * a same-shape source table) to THIS table — the replication
+    * consumer. ONE atomic commit: deletes drop by PK, inserts replace-
+    * or-append by PK (an update's delete+insert pair nets to a
+    * replace), and the (appId, batchId) idempotence marker rides the
+    * commit so a REPLAYED batch (consumer restart after persisting its
+    * cursor late) is a no-op — exactly-once replica state from
+    * at-least-once delivery. File-granular like the native DML: only
+    * replica files holding a touched PK rewrite, so apply cost tracks
+    * the batch's churn. Returns false when the batch was already
+    * applied. Feeds must be applied in cursor order per table.
+    */
+  def applyChanges(name: String, feed: DataFrame, appId: String,
+      batchId: Long): Boolean = {
+    requireNoOpenTx()
+    if (txlog.snapshot().txns.get(appId).exists(_ >= batchId)) return false
+    val tdef = tableDef(name)
+    val base = txlog.settledVersion
+    val n = norm(name)
+    val f = feed.cache()
+    try {
+      val ins = f.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val touchedKeys = f.select(col(tdef.pk)).distinct()
+      if (!tableExists(name)) {
+        // bootstrap: the first batch materializes the replica
+        requireClean(ConstrainedDml.validateUpdate(
+          spark, tdef, ins, ins, parentsOf(tdef)))
+        enforceLimitSize()
+        txlog.commit(
+          Seq(TxLog.Put(n, txlog.stage(n, ins)), TxLog.Txn(appId, batchId)),
+          readVersion = base,
+          readTables = tdef.fks.map(_.parentTable).toSet)
+        invalidateSqlEngine()
+        return true
+      }
+      val marked = table(name).withColumn("_graft_file", input_file_name())
+      val hitRaw = marked.join(touchedKeys, Seq(tdef.pk), "left_semi")
+        .select("_graft_file").distinct()
+        .collect().map(_.getString(0)).filter(_.nonEmpty)
+      // survivors of the hit files = rows whose PK the batch never
+      // touched; the batch's inserts land beside them
+      val touched = marked.filter(col("_graft_file").isin(hitRaw: _*))
+        .drop("_graft_file")
+        .join(touchedKeys, Seq(tdef.pk), "left_anti")
+        .unionByName(ins, allowMissingColumns = true)
+      def result = table(name).join(touchedKeys, Seq(tdef.pk), "left_anti")
+        .unionByName(ins, allowMissingColumns = true)
+      requireClean(ConstrainedDml.validateUpdate(
+        spark, tdef, ins, result, parentsOf(tdef)))
+      commitGranularOrFull(name, tdef, base, hitRaw, touched,
+        table(name).schema, emptyHitsAppend = true,
+        patchSafe = tdef.uniqueCols.isEmpty,
+        extra = Seq(TxLog.Txn(appId, batchId)))(result)
+      true
+    } finally f.unpersist()
+  }
+
   /** Bin-pack small files (the lakehouse OPTIMIZE): read ONLY the live
     * files under `smallThreshold` bytes, coalesce them into
     * ceil(bytes/targetBytes) right-sized files, and commit the exchange
@@ -891,7 +949,8 @@ final class GraftDatabase private (
   private def commitGranularOrFull(name: String, tdef: TableDef, base: Long,
       hitRaw: Array[String], touched: DataFrame,
       expectedSchema: org.apache.spark.sql.types.StructType,
-      emptyHitsAppend: Boolean, patchSafe: Boolean = false)(
+      emptyHitsAppend: Boolean, patchSafe: Boolean = false,
+      extra: Seq[TxLog.Action] = Nil)(
       fallback: => DataFrame): Unit = {
     enforceLimitSize()
     val granular =
@@ -900,25 +959,28 @@ final class GraftDatabase private (
       else None
     granular match {
       case Some(action) =>
-        txlog.commit(action +: schemaSyncActions(norm(name), touched.schema),
+        txlog.commit(
+          (action +: schemaSyncActions(norm(name), touched.schema)) ++ extra,
           readVersion = base,
           readTables = tdef.fks.map(_.parentTable).toSet)
         invalidateSqlEngine()
       case None =>
-        writeReplace(name, fallback, base, tdef.fks.map(_.parentTable).toSet)
+        writeReplace(name, fallback, base,
+          tdef.fks.map(_.parentTable).toSet, extra)
     }
   }
 
   private def writeReplace(name: String, df: DataFrame,
-      base: Long = -1L, readTables: Set[String] = Set.empty): Unit = {
+      base: Long = -1L, readTables: Set[String] = Set.empty,
+      extra: Seq[TxLog.Action] = Nil): Unit = {
     enforceLimitSize()
     // stage-then-commit: the plan reads the table's CURRENT immutable
     // files while the staged write lands in a fresh directory — fully
     // distributed, never a self-overwrite, atomic at the log publish
     val n = norm(name)
     txlog.commit(
-      TxLog.Put(n, txlog.stage(n, df)) +:
-        schemaSyncActions(n, df.schema, fullReplace = true),
+      (TxLog.Put(n, txlog.stage(n, df)) +:
+        schemaSyncActions(n, df.schema, fullReplace = true)) ++ extra,
       readVersion = base, readTables = readTables)
     invalidateSqlEngine()
   }

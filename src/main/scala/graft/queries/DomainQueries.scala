@@ -705,6 +705,71 @@ object DomainQueries {
         FROM orders WHERE o_orderkey % 7 = 3 GROUP BY 1"""),
       "metadata-only schema evolution: ADD COLUMN touches zero data " +
         "files, pre-evolution rows null-fill on pinned reads, widening " +
-        "appends auto-extend the log-held schema")
+        "appends auto-extend the log-held schema"),
+
+    // CDC replication over the change feed: a primary's DML replays
+    // onto an independent replica database through changesSince +
+    // applyChanges — each batch ONE atomic file-granular commit with an
+    // idempotence marker (a replayed batch is a no-op, pinned
+    // in-query), and the replica must converge EXACTLY (multiset diff
+    // = 0, also pinned). The oracle replays the same chain
+    // relationally.
+    Q("q146_cdc_replication",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val basePrimary =
+          java.nio.file.Files.createTempDirectory("graft-q146p").toString
+        val baseReplica =
+          java.nio.file.Files.createTempDirectory("graft-q146r").toString
+        val primary = GraftDatabase(s, "q146p", basePrimary)
+          .defineTable(TableDef("orders", "o_orderkey"))
+        val replica = GraftDatabase(s, "q146r", baseReplica)
+          .defineTable(TableDef("orders", "o_orderkey"))
+        val src = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        primary.insert("orders", src.filter(col("o_orderkey") % 6 === 0))
+        val (boot, c1) = primary.changesSince("orders", 0L)
+        replica.applyChanges("orders", boot, "q146", 1L)
+        primary.updateMany("orders", col("o_custkey") % 5 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + 50)))
+        primary.delete("orders", col("o_custkey") % 9 === 0)
+        primary.insert("orders", src.filter(col("o_orderkey") % 6 === 3))
+        val (feed, _) = primary.changesSince("orders", c1)
+        replica.applyChanges("orders", feed, "q146", 2L)
+        val v = replica.logVersion
+        require(!replica.applyChanges("orders", feed, "q146", 2L) &&
+          replica.logVersion == v,
+          "a replayed batch must be an idempotent no-op")
+        require(replica.table("orders").exceptAll(primary.table("orders"))
+          .unionAll(primary.table("orders").exceptAll(replica.table("orders")))
+          .isEmpty, "replica must converge to the primary exactly")
+        replica.table("orders")
+          .groupBy((col("o_custkey") % 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice AS p
+          FROM orders WHERE o_orderkey % 6 = 0),
+        upd AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_custkey % 5 = 0 THEN p + 50 ELSE p END AS p
+          FROM base),
+        del AS (SELECT * FROM upd WHERE o_custkey % 9 <> 0),
+        fin AS (
+          SELECT * FROM del
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_totalprice AS p
+          FROM orders WHERE o_orderkey % 6 = 3)
+        SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM fin GROUP BY 1"""),
+      "CDC replication: change-feed batches apply to an independent " +
+        "replica as atomic file-granular idempotent commits — replays " +
+        "are no-ops, the replica converges exactly (both pinned " +
+        "in-query), apply cost tracks batch churn")
   )
 }

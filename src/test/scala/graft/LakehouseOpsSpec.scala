@@ -134,6 +134,50 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(v2 == v1 + 1)
   }
 
+  test("applyChanges replicates a table through the change feed: " +
+      "converges, is file-granular, and replays are no-ops") {
+    val basePrimary = Files.createTempDirectory("graft-primary").toString
+    val baseReplica = Files.createTempDirectory("graft-replica").toString
+    val primary = GraftDatabase(spark, "p", basePrimary)
+      .defineTable(TableDef("t", "id"))
+    val replica = GraftDatabase(spark, "r", baseReplica)
+      .defineTable(TableDef("t", "id"))
+
+    // bootstrap batch
+    primary.insert("t", rows(30).repartition(3))
+    var cursor = 0L
+    val (boot, c1) = primary.changesSince("t", cursor)
+    assert(replica.applyChanges("t", boot, "repl", 1L))
+    cursor = c1
+    assert(replica.table("t").count() == 30)
+
+    // a mixed round: update + delete + insert on the primary
+    primary.updateMany("t", col("id") === 7, Map("v" -> lit(777L)))
+    primary.delete("t", col("id") === 20)
+    primary.insert("t", Seq((31, 310L, "r31")).toDF("id", "v", "name"))
+    val (feed2, c2) = primary.changesSince("t", cursor)
+    val replicaFiles = replica.liveFiles("t").toSet
+    assert(replica.applyChanges("t", feed2, "repl", 2L))
+    cursor = c2
+    // file-granular: the 3-file replica only rewrites files holding a
+    // touched PK (plus the appended inserts)
+    assert(replica.liveFiles("t").toSet.intersect(replicaFiles).nonEmpty,
+      "untouched replica files must keep their physical paths")
+
+    // converged: the replica equals the primary exactly
+    val diff = replica.table("t").exceptAll(primary.table("t"))
+      .unionAll(primary.table("t").exceptAll(replica.table("t")))
+    assert(diff.count() == 0, "replica must converge to the primary")
+    assert(replica.table("t").filter(col("v") === 777L).count() == 1)
+
+    // a REPLAYED batch (consumer restarted before persisting its
+    // cursor) must be a no-op — exactly-once from at-least-once
+    val vBefore = replica.logVersion
+    assert(!replica.applyChanges("t", feed2, "repl", 2L))
+    assert(replica.logVersion == vBefore)
+    assert(replica.table("t").count() == 30)
+  }
+
   // ---- optimize ------------------------------------------------------------
 
   test("optimize packs only small files, leaves right-sized ones, and " +
