@@ -63,6 +63,12 @@ object LakeBench {
       val (halfRows, halfMs) = timeMs(db.changes("lineitem", v1, v2).count())
       val (_, fullReadMs) = timeMs(db.table("lineitem").count())
 
+      // data skipping: a 1/64-of-keyspace probe against the
+      // range-clustered layout — file-list pruning from the log alone
+      val probe = db.seek("lineitem", "l_orderkey", 1L, maxKey / 64)
+      val seekFiles = probe.inputFiles.length
+      val (seekRows, seekMs) = timeMs(probe.count())
+
       // OPTIMIZE ∝ backlog: 8 small appends onto the 64-file table;
       // only the appended bytes rewrite
       (1 to 8).foreach(i => db.insert("lineitem",
@@ -83,6 +89,8 @@ object LakeBench {
         s""""changes_1file_ms":$oneFileMs,"changes_1file_rows":$oneFileRows,""" +
         s""""changes_half_ms":$halfMs,"changes_half_rows":$halfRows,""" +
         s""""full_read_ms":$fullReadMs,""" +
+        s""""seek_ms":$seekMs,"seek_rows":$seekRows,""" +
+        s""""seek_files_scanned":$seekFiles,""" +
         s""""optimize_ms":$optMs,"optimize_files":"$fb->$fa",""" +
         s""""optimize_backlog_bytes":$smallBytes}""")
     } finally spark.stop()

@@ -1,0 +1,193 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Per-file column min/max, harvested once from a freshly staged file's
+  * own parquet footer and carried in the commit log (the Delta-style
+  * data-skipping record; SURVEY §4.1's zone-map idea lifted from row
+  * groups to the FILE level). At read time [[GraftDatabase.seek]]
+  * prunes a table's file list from the log alone — no footer opens, no
+  * file listings — which is the difference between "skip row groups
+  * after opening a million footers" and "never open them".
+  *
+  * Conservative by construction: a file whose footer cannot be read
+  * (foreign writer, disabled stats), a column a row group lacks usable
+  * statistics for, or a type outside the comparable set simply yields
+  * no entry — and a missing entry never prunes.
+  *
+  * JSON shape (one object per top-level primitive column):
+  * {{{ {"col":{"k":"num"|"str","lo":"...","hi":"..."}} }}}
+  * Numeric bounds render as plain decimal strings (BigDecimal-safe —
+  * no double rounding near 2^53); string bounds as the raw UTF-8.
+  */
+object FileStatsUtil {
+
+  /** Harvest stats from one file's footer; None = no usable stats
+    * (never an error — stats are an optimization, not a contract).
+    */
+  def fromFooter(absPath: String,
+      ioOptions: Map[String, String]): Option[String] =
+    fromFooterWithRows(absPath, ioOptions)._1
+
+  /** Stats plus the footer row count (None = footer unreadable). The
+    * row count lets stage() drop ZERO-ROW part files from a binding: a
+    * multi-partition rewrite writes an empty part per partition that
+    * held no surviving rows, and binding those bloats file counts and
+    * defeats pruning (an empty file can never carry stats).
+    */
+  def fromFooterWithRows(absPath: String,
+      ioOptions: Map[String, String]): (Option[String], Option[Long]) = {
+    try {
+      val conf = new Configuration()
+      ioOptions.foreach { case (k, v) => conf.set(k, v) }
+      val path = new Path(absPath)
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(path, conf),
+        HadoopReadOptions.builder(conf, path).build())
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        if (blocks.isEmpty || rows == 0L) return (None, Some(rows))
+        // fold row-group column chunks to per-column global bounds;
+        // a column with ANY unusable chunk drops out entirely
+        var acc = Map.empty[String, (String, BigDecimal, BigDecimal,
+          String, String)] // col -> (kind, numLo, numHi, strLo, strHi)
+        var dead = Set.empty[String]
+        blocks.foreach(_.getColumns.asScala.foreach { cc =>
+          val dotted = cc.getPath.toDotString
+          val name = dotted.toLowerCase
+          if (!dotted.contains('.') && !dead(name)) {
+            val st = cc.getStatistics
+            val prim = cc.getPrimitiveType.getPrimitiveTypeName
+            if (st == null || st.isEmpty || !st.hasNonNullValue) dead += name
+            else prim match {
+              case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN =>
+                val (lo, hi) = numericBounds(prim, st)
+                if (lo == null) dead += name
+                else acc += name -> (acc.get(name) match {
+                  case Some(("num", l, h, _, _)) =>
+                    ("num", l.min(lo), h.max(hi), null, null)
+                  case Some(_) => { dead += name; null }
+                  case None => ("num", lo, hi, null, null)
+                })
+              case BINARY if isUtf8(cc) =>
+                val lo = st.genericGetMin.asInstanceOf[
+                  org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val hi = st.genericGetMax.asInstanceOf[
+                  org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                acc += name -> (acc.get(name) match {
+                  case Some(("str", _, _, l, h)) =>
+                    ("str", null, null, if (l <= lo) l else lo,
+                      if (h >= hi) h else hi)
+                  case Some(_) => { dead += name; null }
+                  case None => ("str", null, null, lo, hi)
+                })
+              case _ => dead += name
+            }
+          }
+        })
+        val live = (acc -- dead).filter(_._2 != null)
+        val js = if (live.isEmpty) None
+        else Some(live.toSeq.sortBy(_._1).map {
+          case (c, ("num", lo, hi, _, _)) =>
+            q(c) + ":{\"k\":\"num\",\"lo\":" + q(lo.bigDecimal.toPlainString) +
+              ",\"hi\":" + q(hi.bigDecimal.toPlainString) + "}"
+          case (c, ("str", _, _, lo, hi)) =>
+            q(c) + ":{\"k\":\"str\",\"lo\":" + q(lo) + ",\"hi\":" + q(hi) + "}"
+          case _ => ""
+        }.filter(_.nonEmpty).mkString("{", ",", "}"))
+        (js, Some(rows))
+      } finally reader.close()
+    } catch { case _: Throwable => (None, None) }
+  }
+
+  private def isUtf8(cc: org.apache.parquet.hadoop.metadata
+      .ColumnChunkMetaData): Boolean =
+    cc.getPrimitiveType.getLogicalTypeAnnotation != null &&
+      cc.getPrimitiveType.getLogicalTypeAnnotation.toString == "STRING"
+
+  private def numericBounds(prim: org.apache.parquet.schema.PrimitiveType
+      .PrimitiveTypeName, st: org.apache.parquet.column.statistics
+      .Statistics[_]): (BigDecimal, BigDecimal) = prim match {
+    case INT32 => (BigDecimal(st.genericGetMin.asInstanceOf[Integer].toInt),
+      BigDecimal(st.genericGetMax.asInstanceOf[Integer].toInt))
+    case INT64 => (BigDecimal(st.genericGetMin.asInstanceOf[java.lang.Long]),
+      BigDecimal(st.genericGetMax.asInstanceOf[java.lang.Long]))
+    case BOOLEAN =>
+      (BigDecimal(if (st.genericGetMin.asInstanceOf[Boolean]) 1 else 0),
+        BigDecimal(if (st.genericGetMax.asInstanceOf[Boolean]) 1 else 0))
+    case FLOAT =>
+      val (lo, hi) = (st.genericGetMin.asInstanceOf[java.lang.Float].toDouble,
+        st.genericGetMax.asInstanceOf[java.lang.Float].toDouble)
+      if (lo.isNaN || hi.isNaN) (null, null)
+      else (BigDecimal(lo), BigDecimal(hi))
+    case DOUBLE =>
+      val (lo, hi) = (st.genericGetMin.asInstanceOf[java.lang.Double]
+        .doubleValue, st.genericGetMax.asInstanceOf[java.lang.Double]
+        .doubleValue)
+      if (lo.isNaN || hi.isNaN) (null, null)
+      else (BigDecimal(lo), BigDecimal(hi))
+    case _ => (null, null)
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** True when file stats ADMIT rows with `column` in [lo, hi] — i.e.
+    * the file cannot be pruned. Missing stats, a missing column entry,
+    * or an unparseable probe all answer true (conservative).
+    */
+  def overlaps(statsJson: Option[String], column: String,
+      lo: Any, hi: Any): Boolean = statsJson match {
+    case None => true
+    case Some(js) =>
+      parseEntry(js, column.toLowerCase) match {
+        case None => true
+        case Some(("num", fLo, fHi)) =>
+          (toNum(lo), toNum(hi)) match {
+            case (Some(l), Some(h)) =>
+              BigDecimal(fHi) >= l && BigDecimal(fLo) <= h
+            case _ => true
+          }
+        case Some(("str", fLo, fHi)) => (lo, hi) match {
+          case (l: String, h: String) => fHi >= l && fLo <= h
+          case _ => true
+        }
+        case Some(_) => true
+      }
+  }
+
+  private def toNum(v: Any): Option[BigDecimal] = v match {
+    case n: Int => Some(BigDecimal(n))
+    case n: Long => Some(BigDecimal(n))
+    case n: Double => if (n.isNaN) None else Some(BigDecimal(n))
+    case n: Float => if (n.isNaN) None else Some(BigDecimal(n.toDouble))
+    case n: java.math.BigDecimal => Some(BigDecimal(n))
+    case n: BigDecimal => Some(n)
+    case s: String => try Some(BigDecimal(s)) catch { case _: Throwable => None }
+    case _ => None
+  }
+
+  /** Minimal extractor for one column's entry from the stats JSON this
+    * object itself rendered (keys are sorted, values are `q`-escaped) —
+    * no JSON library needed for a grammar this small.
+    */
+  private def parseEntry(js: String,
+      column: String): Option[(String, String, String)] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(column) +
+      "\"\\s*:\\s*\\{\"k\":\"(num|str)\",\"lo\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+      "\"hi\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+    re.findFirstMatchIn(js).map(m =>
+      (m.group(1), unq(m.group(2)), unq(m.group(3))))
+  }
+
+  private def unq(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+}

@@ -234,6 +234,33 @@ final class GraftDatabase private (
     (changes(name, fromVersion, head), head)
   }
 
+  /** Stats-pruned range read: resolve the file list from the snapshot,
+    * drop every file whose LOG-HELD min/max (harvested once at stage
+    * time, [[FileStatsUtil]]) provably excludes [lo, hi], and scan only
+    * the survivors — zero footer opens at read time, the difference at
+    * a million files between "skip row groups after opening every
+    * footer" and "never open them". Row-group pruning (pushdown) still
+    * applies INSIDE the surviving files, and the exact filter runs on
+    * top, so results never depend on stats: a file without usable
+    * stats (legacy import, foreign writer) is simply always scanned.
+    * Pair with `ensureIndex` (range-clustering) to make per-file ranges
+    * disjoint and the pruning ratio sharp.
+    */
+  def seek(name: String, column: String, lo: Any, hi: Any): DataFrame = {
+    val n = norm(name)
+    val snap = txlog.snapshot()
+    val files = snap.tables.getOrElse(n, throw new IllegalArgumentException(
+      s"table '$n' does not exist (no committed data)"))
+    val keep = files.filter(f =>
+      FileStatsUtil.overlaps(snap.stats.get((n, f)), column, lo, hi))
+    val c = col(column)
+    if (keep.isEmpty) // provably empty: keep the schema, scan nothing
+      txlog.readFiles(files.take(1), snap.schemas.get(n)).limit(0)
+        .filter(c >= lit(lo) && c <= lit(hi))
+    else txlog.readFiles(keep, snap.schemas.get(n))
+      .filter(c >= lit(lo) && c <= lit(hi))
+  }
+
   /** Apply a change feed (the output of [[changes]]/[[changesSince]] on
     * a same-shape source table) to THIS table — the replication
     * consumer. ONE atomic commit: deletes drop by PK, inserts replace-

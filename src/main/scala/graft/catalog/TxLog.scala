@@ -180,12 +180,12 @@ final class TxLog(spark: SparkSession, root: String,
     // replay the LISTED versions in range (missing = vacuumed below a
     // checkpoint) — never the dense numeric range, whose iteration cost
     // would be O(head version), not O(files since checkpoint)
-    listVersions().filter(i => i > ckpt.getOrElse(0L) && i <= v)
+    gcStats(listVersions().filter(i => i > ckpt.getOrElse(0L) && i <= v)
       .foldLeft(base) { (acc, i) =>
         val f = versionFile(i)
         if (!Files.exists(f)) acc // raced a vacuum between list and read
         else parse(Files.readAllLines(f).asScala.toSeq).foldLeft(acc)(applyAction)
-      }.copy(version = v)
+      }.copy(version = v))
   }
 
   private def applyAction(snap: Snapshot, a: Action): Snapshot = a match {
@@ -201,10 +201,14 @@ final class TxLog(spark: SparkSession, root: String,
       case None => snap // table dropped by an interleaved commit: stays dropped
     }
     case Del(t)      => snap.copy(tables = snap.tables - t,
-      schemas = snap.schemas - t)
+      schemas = snap.schemas - t,
+      stats = snap.stats.filterNot(_._1._1 == t))
     case Ren(o, n)   => snap.tables.get(o) match {
       case Some(fs) =>
-        val moved = snap.copy(tables = snap.tables - o + (n -> fs))
+        val moved = snap.copy(tables = snap.tables - o + (n -> fs),
+          stats = snap.stats.map { case ((t, f), js) =>
+            (if (t == o) n else t, f) -> js
+          })
         snap.schemas.get(o) match {
           case Some(sc) => moved.copy(schemas = moved.schemas - o + (n -> sc))
           case None     => moved
@@ -212,8 +216,23 @@ final class TxLog(spark: SparkSession, root: String,
       case None     => snap
     }
     case Sch(t, js)  => snap.copy(schemas = snap.schemas.updated(t, js))
+    case Sta(t, f, js) => snap.copy(stats = snap.stats.updated((t, f), js))
     case Txn(a2, b)  => snap.copy(txns = snap.txns.updated(
       a2, math.max(b, snap.txns.getOrElse(a2, Long.MinValue))))
+  }
+
+  /** Retire stats of files a snapshot no longer binds (applied after
+    * every action batch: Put replaced a file set, Patch removed files —
+    * their stats must not outlive them in checkpoints or memory).
+    */
+  private def gcStats(snap: Snapshot): Snapshot = {
+    if (snap.stats.isEmpty) snap
+    else {
+      val live = snap.tables.map { case (t, fs) => t -> fs.toSet }
+      snap.copy(stats = snap.stats.filter { case ((t, f), _) =>
+        live.get(t).exists(_.contains(f))
+      })
+    }
   }
 
   /** Read a table at the latest snapshot: an explicit-file-list parquet
@@ -289,9 +308,36 @@ final class TxLog(spark: SparkSession, root: String,
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .toSeq.sorted
       require(parts.nonEmpty, s"staged write produced no data files: $dir")
-      parts.map(p => s"$rel/$p")
+      val all = parts.map(p => s"$rel/$p")
+      // harvest per-file column min/max AND row counts from the
+      // just-written footers (bounded by THIS write's file count — the
+      // one moment stats are free) so the commit can carry them; `seek`
+      // then prunes file lists from the log with ZERO further I/O.
+      // Best-effort: a file whose footer cannot be read (or a column
+      // without usable stats) simply never prunes.
+      val harvested = all.map(r =>
+        r -> FileStatsUtil.fromFooterWithRows(s"$root/$r", ioOptions))
+      harvested.foreach { case (r, (js, _)) =>
+        js.foreach(stagedStats.put(r, _))
+      }
+      // a multi-partition plan writes one part PER PARTITION, including
+      // empty ones (a granular rewrite's untouched partitions, a
+      // filtered-out split): drop provably zero-row parts from the
+      // binding — they bloat file counts and, carrying no stats, would
+      // be scanned forever. Unreadable footers (None) stay, fail-safe.
+      // If EVERY part is empty (an empty table state), keep one so the
+      // binding still yields a readable zero-row frame with a schema.
+      val nonEmpty = harvested
+        .filterNot { case (_, (_, rows)) => rows.contains(0L) }.map(_._1)
+      if (nonEmpty.nonEmpty) nonEmpty else all.take(1)
     } finally s.close()
   }
+
+  // rel path → stats JSON, harvested at stage time and attached to the
+  // commit that publishes the file (see commit()); immutable files make
+  // the map append-only until the commit consumes an entry
+  private val stagedStats =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // ---- commit --------------------------------------------------------------
 
@@ -374,7 +420,19 @@ final class TxLog(spark: SparkSession, root: String,
     // publish succeeds, so the lost-race recheck never runs)
     val head = version
     if (readVersion >= 0) assertNoConflict(readVersion + 1, head)
-    val content = actions.map(render).mkString("\n").getBytes("UTF-8")
+    // attach the harvested per-file stats to the commit PUBLISHING each
+    // staged file (derived metadata: Sta touches nothing, so conflict
+    // semantics are unchanged; it simply rides the data action)
+    val published = actions.flatMap {
+      case Put(t, fs)      => fs.map(t -> _)
+      case Add(t, fs)      => fs.map(t -> _)
+      case Patch(t, _, ad) => ad.map(t -> _)
+      case _               => Nil
+    }
+    val withStats = actions ++ published.flatMap { case (t, f) =>
+      Option(stagedStats.get(f)).map(js => Sta(t, f, js))
+    }
+    val content = withStats.map(render).mkString("\n").getBytes("UTF-8")
     var attempt = head + 1
     var guard = 0
     while (true) {
@@ -385,6 +443,7 @@ final class TxLog(spark: SparkSession, root: String,
         // full-content atomic publish (hard-link CAS locally, a
         // conditional PUT on object stores) — see CommitPrimitive
         primitive.putIfAbsent(versionFile(attempt), content)
+        published.foreach { case (_, f) => stagedStats.remove(f) }
         // the commit IS durable once published; a checkpoint is a pure
         // replay optimization derivable from the log, so its failure
         // must not make a succeeded commit look failed
@@ -420,6 +479,8 @@ final class TxLog(spark: SparkSession, root: String,
         .map { case (t, fs) => render(Put(t, fs)) } ++
         snap.schemas.toSeq.sortBy(_._1)
           .map { case (t, js) => render(Sch(t, js)) } ++
+        snap.stats.toSeq.sortBy(_._1)
+          .map { case ((t, f), js) => render(Sta(t, f, js)) } ++
         snap.txns.toSeq.sortBy(_._1)
           .map { case (a, b) => render(Txn(a, b)) }
       try primitive.putIfAbsent(ckptFile(v),
@@ -516,6 +577,7 @@ final class TxLog(spark: SparkSession, root: String,
         case Del(t)     => (v, "DEL", t, 0L)
         case Ren(o, n)  => (v, "REN", s"$o->$n", 0L)
         case Sch(t, _)  => (v, "SCH", t, 0L)
+        case Sta(t, _, _) => (v, "STA", t, 1L)
         case Txn(a, b)  => (v, "TXN", s"$a#$b", 0L)
       }
     }
@@ -540,6 +602,8 @@ final class TxLog(spark: SparkSession, root: String,
         case Array("REN", o, n)  => Ren(o, n)
         case Array("SCH", t, b64) => Sch(t, new String(
           java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+        case Array("STA", t, f, b64) => Sta(t, f, new String(
+          java.util.Base64.getDecoder.decode(b64), "UTF-8"))
         case Array("TXN", a, b)  => Txn(a, b.toLong)
         case _ => throw new IllegalStateException(s"bad txlog line: $line")
       }
@@ -552,6 +616,8 @@ final class TxLog(spark: SparkSession, root: String,
     case Del(t)     => s"DEL\t$t"
     case Ren(o, n)  => s"REN\t$o\t$n"
     case Sch(t, js) => s"SCH\t$t\t${java.util.Base64.getEncoder
+      .encodeToString(js.getBytes("UTF-8"))}"
+    case Sta(t, f, js) => s"STA\t$t\t$f\t${java.util.Base64.getEncoder
       .encodeToString(js.getBytes("UTF-8"))}"
     case Txn(a, b)  => s"TXN\t$a\t$b"
   }
@@ -575,7 +641,8 @@ object TxLog {
     */
   final case class Snapshot(version: Long, tables: Map[String, Vector[String]],
       txns: Map[String, Long] = Map.empty,
-      schemas: Map[String, String] = Map.empty)
+      schemas: Map[String, String] = Map.empty,
+      stats: Map[(String, String), String] = Map.empty)
 
   sealed trait Action { def touches: Seq[String] }
   final case class Put(table: String, files: Seq[String]) extends Action {
@@ -609,6 +676,16 @@ object TxLog {
     */
   final case class Sch(table: String, schemaJson: String) extends Action {
     def touches: Seq[String] = Seq(table)
+  }
+  /** Per-file column min/max harvested from the file's own footer at
+    * stage time (the Delta-style data-skipping record). Derived
+    * metadata riding the data action that publishes the file —
+    * `touches` nothing, so it never changes conflict semantics. `seek`
+    * prunes file lists from these with zero read-time I/O.
+    */
+  final case class Sta(table: String, file: String,
+      statsJson: String) extends Action {
+    def touches: Seq[String] = Nil
   }
   /** Idempotence marker: this commit applied writer `appId`'s `batchId`.
     * A later commit attempt carrying an already-applied (appId, batchId)

@@ -770,6 +770,47 @@ object DomainQueries {
       "CDC replication: change-feed batches apply to an independent " +
         "replica as atomic file-granular idempotent commits — replays " +
         "are no-ops, the replica converges exactly (both pinned " +
-        "in-query), apply cost tracks batch churn")
+        "in-query), apply cost tracks batch churn"),
+
+    // Data skipping from LOG-HELD file stats: per-file column min/max
+    // harvested once from each staged file's own footer ride the commit
+    // (FileStatsUtil / TxLog.Sta), so a range probe prunes the FILE
+    // LIST from metadata alone — zero footer opens at read time, the
+    // step beyond q137's row-group pruning (which still opens every
+    // footer). The range-clustered layout makes per-file ranges
+    // disjoint; the gate pins that a ~20%-of-keyspace probe scans at
+    // most half the files. Results must equal the unpruned filter.
+    Q("q147_data_skipping",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q147").toString
+        val db = GraftDatabase(s, "q147", base)
+          .defineTable(TableDef("part", "p_partkey"))
+        val src = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        db.insert("part", src.repartitionByRange(8, col("p_partkey")))
+        val n = db.liveFiles("part").size
+        val mx = src.agg(max(col("p_partkey"))).head().getLong(0)
+        val (lo, hi) = (mx / 10, 3 * mx / 10)
+        val out = db.seek("part", "p_partkey", lo, hi)
+        require(out.inputFiles.length <= math.max(1, n / 2),
+          s"log-held stats must prune the file list: scanned " +
+            s"${out.inputFiles.length} of $n files for a 20% range probe")
+        out.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p_retailprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+      },
+      Some("""WITH b AS (SELECT MAX(p_partkey) AS mx FROM part)
+        SELECT p_brand, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM part, b
+        WHERE p_partkey BETWEEN (mx // 10) AND (3 * mx // 10)
+        GROUP BY 1"""),
+      "data skipping from log-held per-file min/max: file-list pruning " +
+        "with zero read-time footer I/O (the at-1M-files difference " +
+        "from row-group pruning), harvested once at stage time, " +
+        "conservative for stat-less files")
   )
 }

@@ -202,10 +202,12 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(db.liveFiles("t").contains(bigFile),
       "right-sized file must keep its physical path (never rewritten)")
     assert(db.logVersion == vBefore + 1)
-    // the exchange is a RELATIVE patch, so it commutes with concurrent
-    // DML on disjoint files instead of conflicting with it
-    assert(db.history.filter(col("version") === db.logVersion)
-      .select("action").as[String].collect().forall(_ == "PATCH"))
+    // the exchange is a RELATIVE patch (stats lines ride along), so it
+    // commutes with concurrent DML on disjoint files instead of
+    // conflicting with it
+    val acts = db.history.filter(col("version") === db.logVersion)
+      .select("action").as[String].collect().toSet
+    assert(acts.contains("PATCH") && !acts.contains("PUT"), acts)
     // data round-trips exactly
     assert(db.table("t").count() == 1004)
     assert(db.table("t").agg(org.apache.spark.sql.functions.sum("v"))
@@ -267,6 +269,81 @@ class LakehouseOpsSpec extends AnyFunSuite {
       Seq((i, i * 10L, s"r$i")).toDF("id", "v", "name")))
     val out = db.sql("OPTIMIZE t").as[(Long, Long)].head()
     assert(out == ((3L, 1L)))
+  }
+
+  // ---- data skipping (log-held file stats) ---------------------------------
+
+  test("seek prunes the file list from log-held stats with zero " +
+      "read-time footer I/O; results equal the unpruned filter") {
+    val db = freshDb()
+    db.insert("t", rows(400).repartitionByRange(4, col("id")))
+    assert(db.liveFiles("t").size == 4)
+    // range-clustered: ids 101..200 live in one file; the seek must
+    // scan ONLY that file (pruned from the log, not from footers)
+    val out = db.seek("t", "id", 120, 180)
+    assert(out.count() == 61)
+    assert(out.inputFiles.length == 1,
+      s"expected 1 surviving file, scanned ${out.inputFiles.length}")
+    // exactness against the unpruned filter
+    assert(out.exceptAll(db.table("t")
+      .filter(col("id") >= 120 && col("id") <= 180)).count() == 0)
+    // a provably-empty range scans nothing and keeps the schema
+    val empty = db.seek("t", "id", 5000, 6000)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("id", "v", "name"))
+    // string-typed bounds prune too
+    val byName = db.seek("t", "name", "r100", "r102")
+    assert(byName.count() ==
+      db.table("t").filter(col("name").between("r100", "r102")).count())
+  }
+
+  test("seek is conservative: files without stats (legacy import) are " +
+      "always scanned, never mispruned") {
+    val base = Files.createTempDirectory("graft-legacy").toString
+    // a pre-commit-log layout: files directly under Tables/<t>, no log
+    rows(50).repartition(1).write
+      .parquet(s"$base/legacy/Tables/t_tmp_write")
+    val dir = Paths.get(s"$base/legacy/Tables/t")
+    Files.createDirectories(dir.getParent)
+    Files.move(Paths.get(s"$base/legacy/Tables/t_tmp_write"), dir)
+    val db = GraftDatabase(spark, "legacy", base)
+      .defineTable(TableDef("t", "id"))
+    // imported in place: no staged stats exist for these files
+    val out = db.seek("t", "id", 10, 20)
+    assert(out.count() == 11)
+    assert(out.inputFiles.nonEmpty)
+  }
+
+  test("file stats survive checkpoint replay + vacuum and retire with " +
+      "their files") {
+    val db = freshDb()
+    db.insert("t", rows(200).repartitionByRange(2, col("id")))
+    // cross a checkpoint boundary and truncate below it
+    (1 to 12).foreach(i => db.updateMany("t", col("id") === 1,
+      Map("v" -> lit(i.toLong))))
+    db.vacuum(keepVersions = 1, minAgeMs = 0)
+    val db2 = GraftDatabase(spark, "lakehouse",
+      Paths.get(db.root).getParent.toString).defineTable(TableDef("t", "id"))
+    val out = db2.seek("t", "id", 150, 160)
+    assert(out.count() == 11)
+    assert(out.inputFiles.length == 1,
+      "stats must replay from the checkpoint and keep pruning")
+    // a rewritten file's stats follow the rewrite: the granular update
+    // of id=1 retired the first file's original version, and seek at
+    // the low range still scans exactly one (the replacement) file
+    assert(db2.seek("t", "id", 1, 5).inputFiles.length == 1)
+  }
+
+  test("stats harvest through file-at-rest encryption (PME footers)") {
+    val base = Files.createTempDirectory("graft-enc-seek").toString
+    val db = GraftDatabase(spark, "encseek", base,
+      graft.core.Collation.Binary, Some("seek-key"))
+      .defineTable(TableDef("t", "id"))
+    db.insert("t", rows(100).repartitionByRange(2, col("id")))
+    val out = db.seek("t", "id", 10, 20)
+    assert(out.count() == 11)
+    assert(out.inputFiles.length == 1,
+      "encrypted footers must still yield stage-time stats (keyed read)")
   }
 
   // ---- shallow clone -------------------------------------------------------
