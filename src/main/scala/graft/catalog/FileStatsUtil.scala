@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.HadoopReadOptions
 import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
@@ -19,8 +20,13 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   *
   * Conservative by construction: a file whose footer cannot be read
   * (foreign writer, disabled stats), a column a row group lacks usable
-  * statistics for, or a type outside the comparable set simply yields
-  * no entry — and a missing entry never prunes.
+  * statistics for, a type outside the comparable set (notably DECIMAL,
+  * whose INT32/INT64 physical stats are UNSCALED and would misprune),
+  * or a non-finite float bound simply yields no entry — and a missing
+  * entry never prunes. String bounds order by UNSIGNED UTF-8 bytes,
+  * matching the parquet comparator and Spark's binary-collation
+  * filters (Java UTF-16 ordering diverges above the BMP and would
+  * misprune supplementary-plane values).
   *
   * JSON shape (one object per top-level primitive column):
   * {{{ {"col":{"k":"num"|"str","lo":"...","hi":"..."}} }}}
@@ -28,13 +34,6 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   * no double rounding near 2^53); string bounds as the raw UTF-8.
   */
 object FileStatsUtil {
-
-  /** Harvest stats from one file's footer; None = no usable stats
-    * (never an error — stats are an optimization, not a contract).
-    */
-  def fromFooter(absPath: String,
-      ioOptions: Map[String, String]): Option[String] =
-    fromFooterWithRows(absPath, ioOptions)._1
 
   /** Stats plus the footer row count (None = footer unreadable). The
     * row count lets stage() drop ZERO-ROW part files from a binding: a
@@ -68,7 +67,8 @@ object FileStatsUtil {
             val prim = cc.getPrimitiveType.getPrimitiveTypeName
             if (st == null || st.isEmpty || !st.hasNonNullValue) dead += name
             else prim match {
-              case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN =>
+              case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN
+                  if comparableAnnotation(cc) =>
                 val (lo, hi) = numericBounds(prim, st)
                 if (lo == null) dead += name
                 else acc += name -> (acc.get(name) match {
@@ -84,8 +84,8 @@ object FileStatsUtil {
                   org.apache.parquet.io.api.Binary].toStringUsingUTF8
                 acc += name -> (acc.get(name) match {
                   case Some(("str", _, _, l, h)) =>
-                    ("str", null, null, if (l <= lo) l else lo,
-                      if (h >= hi) h else hi)
+                    ("str", null, null, if (utf8Lte(l, lo)) l else lo,
+                      if (utf8Lte(hi, h)) h else hi)
                   case Some(_) => { dead += name; null }
                   case None => ("str", null, null, lo, hi)
                 })
@@ -108,6 +108,23 @@ object FileStatsUtil {
     } catch { case _: Throwable => (None, None) }
   }
 
+  /** Physical-integer stats are only comparable when no logical type
+    * rescales them: DECIMAL stores UNSCALED ints (100.00 as 10000), so
+    * harvesting it raw would PRUNE FILES THAT MATCH. Plain ints, dates
+    * (days), times/timestamps (micros/millis) compare fine against
+    * same-unit probes.
+    */
+  private def comparableAnnotation(cc: org.apache.parquet.hadoop.metadata
+      .ColumnChunkMetaData): Boolean =
+    cc.getPrimitiveType.getLogicalTypeAnnotation match {
+      case null => true
+      case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+      case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => true
+      case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
+      case _ => false // DECIMAL and anything else: not comparable raw
+    }
+
   private def isUtf8(cc: org.apache.parquet.hadoop.metadata
       .ColumnChunkMetaData): Boolean =
     cc.getPrimitiveType.getLogicalTypeAnnotation != null &&
@@ -126,66 +143,95 @@ object FileStatsUtil {
     case FLOAT =>
       val (lo, hi) = (st.genericGetMin.asInstanceOf[java.lang.Float].toDouble,
         st.genericGetMax.asInstanceOf[java.lang.Float].toDouble)
-      if (lo.isNaN || hi.isNaN) (null, null)
+      if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite) (null, null)
       else (BigDecimal(lo), BigDecimal(hi))
     case DOUBLE =>
       val (lo, hi) = (st.genericGetMin.asInstanceOf[java.lang.Double]
         .doubleValue, st.genericGetMax.asInstanceOf[java.lang.Double]
         .doubleValue)
-      if (lo.isNaN || hi.isNaN) (null, null)
+      if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite) (null, null)
       else (BigDecimal(lo), BigDecimal(hi))
     case _ => (null, null)
+  }
+
+  /** Unsigned UTF-8 byte order — the parquet min/max comparator and
+    * Spark's binary string comparison. a <= b.
+    */
+  private def utf8Lte(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
   }
 
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  /** True when file stats ADMIT rows with `column` in [lo, hi] — i.e.
-    * the file cannot be pruned. Missing stats, a missing column entry,
-    * or an unparseable probe all answer true (conservative).
+  /** A compiled range probe: one pattern + one bound conversion,
+    * reused across EVERY file of a seek — per-file work is a single
+    * regex match, not a Pattern.compile (at the million-file scale the
+    * design targets, per-file compilation would dominate the planner).
     */
-  def overlaps(statsJson: Option[String], column: String,
-      lo: Any, hi: Any): Boolean = statsJson match {
-    case None => true
-    case Some(js) =>
-      parseEntry(js, column.toLowerCase) match {
+  final class StatsProbe private[FileStatsUtil] (
+      re: scala.util.matching.Regex,
+      numLo: Option[BigDecimal], numHi: Option[BigDecimal],
+      strLo: Option[String], strHi: Option[String]) {
+    /** True when the stats ADMIT rows in the probe's range — i.e. the
+      * file cannot be pruned. Missing stats, a missing column entry,
+      * or an inconvertible probe all answer true (conservative).
+      */
+    def admits(statsJson: Option[String]): Boolean = statsJson match {
+      case None => true
+      case Some(js) => re.findFirstMatchIn(js) match {
         case None => true
-        case Some(("num", fLo, fHi)) =>
-          (toNum(lo), toNum(hi)) match {
-            case (Some(l), Some(h)) =>
-              BigDecimal(fHi) >= l && BigDecimal(fLo) <= h
+        case Some(m) =>
+          val (kind, fLo, fHi) = (m.group(1), unq(m.group(2)), unq(m.group(3)))
+          kind match {
+            case "num" => (numLo, numHi) match {
+              case (Some(l), Some(h)) =>
+                BigDecimal(fHi) >= l && BigDecimal(fLo) <= h
+              case _ => true
+            }
+            case "str" => (strLo, strHi) match {
+              case (Some(l), Some(h)) => utf8Lte(l, fHi) && utf8Lte(fLo, h)
+              case _ => true
+            }
             case _ => true
           }
-        case Some(("str", fLo, fHi)) => (lo, hi) match {
-          case (l: String, h: String) => fHi >= l && fLo <= h
-          case _ => true
-        }
-        case Some(_) => true
       }
+    }
   }
+
+  /** Build the compiled probe for `column` in [lo, hi]. */
+  def probe(column: String, lo: Any, hi: Any): StatsProbe = {
+    val re = ("\"" + java.util.regex.Pattern.quote(column.toLowerCase) +
+      "\"\\s*:\\s*\\{\"k\":\"(num|str)\",\"lo\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+      "\"hi\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+    new StatsProbe(re, toNum(lo), toNum(hi),
+      Option(lo).collect { case s: String => s },
+      Option(hi).collect { case s: String => s })
+  }
+
+  /** One-shot convenience over [[probe]] (tests, single-file checks). */
+  def overlaps(statsJson: Option[String], column: String,
+      lo: Any, hi: Any): Boolean = probe(column, lo, hi).admits(statsJson)
 
   private def toNum(v: Any): Option[BigDecimal] = v match {
     case n: Int => Some(BigDecimal(n))
     case n: Long => Some(BigDecimal(n))
-    case n: Double => if (n.isNaN) None else Some(BigDecimal(n))
-    case n: Float => if (n.isNaN) None else Some(BigDecimal(n.toDouble))
+    case n: Double =>
+      if (n.isNaN || n.isInfinite) None else Some(BigDecimal(n))
+    case n: Float =>
+      if (n.isNaN || n.isInfinite) None else Some(BigDecimal(n.toDouble))
     case n: java.math.BigDecimal => Some(BigDecimal(n))
     case n: BigDecimal => Some(n)
     case s: String => try Some(BigDecimal(s)) catch { case _: Throwable => None }
     case _ => None
-  }
-
-  /** Minimal extractor for one column's entry from the stats JSON this
-    * object itself rendered (keys are sorted, values are `q`-escaped) —
-    * no JSON library needed for a grammar this small.
-    */
-  private def parseEntry(js: String,
-      column: String): Option[(String, String, String)] = {
-    val re = ("\"" + java.util.regex.Pattern.quote(column) +
-      "\"\\s*:\\s*\\{\"k\":\"(num|str)\",\"lo\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
-      "\"hi\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
-    re.findFirstMatchIn(js).map(m =>
-      (m.group(1), unq(m.group(2)), unq(m.group(3))))
   }
 
   private def unq(s: String): String =

@@ -251,8 +251,8 @@ final class GraftDatabase private (
     val snap = txlog.snapshot()
     val files = snap.tables.getOrElse(n, throw new IllegalArgumentException(
       s"table '$n' does not exist (no committed data)"))
-    val keep = files.filter(f =>
-      FileStatsUtil.overlaps(snap.stats.get((n, f)), column, lo, hi))
+    val probe = FileStatsUtil.probe(column, lo, hi) // compiled ONCE
+    val keep = files.filter(f => probe.admits(snap.stats.get((n, f))))
     val c = col(column)
     if (keep.isEmpty) // provably empty: keep the schema, scan nothing
       txlog.readFiles(files.take(1), snap.schemas.get(n)).limit(0)
@@ -301,6 +301,14 @@ final class GraftDatabase private (
       val hitRaw = marked.join(touchedKeys, Seq(tdef.pk), "left_semi")
         .select("_graft_file").distinct()
         .collect().map(_.getString(0)).filter(_.nonEmpty)
+      if (hitRaw.isEmpty && ins.isEmpty) {
+        // nothing to do (deletes missed, empty batch) — but the batch
+        // IS consumed: the marker alone commits, so a replay stays a
+        // no-op and the cursor can advance (no junk empty data file)
+        txlog.commit(Seq(TxLog.Txn(appId, batchId)), readVersion = base)
+        invalidateSqlEngine()
+        return true
+      }
       // survivors of the hit files = rows whose PK the batch never
       // touched; the batch's inserts land beside them
       val touched = marked.filter(col("_graft_file").isin(hitRaw: _*))
@@ -311,9 +319,13 @@ final class GraftDatabase private (
         .unionByName(ins, allowMissingColumns = true)
       requireClean(ConstrainedDml.validateUpdate(
         spark, tdef, ins, result, parentsOf(tdef)))
+      // NEVER patch-safe: the batch inserts NEW PKs, and two concurrent
+      // appliers (multi-source replication) committing commuting
+      // patches would both land the same key — the exact write-skew
+      // fileGranularPut's gate documents; upsert stays absolute for
+      // the same reason
       commitGranularOrFull(name, tdef, base, hitRaw, touched,
         table(name).schema, emptyHitsAppend = true,
-        patchSafe = tdef.uniqueCols.isEmpty,
         extra = Seq(TxLog.Txn(appId, batchId)))(result)
       true
     } finally f.unpersist()

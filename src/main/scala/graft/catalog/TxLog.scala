@@ -315,8 +315,26 @@ final class TxLog(spark: SparkSession, root: String,
       // then prunes file lists from the log with ZERO further I/O.
       // Best-effort: a file whose footer cannot be read (or a column
       // without usable stats) simply never prunes.
-      val harvested = all.map(r =>
-        r -> FileStatsUtil.fromFooterWithRows(s"$root/$r", ioOptions))
+      // footers are independent local reads — harvest them in parallel
+      // so a wide staged write doesn't serialize O(parts) opens on the
+      // driver before its commit can publish
+      val harvested =
+        if (all.size <= 2)
+          all.map(r => r -> FileStatsUtil.fromFooterWithRows(
+            s"$root/$r", ioOptions))
+        else {
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(8, all.size))
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            val fs = all.map(r => scala.concurrent.Future(
+              r -> FileStatsUtil.fromFooterWithRows(s"$root/$r", ioOptions)))
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(fs),
+              scala.concurrent.duration.Duration(120, "s"))
+          } finally pool.shutdown()
+        }
       harvested.foreach { case (r, (js, _)) =>
         js.foreach(stagedStats.put(r, _))
       }
@@ -356,6 +374,28 @@ final class TxLog(spark: SparkSession, root: String,
   def commit(actions: Seq[Action], readVersion: Long = -1L,
       readTables: Set[String] = Set.empty): Long = {
     require(actions.nonEmpty, "empty commit")
+    // the staged files' harvested stats are consumed by THIS call
+    // whatever its outcome: published → they rode the commit; failed or
+    // replay-skipped → the caller abandons the staged files (vacuum
+    // reclaims them) and holding their entries would leak one JSON per
+    // abandoned file forever in a long-lived writer under conflicts
+    try commitInner(actions, readVersion, readTables)
+    finally publishedFiles(actions).foreach { case (_, f) =>
+      stagedStats.remove(f)
+    }
+  }
+
+  /** (table, file) pairs a commit's actions would publish. */
+  private def publishedFiles(actions: Seq[Action]): Seq[(String, String)] =
+    actions.flatMap {
+      case Put(t, fs)      => fs.map(t -> _)
+      case Add(t, fs)      => fs.map(t -> _)
+      case Patch(t, _, ad) => ad.map(t -> _)
+      case _               => Nil
+    }
+
+  private def commitInner(actions: Seq[Action], readVersion: Long,
+      readTables: Set[String]): Long = {
     // idempotence: a commit carrying an (appId, batchId) already applied
     // at the CURRENT head is a replay — skip it (exactly-once state from
     // at-least-once delivery). Re-checked on every publish retry, so two
@@ -423,14 +463,8 @@ final class TxLog(spark: SparkSession, root: String,
     // attach the harvested per-file stats to the commit PUBLISHING each
     // staged file (derived metadata: Sta touches nothing, so conflict
     // semantics are unchanged; it simply rides the data action)
-    val published = actions.flatMap {
-      case Put(t, fs)      => fs.map(t -> _)
-      case Add(t, fs)      => fs.map(t -> _)
-      case Patch(t, _, ad) => ad.map(t -> _)
-      case _               => Nil
-    }
-    val withStats = actions ++ published.flatMap { case (t, f) =>
-      Option(stagedStats.get(f)).map(js => Sta(t, f, js))
+    val withStats = actions ++ publishedFiles(actions).flatMap {
+      case (t, f) => Option(stagedStats.get(f)).map(js => Sta(t, f, js))
     }
     val content = withStats.map(render).mkString("\n").getBytes("UTF-8")
     var attempt = head + 1
@@ -443,7 +477,6 @@ final class TxLog(spark: SparkSession, root: String,
         // full-content atomic publish (hard-link CAS locally, a
         // conditional PUT on object stores) — see CommitPrimitive
         primitive.putIfAbsent(versionFile(attempt), content)
-        published.foreach { case (_, f) => stagedStats.remove(f) }
         // the commit IS durable once published; a checkpoint is a pure
         // replay optimization derivable from the log, so its failure
         // must not make a succeeded commit look failed

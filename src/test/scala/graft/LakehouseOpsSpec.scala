@@ -334,6 +334,64 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(db2.seek("t", "id", 1, 5).inputFiles.length == 1)
   }
 
+  test("stats never misprune the tricky types: DECIMAL columns yield no " +
+      "entry, infinite bounds scan conservatively, UTF-8 order rules " +
+      "strings") {
+    // DECIMAL physical stats are UNSCALED ints — harvesting them raw
+    // would prune files whose scaled values match the probe
+    val db = freshDb()
+    db.insert("t", spark.sql(
+      """SELECT id, CAST(id AS DECIMAL(9,2)) * 1.5 AS price
+         FROM range(1, 101) AS r(id)""").repartitionByRange(2, col("id")))
+    val byPrice = db.seek("t", "price", java.math.BigDecimal.valueOf(15.0),
+      java.math.BigDecimal.valueOf(30.0))
+    assert(byPrice.count() == db.table("t")
+      .filter(col("price").between(15.0, 30.0)).count(),
+      "a DECIMAL probe must never lose rows to unscaled stats")
+    // the numeric id column still prunes on the same table
+    assert(db.seek("t", "id", 1, 10).inputFiles.length == 1)
+
+    // an infinite probe bound is 'no bound' — conservative, not a crash
+    val db2 = freshDb()
+    db2.insert("t", rows(20).repartitionByRange(2, col("id")))
+    assert(db2.seek("t", "v", 0.0, Double.PositiveInfinity).count() == 20)
+
+    // a data file CONTAINING infinities keeps its other columns' stats
+    val db3 = freshDb()
+    db3.insert("t", spark.sql(
+      """SELECT id, CAST(CASE WHEN id = 1 THEN 'Infinity'
+           ELSE CAST(id AS STRING) END AS DOUBLE) AS score
+         FROM range(1, 51) AS r(id)"""))
+    assert(db3.seek("t", "id", 100, 200).count() == 0)
+    assert(db3.seek("t", "score", 2.0, 3.0).count() == 2)
+
+    // unsigned UTF-8 ordering: a supplementary-plane probe against a
+    // file whose max is U+FFFD must NOT be pruned (Java UTF-16 order
+    // would wrongly exclude it)
+    val json = Some("""{"s":{"k":"str","lo":"a","hi":"�"}}""")
+    assert(!graft.catalog.FileStatsUtil.overlaps(
+      json, "s", "😀", "😀"),
+      "U+1F600 sorts ABOVE U+FFFD in UTF-8 bytes: provably outside")
+    assert(graft.catalog.FileStatsUtil.overlaps(
+      Some("""{"s":{"k":"str","lo":"a","hi":"😀"}}"""),
+      "s", "�", "�"),
+      "U+FFFD is INSIDE [a, U+1F600] under UTF-8 byte order")
+  }
+
+  test("a change batch that touches nothing consumes its marker without " +
+      "committing a junk data file") {
+    val db = freshDb()
+    db.insert("t", rows(5))
+    val files = db.liveFiles("t")
+    val ghost = rows(5).filter(col("id") > 100) // misses every PK
+      .withColumn("_change_type", lit("delete"))
+    assert(db.applyChanges("t", ghost, "ghost", 1L))
+    assert(db.liveFiles("t") == files,
+      "a no-op batch must not append an empty data file")
+    // ...but the marker advanced: a replay is now a no-op
+    assert(!db.applyChanges("t", ghost, "ghost", 1L))
+  }
+
   test("stats harvest through file-at-rest encryption (PME footers)") {
     val base = Files.createTempDirectory("graft-enc-seek").toString
     val db = GraftDatabase(spark, "encseek", base,

@@ -723,9 +723,13 @@ class TxLogSpec extends AnyFunSuite {
     db.insert("customer", Seq((99, "z99", 1)).toDF("id", "name", "age"))
     db.updateMany("customer", col("id") === 99,
       Map("age" -> org.apache.spark.sql.functions.lit(2)))
-    val last = db.history.orderBy(col("version").desc).head()
-    assert(last.getString(1) == "PUT",
-      s"unique-constrained table must commit absolute, got ${last.getString(1)}")
+    // data actions only: the commit also carries derived STA stats rows
+    val lastActs = db.history
+      .filter(col("action").isin("PUT", "PATCH", "ADD"))
+      .orderBy(col("version").desc)
+      .select("action").as[String].head()
+    assert(lastActs == "PUT",
+      s"unique-constrained table must commit absolute, got $lastActs")
   }
 
   test("SQL UPDATE/DELETE/INSERT persist file-granular through the " +
