@@ -728,13 +728,13 @@ object DomainQueries {
           .defineTable(TableDef("orders", "o_orderkey"))
         val src = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        primary.insert("orders", src.filter(col("o_orderkey") % 6 === 0))
+        primary.insert("orders", src.filter(col("o_orderkey") % 12 === 0))
         val (boot, c1) = primary.changesSince("orders", 0L)
         replica.applyChanges("orders", boot, "q146", 1L)
         primary.updateMany("orders", col("o_custkey") % 5 === 0,
           Map("o_totalprice" -> (col("o_totalprice") + 50)))
         primary.delete("orders", col("o_custkey") % 9 === 0)
-        primary.insert("orders", src.filter(col("o_orderkey") % 6 === 3))
+        primary.insert("orders", src.filter(col("o_orderkey") % 12 === 3))
         val (feed, _) = primary.changesSince("orders", c1)
         replica.applyChanges("orders", feed, "q146", 2L)
         val v = replica.logVersion
@@ -752,7 +752,7 @@ object DomainQueries {
       },
       Some("""WITH base AS (
           SELECT o_orderkey, o_custkey, o_totalprice AS p
-          FROM orders WHERE o_orderkey % 6 = 0),
+          FROM orders WHERE o_orderkey % 12 = 0),
         upd AS (
           SELECT o_orderkey, o_custkey,
             CASE WHEN o_custkey % 5 = 0 THEN p + 50 ELSE p END AS p
@@ -762,7 +762,7 @@ object DomainQueries {
           SELECT * FROM del
           UNION ALL
           SELECT o_orderkey, o_custkey, o_totalprice AS p
-          FROM orders WHERE o_orderkey % 6 = 3)
+          FROM orders WHERE o_orderkey % 12 = 3)
         SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
           COUNT(*) AS n_rows,
           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
