@@ -234,6 +234,48 @@ final class GraftDatabase private (
     (changes(name, fromVersion, head), head)
   }
 
+  /** Roll a table back to a committed version — one metadata-only
+    * commit binding the HISTORICAL file list (O(1) in data size; the
+    * lakehouse RESTORE). History is preserved: the rollback is a NEW
+    * version, so the undone states stay time-travelable until vacuum
+    * retires them. The restored version's schema and file stats come
+    * back with it (they live in the historical snapshot). Bounded by
+    * vacuum retention twice over: the version must still resolve AND
+    * its data files must still exist.
+    */
+  def restore(name: String, version: Long): Long = {
+    requireNotRetired(); requireNoOpenTx()
+    val n = norm(name)
+    require(txlog.resolvableAt(version),
+      s"restore($name, $version): version truncated by vacuum")
+    val snapThen = txlog.snapshotAt(version)
+    val files = snapThen.tables.getOrElse(n, throw new IllegalArgumentException(
+      s"table '$n' did not exist at version $version"))
+    val missing = files.filterNot(r => Files.exists(Paths.get(s"$root/$r")))
+    require(missing.isEmpty,
+      s"restore($name, $version): ${missing.size} data file(s) already " +
+        s"reclaimed by vacuum (first: ${missing.headOption.getOrElse("")})")
+    val base = txlog.settledVersion
+    val schemaBack: Seq[TxLog.Action] = snapThen.schemas.get(n) match {
+      case Some(js) => Seq(TxLog.Sch(n, js))
+      case None if txlog.snapshot().schemas.contains(n) =>
+        // v predates the stored schema, but the table is pinned NOW —
+        // leaving the current pin would misrepresent the restored state
+        // (columns added after v would ghost in as nulls). Re-pin to
+        // v's actual file schema (one footer inference, at restore
+        // time only).
+        Seq(TxLog.Sch(n, txlog.readAt(version, n).get.schema.json))
+      case None => Nil
+    }
+    val statsBack = files.flatMap(f =>
+      snapThen.stats.get((n, f)).map(js => TxLog.Sta(n, f, js)))
+    val v = txlog.commit(
+      (TxLog.Put(n, files) +: schemaBack) ++ statsBack,
+      readVersion = base)
+    invalidateSqlEngine()
+    v
+  }
+
   /** Stats-pruned range read: resolve the file list from the snapshot,
     * drop every file whose LOG-HELD min/max (harvested once at stage
     * time, [[FileStatsUtil]]) provably excludes [lo, hi], and scan only
@@ -1423,6 +1465,8 @@ final class GraftDatabase private (
       def addColumn(name: String, column: String, ddlType: String): Unit =
         db.addColumn(name, column,
           org.apache.spark.sql.types.DataType.fromDDL(ddlType))
+      def restoreCollection(name: String, version: Long): Unit =
+        db.restore(name, version)
     }
 
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY

@@ -811,6 +811,47 @@ object DomainQueries {
       "data skipping from log-held per-file min/max: file-list pruning " +
         "with zero read-time footer I/O (the at-1M-files difference " +
         "from row-group pruning), harvested once at stage time, " +
-        "conservative for stat-less files")
+        "conservative for stat-less files"),
+
+    // RESTORE: metadata-only rollback. A table mutates through delete +
+    // transform-update, then rolls back to its first version — pinned
+    // in-query as ZERO data movement (the restored binding IS the
+    // original physical file list) and as history-preserving (the
+    // undone state stays readable AS OF its version). The oracle is
+    // simply the base data: a correct restore erases the mutations.
+    Q("q148_restore",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q148").toString
+        val db = GraftDatabase(s, "q148", base)
+          .defineTable(TableDef("supplier", "s_suppkey"))
+        db.insert("supplier", Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal")))
+        val v1 = db.logVersion
+        val files1 = db.liveFiles("supplier")
+        db.delete("supplier", col("s_suppkey") % 3 === 0)
+        db.updateMany("supplier", col("s_suppkey") % 5 === 0,
+          Map("s_acctbal" -> (col("s_acctbal") + 1000)))
+        val vMutated = db.logVersion
+        db.sql(s"RESTORE supplier TO VERSION $v1")
+        require(db.liveFiles("supplier") == files1,
+          "restore must rebind the ORIGINAL physical files (zero copies)")
+        require(db.tableAt("supplier", vMutated).get.count() <
+          db.table("supplier").count(),
+          "the undone state must stay time-travelable")
+        db.table("supplier")
+          .groupBy((col("s_nationkey") % 5).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("s_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_acctbal"))
+      },
+      Some("""SELECT CAST(s_nationkey % 5 AS BIGINT) AS bucket,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM supplier GROUP BY 1"""),
+      "metadata-only RESTORE: rollback rebinds the historical file list " +
+        "as a NEW commit (O(1) in data, history stays time-travelable, " +
+        "schema + stats return with the version)")
   )
 }

@@ -367,6 +367,18 @@ final class LiteSql(
           "ALTER needs a database-backed engine (GraftDatabase.sql)"))
         a.addColumn(m.group(1).toLowerCase, m.group(2), m.group(3).trim)
         Seq(true).toDF("result")
+      case "RESTORE" =>
+        // RESTORE {collection} TO VERSION {v} — metadata-only rollback
+        // (dialect extension): rebinds the historical file list as a
+        // NEW commit, so the undone states stay time-travelable
+        val m = "(?i)^RESTORE (\\w+) TO VERSION (\\d+)\\s*;?$".r
+          .findFirstMatchIn(sql).getOrElse(
+            throw new IllegalArgumentException(
+              s"bad RESTORE (expected RESTORE c TO VERSION v): $sql"))
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          "RESTORE needs a database-backed engine (GraftDatabase.sql)"))
+        a.restoreCollection(m.group(1).toLowerCase, m.group(2).toLong)
+        Seq(true).toDF("result")
       case "CLONE" =>
         // CLONE COLLECTION {src} TO {dst} — zero-copy shallow clone
         // (dialect extension): one metadata-only commit, O(1) in data
@@ -766,6 +778,8 @@ object LiteSql {
     def cloneCollection(src: String, dst: String): Boolean
     /** Metadata-only ADD COLUMN; `ddlType` is a Spark DDL type name. */
     def addColumn(name: String, column: String, ddlType: String): Unit
+    /** Metadata-only rollback to a committed version (a NEW commit). */
+    def restoreCollection(name: String, version: Long): Unit
   }
 
   def apply(spark: SparkSession, sfDir: String): LiteSql =

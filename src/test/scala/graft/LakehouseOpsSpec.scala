@@ -67,6 +67,38 @@ class LakehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("restore rolls a table back metadata-only, keeps history " +
+      "time-travelable, and brings schema + stats back with it") {
+    val db = freshDb()
+    db.insert("t", rows(100).repartitionByRange(2, col("id")))
+    val v1 = db.logVersion
+    val filesThen = db.liveFiles("t")
+    db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
+    db.delete("t", col("id") <= 50)
+    db.updateMany("t", col("id") === 60, Map("v" -> lit(0L)))
+    assert(db.table("t").count() == 50)
+
+    val vRestore = db.restore("t", v1)
+    assert(db.table("t").count() == 100)
+    assert(db.liveFiles("t") == filesThen,
+      "restore must rebind the HISTORICAL files, not copy them")
+    // the pre-evolution schema came back with the version
+    assert(!db.table("t").columns.contains("score"))
+    // stats came back too: the range probe prunes again
+    assert(db.seek("t", "id", 1, 10).inputFiles.length == 1)
+    // history preserved: the undone state is still readable AS OF
+    assert(db.tableAt("t", vRestore - 1).get.count() == 50)
+    // SQL surface
+    db.delete("t", col("id") > 90)
+    assert(db.sql(s"RESTORE t TO VERSION $v1").as[Boolean].head())
+    assert(db.table("t").count() == 100)
+    // a vacuum-truncated version refuses loudly
+    (1 to 12).foreach(i => db.updateMany("t", col("id") === 1,
+      Map("v" -> lit(i.toLong))))
+    db.vacuum(keepVersions = 1, minAgeMs = 0)
+    intercept[Exception] { db.restore("t", v1) }
+  }
+
   // ---- change feed ---------------------------------------------------------
 
   test("changes() is row-exact across a file-granular rewrite and reads " +
