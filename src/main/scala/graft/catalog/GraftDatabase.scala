@@ -241,11 +241,26 @@ final class GraftDatabase private (
     * retires them. The restored version's schema and file stats come
     * back with it (they live in the historical snapshot). Bounded by
     * vacuum retention twice over: the version must still resolve AND
-    * its data files must still exist.
+    * its data files must still exist — and the referenced files'
+    * timestamps are refreshed before the commit so vacuum's in-flight
+    * grace window (`minAgeMs`) covers the check→publish gap.
+    *
+    * Declared constraints are re-validated on the restored state:
+    * rolling a PARENT back past rows that children (declared via their
+    * FKs) still reference, or past a later-added unique constraint,
+    * fails like the equivalent delete/update would — restore is not a
+    * constraint bypass.
+    *
+    * Restore binds NAMES, not identities: restoring a DROPPED name is
+    * an undrop; after RENAME a→b, version v restores under the name
+    * the table had AT v.
     */
   def restore(name: String, version: Long): Long = {
     requireNotRetired(); requireNoOpenTx()
     val n = norm(name)
+    require(version <= txlog.settledVersion,
+      s"restore($name, $version): version is beyond the committed head " +
+        s"(${txlog.settledVersion}) — nothing to roll back to")
     require(txlog.resolvableAt(version),
       s"restore($name, $version): version truncated by vacuum")
     val snapThen = txlog.snapshotAt(version)
@@ -255,24 +270,62 @@ final class GraftDatabase private (
     require(missing.isEmpty,
       s"restore($name, $version): ${missing.size} data file(s) already " +
         s"reclaimed by vacuum (first: ${missing.headOption.getOrElse("")})")
+    // refresh mtimes so a concurrent vacuum's minAgeMs grace window
+    // treats the about-to-be-rebound files as in-flight references
+    files.foreach { r =>
+      try Files.setLastModifiedTime(Paths.get(s"$root/$r"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
+    }
     val base = txlog.settledVersion
+    val restored = txlog.readFiles(files, snapThen.schemas.get(n))
+    // constraint re-validation: restore must not bypass what DML
+    // enforces. (a) the restored rows' own FKs still resolve; (b) its
+    // unique/PK constraints hold; (c) no DECLARED child still
+    // references a key the rollback removes (the restrict walk)
+    val tdef = tableDef(n)
+    requireClean(ConstrainedDml.validateUpdate(
+      spark, tdef, restored, restored, parentsOf(tdef)))
+    defs.values.foreach { child =>
+      child.fks.filter(fk => norm(fk.parentTable) == n)
+        .foreach { fk =>
+          if (tableExists(child.name) && norm(child.name) != n) {
+            val orphans = table(child.name)
+              .join(restored.select(col(fk.parentCol)),
+                col(fk.childCol) === col(fk.parentCol), "left_anti")
+              .limit(1).count()
+            if (orphans > 0) throw new IllegalStateException(
+              s"restore($name, $version) would orphan rows of " +
+                s"'${child.name}' (FK ${fk.childCol} -> $n." +
+                s"${fk.parentCol}); roll the child back first")
+          }
+        }
+    }
     val schemaBack: Seq[TxLog.Action] = snapThen.schemas.get(n) match {
       case Some(js) => Seq(TxLog.Sch(n, js))
       case None if txlog.snapshot().schemas.contains(n) =>
         // v predates the stored schema, but the table is pinned NOW —
         // leaving the current pin would misrepresent the restored state
         // (columns added after v would ghost in as nulls). Re-pin to
-        // v's actual file schema (one footer inference, at restore
-        // time only).
-        Seq(TxLog.Sch(n, txlog.readAt(version, n).get.schema.json))
+        // v's actual file schema.
+        Seq(TxLog.Sch(n, restored.schema.json))
       case None => Nil
     }
     val statsBack = files.flatMap(f =>
       snapThen.stats.get((n, f)).map(js => TxLog.Sta(n, f, js)))
     val v = txlog.commit(
       (TxLog.Put(n, files) +: schemaBack) ++ statsBack,
-      readVersion = base)
+      readVersion = base,
+      readTables = defs.values.filter(_.fks.exists(fk =>
+        norm(fk.parentTable) == n)).map(d => norm(d.name)).toSet)
     invalidateSqlEngine()
+    // close the residual vacuum race: the binding is committed — if a
+    // concurrent vacuum still reclaimed a file inside the window, say
+    // so NOW instead of letting every later read throw mysteriously
+    val gone = files.filterNot(r => Files.exists(Paths.get(s"$root/$r")))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"restore($name, $version): a concurrent vacuum reclaimed " +
+        s"${gone.size} restored file(s) — re-restore a retained version")
     v
   }
 

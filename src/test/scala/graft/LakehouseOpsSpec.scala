@@ -99,6 +99,36 @@ class LakehouseOpsSpec extends AnyFunSuite {
     intercept[Exception] { db.restore("t", v1) }
   }
 
+  test("restore refuses a future version, respects declared FKs, and " +
+      "undrops by name") {
+    val base = Files.createTempDirectory("graft-restore2").toString
+    val db = GraftDatabase(spark, "restore2", base)
+      .defineTable(TableDef("parent", "id"))
+      .defineTable(TableDef("child", "cid", fks = Seq(
+        graft.dml.ConstrainedDml.Fk("pid", "parent", "id",
+          graft.dml.ConstrainedDml.Restrict))))
+    db.insert("parent", Seq((1, "a"), (2, "b")).toDF("id", "tag"))
+    val v1 = db.logVersion
+    // a future version is an error, not a silent no-op
+    intercept[IllegalArgumentException] { db.restore("parent", v1 + 50) }
+
+    // child rows referencing a parent added AFTER v1 block the rollback
+    db.insert("parent", Seq((3, "c")).toDF("id", "tag"))
+    db.insert("child", Seq((10, 3)).toDF("cid", "pid"))
+    val ex = intercept[IllegalStateException] { db.restore("parent", v1) }
+    assert(ex.getMessage.contains("orphan"))
+    // rolling the child back first unblocks the parent
+    db.delete("child", col("cid") === 10)
+    db.restore("parent", v1)
+    assert(db.table("parent").count() == 2)
+
+    // undrop: restore binds names, so a dropped name comes back
+    db.dropCollection("parent")
+    assert(!db.tableExists("parent"))
+    db.restore("parent", v1)
+    assert(db.table("parent").count() == 2)
+  }
+
   // ---- change feed ---------------------------------------------------------
 
   test("changes() is row-exact across a file-granular rewrite and reads " +
