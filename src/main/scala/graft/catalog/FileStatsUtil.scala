@@ -169,6 +169,10 @@ object FileStatsUtil {
     x.length <= y.length
   }
 
+  /** [[utf8Lte]] for the auto-skipping rule's bound tightening. */
+  private[catalog] def utf8LteForPrune(a: String, b: String): Boolean =
+    utf8Lte(a, b)
+
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -192,15 +196,15 @@ object FileStatsUtil {
         case Some(m) =>
           val (kind, fLo, fHi) = (m.group(1), unq(m.group(2)), unq(m.group(3)))
           kind match {
-            case "num" => (numLo, numHi) match {
-              case (Some(l), Some(h)) =>
-                BigDecimal(fHi) >= l && BigDecimal(fLo) <= h
-              case _ => true
-            }
-            case "str" => (strLo, strHi) match {
-              case (Some(l), Some(h)) => utf8Lte(l, fHi) && utf8Lte(fLo, h)
-              case _ => true
-            }
+            // each side checks independently, so one-sided probes
+            // (WHERE c >= x with no upper bound) still prune; a side
+            // whose bound didn't convert (None) never prunes
+            case "num" =>
+              numLo.forall(l => BigDecimal(fHi) >= l) &&
+                numHi.forall(h => BigDecimal(fLo) <= h)
+            case "str" =>
+              strLo.forall(l => utf8Lte(l, fHi)) &&
+                strHi.forall(h => utf8Lte(fLo, h))
             case _ => true
           }
       }
@@ -208,13 +212,22 @@ object FileStatsUtil {
   }
 
   /** Build the compiled probe for `column` in [lo, hi]. */
-  def probe(column: String, lo: Any, hi: Any): StatsProbe = {
+  def probe(column: String, lo: Any, hi: Any): StatsProbe =
+    probeBounds(column, Option(lo), Option(hi))
+
+  /** [[probe]] with independently-optional bounds: None = that side is
+    * unbounded (a one-sided `>=`/`<=` predicate still prunes on the
+    * side it has). The auto-skipping rule builds these from whatever
+    * conjuncts the WHERE clause happens to carry.
+    */
+  def probeBounds(column: String, lo: Option[Any],
+      hi: Option[Any]): StatsProbe = {
     val re = ("\"" + java.util.regex.Pattern.quote(column.toLowerCase) +
       "\"\\s*:\\s*\\{\"k\":\"(num|str)\",\"lo\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
       "\"hi\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
-    new StatsProbe(re, toNum(lo), toNum(hi),
-      Option(lo).collect { case s: String => s },
-      Option(hi).collect { case s: String => s })
+    new StatsProbe(re, lo.flatMap(toNum), hi.flatMap(toNum),
+      lo.collect { case s: String => s },
+      hi.collect { case s: String => s })
   }
 
   /** One-shot convenience over [[probe]] (tests, single-file checks). */

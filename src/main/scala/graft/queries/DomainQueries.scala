@@ -852,6 +852,131 @@ object DomainQueries {
         FROM supplier GROUP BY 1"""),
       "metadata-only RESTORE: rollback rebinds the historical file list " +
         "as a NEW commit (O(1) in data, history stays time-travelable, " +
-        "schema + stats return with the version)")
+        "schema + stats return with the version)"),
+
+    // AUTOMATIC data skipping — q147 with the seek() call deleted. A
+    // plain `db.sql WHERE BETWEEN` (and any `.filter`) auto-prunes its
+    // file list through the session-wide StatsPruneRule, the analog of
+    // LiteDB's optimizer choosing an index per AND-term with NO user
+    // hint (QueryOptimization.cs:168-294). Gate: the default read path
+    // provably scans <= half the files for a ~20% range probe; the
+    // residual filter still runs, so results hash-match the oracle.
+    Q("q149_auto_skipping",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q149").toString
+        val db = GraftDatabase(s, "q149", base)
+          .defineTable(TableDef("part", "p_partkey"))
+        val src = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        db.insert("part", src.repartitionByRange(8, col("p_partkey")))
+        val n = db.liveFiles("part").size
+        val mx = src.agg(max(col("p_partkey"))).head().getLong(0)
+        val (lo, hi) = (mx / 10, 3 * mx / 10)
+        // the DEFAULT read path: no seek(), no hint — just SQL
+        val rows = db.sql("SELECT p_partkey, p_brand, p_retailprice " +
+          s"FROM part WHERE p_partkey BETWEEN $lo AND $hi")
+        require(rows.inputFiles.length <= math.max(1, n / 2),
+          s"auto data skipping must prune the DEFAULT read path: scanned " +
+            s"${rows.inputFiles.length} of $n files for a 20% range probe")
+        rows.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p_retailprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+      },
+      Some("""WITH b AS (SELECT MAX(p_partkey) AS mx FROM part)
+        SELECT p_brand, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM part, b
+        WHERE p_partkey BETWEEN (mx // 10) AND (3 * mx // 10)
+        GROUP BY 1"""),
+      "automatic data skipping: the session-wide optimizer rule prunes " +
+        "file lists from log-held stats for ANY filter over a graft " +
+        "table — db.sql / .filter / find hit the pruned list with no " +
+        "seek() call (the LiteDB auto-optimizer analog)"),
+
+    // SQL MERGE INTO — the set-semantics generalization of the
+    // reference's per-document Upsert (TableCollection.cs:1195-1240
+    // resolves each incoming doc to update-or-insert by PK): ANSI
+    // clause order (first hit wins), conditional UPDATE/DELETE/INSERT,
+    // ONE file-granular commit. DuckDB 1.0 has no MERGE statement, so
+    // the oracle recomputes the merged state as the UNION ALL of its
+    // three branches (updated-matched / passthrough-unmatched-target /
+    // inserted-unmatched-source).
+    Q("q150_merge_into",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q150").toString
+        val db = GraftDatabase(s, "q150", base)
+          .defineTable(TableDef("customer", "c_custkey"))
+          .defineTable(TableDef("src", "k"))
+        db.insert("customer", Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+        // per-customer spend; every 3rd key shifted out of the customer
+        // range so the merge exercises NOT MATCHED inserts too
+        db.insert("src", Tables.load(s, dir, "orders")
+          .groupBy((col("o_custkey") +
+            when(col("o_custkey") % 3 === 0, lit(1000000L)).otherwise(lit(0L)))
+            .as("k"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("spend")))
+        val v0 = db.logVersion
+        db.sql("MERGE INTO customer USING src ON customer.c_custkey = src.k " +
+          "WHEN MATCHED AND src.spend >= 200000 THEN UPDATE SET c_acctbal = src.spend " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (src.k, src.spend)")
+        require(db.logVersion == v0 + 1,
+          "MERGE must land as exactly ONE commit")
+        db.table("customer")
+          .groupBy(coalesce(col("c_mktsegment"), lit("(new)")).as("seg"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"))
+      },
+      Some("""WITH src AS (
+          SELECT o_custkey + CASE WHEN o_custkey % 3 = 0 THEN 1000000 ELSE 0 END AS k,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          FROM orders GROUP BY 1
+        ), merged AS (
+          SELECT c.c_custkey, s.spend AS c_acctbal, c.c_mktsegment
+            FROM customer c JOIN src s ON c.c_custkey = s.k
+            WHERE s.spend >= 200000
+          UNION ALL
+          SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+            FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+            WHERE s.k IS NULL
+          UNION ALL
+          SELECT s.k, s.spend, NULL
+            FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+            WHERE c.c_custkey IS NULL
+        )
+        SELECT COALESCE(c_mktsegment, '(new)') AS seg, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM merged GROUP BY 1"""),
+      "SQL MERGE INTO (conditional UPDATE/DELETE/INSERT, first-hit-wins " +
+        "clause order, ANSI multi-match check) landing as ONE " +
+        "file-granular commit — the set form of TableCollection.Upsert"),
+
+    // Explicit enumerable lambdas — the reference's MAP/FILTER/SORT
+    // function-call form (`BsonExpressionParser.cs:1166-1280`, `@` is
+    // the current item) lowered to Spark transform/filter/array_sort.
+    // Integer/max aggregates only: no float-sum order hazards.
+    Q("q152_lambda_fns",
+      (s, dir) => graft.query.LiteSql(s, dir).run(
+        "SELECT $.label, COUNT(*) AS n_vecs, " +
+          "CAST(SUM(SIZE(FILTER($.embedding => @ > 0.5))) AS BIGINT) AS n_big, " +
+          "CAST(SUM(SIZE(FILTER(MAP($.embedding => @ * 2) => @ > 1.0))) AS BIGINT) AS n_big2, " +
+          "CAST(MAX(SORT($.embedding => @, -1)[0]) AS DOUBLE) AS max_v " +
+          "FROM embeddings GROUP BY $.label"),
+      Some("""SELECT label, COUNT(*) AS n_vecs,
+        CAST(SUM(LEN(LIST_FILTER(embedding, x -> x > 0.5))) AS BIGINT) AS n_big,
+        CAST(SUM(LEN(LIST_FILTER(LIST_TRANSFORM(embedding, x -> x * 2), x -> x > 1.0))) AS BIGINT) AS n_big2,
+        CAST(MAX(LIST_SORT(embedding, 'DESC')[1]) AS DOUBLE) AS max_v
+        FROM embeddings GROUP BY 1"""),
+      "explicit MAP/FILTER/SORT(arr => expr) lambda syntax " +
+        "(BsonExpressionParser.cs:1166-1280) lowered to Spark " +
+        "higher-order functions; SORT uses a null-lowest comparator")
   )
 }

@@ -85,6 +85,7 @@ final class LiteSql(
     lastChangedRowsVar = Map.empty
     lastDeletedRowsVar = Map.empty
     lastSetTargetsVar = Nil
+    lastHadInsertsVar = false
     refreshViews() // see run(): another instance may hold the view names
     kw match {
       case "SELECT" =>
@@ -114,6 +115,7 @@ final class LiteSql(
             rebind(target, merged)
             lastChangedRowsVar += target ->
               merged.limit(0).unionByName(incoming, allowMissingColumns = true)
+            lastHadInsertsVar = true
             Seq(n).toDF("n_affected")
           case _ => run(sql)
         }
@@ -144,6 +146,7 @@ final class LiteSql(
         // null) — what a persisting caller validates as "new"
         lastChangedRowsVar += name ->
           merged.limit(0).unionByName(incoming, allowMissingColumns = true)
+        lastHadInsertsVar = true
         Seq(docs.size.toLong).toDF("n_affected")
       case "UPDATE" =>
         // UPDATE <col> SET <path>=<expr>[,...] [WHERE <pred>] (Update.cs);
@@ -212,6 +215,8 @@ final class LiteSql(
         rebind(name, df.filter(!hit))
         lastDeletedRowsVar += name -> df.filter(hit)
         Seq(n).toDF("n_affected")
+      case "MERGE" =>
+        executeMerge(sql)
       case "DROP" =>
         // DROP INDEX {collection}.{indexName} | DROP COLLECTION {name}
         // (SqlParser.cs ParseDrop). Index names resolve through the
@@ -395,6 +400,272 @@ final class LiteSql(
     }
   }
 
+  /** `MERGE INTO target [AS t] USING source [AS s] ON <cond>
+    *   { WHEN MATCHED [AND <cond>] THEN UPDATE SET a=<expr>,...
+    *   | WHEN MATCHED [AND <cond>] THEN DELETE
+    *   | WHEN NOT MATCHED [AND <cond>] THEN INSERT * | (cols) VALUES (exprs) }+`
+    *
+    * The general form of the reference's per-document Upsert
+    * (`Table/TableCollection.cs:1195-1240` resolves each incoming doc to
+    * update-or-insert by PK) lifted to set semantics, and the lakehouse-
+    * parity twin of OPTIMIZE/CLONE/RESTORE. ANSI behavior: clauses test
+    * in ORDER and the first hit wins per row; a target row matching
+    * MULTIPLE source rows is an error (checked when the target's PK is
+    * known through the admin hook); unmatched-by-every-clause rows pass
+    * through unchanged. A persisting caller (GraftDatabase.sql) lands
+    * the whole statement as ONE file-granular commit: only target files
+    * holding a touched PK rewrite, inserts append.
+    *
+    * Returns the standard 1-row `n_affected` frame counting updates +
+    * deletes + inserts. Limitation: an UNPARENTHESIZED `CASE WHEN`
+    * inside a clause condition would split the clause scan — wrap such
+    * expressions in parentheses.
+    */
+  private def executeMerge(sql: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    import spark.implicits._
+    val H = ("(?is)^MERGE\\s+INTO\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?\\s+" +
+      "USING\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?\\s+ON\\s+(.+)$").r
+    val m = H.findFirstMatchIn(sql).getOrElse(
+      throw new IllegalArgumentException(
+        s"bad MERGE (expected MERGE INTO t USING s ON cond WHEN ...): $sql"))
+    val target = m.group(1).toLowerCase
+    val tA = Option(m.group(2)).getOrElse(target)
+    val source = m.group(3).toLowerCase
+    val sA = Option(m.group(4)).getOrElse(source)
+    require(current.contains(source), s"MERGE source '$source' does not exist")
+    require(tA != sA,
+      "MERGE: target and source aliases must differ (use AS)")
+    // clause scan: split at top-level WHEN (paren + quote aware)
+    val parts = splitAllAtKeywordTopLevel(m.group(5), "WHEN")
+    val onCond = parts.head
+    require(parts.size > 1, s"MERGE needs at least one WHEN clause: $sql")
+
+    sealed trait Cl { def cond: Option[String] }
+    case class Upd(cond: Option[String], sets: Seq[(String, String)]) extends Cl
+    case class Del(cond: Option[String]) extends Cl
+    case class Ins(cond: Option[String],
+        colsVals: Option[(Seq[String], Seq[String])]) extends Cl // None = *
+    val MatchedRe = "(?is)^MATCHED(?:\\s+AND\\s+(.+))?$".r
+    val NotMatchedRe = "(?is)^NOT\\s+MATCHED(?:\\s+AND\\s+(.+))?$".r
+    val clauses: Seq[Cl] = parts.tail.map { c =>
+      val (head, thenOpt) = splitAtKeywordTopLevel(c, "THEN")
+      val act = thenOpt.getOrElse(throw new IllegalArgumentException(
+        s"MERGE WHEN clause without THEN: $c")).trim
+      head.trim match {
+        case MatchedRe(cnd) =>
+          if (act.equalsIgnoreCase("DELETE")) Del(Option(cnd))
+          else {
+            val sm = "(?is)^UPDATE\\s+SET\\s+(.+)$".r.findFirstMatchIn(act)
+              .getOrElse(throw new IllegalArgumentException(
+                s"MERGE WHEN MATCHED expects UPDATE SET or DELETE: $act"))
+            Upd(Option(cnd), splitTopLevel(sm.group(1), ',').map { a =>
+              val eq = indexOfCharOutsideQuotes(a, '=')
+              require(eq > 0, s"bad MERGE SET assignment: $a")
+              (a.substring(0, eq).trim.stripPrefix("$.").trim,
+                a.substring(eq + 1).trim)
+            })
+          }
+        case NotMatchedRe(cnd) =>
+          if (act.equalsIgnoreCase("INSERT *") || act.equalsIgnoreCase("INSERT"))
+            Ins(Option(cnd), None)
+          else {
+            val im = ("(?is)^INSERT\\s*\\(([^)]*)\\)\\s*VALUES\\s*" +
+              "\\((.+)\\)\\s*$").r.findFirstMatchIn(act)
+              .getOrElse(throw new IllegalArgumentException(
+                s"MERGE WHEN NOT MATCHED expects INSERT * or " +
+                  s"INSERT (cols) VALUES (exprs): $act"))
+            val cols = im.group(1).split(',').map(
+              _.trim.stripPrefix("$.").trim).toSeq
+            val vals = splitTopLevel(im.group(2), ',')
+            require(cols.size == vals.size,
+              s"MERGE INSERT: ${cols.size} columns but ${vals.size} values")
+            Ins(Option(cnd), Some((cols, vals)))
+          }
+        case other => throw new IllegalArgumentException(
+          s"bad MERGE WHEN clause: WHEN $other")
+      }
+    }
+
+    val src = current(source)
+    // MERGE into an unknown collection: every source row is NOT MATCHED
+    // (lazy creation, like INSERT's) — the target starts empty with the
+    // source's shape so ON/clause expressions still resolve
+    val tgt = current.getOrElse(target, src.limit(0))
+    val tCols = tgt.columns.toSeq
+    val tdf = tgt.alias(tA)
+    val sdf = src.alias(sA)
+    val on = expr(translateExpr(onCond))
+    def cnd(o: Option[String]): Column =
+      o.map(c => coalesce(expr(translateExpr(c)), lit(false)))
+        .getOrElse(lit(true))
+
+    // ANSI cardinality: one target row may match at most one source row
+    // (checked via the target PK when the owning database declares one)
+    admin.flatMap(_.pkOf(target)).filter(tCols.contains).foreach { pk =>
+      val dups = tdf.join(sdf, on, "inner")
+        .groupBy(col(s"$tA.$pk")).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dups == 0L,
+        "MERGE: a target row matched multiple source rows (ON is not " +
+          "unique over the source)")
+    }
+
+    val mClauses = clauses.collect { case u: Upd => u: Cl; case d: Del => d: Cl }
+    val nmClauses = clauses.collect { case i: Ins => i }
+    // output schema: target columns plus any NEW columns a SET/INSERT
+    // introduces (LiteDB UPDATE creates missing paths; same here)
+    val newCols = (mClauses.collect { case Upd(_, sets) => sets.map(_._1) }
+      .flatten ++ nmClauses.flatMap(_.colsVals.map(_._1).getOrElse(Nil)))
+      .filterNot(c => tCols.exists(_.equalsIgnoreCase(c))).distinct
+    val outCols = tCols ++ newCols
+    // ANSI MERGE: source-derived values cast to the TARGET column's
+    // type (Spark's own MERGE INTO does the same under its store-
+    // assignment policy) — the target schema stays fixed, so a
+    // persisting caller keeps the commit file-granular instead of
+    // widening the schema and rewriting every live file. Under ANSI
+    // mode an overflowing value throws rather than wraps.
+    val tType = tgt.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    def toT(c: String, v: Column): Column =
+      tType.get(c.toLowerCase).map(v.cast).getOrElse(v)
+    def baseVal(c: String): Column =
+      if (tCols.exists(_.equalsIgnoreCase(c))) col(s"$tA.$c") else lit(null)
+
+    // first-hit-wins chains over the matched pairs (built right-to-left)
+    val pairs = tdf.join(sdf, on, "inner")
+    val act = mClauses.foldRight(lit("keep"): Column) { (c, els) =>
+      c match {
+        case Upd(o, _) => when(cnd(o), lit("update")).otherwise(els)
+        case Del(o) => when(cnd(o), lit("delete")).otherwise(els)
+        case _ => els
+      }
+    }
+    def valueOf(c: String): Column = mClauses.foldRight(baseVal(c)) {
+      (cl, els) => cl match {
+        case Upd(o, sets) =>
+          val rhs = sets.find(_._1.equalsIgnoreCase(c))
+            .map(x => expr(translateExpr(x._2))).getOrElse(baseVal(c))
+          when(cnd(o), rhs).otherwise(els)
+        case Del(o) => when(cnd(o), baseVal(c)).otherwise(els)
+        case _ => els
+      }
+    }
+    val matchedOut = pairs.select(
+      outCols.map(c => toT(c, valueOf(c)).as(c)) :+ act.as("_graft_act"): _*)
+    val matchedKept = matchedOut.filter(col("_graft_act") =!= "delete")
+      .drop("_graft_act")
+    val unmatchedT = tdf.join(sdf, on, "left_anti")
+      .select(outCols.map(c =>
+        (if (tCols.exists(_.equalsIgnoreCase(c))) col(c) else lit(null))
+          .as(c)): _*)
+
+    // NOT MATCHED source rows through the first insert clause that fires
+    val unmatchedS = sdf.join(tdf, on, "left_anti")
+    val sCols = src.columns.toSeq
+    val insIdx = nmClauses.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((c, i), els) => when(cnd(c.cond), lit(i)).otherwise(els)
+    }
+    def insValue(c: String, cl: Ins): Column = cl.colsVals match {
+      case None => // INSERT *: same-named source columns, rest null
+        if (sCols.exists(_.equalsIgnoreCase(c))) col(c) else lit(null)
+      case Some((cols, vals)) =>
+        cols.indexWhere(_.equalsIgnoreCase(c)) match {
+          case -1 => lit(null)
+          case i => expr(translateExpr(vals(i)))
+        }
+    }
+    val inserts =
+      if (nmClauses.isEmpty) None
+      else Some(unmatchedS.select(
+        outCols.map { c =>
+          toT(c, nmClauses.zipWithIndex.foldRight(lit(null): Column) {
+            case ((cl, i), els) => when(insIdx === i, insValue(c, cl))
+              .otherwise(els)
+          }).as(c)
+        } :+ insIdx.as("_graft_ins"): _*)
+        .filter(col("_graft_ins") >= 0).drop("_graft_ins"))
+
+    val nAffected = matchedOut.filter(col("_graft_act") =!= "keep").count() +
+      inserts.map(_.count()).getOrElse(0L)
+    val merged0 = matchedKept.unionByName(unmatchedT,
+      allowMissingColumns = true)
+    val merged = inserts
+      .map(i => merged0.unionByName(i, allowMissingColumns = true))
+      .getOrElse(merged0)
+    rebind(target, merged)
+    val updated = matchedOut.filter(col("_graft_act") === "update")
+      .drop("_graft_act")
+    lastChangedRowsVar += target -> inserts
+      .map(i => updated.unionByName(i, allowMissingColumns = true))
+      .getOrElse(updated)
+    lastDeletedRowsVar += target ->
+      matchedOut.filter(col("_graft_act") === "delete").drop("_graft_act")
+    lastSetTargetsVar =
+      mClauses.collect { case Upd(_, sets) => sets.map(_._1) }.flatten
+    lastHadInsertsVar = nmClauses.nonEmpty
+    Seq(nAffected).toDF("n_affected")
+  }
+
+  /** [[splitAtKeyword]] but paren/bracket aware: the split point is the
+    * FIRST top-level occurrence (a `THEN` inside `(CASE WHEN ... THEN
+    * ...)` is expression text, not clause syntax).
+    */
+  private def splitAtKeywordTopLevel(s: String,
+      kw: String): (String, Option[String]) = {
+    val mask = quoteMask(s)
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      if (!mask(i)) {
+        val c = s.charAt(i)
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && i + kw.length <= s.length &&
+            s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+            (i + kw.length >= s.length ||
+              !isIdentChar(s.charAt(i + kw.length))))
+          return (s.substring(0, i).trim,
+            Some(s.substring(i + kw.length).trim))
+      }
+      i += 1
+    }
+    (s.trim, None)
+  }
+
+  /** Split at EVERY top-level occurrence of `kw` (word-boundary, quote
+    * AND paren/bracket aware — a parenthesized `CASE WHEN` never splits
+    * a MERGE clause scan).
+    */
+  private def splitAllAtKeywordTopLevel(s: String, kw: String): Seq[String] = {
+    val mask = quoteMask(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (!mask(i)) {
+        val c = s.charAt(i)
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && i + kw.length <= s.length &&
+            s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+            (i + kw.length >= s.length ||
+              !isIdentChar(s.charAt(i + kw.length)))) {
+          out += s.substring(start, i).trim
+          start = i + kw.length
+          i += kw.length - 1
+        }
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.toSeq
+  }
+
   private def rebind(name: String, df: DataFrame): Unit = {
     // re-collate: INSERT merges in plain (binary) string columns
     val collated = collation.collate(df)
@@ -407,6 +678,7 @@ final class LiteSql(
   private var lastChangedRowsVar: Map[String, DataFrame] = Map.empty
   private var lastDeletedRowsVar: Map[String, DataFrame] = Map.empty
   private var lastSetTargetsVar: Seq[String] = Nil
+  private var lastHadInsertsVar: Boolean = false
 
   /** Tables rebound by DML since construction (name -> current state) —
     * what a persisting caller (GraftDatabase.sql) must write back.
@@ -429,6 +701,14 @@ final class LiteSql(
 
   /** SET target columns of the last UPDATE (for PK-immutability checks). */
   def lastSetTargets: Seq[String] = lastSetTargetsVar
+
+  /** True when the last statement could have added NEW primary keys
+    * (INSERT, SELECT INTO, MERGE with an INSERT clause) — a persisting
+    * caller must then commit ABSOLUTE, never as a commuting patch: two
+    * concurrent patch-commits could both land the same new PK (the
+    * write-skew the patch gate exists to prevent).
+    */
+  def lastHadInserts: Boolean = lastHadInsertsVar
 
   /** $-path translation only (for WHERE/SET fragments): member paths plus
     * the array segments documented on translateDollarPaths.
@@ -463,7 +743,17 @@ final class LiteSql(
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!mask(i) && c == '$' && (i == 0 || !isIdentChar(s.charAt(i - 1)))) {
+      val lambda =
+        if (!mask(i) && isIdentStart(c) &&
+            (i == 0 || !isIdentChar(s.charAt(i - 1))))
+          tryRewriteLambdaFn(s, mask, i, itemVar, depth)
+        else None
+      if (lambda.isDefined) {
+        val (sql, next) = lambda.get
+        sb ++= sql
+        i = next
+      } else if (!mask(i) && c == '$' &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1)))) {
         if (i + 1 < s.length && s.charAt(i + 1) == '.' &&
             i + 2 < s.length && isIdentStart(s.charAt(i + 2))) {
           val (expr, next) = parsePath(s, mask, i + 2, rootPrefix = "", depth)
@@ -485,6 +775,93 @@ final class LiteSql(
       } else { sb += c; i += 1 }
     }
     sb.toString
+  }
+
+  /** The reference's explicit enumerable functions
+    * (`BsonExpressionParser.cs:1166-1280` — `MAP(items[*] => @.Name)`,
+    * `FILTER(arr => @.x > 1)`, `SORT(arr => @.key [, order])`, where
+    * `@` is the current item): rewritten to Spark's higher-order
+    * functions (`transform` / `filter` / `array_sort` with a
+    * comparator). Fires only when a top-level `=>` sits inside the
+    * parens, so Spark's own `filter(arr, x -> ...)` builtin — and any
+    * plain call named MAP/FILTER/SORT — passes through untouched.
+    * Returns (sql, indexAfterCloseParen) or None to fall through.
+    * SORT's optional second argument: `-1` / `'desc'` sorts descending
+    * (`BsonExpressionFunctions.SORT` order parameter); nulls first in
+    * ascending order, like the reference's BsonValue comparison placing
+    * null lowest.
+    */
+  private def tryRewriteLambdaFn(s: String, mask: Array[Boolean], start: Int,
+      itemVar: Option[String], depth: Int): Option[(String, Int)] = {
+    var i = start
+    while (i < s.length && isIdentChar(s.charAt(i))) i += 1
+    val word = s.substring(start, i).toUpperCase
+    if (word != "MAP" && word != "FILTER" && word != "SORT") return None
+    if (i >= s.length || s.charAt(i) != '(') return None
+    val close = matchParen(s, mask, i)
+    val content = s.substring(i + 1, close)
+    // top-level `=>` (quote + paren/bracket aware); absent -> not ours
+    val cMask = quoteMask(content)
+    var d = 0
+    var arrow = -1
+    var j = 0
+    while (j < content.length - 1 && arrow < 0) {
+      if (!cMask(j)) {
+        val ch = content.charAt(j)
+        if (ch == '(' || ch == '[') d += 1
+        else if (ch == ')' || ch == ']') d -= 1
+        else if (d == 0 && ch == '=' && content.charAt(j + 1) == '>' &&
+            (j == 0 || content.charAt(j - 1) != '<' &&
+              content.charAt(j - 1) != '>' && content.charAt(j - 1) != '='))
+          arrow = j
+      }
+      j += 1
+    }
+    if (arrow < 0) return None
+    val input = translateDollarPaths(content.substring(0, arrow).trim,
+      itemVar, depth)
+    val rest = content.substring(arrow + 2).trim
+    val sfx = if (depth == 0) "" else (depth + 1).toString
+    word match {
+      case "MAP" | "FILTER" =>
+        val v = s"_it$sfx"
+        val body = translateDollarPaths(rest, Some(v), depth + 1)
+        val fn = if (word == "MAP") "transform" else "filter"
+        Some((s"$fn($input, $v -> $body)", close + 1))
+      case _ => // SORT: [itemExpr [, order]]
+        val segs = splitTopLevel(rest, ',')
+        val (keyExpr, desc) = segs match {
+          case Seq(k) => (k, false)
+          case Seq(k, o) =>
+            val ord = o.trim.stripPrefix("'").stripSuffix("'")
+            (k, ord == "-1" || ord.equalsIgnoreCase("desc"))
+          case _ => throw new IllegalArgumentException(
+            s"bad SORT (expected SORT(arr => key [, order])): $content")
+        }
+        val (l, r) = (s"_l$sfx", s"_r$sfx")
+        val kl = translateDollarPaths(keyExpr, Some(l), depth + 1)
+        val kr = translateDollarPaths(keyExpr, Some(r), depth + 1)
+        val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
+        Some((s"array_sort($input, ($l, $r) -> CASE " +
+          s"WHEN ($kl) IS NULL AND ($kr) IS NULL THEN 0 " +
+          s"WHEN ($kl) IS NULL THEN $lt WHEN ($kr) IS NULL THEN $gt " +
+          s"WHEN ($kl) < ($kr) THEN $lt WHEN ($kl) > ($kr) THEN $gt " +
+          "ELSE 0 END)", close + 1))
+    }
+  }
+
+  /** Index of the `)` matching the `(` at `open` (depth + quote aware). */
+  private def matchParen(s: String, mask: Array[Boolean], open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      if (!mask(i)) {
+        if (s.charAt(i) == '(') depth += 1
+        else if (s.charAt(i) == ')') { depth -= 1; if (depth == 0) return i }
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced ( in: $s")
   }
 
   /** Parse one member chain (with optional bracket segments) starting at
@@ -681,6 +1058,12 @@ final class LiteSql(
     // WHERE clause is data); same rule as execute()
     var sql = replaceOutsideQuotes(liteSql.trim, _.replaceAll("\\s+", " "))
 
+    // `SELECT ... FOR UPDATE` (the reference parses it into the Query
+    // IR, `Client/SqlParser/Commands/Select.cs` ForUpdate): under
+    // snapshot-MVCC readers never block writers and writers conflict at
+    // commit, so the clause is accepted and ignored — not a parse error
+    sql = "(?i)\\s+FOR\\s+UPDATE\\s*;?\\s*$".r.replaceAllIn(sql, "")
+
     // Time travel: `FROM <t> VERSION AS OF <v>` binds a view of the
     // table at committed log version v (GraftDatabase.tableAt — needs a
     // database-backed engine). The view name is version-suffixed, so it
@@ -780,6 +1163,10 @@ object LiteSql {
     def addColumn(name: String, column: String, ddlType: String): Unit
     /** Metadata-only rollback to a committed version (a NEW commit). */
     def restoreCollection(name: String, version: Long): Unit
+    /** Declared primary key of a collection, when the owning database
+      * knows one — MERGE uses it for the ANSI multiple-match check.
+      */
+    def pkOf(name: String): Option[String] = None
   }
 
   def apply(spark: SparkSession, sfDir: String): LiteSql =

@@ -335,4 +335,60 @@ class LiteSqlSpec extends AnyFunSuite {
     val both = fresh.run("SELECT $.name FROM plant INCLUDE workorders")
     assert(both.count() == 1)
   }
+
+  // ---- explicit enumerable lambdas: MAP/FILTER/SORT(arr => expr) ----------
+  // (BsonExpressionParser.cs:1166-1280 — `@` is the current item)
+
+  test("MAP/FILTER(arr => expr) rewrite to transform/filter") {
+    assert(engine.translate("SELECT MAP($.items => @.x + 1) FROM t")
+      == "SELECT transform(items, _it -> _it.x + 1) FROM t")
+    assert(engine.translate("SELECT FILTER($.nums => @ > 2) FROM t")
+      == "SELECT filter(nums, _it -> _it > 2) FROM t")
+    // Spark's own builtin lambda syntax passes through untouched
+    assert(engine.translate("SELECT filter(nums, x -> x > 1) FROM t")
+      == "SELECT filter(nums, x -> x > 1) FROM t")
+    // a `=>` inside a string literal is data, not a lambda
+    assert(engine.translate("SELECT MAP($.a, '=>') FROM t")
+      == "SELECT MAP(a, '=>') FROM t")
+  }
+
+  test("SORT(arr => key [, order]) rewrites to an array_sort comparator " +
+      "with nulls-lowest, and nesting renames item vars") {
+    val asc = engine.translate("SELECT SORT($.nums => @) FROM t")
+    assert(asc.contains("array_sort(nums, (_l, _r) ->"))
+    val desc = engine.translate("SELECT SORT($.items => @.k, -1) FROM t")
+    assert(desc.contains("(_l.k) < (_r.k) THEN 1"))
+    val nested = engine.translate("SELECT MAP($.rows => FILTER(@.tags => @ != 'x')) FROM t")
+    assert(nested ==
+      "SELECT transform(rows, _it -> filter(_it.tags, _it2 -> _it2 != 'x')) FROM t")
+  }
+
+  test("lambda forms evaluate (semantics vs literal arrays)") {
+    val r = spark.sql(engine.translate(
+      "SELECT MAP($.ns => @ * 10) AS m, FILTER($.ns => @ >= 2) AS f, " +
+        "SORT($.ns => @, 'desc') AS s, SORT($.ws => @.k)[0].v AS first " +
+        "FROM (SELECT ARRAY(2, 1, 3) AS ns, ARRAY(NAMED_STRUCT('k', 9, 'v', 'hi'), " +
+        "NAMED_STRUCT('k', 1, 'v', 'lo')) AS ws)")).head()
+    assert(r.getSeq[Int](0) == Seq(20, 10, 30))
+    assert(r.getSeq[Int](1) == Seq(2, 3))
+    assert(r.getSeq[Int](2) == Seq(3, 2, 1))
+    assert(r.getString(3) == "lo")
+    // null keys sort lowest ascending (BsonValue comparison: null < all)
+    val ns = spark.sql(engine.translate(
+      "SELECT SORT($.xs => @.k) AS s FROM (SELECT " +
+        "ARRAY(NAMED_STRUCT('k', 2), NAMED_STRUCT('k', CAST(NULL AS INT)), " +
+        "NAMED_STRUCT('k', 1)) AS xs)")).head()
+    assert(ns.getSeq[org.apache.spark.sql.Row](0).map(r =>
+      if (r.isNullAt(0)) -1 else r.getInt(0)) == Seq(-1, 1, 2))
+  }
+
+  test("SELECT ... FOR UPDATE is accepted and ignored (snapshot-MVCC: " +
+      "readers never block; Commands/Select.cs parses ForUpdate)") {
+    assert(engine.run("SELECT $.r_name FROM region FOR UPDATE").count() == 5)
+    assert(engine.run("SELECT $.r_name FROM region FOR UPDATE;").count() == 5)
+    // not confused by a column literally containing the words
+    assert(engine.run(
+      "SELECT $.r_name FROM region WHERE $.r_name != 'for update'")
+      .count() == 5)
+  }
 }

@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftDatabase
+import graft.dml.ConstrainedDml.TableDef
+import graft.query.LiteSql
+
+/** SQL `MERGE INTO` — the set-semantics generalization of the
+  * reference's per-document Upsert (`Table/TableCollection.cs:1195-1240`
+  * resolves each incoming doc to update-or-insert by PK) and the
+  * lakehouse-parity sibling of OPTIMIZE/CLONE/RESTORE: ANSI clause
+  * order, first-hit-wins, multi-match error, and ONE file-granular
+  * commit when persisted through GraftDatabase.sql.
+  */
+class MergeSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private def mem(): LiteSql = new LiteSql(spark,
+    Map(
+      "t" -> Seq((1, 10L, "a"), (2, 20L, "b"), (3, 30L, "c"))
+        .toDF("id", "v", "name"),
+      "s" -> Seq((2, 200L), (3, 300L), (4, 400L)).toDF("id", "nv")),
+    Map.empty)
+
+  test("matched UPDATE + not-matched INSERT (the upsert shape)") {
+    val e = mem()
+    val n = e.execute(
+      "MERGE INTO t USING s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)")
+      .head.getLong(0)
+    assert(n == 3) // 2 updates + 1 insert
+    val out = e.table("t").orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 10L), (2, 200L), (3, 300L), (4, 400L)))
+    // row 1 (unmatched target) keeps every column; insert null-fills name
+    assert(out(0).getString(2) == "a" && out(3).isNullAt(2))
+  }
+
+  test("clause order is first-hit-wins; AND conditions route rows") {
+    val e = mem()
+    val n = e.execute(
+      "MERGE INTO t USING s ON t.id = s.id " +
+        "WHEN MATCHED AND s.nv >= 300 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED AND s.nv > 350 THEN INSERT (id, v) VALUES (s.id, s.nv)")
+      .head.getLong(0)
+    assert(n == 3) // delete id=3, update id=2, insert id=4
+    val out = e.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out == Seq((1, 10L), (2, 200L), (4, 400L)))
+  }
+
+  test("INSERT * maps same-named source columns; matched rows with no " +
+      "firing clause pass through") {
+    val e = new LiteSql(spark,
+      Map(
+        "t" -> Seq((1, 10L), (2, 20L)).toDF("id", "v"),
+        "s" -> Seq((2, 999L), (5, 50L)).toDF("id", "v")),
+      Map.empty)
+    val n = e.execute(
+      "MERGE INTO t USING s ON t.id = s.id " +
+        "WHEN MATCHED AND s.v < 0 THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *").head.getLong(0)
+    assert(n == 1) // only the insert fires; id=2 matches but cond fails
+    assert(e.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 10L), (2, 20L), (5, 50L)))
+  }
+
+  test("MERGE into an unknown collection creates it (all NOT MATCHED)") {
+    val e = new LiteSql(spark,
+      Map("s" -> Seq((1, 11L), (2, 22L)).toDF("id", "v")), Map.empty)
+    val n = e.execute("MERGE INTO fresh USING s ON fresh.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT *").head.getLong(0)
+    assert(n == 2 && e.table("fresh").count() == 2)
+  }
+
+  test("parenthesized CASE WHEN inside a clause condition does not " +
+      "break the clause scan") {
+    val e = mem()
+    val n = e.execute(
+      "MERGE INTO t USING s ON t.id = s.id " +
+        "WHEN MATCHED AND (CASE WHEN s.nv > 250 THEN true ELSE false END) " +
+        "THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv").head.getLong(0)
+    assert(n == 2) // id=3 deleted, id=2 updated
+    assert(e.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 10L), (2, 200L)))
+  }
+
+  // ---- persisted through GraftDatabase.sql --------------------------------
+
+  private def freshDb() = GraftDatabase(spark, "mergedb",
+    Files.createTempDirectory("graft_merge").toString)
+
+  test("persisted MERGE is ONE commit and file-granular: untouched " +
+      "clustered files keep their physical identity") {
+    val db = freshDb().defineTable(TableDef("t", "id"))
+    db.insert("t", (1 to 800).map(i => (i, i * 10L)).toDF("id", "v")
+      .repartitionByRange(8, col("id")))
+    val before = db.liveFiles("t")
+    val v0 = db.logVersion
+    // source hits only ids 1..50 (the low file(s)) + brand-new ids
+    db.sql("SELECT id, id * 1000 AS nv INTO src FROM t WHERE id <= 50")
+    db.sql("INSERT INTO src VALUES {\"id\": 9001, \"nv\": 1}, " +
+      "{\"id\": 9002, \"nv\": 2}")
+    val vSetup = db.logVersion
+    val n = db.sql("MERGE INTO t USING src ON t.id = src.id " +
+      "WHEN MATCHED THEN UPDATE SET v = src.nv " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.nv)")
+      .head.getLong(0)
+    assert(n == 52)
+    assert(db.logVersion == vSetup + 1, "MERGE must be exactly ONE commit")
+    val after = db.liveFiles("t")
+    val untouched = before.toSet.intersect(after.toSet)
+    assert(untouched.size >= 6,
+      s"merge touching 1-2 of 8 clustered files must keep the rest " +
+        s"physically identical: kept ${untouched.size} of ${before.size}")
+    assert(db.table("t").filter(col("id") === 25).select("v")
+      .as[Long].head() == 25000L)
+    assert(db.table("t").filter(col("id") === 500).select("v")
+      .as[Long].head() == 5000L)
+    assert(db.table("t").count() == 802)
+    assert(v0 > 0)
+  }
+
+  test("ANSI multi-match: a target row matching two source rows errors " +
+      "when the PK is declared") {
+    val db = freshDb().defineTable(TableDef("t", "id"))
+    db.insert("t", Seq((1, 10L)).toDF("id", "v"))
+    // source rows have distinct PKs but BOTH join to target id=1
+    db.insert("dup", Seq((1, 1, 100L), (2, 1, 200L)).toDF("id", "tid", "nv"))
+    val e = intercept[Exception](
+      db.sql("MERGE INTO t USING dup ON t.id = dup.tid " +
+        "WHEN MATCHED THEN UPDATE SET v = dup.nv"))
+    assert(e.getMessage.contains("matched multiple source rows"))
+  }
+
+  test("MERGE cannot rewrite the PK; constraints validate the outcome") {
+    val db = freshDb().defineTable(TableDef("t", "id"))
+    db.insert("t", Seq((1, 10L)).toDF("id", "v"))
+    db.insert("s2", Seq((1, 99L)).toDF("id", "nv"))
+    val e = intercept[Exception](
+      db.sql("MERGE INTO t USING s2 ON t.id = s2.id " +
+        "WHEN MATCHED THEN UPDATE SET id = s2.nv"))
+    assert(e.getMessage.toLowerCase.contains("pk"))
+  }
+
+  test("update-only MERGE commits as a commuting patch: a concurrent " +
+      "disjoint-file DML and the MERGE both land") {
+    val db = freshDb().defineTable(TableDef("t", "id"))
+    // 4 insert batches -> 4 files with disjoint id ranges
+    (0 until 4).foreach(b => db.insert("t",
+      ((b * 100 + 1) to (b * 100 + 100)).map(i => (i, i * 10L))
+        .toDF("id", "v").repartition(1)))
+    db.insert("src", Seq((5, 5555L)).toDF("id", "nv")) // lives in file 0
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var failure: Throwable = null
+    @volatile var nMerge = -1L
+    @volatile var nDml = -1L
+    val tM = new Thread(() => {
+      barrier.await()
+      try nMerge = db.sql("MERGE INTO t USING src ON t.id = src.id " +
+        "WHEN MATCHED THEN UPDATE SET v = src.nv").head.getLong(0)
+      catch { case e: Throwable => failure = e }
+    })
+    val tD = new Thread(() => {
+      barrier.await()
+      try nDml = db.updateMany("t", col("id") === 305,
+        Map("v" -> lit(7777L))) // file 3: disjoint from the merge's hit
+      catch { case e: Throwable => failure = e }
+    })
+    tM.start(); tD.start(); tM.join(); tD.join()
+    if (failure != null) throw failure
+    assert(nMerge == 1L && nDml == 1L,
+      "disjoint-file MERGE and DML must BOTH commit (commuting patches)")
+    assert(db.table("t").filter(col("id") === 5).select("v")
+      .as[Long].head() == 5555L)
+    assert(db.table("t").filter(col("id") === 305).select("v")
+      .as[Long].head() == 7777L)
+    assert(db.table("t").count() == 400)
+  }
+
+  test("MERGE with an INSERT clause never patches (new PKs need the " +
+      "absolute conflict check)") {
+    val db = freshDb().defineTable(TableDef("t", "id"))
+    db.insert("t", Seq((1, 10L)).toDF("id", "v"))
+    db.insert("s3", Seq((7, 70L)).toDF("id", "nv"))
+    val hist0 = db.history.filter(col("action") === "PAT").count()
+    db.sql("MERGE INTO t USING s3 ON t.id = s3.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s3.nv " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s3.id, s3.nv)")
+    val hist1 = db.history.filter(col("action") === "PAT").count()
+    assert(hist0 == hist1,
+      "an insert-bearing MERGE must commit absolute, not as a patch")
+    assert(db.table("t").count() == 2)
+  }
+}
