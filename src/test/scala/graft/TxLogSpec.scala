@@ -461,6 +461,7 @@ class TxLogSpec extends AnyFunSuite {
             model = model.updated(x, fs.filterNot(rm.toSet) ++ ad)
           case None => () // patch on a dropped table: stays dropped
         }
+        case _ => () // Sch/Sta/Dvec: no table-binding effect
       }
       if (i % 37 == 0) { // spot-check along the way
         val s = log.snapshot()
