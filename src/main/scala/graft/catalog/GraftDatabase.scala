@@ -136,6 +136,14 @@ final class GraftDatabase private (
     */
   def txlogSnapshotForTest: TxLog.Snapshot = txlog.snapshot()
 
+  /** Highest batch id writer `appId` has applied to THIS database (the
+    * Txn idempotence ledger) — a streaming consumer's persisted cursor:
+    * it advances atomically with each applied batch's commit and
+    * survives restarts with no side files.
+    */
+  def appliedBatch(appId: String): Option[Long] =
+    txlog.snapshot().txns.get(appId)
+
   /** Latest committed log version (every DML/DDL action is exactly one
     * commit; a cascade across N tables is still one).
     */
