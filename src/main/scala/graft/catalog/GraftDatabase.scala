@@ -225,24 +225,37 @@ final class GraftDatabase private (
           if (removed.nonEmpty) Some(readRel(snapFrom, removed)) else None
         val addDf =
           if (added.nonEmpty) Some(readRel(snapTo, added)) else None
-        // align by name: exceptAll is positional, and two staged writes
+        // align by name: the diff is positional, and two staged writes
         // of one logical schema may have ordered columns differently
         val cols = addDf.getOrElse(remDf.get).columns.toSeq
         def aligned(df: DataFrame) = df.select(cols.map(col): _*)
         val rem = remDf.map(aligned)
         val add = addDf.map(aligned)
-        val inserts = (add, rem) match {
-          case (Some(a), Some(r)) => a.exceptAll(r)
-          case (Some(a), None)    => a
-          case (None, _)          => add.getOrElse(rem.get).limit(0)
+        (add, rem) match {
+          case (Some(a), Some(r)) =>
+            // ONE multiset diff: signed row counts over the union —
+            // net > 0 emits that many inserts, net < 0 deletes. Same
+            // semantics as a.exceptAll(r) ++ r.exceptAll(a) (rows a
+            // rewrite copied through unchanged net to 0 and vanish)
+            // at ONE shuffle instead of the two exceptAlls' four —
+            // per-statement fixed cost is what CDC consumers feel.
+            val net = a.withColumn("_graft_side", lit(1L))
+              .unionByName(r.withColumn("_graft_side", lit(-1L)))
+              .groupBy(cols.map(col): _*)
+              .agg(sum(col("_graft_side")).as("_graft_net"))
+              .filter(col("_graft_net") =!= 0L)
+            net.withColumn("_change_type",
+                when(col("_graft_net") > 0, lit("insert"))
+                  .otherwise(lit("delete")))
+              .withColumn("_graft_dup",
+                explode(sequence(lit(1L), abs(col("_graft_net")))))
+              .drop("_graft_net", "_graft_dup")
+          case (Some(a), None) =>
+            a.withColumn("_change_type", lit("insert"))
+          case (None, Some(r)) =>
+            r.withColumn("_change_type", lit("delete"))
+          case (None, None) => throw new IllegalStateException("unreachable")
         }
-        val deletes = (rem, add) match {
-          case (Some(r), Some(a)) => r.exceptAll(a)
-          case (Some(r), None)    => r
-          case (None, _)          => rem.getOrElse(add.get).limit(0)
-        }
-        inserts.withColumn("_change_type", lit("insert"))
-          .unionByName(deletes.withColumn("_change_type", lit("delete")))
     }
   }
 
@@ -422,39 +435,79 @@ final class GraftDatabase private (
         .drop("_change_type")
       val touchedKeys = f.select(col(tdef.pk)).distinct()
       if (!tableExists(name)) {
-        // bootstrap: the first batch materializes the replica
-        requireClean(ConstrainedDml.validateUpdate(
-          spark, tdef, ins, ins, parentsOf(tdef)))
+        // bootstrap: the first batch materializes the replica —
+        // validation and staging run concurrently (see insert)
         enforceLimitSize()
+        val staged = stageConcurrently(n, ins) {
+          requireClean(ConstrainedDml.validateUpdate(
+            spark, tdef, ins, ins, parentsOf(tdef)))
+        }
         txlog.commit(
-          Seq(TxLog.Put(n, txlog.stage(n, ins)), TxLog.Txn(appId, batchId)),
+          Seq(TxLog.Put(n, staged), TxLog.Txn(appId, batchId)),
           readVersion = base,
           readTables = tdef.fks.map(_.parentTable).toSet)
         invalidateSqlEngine()
         return true
       }
       val marked = txlog.readMarked(n, "_graft_file").get
-      val hitRaw = marked.join(touchedKeys, Seq(tdef.pk), "left_semi")
-        .select("_graft_file").distinct()
-        .collect().map(_.getString(0)).filter(_.nonEmpty)
+      // survivors of the hit files = rows whose PK the batch never
+      // touched; the batch's inserts land beside them. The hit-file
+      // membership derives IN-PLAN (per-file window over the join
+      // marker), so the staged write runs CONCURRENTLY with the
+      // hit-file collect below — wall time max, not sum.
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_graft_file"))
+      val fMax = org.apache.spark.sql.functions.max(col("_graft_m"))
+      val baseCols = marked.columns.filterNot(_ == "_graft_file").toSeq
+      val touched = marked
+        .join(touchedKeys.withColumn("_graft_m", lit(1)), Seq(tdef.pk), "left")
+        .withColumn("_graft_fhit", fMax.over(win))
+        .filter(col("_graft_fhit") === 1 && col("_graft_m").isNull)
+        .select(baseCols.map(col): _*) // the using-join moved the PK first
+        .unionByName(ins, allowMissingColumns = true)
+      val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        txlog.stage(n, touched))
+      // ONE collect answers both the hit files AND the batch's
+      // internal PK-duplicate check (per-query fixed cost dominates
+      // small batches): a sentinel row carries the dup count — a real
+      // file id is an absolute path and can never equal it
+      val dupSentinel = "_graft_pkdup"
+      val cnt = org.apache.spark.sql.functions.count(lit(1))
+      val hitQ = marked.join(touchedKeys, Seq(tdef.pk), "left_semi")
+        .select(col("_graft_file").as("_k")).groupBy(col("_k"))
+        .agg(cnt.as("_n"))
+      val dupQ = ins.groupBy(col(tdef.pk)).count()
+        .filter(col("count") > 1).agg(cnt.as("_n"))
+        .select(lit(dupSentinel).as("_k"), col("_n"))
+      val collected =
+        try hitQ.unionByName(dupQ).collect()
+        catch { case t: Throwable => stagedF.cancel(false); throw t }
+      val dupPks = collected.filter(_.getString(0) == dupSentinel)
+        .map(_.getLong(1)).sum
+      if (dupPks > 0) throw new IllegalStateException("constraint " +
+        s"violations: ${Seq(ConstrainedDml.Violation("pk_conflict",
+          tdef.name, tdef.pk, dupPks))}")
+      val hitRaw = collected.map(_.getString(0))
+        .filter(k => k.nonEmpty && k != dupSentinel)
       if (hitRaw.isEmpty && ins.isEmpty) {
         // nothing to do (deletes missed, empty batch) — but the batch
         // IS consumed: the marker alone commits, so a replay stays a
-        // no-op and the cursor can advance (no junk empty data file)
+        // no-op and the cursor can advance (the concurrently staged
+        // empty write is unpublished garbage; vacuum reclaims it)
         txlog.commit(Seq(TxLog.Txn(appId, batchId)), readVersion = base)
         invalidateSqlEngine()
         return true
       }
-      // survivors of the hit files = rows whose PK the batch never
-      // touched; the batch's inserts land beside them
-      val touched = marked.filter(col("_graft_file").isin(hitRaw: _*))
-        .drop("_graft_file")
-        .join(touchedKeys, Seq(tdef.pk), "left_anti")
-        .unionByName(ins, allowMissingColumns = true)
       def result = table(name).join(touchedKeys, Seq(tdef.pk), "left_anti")
         .unionByName(ins, allowMissingColumns = true)
+      // the PK-duplicate scan already rode the collect above
       requireClean(ConstrainedDml.validateUpdate(
-        spark, tdef, ins, result, parentsOf(tdef)))
+        spark, tdef, ins, result, parentsOf(tdef), pkImmutable = true))
+      val staged =
+        try stagedF.get(30, java.util.concurrent.TimeUnit.MINUTES)
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
       // NEVER patch-safe: the batch inserts NEW PKs, and two concurrent
       // appliers (multi-source replication) committing commuting
       // patches would both land the same key — the exact write-skew
@@ -462,7 +515,8 @@ final class GraftDatabase private (
       // the same reason
       commitGranularOrFull(name, tdef, base, hitRaw, touched,
         table(name).schema, emptyHitsAppend = true,
-        extra = Seq(TxLog.Txn(appId, batchId)))(result)
+        extra = Seq(TxLog.Txn(appId, batchId)),
+        preStaged = Some(staged))(result)
       true
     } finally f.unpersist()
   }
@@ -627,11 +681,13 @@ final class GraftDatabase private (
     val base = txlog.settledVersion
     val existing = if (tableExists(name)) Some(table(name)) else None
     val parents = tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
-    requireClean(ConstrainedDml.validateInsert(
-      spark, tdef, rows, existing, parents))
     enforceLimitSize()
+    val staged = stageConcurrently(norm(name), rows) {
+      requireClean(ConstrainedDml.validateInsert(
+        spark, tdef, rows, existing, parents))
+    }
     txlog.commit(
-      Seq(TxLog.Add(norm(name), txlog.stage(norm(name), rows)),
+      Seq(TxLog.Add(norm(name), staged),
         TxLog.Txn(appId, batchId)) ++
         schemaSyncActions(norm(name), rows.schema),
       readVersion = base,
@@ -664,21 +720,55 @@ final class GraftDatabase private (
     val base = txlog.settledVersion
     val existing = if (tableExists(name)) Some(table(name)) else None
     val parents = tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
-    val violations =
-      ConstrainedDml.validateInsert(spark, tdef, rows, existing, parents)
-    if (violations.nonEmpty)
-      throw new IllegalStateException(s"constraint violations: $violations")
     enforceLimitSize()
+    // validation and staging are INDEPENDENT Spark actions (both read
+    // `rows`; nothing publishes until the commit below) — run them
+    // concurrently so a statement's wall time is max, not sum. On a
+    // violation the staged-but-unpublished files are abandoned exactly
+    // like a lost commit race (vacuum reclaims them).
+    val staged = stageConcurrently(norm(name), rows) {
+      val violations =
+        ConstrainedDml.validateInsert(spark, tdef, rows, existing, parents)
+      if (violations.nonEmpty)
+        throw new IllegalStateException(s"constraint violations: $violations")
+    }
     // an append is an ADD action — but it was VALIDATED against `base`
     // (unique/PK sets, FK PARENTS), so a concurrent commit touching
     // this table OR a validated parent must conflict (a parent delete
     // interleaving with this insert is the classic write-skew orphan)
     txlog.commit(
-      TxLog.Add(norm(name), txlog.stage(norm(name), rows)) +:
+      TxLog.Add(norm(name), staged) +:
         schemaSyncActions(norm(name), rows.schema),
       readVersion = base,
       readTables = tdef.fks.map(_.parentTable).toSet)
     invalidateSqlEngine()
+  }
+
+  /** Run `validate` on the caller's thread WHILE `rows` stages on a
+    * helper thread, returning the staged files once BOTH succeed — the
+    * per-statement fixed Spark-action cost becomes max(validate, stage)
+    * instead of their sum. Only sound because staged files are
+    * invisible until a commit references them: if validation throws,
+    * the staged directory is abandoned (vacuum reclaims it), the same
+    * contract as a lost commit race. `rows` must be deterministic
+    * between the two evaluations — the same requirement the previous
+    * sequential validate-then-stage had.
+    */
+  private def stageConcurrently(n: String, rows: DataFrame)(
+      validate: => Unit): Seq[String] = {
+    val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+      txlog.stage(n, rows))
+    try validate
+    catch {
+      case t: Throwable =>
+        // let the write finish in the background; its files are
+        // unpublished garbage either way
+        throw t
+    }
+    try stagedF.get(30, java.util.concurrent.TimeUnit.MINUTES)
+    catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
   }
 
   /** Upsert by the table's PK (TableCollection.cs:1195-1240); unique/FK
@@ -789,28 +879,50 @@ final class GraftDatabase private (
       val changed = applied.filter(col("_graft_hit"))
         .drop("_graft_hit", "_graft_file")
       val result = applied.drop("_graft_hit", "_graft_file")
+      // pkImmutable: the require() above guards the PK against SET
+      // targets and the changed rows derive from distinct existing PKs
       requireClean(ConstrainedDml.validateUpdate(
-        spark, tdef, changed, result, parentsOf(tdef)))
+        spark, tdef, changed, result, parentsOf(tdef), pkImmutable = true))
       // File-granular copy-on-write (the Delta/Iceberg shape, and the
       // 100 TB reason the commit log exists): only files CONTAINING a
       // matching row are rewritten; untouched files keep their paths in
       // the new version's binding. An update hitting 1% of a table's
       // files rewrites 1%, not 100%. One aggregation yields BOTH the
-      // matched-row count and the hit files.
-      val perFile = marked.filter(col("_graft_hit"))
-        .groupBy("_graft_file").count().collect()
-      val n = perFile.map(_.getLong(1)).sum
-      if (n == 0L) return 0L // no matches: no rewrite, no version bump
-      val hitRaw = perFile.map(_.getString(0)).filter(_.nonEmpty)
+      // matched-row count and the hit files — and the replacement rows
+      // derive their file set IN-PLAN (a per-file window), so the
+      // staged write runs CONCURRENTLY with that aggregation: the
+      // statement's wall time is max(collect, stage), not the sum.
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_graft_file"))
       val touchedRows = ConstrainedDml.updateWhere(
-        marked.filter(col("_graft_file").isin(hitRaw: _*)),
+        marked.withColumn("_graft_fhit",
+          org.apache.spark.sql.functions.max(col("_graft_hit").cast("int"))
+            .over(win))
+          .filter(col("_graft_fhit") === 1).drop("_graft_fhit"),
         col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
+      val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        txlog.stage(norm(name), touchedRows))
+      val perFile =
+        try marked.filter(col("_graft_hit"))
+          .groupBy("_graft_file").count().collect()
+        catch { case t: Throwable => stagedF.cancel(false); throw t }
+      val n = perFile.map(_.getLong(1)).sum
+      // no matches: no rewrite, no version bump (the concurrently
+      // staged empty write is unpublished garbage; vacuum reclaims it)
+      if (n == 0L) return 0L
+      val hitRaw = perFile.map(_.getString(0)).filter(_.nonEmpty)
+      val staged =
+        try stagedF.get(30, java.util.concurrent.TimeUnit.MINUTES)
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
       // no unique constraints and no new PKs -> the rewrite commutes
       // with concurrent disjoint-file statements (relative patch)
       commitGranularOrFull(name, tdef, base, hitRaw, touchedRows,
         marked.drop("_graft_hit", "_graft_file").schema,
         emptyHitsAppend = false,
-        patchSafe = tdef.uniqueCols.isEmpty)(result)
+        patchSafe = tdef.uniqueCols.isEmpty,
+        preStaged = Some(staged))(result)
       n
     } finally marked.unpersist()
   }
@@ -1047,8 +1159,39 @@ final class GraftDatabase private (
       }
     val (updated, hits) = ConstrainedDml.deleteCascadeWithHits(
       spark, states, norm(name), predicate)
-    // nothing matched: a true no-op (no rewrite, no version bump)
-    if (hits.get(norm(name)).forall(_.isEmpty)) return
+    // ONE aggregation per touched table answers BOTH "any match?" and
+    // "which files" (a separate isEmpty probe would double the job
+    // count — the dominant fixed cost of small DMLs), and each table's
+    // replacement rows derive their hit-file set IN-PLAN (a broadcast
+    // semi-join on the file id), so the staged writes run CONCURRENTLY
+    // with those aggregations.
+    def perFileOf(hit: DataFrame): Array[(String, Long)] =
+      hit.groupBy("_graft_file").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    val stagedF: Map[String, java.util.concurrent.CompletableFuture[Seq[String]]] =
+      updated.toSeq.flatMap { case (n, df) =>
+        hits.get(n).map { hit =>
+          val touched = df.join(
+            broadcast(hit.select(col("_graft_file")).distinct()),
+            Seq("_graft_file"), "left_semi").drop("_graft_file")
+          n -> java.util.concurrent.CompletableFuture.supplyAsync(() =>
+            txlog.stage(n, touched))
+        }
+      }.toMap
+    def awaitStaged(n: String): Seq[String] =
+      try stagedF(n).get(30, java.util.concurrent.TimeUnit.MINUTES)
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    val rootPerFile =
+      try hits.get(norm(name)).map(perFileOf)
+      catch {
+        case t: Throwable =>
+          stagedF.values.foreach(_.cancel(false)); throw t
+      }
+    // nothing matched: a true no-op (no rewrite, no version bump; the
+    // concurrently staged empties are unpublished garbage for vacuum)
+    if (rootPerFile.forall(_.map(_._2).sum == 0L)) return
     // stage all new states (reads the CURRENT immutable files — never a
     // self-overwrite), then publish ONE commit covering every table.
     // File-granular copy-on-write per table: only files CONTAINING a
@@ -1059,23 +1202,23 @@ final class GraftDatabase private (
       def full = TxLog.Put(n, txlog.stage(n, plain)): TxLog.Action
       hits.get(n) match {
         case Some(hit) =>
-          val hitRaw = hit.select("_graft_file").distinct()
-            .collect().map(_.getString(0)).filter(_.nonEmpty)
+          val pf =
+            if (n == norm(name)) rootPerFile.get else perFileOf(hit)
+          val hitRaw = pf.map(_._1).filter(_.nonEmpty)
           if (hitRaw.nonEmpty)
             // deletes cannot create uniqueness violations, but a
             // cascade SET-NULL can touch a unique column — gate the
             // commuting patch on the table being constraint-free
-            Some(fileGranularPut(n, hitRaw,
-              df.filter(col("_graft_file").isin(hitRaw: _*))
-                .drop("_graft_file"), plain.schema,
-              patchSafe = defs.get(n).forall(_.uniqueCols.isEmpty))
+            Some(fileGranularAction(n, hitRaw, plain.schema, plain.schema,
+              patchSafe = defs.get(n).forall(_.uniqueCols.isEmpty),
+              staged = awaitStaged(n))
               .getOrElse(full))
           // the walk VISITED this table but touched no row in it (a
           // cascade whose doomed parents have no children here): its
           // state is unchanged — emit nothing rather than a pointless
           // full rewrite of an untouched table. If rows WERE touched
           // but carry no file id, the mapping failed — rewrite fully.
-          else if (hit.isEmpty) None
+          else if (pf.map(_._2).sum == 0L) None
           else Some(full)
         case None => Some(full) // changed with no hit record: rewrite
       }
@@ -1208,7 +1351,21 @@ final class GraftDatabase private (
   private def fileGranularPut(name: String, hitRaw: Array[String],
       touched: DataFrame,
       expectedSchema: org.apache.spark.sql.types.StructType,
-      patchSafe: Boolean = false): Option[TxLog.Action] = {
+      patchSafe: Boolean = false): Option[TxLog.Action] =
+    fileGranularAction(name, hitRaw, touched.schema, expectedSchema,
+      patchSafe, txlog.stage(norm(name), touched))
+
+  /** [[fileGranularPut]] with the replacement files ALREADY staged (a
+    * by-name block, so the mapping checks run before the write when the
+    * caller is sequential, or concurrently with it when the caller
+    * overlapped the staging — abandoned staged files are unpublished
+    * garbage either way, reclaimed by vacuum).
+    */
+  private def fileGranularAction(name: String, hitRaw: Array[String],
+      touchedSchema: org.apache.spark.sql.types.StructType,
+      expectedSchema: org.apache.spark.sql.types.StructType,
+      patchSafe: Boolean,
+      staged: => Seq[String]): Option[TxLog.Action] = {
     val n = norm(name)
     val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
     val allRel = txlog.snapshot().tables.getOrElse(n, Vector.empty)
@@ -1219,7 +1376,7 @@ final class GraftDatabase private (
     // full-rewrite fallback is the same bytes for less work
     if (keepRel.isEmpty && allRel.nonEmpty) return None
     val ok = keepRel.size + hitAbs.size == allRel.size &&
-      touched.schema.map(f => (f.name, f.dataType)) ==
+      touchedSchema.map(f => (f.name, f.dataType)) ==
         expectedSchema.map(f => (f.name, f.dataType))
     if (!ok) None
     // patchSafe (no unique constraints a concurrent writer's unseen
@@ -1227,8 +1384,8 @@ final class GraftDatabase private (
     // patch, so concurrent statements on DISJOINT files of this table
     // both land — the Delta-style concurrency unit
     else if (patchSafe)
-      Some(TxLog.Patch(n, hitRel, txlog.stage(n, touched)))
-    else Some(TxLog.Put(n, keepRel ++ txlog.stage(n, touched)))
+      Some(TxLog.Patch(n, hitRel, staged))
+    else Some(TxLog.Put(n, keepRel ++ staged))
   }
 
   /** The shared tail of every single-table granular DML: commit the
@@ -1241,12 +1398,14 @@ final class GraftDatabase private (
       hitRaw: Array[String], touched: DataFrame,
       expectedSchema: org.apache.spark.sql.types.StructType,
       emptyHitsAppend: Boolean, patchSafe: Boolean = false,
-      extra: Seq[TxLog.Action] = Nil)(
+      extra: Seq[TxLog.Action] = Nil,
+      preStaged: Option[Seq[String]] = None)(
       fallback: => DataFrame): Unit = {
     enforceLimitSize()
     val granular =
       if (hitRaw.nonEmpty || emptyHitsAppend)
-        fileGranularPut(name, hitRaw, touched, expectedSchema, patchSafe)
+        fileGranularAction(name, hitRaw, touched.schema, expectedSchema,
+          patchSafe, preStaged.getOrElse(txlog.stage(norm(name), touched)))
       else None
     granular match {
       case Some(action) =>
@@ -1722,9 +1881,12 @@ final class GraftDatabase private (
               s"cannot modify the PK '${tdef.pk}' via SQL UPDATE " +
                 "(reference: LiteDB forbids _id transforms)")
           engine.changedRows.get(n).foreach { changed =>
+            // UPDATE/DELETE/insert-free MERGE keep pre-existing distinct
+            // PKs (the SET-target guard above refuses PK transforms) —
+            // skip the duplicate scan for them
             requireClean(ConstrainedDml.validateUpdate(
               spark, tdef, decollate(changed), decollate(state),
-              parentStates(tdef)))
+              parentStates(tdef), pkImmutable = !engine.lastHadInserts))
           }
         }
       txBuffer match {

@@ -382,9 +382,29 @@ final class TxLog(spark: SparkSession, root: String,
   def readFiles(rel: Seq[String],
       schemaJson: Option[String] = None): DataFrame = {
     val reader = spark.read.options(ioOptions)
-    schemaJson.map(j => reader.schema(parseSchema(j))).getOrElse(reader)
-      .parquet(rel.map(r => s"$root/$r"): _*)
+    schemaJson match {
+      case Some(j) =>
+        reader.schema(parseSchema(j)).parquet(rel.map(r => s"$root/$r"): _*)
+      case None =>
+        // schema-INFERRED reads open a footer on the driver at every
+        // plan build; files are immutable, so the inferred schema of a
+        // binding never changes — cache it per file list and every
+        // later read of the same binding plans footer-free
+        val key = rel.toVector
+        val cached = inferredSchemas.get(key)
+        if (cached != null)
+          reader.schema(cached).parquet(rel.map(r => s"$root/$r"): _*)
+        else {
+          val df = reader.parquet(rel.map(r => s"$root/$r"): _*)
+          if (inferredSchemas.size > 4096) inferredSchemas.clear()
+          inferredSchemas.put(key, df.schema)
+          df
+        }
+    }
   }
+
+  private val inferredSchemas = new java.util.concurrent.ConcurrentHashMap[
+    Vector[String], org.apache.spark.sql.types.StructType]()
 
   /** Absolute paths of a table's live data files (diagnostics/manifest). */
   def liveFiles(table: String): Seq[String] =
@@ -417,7 +437,7 @@ final class TxLog(spark: SparkSession, root: String,
       // so a wide staged write doesn't serialize O(parts) opens on the
       // driver before its commit can publish
       val harvested =
-        if (all.size <= 2)
+        if (all.size <= 1)
           all.map(r => r -> FileStatsUtil.fromFooterWithRows(
             s"$root/$r", ioOptions))
         else {

@@ -135,7 +135,8 @@ object ConstrainedDml {
       table: TableDef,
       incoming: DataFrame,
       result: DataFrame,
-      parents: Map[String, DataFrame]): Seq[Violation] = {
+      parents: Map[String, DataFrame],
+      pkImmutable: Boolean = false): Seq[Violation] = {
     val checks = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, DataFrame)]
 
@@ -150,8 +151,13 @@ object ConstrainedDml {
         checks += (("one_to_one_conflict", fk.childCol,
           duplicatedKeys(result, fk.childCol)))
     }
-    checks += (("pk_conflict", table.pk,
-      incoming.groupBy(table.pk).count().filter(col("count") > 1)))
+    // pkImmutable: the caller PROVES incoming rows keep pre-existing
+    // distinct PKs (a predicate transform with the PK guarded against
+    // SET targets) — the duplicate scan is then a wasted Spark job per
+    // statement, the dominant fixed cost of small DMLs
+    if (!pkImmutable)
+      checks += (("pk_conflict", table.pk,
+        incoming.groupBy(table.pk).count().filter(col("count") > 1)))
     table.uniqueCols.foreach { uc =>
       checks += (("unique_conflict", uc, duplicatedKeys(result, uc)))
     }

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{CommitPrimitive, TxLog}
+
+/** Cross-PROCESS commit races: two separate JVMs (no shared state, no
+  * common locks — only the filesystem arbitrates) drive the
+  * conditional-PUT primitive on one shared log directory, for BOTH the
+  * hard-link CAS path and the fallback lock path. Plus an in-process
+  * latency-injected primitive driving real TxLog writers, and the
+  * truncated-range fail-safe.
+  */
+class CommitRaceProcessSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  private val VersionRe = "v(\\d{8,})\\.txt".r
+
+  private def spawn(dir: Path, id: String, n: Int,
+      noLinks: Boolean): Process = {
+    val java = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    new ProcessBuilder(java, "-cp", System.getProperty("java.class.path"),
+      "graft.CommitRaceChild", dir.toString, id, n.toString,
+      noLinks.toString)
+      .inheritIO().start()
+  }
+
+  private def raceTwoProcesses(noLinks: Boolean): Unit = {
+    val dir = Files.createTempDirectory(
+      if (noLinks) "graft_xrace_lock" else "graft_xrace_link")
+    val n = 25
+    val a = spawn(dir, "A", n, noLinks)
+    val b = spawn(dir, "B", n, noLinks)
+    assert(a.waitFor() == 0 && b.waitFor() == 0, "children must exit 0")
+    val s = Files.list(dir)
+    val files = try s.iterator().asScala
+      .filter(p => VersionRe.findFirstMatchIn(p.getFileName.toString).isDefined)
+      .toVector.sortBy(_.getFileName.toString) finally s.close()
+    // dense slots, one winner each: exactly 2n files, v1..v2n
+    assert(files.size == 2 * n,
+      s"expected ${2 * n} published versions, found ${files.size}")
+    val versions = files.map(p => VersionRe.findFirstMatchIn(
+      p.getFileName.toString).get.group(1).toLong)
+    assert(versions == (1L to 2L * n).toVector,
+      "version sequence must be dense — the CAS admits no gaps")
+    // zero lost updates: every (writer, seq) pair appears EXACTLY once,
+    // and no file is empty/partial (full-content visibility)
+    val contents = files.map(p => new String(Files.readAllBytes(p), "UTF-8"))
+    assert(contents.forall(_.matches("[AB]:\\d+")), "no partial contents")
+    assert(contents.toSet.size == 2 * n, "every publish is unique")
+    assert(contents.sorted ==
+      (Seq("A", "B").flatMap(w => (0 until n).map(i => s"$w:$i"))).sorted,
+      "each writer's every commit landed exactly once")
+  }
+
+  test("two JVMs racing the hard-link CAS: one loser per slot, zero " +
+      "lost updates, dense versions") {
+    raceTwoProcesses(noLinks = false)
+  }
+
+  test("two JVMs racing the FALLBACK lock path (object-store shape)") {
+    raceTwoProcesses(noLinks = true)
+  }
+
+  test("latency-injected primitive: two TxLog writers' disjoint patches " +
+      "both land through a slow conditional PUT") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_slowprim").toString
+    final class SlowPrimitive(delayMs: Long) extends CommitPrimitive {
+      override def putIfAbsent(target: Path, content: Array[Byte]): Unit = {
+        Thread.sleep(delayMs) // widen the claim/validate window
+        CommitPrimitive.posix.putIfAbsent(target, content)
+      }
+    }
+    val logA = new TxLog(spark, root, primitive = new SlowPrimitive(40))
+    val logB = new TxLog(spark, root, primitive = new SlowPrimitive(40))
+    val f1 = logA.stage("t", Seq((1, "a")).toDF("id", "v"))
+    val f2 = logA.stage("t", Seq((2, "b")).toDF("id", "v"))
+    logA.commit(Seq(TxLog.Put("t", f1 ++ f2)))
+    val base = logA.version
+    // disjoint-file patches race through SLOW publishes
+    val r1 = logA.stage("t", Seq((1, "a2")).toDF("id", "v"))
+    val r2 = logB.stage("t", Seq((2, "b2")).toDF("id", "v"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var err: Throwable = null
+    val ta = new Thread(() => {
+      barrier.await()
+      try logA.commit(Seq(TxLog.Patch("t", Seq(f1.head), r1)),
+        readVersion = base)
+      catch { case e: Throwable => err = e }
+    })
+    val tb = new Thread(() => {
+      barrier.await()
+      try logB.commit(Seq(TxLog.Patch("t", Seq(f2.head), r2)),
+        readVersion = base)
+      catch { case e: Throwable => err = e }
+    })
+    ta.start(); tb.start(); ta.join(); tb.join()
+    if (err != null) throw err
+    val bound = new TxLog(spark, root).snapshot().tables("t").toSet
+    assert(bound == (r1 ++ r2).toSet,
+      "both disjoint patches must land (commuting), neither lost")
+  }
+
+  test("truncated conflict range fails SAFE: a stale writer cannot " +
+      "publish over vacuumed history") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_xtrunc").toString
+    val log = new TxLog(spark, root)
+    val f0 = log.stage("t", Seq((1, "a")).toDF("id", "v"))
+    log.commit(Seq(TxLog.Put("t", f0)))
+    val staleBase = log.version
+    // move far past a checkpoint, then truncate the log below it
+    (1 to 12).foreach { i =>
+      log.commit(Seq(TxLog.Put("t", log.stage("t",
+        Seq((1, s"v$i")).toDF("id", "v")))))
+    }
+    log.vacuum(keepVersions = 1, minAgeMs = 0)
+    val stale = log.stage("t", Seq((1, "stale")).toDF("id", "v"))
+    val e = intercept[TxLog.ConflictException](
+      log.commit(Seq(TxLog.Put("t", stale)), readVersion = staleBase))
+    assert(e.getMessage.contains("truncated"))
+  }
+}
