@@ -57,11 +57,12 @@ object GenScale {
       .agg(max(col("vec_id")), countDistinct(col("label"))).head()
     val (vecBase, nLabels) = (embStats.getLong(0) + 1, embStats.getLong(1))
     // invariant guards for the anti-cross-replica tricks below: the
-    // n_chars offset needs per-replica headroom, and the label rotation
+    // n_chars offset stride must clear the CURRENT max (a second-decade
+    // run scales a directory that already carries first-decade offsets,
+    // so the stride grows with the input), and the label rotation
     // only separates identical vectors while factor <= nLabels
-    require(docStats.getLong(1) < 1000,
-      s"n_chars max ${docStats.getLong(1)} >= 1000: replica jaccard " +
-        "blocks would overlap — raise the offset stride")
+    val nCharsStride = math.max(1000L,
+      (docStats.getLong(1) / 1000L + 1L) * 1000L)
     require(factor <= nLabels,
       s"factor $factor > $nLabels labels: identical embedding copies " +
         "would share (cell, label) blocks and pair-gen goes quadratic")
@@ -112,7 +113,7 @@ object GenScale {
     write("documents", replicate(load("documents")) { (d, r) =>
       d.withColumn("doc_id", offset("doc_id", docBase)(r))
         .withColumn("text", concat(lit("repl"), r, lit(" "), col("text")))
-        .withColumn("n_chars", col("n_chars") + r * lit(1000L))
+        .withColumn("n_chars", col("n_chars") + r * lit(nCharsStride))
     })
     write("embeddings", replicate(load("embeddings")) { (d, r) =>
       d.withColumn("vec_id", offset("vec_id", vecBase)(r))

@@ -32,6 +32,7 @@ object VectorScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
 
     // ground-truth cluster structure: nlist seeded centers; every row's

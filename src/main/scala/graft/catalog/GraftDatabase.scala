@@ -56,6 +56,14 @@ final class GraftDatabase private (
 
   private val txlog = new TxLog(spark, root, ioOptions, commitPrimitive)
 
+  // dedicated daemon pool for the overlapped staging writes (validate
+  // || stage, collect || stage): tasks BLOCK on Spark jobs for seconds,
+  // which must not starve the JVM-wide ForkJoin common pool
+  private val stagingPool = java.util.concurrent.Executors
+    .newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-staging"); t.setDaemon(true); t
+    })
+
   // the LiteDB-auto-optimizer analog (QueryOptimization.cs:168-294
   // picks an index per AND-term with no user hint): install the
   // session-wide rule that prunes file lists from log-held stats for
@@ -465,8 +473,8 @@ final class GraftDatabase private (
         .filter(col("_graft_fhit") === 1 && col("_graft_m").isNull)
         .select(baseCols.map(col): _*) // the using-join moved the PK first
         .unionByName(ins, allowMissingColumns = true)
-      val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
-        txlog.stage(n, touched))
+      val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(
+        () => txlog.stage(n, touched), stagingPool)
       // ONE collect answers both the hit files AND the batch's
       // internal PK-duplicate check (per-query fixed cost dominates
       // small batches): a sentinel row carries the dup count — a real
@@ -756,8 +764,8 @@ final class GraftDatabase private (
     */
   private def stageConcurrently(n: String, rows: DataFrame)(
       validate: => Unit): Seq[String] = {
-    val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
-      txlog.stage(n, rows))
+    val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => txlog.stage(n, rows), stagingPool)
     try validate
     catch {
       case t: Throwable =>
@@ -900,8 +908,8 @@ final class GraftDatabase private (
             .over(win))
           .filter(col("_graft_fhit") === 1).drop("_graft_fhit"),
         col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
-      val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
-        txlog.stage(norm(name), touchedRows))
+      val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(
+        () => txlog.stage(norm(name), touchedRows), stagingPool)
       val perFile =
         try marked.filter(col("_graft_hit"))
           .groupBy("_graft_file").count().collect()
@@ -1174,8 +1182,8 @@ final class GraftDatabase private (
           val touched = df.join(
             broadcast(hit.select(col("_graft_file")).distinct()),
             Seq("_graft_file"), "left_semi").drop("_graft_file")
-          n -> java.util.concurrent.CompletableFuture.supplyAsync(() =>
-            txlog.stage(n, touched))
+          n -> java.util.concurrent.CompletableFuture.supplyAsync(
+            () => txlog.stage(n, touched), stagingPool)
         }
       }.toMap
     def awaitStaged(n: String): Seq[String] =

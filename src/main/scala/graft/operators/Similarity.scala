@@ -136,8 +136,19 @@ object Similarity {
     * a precomputed `cell` column) and the table bucketed by cell; this
     * computes it inline.
     */
+  /** Past this many centroids the k-way `least(struct…)` fold stops
+    * being codegen-friendly (struct comparisons interpret, so every row
+    * pays k interpreted L2s — measured 1.2 ms/row at k=256, unusable at
+    * production nlist); assignment switches to the broadcast-join +
+    * min_by shape, which keeps the per-pair L2 inside whole-stage
+    * codegen and collapses each row's k candidates map-side.
+    */
+  val FoldMaxNlist = 64
+
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Float])]): DataFrame =
+    if (centroids.size > FoldMaxNlist)
+      ivfAssignJoin(vectors, idCol, vecCol, centroids)
     // sentinel cell -1 for null vectors, gated explicitly: cellOf itself
     // never returns NULL for a null embedding (struct children are non-null
     // and struct ordering ranks a NULL field smallest, which would silently
@@ -145,9 +156,35 @@ object Similarity {
     // `cell` stays non-nullable by construction: joins/groupings on it
     // infer no IsNotNull constraint (which would otherwise push the whole
     // assignment expression into the scan filter and compute it twice).
-    vectors.withColumn("cell",
+    else vectors.withColumn("cell",
       when(col(vecCol).isNotNull, cellOf(col(vecCol), centroids))
         .otherwise(lit(-1L)))
+
+  /** Exact IVF assignment at PRODUCTION nlist: stream the
+    * (row × centroid) pairs through a codegen L2 + partial `min_by`
+    * aggregation — nothing materializes (the broadcast nested-loop's
+    * output feeds straight into the map-side combine, which collapses
+    * each id's k candidates inside its partition), and the argmin is
+    * deterministic (ordering struct carries the cid tiebreak, the same
+    * (distance, cid) order `cellOf` folds). Identical cells to the
+    * fold path by construction — both run the same L2 expression.
+    */
+  def ivfAssignJoin(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+    val sess = vectors.sparkSession
+    import sess.implicits._
+    val c = centroids.toDF("_graft_cid", "_graft_cvec")
+    val cells = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(c))
+      .groupBy(col(idCol))
+      .agg(min_by(col("_graft_cid"),
+        struct(l2(col(vecCol), col("_graft_cvec")), col("_graft_cid")))
+        .as("cell"))
+    vectors.join(cells, Seq(idCol), "left")
+      .select(vectors.columns.map(col) :+
+        coalesce(col("cell"), lit(-1L)).as("cell"): _*)
+  }
 
   /** Nearest-centroid id of a vector column (the assignment expression
     * itself, usable at ingest time): `least` over (distance, cid) structs —
@@ -213,10 +250,21 @@ object Similarity {
     * size. One shuffle, partial-agg combined map-side.
     */
   def kmeansStep(vectors: DataFrame, vecCol: String,
-      centroids: Seq[(Long, Seq[Float])]): DataFrame =
-    vectors
-      .filter(col(vecCol).isNotNull)
-      .withColumn("cell", cellOf(col(vecCol), centroids))
+      centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+    val nonNull = vectors.filter(col(vecCol).isNotNull)
+    val assigned =
+      if (centroids.size <= FoldMaxNlist)
+        nonNull.withColumn("cell", cellOf(col(vecCol), centroids))
+      else
+        // production nlist: the same join+min_by shape as ivfAssignJoin
+        // over a synthesized row id (only a grouping key WITHIN this
+        // pass — the argmin cells, and therefore the means, are
+        // independent of its values)
+        ivfAssignJoin(
+          nonNull.select(monotonically_increasing_id().as("_graft_rid"),
+            col(vecCol)),
+          "_graft_rid", vecCol, centroids)
+    assigned
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("p", "v")))
       .select(col("cell"), (col("p") + 1).as("pos"),
         round(col("v").cast("double") * lit(1000000.0)).cast("long").as("f"))
@@ -224,6 +272,7 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         round(sum(col("f").cast("decimal(38,0)")).cast("double") /
           (count(lit(1)) * lit(1000000.0)), 6).as("c"))
+  }
 
   /** Full Lloyd training loop: deterministic seeds (the k lowest-id
     * vectors, re-labeled 0..k-1), `iters` assignment/update rounds.
