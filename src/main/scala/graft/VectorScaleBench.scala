@@ -78,9 +78,16 @@ object VectorScaleBench {
       a
     }
 
-    val qs = assigned.filter(col("vec_id") % (n / 10) === 3)
+    // spread queries across the corpus; fall back to the first rows for
+    // tiny smoke-sized n (an empty query set would NaN the recall)
+    val step = math.max(1, n / 10)
+    val qs0 = assigned.filter(col("vec_id") % lit(step) === lit(3 % step))
       .limit(10).select(col("vec_id"), col("embedding")).collect()
+    val qs = (if (qs0.nonEmpty) qs0
+      else assigned.orderBy(col("vec_id")).limit(10)
+        .select(col("vec_id"), col("embedding")).collect())
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(qs.nonEmpty, s"no query vectors at n=$n")
     for (nProbe <- Seq(8, 16, 32)) {
       val (per, probeSec) = timed(s"probe np=$nProbe") {
         qs.map { case (qid, qv) =>

@@ -373,8 +373,17 @@ final class GraftDatabase private (
     }
     val statsBack = files.flatMap(f =>
       snapThen.stats.get((n, f)).map(js => TxLog.Sta(n, f, js)))
-    // Dvec after the Put (its application is conditional on the binding)
-    val dvsBack = dvsThen.toSeq.map { case (f, dv) => TxLog.Dvec(n, f, dv) }
+    // Dvec after the Put (its application is conditional on the
+    // binding): the target version's masks come back — and files that
+    // carried NO mask then but do at head get an explicit REMOVAL, or
+    // the restored state would silently keep later deletes (Put does
+    // not clear dvs: granular rewrites rely on untouched files keeping
+    // theirs)
+    val headDvs = txlog.snapshot().dvs
+    val dvsBack = dvsThen.toSeq.map { case (f, dv) =>
+      TxLog.Dvec(n, f, dv)
+    } ++ files.filter(f => !dvsThen.contains(f) &&
+      headDvs.contains((n, f))).map(f => TxLog.Dvec(n, f, ""))
     val v = txlog.commit(
       ((TxLog.Put(n, files) +: schemaBack) ++ statsBack) ++ dvsBack,
       readVersion = base,
@@ -460,18 +469,17 @@ final class GraftDatabase private (
       val marked = txlog.readMarked(n, "_graft_file").get
       // survivors of the hit files = rows whose PK the batch never
       // touched; the batch's inserts land beside them. The hit-file
-      // membership derives IN-PLAN (per-file window over the join
-      // marker), so the staged write runs CONCURRENTLY with the
-      // hit-file collect below — wall time max, not sum.
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_graft_file"))
-      val fMax = org.apache.spark.sql.functions.max(col("_graft_m"))
-      val baseCols = marked.columns.filterNot(_ == "_graft_file").toSeq
+      // membership derives IN-PLAN (broadcast semi-join on the distinct
+      // hit files — a few ids, no table-wide shuffle), so the staged
+      // write runs CONCURRENTLY with the hit-file collect below — wall
+      // time max, not sum.
+      val hitFiles = marked
+        .join(touchedKeys, Seq(tdef.pk), "left_semi")
+        .select(col("_graft_file")).distinct()
       val touched = marked
-        .join(touchedKeys.withColumn("_graft_m", lit(1)), Seq(tdef.pk), "left")
-        .withColumn("_graft_fhit", fMax.over(win))
-        .filter(col("_graft_fhit") === 1 && col("_graft_m").isNull)
-        .select(baseCols.map(col): _*) // the using-join moved the PK first
+        .join(broadcast(hitFiles), Seq("_graft_file"), "left_semi")
+        .drop("_graft_file")
+        .join(touchedKeys, Seq(tdef.pk), "left_anti")
         .unionByName(ins, allowMissingColumns = true)
       val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(
         () => txlog.stage(n, touched), stagingPool)
@@ -768,10 +776,7 @@ final class GraftDatabase private (
       () => txlog.stage(n, rows), stagingPool)
     try validate
     catch {
-      case t: Throwable =>
-        // let the write finish in the background; its files are
-        // unpublished garbage either way
-        throw t
+      case t: Throwable => stagedF.cancel(false); throw t
     }
     try stagedF.get(30, java.util.concurrent.TimeUnit.MINUTES)
     catch {
@@ -897,16 +902,14 @@ final class GraftDatabase private (
       // the new version's binding. An update hitting 1% of a table's
       // files rewrites 1%, not 100%. One aggregation yields BOTH the
       // matched-row count and the hit files — and the replacement rows
-      // derive their file set IN-PLAN (a per-file window), so the
+      // derive their file set IN-PLAN (broadcast semi-join on the
+      // distinct hit files: a few ids, no table-wide shuffle), so the
       // staged write runs CONCURRENTLY with that aggregation: the
       // statement's wall time is max(collect, stage), not the sum.
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_graft_file"))
+      val hitFiles = marked.filter(col("_graft_hit"))
+        .select(col("_graft_file")).distinct()
       val touchedRows = ConstrainedDml.updateWhere(
-        marked.withColumn("_graft_fhit",
-          org.apache.spark.sql.functions.max(col("_graft_hit").cast("int"))
-            .over(win))
-          .filter(col("_graft_fhit") === 1).drop("_graft_fhit"),
+        marked.join(broadcast(hitFiles), Seq("_graft_file"), "left_semi"),
         col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
       val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(
         () => txlog.stage(norm(name), touchedRows), stagingPool)
@@ -1341,11 +1344,10 @@ final class GraftDatabase private (
           s"DV stage produced ${staged.size} parts (expected 1)")
         TxLog.Dvec(n, rel, staged.head): TxLog.Action
       }.toSeq
-      val nMasked = hits.count()
       txlog.commit(actions, readVersion = base,
         readTables = children.map(d => norm(d.name)).toSet)
       invalidateSqlEngine()
-      nMasked
+      perFile.map(_._2).sum // the per-file counts already hold the total
     } finally hits.unpersist()
   }
 
@@ -1844,8 +1846,6 @@ final class GraftDatabase private (
           org.apache.spark.sql.types.DataType.fromDDL(ddlType))
       def restoreCollection(name: String, version: Long): Unit =
         db.restore(name, version)
-      override def pkOf(name: String): Option[String] =
-        db.defs.get(db.norm(name)).map(_.pk)
     }
 
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY

@@ -40,39 +40,55 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftStatsRegistry {
 
-  // normalized absolute database root -> its TxLog (one JVM, a handful
-  // of open databases; entries are tiny and re-registration replaces)
-  private val roots = new ConcurrentHashMap[String, TxLog]()
+  // normalized absolute database root -> a WEAK ref to its TxLog: a
+  // session can open thousands of (often temporary) databases over its
+  // lifetime, and the registry must neither pin them past their
+  // owner's reachability nor charge every later query for their
+  // corpses — dead entries self-prune on the next touch
+  private val roots =
+    new ConcurrentHashMap[String, java.lang.ref.WeakReference[TxLog]]()
 
   private[catalog] def register(rootAbs: String, log: TxLog): Unit =
-    roots.put(rootAbs, log)
+    roots.put(rootAbs, new java.lang.ref.WeakReference(log))
+
+  private def live(r: String): Option[TxLog] = {
+    val ref = roots.get(r)
+    if (ref == null) None
+    else {
+      val log = ref.get()
+      if (log == null) { roots.remove(r, ref); None } else Some(log)
+    }
+  }
 
   /** Normalize a FileIndex path (a `file:` URI) to a raw fs path. */
   private def fsPath(p: String): String =
     try new Path(p).toUri.getPath catch { case _: Throwable => p }
 
-  /** True when any registered database root could own this path —
+  /** True when any LIVE registered database root could own this path —
     * the cheap gate that keeps the rule a no-op on foreign scans.
     */
   def covers(p: Path): Boolean = {
     val s = fsPath(p.toString)
-    roots.keys.asScala.exists(r => s.startsWith(r))
+    roots.keys.asScala.exists(r => s.startsWith(r) && live(r).isDefined)
   }
 
-  /** One stats resolver per QUERY: fetches each registered log's
-    * version-cached rel-path map once, then answers per-file lookups
-    * as pure O(1) map gets — at a million files the rule never touches
-    * a snapshot (or the filesystem) per file.
+  /** One stats resolver per QUERY — and per-ROOT LAZY: only the log
+    * actually owning a probed path resolves its snapshot (one
+    * version-cached map fetch), never every database the session has
+    * ever opened. Per-file lookups are then O(1) map gets — at a
+    * million files the rule touches no snapshot (or filesystem) per
+    * file.
     */
   def resolver(): String => Option[String] = {
-    val maps = roots.asScala.toSeq.map { case (r, log) =>
-      (r + "/", log.relStatsSnapshot())
-    }
+    val prefixes = roots.keys.asScala.toSeq.map(r => (r + "/", r))
+    val fetched = scala.collection.mutable.Map.empty[String, Map[String, String]]
     absPath => {
       val s = fsPath(absPath)
-      maps.collectFirst {
-        case (prefix, m) if s.startsWith(prefix) =>
-          m.get(s.stripPrefix(prefix))
+      prefixes.collectFirst {
+        case (prefix, r) if s.startsWith(prefix) =>
+          fetched.getOrElseUpdate(r,
+            live(r).map(_.relStatsSnapshot()).getOrElse(Map.empty))
+            .get(s.stripPrefix(prefix))
       }.flatten
     }
   }

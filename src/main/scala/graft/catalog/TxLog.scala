@@ -249,10 +249,13 @@ final class TxLog(spark: SparkSession, root: String,
     case Sch(t, js)  => snap.copy(schemas = snap.schemas.updated(t, js))
     case Sta(t, f, js) => snap.copy(stats = snap.stats.updated((t, f), js))
     case Dvec(t, f, dv) =>
+      // empty dvFile = REMOVE the mask (RESTORE emits these for files
+      // that carried no mask at the target version)
+      if (dv.isEmpty) snap.copy(dvs = snap.dvs - ((t, f)))
       // conditional on the data file still being bound: a Dvec landing
       // after an interleaved rebind (possible only for blind commits —
       // versioned ones conflict first) must not resurrect as an orphan
-      if (snap.tables.get(t).exists(_.contains(f)))
+      else if (snap.tables.get(t).exists(_.contains(f)))
         snap.copy(dvs = snap.dvs.updated((t, f), dv))
       else snap
     case Txn(a2, b)  => snap.copy(txns = snap.txns.updated(

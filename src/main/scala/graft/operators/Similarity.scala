@@ -252,26 +252,42 @@ object Similarity {
   def kmeansStep(vectors: DataFrame, vecCol: String,
       centroids: Seq[(Long, Seq[Float])]): DataFrame = {
     val nonNull = vectors.filter(col(vecCol).isNotNull)
+    // (cell, vec, weight) rows: the fold path assigns per row (w=1);
+    // at production nlist the assignment instead groups by the VECTOR
+    // itself (arrays are grouping keys) with its multiplicity, then
+    // argmins each DISTINCT vector once through the codegen-L2 +
+    // min_by stream — no synthesized row ids and no self-join, whose
+    // re-evaluated monotonically_increasing_id would be free to
+    // mismatch across a nondeterministically-ordered upstream shuffle.
+    // The weighted means below are bit-identical to the per-row form
+    // (the fixed-point f of a duplicate vector is identical, so
+    // Σf = f·mult exactly).
     val assigned =
       if (centroids.size <= FoldMaxNlist)
         nonNull.withColumn("cell", cellOf(col(vecCol), centroids))
-      else
-        // production nlist: the same join+min_by shape as ivfAssignJoin
-        // over a synthesized row id (only a grouping key WITHIN this
-        // pass — the argmin cells, and therefore the means, are
-        // independent of its values)
-        ivfAssignJoin(
-          nonNull.select(monotonically_increasing_id().as("_graft_rid"),
-            col(vecCol)),
-          "_graft_rid", vecCol, centroids)
+          .select(col("cell"), col(vecCol), lit(1L).as("_graft_w"))
+      else {
+        val sess = vectors.sparkSession
+        import sess.implicits._
+        val c = centroids.toDF("_graft_cid", "_graft_cvec")
+        nonNull.groupBy(col(vecCol))
+          .agg(count(lit(1)).as("_graft_w"))
+          .crossJoin(broadcast(c))
+          .groupBy(col(vecCol), col("_graft_w"))
+          .agg(min_by(col("_graft_cid"),
+            struct(l2(col(vecCol), col("_graft_cvec")), col("_graft_cid")))
+            .as("cell"))
+          .select(col("cell"), col(vecCol), col("_graft_w"))
+      }
     assigned
-      .select(col("cell"), posexplode(col(vecCol)).as(Seq("p", "v")))
-      .select(col("cell"), (col("p") + 1).as("pos"),
+      .select(col("cell"), col("_graft_w"), posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select(col("cell"), col("_graft_w"), (col("p") + 1).as("pos"),
         round(col("v").cast("double") * lit(1000000.0)).cast("long").as("f"))
       .groupBy("cell", "pos")
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("f").cast("decimal(38,0)")).cast("double") /
-          (count(lit(1)) * lit(1000000.0)), 6).as("c"))
+      .agg(sum(col("_graft_w")).as("n"),
+        round(sum((col("f") * col("_graft_w")).cast("decimal(38,0)"))
+          .cast("double") /
+          (sum(col("_graft_w")) * lit(1000000.0)), 6).as("c"))
   }
 
   /** Full Lloyd training loop: deterministic seeds (the k lowest-id

@@ -501,13 +501,15 @@ final class LiteSql(
       o.map(c => coalesce(expr(translateExpr(c)), lit(false)))
         .getOrElse(lit(true))
 
-    // ANSI cardinality: one target row may match at most one source row
-    // (checked via the target PK when the owning database declares one)
-    admin.flatMap(_.pkOf(target)).filter(tCols.contains).foreach { pk =>
-      val dups = tdf.join(sdf, on, "inner")
-        .groupBy(col(s"$tA.$pk")).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dups == 0L,
+    // ANSI cardinality: one target row may match at most one source
+    // row. Key-free multiset argument: #(inner join rows) = Σ matches
+    // per target row, #(semi join rows) = #target rows with ≥1 match —
+    // the counts differ iff some row matched ≥2. Always on (no PK or
+    // admin needed, no column-casing dependence).
+    if (!tgt.isEmpty) {
+      val pairCnt = tdf.join(sdf, on, "inner").count()
+      val semiCnt = tdf.join(sdf, on, "left_semi").count()
+      require(pairCnt == semiCnt,
         "MERGE: a target row matched multiple source rows (ON is not " +
           "unique over the source)")
     }
@@ -608,32 +610,18 @@ final class LiteSql(
     Seq(nAffected).toDF("n_affected")
   }
 
-  /** [[splitAtKeyword]] but paren/bracket aware: the split point is the
-    * FIRST top-level occurrence (a `THEN` inside `(CASE WHEN ... THEN
-    * ...)` is expression text, not clause syntax).
+  /** [[splitAllAtKeywordTopLevel]] restricted to the FIRST top-level
+    * occurrence (a `THEN` inside `(CASE WHEN ... THEN ...)` is
+    * expression text, not clause syntax). Later occurrences rejoin with
+    * single-space keywords — whitespace-insensitive to SQL, and
+    * `execute` pre-collapses whitespace anyway.
     */
   private def splitAtKeywordTopLevel(s: String,
-      kw: String): (String, Option[String]) = {
-    val mask = quoteMask(s)
-    var depth = 0
-    var i = 0
-    while (i < s.length) {
-      if (!mask(i)) {
-        val c = s.charAt(i)
-        if (c == '(' || c == '[') depth += 1
-        else if (c == ')' || c == ']') depth -= 1
-        else if (depth == 0 && i + kw.length <= s.length &&
-            s.regionMatches(true, i, kw, 0, kw.length) &&
-            (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
-            (i + kw.length >= s.length ||
-              !isIdentChar(s.charAt(i + kw.length))))
-          return (s.substring(0, i).trim,
-            Some(s.substring(i + kw.length).trim))
-      }
-      i += 1
+      kw: String): (String, Option[String]) =
+    splitAllAtKeywordTopLevel(s, kw) match {
+      case Seq(only) => (only, None)
+      case head +: rest => (head, Some(rest.mkString(s" $kw ")))
     }
-    (s.trim, None)
-  }
 
   /** Split at EVERY top-level occurrence of `kw` (word-boundary, quote
     * AND paren/bracket aware — a parenthesized `CASE WHEN` never splits
@@ -1163,10 +1151,6 @@ object LiteSql {
     def addColumn(name: String, column: String, ddlType: String): Unit
     /** Metadata-only rollback to a committed version (a NEW commit). */
     def restoreCollection(name: String, version: Long): Unit
-    /** Declared primary key of a collection, when the owning database
-      * knows one — MERGE uses it for the ANSI multiple-match check.
-      */
-    def pkOf(name: String): Option[String] = None
   }
 
   def apply(spark: SparkSession, sfDir: String): LiteSql =

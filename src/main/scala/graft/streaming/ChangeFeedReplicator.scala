@@ -45,9 +45,11 @@ final class ChangeFeedReplicator(
 
   /** One micro-batch: diff everything since the persisted cursor,
     * apply it atomically, advance the ledger. Returns the cursor after
-    * the step. An empty feed commits nothing (the diff re-runs from the
-    * same cursor next poll — zero exchanged files diff in metadata
-    * only); a non-empty feed lands as ONE commit carrying the marker.
+    * the step. An EMPTY feed still advances: applyChanges commits the
+    * idempotence marker alone (no data file) — a cursor frozen on an
+    * idle table would otherwise fall below the source's vacuum
+    * retention and force a full re-bootstrap despite having missed
+    * nothing, and every poll would re-diff an ever-growing range.
     */
   def replicateOnce(): Long = {
     val from = cursor()
@@ -55,12 +57,9 @@ final class ChangeFeedReplicator(
     if (head <= from) return from
     val f = feed.cache()
     try {
-      if (f.isEmpty) from // other tables moved the version: no-op
-      else {
-        dest.applyChanges(destTable, f, appId, head)
-        batches.incrementAndGet()
-        head
-      }
+      dest.applyChanges(destTable, f, appId, head)
+      batches.incrementAndGet()
+      head
     } finally f.unpersist()
   }
 

@@ -110,6 +110,23 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(db.table("t").count() == 399)
   }
 
+  test("RESTORE to a version where a file carried NO mask clears the " +
+      "later mask (explicit removal, not a leftover)") {
+    val db = freshDb()
+    seed(db)
+    val v0 = db.logVersion // no DVs anywhere
+    db.deleteVectorized("t", col("id") === 7)
+    assert(db.table("t").count() == 399)
+    db.restore("t", v0)
+    // the restored state must NOT silently keep the later delete
+    assert(db.table("t").filter(col("id") === 7).count() == 1,
+      "restore must clear masks added after the target version")
+    assert(db.table("t").count() == 400)
+    assert(dvSnapshot(db).isEmpty)
+    // and the pre-restore masked state stays time-travelable
+    assert(db.tableAt("t", v0 + 1).get.count() == 399)
+  }
+
   test("vacuum keeps referenced sidecars, reclaims unreferenced ones") {
     val db = freshDb()
     seed(db)
