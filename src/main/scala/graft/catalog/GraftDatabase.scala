@@ -581,6 +581,63 @@ final class GraftDatabase private (
     (files.size, files.size - small.size + staged.size)
   }
 
+  /** OPTIMIZE ... ZORDER BY: rewrite the table's LIVE files clustered
+    * on the Morton bit-interleave of two columns ([[graft.core.Layout
+    * .zValue]]), so each output file's per-column [min, max] box is
+    * tight in BOTH dimensions — the layout that makes the log-held
+    * stats pruning ([[seek]] and the automatic [[StatsPruneRule]])
+    * sharp for multi-column box probes, where a single-column sort can
+    * only tighten one side. Unlike the bin-packing [[optimize]] this is
+    * a CLUSTERING pass: a full-table rewrite committed as one absolute
+    * Put (deletion-vector masks materialize and their sidecars drop
+    * with the rewritten files). Columns normalize to the z-grid by
+    * their own min/max (one aggregate over the table — a maintenance
+    * pass, like the reference's index rebuild); rows with NULL in a
+    * z-column sort first. Returns (filesBefore, filesAfter).
+    */
+  def optimizeZorder(name: String, zorderBy: Seq[String],
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    requireNotRetired(); requireNoOpenTx()
+    require(zorderBy.size == 2,
+      s"optimizeZorder takes exactly two columns (Morton interleave), " +
+        s"got ${zorderBy.mkString(", ")}")
+    val n = norm(name)
+    val snap = txlog.snapshot()
+    val files = snap.tables.getOrElse(n, throw new IllegalArgumentException(
+      s"table '$n' does not exist (no committed data)"))
+    val df = txlog.readFilesMasked(snap, n, files)
+    val Seq(a, b) = zorderBy.map(c => col(c).cast("double"))
+    // per-column bounds for the grid normalization (one aggregate)
+    val bounds = df.agg(
+      org.apache.spark.sql.functions.min(a), org.apache.spark.sql.functions.max(a),
+      org.apache.spark.sql.functions.min(b), org.apache.spark.sql.functions.max(b)).head()
+    def grid(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit((1 << 16) - 1), greatest(lit(0),
+        ((c - lit(lo)) / lit(span) * lit((1 << 16) - 1)).cast("long")))
+    }
+    val z =
+      if (bounds.anyNull) lit(0L) // empty table / all-null columns
+      else graft.core.Layout.zValue(
+        grid(a, bounds.getDouble(0), bounds.getDouble(1)),
+        grid(b, bounds.getDouble(2), bounds.getDouble(3)), bits = 16)
+    // a clustering rewrite may legitimately RAISE the file count (finer
+    // z-ranges = sharper boxes); only a runaway target is capped
+    val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      .min(4096L).toInt
+    val clustered = df.withColumn("_graft_z", z)
+      .repartitionByRange(parts, col("_graft_z"))
+      .sortWithinPartitions(col("_graft_z"))
+      .drop("_graft_z")
+    val staged = txlog.stage(n, clustered)
+    txlog.commit(
+      TxLog.Put(n, staged) +: schemaSyncActions(n, clustered.schema),
+      readVersion = snap.version)
+    invalidateSqlEngine()
+    (files.size, staged.size)
+  }
+
   /** Metadata-only ADD COLUMN (schema evolution): commit the table's
     * widened schema to the log WITHOUT touching a data file — reads pin
     * to the stored schema, so every file written before the column
@@ -1838,6 +1895,8 @@ final class GraftDatabase private (
       def tableAt(name: String, version: Long): Option[DataFrame] =
         db.tableAt(name, version)
       def optimizeCollection(name: String): (Int, Int) = db.optimize(name)
+      def optimizeZorderCollection(name: String,
+          cols: Seq[String]): (Int, Int) = db.optimizeZorder(name, cols)
       def cloneCollection(src: String, dst: String): Boolean = {
         db.cloneCollection(src, dst); true
       }

@@ -1021,6 +1021,65 @@ object DomainQueries {
       "deletion vectors: merge-on-read point deletes stage a per-file " +
         "PK-list sidecar masked at every read surface (table/sql/seek/" +
         "time travel/change feed), reconciled by OPTIMIZE, rebound by " +
-        "RESTORE, vacuum-safe — zero data-file rewrites")
+        "RESTORE, vacuum-safe — zero data-file rewrites"),
+
+    // OPTIMIZE ZORDER BY: Morton-interleave clustering makes per-file
+    // [min,max] boxes tight in BOTH dimensions, so the automatic stats
+    // pruning answers a 2-D box probe from a few files — where the
+    // unclustered layout provably cannot prune AT ALL (pinned
+    // in-query). Gates: pre-cluster probe scans EVERY file; post-
+    // cluster the same probe scans ≤ 1/4 of them; results hash-match.
+    Q("q153_zorder_skipping",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q153").toString
+        val db = GraftDatabase(s, "q153", base)
+          .defineTable(TableDef("ev", "event_id"))
+        val src = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        db.insert("ev", src.repartition(8)) // deliberately unclustered
+        val bs = src.agg(min(col("user_id")), max(col("user_id")),
+          min(col("value")), max(col("value"))).head()
+        val (ulo, uhi) = (bs.getLong(0) + (bs.getLong(1) - bs.getLong(0)) * 2 / 5,
+          bs.getLong(0) + (bs.getLong(1) - bs.getLong(0)) * 3 / 5)
+        val (vlo, vhi) = (bs.getDouble(2) + 0.4 * (bs.getDouble(3) - bs.getDouble(2)),
+          bs.getDouble(2) + 0.6 * (bs.getDouble(3) - bs.getDouble(2)))
+        def probe() = db.sql("SELECT event_id, user_id, value FROM ev " +
+          s"WHERE user_id BETWEEN $ulo AND $uhi AND value >= $vlo AND value <= $vhi")
+        val n0 = db.liveFiles("ev").size
+        require(probe().inputFiles.length == n0,
+          "the unclustered layout must be UNABLE to prune the 2-D box " +
+            s"(scanned ${probe().inputFiles.length} of $n0)")
+        // cluster into ~16 right-sized files on the (user_id, value) grid
+        val bytes = db.liveFiles("ev")
+          .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+        val (_, nAfter) =
+          db.optimizeZorder("ev", Seq("user_id", "value"),
+            targetBytes = math.max(1L, bytes / 16))
+        val scanned = probe().inputFiles.length
+        require(scanned <= math.max(2, nAfter / 4),
+          s"z-order clustering must make the 2-D box prune: scanned " +
+            s"$scanned of $nAfter files for a 20%x20% box")
+        probe().groupBy((col("user_id") % 7).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("double").as("sum_v"))
+      },
+      Some("""WITH b AS (
+          SELECT MIN(user_id) AS ulo0, MAX(user_id) AS uhi0,
+                 MIN(value) AS vlo0, MAX(value) AS vhi0 FROM events)
+        SELECT CAST(user_id % 7 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        FROM events, b
+        WHERE user_id BETWEEN ulo0 + (uhi0 - ulo0) * 2 // 5
+                          AND ulo0 + (uhi0 - ulo0) * 3 // 5
+          AND value >= vlo0 + 0.4 * (vhi0 - vlo0)
+          AND value <= vlo0 + 0.6 * (vhi0 - vlo0)
+        GROUP BY 1"""),
+      "OPTIMIZE ZORDER BY (a, b): Morton-interleave clustering rewrite " +
+        "— tight per-file min/max boxes in BOTH dimensions, so the " +
+        "automatic stats pruning answers 2-D box probes from a few " +
+        "files (unclustered layout provably prunes nothing, pinned)")
   )
 }

@@ -350,15 +350,26 @@ final class LiteSql(
         }
         Seq(ok).toDF("result")
       case "OPTIMIZE" =>
-        // OPTIMIZE {collection} — bin-pack the table's small files into
-        // right-sized ones (dialect extension; the store-level analog of
-        // the reference's REBUILD, but file-granular and non-blocking)
-        val m = "(?i)^OPTIMIZE (\\w+)\\s*;?$".r.findFirstMatchIn(sql)
-          .getOrElse(throw new IllegalArgumentException(
-            s"bad OPTIMIZE (expected OPTIMIZE collection): $sql"))
+        // OPTIMIZE {collection} [ZORDER BY (a, b)] — bin-pack the
+        // table's small files into right-sized ones, or rewrite the
+        // whole table clustered on the Morton interleave of two
+        // columns (dialect extension; the store-level analog of the
+        // reference's REBUILD, but file-granular and non-blocking)
         val a = admin.getOrElse(throw new UnsupportedOperationException(
           "OPTIMIZE needs a database-backed engine (GraftDatabase.sql)"))
-        val (b, after) = a.optimizeCollection(m.group(1).toLowerCase)
+        val zm = ("(?i)^OPTIMIZE (\\w+)\\s+ZORDER\\s+BY\\s*" +
+          "\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)\\s*;?$").r
+          .findFirstMatchIn(sql)
+        val (b, after) = zm match {
+          case Some(z) => a.optimizeZorderCollection(z.group(1).toLowerCase,
+            Seq(z.group(2), z.group(3)))
+          case None =>
+            val m = "(?i)^OPTIMIZE (\\w+)\\s*;?$".r.findFirstMatchIn(sql)
+              .getOrElse(throw new IllegalArgumentException(
+                s"bad OPTIMIZE (expected OPTIMIZE collection " +
+                  s"[ZORDER BY (a, b)]): $sql"))
+            a.optimizeCollection(m.group(1).toLowerCase)
+        }
         Seq((b.toLong, after.toLong)).toDF("files_before", "files_after")
       case "ALTER" =>
         // ALTER COLLECTION {c} ADD COLUMN {name} {type} — metadata-only
@@ -1145,6 +1156,11 @@ object LiteSql {
     def tableAt(name: String, version: Long): Option[DataFrame]
     /** Bin-pack the collection's small files; (filesBefore, filesAfter). */
     def optimizeCollection(name: String): (Int, Int)
+    /** Full-table rewrite clustered on the Morton interleave of two
+      * columns (multi-column data-skipping layout).
+      */
+    def optimizeZorderCollection(name: String,
+        cols: Seq[String]): (Int, Int)
     /** Zero-copy shallow clone src → dst (metadata-only commit). */
     def cloneCollection(src: String, dst: String): Boolean
     /** Metadata-only ADD COLUMN; `ddlType` is a Spark DDL type name. */

@@ -667,6 +667,40 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(db.table("t").count() == 4)
   }
 
+  test("OPTIMIZE ZORDER BY clusters both dimensions, reconciles DVs, " +
+      "and the SQL form parses") {
+    val db = freshDb()
+    // two independent dimensions, deliberately unclustered
+    db.insert("t", (1 to 4000).map { i =>
+      (i, (i * 2654435761L % 1000).toInt, (i * 40503L % 1000).toDouble)
+    }.toDF("id", "a", "b").repartition(6))
+    db.deleteVectorized("t", col("id") === 77)
+    val (before, after) = db.optimizeZorder("t", Seq("a", "b"),
+      targetBytes = db.liveFiles("t")
+        .map(f => Files.size(Paths.get(f))).sum / 8)
+    assert(before == 6 && after >= 4)
+    // the DV reconciled into the rewrite (mask gone, row still absent)
+    assert(db.txlogSnapshotForTest.dvs.isEmpty)
+    assert(db.table("t").count() == 3999)
+    // a 20%x20% box probe on the DEFAULT read path prunes (box inside
+    // one z-quadrant — a box STRADDLING the 0.5x0.5 corner spreads
+    // across the curve's four farthest runs, the documented z-order
+    // worst case; q153 gates that shape with a looser bound)
+    val probe = db.sql(
+      "SELECT id FROM t WHERE a BETWEEN 100 AND 300 AND b >= 100.0 AND b <= 300.0")
+    assert(probe.inputFiles.length <= math.max(2, after / 2),
+      s"z-clustered box probe scanned ${probe.inputFiles.length} of $after")
+    // content identical to the pre-cluster state
+    assert(probe.count() ==
+      db.table("t").filter(col("a").between(100, 300) &&
+        col("b").between(100.0, 300.0)).count())
+    // SQL form
+    val r = db.sql("OPTIMIZE t ZORDER BY (a, b)").head()
+    assert(r.getLong(0) >= 1 && r.getLong(1) >= 1)
+    // still exactly two columns required
+    intercept[IllegalArgumentException](db.optimizeZorder("t", Seq("a")))
+  }
+
   test("SQL CLONE COLLECTION clones and rejects an existing target") {
     val db = freshDb()
     db.insert("t", rows(4))
