@@ -1364,10 +1364,15 @@ final class GraftDatabase private (
         child.fks.filter(fk => norm(fk.parentTable) == n &&
             fk.onDelete == ConstrainedDml.Restrict).foreach { fk =>
           if (tableExists(child.name)) {
-            val doomed = hits.select(col(pk).as(fk.parentCol))
-            val refs = table(child.name)
+            // DataFrame-qualified refs with a collision-proof alias —
+            // bare col(fk.parentCol) is AMBIGUOUS when the child also
+            // carries a column of that name (its own 'id', or
+            // childCol == parentCol)
+            val doomed = hits.select(col(pk).as("_graft_doomed"))
+            val childDf = table(child.name)
+            val refs = childDf
               .join(broadcast(doomed),
-                col(fk.childCol) === col(fk.parentCol), "left_semi")
+                childDf(fk.childCol) === doomed("_graft_doomed"), "left_semi")
               .limit(1).count()
             if (refs > 0) throw new IllegalStateException(
               s"deleteVectorized('$n') blocked: '${child.name}' rows " +

@@ -69,7 +69,10 @@ object GraftStatsRegistry {
     */
   def covers(p: Path): Boolean = {
     val s = fsPath(p.toString)
-    roots.keys.asScala.exists(r => s.startsWith(r) && live(r).isDefined)
+    // component-wise prefix (mirrors resolver()'s r + "/" probes):
+    // bare startsWith would pull /x/db10 scans into /x/db1's rule pass
+    roots.keys.asScala.exists(r =>
+      (s.startsWith(r + "/") || s == r) && live(r).isDefined)
   }
 
   /** One stats resolver per QUERY — and per-ROOT LAZY: only the log

@@ -297,44 +297,91 @@ final class TxLog(spark: SparkSession, root: String,
   /** [[readFiles]] minus the files' deletion-vector masks at snapshot
     * `s` — THE logical-content read for any file subset (full table
     * reads, seek's pruned lists, the change feed's exchanged sets).
-    * Each DV parquet holds one column named after the table's PK; PKs
-    * are unique table-wide and a masked PK's row lives only in its
-    * masked file, so the union-of-masks anti-join is exact over any
-    * subset. Masks are point-delete sized — broadcast to keep the scan
-    * side shuffle-free.
+    *
+    * A DV masks rows ONLY IN ITS OWN FILE: a PK that was DV-deleted and
+    * later re-inserted lives in a NEWER file the stale mask must not
+    * touch, so subtraction is file-granular, never table-wide. Plan
+    * shape scales with the mask population:
+    *   - ≤ [[TxLog.DvPerFileJoinMax]] masked files: one single-file
+    *     scan + anti-join per masked file, unioned with the unmasked
+    *     bulk scan — each mask broadcasts when its sidecar is small
+    *     ([[TxLog.DvBroadcastMaxBytes]]), else that one join falls back
+    *     to a shuffle anti-join (an over-threshold mask never rides a
+    *     forced broadcast)
+    *   - above it (mass vectorized deletes before OPTIMIZE): ONE scan
+    *     of all masked files + ONE anti-join keyed on (source file, PK)
+    *     — the mask side carries its file identity as a literal, the
+    *     scan side derives it from `input_file_name()`'s invariant
+    *     `Tables/<t>/<dir>/<part>` suffix — so plan size stays O(1)
+    *     instead of O(masked files)
     */
   def readFilesMasked(s: Snapshot, table: String, rel: Seq[String],
       schemaJson: Option[String]): DataFrame =
-    maskDvs(s, table, rel, readFiles(rel, schemaJson))
+    maskedRead(s, table, rel, schemaJson, None)
 
   def readFilesMasked(s: Snapshot, table: String,
       rel: Seq[String]): DataFrame =
     readFilesMasked(s, table, rel, s.schemas.get(table))
 
-  /** Subtract `rel`'s deletion-vector masks from `df` (a scan of
-    * exactly those files, possibly already carrying derived columns).
+  /** File-granular DV subtraction (see [[readFilesMasked]]); `fileCol`
+    * additionally materializes each row's source file BELOW the mask
+    * joins (`input_file_name()` must sit directly over a file source —
+    * Spark's PreReadCheck rejects it above a join).
     */
-  private def maskDvs(s: Snapshot, table: String, rel: Seq[String],
-      df: DataFrame): DataFrame = {
+  private def maskedRead(s: Snapshot, table: String, rel: Seq[String],
+      schemaJson: Option[String], fileCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val relSet = rel.toSet
-    val dvFiles = s.dvs.collect {
-      case ((t, f), dv) if t == table && relSet(f) => dv
-    }.toSeq
-    if (dvFiles.isEmpty) df
-    else {
-      val mask = readFiles(dvFiles, None)
-      val pk = mask.columns.head
-      df.join(
-        org.apache.spark.sql.functions.broadcast(mask.select(pk).distinct()),
-        Seq(pk), "left_anti")
-    }
+    val dvOf = s.dvs.collect {
+      case ((t, f), dv) if t == table && relSet(f) => (f, dv)
+    }.toMap
+    def mark(d: DataFrame): DataFrame =
+      fileCol.fold(d)(c => d.withColumn(c, input_file_name()))
+    if (dvOf.isEmpty) return mark(readFiles(rel, schemaJson))
+    val maskedRel = rel.filter(dvOf.contains)
+    val plainRel = rel.filterNot(dvOf.contains)
+    val plain =
+      if (plainRel.isEmpty) None else Some(mark(readFiles(plainRel, schemaJson)))
+    // staged data files are always root-relative Tables/<t>/<dir>/<part>
+    // (4 components) — the suffix identity the single-scan path keys on;
+    // anything else (never produced by stage()) takes the per-file path
+    val suffixSafe = maskedRel.forall(_.split('/').length == 4)
+    val masked: DataFrame =
+      if (maskedRel.size <= TxLog.DvPerFileJoinMax || !suffixSafe)
+        maskedRel.map { f =>
+          val mask = readFiles(Seq(dvOf(f)), None)
+          val pk = mask.columns.head
+          val side = mask.select(pk).distinct()
+          val hinted =
+            if (dvSizeBytes(dvOf(f)) <= TxLog.DvBroadcastMaxBytes)
+              broadcast(side)
+            else side
+          mark(readFiles(Seq(f), schemaJson)).join(hinted, Seq(pk), "left_anti")
+        }.reduce(_ unionByName _)
+      else {
+        val masks = maskedRel.map { f =>
+          val m = readFiles(Seq(dvOf(f)), None)
+          m.select(col(m.columns.head), lit(f).as("_graft_dv_file"))
+        }.reduce(_ unionByName _)
+        val pk = masks.columns.head
+        val scanned = mark(readFiles(maskedRel, schemaJson)).withColumn(
+          "_graft_dv_scan_file", substring_index(input_file_name(), "/", -4))
+        scanned.join(masks,
+          scanned(pk) === masks(pk) &&
+            scanned("_graft_dv_scan_file") === masks("_graft_dv_file"),
+          "left_anti").drop("_graft_dv_scan_file")
+      }
+    plain.fold(masked)(_ unionByName masked)
   }
 
+  /** A DV sidecar's on-disk size (broadcast-hint gate); unreadable →
+    * Long.MaxValue, so the join falls back to the unhinted shape.
+    */
+  private def dvSizeBytes(rel: String): Long =
+    try Files.size(Paths.get(root, rel)) catch { case _: Throwable => Long.MaxValue }
+
   /** [[read]] with the scan-time file id materialized as `fileCol`
-    * BELOW the DV mask join — `input_file_name()` must sit directly
-    * over a single file source (Spark's PreReadCheck rejects it above a
-    * join), so every file-granular DML path marks through here instead
-    * of adding the column over a masked read.
+    * below the DV mask joins — see [[maskedRead]].
     */
   def readMarked(table: String, fileCol: String): Option[DataFrame] =
     readMarkedAt(-1L, table, fileCol)
@@ -344,9 +391,7 @@ final class TxLog(spark: SparkSession, root: String,
       : Option[DataFrame] = {
     val s = if (v < 0) snapshot() else snapshotAt(v)
     s.tables.get(table).map { rel =>
-      maskDvs(s, table, rel,
-        readFiles(rel, s.schemas.get(table)).withColumn(fileCol,
-          org.apache.spark.sql.functions.input_file_name()))
+      maskedRead(s, table, rel, s.schemas.get(table), Some(fileCol))
     }
   }
 
@@ -816,6 +861,18 @@ object TxLog {
     * action files a snapshot resolution reads.
     */
   val checkpointEvery: Long = 10L
+
+  /** Masked-file count above which a masked read collapses its
+    * per-file DV anti-joins into ONE (file, PK)-keyed join — caps plan
+    * size when mass vectorized deletes precede an OPTIMIZE.
+    */
+  val DvPerFileJoinMax: Int = 16
+
+  /** A DV sidecar at most this large rides a broadcast hint in its
+    * anti-join; bigger masks use the planner's size-driven choice
+    * (shuffle/AQE), never a forced over-threshold broadcast.
+    */
+  val DvBroadcastMaxBytes: Long = 8L << 20
 
   /** One committed state: table → root-relative immutable file list,
     * plus the idempotence ledger (writer appId → highest applied

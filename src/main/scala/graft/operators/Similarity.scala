@@ -174,14 +174,19 @@ object Similarity {
     val sess = vectors.sparkSession
     import sess.implicits._
     val c = centroids.toDF("_graft_cid", "_graft_cvec")
+    // group on (id, vector), not id alone: duplicate ids carrying
+    // DIFFERENT vectors must each keep their own argmin (the fold path
+    // assigns per row) — id-only grouping would collapse them into one
+    // shared cell and stamp the wrong cell on one of the rows
     val cells = vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol))
+      .distinct()
       .crossJoin(broadcast(c))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col(vecCol))
       .agg(min_by(col("_graft_cid"),
         struct(l2(col(vecCol), col("_graft_cvec")), col("_graft_cid")))
         .as("cell"))
-    vectors.join(cells, Seq(idCol), "left")
+    vectors.join(cells, Seq(idCol, vecCol), "left")
       .select(vectors.columns.map(col) :+
         coalesce(col("cell"), lit(-1L)).as("cell"): _*)
   }

@@ -218,6 +218,94 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(db2.table("t").count() == 399)
   }
 
+  test("delete-then-reinsert: a stale mask never hides the new row " +
+      "(file-granular subtraction at every write surface)") {
+    val db = freshDb()
+    seed(db)
+    // insert(): the re-inserted PK lands in a NEW file the old DV must
+    // not touch
+    assert(db.deleteVectorized("t", col("id") === 5) == 1)
+    assert(db.table("t").filter(col("id") === 5).isEmpty)
+    db.insert("t", Seq((5, 555L, "re5")).toDF("id", "v", "s"))
+    assert(db.table("t").filter(col("id") === 5).count() == 1,
+      "re-inserted row must be visible (stale DV hid it)")
+    assert(db.sql("SELECT v FROM t WHERE id = 5").head.getLong(0) == 555L)
+    assert(db.findById("t", 5).isDefined)
+    // a SECOND insert of the now-live PK is a duplicate again
+    intercept[Exception] {
+      db.insert("t", Seq((5, 0L, "dup")).toDF("id", "v", "s"))
+    }
+    // upsert(): same shape
+    assert(db.deleteVectorized("t", col("id") === 6) == 1)
+    db.upsert("t", Seq((6, 666L, "re6")).toDF("id", "v", "s"))
+    assert(db.table("t").filter(col("id") === 6).count() == 1)
+    // MERGE INSERT: same shape through SQL
+    assert(db.deleteVectorized("t", col("id") === 7) == 1)
+    db.defineTable(TableDef("src", "k"))
+    db.insert("src", Seq((7, 777L)).toDF("k", "nv"))
+    db.sql("MERGE INTO t USING src ON t.id = src.k " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.k, src.nv)")
+    assert(db.table("t").filter(col("id") === 7).count() == 1)
+    assert(db.table("t").filter(col("id") === 7).head.getLong(1) == 777L)
+    // applyChanges insert: the CDC replication surface
+    assert(db.deleteVectorized("t", col("id") === 8) == 1)
+    assert(db.applyChanges("t",
+      Seq((8, 888L, "re8", "insert")).toDF("id", "v", "s", "_change_type"),
+      "dv-reinsert-app", 1L))
+    assert(db.table("t").filter(col("id") === 8).count() == 1)
+    // total content is exact: 400 seeded, 4 deleted, 4 re-inserted
+    assert(db.table("t").count() == 400)
+    // and the masks still hold for rows NOT re-inserted
+    assert(db.deleteVectorized("t", col("id") === 9) == 1)
+    assert(db.table("t").filter(col("id") === 9).isEmpty)
+  }
+
+  test("mass-mask reads: above DvPerFileJoinMax masked files the plan " +
+      "collapses to ONE (file, PK) anti-join; results identical") {
+    val db = freshDb()
+    val files = TxLog.DvPerFileJoinMax + 8 // 24 masked files
+    db.defineTable(TableDef("t", "id"))
+    db.insert("t", (1 to files * 50)
+      .map(i => (i, i * 10L)).toDF("id", "v")
+      .repartitionByRange(files, col("id")))
+    assert(db.liveFiles("t").size == files)
+    // one DV per file: delete the first row of every 50-row range
+    val doomed = (0 until files).map(_ * 50 + 1)
+    assert(db.deleteVectorized("t", col("id").isin(doomed: _*)) == files)
+    assert(dvSnapshot(db).size == files)
+    val out = db.table("t")
+    // plan shape: one anti-join total, not one per masked file
+    val antiJoins = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("LeftAnti"))
+    assert(antiJoins == 1,
+      s"expected the single-scan (file, PK) anti-join, saw $antiJoins")
+    // results are exact under the collapsed plan
+    assert(out.count() == files * 49L)
+    assert(out.filter(col("id").isin(doomed: _*)).isEmpty)
+    assert(out.filter(col("id").isin(doomed.map(_ + 1): _*)).count()
+      == files.toLong)
+    // and reinsert stays file-granular on this path too
+    db.insert("t", Seq((1, 111L)).toDF("id", "v"))
+    assert(db.table("t").filter(col("id") === 1).count() == 1)
+  }
+
+  test("RESTRICT check resolves unambiguously when the child carries a " +
+      "column named like the parent key") {
+    val db = freshDb()
+    db.defineTable(TableDef("p", "id"))
+    db.insert("p", Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    // the child ALSO has an 'id' (its own PK) — bare col("id") refs in
+    // the restrict join would raise AMBIGUOUS_REFERENCE
+    db.defineTable(TableDef("c", "id",
+      fks = Seq(Fk("pid", "p", "id", Restrict))))
+    db.insert("c", Seq((10, 1)).toDF("id", "pid"))
+    assert(db.deleteVectorized("p", col("id") === 2) == 1,
+      "unreferenced parent must DV-delete cleanly")
+    intercept[IllegalStateException] {
+      db.deleteVectorized("p", col("id") === 1)
+    }
+  }
+
   /** Live (table, file) -> dv map of db's 't'-family tables. */
   private def dvSnapshot(db: GraftDatabase): Map[(String, String), String] =
     db.txlogSnapshotForTest.dvs

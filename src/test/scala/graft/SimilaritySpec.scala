@@ -160,6 +160,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("ivfAssignJoin: duplicate ids with different vectors keep their " +
+      "own per-row cells (matches the fold path)") {
+    val centroids = Seq(0L -> Seq(0f, 0f), 1L -> Seq(10f, 10f))
+    val rows = Seq((1L, Seq(0.1f, 0.1f)), (1L, Seq(9.9f, 9.9f)),
+      (2L, Seq(10f, 9f)), (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", coalesce($"embedding", typedLit(Seq.empty[Float])),
+        $"cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2))).toSet
+    val joined = cells(
+      Similarity.ivfAssignJoin(rows, "vec_id", "embedding", centroids))
+    // each duplicate-id row gets ITS vector's argmin, not a shared cell
+    assert(joined.contains((1L, Seq(0.1f, 0.1f), 0L)))
+    assert(joined.contains((1L, Seq(9.9f, 9.9f), 1L)))
+    assert(joined.contains((3L, Seq.empty[Float], -1L))) // null vec sentinel
+    // bit-identical to the fold path
+    assert(joined == cells(
+      Similarity.ivfAssign(rows, "vec_id", "embedding", centroids)))
+  }
+
   test("quantizeInt8: codes bounded, relative error <= 0.5, dequantized " +
       "cosine stays close") {
     val e = graft.core.Tables.load(spark, Sf0001, "embeddings")

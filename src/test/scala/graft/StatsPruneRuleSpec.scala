@@ -113,4 +113,21 @@ class StatsPruneRuleSpec extends AnyFunSuite {
     val gone = db.table("m").filter(col("k") >= 600)
     assert(gone.count() == 0)
   }
+
+  test("registry covers() is component-wise: root /x/db1 does not claim " +
+      "sibling /x/db10 scans") {
+    val base = java.nio.file.Files.createTempDirectory("graft_prune_cov")
+    val db = GraftDatabase(spark, "db1", base.toString)
+    seed(db) // keep a strong ref so the weak registry entry stays live
+    // the registered root is $baseDir/$name
+    val root = base.resolve("db1").toAbsolutePath.normalize.toString
+    assert(graft.catalog.GraftStatsRegistry.covers(
+      new org.apache.hadoop.fs.Path(s"file:$root/Tables/m/d-x/p.parquet")))
+    assert(graft.catalog.GraftStatsRegistry.covers(
+      new org.apache.hadoop.fs.Path(s"file:$root")))
+    assert(!graft.catalog.GraftStatsRegistry.covers(
+      new org.apache.hadoop.fs.Path(
+        s"file:${root}0/Tables/m/d-x/p.parquet")),
+      "a sibling root sharing the string prefix must not be covered")
+  }
 }
