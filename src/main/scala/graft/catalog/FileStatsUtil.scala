@@ -67,11 +67,33 @@ object FileStatsUtil {
             val prim = cc.getPrimitiveType.getPrimitiveTypeName
             if (st == null || st.isEmpty || !st.hasNonNullValue) dead += name
             else prim match {
-              case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN
-                  if comparableAnnotation(cc) =>
-                val (lo, hi) = numericBounds(prim, st)
-                if (lo == null) dead += name
-                else acc += name -> (acc.get(name) match {
+              case INT32 | INT64 | FLOAT | DOUBLE | BOOLEAN =>
+                kindOf(cc) match {
+                  case None => dead += name
+                  case Some((kind, norm)) =>
+                    val (lo0, hi0) = numericBounds(prim, st)
+                    if (lo0 == null) dead += name
+                    else {
+                      val (lo, hi) = (norm(lo0), norm(hi0))
+                      acc += name -> (acc.get(name) match {
+                        case Some((k2, l, h, _, _)) if k2 == kind =>
+                          (kind, l.min(lo), h.max(hi), null, null)
+                        case Some(_) => { dead += name; null }
+                        case None => (kind, lo, hi, null, null)
+                      })
+                    }
+                }
+              case FIXED_LEN_BYTE_ARRAY | BINARY if isDecimal(cc) =>
+                // big-precision DECIMAL: unscaled two's-complement bytes
+                val scale = cc.getPrimitiveType.getLogicalTypeAnnotation
+                  .asInstanceOf[LogicalTypeAnnotation
+                    .DecimalLogicalTypeAnnotation].getScale
+                def dec(b: Any): BigDecimal = BigDecimal(new java.math
+                  .BigDecimal(new java.math.BigInteger(
+                    b.asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .getBytes), scale))
+                val (lo, hi) = (dec(st.genericGetMin), dec(st.genericGetMax))
+                acc += name -> (acc.get(name) match {
                   case Some(("num", l, h, _, _)) =>
                     ("num", l.min(lo), h.max(hi), null, null)
                   case Some(_) => { dead += name; null }
@@ -96,11 +118,12 @@ object FileStatsUtil {
         val live = (acc -- dead).filter(_._2 != null)
         val js = if (live.isEmpty) None
         else Some(live.toSeq.sortBy(_._1).map {
-          case (c, ("num", lo, hi, _, _)) =>
-            q(c) + ":{\"k\":\"num\",\"lo\":" + q(lo.bigDecimal.toPlainString) +
-              ",\"hi\":" + q(hi.bigDecimal.toPlainString) + "}"
           case (c, ("str", _, _, lo, hi)) =>
             q(c) + ":{\"k\":\"str\",\"lo\":" + q(lo) + ",\"hi\":" + q(hi) + "}"
+          case (c, (k, lo, hi, _, _)) if lo != null => // num | tsu | tsn
+            q(c) + ":{\"k\":\"" + k + "\",\"lo\":" +
+              q(lo.bigDecimal.toPlainString) +
+              ",\"hi\":" + q(hi.bigDecimal.toPlainString) + "}"
           case _ => ""
         }.filter(_.nonEmpty).mkString("{", ",", "}"))
         (js, Some(rows))
@@ -108,22 +131,57 @@ object FileStatsUtil {
     } catch { case _: Throwable => (None, None) }
   }
 
-  /** Physical-integer stats are only comparable when no logical type
-    * rescales them: DECIMAL stores UNSCALED ints (100.00 as 10000), so
-    * harvesting it raw would PRUNE FILES THAT MATCH. Plain ints, dates
-    * (days), times/timestamps (micros/millis) compare fine against
-    * same-unit probes.
+  /** The stats kind + EXACT bound normalizer a physical-int/float
+    * column harvests under, or None when raw stats are not soundly
+    * comparable. Logical types that rescale their physical values are
+    * normalized at harvest so probes never see unit ambiguity:
+    *   - DECIMAL's unscaled ints (100.00 stored as 10000) scale into
+    *     plain decimal strings → kind "num" (comparing them raw would
+    *     PRUNE FILES THAT MATCH)
+    *   - TIMESTAMP normalizes millis/micros/nanos to MICROS — Spark's
+    *     Catalyst unit — and keeps the instant/wall-clock split as two
+    *     kinds ("tsu" = adjusted-to-UTC ↔ TimestampType, "tsn" ↔
+    *     TimestampNTZType), so a foreign file written in another unit
+    *     still probes exactly, and an NTZ probe never prunes an
+    *     instant column (or vice versa)
+    * BigDecimal point moves are exact — nanos→micros keeps the
+    * fractional digit instead of truncating (a truncated max could
+    * prune a file whose real rows sit inside the probe).
+    * Stats format note: "tsu"/"tsn" are ADDITIVE kinds — a probe built
+    * by an older engine matched only (num|str) and simply never prunes
+    * on them; legacy "num" entries harvested for timestamp columns by
+    * older engines are never matched by timestamp probes (unit
+    * unknown) — conservative in both directions.
     */
-  private def comparableAnnotation(cc: org.apache.parquet.hadoop.metadata
-      .ColumnChunkMetaData): Boolean =
+  private def kindOf(cc: org.apache.parquet.hadoop.metadata
+      .ColumnChunkMetaData): Option[(String, BigDecimal => BigDecimal)] =
     cc.getPrimitiveType.getLogicalTypeAnnotation match {
-      case null => true
-      case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
-      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
-      case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => true
-      case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
-      case _ => false // DECIMAL and anything else: not comparable raw
+      case null => Some(("num", identity))
+      case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+        Some(("num", identity))
+      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+        Some(("num", identity)) // always days; Catalyst DATE is the same Int
+      case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation =>
+        Some(("num", identity))
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        val toMicros: BigDecimal => BigDecimal = t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            v => BigDecimal(v.bigDecimal.movePointRight(3))
+          case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+          case LogicalTypeAnnotation.TimeUnit.NANOS =>
+            v => BigDecimal(v.bigDecimal.movePointLeft(3))
+        }
+        Some((if (t.isAdjustedToUTC) "tsu" else "tsn", toMicros))
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        Some(("num",
+          v => BigDecimal(v.bigDecimal.movePointLeft(d.getScale))))
+      case _ => None
     }
+
+  private def isDecimal(cc: org.apache.parquet.hadoop.metadata
+      .ColumnChunkMetaData): Boolean =
+    cc.getPrimitiveType.getLogicalTypeAnnotation
+      .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
 
   private def isUtf8(cc: org.apache.parquet.hadoop.metadata
       .ColumnChunkMetaData): Boolean =
@@ -184,10 +242,13 @@ object FileStatsUtil {
   final class StatsProbe private[FileStatsUtil] (
       re: scala.util.matching.Regex,
       numLo: Option[BigDecimal], numHi: Option[BigDecimal],
-      strLo: Option[String], strHi: Option[String]) {
+      strLo: Option[String], strHi: Option[String],
+      tsKind: Option[String]) {
     /** True when the stats ADMIT rows in the probe's range — i.e. the
       * file cannot be pruned. Missing stats, a missing column entry,
-      * or an inconvertible probe all answer true (conservative).
+      * an inconvertible probe, or a file entry in a DIFFERENT domain
+      * (a legacy raw-int timestamp entry under a typed probe, and vice
+      * versa) all answer true (conservative).
       */
     def admits(statsJson: Option[String]): Boolean = statsJson match {
       case None => true
@@ -199,12 +260,17 @@ object FileStatsUtil {
             // each side checks independently, so one-sided probes
             // (WHERE c >= x with no upper bound) still prune; a side
             // whose bound didn't convert (None) never prunes
-            case "num" =>
+            case "num" if tsKind.isEmpty =>
               numLo.forall(l => BigDecimal(fHi) >= l) &&
                 numHi.forall(h => BigDecimal(fLo) <= h)
-            case "str" =>
+            case "str" if tsKind.isEmpty =>
               strLo.forall(l => utf8Lte(l, fHi)) &&
                 strHi.forall(h => utf8Lte(fLo, h))
+            // typed timestamp entries (micros) compare only against a
+            // probe of the SAME instant/wall-clock kind
+            case k @ ("tsu" | "tsn") if tsKind.contains(k) =>
+              numLo.forall(l => BigDecimal(fHi) >= l) &&
+                numHi.forall(h => BigDecimal(fLo) <= h)
             case _ => true
           }
       }
@@ -218,17 +284,57 @@ object FileStatsUtil {
   /** [[probe]] with independently-optional bounds: None = that side is
     * unbounded (a one-sided `>=`/`<=` predicate still prunes on the
     * side it has). The auto-skipping rule builds these from whatever
-    * conjuncts the WHERE clause happens to carry.
+    * conjuncts the WHERE clause happens to carry. Instant-like bounds
+    * (java.sql.Timestamp, Instant → instant domain; LocalDateTime →
+    * wall-clock domain) build a typed timestamp probe, so `seek` takes
+    * time ranges directly.
     */
   def probeBounds(column: String, lo: Option[Any],
       hi: Option[Any]): StatsProbe = {
-    val re = ("\"" + java.util.regex.Pattern.quote(column.toLowerCase) +
-      "\"\\s*:\\s*\\{\"k\":\"(num|str)\",\"lo\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
-      "\"hi\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
-    new StatsProbe(re, lo.flatMap(toNum), hi.flatMap(toNum),
-      lo.collect { case s: String => s },
-      hi.collect { case s: String => s })
+    val tsLo = lo.flatMap(tsMicros)
+    val tsHi = hi.flatMap(tsMicros)
+    (tsLo, tsHi) match {
+      case (Some((l, kl)), Some((h, kh))) if kl == kh =>
+        probeTsMicros(column, Some(l), Some(h), kl == "tsu")
+      case (Some((l, k)), None) if hi.isEmpty =>
+        probeTsMicros(column, Some(l), None, k == "tsu")
+      case (None, Some((h, k))) if lo.isEmpty =>
+        probeTsMicros(column, None, Some(h), k == "tsu")
+      case (None, None) =>
+        new StatsProbe(kindRe(column), lo.flatMap(toNum), hi.flatMap(toNum),
+          lo.collect { case s: String => s },
+          hi.collect { case s: String => s }, None)
+      case _ => // mixed domains: a probe that never prunes
+        new StatsProbe(kindRe(column), None, None, None, None, None)
+    }
   }
+
+  /** Typed timestamp probe: bounds in Catalyst MICROS.
+    * `utcAdjusted` = true probes instant ("tsu" / TimestampType)
+    * entries, false probes wall-clock ("tsn" / TimestampNTZType) ones.
+    */
+  def probeTsMicros(column: String, lo: Option[BigDecimal],
+      hi: Option[BigDecimal], utcAdjusted: Boolean): StatsProbe =
+    new StatsProbe(kindRe(column), lo, hi, None, None,
+      Some(if (utcAdjusted) "tsu" else "tsn"))
+
+  private def kindRe(column: String): scala.util.matching.Regex =
+    ("\"" + java.util.regex.Pattern.quote(column.toLowerCase) +
+      "\"\\s*:\\s*\\{\"k\":\"(num|str|tsu|tsn)\",\"lo\":\"" +
+      "((?:[^\"\\\\]|\\\\.)*)\",\"hi\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+
+  /** Exact epoch-micros (+ domain kind) of an instant-like probe bound. */
+  private def tsMicros(v: Any): Option[(BigDecimal, String)] = v match {
+    case t: java.sql.Timestamp => Some((instantMicros(t.toInstant), "tsu"))
+    case i: java.time.Instant => Some((instantMicros(i), "tsu"))
+    case d: java.time.LocalDateTime =>
+      Some((instantMicros(d.toInstant(java.time.ZoneOffset.UTC)), "tsn"))
+    case _ => None
+  }
+
+  private def instantMicros(i: java.time.Instant): BigDecimal =
+    BigDecimal(i.getEpochSecond) * 1000000 +
+      BigDecimal(new java.math.BigDecimal(i.getNano).movePointLeft(3))
 
   /** One-shot convenience over [[probe]] (tests, single-file checks). */
   def overlaps(statsJson: Option[String], column: String,

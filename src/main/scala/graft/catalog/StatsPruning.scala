@@ -139,7 +139,7 @@ final class StatsPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       if (bounds.isEmpty) f
       else {
         val probes = bounds.map { case (c, (lo, hi)) =>
-          FileStatsUtil.probeBounds(c, lo, hi)
+          StatsPruneRule.toProbe(c, lo, hi)
         }.toSeq
         val statsOf = GraftStatsRegistry.resolver()
         val files = fs.location.inputFiles
@@ -186,17 +186,35 @@ object StatsPruneRule {
 
   // a bound value in one comparable domain; mixed domains for one
   // column (can't happen for a well-typed attr, but defend) drop out
-  private sealed trait B { def any: Any }
+  private[catalog] sealed trait B { def any: Any }
   private final case class NB(v: BigDecimal) extends B { def any: Any = v }
   private final case class SB(v: String) extends B { def any: Any = v }
+  // typed timestamp bound: Catalyst micros + the instant/wall-clock
+  // split (utc = TimestampType ↔ "tsu" entries, else TimestampNTZType
+  // ↔ "tsn") — probes only same-kind harvested entries, so a legacy
+  // raw-unit "num" entry or a cross-kind file never misprunes
+  private final case class TB(v: BigDecimal, utc: Boolean) extends B {
+    def any: Any = v
+  }
+
+  /** The compiled probe for one column's [lo, hi] box, typed-timestamp
+    * aware.
+    */
+  private[catalog] def toProbe(c: String, lo: Option[B],
+      hi: Option[B]): FileStatsUtil.StatsProbe =
+    lo.orElse(hi) match {
+      case Some(TB(_, utc)) => FileStatsUtil.probeTsMicros(c,
+        lo.collect { case TB(v, `utc`) => v },
+        hi.collect { case TB(v, `utc`) => v }, utc)
+      case _ => FileStatsUtil.probeBounds(c, lo.map(_.any), hi.map(_.any))
+    }
 
   /** Convert a literal's Catalyst-internal value into the domain the
     * footer harvest used, or None when no sound mapping exists.
-    * Timestamps are deliberately excluded: the harvest records raw
-    * physical INT64 values whose unit (millis/micros) the stats JSON
-    * does not carry, so probing them could misprune a foreign-written
-    * file. Dates are safe — parquet DATE is always days, and the
-    * Catalyst literal is the same Int.
+    * Timestamps carry Catalyst MICROS and probe the harvest's typed
+    * micros-normalized entries; DECIMAL probes the harvest's
+    * scale-applied plain-decimal entries. Dates are safe raw — parquet
+    * DATE is always days, and the Catalyst literal is the same Int.
     */
   private def litBound(lit: Literal): Option[B] =
     if (lit.value == null) None
@@ -219,8 +237,15 @@ object StatsPruneRule {
         // harvest orders by UTF-8 bytes, which matches binary collation
         // exactly and NO other — a collated column must not prune
         Some(SB(lit.value.asInstanceOf[UTF8String].toString))
-      case _ => None // DECIMAL (unscaled-stats hazard), TIMESTAMP,
-        // non-binary collations, binary…
+      case TimestampType => // Catalyst instant micros ↔ "tsu" entries
+        Some(TB(BigDecimal(lit.value.asInstanceOf[Long]), utc = true))
+      case TimestampNTZType => // wall-clock micros ↔ "tsn" entries
+        Some(TB(BigDecimal(lit.value.asInstanceOf[Long]), utc = false))
+      case _: DecimalType => // harvest applies the scale, so plain
+        // decimal compare is exact
+        Some(NB(lit.value
+          .asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal))
+      case _ => None // non-binary collations, binary, intervals…
     }
 
   private def utf8Max(a: String, b: String): String =
@@ -231,11 +256,13 @@ object StatsPruneRule {
   private def maxB(a: B, b: B): Option[B] = (a, b) match {
     case (NB(x), NB(y)) => Some(NB(x.max(y)))
     case (SB(x), SB(y)) => Some(SB(utf8Max(x, y)))
+    case (TB(x, u), TB(y, v)) if u == v => Some(TB(x.max(y), u))
     case _ => None
   }
   private def minB(a: B, b: B): Option[B] = (a, b) match {
     case (NB(x), NB(y)) => Some(NB(x.min(y)))
     case (SB(x), SB(y)) => Some(SB(utf8Min(x, y)))
+    case (TB(x, u), TB(y, v)) if u == v => Some(TB(x.min(y), u))
     case _ => None
   }
 
@@ -249,7 +276,7 @@ object StatsPruneRule {
     * contribute nothing.
     */
   private[catalog] def columnBounds(conjuncts: Seq[Expression])
-      : Map[String, (Option[Any], Option[Any])] = {
+      : Map[String, (Option[B], Option[B])] = {
     var lo = Map.empty[String, B]
     var hi = Map.empty[String, B]
     var dead = Set.empty[String] // mixed-domain columns: never prune
@@ -308,7 +335,7 @@ object StatsPruneRule {
       case _ => () // OR trees, casts, UDF wraps: contribute nothing
     }
     (lo.keySet ++ hi.keySet).diff(dead).map { c =>
-      c -> (lo.get(c).map(_.any), hi.get(c).map(_.any))
+      c -> (lo.get(c), hi.get(c))
     }.toMap
   }
 }

@@ -78,6 +78,18 @@ final class TxLog(spark: SparkSession, root: String,
   GraftStatsRegistry.register(
     Paths.get(root).toAbsolutePath.normalize.toString, this)
 
+  // timestamps stage as TIMESTAMP_MICROS, not Spark's INT96 default:
+  // INT96 is a deprecated non-standard encoding whose footers carry NO
+  // usable min/max, so time-range data skipping — the engine's
+  // signature query shape — could never prune. Session-wide because
+  // parquet ignores per-write options for this key; an explicit
+  // non-INT96 user choice (MILLIS also carries exact stats and
+  // normalizes at harvest) is respected.
+  if (spark.conf.get("spark.sql.parquet.outputTimestampType",
+      "INT96") == "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+
   // ---- version discovery ---------------------------------------------------
 
   /** Latest committed version (0 = empty log). Counts a zero-byte

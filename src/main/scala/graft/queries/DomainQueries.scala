@@ -1080,6 +1080,58 @@ object DomainQueries {
       "OPTIMIZE ZORDER BY (a, b): Morton-interleave clustering rewrite " +
         "— tight per-file min/max boxes in BOTH dimensions, so the " +
         "automatic stats pruning answers 2-D box probes from a few " +
-        "files (unclustered layout provably prunes nothing, pinned)")
+        "files (unclustered layout provably prunes nothing, pinned)"),
+
+    // Typed TIMESTAMP data skipping — the engine's signature query
+    // shape (`TimeSeries/TsCollection.cs:130-185` range read) on the
+    // DEFAULT path: a plain SQL `WHERE ts BETWEEN <timestamp literals>`
+    // over a time-clustered log table prunes its file list from the
+    // log-held stats with no seek() and no numeric twin. The harvest
+    // records timestamp bounds micros-normalized under a typed kind
+    // ("tsu"), so foreign units (millis/nanos) and NTZ columns stay
+    // sound; staged writes use TIMESTAMP_MICROS (INT96 footers carry
+    // no stats at all).
+    Q("q154_ts_skipping",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q154").toString
+        val db = GraftDatabase(s, "q154", base)
+          .defineTable(TableDef("log", "event_id"))
+        val src = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        db.insert("log", src.repartitionByRange(8, col("ts")))
+        val n = db.liveFiles("log").size
+        val b = src.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) = (mn + (mx - mn) / 10, mn + 3 * (mx - mn) / 10)
+        // plain SQL with TIMESTAMP literals — no seek(), no hint
+        val rows = db.sql("SELECT event_id, ts, event_type, value FROM log " +
+          s"WHERE ts BETWEEN timestamp_micros(${lo}L) " +
+          s"AND timestamp_micros(${hi}L)")
+        require(rows.inputFiles.length <= math.max(1, n / 2),
+          "typed timestamp stats must prune the DEFAULT read path: " +
+            s"scanned ${rows.inputFiles.length} of $n files for a ~20% " +
+            "time range")
+        rows.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("double").as("sum_v"),
+            max(unix_micros(col("ts"))).as("max_ts_us"))
+      },
+      Some("""WITH b AS (
+          SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events)
+        SELECT event_type, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+          MAX(epoch_us(ts)) AS max_ts_us
+        FROM events, b
+        WHERE epoch_us(ts) BETWEEN mn + (mx - mn) // 10
+                               AND mn + 3 * (mx - mn) // 10
+        GROUP BY 1"""),
+      "typed timestamp data skipping: plain SQL time-range predicates " +
+        "prune file lists from micros-normalized log-held stats (the " +
+        "TsCollection range-read shape with zero footer I/O at plan " +
+        "time; unit- and NTZ-safe by kind-tagged stats)")
   )
 }

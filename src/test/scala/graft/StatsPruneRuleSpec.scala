@@ -20,6 +20,17 @@ class StatsPruneRuleSpec extends AnyFunSuite {
   private def freshDb(tag: String) = GraftDatabase(spark, tag,
     java.nio.file.Files.createTempDirectory(s"graft_$tag").toString)
 
+  /** The single data part of a one-part parquet directory. */
+  private def onlyParquet(dir: String): String = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("/."))
+        .next()
+    } finally s.close()
+  }
+
   /** 0..999 range-clustered into 8 files on k. */
   private def seed(db: GraftDatabase): Int = {
     db.defineTable(TableDef("m", "k"))
@@ -112,6 +123,102 @@ class StatsPruneRuleSpec extends AnyFunSuite {
       "post-delete reads must stay exact under auto-pruning")
     val gone = db.table("m").filter(col("k") >= 600)
     assert(gone.count() == 0)
+  }
+
+  test("typed timestamp stats: a plain time-range filter over a " +
+      "time-clustered table prunes files on the default path") {
+    val db = freshDb("prune_ts")
+    db.defineTable(TableDef("log", "id"))
+    val src = (0 until 1000).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-01T00:00:00Z")
+          .plusSeconds(i * 60L)), i % 5)
+    }.toDF("id", "ts", "grp")
+    db.insert("log", src.repartitionByRange(8, col("ts")))
+    val n = db.liveFiles("log").size
+    val lo = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T02:00:00Z"))
+    val hi = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T04:00:00Z"))
+    val out = db.table("log").filter(col("ts").between(lit(lo), lit(hi)))
+    assert(out.count() == 121) // inclusive minute range
+    assert(out.inputFiles.length <= math.max(1, n / 2),
+      s"time range must prune: ${out.inputFiles.length} of $n")
+    // seek() takes Timestamp bounds directly now
+    val sought = db.seek("log", "ts", lo, hi)
+    assert(sought.count() == 121)
+  }
+
+  test("timestamp stats normalize foreign units to micros and split " +
+      "NTZ from instants by kind") {
+    import graft.catalog.FileStatsUtil
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_units")
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val df = Seq(
+      (1L, java.sql.Timestamp.from(t0)),
+      (2L, java.sql.Timestamp.from(t0.plusSeconds(3600)))).toDF("id", "ts")
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    // a MILLIS-written foreign file must still probe exactly
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    try df.coalesce(1).write.parquet(s"$dir/millis")
+    finally spark.conf.set(key, prev)
+    val (js, _) =
+      FileStatsUtil.fromFooterWithRows(onlyParquet(s"$dir/millis"), Map.empty)
+    assert(js.isDefined && js.get.contains("\"k\":\"tsu\""),
+      s"millis file must harvest as typed micros: $js")
+    val us0 = BigDecimal(t0.getEpochSecond) * 1000000
+    // exact-range probe admits; a disjoint later range prunes
+    assert(FileStatsUtil.probeTsMicros("ts", Some(us0),
+      Some(us0 + 3600000000L), utcAdjusted = true).admits(js))
+    assert(!FileStatsUtil.probeTsMicros("ts", Some(us0 + 7200000000L),
+      None, utcAdjusted = true).admits(js),
+      "a range past the millis file's max must prune it")
+    // NTZ column harvests under its own kind; instant probes never
+    // prune it (and vice versa)
+    df.select($"id", $"ts".cast("timestamp_ntz").as("ts"))
+      .coalesce(1).write.parquet(s"$dir/ntz")
+    val (njs, _) =
+      FileStatsUtil.fromFooterWithRows(onlyParquet(s"$dir/ntz"), Map.empty)
+    assert(njs.isDefined && njs.get.contains("\"k\":\"tsn\""), s"ntz: $njs")
+    assert(FileStatsUtil.probeTsMicros("ts", Some(us0 + 7200000000L), None,
+      utcAdjusted = true).admits(njs),
+      "an instant probe must NOT prune an NTZ column (cross-kind)")
+    assert(!FileStatsUtil.probeTsMicros("ts", Some(us0 + 7200000000L), None,
+      utcAdjusted = false).admits(njs),
+      "a same-kind NTZ probe with a disjoint range must prune")
+  }
+
+  test("legacy raw-int stats entries and typed probes are mutually " +
+      "conservative; decimal stats are scale-applied") {
+    import graft.catalog.FileStatsUtil
+    // a legacy engine harvested a timestamp column as raw physical
+    // ints under k=num — a typed probe must not trust it
+    val legacy = Some("""{"ts":{"k":"num","lo":"1000","hi":"2000"}}""")
+    assert(FileStatsUtil.probeTsMicros("ts", Some(BigDecimal(999999)),
+      None, utcAdjusted = true).admits(legacy))
+    // and a numeric probe must not trust a typed entry
+    val typed = Some("""{"ts":{"k":"tsu","lo":"1000","hi":"2000"}}""")
+    assert(FileStatsUtil.probe("ts", 5000L, 9000L).admits(typed))
+    // same-kind still prunes
+    assert(!FileStatsUtil.probeTsMicros("ts", Some(BigDecimal(5000)),
+      None, utcAdjusted = true).admits(typed))
+    // DECIMAL end-to-end: scale applied at harvest, plain decimal
+    // filters prune on the default path
+    val db = freshDb("prune_dec")
+    db.defineTable(TableDef("d", "id"))
+    db.insert("d", (0 until 1000).map(i =>
+        (i.toLong, BigDecimal(i) / 100)) // 0.00 .. 9.99, DECIMAL(38,2)-ish
+      .toDF("id", "amt")
+      .select($"id", $"amt".cast("decimal(12,2)").as("amt"))
+      .repartitionByRange(8, col("amt")))
+    val n = db.liveFiles("d").size
+    val out = db.table("d").filter(
+      col("amt") >= lit(new java.math.BigDecimal("2.00")) &&
+        col("amt") <= lit(new java.math.BigDecimal("3.99")))
+    assert(out.count() == 200)
+    assert(out.inputFiles.length <= math.max(1, n / 2),
+      s"decimal range must prune: ${out.inputFiles.length} of $n")
   }
 
   test("registry covers() is component-wise: root /x/db1 does not claim " +
