@@ -164,6 +164,24 @@ final class GraftDatabase private (
   def tableAt(name: String, version: Long): Option[DataFrame] =
     txlog.readAt(version, norm(name))
 
+  /** Time travel by WALL CLOCK: the table as of the latest commit at
+    * or before `ts` (commit stamps ride every version file; writer
+    * clock skew is monotonized at resolution — see
+    * [[TxLog.versionAtTime]]). Refuses below the vacuum retention
+    * horizon or before the first commit, like [[restore]].
+    */
+  def tableAsOf(name: String, ts: java.time.Instant): Option[DataFrame] =
+    tableAt(name, txlog.versionAtTime(ts.toEpochMilli))
+
+  def tableAsOf(name: String, ts: java.sql.Timestamp): Option[DataFrame] =
+    tableAsOf(name, ts.toInstant)
+
+  /** The wall-clock stamp version `v` committed at (None when its log
+    * file was vacuumed or predates commit stamps).
+    */
+  def commitTimeOf(v: Long): Option[java.time.Instant] =
+    txlog.commitTimeAt(v).map(java.time.Instant.ofEpochMilli)
+
   /** Commit history (version, action, target, n_files) — the
     * lakehouse DESCRIBE-HISTORY twin, also served as `system("$log")`.
     */
@@ -1899,6 +1917,8 @@ final class GraftDatabase private (
       def rollbackTrans(): Boolean = db.rollbackTrans()
       def tableAt(name: String, version: Long): Option[DataFrame] =
         db.tableAt(name, version)
+      def tableAtTime(name: String, epochMs: Long): Option[DataFrame] =
+        db.tableAsOf(name, java.time.Instant.ofEpochMilli(epochMs))
       def optimizeCollection(name: String): (Int, Int) = db.optimize(name)
       def optimizeZorderCollection(name: String,
           cols: Seq[String]): (Int, Int) = db.optimizeZorder(name, cols)

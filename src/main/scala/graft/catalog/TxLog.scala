@@ -272,6 +272,7 @@ final class TxLog(spark: SparkSession, root: String,
       else snap
     case Txn(a2, b)  => snap.copy(txns = snap.txns.updated(
       a2, math.max(b, snap.txns.getOrElse(a2, Long.MinValue))))
+    case Cts(_)      => snap // pure metadata; resolved from version files
   }
 
   /** Retire stats of files a snapshot no longer binds (applied after
@@ -419,6 +420,59 @@ final class TxLog(spark: SparkSession, root: String,
   def resolvableAt(v: Long): Boolean =
     v == 0L || listCheckpoints().exists(_ <= v) ||
       listVersions().headOption.contains(1L)
+
+  /** The wall-clock stamp of version `v` (epoch millis), when its
+    * version file survives vacuum and the committer wrote one (logs
+    * written before commit stamps existed did not).
+    */
+  def commitTimeAt(v: Long): Option[Long] = {
+    val f = versionFile(v)
+    if (!Files.exists(f) || !settled(f)) None
+    else parse(Files.readAllLines(f).asScala.toSeq)
+      .collectFirst { case Cts(ms) => ms }
+  }
+
+  /** Resolve a wall-clock instant to the LATEST version committed at
+    * or before it — the `TIMESTAMP AS OF` contract. Commit stamps come
+    * from writer clocks that may skew across processes, so the scan
+    * MONOTONIZES them (running max): a commit stamped earlier than its
+    * predecessor resolves as "no later than" it, and version order —
+    * the only true order the CAS guarantees — always wins. Versions
+    * without a stamp (pre-stamp engines) inherit their predecessor's.
+    * Refuses when `epochMs` precedes every surviving stamped commit:
+    * below vacuum retention (or before the first commit) the mapping
+    * is unknowable, exactly like RESTORE below the retention horizon.
+    * Cost: one metadata-file read per surviving version — the log is
+    * checkpoint-bounded metadata, never data.
+    */
+  def versionAtTime(epochMs: Long): Long = {
+    var best = -1L
+    var first = Long.MaxValue
+    var running = Long.MinValue
+    var sawStamp = false
+    listVersions().foreach { v =>
+      val f = versionFile(v)
+      if (Files.exists(f) && settled(f)) {
+        parse(Files.readAllLines(f).asScala.toSeq)
+          .collectFirst { case Cts(ms) => ms }
+          .foreach { ms =>
+            if (!sawStamp) first = ms
+            sawStamp = true
+            running = math.max(running, ms)
+          }
+        if (sawStamp && running <= epochMs) best = v
+      }
+    }
+    if (best < 0) throw new IllegalArgumentException(
+      if (!sawStamp)
+        "TIMESTAMP AS OF: this log carries no commit timestamps " +
+          "(written by a pre-stamp engine or fully truncated by vacuum)"
+      else
+        s"TIMESTAMP AS OF $epochMs precedes the earliest surviving " +
+          s"commit ($first): history below the vacuum retention " +
+          "horizon (or before the first commit) cannot be resolved")
+    best
+  }
 
   /** The table's log-held authoritative schema, when one was committed
     * (addColumn / a write that widened it). Tables without one read
@@ -656,10 +710,12 @@ final class TxLog(spark: SparkSession, root: String,
     if (readVersion >= 0) assertNoConflict(readVersion + 1, head)
     // attach the harvested per-file stats to the commit PUBLISHING each
     // staged file (derived metadata: Sta touches nothing, so conflict
-    // semantics are unchanged; it simply rides the data action)
-    val withStats = actions ++ publishedFiles(actions).flatMap {
-      case (t, f) => Option(stagedStats.get(f)).map(js => Sta(t, f, js))
-    }
+    // semantics are unchanged; it simply rides the data action), and
+    // the wall-clock stamp TIMESTAMP AS OF resolves against
+    val withStats = (Cts(System.currentTimeMillis()) +: actions) ++
+      publishedFiles(actions).flatMap {
+        case (t, f) => Option(stagedStats.get(f)).map(js => Sta(t, f, js))
+      }
     val content = withStats.map(render).mkString("\n").getBytes("UTF-8")
     var attempt = head + 1
     var guard = 0
@@ -816,6 +872,7 @@ final class TxLog(spark: SparkSession, root: String,
         case Sta(t, _, _) => (v, "STA", t, 1L)
         case Txn(a, b)  => (v, "TXN", s"$a#$b", 0L)
         case Dvec(t, f, _) => (v, "DVC", s"$t($f)", 1L)
+        case Cts(ms)    => (v, "CTS", ms.toString, 0L)
       }
     }
 
@@ -843,6 +900,7 @@ final class TxLog(spark: SparkSession, root: String,
           java.util.Base64.getDecoder.decode(b64), "UTF-8"))
         case Array("TXN", a, b)  => Txn(a, b.toLong)
         case Array("DVC", t, f, dv) => Dvec(t, f, dv)
+        case Array("CTS", ms)    => Cts(ms.toLong)
         case _ => throw new IllegalStateException(s"bad txlog line: $line")
       }
     }
@@ -859,6 +917,7 @@ final class TxLog(spark: SparkSession, root: String,
       .encodeToString(js.getBytes("UTF-8"))}"
     case Txn(a, b)  => s"TXN\t$a\t$b"
     case Dvec(t, f, dv) => s"DVC\t$t\t$f\t$dv"
+    case Cts(ms)    => s"CTS\t$ms"
   }
 }
 
@@ -937,6 +996,18 @@ object TxLog {
     */
   final case class Sta(table: String, file: String,
       statsJson: String) extends Action {
+    def touches: Seq[String] = Nil
+  }
+  /** The commit's wall-clock stamp (epoch millis), written by the
+    * committer into every version file so `TIMESTAMP AS OF` resolves
+    * times to versions from the LOG, never from filesystem mtimes
+    * (vacuum refreshes those) or checkpoint state. Pure metadata:
+    * touches nothing, changes no table state. Writer clocks may skew
+    * across processes — readers monotonize the sequence at resolution
+    * time (see [[TxLog.versionAtTime]]); the stamp never participates
+    * in conflict checks or ordering.
+    */
+  final case class Cts(epochMs: Long) extends Action {
     def touches: Seq[String] = Nil
   }
   /** Idempotence marker: this commit applied writer `appId`'s `batchId`.

@@ -1132,6 +1132,46 @@ object DomainQueries {
       "typed timestamp data skipping: plain SQL time-range predicates " +
         "prune file lists from micros-normalized log-held stats (the " +
         "TsCollection range-read shape with zero footer I/O at plan " +
-        "time; unit- and NTZ-safe by kind-tagged stats)")
+        "time; unit- and NTZ-safe by kind-tagged stats)"),
+
+    // TIMESTAMP AS OF — wall-clock time travel. Every commit stamps
+    // its version file (TxLog.Cts); `FROM t TIMESTAMP AS OF '<ts>'`
+    // resolves to the latest version at or before the instant
+    // (writer-clock skew monotonized, sub-retention refused — see
+    // LakehouseOpsSpec). Here two timestamp-resolved snapshots of one
+    // table JOIN in a single statement; the oracle recomputes the
+    // known per-row delta, so the result is wall-clock-independent.
+    Q("q155_timestamp_as_of",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q155").toString
+        val db = GraftDatabase(s, "q155", base)
+          .defineTable(TableDef("cust", "c_custkey"))
+        db.insert("cust", Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+        val t1 = db.commitTimeOf(db.logVersion).get
+        // the next commit must stamp a strictly later millisecond
+        while (System.currentTimeMillis <= t1.toEpochMilli)
+          Thread.sleep(1)
+        db.updateMany("cust", col("c_mktsegment") === "BUILDING",
+          Map("c_acctbal" -> (col("c_acctbal") + lit(100.0))))
+        val t2 = db.commitTimeOf(db.logVersion).get
+        db.sql("SELECT b.c_mktsegment AS seg, COUNT(*) AS n_rows, " +
+          "CAST(SUM(CAST(b.c_acctbal - a.c_acctbal AS DECIMAL(18,2))) " +
+          "AS DOUBLE) AS sum_delta " +
+          s"FROM cust TIMESTAMP AS OF '$t1' a " +
+          s"JOIN cust TIMESTAMP AS OF '$t2' b ON a.c_custkey = b.c_custkey " +
+          "GROUP BY b.c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+            THEN CAST(100.0 AS DECIMAL(18,2))
+            ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_delta
+        FROM customer GROUP BY 1"""),
+      "TIMESTAMP AS OF wall-clock time travel: commit-stamped version " +
+        "files resolve instants to versions (skew-monotonized, " +
+        "retention-guarded), and two timestamp-resolved snapshots " +
+        "join in one SQL statement")
   )
 }

@@ -1063,6 +1063,28 @@ final class LiteSql(
     // commit, so the clause is accepted and ignored — not a parse error
     sql = "(?i)\\s+FOR\\s+UPDATE\\s*;?\\s*$".r.replaceAllIn(sql, "")
 
+    // Time travel by wall clock: `FROM <t> TIMESTAMP AS OF '<ts>'`
+    // resolves the literal to the latest commit at or before it (the
+    // lakehouse-standard sibling of VERSION AS OF; commit stamps ride
+    // every version file). Wall-clock literals without a zone read in
+    // the SESSION timezone, like every other timestamp the engine
+    // parses.
+    val TasofRe = ("(?i)\\b(FROM|JOIN)\\s+(\\w+)\\s+TIMESTAMP\\s+AS\\s+OF" +
+      "\\s+'([^']+)'").r
+    sql = TasofRe.replaceAllIn(sql, m => {
+      val (kw, t, litS) = (m.group(1), m.group(2).toLowerCase, m.group(3))
+      val a = admin.getOrElse(throw new UnsupportedOperationException(
+        "TIMESTAMP AS OF needs a database-backed engine (GraftDatabase.sql)"))
+      val ms = LiteSql.parseTsLiteralMs(litS,
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val df = a.tableAtTime(t, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '$t' does not exist as of '$litS'"))
+      val view = s"${t}__tasof_${math.abs(litS.hashCode).toString}"
+      collation.collate(df).createOrReplaceTempView(view)
+      s"$kw $view"
+    })
+
     // Time travel: `FROM <t> VERSION AS OF <v>` binds a view of the
     // table at committed log version v (GraftDatabase.tableAt — needs a
     // database-backed engine). The view name is version-suffixed, so it
@@ -1124,6 +1146,38 @@ final class LiteSql(
 
 object LiteSql {
 
+  /** Epoch millis of a `TIMESTAMP AS OF` literal. Accepts ISO instants
+    * (trailing Z / offset), `yyyy-MM-dd HH:mm:ss[.fff]`, and bare
+    * dates (midnight); zone-less forms read in `sessionTz` — the same
+    * wall-clock convention as every other timestamp the session
+    * parses.
+    */
+  def parseTsLiteralMs(s: String, sessionTz: String): Long = {
+    val zone = java.time.ZoneId.of(sessionTz)
+    val t = s.trim
+    val inst =
+      try java.time.Instant.parse(t)
+      catch {
+        case _: Exception =>
+          try java.time.OffsetDateTime.parse(t).toInstant
+          catch {
+            case _: Exception =>
+              try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+                .atZone(zone).toInstant
+              catch {
+                case _: Exception =>
+                  try java.time.LocalDate.parse(t).atStartOfDay(zone)
+                    .toInstant
+                  catch {
+                    case _: Exception => throw new IllegalArgumentException(
+                      s"TIMESTAMP AS OF: cannot parse timestamp '$s'")
+                  }
+              }
+          }
+      }
+    inst.toEpochMilli
+  }
+
   /** Storage-side hooks for the DDL/admin commands (`SqlParser.cs:38-49`
     * dispatch): the SQL layer parses, the owning database acts. A
     * standalone LiteSql (no admin) still supports in-memory DROP/RENAME
@@ -1154,6 +1208,10 @@ object LiteSql {
       * it did not exist at that version).
       */
     def tableAt(name: String, version: Long): Option[DataFrame]
+    /** Time travel by wall clock: the table as of the latest commit at
+      * or before `epochMs`.
+      */
+    def tableAtTime(name: String, epochMs: Long): Option[DataFrame]
     /** Bin-pack the collection's small files; (filesBefore, filesAfter). */
     def optimizeCollection(name: String): (Int, Int)
     /** Full-table rewrite clustered on the Morton interleave of two

@@ -67,6 +67,92 @@ class LakehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- TIMESTAMP AS OF -----------------------------------------------------
+
+  /** Blocks until the wall clock has LEFT instant `t`'s millisecond, so
+    * the next commit stamps strictly later.
+    */
+  private def pastMs(t: java.time.Instant): Unit =
+    while (System.currentTimeMillis <= t.toEpochMilli) Thread.sleep(1)
+
+  test("TIMESTAMP AS OF resolves wall clock to versions: exact stamp is " +
+      "inclusive; pre-first-commit refuses; future resolves to head") {
+    val db = freshDb()
+    db.insert("t", rows(6))
+    val v1 = db.logVersion
+    val t1 = db.commitTimeOf(v1).get
+    pastMs(t1)
+    db.updateMany("t", col("id") === 1, Map("v" -> lit(999L)))
+    val t2 = db.commitTimeOf(db.logVersion).get
+    // the exact commit stamp resolves to THAT version (<= contract)
+    assert(db.tableAsOf("t", t1).get
+      .filter(col("id") === 1).head.getLong(1) == 10L)
+    assert(db.tableAsOf("t", t2).get
+      .filter(col("id") === 1).head.getLong(1) == 999L)
+    // a future instant resolves to the head (latest version <= t)
+    assert(db.tableAsOf("t", t2.plusSeconds(3600)).get
+      .filter(col("id") === 1).head.getLong(1) == 999L)
+    // before the first commit the mapping is unknowable — refuse
+    intercept[IllegalArgumentException] {
+      db.tableAsOf("t", t1.minusSeconds(3600))
+    }
+  }
+
+  test("SQL TIMESTAMP AS OF binds snapshot views; two timestamp-resolved " +
+      "snapshots join in one statement") {
+    val db = freshDb()
+    db.insert("t", rows(5))
+    val t1 = db.commitTimeOf(db.logVersion).get
+    pastMs(t1)
+    db.updateMany("t", col("id") <= 2, Map("v" -> lit(0L)))
+    val t2 = db.commitTimeOf(db.logVersion).get
+    val out = db.sql(
+      s"SELECT a.id AS id, a.v AS v_then, b.v AS v_now " +
+        s"FROM t TIMESTAMP AS OF '$t1' a " +
+        s"JOIN t TIMESTAMP AS OF '$t2' b ON a.id = b.id " +
+        "WHERE a.v <> b.v ORDER BY a.id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, 10L, 0L), (2, 20L, 0L)))
+    // zone-less wall-clock literal parses in the session timezone
+    val wall = java.time.LocalDateTime.ofInstant(t2,
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+      .toString.replace('T', ' ')
+    assert(db.sql(s"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '$wall'")
+      .head.getLong(0) == 5L)
+  }
+
+  test("TIMESTAMP AS OF refuses below the vacuum retention horizon") {
+    val db = freshDb()
+    db.insert("t", rows(4))
+    val t1 = db.commitTimeOf(db.logVersion).get
+    pastMs(t1)
+    // push far past a checkpoint so vacuum can truncate v1's log file
+    (1 to 12).foreach(i =>
+      db.updateMany("t", col("id") === 1, Map("v" -> lit(i.toLong))))
+    db.vacuum(keepVersions = 2, minAgeMs = 0L)
+    intercept[IllegalArgumentException] { db.tableAsOf("t", t1) }
+    // the surviving head still resolves
+    val tHead = db.commitTimeOf(db.logVersion).get
+    assert(db.tableAsOf("t", tHead).get.count() == 4)
+  }
+
+  test("writer clock skew monotonizes: version order wins over stamps") {
+    import graft.catalog.TxLog
+    val root = Files.createTempDirectory("graft_ts_skew").toString
+    Files.createDirectories(Paths.get(root, "_txlog"))
+    def w(v: Int, body: String): Unit = Files.write(
+      Paths.get(root, "_txlog", f"v$v%08d.txt"), body.getBytes("UTF-8"))
+    w(1, "CTS\t1000\nADD\tt\t")
+    w(2, "CTS\t500\nADD\tt\t") // a skewed writer stamped BEFORE v1
+    w(3, "CTS\t2000\nADD\tt\t")
+    val log = new TxLog(spark, root)
+    // v2's stamp monotonizes up to v1's: both are <= 1500, order kept
+    assert(log.versionAtTime(1500L) == 2L)
+    assert(log.versionAtTime(1000L) == 2L) // exact stamp, skew absorbed
+    assert(log.versionAtTime(2000L) == 3L)
+    intercept[IllegalArgumentException] { log.versionAtTime(999L) }
+  }
+
   test("restore rolls a table back metadata-only, keeps history " +
       "time-travelable, and brings schema + stats back with it") {
     val db = freshDb()
