@@ -1942,6 +1942,22 @@ final class GraftDatabase private (
     * (SQL DELETE does not cascade, mirroring the reference's SQL layer —
     * cascading lives on `delete`).
     */
+  /** [[sql]] with bound parameters — the reference's
+    * `db.Execute(sql, args)` overloads. Positional `@0 @1 …` by
+    * default; pass a single `Map[String, Any]` to bind `@name` tokens.
+    * Values lower to type-correct literals BEFORE parsing (see
+    * [[graft.query.LiteSql.bindParams]]), so parameter content is
+    * never syntax — the injection-safe path, and the one a query
+    * builder ("GPT Query Ready" in the reference) should call.
+    */
+  def sql(liteSql: String, params: Any*): DataFrame = params match {
+    case Seq(m: Map[_, _]) =>
+      sql(graft.query.LiteSql.bindParams(liteSql, Nil,
+        m.asInstanceOf[Map[String, Any]]))
+    case _ =>
+      sql(graft.query.LiteSql.bindParams(liteSql, params, Map.empty))
+  }
+
   def sql(liteSql: String): DataFrame = {
     val (engine, engineBase) = sqlEngine.getOrElse {
       val base = txlog.settledVersion

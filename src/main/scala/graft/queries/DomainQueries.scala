@@ -1172,6 +1172,35 @@ object DomainQueries {
       "TIMESTAMP AS OF wall-clock time travel: commit-stamped version " +
         "files resolve instants to versions (skew-monotonized, " +
         "retention-guarded), and two timestamp-resolved snapshots " +
-        "join in one SQL statement")
+        "join in one SQL statement"),
+
+    // Parameterized queries — the reference's `db.Execute(sql, args)`
+    // overloads (PARAMETER_PATH `@name`,
+    // `BsonExpressionOperators.cs:219`): parameters lower to
+    // type-correct literals BEFORE parsing, the injection-safe path a
+    // query builder calls. The oracle inlines the same values
+    // textually (DuckDB runs plain SQL), so a binding bug — wrong
+    // quoting, wrong type, token left unbound — hash-mismatches.
+    Q("q156_parameterized",
+      (s, dir) => graft.query.LiteSql(s, dir).run(
+        "SELECT $.o_orderpriority AS pri, COUNT(*) AS n_orders, " +
+          "CAST(SUM(CAST($.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+          "AS sum_price " +
+          "FROM orders WHERE $.o_orderstatus = @st " +
+          "AND $.o_totalprice >= @min AND $.o_orderpriority != @skip " +
+          "GROUP BY pri",
+        Map[String, Any]("st" -> "F", "min" -> 50000.0,
+          "skip" -> "4-NOT SPECIFIED")),
+      Some("""SELECT o_orderpriority AS pri, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+          AND o_orderpriority != '4-NOT SPECIFIED'
+        GROUP BY 1"""),
+      "parameterized SQL (@name / @0 binding, Execute(sql, args) " +
+        "parity): values lower to type-correct literals before " +
+        "parsing — injection-safe by construction, verified against " +
+        "the textually-inlined oracle")
   )
 }

@@ -66,6 +66,28 @@ final class LiteSql(
     spark.sql(translate(liteSql))
   }
 
+  /** [[run]] with positional `@0 @1 …` parameters bound injection-safe
+    * (see [[LiteSql.bindParams]]).
+    */
+  def run(liteSql: String, params: Seq[Any]): DataFrame =
+    run(LiteSql.bindParams(liteSql, params, Map.empty))
+
+  /** [[run]] with named `@name` parameters. */
+  def run(liteSql: String, named: Map[String, Any]): DataFrame =
+    run(LiteSql.bindParams(liteSql, Nil, named))
+
+  /** [[execute]] with positional `@0 @1 …` parameters — the
+    * reference's `LiteDatabase.Execute(sql, args)`.
+    */
+  def execute(liteSql: String, params: Seq[Any]): DataFrame =
+    execute(LiteSql.bindParams(liteSql, params, Map.empty))
+
+  /** [[execute]] with named `@name` parameters — the reference's
+    * `Execute(sql, BsonDocument)`.
+    */
+  def execute(liteSql: String, named: Map[String, Any]): DataFrame =
+    execute(LiteSql.bindParams(liteSql, Nil, named))
+
   /** Full command dispatch by first keyword (SqlParser.cs:32-49):
     * SELECT/EXPLAIN/INSERT/UPDATE/DELETE here; DROP/RENAME/CREATE INDEX/
     * PRAGMA/CHECKPOINT/REBUILD parse here and act through the [[LiteSql.Admin]]
@@ -956,22 +978,8 @@ final class LiteSql(
     * (opening char remembered; backslash escapes honored inside double
     * quotes — JSON/Spark-SQL string semantics).
     */
-  private def quoteMask(s: String): Array[Boolean] = {
-    val m = new Array[Boolean](s.length)
-    var quote: Char = 0
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        m(i) = true
-        if (c == '\\' && quote == '"' && i + 1 < s.length) {
-          m(i + 1) = true; i += 1
-        } else if (c == quote) quote = 0
-      } else if (c == '\'' || c == '"') { quote = c; m(i) = true }
-      i += 1
-    }
-    m
-  }
+  private def quoteMask(s: String): Array[Boolean] =
+    LiteSql.quoteMaskStatic(s)
 
   /** Split at the first whole-word keyword outside quotes; returns
     * (before, Some(after)) or (whole, None).
@@ -1145,6 +1153,97 @@ final class LiteSql(
 }
 
 object LiteSql {
+
+  /** Bind `@`-parameters into a statement — the reference's
+    * `LiteDatabase.Execute(sql, args)` overloads (PARAMETER_PATH,
+    * `BsonExpressionOperators.cs:219`): `@0 @1 …` positional, `@name`
+    * named. Parameters lower to TYPE-CORRECT literals BEFORE any
+    * parsing, so a string parameter is always data, never syntax (the
+    * injection-safe path — quotes and backslashes inside it are
+    * escaped). `@` tokens the call does NOT bind pass through
+    * untouched: the dialect's lambda item (`@`) and GROUP BY alias
+    * (`@key`) keep working; a bound name shadows them.
+    */
+  def bindParams(sql: String, positional: Seq[Any],
+      named: Map[String, Any]): String = {
+    if (positional.isEmpty && named.isEmpty) return sql
+    val mask = quoteMaskStatic(sql)
+    def identChar(c: Char) = c == '_' || Character.isLetterOrDigit(c)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!mask(i) && c == '@' && i + 1 < sql.length &&
+          identChar(sql.charAt(i + 1)) &&
+          (i == 0 || !identChar(sql.charAt(i - 1)))) {
+        var j = i + 1
+        while (j < sql.length && identChar(sql.charAt(j))) j += 1
+        val name = sql.substring(i + 1, j)
+        val bound: Option[Any] =
+          if (name.forall(_.isDigit) && name.toInt < positional.length)
+            Some(positional(name.toInt))
+          else named.get(name)
+        bound match {
+          case Some(v) => sb ++= renderParam(v); i = j
+          case None => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One parameter value as a type-correct Spark SQL literal. Strings
+    * render double-quoted with escaped quotes/backslashes (the form
+    * both the dialect's quote mask and Spark's parser treat as one
+    * opaque run); doubles/floats round-trip through CAST (NaN/∞-safe);
+    * timestamps render tz-independent as `timestamp_micros`.
+    */
+  def renderParam(v: Any): String = v match {
+    case null => "NULL"
+    case None => "NULL"
+    case Some(x) => renderParam(x)
+    case s: String =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case d: Double => s"CAST('$d' AS DOUBLE)"
+    case f: Float => s"CAST('$f' AS FLOAT)"
+    case bd: BigDecimal => bd.bigDecimal.toPlainString + "BD"
+    case bd: java.math.BigDecimal => bd.toPlainString + "BD"
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      s"timestamp_micros(${i.getEpochSecond * 1000000L + i.getNano / 1000}L)"
+    case i: java.time.Instant =>
+      s"timestamp_micros(${i.getEpochSecond * 1000000L + i.getNano / 1000}L)"
+    case d: java.time.LocalDateTime =>
+      s"TIMESTAMP_NTZ '${d.toString.replace('T', ' ')}'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case b: Array[Byte] =>
+      "X'" + b.map(x => f"${x & 0xff}%02X").mkString + "'"
+    case a: Seq[_] => a.map(renderParam).mkString("array(", ", ", ")")
+    case a: Array[_] => a.map(renderParam).mkString("array(", ", ", ")")
+    case other => throw new IllegalArgumentException(
+      s"unsupported parameter type: ${other.getClass.getName}")
+  }
+
+  /** [[LiteSql.quoteMask]]'s logic, shared with the instance method. */
+  private[query] def quoteMaskStatic(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        m(i) = true
+        if (c == '\\' && quote == '"' && i + 1 < s.length) {
+          m(i + 1) = true; i += 1
+        } else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') { quote = c; m(i) = true }
+      i += 1
+    }
+    m
+  }
 
   /** Epoch millis of a `TIMESTAMP AS OF` literal. Accepts ISO instants
     * (trailing Z / offset), `yyyy-MM-dd HH:mm:ss[.fff]`, and bare

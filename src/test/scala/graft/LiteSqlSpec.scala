@@ -391,4 +391,63 @@ class LiteSqlSpec extends AnyFunSuite {
       "SELECT $.r_name FROM region WHERE $.r_name != 'for update'")
       .count() == 5)
   }
+
+  test("parameterized queries: positional @0/@1 and named @name bind " +
+      "type-correct literals (Execute(sql, args) parity)") {
+    // int + string positional
+    val r = engine.run(
+      "SELECT $.r_name FROM region WHERE $.r_regionkey = @0 OR $.r_name = @1",
+      Seq(0, "ASIA"))
+    assert(r.collect().map(_.getString(0)).toSet == Set("AFRICA", "ASIA"))
+    // named
+    val n = engine.run(
+      "SELECT COUNT(*) AS n FROM customer WHERE $.c_acctbal > @minBal " +
+        "AND $.c_mktsegment = @seg",
+      Map[String, Any]("minBal" -> 1000.0, "seg" -> "BUILDING"))
+    val direct = engine.run("SELECT COUNT(*) AS n FROM customer WHERE " +
+      "c_acctbal > CAST('1000.0' AS DOUBLE) AND c_mktsegment = 'BUILDING'")
+    assert(n.head.getLong(0) == direct.head.getLong(0))
+    // date + array params
+    assert(LiteSql.bindParams("WHERE d >= @0 AND k IN_ARRAY(@1)",
+      Seq(java.time.LocalDate.parse("2024-03-01"), Seq(1, 2, 3)), Map.empty)
+      == "WHERE d >= DATE '2024-03-01' AND k IN_ARRAY(array(1, 2, 3))")
+    // timestamp params render tz-independent
+    assert(LiteSql.bindParams("WHERE ts <= @cut", Nil,
+      Map("cut" -> java.time.Instant.parse("2024-03-01T00:00:00Z")))
+      == "WHERE ts <= timestamp_micros(1709251200000000L)")
+  }
+
+  test("parameter content is DATA, never syntax: injection attempts " +
+      "stay inside the literal") {
+    val evil = "x' OR '1'='1"
+    val out = engine.run(
+      "SELECT COUNT(*) AS n FROM region WHERE $.r_name = @0", Seq(evil))
+    assert(out.head.getLong(0) == 0L, "the OR must not escape the literal")
+    val evil2 = "\"; DROP COLLECTION region; --"
+    assert(engine.run(
+      "SELECT COUNT(*) AS n FROM region WHERE $.r_name = @0", Seq(evil2))
+      .head.getLong(0) == 0L)
+    assert(engine.run("SELECT $.r_name FROM region").count() == 5,
+      "region must survive the attempted drop")
+    // a backslash-heavy param round-trips byte-for-byte
+    val tricky = """a\"b\\c'd"""
+    val echoed = engine.run("SELECT @0 AS s FROM region LIMIT 1", Seq(tricky))
+    assert(echoed.head.getString(0) == tricky)
+  }
+
+  test("unbound @ tokens pass through: lambda items and GROUP BY @key " +
+      "keep working next to parameters") {
+    // @ is the lambda item inside FILTER; @0 is a parameter — same query
+    val r = engine.run(
+      "SELECT SIZE(FILTER($.embedding => @ > @0)) AS n FROM embeddings " +
+        "WHERE $.vec_id = @1", Seq(0.5, 7L))
+    assert(!r.isEmpty && r.head.getInt(0) >= 0)
+    // a parameter holding NULL renders as NULL
+    assert(LiteSql.bindParams("SET x = @0", Seq(null), Map.empty)
+      == "SET x = NULL")
+    // out-of-range positional / unknown named stay untouched (and the
+    // GROUP BY @key alias is never mistaken for a parameter)
+    assert(LiteSql.bindParams("GROUP BY @key HAVING n > @9",
+      Seq(1), Map.empty) == "GROUP BY @key HAVING n > @9")
+  }
 }
