@@ -1201,6 +1201,70 @@ object DomainQueries {
       "parameterized SQL (@name / @0 binding, Execute(sql, args) " +
         "parity): values lower to type-correct literals before " +
         "parsing — injection-safe by construction, verified against " +
-        "the textually-inlined oracle")
+        "the textually-inlined oracle"),
+
+    // MERGE with the full three-family clause set, including the
+    // lakehouse-standard `WHEN NOT MATCHED BY SOURCE` (full-sync
+    // replication in one statement): matched rows update
+    // conditionally, unmatched source rows insert, unmatched TARGET
+    // rows route first-hit-wins through a conditional DELETE then an
+    // UPDATE. DuckDB has no MERGE, so the oracle recomputes the merged
+    // state branch by branch.
+    Q("q157_merge_sync",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q157").toString
+        val db = GraftDatabase(s, "q157", base)
+          .defineTable(TableDef("customer", "c_custkey"))
+          .defineTable(TableDef("src", "k"))
+        db.insert("customer", Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+        db.insert("src", Tables.load(s, dir, "orders")
+          .groupBy((col("o_custkey") +
+            when(col("o_custkey") % 3 === 0, lit(1000000L)).otherwise(lit(0L)))
+            .as("k"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("spend")))
+        val v0 = db.logVersion
+        db.sql("MERGE INTO customer USING src ON customer.c_custkey = src.k " +
+          "WHEN MATCHED AND src.spend >= 200000 THEN UPDATE SET c_acctbal = src.spend " +
+          "WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) VALUES (src.k, src.spend) " +
+          "WHEN NOT MATCHED BY SOURCE AND customer.c_acctbal < 0 THEN DELETE " +
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_acctbal = 0")
+        require(db.logVersion == v0 + 1,
+          "three-family MERGE must land as exactly ONE commit")
+        db.table("customer")
+          .groupBy(coalesce(col("c_mktsegment"), lit("(new)")).as("seg"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").as("sum_bal"))
+      },
+      Some("""WITH src AS (
+          SELECT o_custkey + CASE WHEN o_custkey % 3 = 0 THEN 1000000 ELSE 0 END AS k,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          FROM orders GROUP BY 1
+        ), merged AS (
+          SELECT c.c_custkey,
+                 CASE WHEN s.spend >= 200000 THEN s.spend
+                      ELSE c.c_acctbal END AS c_acctbal,
+                 c.c_mktsegment
+            FROM customer c JOIN src s ON c.c_custkey = s.k
+          UNION ALL
+          SELECT s.k, s.spend, NULL
+            FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+            WHERE c.c_custkey IS NULL
+          UNION ALL
+          SELECT c.c_custkey, 0.0, c.c_mktsegment
+            FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+            WHERE s.k IS NULL AND c.c_acctbal >= 0
+        )
+        SELECT COALESCE(c_mktsegment, '(new)') AS seg, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM merged GROUP BY 1"""),
+      "MERGE WHEN NOT MATCHED BY SOURCE (UPDATE/DELETE, first-hit-wins " +
+        "within the family): full-sync replication in one " +
+        "file-granular commit, with the ANSI cardinality check folded " +
+        "into a single aggregation pass")
   )
 }

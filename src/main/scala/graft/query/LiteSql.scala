@@ -456,7 +456,8 @@ final class LiteSql(
     */
   private def executeMerge(sql: String): DataFrame = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
+      monotonically_increasing_id, when}
     import spark.implicits._
     val H = ("(?is)^MERGE\\s+INTO\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?\\s+" +
       "USING\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?\\s+ON\\s+(.+)$").r
@@ -480,8 +481,25 @@ final class LiteSql(
     case class Del(cond: Option[String]) extends Cl
     case class Ins(cond: Option[String],
         colsVals: Option[(Seq[String], Seq[String])]) extends Cl // None = *
+    // the lakehouse-standard third family: target rows with NO source
+    // match (full-sync replication in one statement — pairs with the
+    // change feed). UPDATE/DELETE only; conditions and SET expressions
+    // see target columns alone (there is no source row).
+    case class SUpd(cond: Option[String],
+        sets: Seq[(String, String)]) extends Cl
+    case class SDel(cond: Option[String]) extends Cl
     val MatchedRe = "(?is)^MATCHED(?:\\s+AND\\s+(.+))?$".r
-    val NotMatchedRe = "(?is)^NOT\\s+MATCHED(?:\\s+AND\\s+(.+))?$".r
+    val NotMatchedRe =
+      "(?is)^NOT\\s+MATCHED(?:\\s+BY\\s+TARGET)?(?:\\s+AND\\s+(.+))?$".r
+    val NotMatchedBySrcRe =
+      "(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE(?:\\s+AND\\s+(.+))?$".r
+    def parseSets(s: String): Seq[(String, String)] =
+      splitTopLevel(s, ',').map { a =>
+        val eq = indexOfCharOutsideQuotes(a, '=')
+        require(eq > 0, s"bad MERGE SET assignment: $a")
+        (a.substring(0, eq).trim.stripPrefix("$.").trim,
+          a.substring(eq + 1).trim)
+      }
     val clauses: Seq[Cl] = parts.tail.map { c =>
       val (head, thenOpt) = splitAtKeywordTopLevel(c, "THEN")
       val act = thenOpt.getOrElse(throw new IllegalArgumentException(
@@ -493,12 +511,16 @@ final class LiteSql(
             val sm = "(?is)^UPDATE\\s+SET\\s+(.+)$".r.findFirstMatchIn(act)
               .getOrElse(throw new IllegalArgumentException(
                 s"MERGE WHEN MATCHED expects UPDATE SET or DELETE: $act"))
-            Upd(Option(cnd), splitTopLevel(sm.group(1), ',').map { a =>
-              val eq = indexOfCharOutsideQuotes(a, '=')
-              require(eq > 0, s"bad MERGE SET assignment: $a")
-              (a.substring(0, eq).trim.stripPrefix("$.").trim,
-                a.substring(eq + 1).trim)
-            })
+            Upd(Option(cnd), parseSets(sm.group(1)))
+          }
+        case NotMatchedBySrcRe(cnd) =>
+          if (act.equalsIgnoreCase("DELETE")) SDel(Option(cnd))
+          else {
+            val sm = "(?is)^UPDATE\\s+SET\\s+(.+)$".r.findFirstMatchIn(act)
+              .getOrElse(throw new IllegalArgumentException(
+                s"MERGE WHEN NOT MATCHED BY SOURCE expects UPDATE SET " +
+                  s"or DELETE: $act"))
+            SUpd(Option(cnd), parseSets(sm.group(1)))
           }
         case NotMatchedRe(cnd) =>
           if (act.equalsIgnoreCase("INSERT *") || act.equalsIgnoreCase("INSERT"))
@@ -535,24 +557,32 @@ final class LiteSql(
         .getOrElse(lit(true))
 
     // ANSI cardinality: one target row may match at most one source
-    // row. Key-free multiset argument: #(inner join rows) = Σ matches
-    // per target row, #(semi join rows) = #target rows with ≥1 match —
-    // the counts differ iff some row matched ≥2. Always on (no PK or
-    // admin needed, no column-casing dependence).
+    // row. ONE pass over the inner join: tag each target row with a
+    // plan-local id, count matches per id, and probe for any id with
+    // ≥2 — one Spark action instead of the old pair-count + semi-count
+    // double scan. Key-free (no PK or admin needed, no column-casing
+    // dependence); the id never leaves this check's plan, so
+    // monotonically_increasing_id's cross-action instability is moot.
     if (!tgt.isEmpty) {
-      val pairCnt = tdf.join(sdf, on, "inner").count()
-      val semiCnt = tdf.join(sdf, on, "left_semi").count()
-      require(pairCnt == semiCnt,
+      val multi = tdf
+        .withColumn("_graft_tid", monotonically_increasing_id())
+        .join(sdf, on, "inner")
+        .groupBy(col("_graft_tid")).agg(count(lit(1)).as("_graft_n"))
+        .filter(col("_graft_n") > 1).limit(1)
+      require(multi.isEmpty,
         "MERGE: a target row matched multiple source rows (ON is not " +
           "unique over the source)")
     }
 
     val mClauses = clauses.collect { case u: Upd => u: Cl; case d: Del => d: Cl }
     val nmClauses = clauses.collect { case i: Ins => i }
+    val sClauses = clauses.collect { case u: SUpd => u: Cl; case d: SDel => d: Cl }
     // output schema: target columns plus any NEW columns a SET/INSERT
     // introduces (LiteDB UPDATE creates missing paths; same here)
     val newCols = (mClauses.collect { case Upd(_, sets) => sets.map(_._1) }
-      .flatten ++ nmClauses.flatMap(_.colsVals.map(_._1).getOrElse(Nil)))
+      .flatten ++
+      sClauses.collect { case SUpd(_, sets) => sets.map(_._1) }.flatten ++
+      nmClauses.flatMap(_.colsVals.map(_._1).getOrElse(Nil)))
       .filterNot(c => tCols.exists(_.equalsIgnoreCase(c))).distinct
     val outCols = tCols ++ newCols
     // ANSI MERGE: source-derived values cast to the TARGET column's
@@ -591,10 +621,34 @@ final class LiteSql(
       outCols.map(c => toT(c, valueOf(c)).as(c)) :+ act.as("_graft_act"): _*)
     val matchedKept = matchedOut.filter(col("_graft_act") =!= "delete")
       .drop("_graft_act")
-    val unmatchedT = tdf.join(sdf, on, "left_anti")
-      .select(outCols.map(c =>
-        (if (tCols.exists(_.equalsIgnoreCase(c))) col(c) else lit(null))
-          .as(c)): _*)
+
+    // NOT MATCHED BY SOURCE: first-hit-wins chain over the target rows
+    // with no source match — conditions and SET values see target
+    // columns only (there is no source row to reference)
+    def tgtVal(c: String): Column =
+      if (tCols.exists(_.equalsIgnoreCase(c))) col(c) else lit(null)
+    val sAct = sClauses.foldRight(lit("keep"): Column) { (c, els) =>
+      c match {
+        case SUpd(o, _) => when(cnd(o), lit("update")).otherwise(els)
+        case SDel(o) => when(cnd(o), lit("delete")).otherwise(els)
+        case _ => els
+      }
+    }
+    def sValueOf(c: String): Column = sClauses.foldRight(tgtVal(c)) {
+      (cl, els) => cl match {
+        case SUpd(o, sets) =>
+          val rhs = sets.find(_._1.equalsIgnoreCase(c))
+            .map(x => expr(translateExpr(x._2))).getOrElse(tgtVal(c))
+          when(cnd(o), rhs).otherwise(els)
+        case SDel(o) => when(cnd(o), tgtVal(c)).otherwise(els)
+        case _ => els
+      }
+    }
+    val unmatchedTOut = tdf.join(sdf, on, "left_anti")
+      .select(outCols.map(c => toT(c, sValueOf(c)).as(c)) :+
+        sAct.as("_graft_act"): _*)
+    val unmatchedT = unmatchedTOut.filter(col("_graft_act") =!= "delete")
+      .drop("_graft_act")
 
     // NOT MATCHED source rows through the first insert clause that fires
     val unmatchedS = sdf.join(tdf, on, "left_anti")
@@ -623,6 +677,8 @@ final class LiteSql(
         .filter(col("_graft_ins") >= 0).drop("_graft_ins"))
 
     val nAffected = matchedOut.filter(col("_graft_act") =!= "keep").count() +
+      (if (sClauses.isEmpty) 0L
+       else unmatchedTOut.filter(col("_graft_act") =!= "keep").count()) +
       inserts.map(_.count()).getOrElse(0L)
     val merged0 = matchedKept.unionByName(unmatchedT,
       allowMissingColumns = true)
@@ -632,13 +688,24 @@ final class LiteSql(
     rebind(target, merged)
     val updated = matchedOut.filter(col("_graft_act") === "update")
       .drop("_graft_act")
+    val updatedAll =
+      if (sClauses.isEmpty) updated
+      else updated.unionByName(
+        unmatchedTOut.filter(col("_graft_act") === "update")
+          .drop("_graft_act"), allowMissingColumns = true)
     lastChangedRowsVar += target -> inserts
-      .map(i => updated.unionByName(i, allowMissingColumns = true))
-      .getOrElse(updated)
-    lastDeletedRowsVar += target ->
-      matchedOut.filter(col("_graft_act") === "delete").drop("_graft_act")
+      .map(i => updatedAll.unionByName(i, allowMissingColumns = true))
+      .getOrElse(updatedAll)
+    val deleted = matchedOut.filter(col("_graft_act") === "delete")
+      .drop("_graft_act")
+    lastDeletedRowsVar += target -> (
+      if (sClauses.isEmpty) deleted
+      else deleted.unionByName(
+        unmatchedTOut.filter(col("_graft_act") === "delete")
+          .drop("_graft_act"), allowMissingColumns = true))
     lastSetTargetsVar =
-      mClauses.collect { case Upd(_, sets) => sets.map(_._1) }.flatten
+      (mClauses.collect { case Upd(_, sets) => sets.map(_._1) } ++
+        sClauses.collect { case SUpd(_, sets) => sets.map(_._1) }).flatten
     lastHadInsertsVar = nmClauses.nonEmpty
     Seq(nAffected).toDF("n_affected")
   }

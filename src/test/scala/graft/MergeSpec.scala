@@ -188,16 +188,78 @@ class MergeSpec extends AnyFunSuite {
     assert(db.table("t").count() == 400)
   }
 
+  test("NOT MATCHED BY SOURCE: all three clause families in one " +
+      "statement make the full-sync mirror") {
+    val e = mem()
+    // t: 1,2,3 — s: 2,3,4. Mirror = exactly the source's keys.
+    val n = e.execute(
+      "MERGE INTO t USING s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv) " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      .head.getLong(0)
+    assert(n == 4) // 2 updates + 1 insert + 1 by-source delete
+    val out = e.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out == Seq((2, 200L), (3, 300L), (4, 400L)),
+      "target must mirror the source exactly")
+  }
+
+  test("NOT MATCHED BY SOURCE UPDATE: first-hit-wins within the " +
+      "by-source family; conditions see target columns") {
+    val e = mem()
+    val n = e.execute(
+      "MERGE INTO t USING s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE AND t.v >= 10 THEN UPDATE SET v = 0 " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      .head.getLong(0)
+    // only id=1 is unmatched; v=10 fires the FIRST clause (update)
+    assert(n == 1)
+    val out = e.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out == Seq((1, 0L), (2, 20L), (3, 30L)),
+      "matched rows with no matched-clause pass through unchanged")
+  }
+
+  test("NOT MATCHED BY TARGET is a synonym of NOT MATCHED") {
+    val e = mem()
+    val n = e.execute(
+      "MERGE INTO t USING s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY TARGET THEN INSERT (id, v) VALUES (s.id, s.nv)")
+      .head.getLong(0)
+    assert(n == 1 && e.table("t").count() == 4)
+  }
+
+  test("persisted by-source MERGE: one commit, insert-free stays a " +
+      "commuting patch") {
+    val db = freshDb().defineTable(TableDef("t", "id"))
+    db.insert("t", (1 to 400).map(i => (i, i * 10L)).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    db.insert("src4", (1 to 300).map(i => (i, i * 1L)).toDF("id", "nv"))
+    val v0 = db.logVersion
+    val pats0 = db.history.filter(col("action") === "PATCH").count()
+    // update matched + delete by-source: no inserts → patch-eligible
+    db.sql("MERGE INTO t USING src4 ON t.id = src4.id " +
+      "WHEN MATCHED AND t.id <= 5 THEN UPDATE SET v = src4.nv " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(db.logVersion == v0 + 1, "by-source MERGE is ONE commit")
+    assert(db.history.filter(col("action") === "PATCH").count() > pats0,
+      "an insert-free by-source MERGE must commit as a commuting patch")
+    assert(db.table("t").count() == 300)
+    assert(db.table("t").filter(col("id") === 3).head.getLong(1) == 3L)
+    assert(db.table("t").filter(col("id") === 10).head.getLong(1) == 100L)
+  }
+
   test("MERGE with an INSERT clause never patches (new PKs need the " +
       "absolute conflict check)") {
     val db = freshDb().defineTable(TableDef("t", "id"))
     db.insert("t", Seq((1, 10L)).toDF("id", "v"))
     db.insert("s3", Seq((7, 70L)).toDF("id", "nv"))
-    val hist0 = db.history.filter(col("action") === "PAT").count()
+    val hist0 = db.history.filter(col("action") === "PATCH").count()
     db.sql("MERGE INTO t USING s3 ON t.id = s3.id " +
       "WHEN MATCHED THEN UPDATE SET v = s3.nv " +
       "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s3.id, s3.nv)")
-    val hist1 = db.history.filter(col("action") === "PAT").count()
+    val hist1 = db.history.filter(col("action") === "PATCH").count()
     assert(hist0 == hist1,
       "an insert-bearing MERGE must commit absolute, not as a patch")
     assert(db.table("t").count() == 2)
