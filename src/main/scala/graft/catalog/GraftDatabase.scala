@@ -572,6 +572,33 @@ final class GraftDatabase private (
     val snap = txlog.snapshot()
     val files = snap.tables.getOrElse(n, throw new IllegalArgumentException(
       s"table '$n' does not exist (no committed data)"))
+    // a REGISTERED clustering layout (ensureIndex / optimizeZorder)
+    // takes precedence over bin-packing: DML churn since the last
+    // clustering pass (new/rewritten files, DV masks) re-clusters the
+    // whole table on the registered columns — clustering is a full
+    // rewrite by definition, paid once per OPTIMIZE — and an undrifted
+    // layout is left untouched (packing clustered files would widen
+    // their stat boxes)
+    clusterSpec(n).foreach { case (kind, cols, atFiles) =>
+      val drifted = files.toSet != atFiles ||
+        snap.dvs.keys.exists(_._1 == n)
+      if (!drifted) return (files.size, files.size)
+      if (kind == "zorder") return optimizeZorder(n, cols, targetBytes)
+      // range: right-sized single-column re-cluster
+      val bytes0 = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
+      val parts0 = math.max(1L, (bytes0 + targetBytes - 1) / targetBytes)
+        .min(4096L).toInt
+      val reclustered = txlog.readFilesMasked(snap, n, files)
+        .repartitionByRange(parts0, col(cols.head))
+        .sortWithinPartitions(cols.head)
+      val staged = txlog.stage(n, reclustered)
+      txlog.commit(
+        TxLog.Put(n, staged) +: schemaSyncActions(n, reclustered.schema),
+        readVersion = snap.version)
+      invalidateSqlEngine()
+      writeClusterMeta(n, "range", cols, staged)
+      return (files.size, staged.size)
+    }
     val sized = files.map(r => r -> Files.size(Paths.get(s"$root/$r")))
     // backlog = small files PLUS any file carrying a deletion vector:
     // OPTIMIZE is the DV reconciliation point — the rewrite materializes
@@ -653,6 +680,9 @@ final class GraftDatabase private (
       TxLog.Put(n, staged) +: schemaSyncActions(n, clustered.schema),
       readVersion = snap.version)
     invalidateSqlEngine()
+    // register the layout so later OPTIMIZE calls re-assert it after
+    // DML churn without the caller re-specifying columns
+    writeClusterMeta(n, "zorder", zorderBy, staged)
     (files.size, staged.size)
   }
 
@@ -1098,9 +1128,13 @@ final class GraftDatabase private (
         defs += tdef.name ->
           tdef.copy(uniqueCols = tdef.uniqueCols.filterNot(_ == column))
     }
-    if (tableExists(name))
+    if (tableExists(name)) {
       writeReplace(name, table(name)
         .repartitionByRange(col(column)).sortWithinPartitions(column), base)
+      // register the range-clustered layout for OPTIMIZE re-assertion
+      writeClusterMeta(norm(name), "range", Seq(column),
+        txlog.snapshot().tables.getOrElse(norm(name), Vector.empty))
+    }
     writeIndexMeta(name,
       cur.filterNot(d => d._1 == indexName || d._2 == column) :+
         ((indexName, column, unique)))
@@ -1128,6 +1162,13 @@ final class GraftDatabase private (
               tdef.copy(uniqueCols = tdef.uniqueCols.filterNot(_ == column))
         }
         writeIndexMeta(name, cur.filterNot(_._1 == ix))
+        // the index carried the registered range layout: dropping it
+        // stops OPTIMIZE from re-asserting that clustering
+        clusterSpec(name).foreach {
+          case ("range", cols, _) if cols == Seq(column) =>
+            clearClusterMeta(name)
+          case _ => ()
+        }
         true
     }
   }
@@ -1148,6 +1189,7 @@ final class GraftDatabase private (
     val existed = tableExists(n) || defs.contains(n)
     if (tableExists(n)) txlog.commit(Seq(TxLog.Del(n)))
     Files.deleteIfExists(Paths.get(s"$tablesDir/.${n}_indexes"))
+    clearClusterMeta(n)
     defs -= n
     invalidateSqlEngine()
     existed
@@ -1176,6 +1218,10 @@ final class GraftDatabase private (
     val newIx = Paths.get(s"$tablesDir/.${n}_indexes")
     Files.deleteIfExists(newIx)
     if (Files.exists(oldIx)) Files.move(oldIx, newIx)
+    val oldCl = Paths.get(s"$tablesDir/.${o}_cluster")
+    val newCl = Paths.get(s"$tablesDir/.${n}_cluster")
+    Files.deleteIfExists(newCl)
+    if (Files.exists(oldCl)) Files.move(oldCl, newCl)
     defs = defs.map { case (k, td) =>
       val renamed = td.copy(
         name = if (k == o) n else td.name,
@@ -1211,6 +1257,39 @@ final class GraftDatabase private (
       ix: Seq[(String, String, Boolean)]): Unit =
     Files.write(Paths.get(s"$tablesDir/.${norm(name)}_indexes"),
       ix.map { case (n, c, u) => s"$n\t$c\t$u" }.mkString("\n").getBytes("UTF-8"))
+
+  /** The table's REGISTERED clustering layout: (kind ∈ range|zorder,
+    * columns, the binding the last clustering pass produced). Written
+    * by [[ensureIndex]] (range) and [[optimizeZorder]] (zorder) — like
+    * the named-index registry, the spec OUTLIVES the one-shot rewrite,
+    * so [[optimize]] re-asserts a drifted layout without the caller
+    * re-specifying columns and [[checkpoint]] reports the drift.
+    */
+  def clusterSpec(name: String)
+      : Option[(String, Seq[String], Set[String])] = {
+    val p = Paths.get(s"$tablesDir/.${norm(name)}_cluster")
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), "UTF-8").split("\n").toSeq match {
+      case head +: rest =>
+        head.split("\t") match {
+          case Array(kind, cols) => Some((kind,
+            cols.split(",").toSeq.filter(_.nonEmpty),
+            rest.headOption.map(_.split(",").toSet.filter(_.nonEmpty))
+              .getOrElse(Set.empty)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def writeClusterMeta(name: String, kind: String,
+      cols: Seq[String], files: Iterable[String]): Unit =
+    Files.write(Paths.get(s"$tablesDir/.${norm(name)}_cluster"),
+      (s"$kind\t${cols.mkString(",")}\n" + files.mkString(","))
+        .getBytes("UTF-8"))
+
+  private def clearClusterMeta(name: String): Unit =
+    Files.deleteIfExists(Paths.get(s"$tablesDir/.${norm(name)}_cluster"))
 
   private def parentsOf(tdef: TableDef): Map[String, DataFrame] =
     tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap
@@ -1592,12 +1671,29 @@ final class GraftDatabase private (
     if (threshold <= 0) Nil
     else {
       val snap = txlog.snapshot()
+      // registered-cluster tables are OPTIMIZE's job (a blind repartition
+      // here would destroy the layout) — checkpoint reports their drift
+      // instead of compacting them
       val out = snap.tables.toSeq.sortBy(_._1)
-        .filter(_._2.size > threshold)
+        .filter { case (t, files) =>
+          files.size > threshold && clusterSpec(t).isEmpty
+        }
         .map { case (t, files) => compactTable(t, files, targetBytes, snap.version) }
+      val drift = snap.tables.toSeq.sortBy(_._1).flatMap { case (t, files) =>
+        clusterSpec(t).collect {
+          case (kind, cols, atFiles)
+              if files.toSet != atFiles ||
+                snap.dvs.keys.exists(_._1 == t) =>
+            val fresh = (files.toSet -- atFiles).size
+            val gone = (atFiles -- files.toSet).size
+            s"cluster drift: '$t' diverged from its $kind(" +
+              s"${cols.mkString(", ")}) layout (+$fresh/-$gone of " +
+              s"${atFiles.size} files) — optimize('$t') re-clusters"
+        }
+      }
       txlog.vacuum()
       invalidateSqlEngine()
-      out
+      out ++ drift
     }
   }
 

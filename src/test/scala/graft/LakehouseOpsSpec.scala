@@ -403,6 +403,72 @@ class LakehouseOpsSpec extends AnyFunSuite {
       .select("id").as[Int].head() == 500)
   }
 
+  test("registered clustering: OPTIMIZE re-asserts a churned z-order " +
+      "layout without re-specifying columns; checkpoint reports drift") {
+    val db = freshDb()
+    // 2-D data over a grid; unclustered insert
+    db.insert("t", (1 to 4000).map(i =>
+      (i, (i * 37 % 200).toLong, s"r$i")).toDF("id", "v", "name")
+      .repartition(8))
+    val bytes = db.liveFiles("t")
+      .map(f => Files.size(Paths.get(f))).sum
+    val (_, nAfter) = db.optimizeZorder("t", Seq("id", "v"),
+      targetBytes = math.max(1L, bytes / 16))
+    assert(db.clusterSpec("t").exists(_._1 == "zorder"))
+    // a small box away from the z-curve's quadrant midline (the
+    // documented boundary case where Morton ranges fragment)
+    def boxScan(): Int = db.table("t")
+      .filter(col("id").between(400, 800) && col("v").between(20, 60))
+      .inputFiles.length
+    val clusteredScan = boxScan()
+    assert(clusteredScan <= math.max(2, nAfter / 4),
+      s"clustered box probe must prune: $clusteredScan of $nAfter")
+    // churn: appends + a DV delete drift the layout
+    db.insert("t", (4001 to 4400).map(i =>
+      (i, (i * 37 % 200).toLong, s"r$i")).toDF("id", "v", "name"))
+    db.deleteVectorized("t", col("id") === 2000)
+    val report = db.checkpoint()
+    assert(report.exists(_.contains("cluster drift")),
+      s"checkpoint must report the drifted layout: $report")
+    // OPTIMIZE with NO columns re-clusters from the registered spec
+    val (_, nRe) = db.optimize("t",
+      targetBytes = math.max(1L, bytes / 16))
+    val reScan = boxScan()
+    assert(reScan <= math.max(2, nRe / 3),
+      s"re-clustered box probe must prune again: $reScan of $nRe")
+    assert(db.table("t").count() == 4399) // DV reconciled, appends kept
+    assert(db.table("t").filter(col("id") === 2000).isEmpty)
+    // undrifted: OPTIMIZE leaves the layout untouched (no version bump)
+    val v = db.logVersion
+    db.optimize("t", targetBytes = math.max(1L, bytes / 16))
+    assert(db.logVersion == v, "undrifted clustered table must no-op")
+    assert(db.checkpoint().forall(!_.contains("cluster drift")))
+  }
+
+  test("registered clustering: ensureIndex registers a range layout " +
+      "that OPTIMIZE re-asserts; DROP INDEX retires the spec") {
+    val db = freshDb()
+    db.insert("t", (1 to 2000).map(i => (i, i * 10L, s"r$i"))
+      .toDF("id", "v", "name").repartition(6))
+    db.ensureIndex("t", "ix_v", "v", unique = false)
+    assert(db.clusterSpec("t").exists(s => s._1 == "range" &&
+      s._2 == Seq("v")))
+    // churn, then OPTIMIZE restores range pruning on v without columns
+    db.insert("t", (2001 to 2400).map(i => (i, i * 10L, s"r$i"))
+      .toDF("id", "v", "name").repartition(3))
+    val tBytes = math.max(1L,
+      db.liveFiles("t").map(f => Files.size(Paths.get(f))).sum / 8)
+    db.optimize("t", targetBytes = tBytes)
+    val n = db.liveFiles("t").size
+    val scanned = db.table("t")
+      .filter(col("v").between(100L, 2000L)).inputFiles.length
+    assert(n > 2 && scanned <= math.max(1, n / 2),
+      s"re-asserted range layout must prune: $scanned of $n")
+    db.sql("DROP INDEX t.ix_v")
+    assert(db.clusterSpec("t").isEmpty,
+      "dropping the index must retire the registered layout")
+  }
+
   test("optimize with nothing to pack is a no-op (no version bump)") {
     val db = freshDb()
     db.insert("t", rows(10).repartition(1))
