@@ -157,6 +157,12 @@ final class GraftDatabase private (
     */
   def logVersion: Long = txlog.version
 
+  /** Latest SETTLED version — the newest commit whose content is
+    * readable (excludes a zero-byte in-flight publish slot). The
+    * change-feed source's offset.
+    */
+  def settledLogVersion: Long = txlog.settledVersion
+
   /** Time travel: read a table as of a committed log version (bounded
     * by vacuum retention — retired versions' files are reclaimed).
     * None when the table did not exist at that version.

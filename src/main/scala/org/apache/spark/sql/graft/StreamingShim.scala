@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+
+/** The one `private[sql]` door a V1 micro-batch `Source` needs: the
+  * engine asserts that `getBatch`'s DataFrame carries
+  * `isStreaming = true`, and the only way to stamp that flag is
+  * `SparkSession.internalCreateDataFrame` — the same shim every
+  * external V1 source (Kafka's original connector among them) ships.
+  * Lives under `org.apache.spark.sql` solely for the access scope;
+  * nothing else in the engine reaches Spark internals this way.
+  */
+object StreamingShim {
+  /** `df`'s physical plan re-wrapped as a streaming DataFrame. */
+  def asStreaming(ctx: SQLContext, df: DataFrame): DataFrame = {
+    val session = ctx.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    session.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}
