@@ -470,7 +470,14 @@ final class GraftDatabase private (
     val tdef = tableDef(name)
     val base = txlog.settledVersion
     val n = norm(name)
-    val f = feed.cache()
+    // ONE eager materialization of the feed diff, lineage truncated:
+    // the staged write and the hit-file collect run concurrently below,
+    // and with a LAZY cache both would race to compute the diff (its
+    // unions, groupBys and broadcast exchanges each submitting sub-jobs
+    // twice). After this single job every consumer reads materialized
+    // blocks — the "fuse the feed into the apply" pass that cuts the
+    // per-batch action count (blocks are GC-released with the frame).
+    val f = feed.localCheckpoint(eager = true)
     try {
       val ins = f.filter(col("_change_type") === "insert")
         .drop("_change_type")
@@ -490,23 +497,8 @@ final class GraftDatabase private (
         invalidateSqlEngine()
         return true
       }
+      val snapNow = txlog.snapshot()
       val marked = txlog.readMarked(n, "_graft_file").get
-      // survivors of the hit files = rows whose PK the batch never
-      // touched; the batch's inserts land beside them. The hit-file
-      // membership derives IN-PLAN (broadcast semi-join on the distinct
-      // hit files — a few ids, no table-wide shuffle), so the staged
-      // write runs CONCURRENTLY with the hit-file collect below — wall
-      // time max, not sum.
-      val hitFiles = marked
-        .join(touchedKeys, Seq(tdef.pk), "left_semi")
-        .select(col("_graft_file")).distinct()
-      val touched = marked
-        .join(broadcast(hitFiles), Seq("_graft_file"), "left_semi")
-        .drop("_graft_file")
-        .join(touchedKeys, Seq(tdef.pk), "left_anti")
-        .unionByName(ins, allowMissingColumns = true)
-      val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(
-        () => txlog.stage(n, touched), stagingPool)
       // ONE collect answers both the hit files AND the batch's
       // internal PK-duplicate check (per-query fixed cost dominates
       // small batches): a sentinel row carries the dup count — a real
@@ -519,9 +511,7 @@ final class GraftDatabase private (
       val dupQ = ins.groupBy(col(tdef.pk)).count()
         .filter(col("count") > 1).agg(cnt.as("_n"))
         .select(lit(dupSentinel).as("_k"), col("_n"))
-      val collected =
-        try hitQ.unionByName(dupQ).collect()
-        catch { case t: Throwable => stagedF.cancel(false); throw t }
+      val collected = hitQ.unionByName(dupQ).collect()
       val dupPks = collected.filter(_.getString(0) == dupSentinel)
         .map(_.getLong(1)).sum
       if (dupPks > 0) throw new IllegalStateException("constraint " +
@@ -532,22 +522,38 @@ final class GraftDatabase private (
       if (hitRaw.isEmpty && ins.isEmpty) {
         // nothing to do (deletes missed, empty batch) — but the batch
         // IS consumed: the marker alone commits, so a replay stays a
-        // no-op and the cursor can advance (the concurrently staged
-        // empty write is unpublished garbage; vacuum reclaims it)
+        // no-op and the cursor can advance
         txlog.commit(Seq(TxLog.Txn(appId, batchId)), readVersion = base)
         invalidateSqlEngine()
         return true
       }
+      // survivors of the hit files = rows whose PK the batch never
+      // touched; the batch's inserts land beside them. The collect
+      // above resolved the hit FILES, so the staged write reads
+      // EXACTLY those files as an explicit list — the batch's write
+      // I/O is churn-file bytes, never a whole-replica semi-join scan
+      // (at 100 TB the difference between "read the touched 128 MB"
+      // and "rescan the table per batch")
+      val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
+      val allRel = snapNow.tables.getOrElse(n, Vector.empty)
+      val hitRel = allRel.filter(r =>
+        hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+      // every scanned hit file must map into the snapshot binding — an
+      // interleaved rewrite would also fail the commit's conflict
+      // check, but a silent partial staging must be impossible
+      require(hitRel.size == hitAbs.size,
+        s"applyChanges('$n'): scanned hit files no longer in the " +
+          "committed binding (interleaved rewrite?) — retry")
+      val touched =
+        if (hitRel.isEmpty) ins // pure append
+        else txlog.readFilesMasked(snapNow, n, hitRel)
+          .join(touchedKeys, Seq(tdef.pk), "left_anti")
+          .unionByName(ins, allowMissingColumns = true)
       def result = table(name).join(touchedKeys, Seq(tdef.pk), "left_anti")
         .unionByName(ins, allowMissingColumns = true)
       // the PK-duplicate scan already rode the collect above
       requireClean(ConstrainedDml.validateUpdate(
         spark, tdef, ins, result, parentsOf(tdef), pkImmutable = true))
-      val staged =
-        try stagedF.get(30, java.util.concurrent.TimeUnit.MINUTES)
-        catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-        }
       // NEVER patch-safe: the batch inserts NEW PKs, and two concurrent
       // appliers (multi-source replication) committing commuting
       // patches would both land the same key — the exact write-skew
@@ -555,10 +561,9 @@ final class GraftDatabase private (
       // the same reason
       commitGranularOrFull(name, tdef, base, hitRaw, touched,
         table(name).schema, emptyHitsAppend = true,
-        extra = Seq(TxLog.Txn(appId, batchId)),
-        preStaged = Some(staged))(result)
+        extra = Seq(TxLog.Txn(appId, batchId)))(result)
       true
-    } finally f.unpersist()
+    } finally f.unpersist() // best-effort; checkpoint blocks GC-release
   }
 
   /** Bin-pack small files (the lakehouse OPTIMIZE): read ONLY the live
@@ -991,62 +996,62 @@ final class GraftDatabase private (
     val base = txlog.settledVersion
     if (!tableExists(name)) return 0L
     // mark matches BEFORE transforming: a predicate over a SET target
-    // must select by the original values (filtering the transformed frame
-    // would validate — and count — the wrong rows). Cached for the same
-    // reason update() caches: validation, count, and the persisted write
-    // each re-evaluate the frame, and a nondeterministic predicate must
-    // select ONE row set across all three.
-    val marked = txlog.readMarked(norm(name), "_graft_file").get
-      .withColumn("_graft_hit", coalesce(predicate, lit(false))).cache()
-    try {
-      val applied = ConstrainedDml.updateWhere(marked, col("_graft_hit"), set)
-      val changed = applied.filter(col("_graft_hit"))
-        .drop("_graft_hit", "_graft_file")
-      val result = applied.drop("_graft_hit", "_graft_file")
-      // pkImmutable: the require() above guards the PK against SET
-      // targets and the changed rows derive from distinct existing PKs
-      requireClean(ConstrainedDml.validateUpdate(
-        spark, tdef, changed, result, parentsOf(tdef), pkImmutable = true))
-      // File-granular copy-on-write (the Delta/Iceberg shape, and the
-      // 100 TB reason the commit log exists): only files CONTAINING a
-      // matching row are rewritten; untouched files keep their paths in
-      // the new version's binding. An update hitting 1% of a table's
-      // files rewrites 1%, not 100%. One aggregation yields BOTH the
-      // matched-row count and the hit files — and the replacement rows
-      // derive their file set IN-PLAN (broadcast semi-join on the
-      // distinct hit files: a few ids, no table-wide shuffle), so the
-      // staged write runs CONCURRENTLY with that aggregation: the
-      // statement's wall time is max(collect, stage), not the sum.
-      val hitFiles = marked.filter(col("_graft_hit"))
-        .select(col("_graft_file")).distinct()
-      val touchedRows = ConstrainedDml.updateWhere(
-        marked.join(broadcast(hitFiles), Seq("_graft_file"), "left_semi"),
-        col("_graft_hit"), set).drop("_graft_hit", "_graft_file")
-      val stagedF = java.util.concurrent.CompletableFuture.supplyAsync(
-        () => txlog.stage(norm(name), touchedRows), stagingPool)
-      val perFile =
-        try marked.filter(col("_graft_hit"))
-          .groupBy("_graft_file").count().collect()
-        catch { case t: Throwable => stagedF.cancel(false); throw t }
-      val n = perFile.map(_.getLong(1)).sum
-      // no matches: no rewrite, no version bump (the concurrently
-      // staged empty write is unpublished garbage; vacuum reclaims it)
-      if (n == 0L) return 0L
-      val hitRaw = perFile.map(_.getString(0)).filter(_.nonEmpty)
-      val staged =
-        try stagedF.get(30, java.util.concurrent.TimeUnit.MINUTES)
-        catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-        }
-      // no unique constraints and no new PKs -> the rewrite commutes
-      // with concurrent disjoint-file statements (relative patch)
-      commitGranularOrFull(name, tdef, base, hitRaw, touchedRows,
-        marked.drop("_graft_hit", "_graft_file").schema,
-        emptyHitsAppend = false,
-        patchSafe = tdef.uniqueCols.isEmpty,
-        preStaged = Some(staged))(result)
-      n
-    } finally marked.unpersist()
+    // must select by the original values (filtering the transformed
+    // frame would validate — and count — the wrong rows). The hit
+    // (PK, file) pairs checkpoint EAGERLY in one pass, so a
+    // nondeterministic predicate selects exactly ONE row set for
+    // count, validation, and rewrite — and every later step reads the
+    // churn-sized materialized hits, never a re-evaluated table scan.
+    val snapNow = txlog.snapshot()
+    val n0 = norm(name)
+    val marked = txlog.readMarked(n0, "_graft_file").get
+      .withColumn("_graft_hit", coalesce(predicate, lit(false)))
+    val hits = marked.filter(col("_graft_hit"))
+      .select(col(tdef.pk).as("_graft_hit_pk"), col("_graft_file"))
+      .localCheckpoint(eager = true)
+    val perFile = hits.groupBy("_graft_file").count().collect()
+    val n = perFile.map(_.getLong(1)).sum
+    // no matches: no rewrite, no version bump
+    if (n == 0L) return 0L
+    // File-granular copy-on-write (the Delta/Iceberg shape, and the
+    // 100 TB reason the commit log exists): only files CONTAINING a
+    // matching row are rewritten — and the rewrite reads EXACTLY those
+    // files as an explicit list, so a statement hitting 1% of the
+    // table's files reads and rewrites 1%, never a whole-table
+    // semi-join scan.
+    val hitRaw = perFile.map(_.getString(0)).filter(_.nonEmpty)
+    val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
+    val allRel = snapNow.tables.getOrElse(n0, Vector.empty)
+    val hitRel = allRel.filter(r =>
+      hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+    require(hitRel.size == hitAbs.size,
+      s"updateMany('$n0'): scanned hit files no longer in the " +
+        "committed binding (interleaved rewrite?) — retry")
+    val hitPk = hits.select(col("_graft_hit_pk"))
+    def remark(df: DataFrame): DataFrame = df
+      .join(hitPk.withColumn("_graft_hit", lit(true)),
+        df(tdef.pk) === hitPk("_graft_hit_pk"), "left")
+      .withColumn("_graft_hit", coalesce(col("_graft_hit"), lit(false)))
+      .drop("_graft_hit_pk")
+    val hitScan = remark(txlog.readFilesMasked(snapNow, n0, hitRel))
+    val touchedRows = ConstrainedDml.updateWhere(
+      hitScan, col("_graft_hit"), set).drop("_graft_hit")
+    val changed = ConstrainedDml.updateWhere(
+      hitScan.filter(col("_graft_hit")), col("_graft_hit"), set)
+      .drop("_graft_hit")
+    def result = ConstrainedDml.updateWhere(
+      remark(table(name)), col("_graft_hit"), set).drop("_graft_hit")
+    // pkImmutable: the require() above guards the PK against SET
+    // targets and the changed rows derive from distinct existing PKs
+    requireClean(ConstrainedDml.validateUpdate(
+      spark, tdef, changed, result, parentsOf(tdef), pkImmutable = true))
+    // no unique constraints and no new PKs -> the rewrite commutes
+    // with concurrent disjoint-file statements (relative patch)
+    commitGranularOrFull(name, tdef, base, hitRaw, touchedRows,
+      table(name).schema,
+      emptyHitsAppend = false,
+      patchSafe = tdef.uniqueCols.isEmpty)(result)
+    n
   }
 
   /** Set one column on ALL documents (TableCollection.cs:1150 SetAll —
@@ -1328,8 +1333,24 @@ final class GraftDatabase private (
       .map { case (n, d) =>
         n -> ((txlog.readMarked(n, "_graft_file").get, d))
       }
-    val (updated, hits) = ConstrainedDml.deleteCascadeWithHits(
+    val (updated, hits0) = ConstrainedDml.deleteCascadeWithHits(
       spark, states, norm(name), predicate)
+    // each hit frame is the walk's doomed-row set for one table —
+    // consumed by the per-file aggregation AND the staged write's
+    // semi-join side. ONE eager materialization per touched table
+    // (churn-sized blocks) stops every consumer from re-running the
+    // walk's join tree and its broadcast sub-jobs; the tables'
+    // checkpoints run CONCURRENTLY (a cascade's per-table jobs overlap
+    // instead of serializing).
+    val hits = hits0.map { case (n, df) =>
+      n -> java.util.concurrent.CompletableFuture.supplyAsync(
+        () => df.localCheckpoint(eager = true), stagingPool)
+    }.map { case (n, fut) =>
+      n -> (try fut.get(30, java.util.concurrent.TimeUnit.MINUTES)
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
+    }
     // ONE aggregation per touched table answers BOTH "any match?" and
     // "which files" (a separate isEmpty probe would double the job
     // count — the dominant fixed cost of small DMLs), and each table's

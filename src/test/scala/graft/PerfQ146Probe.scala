@@ -23,9 +23,9 @@ class PerfQ146Probe extends AnyFunSuite {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-        if (verbose) println(s"[q146probe-job] " +
-          js.properties.getProperty("callSite.short", "?") + " stages=" +
-          js.stageInfos.size)
+        if (verbose) println(s"[q146probe-job] stages=" +
+          js.stageInfos.size + " " +
+          js.stageInfos.map(_.name).mkString(" | ").take(200))
       }
       override def onJobEnd(
           je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = ()
