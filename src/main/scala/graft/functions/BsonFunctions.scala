@@ -48,7 +48,7 @@ object BsonFunctions {
   def split(c: Column, sep: String, useRegex: Boolean = false): Column =
     org.apache.spark.sql.functions.split(c,
       if (useRegex) sep else java.util.regex.Pattern.quote(sep))
-  /** .NET-style FORMAT subset (String.cs:224) — pinned in RefFunctions. */
+  /** .NET-style FORMAT (String.cs:224), full general surface — RefFunctions. */
   def format(c: Column, fmt: String): Column = RefFunctions.formatNet(c, fmt)
   def join(arr: Column): Column = array_join(arr, "")
   def join(arr: Column, sep: String): Column = array_join(arr, sep)

@@ -164,7 +164,16 @@ object RefFunctions {
           .replace("tt", "a")
           .replaceAll("([A-Za-z&&[^yMdHmsSa]])", "'$1'"))
     case other =>
-      throw new IllegalArgumentException(s"unsupported format: $other")
+      // the general .NET surface (Methods/String.cs:224 is literally
+      // string.Format("{0:fmt}")): sections pos;neg;zero, grouping and
+      // scaling masks, %/‰, interleaved literals, G/R/C — parsed and
+      // validated at PLAN time (garbage fails the query build, never a
+      // task), rendered per row through one codegen static call
+      NetFormat.render(java.math.BigDecimal.ZERO, other)
+      org.apache.spark.sql.graft.ExprShim.column(
+        graft.functions.expressions.NetFormatExpr(
+          org.apache.spark.sql.graft.ExprShim.expression(
+            c.cast("double")), other))
   }
 
   /** EXTEND(a, b): struct merge, b's fields win (Misc.cs:44). */

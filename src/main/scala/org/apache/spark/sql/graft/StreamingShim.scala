@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, SQLContext}
 
 /** The one `private[sql]` door a V1 micro-batch `Source` needs: the
   * engine asserts that `getBatch`'s DataFrame carries
@@ -18,4 +18,17 @@ object StreamingShim {
     session.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+}
+
+/** Column ↔ Expression bridging (`classic.ExpressionUtils` is
+  * `private[sql]`) — the two conversions a custom Catalyst expression
+  * needs to surface as a user-facing Column without a registry round
+  * trip.
+  */
+object ExprShim {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column = org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

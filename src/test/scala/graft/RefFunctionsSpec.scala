@@ -114,6 +114,44 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[String]("t2") == "14:07:09.123")
   }
 
+  test("formatNet general surface: sections, scaling, literals, G/R/C " +
+      "(the full Methods/String.cs FORMAT parity)") {
+    val df = Seq((1234.5, -1234.5, 0.0)).toDF("p", "n", "z")
+    val r = df.select(
+      formatNet($"n", "#,##0.00;(#,##0.00)").as("paren_neg"),
+      formatNet($"z", "0.00;(0.00);'zero'").as("zero_sec"),
+      formatNet(lit(0.086), "00%").as("pct_mask"),
+      formatNet(lit(1500000.0), "#,,").as("scaled"),
+      formatNet($"p", "$#,##0.00 'end'").as("lits"),
+      formatNet(lit(0.45), "#.##").as("hash_int"),
+      formatNet(lit(-1.25), "0.0").as("neg_single"),
+      formatNet(lit(123.456), "G").as("g_plain"),
+      formatNet(lit(0.0000023), "G").as("g_sci"),
+      formatNet(lit(123.4567), "G4").as("g4"),
+      formatNet($"p", "C").as("cur"),
+      formatNet($"n", "C").as("cur_neg"),
+      formatNet(lit(1.5), "R").as("roundtrip")).head()
+    assert(r.getAs[String]("paren_neg") == "(1,234.50)")
+    assert(r.getAs[String]("zero_sec") == "zero")
+    assert(r.getAs[String]("pct_mask") == "09%")
+    assert(r.getAs[String]("scaled") == "2") // two scaling commas = /1e6
+    assert(r.getAs[String]("lits") == "$1,234.50 end")
+    assert(r.getAs[String]("hash_int") == ".45") // '#' int part: zero -> empty
+    assert(r.getAs[String]("neg_single") == "-1.3") // away-from-zero
+    assert(r.getAs[String]("g_plain") == "123.456")
+    assert(r.getAs[String]("g_sci") == "2.3E-06")
+    assert(r.getAs[String]("g4") == "123.5")
+    assert(r.getAs[String]("cur") == "¤1,234.50")
+    assert(r.getAs[String]("cur_neg") == "(¤1,234.50)")
+    assert(r.getAs[String]("roundtrip") == "1.5")
+    // nulls propagate; garbage formats fail at PLAN time, not in a task
+    assert(df.select(formatNet(lit(null).cast("double"), "G")).head()
+      .isNullAt(0))
+    intercept[IllegalArgumentException] {
+      graft.functions.NetFormat.parse("0.0;0.0;0.0;0.0") // 4 sections
+    }
+  }
+
   test("formatNet extended surface: scientific, percent, masks, dates") {
     val df = Seq((1052.0329112756, 0.50125, 1234.5, 1.5))
       .toDF("sci", "pct", "grp", "opt")
