@@ -1028,11 +1028,22 @@ final class GraftDatabase private (
       s"updateMany('$n0'): scanned hit files no longer in the " +
         "committed binding (interleaved rewrite?) — retry")
     val hitPk = hits.select(col("_graft_hit_pk"))
-    def remark(df: DataFrame): DataFrame = df
-      .join(hitPk.withColumn("_graft_hit", lit(true)),
-        df(tdef.pk) === hitPk("_graft_hit_pk"), "left")
-      .withColumn("_graft_hit", coalesce(col("_graft_hit"), lit(false)))
-      .drop("_graft_hit_pk")
+    // DETERMINISTIC predicates re-evaluate on the hit-file scan — a
+    // narrow per-file map that PRESERVES each rewritten file's row
+    // layout (a pk join would shuffle rows across file boundaries and
+    // silently destroy range/z-order clustering). Nondeterministic
+    // predicates must instead pin to the checkpointed hit set via the
+    // join — the one row set the count already reported.
+    val deterministic =
+      org.apache.spark.sql.graft.ExprShim.expression(predicate).deterministic
+    def remark(df: DataFrame): DataFrame =
+      if (deterministic)
+        df.withColumn("_graft_hit", coalesce(predicate, lit(false)))
+      else df
+        .join(hitPk.withColumn("_graft_hit", lit(true)),
+          df(tdef.pk) === hitPk("_graft_hit_pk"), "left")
+        .withColumn("_graft_hit", coalesce(col("_graft_hit"), lit(false)))
+        .drop("_graft_hit_pk")
     val hitScan = remark(txlog.readFilesMasked(snapNow, n0, hitRel))
     val touchedRows = ConstrainedDml.updateWhere(
       hitScan, col("_graft_hit"), set).drop("_graft_hit")

@@ -221,6 +221,18 @@ class StatsPruneRuleSpec extends AnyFunSuite {
       s"decimal range must prune: ${out.inputFiles.length} of $n")
   }
 
+  test("updateMany preserves the rewritten files' clustered layout: " +
+      "range pruning stays sharp after a half-table update") {
+    val db = freshDb("prune_um")
+    val n = seed(db) // 0..999 range-clustered into 8 files on k
+    db.updateMany("m", col("k") < 500, Map("grp" -> (col("grp") + 1)))
+    val out = db.table("m").filter(col("k").between(0L, 120L))
+    assert(out.count() == 121)
+    assert(out.inputFiles.length <= math.max(1, n / 4),
+      s"a deterministic-predicate rewrite must not shuffle rows across " +
+        s"file boundaries: scanned ${out.inputFiles.length} of $n")
+  }
+
   test("registry covers() is component-wise: root /x/db1 does not claim " +
       "sibling /x/db10 scans") {
     val base = java.nio.file.Files.createTempDirectory("graft_prune_cov")
