@@ -534,16 +534,7 @@ final class GraftDatabase private (
       // I/O is churn-file bytes, never a whole-replica semi-join scan
       // (at 100 TB the difference between "read the touched 128 MB"
       // and "rescan the table per batch")
-      val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
-      val allRel = snapNow.tables.getOrElse(n, Vector.empty)
-      val hitRel = allRel.filter(r =>
-        hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
-      // every scanned hit file must map into the snapshot binding — an
-      // interleaved rewrite would also fail the commit's conflict
-      // check, but a silent partial staging must be impossible
-      require(hitRel.size == hitAbs.size,
-        s"applyChanges('$n'): scanned hit files no longer in the " +
-          "committed binding (interleaved rewrite?) — retry")
+      val hitRel = hitRelOf(snapNow, n, hitRaw, s"applyChanges('$n')")
       val touched =
         if (hitRel.isEmpty) ins // pure append
         else txlog.readFilesMasked(snapNow, n, hitRel)
@@ -1020,22 +1011,24 @@ final class GraftDatabase private (
     // table's files reads and rewrites 1%, never a whole-table
     // semi-join scan.
     val hitRaw = perFile.map(_.getString(0)).filter(_.nonEmpty)
-    val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
-    val allRel = snapNow.tables.getOrElse(n0, Vector.empty)
-    val hitRel = allRel.filter(r =>
-      hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
-    require(hitRel.size == hitAbs.size,
-      s"updateMany('$n0'): scanned hit files no longer in the " +
-        "committed binding (interleaved rewrite?) — retry")
+    val hitRel = hitRelOf(snapNow, n0, hitRaw, s"updateMany('$n0')")
     val hitPk = hits.select(col("_graft_hit_pk"))
     // DETERMINISTIC predicates re-evaluate on the hit-file scan — a
     // narrow per-file map that PRESERVES each rewritten file's row
     // layout (a pk join would shuffle rows across file boundaries and
-    // silently destroy range/z-order clustering). Nondeterministic
-    // predicates must instead pin to the checkpointed hit set via the
-    // join — the one row set the count already reported.
-    val deterministic =
-      org.apache.spark.sql.graft.ExprShim.expression(predicate).deterministic
+    // silently destroy range/z-order clustering). Nondeterministic AND
+    // time-dependent predicates (current_timestamp/date report
+    // deterministic=true but re-stamp per EXECUTION) must instead pin
+    // to the checkpointed hit set via the join — the one row set the
+    // count already reported.
+    val predExpr = org.apache.spark.sql.graft.ExprShim.expression(predicate)
+    val deterministic = predExpr.deterministic && !predExpr.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestamp => true
+      case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
+      case _: org.apache.spark.sql.catalyst.expressions.Now => true
+      case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+      case _ => false
+    }
     def remark(df: DataFrame): DataFrame =
       if (deterministic)
         df.withColumn("_graft_hit", coalesce(predicate, lit(false)))
@@ -1312,6 +1305,23 @@ final class GraftDatabase private (
 
   private def clearClusterMeta(name: String): Unit =
     Files.deleteIfExists(Paths.get(s"$tablesDir/.${norm(name)}_cluster"))
+
+  /** Map a scan's ABSOLUTE hit-file URIs (input_file_name form) back to
+    * the snapshot's root-relative binding entries, refusing loudly when
+    * any scanned file no longer maps — an interleaved rewrite would
+    * also fail the commit's conflict check, but a silent partial
+    * staging must be impossible. Shared by the hit-file DML paths.
+    */
+  private def hitRelOf(snap: TxLog.Snapshot, table: String,
+      hitRaw: Array[String], what: String): Seq[String] = {
+    val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
+    val hitRel = snap.tables.getOrElse(table, Vector.empty).filter(r =>
+      hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+    require(hitRel.size == hitAbs.size,
+      s"$what: scanned hit files no longer in the committed binding " +
+        "(interleaved rewrite?) — retry")
+    hitRel
+  }
 
   private def parentsOf(tdef: TableDef): Map[String, DataFrame] =
     tdef.fks.map(fk => fk.parentTable -> table(fk.parentTable)).toMap

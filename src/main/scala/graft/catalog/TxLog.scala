@@ -356,9 +356,15 @@ final class TxLog(spark: SparkSession, root: String,
     val plain =
       if (plainRel.isEmpty) None else Some(mark(readFiles(plainRel, schemaJson)))
     // staged data files are always root-relative Tables/<t>/<dir>/<part>
-    // (4 components) — the suffix identity the single-scan path keys on;
-    // anything else (never produced by stage()) takes the per-file path
-    val suffixSafe = maskedRel.forall(_.split('/').length == 4)
+    // (4 components) — the suffix identity the single-scan path keys
+    // on. The scan side derives its key from input_file_name()'s URI,
+    // which URL-ENCODES exotic characters, so the key equality also
+    // requires every path char to be URI-verbatim; anything else (an
+    // exotic table name, a foreign layout) takes the per-file path —
+    // always correct, just wider plans
+    val suffixSafe = maskedRel.forall(r =>
+      r.split('/').length == 4 && r.forall(ch =>
+        ch.isLetterOrDigit && ch < 128 || "._-/".contains(ch)))
     val masked: DataFrame =
       if (maskedRel.size <= TxLog.DvPerFileJoinMax || !suffixSafe)
         maskedRel.map { f =>

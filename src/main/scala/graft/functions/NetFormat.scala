@@ -65,7 +65,10 @@ object NetFormat {
         fixed(v.multiply(new JBD(100)), digits.getOrElse(2),
           grouped = true) + " %"
       case 'X' | 'x' =>
-        val h = java.lang.Long.toHexString(v.longValueExact())
+        // fractional inputs round first (a raw longValueExact would
+        // throw inside a TASK, violating the fail-at-plan contract)
+        val h = java.lang.Long.toHexString(
+          v.setScale(0, RoundingMode.HALF_UP).longValueExact())
         val w = digits.getOrElse(1)
         val padded = ("0" * math.max(0, w - h.length)) + h
         if (spec == 'X') padded.toUpperCase else padded

@@ -109,13 +109,28 @@ object RefFunctions {
     */
   def formatNet(c: Column, fmt: String): Column = fmt match {
     case f if f.matches("[Dd]\\d+") =>
-      lpad(c.cast("long").cast("string"), f.substring(1).toInt, "0")
+      // .NET D<n>: n MINIMUM digits, never truncating, sign BEFORE the
+      // zero padding (lpad would truncate long values and misplace the
+      // minus); Java's %0<w>d width counts the sign, so negatives pad
+      // one wider to keep n digits
+      val w = f.substring(1).toInt
+      val l = c.cast("long")
+      when(l < 0, format_string(s"%0${w + 1}d", l))
+        .otherwise(format_string(s"%0${w}d", l))
     case f if f.matches("[Nn]\\d+") =>
       format_number(c.cast("double"), f.substring(1).toInt)
     case f if f.matches("[Ff]\\d+") =>
       format_string(s"%.${f.substring(1).toInt}f", c.cast("double"))
     case "X" => upper(hex(c.cast("long")))
     case "x" => lower(hex(c.cast("long")))
+    case f if f.matches("[Xx]\\d+") =>
+      // X<n>: hex zero-padded to a MINIMUM of n digits (lpad alone
+      // would truncate longer values) — pinned here so integers keep
+      // full 64-bit precision (the general fallback is double-typed)
+      val w = math.max(f.substring(1).toInt, 1)
+      val h = hex(c.cast("long"))
+      val padded = when(length(h) < w, lpad(h, w, "0")).otherwise(h)
+      if (f.charAt(0) == 'X') upper(padded) else lower(padded)
     case f if f.matches("[Ee]\\d*") =>
       // .NET scientific: default 6 decimals, exponent sign + >= 3 digits
       // (1.052033E+003); Java %E emits 2 exponent digits, so pad

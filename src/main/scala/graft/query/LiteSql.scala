@@ -1155,7 +1155,11 @@ final class LiteSql(
       val df = a.tableAtTime(t, ms).getOrElse(
         throw new IllegalArgumentException(
           s"table '$t' does not exist as of '$litS'"))
-      val view = s"${t}__tasof_${math.abs(litS.hashCode).toString}"
+      // view keyed by the RESOLVED epoch millis (hex — always a valid
+      // identifier): distinct literals naming the same instant share a
+      // snapshot harmlessly; string-hash collisions would silently
+      // alias DIFFERENT snapshots
+      val view = s"${t}__tasof_${java.lang.Long.toHexString(ms)}"
       collation.collate(df).createOrReplaceTempView(view)
       s"$kw $view"
     })
@@ -1247,7 +1251,10 @@ object LiteSql {
         while (j < sql.length && identChar(sql.charAt(j))) j += 1
         val name = sql.substring(i + 1, j)
         val bound: Option[Any] =
-          if (name.forall(_.isDigit) && name.toInt < positional.length)
+          // length-guarded: an all-digit token past Int range must pass
+          // through unbound, never throw in toInt
+          if (name.length <= 9 && name.forall(_.isDigit) &&
+              name.toInt < positional.length)
             Some(positional(name.toInt))
           else named.get(name)
         bound match {

@@ -16,6 +16,15 @@ import graft.catalog.GraftDatabase
   */
 final case class VersionOffset(version: Long) extends Offset {
   override def json: String = version.toString
+  // the v1 Offset contract compares offsets by their JSON form — a
+  // restart hands back SerializedOffset(json), and the synthesized
+  // case-class equals would call it unequal to a fresh VersionOffset
+  // of the SAME version, triggering a spurious empty batch per restart
+  override def equals(o: Any): Boolean = o match {
+    case other: Offset => other.json == json
+    case _ => false
+  }
+  override def hashCode(): Int = json.hashCode
 }
 
 /** The change feed as a FIRST-CLASS `spark.readStream` source — the

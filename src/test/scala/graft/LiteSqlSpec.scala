@@ -449,5 +449,8 @@ class LiteSqlSpec extends AnyFunSuite {
     // GROUP BY @key alias is never mistaken for a parameter)
     assert(LiteSql.bindParams("GROUP BY @key HAVING n > @9",
       Seq(1), Map.empty) == "GROUP BY @key HAVING n > @9")
+    // an all-digit token past Int range passes through, never throws
+    assert(LiteSql.bindParams("WHERE k = @12345678901", Seq(1), Map.empty)
+      == "WHERE k = @12345678901")
   }
 }

@@ -102,6 +102,17 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(row.getString(2) == "1234.6")
     assert(row.getString(3) == "2A")
     assert(row.getString(4) == "1234.57")
+    // D/X are MINIMUM widths (never truncate) and the sign precedes
+    // the zero padding, as in .NET
+    val widths = Seq((12345L, -42L, 1048575L)).toDF("big", "neg", "hex")
+      .select(formatNet($"big", "D3").as("d3"),
+        formatNet($"neg", "D4").as("dneg"),
+        formatNet($"hex", "X4").as("xbig"),
+        formatNet(lit(255L), "X4").as("xpad")).head()
+    assert(widths.getString(0) == "12345")
+    assert(widths.getString(1) == "-0042")
+    assert(widths.getString(2) == "FFFFF")
+    assert(widths.getString(3) == "00FF")
   }
 
   test("formatNet accepts time-only date patterns") {

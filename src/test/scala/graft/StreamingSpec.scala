@@ -454,6 +454,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally svc.shutdown()
   }
 
+  test("VersionOffset equals a checkpoint-restored SerializedOffset of " +
+      "the same version (no spurious restart batches)") {
+    import graft.streaming.VersionOffset
+    import org.apache.spark.sql.execution.streaming.SerializedOffset
+    assert(VersionOffset(5L) == SerializedOffset("5"))
+    assert(VersionOffset(5L).hashCode == SerializedOffset("5").json.hashCode)
+    assert(VersionOffset(5L) != SerializedOffset("6"))
+  }
+
+  test("updateMany with a time-dependent predicate pins ONE row set: " +
+      "the reported count matches the rows actually updated") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val db = GraftDatabase(spark, "tdep",
+      Files.createTempDirectory("graft_tdep").toString)
+    db.defineTable(TableDef("t", "id"))
+    val now = java.time.Instant.now()
+    db.insert("t", (1 to 100).map { i =>
+      // half in the past, half a day in the future
+      val t0 = if (i % 2 == 0) now.minusSeconds(3600) else now.plusSeconds(86400)
+      (i.toLong, java.sql.Timestamp.from(t0), 0L)
+    }.toDF("id", "ts", "v"))
+    val n = db.updateMany("t", col("ts") < current_timestamp(),
+      Map("v" -> lit(1L)))
+    assert(n == 50)
+    assert(db.table("t").filter(col("v") === 1L).count() == n,
+      "the rewrite must update exactly the counted row set")
+  }
+
   test("graft-changes readStream source: windowed aggregate over the " +
       "change feed, exactly-once offsets across restart") {
     import graft.catalog.GraftDatabase
