@@ -188,6 +188,12 @@ final class GraftDatabase private (
   def commitTimeOf(v: Long): Option[java.time.Instant] =
     txlog.commitTimeAt(v).map(java.time.Instant.ofEpochMilli)
 
+  /** The latest version committed at or before `ts` (see
+    * [[TxLog.versionAtTime]] for skew/retention semantics).
+    */
+  def versionAt(ts: java.time.Instant): Long =
+    txlog.versionAtTime(ts.toEpochMilli)
+
   /** Commit history (version, action, target, n_files) — the
     * lakehouse DESCRIBE-HISTORY twin, also served as `system("$log")`.
     */

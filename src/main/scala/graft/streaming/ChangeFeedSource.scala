@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.catalog.GraftDatabase
@@ -54,7 +54,7 @@ final case class VersionOffset(version: Long) extends Offset {
   *     pinned columns — restart the query to pick up new ones
   */
 final class ChangeFeedSource(db: GraftDatabase, table: String,
-    pinned: StructType, ctx: SQLContext) extends Source {
+    pinned: StructType, ctx: SQLContext, startVersion: Long) extends Source {
 
   override def schema: StructType = pinned
 
@@ -64,7 +64,7 @@ final class ChangeFeedSource(db: GraftDatabase, table: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(0L)
+    val from = start.map(ver).getOrElse(startVersion)
     val batch = db.changes(table, from, ver(end))
       .select(pinned.fieldNames.map(col).toSeq: _*)
     // the engine asserts isStreaming on the returned frame
@@ -77,12 +77,32 @@ final class ChangeFeedSource(db: GraftDatabase, table: String,
   override def stop(): Unit = ()
 }
 
-/** `readStream.format("graft-changes")` provider. Options: `baseDir` +
-  * `name` (the database), `table`, optional `password` (file-at-rest
-  * encryption).
+/** `format("graft-changes")` provider — BOTH directions of the feed.
+  *
+  * As a SOURCE (`readStream`): options `baseDir` + `name` (the
+  * database), `table`, optional `password` (file-at-rest encryption),
+  * and optionally ONE of:
+  *   - `startingVersion` — the first batch carries changes committed
+  *     AFTER this version (the cursor convention; 0 = bootstrap the
+  *     full snapshot as inserts, the default)
+  *   - `startingTimestamp` — resolved to a version through the commit
+  *     stamps (TIMESTAMP AS OF semantics: skew-monotonized, refuses
+  *     below retention)
+  *
+  * As a SINK (`writeStream`): the EXACTLY-ONCE landing half — each
+  * micro-batch applies through the idempotence ledger
+  * ([[GraftDatabase.applyChanges]] with (appId, batchId) Txn markers),
+  * so an at-least-once redelivered batch commits at most once, across
+  * restarts AND across processes. Options as above plus `appId`
+  * (stable writer identity, default `stream-<table>`) and `sinkMode`:
+  *   - `cdc` (default when the frame carries `_change_type`): rows
+  *     apply as inserts/deletes — pipe a graft-changes SOURCE straight
+  *     in and two databases replicate with ordinary Spark streaming
+  *   - `append`: every row lands as an insert (PK-validated)
   */
 final class ChangeFeedSourceProvider
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-changes"
 
@@ -98,8 +118,28 @@ final class ChangeFeedSourceProvider
       params: Map[String, String]): Source = {
     val db = open(ctx, params)
     val t = tableOf(params)
+    require(!(params.contains("startingVersion") &&
+      params.contains("startingTimestamp")),
+      "graft-changes: give startingVersion OR startingTimestamp, not both")
+    val startV = params.get("startingVersion").map(_.trim.toLong)
+      .orElse(params.get("startingTimestamp").map(ts =>
+        db.versionAt(java.time.Instant.ofEpochMilli(
+          graft.query.LiteSql.parseTsLiteralMs(ts,
+            ctx.sparkSession.sessionState.conf.sessionLocalTimeZone)))))
+      .getOrElse(0L)
     new ChangeFeedSource(db, t, schema.getOrElse(
-      ChangeFeedSourceProvider.feedSchema(db, t)), ctx)
+      ChangeFeedSourceProvider.feedSchema(db, t)), ctx, startV)
+  }
+
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val db = open(ctx, params)
+    val t = tableOf(params)
+    new GraftTableSink(db, t,
+      params.get("sinkMode"),
+      params.getOrElse("appId", s"stream-$t"))
   }
 
   private def tableOf(params: Map[String, String]): String =
@@ -113,6 +153,39 @@ final class ChangeFeedSourceProvider
     GraftDatabase(ctx.sparkSession, req("name"), req("baseDir"),
       graft.core.Collation.Binary, params.get("password"))
   }
+}
+
+/** The exactly-once micro-batch writer: every batch routes through
+  * [[GraftDatabase.applyChanges]], whose (appId, batchId) ledger makes
+  * redelivery a no-op — the same Txn-marker contract the replicator
+  * uses, now reachable as plain `writeStream.format("graft-changes")`.
+  */
+final class GraftTableSink(db: GraftDatabase, table: String,
+    sinkMode: Option[String], appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data0: DataFrame): Unit = {
+    // the engine hands a streaming-flagged frame; the DML paths run
+    // ordinary batch actions over it (ForeachBatchSink does the same)
+    val data = org.apache.spark.sql.graft.StreamingShim.asBatch(data0)
+    val cdc = sinkMode match {
+      case Some("cdc") => true
+      case Some("append") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-changes sinkMode must be cdc|append, got '$other'")
+      case None => data.columns.contains("_change_type")
+    }
+    val feed =
+      if (cdc) {
+        require(data.columns.contains("_change_type"),
+          "graft-changes cdc sink needs a _change_type column")
+        data
+      } else data.withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("insert"))
+    db.applyChanges(table, feed, appId, batchId)
+  }
+
+  override def toString: String = s"GraftTableSink($table)"
 }
 
 object ChangeFeedSourceProvider {

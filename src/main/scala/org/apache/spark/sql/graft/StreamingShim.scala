@@ -18,6 +18,17 @@ object StreamingShim {
     session.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 `Sink.addBatch`: the engine hands the batch
+    * as a STREAMING-flagged frame, which refuses ordinary batch
+    * actions — re-wrap it exactly the way ForeachBatchSink does.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    session.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
 
 /** Column ↔ Expression bridging (`classic.ExpressionUtils` is

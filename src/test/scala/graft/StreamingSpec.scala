@@ -483,6 +483,81 @@ class StreamingSpec extends AnyFunSuite {
       "the rewrite must update exactly the counted row set")
   }
 
+  test("end-to-end streaming replication: readStream(graft-changes) -> " +
+      "writeStream(graft-changes) with exactly-once batches") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val srcBase = Files.createTempDirectory("graft_rep_src").toString
+    val dstBase = Files.createTempDirectory("graft_rep_dst").toString
+    val ckpt = Files.createTempDirectory("graft_rep_ckpt").toString
+    val src = GraftDatabase(spark, "srcdb", srcBase)
+    val dst = GraftDatabase(spark, "dstdb", dstBase)
+    src.defineTable(TableDef("ev", "id"))
+    dst.defineTable(TableDef("ev", "id"))
+    src.insert("ev", (1 to 50).map(i => (i.toLong, i * 10L)).toDF("id", "v"))
+
+    def start() = spark.readStream.format("graft-changes")
+      .option("baseDir", srcBase).option("name", "srcdb")
+      .option("table", "ev").load()
+      .writeStream.format("graft-changes")
+      .option("baseDir", dstBase).option("name", "dstdb")
+      .option("table", "ev").option("appId", "rep1")
+      .option("checkpointLocation", ckpt)
+      .start()
+    def mirrored(): Boolean = dst.table("ev").withColumn("_s", lit(1L))
+      .unionByName(src.table("ev").withColumn("_s", lit(-1L)))
+      .groupBy(col("id"), col("v")).agg(sum(col("_s")).as("n"))
+      .filter(col("n") =!= 0L).isEmpty
+
+    val q = start()
+    q.processAllAvailable()
+    assert(mirrored(), "bootstrap snapshot must replicate")
+    // live churn: update + delete + insert flow through as CDC rows
+    src.updateMany("ev", col("id") <= 5, Map("v" -> lit(0L)))
+    src.delete("ev", col("id") === 50L)
+    src.insert("ev", Seq((51L, 510L)).toDF("id", "v"))
+    q.processAllAvailable()
+    assert(mirrored(), "live churn must replicate exactly")
+    q.stop()
+    // commits while the stream is DOWN, then restart from the same
+    // checkpoint: only the missed versions apply, exactly once
+    src.insert("ev", Seq((52L, 520L)).toDF("id", "v"))
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(mirrored(), "restart must resume and converge exactly once")
+    q2.stop()
+    assert(dst.table("ev").count() == 51) // 50 - 1 + 2
+  }
+
+  test("startingVersion / startingTimestamp begin the feed mid-history") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val base = Files.createTempDirectory("graft_startv").toString
+    val db = GraftDatabase(spark, "startv", base)
+    db.defineTable(TableDef("ev", "id"))
+    db.insert("ev", Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val v1 = db.settledLogVersion
+    val t1 = db.commitTimeOf(v1).get
+    while (System.currentTimeMillis <= t1.toEpochMilli) Thread.sleep(1)
+    db.insert("ev", Seq((3L, 30L)).toDF("id", "v"))
+    def run(opts: Map[String, String], name: String): Set[Long] = {
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "startv")
+        .option("table", "ev").options(opts).load()
+        .filter(col("_change_type") === "insert")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(run(Map("startingVersion" -> v1.toString), "sv_out")
+      == Set(3L), "startingVersion=v1 must skip the bootstrap")
+    assert(run(Map("startingTimestamp" -> t1.toString), "st_out")
+      == Set(3L), "startingTimestamp at v1's stamp resolves to v1")
+    assert(run(Map.empty, "sv_all") == Set(1L, 2L, 3L),
+      "default still bootstraps the full snapshot")
+  }
+
   test("graft-changes readStream source: windowed aggregate over the " +
       "change feed, exactly-once offsets across restart") {
     import graft.catalog.GraftDatabase
