@@ -651,29 +651,37 @@ final class GraftDatabase private (
   def optimizeZorder(name: String, zorderBy: Seq[String],
       targetBytes: Long = 128L << 20): (Int, Int) = {
     requireNotRetired(); requireNoOpenTx()
-    require(zorderBy.size == 2,
-      s"optimizeZorder takes exactly two columns (Morton interleave), " +
+    require(zorderBy.size >= 2 && zorderBy.size <= 4,
+      s"optimizeZorder takes 2-4 columns (Morton interleave), " +
         s"got ${zorderBy.mkString(", ")}")
     val n = norm(name)
     val snap = txlog.snapshot()
     val files = snap.tables.getOrElse(n, throw new IllegalArgumentException(
       s"table '$n' does not exist (no committed data)"))
     val df = txlog.readFilesMasked(snap, n, files)
-    val Seq(a, b) = zorderBy.map(c => col(c).cast("double"))
+    val cs = zorderBy.map(c => col(c).cast("double"))
+    val gridBits = math.min(16, 62 / cs.size)
     // per-column bounds for the grid normalization (one aggregate)
     val bounds = df.agg(
-      org.apache.spark.sql.functions.min(a), org.apache.spark.sql.functions.max(a),
-      org.apache.spark.sql.functions.min(b), org.apache.spark.sql.functions.max(b)).head()
+      org.apache.spark.sql.functions.min(cs.head),
+      cs.tail.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(c),
+        org.apache.spark.sql.functions.max(c))) :+
+        org.apache.spark.sql.functions.max(cs.head): _*).head()
     def grid(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
       val span = if (hi > lo) hi - lo else 1.0
-      least(lit((1 << 16) - 1), greatest(lit(0),
-        ((c - lit(lo)) / lit(span) * lit((1 << 16) - 1)).cast("long")))
+      least(lit((1 << gridBits) - 1), greatest(lit(0),
+        ((c - lit(lo)) / lit(span) * lit((1 << gridBits) - 1)).cast("long")))
     }
+    // bounds row layout: min(c0), [min(c1), max(c1), ...], max(c0)
+    def loOf(i: Int) = if (i == 0) 0 else 2 * i - 1
+    def hiOf(i: Int) = if (i == 0) bounds.length - 1 else 2 * i
     val z =
       if (bounds.anyNull) lit(0L) // empty table / all-null columns
-      else graft.core.Layout.zValue(
-        grid(a, bounds.getDouble(0), bounds.getDouble(1)),
-        grid(b, bounds.getDouble(2), bounds.getDouble(3)), bits = 16)
+      else graft.core.Layout.zValueN(
+        cs.zipWithIndex.map { case (c, i) =>
+          grid(c, bounds.getDouble(loOf(i)), bounds.getDouble(hiOf(i)))
+        }, bits = gridBits)
     // a clustering rewrite may legitimately RAISE the file count (finer
     // z-ranges = sharper boxes); only a runaway target is capped
     val bytes = files.map(r => Files.size(Paths.get(s"$root/$r"))).sum
@@ -2080,6 +2088,11 @@ final class GraftDatabase private (
           org.apache.spark.sql.types.DataType.fromDDL(ddlType))
       def restoreCollection(name: String, version: Long): Unit =
         db.restore(name, version)
+      def vacuumStore(keepVersions: Option[Int],
+          minAgeMs: Option[Long]): Int =
+        db.vacuum(keepVersions.getOrElse(2),
+          minAgeMs.getOrElse(15L * 60 * 1000)).size
+      def historyFrame: DataFrame = db.history
     }
 
   /** Run a LiteDB-dialect SQL statement ($-paths, INCLUDE, GROUP BY

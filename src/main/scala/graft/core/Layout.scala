@@ -102,6 +102,34 @@ object Layout {
     }
   }
 
+  /** k-dimensional Morton interleave (2 ≤ k ≤ 4): bit j of dimension d
+    * lands at position j*k + d, so the curve recurses through
+    * 2^k-cell hypercubes — each output file's [min, max] box stays
+    * tight in EVERY clustered column. Per-dimension resolution shrinks
+    * with k (floor(62/k) capped at 16 bits): at 4 columns that is
+    * 15 bits ≈ 32k grid cells per dimension, far finer than any
+    * realistic file count. NULL and out-of-range values behave as in
+    * [[zValue]] (clamp, never wrap).
+    */
+  def zValueN(cols: Seq[org.apache.spark.sql.Column],
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zValueN takes 2-4 columns, got ${cols.size}")
+    val k = cols.size
+    val b = math.min(bits, 62 / k)
+    def clamp(c: org.apache.spark.sql.Column) = {
+      val v = c.cast("long")
+      when(v.isNotNull, least(greatest(v, lit(0L)), lit((1L << b) - 1)))
+    }
+    val cs = cols.map(clamp)
+    (0 until b).foldLeft(lit(0L)) { (acc, i) =>
+      cs.zipWithIndex.foldLeft(acc) { case (a2, (c, d)) =>
+        a2 + shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + d)
+      }
+    }
+  }
+
   /** Write z-ordered on two dimensions: range-partition + sort by the
     * Morton key so each output file covers a small rectangle of
     * (aCol, bCol) space — point/range predicates on EITHER column then

@@ -98,7 +98,7 @@ final class LiteSql(
     * returns a 1-row `result` boolean like BsonDataReader(result).
     */
   def execute(liteSql: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, lower, when}
     import spark.implicits._
     // whitespace is collapsed OUTSIDE quotes only — a quoted literal's
     // tabs/double spaces are data, not syntax
@@ -355,6 +355,35 @@ final class LiteSql(
         val a = admin.getOrElse(throw new UnsupportedOperationException(
           s"$kw needs a database-backed engine (GraftDatabase.sql)"))
         Seq(a.checkpoint().size.toLong).toDF("n_affected")
+      case "VACUUM" =>
+        // VACUUM [RETAIN n VERSIONS] [RETAIN h HOURS] — reclaim files
+        // no retained version references (the lakehouse GC; dialect
+        // extension). VERSIONS bounds the kept history depth; HOURS
+        // overrides the in-flight age grace (RETAIN 0 HOURS = reclaim
+        // immediately, the Delta-style test/maintenance knob). Returns
+        // the number of reclaimed paths.
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          "VACUUM needs a database-backed engine (GraftDatabase.sql)"))
+        val keep = "(?i)\\bRETAIN\\s+(\\d+)\\s+VERSIONS?\\b".r
+          .findFirstMatchIn(sql).map(_.group(1).toInt)
+        val hours = "(?i)\\bRETAIN\\s+(\\d+)\\s+HOURS?\\b".r
+          .findFirstMatchIn(sql).map(_.group(1).toLong * 3600L * 1000L)
+        Seq(a.vacuumStore(keep, hours).toLong).toDF("n_affected")
+      case "DESCRIBE" =>
+        // DESCRIBE HISTORY [collection] — the commit log as a result
+        // set (version, action, target, n_files), optionally filtered
+        // to one collection's actions (the lakehouse DESCRIBE HISTORY).
+        val dm = "(?i)^DESCRIBE\\s+HISTORY(?:\\s+(\\w+))?\\s*;?$".r
+          .findFirstMatchIn(sql).getOrElse(
+            throw new IllegalArgumentException(
+              s"expected DESCRIBE HISTORY [collection]: $sql"))
+        val a = admin.getOrElse(throw new UnsupportedOperationException(
+          "DESCRIBE HISTORY needs a database-backed engine"))
+        val h = a.historyFrame
+        Option(dm.group(1)).map(_.toLowerCase)
+          .fold(h)(t => h.filter(
+            lower(col("target")).startsWith(t) ||
+              lower(col("target")).contains(s"->$t")))
       case "BEGIN" | "COMMIT" | "ROLLBACK" =>
         // BEGIN/COMMIT/ROLLBACK [TRANS|TRANSACTION] (SqlParser.cs:32-41
         // → LiteEngine.BeginTrans/Commit/Rollback): statements between
@@ -372,19 +401,19 @@ final class LiteSql(
         }
         Seq(ok).toDF("result")
       case "OPTIMIZE" =>
-        // OPTIMIZE {collection} [ZORDER BY (a, b)] — bin-pack the
-        // table's small files into right-sized ones, or rewrite the
-        // whole table clustered on the Morton interleave of two
+        // OPTIMIZE {collection} [ZORDER BY (a, b[, c[, d]])] — bin-pack
+        // the table's small files into right-sized ones, or rewrite the
+        // whole table clustered on the Morton interleave of 2-4
         // columns (dialect extension; the store-level analog of the
         // reference's REBUILD, but file-granular and non-blocking)
         val a = admin.getOrElse(throw new UnsupportedOperationException(
           "OPTIMIZE needs a database-backed engine (GraftDatabase.sql)"))
         val zm = ("(?i)^OPTIMIZE (\\w+)\\s+ZORDER\\s+BY\\s*" +
-          "\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)\\s*;?$").r
+          "\\(([\\w\\s,]+)\\)\\s*;?$").r
           .findFirstMatchIn(sql)
         val (b, after) = zm match {
           case Some(z) => a.optimizeZorderCollection(z.group(1).toLowerCase,
-            Seq(z.group(2), z.group(3)))
+            z.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           case None =>
             val m = "(?i)^OPTIMIZE (\\w+)\\s*;?$".r.findFirstMatchIn(sql)
               .getOrElse(throw new IllegalArgumentException(
@@ -1398,6 +1427,13 @@ object LiteSql {
     def addColumn(name: String, column: String, ddlType: String): Unit
     /** Metadata-only rollback to a committed version (a NEW commit). */
     def restoreCollection(name: String, version: Long): Unit
+    /** Reclaim files unreferenced by retained versions; returns the
+      * reclaimed path count. None = the store's defaults (version
+      * depth / in-flight age grace).
+      */
+    def vacuumStore(keepVersions: Option[Int], minAgeMs: Option[Long]): Int
+    /** The commit log as (version, action, target, n_files). */
+    def historyFrame: DataFrame
   }
 
   def apply(spark: SparkSession, sfDir: String): LiteSql =

@@ -43,6 +43,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows((255L, 255L)) == 65535L)
   }
 
+  test("zValueN: k-dim interleave matches zValue at k=2 bit-for-bit; " +
+      "3-dim golden cases pin the bit layout") {
+    import spark.implicits._
+    val two = Seq((5L, 3L), (255L, 0L), (7L, 7L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 8).as("z2"),
+        Layout.zValueN(Seq(col("a"), col("b")), 8).as("zn"))
+      .collect()
+    two.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      "zValueN(2 cols) must be the same curve as zValue"))
+    // 3-dim: bit j of dim d lands at j*3 + d.
+    // (1,0,0) -> bit0=1; (0,1,0) -> bit1=2; (0,0,1) -> bit2=4;
+    // (1,1,1) -> 7; (2,0,0) -> bit3 = 8
+    val three = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (2L, 0L, 0L)).toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), 8).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(three((1L, 0L, 0L)) == 1L)
+    assert(three((0L, 1L, 0L)) == 2L)
+    assert(three((0L, 0L, 1L)) == 4L)
+    assert(three((1L, 1L, 1L)) == 7L)
+    assert(three((2L, 0L, 0L)) == 8L)
+  }
+
   test("zValue saturates out-of-range values instead of wrapping") {
     import spark.implicits._
     val rows = Seq((256L, 0L), (100000L, -5L))
