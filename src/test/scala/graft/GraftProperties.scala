@@ -38,6 +38,37 @@ object GraftProperties extends Properties("graft") {
     decoded == distinctRows.toSet
   }
 
+  // bindParams: SQL text OUTSIDE bound tokens is byte-identical, and a
+  // bound string's rendered literal round-trips arbitrary content
+  // (quotes, backslashes, unicode) — the injection-safety invariant,
+  // driven through Spark's own parser
+  private val paramStrGen: Gen[String] = for {
+    n <- Gen.choose(0, 20)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      (5, Gen.alphaNumChar),
+      (2, Gen.oneOf('\'', '"', '\\', ';', '@', '$', ' ', '%')),
+      (1, Gen.oneOf('€', 'λ', '中'))))
+  } yield cs.mkString
+
+  property("bindParamsStringLiteralsRoundTripThroughSparkParser") =
+    Prop.forAll(paramStrGen) { s =>
+      val bound = graft.query.LiteSql.bindParams(
+        "SELECT @0 AS s", Seq(s), Map.empty)
+      bound.startsWith("SELECT ") && bound.endsWith(" AS s") && {
+        val got = spark.sql(bound).head.getString(0)
+        got == s
+      }
+    }
+
+  property("bindParamsLeavesUnboundTextByteIdentical") =
+    Prop.forAll(paramStrGen) { s =>
+      // no parameters supplied for tokens the SQL mentions: whatever
+      // the text is (inside or outside quotes), it passes through
+      val sql = s"SELECT c FROM t WHERE x = '$s' AND y = @9 GROUP BY @key"
+      graft.query.LiteSql.bindParams(sql, Nil, Map.empty) == sql &&
+        graft.query.LiteSql.bindParams(sql, Seq(1), Map.empty) == sql
+    }
+
   private val slotsGen: Gen[List[Option[String]]] =
     Gen.listOfN(17, Gen.option(Gen.identifier.map(_.take(6))))
 

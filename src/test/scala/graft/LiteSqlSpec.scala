@@ -150,8 +150,13 @@ class LiteSqlSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException](fresh.execute("ROLLBACK"))
     // malformed transaction statements are parse errors, not dispatches
     intercept[IllegalArgumentException](fresh.execute("BEGIN banana"))
+    // VACUUM / DESCRIBE HISTORY are real dispatches now — storage
+    // concerns, refused without a database-backed engine
+    intercept[UnsupportedOperationException](fresh.execute("VACUUM"))
+    intercept[UnsupportedOperationException](
+      fresh.execute("DESCRIBE HISTORY friend"))
     // anything else is still an unsupported command
-    intercept[IllegalArgumentException](fresh.execute("VACUUM friend"))
+    intercept[IllegalArgumentException](fresh.execute("SHRINK friend"))
   }
 
   test("INSERT creates an unknown collection lazily; UPDATE/DELETE on an " +
