@@ -787,21 +787,89 @@ final class GraftDatabase private (
     * dropping one never strands the other. The source's TableDef
     * (PK/constraints), if declared, carries over to the clone.
     */
-  def cloneCollection(src: String, dst: String): Long = {
+  def cloneCollection(src: String, dst: String): Long =
+    cloneCollection(src, dst, -1L)
+
+  /** Zero-copy shallow clone of `src`'s state AT a committed version
+    * (-1 = head): one metadata commit binding the source's files under
+    * the new name, CARRYING the source's stored schema (pinned reads —
+    * a clone of an ADD-COLUMN'd table must null-fill like the source),
+    * its per-file stats (data skipping works immediately), and its
+    * deletion-vector masks (without them the clone would RESURFACE
+    * DV-deleted rows). Historical clones guard the vacuum race exactly
+    * like [[restore]]: existence + mtime refresh before the commit,
+    * existence re-check after.
+    */
+  def cloneCollection(src: String, dst: String, version: Long): Long = {
     requireNotRetired(); requireNoOpenTx()
     val (s0, d0) = (norm(src), norm(dst))
     require(d0.matches("[a-z_][a-z0-9_]*"),
       s"invalid collection name '$dst' (letters/digits/underscore)")
-    val snap = txlog.snapshot()
-    val files = snap.tables.getOrElse(s0, throw new IllegalArgumentException(
-      s"table '$s0' does not exist (no committed data)"))
-    require(!snap.tables.contains(d0), s"cannot clone onto existing table '$d0'")
-    val v = txlog.commit(Seq(TxLog.Put(d0, files)),
-      readVersion = snap.version, readTables = Set(s0))
+    val head = txlog.snapshot()
+    require(!head.tables.contains(d0),
+      s"cannot clone onto existing table '$d0'")
+    val snapSrc =
+      if (version < 0) head
+      else {
+        require(version <= txlog.settledVersion,
+          s"clone($src, $dst, $version): version is beyond the " +
+            s"committed head (${txlog.settledVersion})")
+        require(txlog.resolvableAt(version),
+          s"clone($src, $dst, $version): version truncated by vacuum")
+        txlog.snapshotAt(version)
+      }
+    val files = snapSrc.tables.getOrElse(s0,
+      throw new IllegalArgumentException(
+        s"table '$s0' does not exist" +
+          (if (version >= 0) s" at version $version" else
+            " (no committed data)")))
+    val dvs = snapSrc.dvs.collect {
+      case ((t, f), dv) if t == s0 => f -> dv
+    }
+    if (version >= 0) {
+      val needed = files ++ dvs.values
+      val missing = needed.filterNot(r =>
+        Files.exists(Paths.get(s"$root/$r")))
+      require(missing.isEmpty,
+        s"clone($src, $dst, $version): ${missing.size} file(s) already " +
+          s"reclaimed by vacuum (first: ${missing.headOption.getOrElse("")})")
+      needed.foreach { r =>
+        try Files.setLastModifiedTime(Paths.get(s"$root/$r"),
+          java.nio.file.attribute.FileTime
+            .fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    val actions =
+      (TxLog.Put(d0, files) +:
+        snapSrc.schemas.get(s0).map(js => TxLog.Sch(d0, js)).toSeq) ++
+        files.flatMap(f =>
+          snapSrc.stats.get((s0, f)).map(js => TxLog.Sta(d0, f, js))) ++
+        dvs.toSeq.map { case (f, dv) => TxLog.Dvec(d0, f, dv) }
+    val v = txlog.commit(actions, readVersion = head.version,
+      readTables = Set(s0))
     defs.get(s0).foreach(td => defs += d0 -> td.copy(name = d0))
     invalidateSqlEngine()
+    if (version >= 0) {
+      val gone = (files ++ dvs.values).filterNot(r =>
+        Files.exists(Paths.get(s"$root/$r")))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"clone($src, $dst, $version): a concurrent vacuum reclaimed " +
+          s"${gone.size} cloned file(s) — re-clone a retained version")
+    }
     v
   }
+
+  /** [[cloneCollection]] at the latest version committed at or before
+    * `ts` (TIMESTAMP AS OF semantics).
+    */
+  def cloneCollectionAsOf(src: String, dst: String,
+      ts: java.time.Instant): Long =
+    cloneCollection(src, dst, txlog.versionAtTime(ts.toEpochMilli))
+
+  /** [[restore]] at the latest version committed at or before `ts`. */
+  def restoreAsOf(name: String, ts: java.time.Instant): Long =
+    restore(name, txlog.versionAtTime(ts.toEpochMilli))
 
   /** Idempotent batch append for streaming sinks: the (appId, batchId)
     * marker rides the commit, and a REPLAYED batch (stream restart,
@@ -2083,6 +2151,12 @@ final class GraftDatabase private (
       def cloneCollection(src: String, dst: String): Boolean = {
         db.cloneCollection(src, dst); true
       }
+      def cloneCollectionAt(src: String, dst: String,
+          version: Long): Boolean = {
+        db.cloneCollection(src, dst, version); true
+      }
+      def versionAtTime(epochMs: Long): Long =
+        db.versionAt(java.time.Instant.ofEpochMilli(epochMs))
       def addColumn(name: String, column: String, ddlType: String): Unit =
         db.addColumn(name, column,
           org.apache.spark.sql.types.DataType.fromDDL(ddlType))

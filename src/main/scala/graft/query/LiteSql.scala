@@ -435,27 +435,50 @@ final class LiteSql(
         a.addColumn(m.group(1).toLowerCase, m.group(2), m.group(3).trim)
         Seq(true).toDF("result")
       case "RESTORE" =>
-        // RESTORE {collection} TO VERSION {v} — metadata-only rollback
-        // (dialect extension): rebinds the historical file list as a
-        // NEW commit, so the undone states stay time-travelable
-        val m = "(?i)^RESTORE (\\w+) TO VERSION (\\d+)\\s*;?$".r
-          .findFirstMatchIn(sql).getOrElse(
-            throw new IllegalArgumentException(
-              s"bad RESTORE (expected RESTORE c TO VERSION v): $sql"))
+        // RESTORE {collection} TO VERSION {v} | TO TIMESTAMP AS OF
+        // '<ts>' — metadata-only rollback (dialect extension): rebinds
+        // the historical file list as a NEW commit, so the undone
+        // states stay time-travelable
         val a = admin.getOrElse(throw new UnsupportedOperationException(
           "RESTORE needs a database-backed engine (GraftDatabase.sql)"))
-        a.restoreCollection(m.group(1).toLowerCase, m.group(2).toLong)
+        val vm = "(?i)^RESTORE (\\w+) TO VERSION (\\d+)\\s*;?$".r
+          .findFirstMatchIn(sql)
+        val tm = ("(?i)^RESTORE (\\w+) TO TIMESTAMP\\s+AS\\s+OF\\s+" +
+          "'([^']+)'\\s*;?$").r.findFirstMatchIn(sql)
+        (vm, tm) match {
+          case (Some(m), _) =>
+            a.restoreCollection(m.group(1).toLowerCase, m.group(2).toLong)
+          case (_, Some(m)) =>
+            a.restoreCollection(m.group(1).toLowerCase,
+              a.versionAtTime(LiteSql.parseTsLiteralMs(m.group(2),
+                spark.sessionState.conf.sessionLocalTimeZone)))
+          case _ => throw new IllegalArgumentException(
+            "bad RESTORE (expected RESTORE c TO VERSION v | " +
+              s"TO TIMESTAMP AS OF 'ts'): $sql")
+        }
         Seq(true).toDF("result")
       case "CLONE" =>
-        // CLONE COLLECTION {src} TO {dst} — zero-copy shallow clone
-        // (dialect extension): one metadata-only commit, O(1) in data
-        val m = "(?i)^CLONE COLLECTION (\\w+) TO (\\w+)\\s*;?$".r
+        // CLONE COLLECTION {src} TO {dst} [VERSION AS OF v |
+        // TIMESTAMP AS OF '<ts>'] — zero-copy shallow clone (dialect
+        // extension): one metadata-only commit, O(1) in data; the
+        // historical forms clone the state AT that version/instant
+        val m = ("(?i)^CLONE COLLECTION (\\w+) TO (\\w+)" +
+          "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)" +
+          "|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?$").r
           .findFirstMatchIn(sql).getOrElse(
             throw new IllegalArgumentException(
-              s"bad CLONE (expected CLONE COLLECTION src TO dst): $sql"))
+              "bad CLONE (expected CLONE COLLECTION src TO dst " +
+                s"[VERSION AS OF v | TIMESTAMP AS OF 'ts']): $sql"))
         val a = admin.getOrElse(throw new UnsupportedOperationException(
           "CLONE needs a database-backed engine (GraftDatabase.sql)"))
-        val ok = a.cloneCollection(m.group(1).toLowerCase, m.group(2).toLowerCase)
+        val version: Long =
+          if (m.group(3) != null) m.group(3).toLong
+          else if (m.group(4) != null)
+            a.versionAtTime(LiteSql.parseTsLiteralMs(m.group(4),
+              spark.sessionState.conf.sessionLocalTimeZone))
+          else -1L
+        val ok = a.cloneCollectionAt(m.group(1).toLowerCase,
+          m.group(2).toLowerCase, version)
         Seq(ok).toDF("result")
       case other => throw new IllegalArgumentException(
         s"unsupported command $other")
@@ -1423,6 +1446,10 @@ object LiteSql {
         cols: Seq[String]): (Int, Int)
     /** Zero-copy shallow clone src → dst (metadata-only commit). */
     def cloneCollection(src: String, dst: String): Boolean
+    /** [[cloneCollection]] of the state AT a version (-1 = head). */
+    def cloneCollectionAt(src: String, dst: String, version: Long): Boolean
+    /** Latest version committed at or before the instant (epoch ms). */
+    def versionAtTime(epochMs: Long): Long
     /** Metadata-only ADD COLUMN; `ddlType` is a Spark DDL type name. */
     def addColumn(name: String, column: String, ddlType: String): Unit
     /** Metadata-only rollback to a committed version (a NEW commit). */

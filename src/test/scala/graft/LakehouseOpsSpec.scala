@@ -498,6 +498,51 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(db.clusterSpec("t").exists(_._2 == Seq("id", "v", "w")))
   }
 
+  test("clone carries the source's DV masks, stored schema, and stats " +
+      "(deleted rows must NOT resurface in the clone)") {
+    val db = freshDb()
+    db.insert("t", rows(200).repartitionByRange(2, col("id")))
+    db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
+    db.deleteVectorized("t", col("id") === 7)
+    db.cloneCollection("t", "c1")
+    assert(db.table("c1").count() == 199,
+      "the clone must inherit the DV mask, not resurface the delete")
+    assert(db.table("c1").filter(col("id") === 7).isEmpty)
+    assert(db.table("c1").columns.contains("score"),
+      "the clone must inherit the stored (ADD COLUMN) schema")
+    // stats came over: the clone prunes immediately (probe the range
+    // whose file carries no DV — a masked file's anti-join adds its
+    // sidecar to inputFiles)
+    assert(db.seek("c1", "id", 150, 160).inputFiles.length == 1)
+    // clone and source then diverge copy-on-write
+    db.insert("t", Seq((9001, 1L, "x")).toDF("id", "v", "name")
+      .withColumn("score", lit(0.5)))
+    assert(db.table("c1").count() == 199 && db.table("t").count() == 200)
+  }
+
+  test("CLONE at VERSION AS OF / TIMESTAMP AS OF binds the historical " +
+      "state under the new name") {
+    val db = freshDb()
+    db.insert("t", rows(10))
+    val v1 = db.logVersion
+    val t1 = db.commitTimeOf(v1).get
+    pastMs(t1)
+    db.delete("t", col("id") <= 4)
+    db.sql(s"CLONE COLLECTION t TO past VERSION AS OF $v1")
+    assert(db.table("past").count() == 10,
+      "the historical clone must carry v1's full state")
+    assert(db.table("t").count() == 6)
+    db.sql(s"CLONE COLLECTION t TO past_ts TIMESTAMP AS OF '$t1'")
+    assert(db.table("past_ts").count() == 10)
+    // RESTORE by timestamp: roll t itself back to the instant
+    db.sql(s"RESTORE t TO TIMESTAMP AS OF '$t1'")
+    assert(db.table("t").count() == 10)
+    // a pre-creation version refuses
+    intercept[Exception] {
+      db.cloneCollection("t", "never", 0L)
+    }
+  }
+
   test("SQL VACUUM and DESCRIBE HISTORY surface the store maintenance") {
     val db = freshDb()
     db.insert("t", rows(100))
