@@ -424,10 +424,44 @@ final class GraftDatabase private (
     // concurrent vacuum still reclaimed a file inside the window, say
     // so NOW instead of letting every later read throw mysteriously
     val gone = needed.filterNot(r => Files.exists(Paths.get(s"$root/$r")))
-    if (gone.nonEmpty) throw new IllegalStateException(
-      s"restore($name, $version): a concurrent vacuum reclaimed " +
-        s"${gone.size} restored file(s) — re-restore a retained version")
+    if (gone.nonEmpty) {
+      // roll the binding BACK to the pre-restore state before failing:
+      // leaving the name bound to reclaimed files would poison every
+      // later read, and the torn binding would survive the exception
+      val msg = s"restore($name, $version): a concurrent vacuum " +
+        s"reclaimed ${gone.size} restored file(s) — re-restore a " +
+        "retained version"
+      if (txlog.resolvableAt(base)) {
+        try {
+          txlog.commit(rebindActions(n, txlog.snapshotAt(base),
+            txlog.snapshot()))
+          invalidateSqlEngine()
+        } catch { case e: Exception => throw new IllegalStateException(
+          s"$msg (rollback to pre-restore v$base ALSO failed: " +
+            s"${e.getMessage})", e) }
+      }
+      throw new IllegalStateException(msg)
+    }
     v
+  }
+
+  /** Actions rebinding `n` to its state in `snapT`: the Put, the
+    * schema pin (when `snapT` had one), per-file stats, the version's
+    * DV masks — plus explicit mask REMOVALS for files that carry one
+    * at `headNow` but did not at `snapT` (Put does not clear dvs).
+    * Used by [[restore]]'s lost-vacuum-race rollback.
+    */
+  private def rebindActions(n: String, snapT: TxLog.Snapshot,
+      headNow: TxLog.Snapshot): Seq[TxLog.Action] = {
+    val files = snapT.tables.getOrElse(n, Vector.empty)
+    val dvsT = snapT.dvs.collect { case ((t, f), dv) if t == n => f -> dv }
+    (TxLog.Put(n, files) +:
+      snapT.schemas.get(n).map(js => TxLog.Sch(n, js)).toSeq) ++
+      files.flatMap(f =>
+        snapT.stats.get((n, f)).map(js => TxLog.Sta(n, f, js))) ++
+      dvsT.toSeq.map { case (f, dv) => TxLog.Dvec(n, f, dv) } ++
+      files.filter(f => !dvsT.contains(f) && headNow.dvs.contains((n, f)))
+        .map(f => TxLog.Dvec(n, f, ""))
   }
 
   /** Stats-pruned range read: resolve the file list from the snapshot,
@@ -853,9 +887,19 @@ final class GraftDatabase private (
     if (version >= 0) {
       val gone = (files ++ dvs.values).filterNot(r =>
         Files.exists(Paths.get(s"$root/$r")))
-      if (gone.nonEmpty) throw new IllegalStateException(
-        s"clone($src, $dst, $version): a concurrent vacuum reclaimed " +
-          s"${gone.size} cloned file(s) — re-clone a retained version")
+      if (gone.nonEmpty) {
+        // unbind the TORN clone before failing: a committed dst bound
+        // to reclaimed files would poison every later read AND block
+        // the suggested re-clone (clone refuses an existing dst)
+        val msg = s"clone($src, $dst, $version): a concurrent vacuum " +
+          s"reclaimed ${gone.size} cloned file(s) — re-clone a " +
+          "retained version"
+        defs -= d0
+        try { txlog.commit(Seq(TxLog.Del(d0))); invalidateSqlEngine() }
+        catch { case e: Exception => throw new IllegalStateException(
+          s"$msg (cleanup Del($d0) ALSO failed: ${e.getMessage})", e) }
+        throw new IllegalStateException(msg)
+      }
     }
     v
   }

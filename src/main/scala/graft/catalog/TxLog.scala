@@ -82,13 +82,22 @@ final class TxLog(spark: SparkSession, root: String,
   // INT96 is a deprecated non-standard encoding whose footers carry NO
   // usable min/max, so time-range data skipping — the engine's
   // signature query shape — could never prune. Session-wide because
-  // parquet ignores per-write options for this key; an explicit
-  // non-INT96 user choice (MILLIS also carries exact stats and
-  // normalizes at harvest) is respected.
-  if (spark.conf.get("spark.sql.parquet.outputTimestampType",
-      "INT96") == "INT96")
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-      "TIMESTAMP_MICROS")
+  // parquet ignores per-write options for this key; but only the
+  // DEFAULT is overridden — a user who EXPLICITLY set the conf (even
+  // to INT96) keeps their choice, with a loud warning about the
+  // skipping it disables. (MILLIS/MICROS both carry exact stats and
+  // normalize at harvest.)
+  locally {
+    val k = "spark.sql.parquet.outputTimestampType"
+    if (!org.apache.spark.sql.graft.ConfShim.isSetByUser(spark, k)) {
+      if (spark.conf.get(k, "INT96") == "INT96")
+        spark.conf.set(k, "TIMESTAMP_MICROS")
+    } else if (spark.conf.get(k) == "INT96")
+      Console.err.println(s"[graft] WARN: $k=INT96 was explicitly set " +
+        "on this session and is respected — but INT96 footers carry no " +
+        "usable min/max, so TIMESTAMP-range file skipping is disabled " +
+        s"for data staged under $root")
+  }
 
   // ---- version discovery ---------------------------------------------------
 

@@ -98,7 +98,7 @@ final class LiteSql(
     * returns a 1-row `result` boolean like BsonDataReader(result).
     */
   def execute(liteSql: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, lower, when}
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, expr, lit, lower, split, when}
     import spark.implicits._
     // whitespace is collapsed OUTSIDE quotes only — a quoted literal's
     // tabs/double spaces are data, not syntax
@@ -380,10 +380,18 @@ final class LiteSql(
         val a = admin.getOrElse(throw new UnsupportedOperationException(
           "DESCRIBE HISTORY needs a database-backed engine"))
         val h = a.historyFrame
+        // match the WHOLE identifier, not a prefix: `cust` must not
+        // also return `customer` rows. Targets are `t`, `t(-N)`/`t(f)`
+        // (PATCH/DVC suffixes), or `old->new` (REN) — compare each form
+        // exactly
         Option(dm.group(1)).map(_.toLowerCase)
-          .fold(h)(t => h.filter(
-            lower(col("target")).startsWith(t) ||
-              lower(col("target")).contains(s"->$t")))
+          .fold(h)(t => h.filter {
+            val lt = lower(col("target"))
+            lt === t || lt.startsWith(s"$t(") ||
+              (lt.contains("->") &&
+                (element_at(split(lt, "->"), 1) === t ||
+                  element_at(split(lt, "->"), 2) === t))
+          })
       case "BEGIN" | "COMMIT" | "ROLLBACK" =>
         // BEGIN/COMMIT/ROLLBACK [TRANS|TRANSACTION] (SqlParser.cs:32-41
         // → LiteEngine.BeginTrans/Commit/Rollback): statements between
@@ -1318,18 +1326,26 @@ object LiteSql {
     sb.toString
   }
 
-  /** One parameter value as a type-correct Spark SQL literal. Strings
-    * render double-quoted with escaped quotes/backslashes (the form
-    * both the dialect's quote mask and Spark's parser treat as one
-    * opaque run); doubles/floats round-trip through CAST (NaN/∞-safe);
-    * timestamps render tz-independent as `timestamp_micros`.
+  /** One parameter value as a type-correct Spark SQL literal. Plain
+    * strings render double-quoted; a string carrying a quote,
+    * backslash, or control char renders as `decode(X'…', 'UTF-8')`
+    * instead — backslash escapes flip meaning under
+    * `spark.sql.parser.escapedStringLiterals` and doubled quotes are
+    * NOT an escape in that legacy mode (measured on Spark 4.1:
+    * `"a""b"` parses to `a""b`), so a hex literal is the only
+    * rendering that is injection-proof in BOTH parser modes.
+    * Doubles/floats round-trip through CAST (NaN/∞-safe); timestamps
+    * render tz-independent as `timestamp_micros`.
     */
   def renderParam(v: Any): String = v match {
     case null => "NULL"
     case None => "NULL"
     case Some(x) => renderParam(x)
     case s: String =>
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      if (s.exists(c => c == '"' || c == '\\' || c < ' '))
+        "decode(X'" + s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"${b & 0xff}%02X").mkString + "', 'UTF-8')"
+      else "\"" + s + "\""
     case b: Boolean => if (b) "TRUE" else "FALSE"
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
     case d: Double => s"CAST('$d' AS DOUBLE)"

@@ -31,6 +31,21 @@ object StreamingShim {
   }
 }
 
+/** Session-conf introspection (`sessionState` is `private[sql]`). */
+object ConfShim {
+  /** True when `key` was EXPLICITLY set on this session — set via
+    * `spark.conf.set`, builder `.config`, or `--conf` — as opposed to
+    * resolving through the conf's default. `RuntimeConfig` cannot make
+    * that distinction (its get resolves defaults), but respecting an
+    * explicit user choice that HAPPENS to equal a default we would
+    * otherwise override requires it.
+    */
+  def isSetByUser(spark: org.apache.spark.sql.SparkSession,
+      key: String): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.contains(key)
+}
+
 /** Column ↔ Expression bridging (`classic.ExpressionUtils` is
   * `private[sql]`) — the two conversions a custom Catalyst expression
   * needs to surface as a user-facing Column without a registry round

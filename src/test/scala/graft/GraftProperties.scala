@@ -60,6 +60,22 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // ... and the round-trip must survive the LEGACY parser mode too:
+  // escapedStringLiterals=true makes backslash literal inside quoted
+  // literals AND doubled quotes are not an escape there, so risky
+  // strings must lower through the hex rendering to stay injection-safe
+  property("bindParamsStringLiteralsRoundTripUnderEscapedStringLiterals") =
+    Prop.forAll(paramStrGen) { s =>
+      val key = "spark.sql.parser.escapedStringLiterals"
+      val prev = spark.conf.get(key, "false")
+      spark.conf.set(key, "true")
+      try {
+        val bound = graft.query.LiteSql.bindParams(
+          "SELECT @0 AS s", Seq(s), Map.empty)
+        spark.sql(bound).head.getString(0) == s
+      } finally spark.conf.set(key, prev)
+    }
+
   property("bindParamsLeavesUnboundTextByteIdentical") =
     Prop.forAll(paramStrGen) { s =>
       // no parameters supplied for tokens the SQL mentions: whatever

@@ -543,6 +543,107 @@ class LakehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE HISTORY matches the whole identifier, not a prefix") {
+    val base = Files.createTempDirectory("graft-dh").toString
+    val db = GraftDatabase(spark, "dh", base)
+      .defineTable(TableDef("cust", "id"))
+      .defineTable(TableDef("customer", "id"))
+    db.insert("cust", rows(3))
+    db.insert("customer", rows(4))
+    db.renameCollection("customer", "customer2")
+    // `cust` must NOT absorb `customer`'s history (prefix) nor the
+    // rename pair `customer->customer2` (substring)
+    val targets = db.sql("DESCRIBE HISTORY cust")
+      .select("target").as[String].collect().toSet
+    assert(targets.nonEmpty)
+    assert(targets.forall(t => t == "cust" || t.startsWith("cust(")),
+      s"over-inclusive DESCRIBE HISTORY: $targets")
+    // the renamed table's history matches BOTH sides of the arrow
+    val t2 = db.sql("DESCRIBE HISTORY customer2")
+      .select("target").as[String].collect().toSet
+    assert(t2.contains("customer->customer2"))
+    assert(db.sql("DESCRIBE HISTORY customer")
+      .select("target").as[String].collect().toSet
+      .contains("customer->customer2"))
+  }
+
+  // ---- lost vacuum races: no torn bindings ---------------------------------
+
+  private def localPath(p: String): java.nio.file.Path =
+    Paths.get(if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
+
+  test("a lost vacuum race during historical clone unbinds the torn dst") {
+    val base = Files.createTempDirectory("graft-clonerace").toString
+    @volatile var armed = false
+    @volatile var doomed: java.nio.file.Path = null
+    val hooked = new graft.catalog.CommitPrimitive {
+      override def putIfAbsent(target: java.nio.file.Path,
+          content: Array[Byte]): Unit = {
+        graft.catalog.CommitPrimitive.posix.putIfAbsent(target, content)
+        // the "vacuum": reclaim a cloned file the instant the clone's
+        // commit becomes visible — deterministic post-commit loss
+        if (armed && new String(content).linesIterator
+            .exists(_.startsWith("PUT\tt2\t"))) {
+          armed = false
+          Files.deleteIfExists(doomed)
+        }
+      }
+    }
+    val db = GraftDatabase(spark, "clonerace", base,
+      graft.core.Collation.Binary, None, hooked)
+      .defineTable(TableDef("t", "id"))
+    db.insert("t", rows(5))
+    val v1 = db.logVersion
+    // rewrite everything so v1's files are unbound at head (vacuumable)
+    db.updateMany("t", col("id") >= 1, Map("v" -> lit(0L)))
+    val headFiles = db.table("t").inputFiles.toSet
+    val v1Only = db.tableAt("t", v1).get.inputFiles
+      .filterNot(headFiles).head
+    doomed = localPath(v1Only)
+    armed = true
+    val ex = intercept[IllegalStateException](
+      db.cloneCollection("t", "t2", v1))
+    assert(ex.getMessage.contains("reclaimed"))
+    // the torn dst did NOT persist: it is unbound, and the suggested
+    // re-clone (of a retained version) is NOT blocked by a ghost table
+    assert(!db.tableExists("t2"))
+    db.cloneCollection("t", "t2")
+    assert(db.table("t2").count() == 5)
+  }
+
+  test("a lost vacuum race during restore rolls the binding back") {
+    val base = Files.createTempDirectory("graft-restorerace").toString
+    @volatile var armed = false
+    @volatile var doomed: java.nio.file.Path = null
+    val hooked = new graft.catalog.CommitPrimitive {
+      override def putIfAbsent(target: java.nio.file.Path,
+          content: Array[Byte]): Unit = {
+        graft.catalog.CommitPrimitive.posix.putIfAbsent(target, content)
+        if (armed && new String(content).linesIterator
+            .exists(_.startsWith("PUT\tt\t"))) {
+          armed = false // one-shot: the ROLLBACK commit must land intact
+          Files.deleteIfExists(doomed)
+        }
+      }
+    }
+    val db = GraftDatabase(spark, "restorerace", base,
+      graft.core.Collation.Binary, None, hooked)
+      .defineTable(TableDef("t", "id"))
+    db.insert("t", rows(5))
+    val v1 = db.logVersion
+    db.updateMany("t", col("id") >= 1, Map("v" -> lit(777L)))
+    val headFiles = db.table("t").inputFiles.toSet
+    doomed = localPath(db.tableAt("t", v1).get.inputFiles
+      .filterNot(headFiles).head)
+    val before = db.table("t").orderBy("id").collect().toSeq
+    armed = true
+    val ex = intercept[IllegalStateException](db.restore("t", v1))
+    assert(ex.getMessage.contains("reclaimed"))
+    // the binding rolled BACK to the pre-restore state: reads still work
+    // and see exactly what they saw before the failed restore
+    assert(db.table("t").orderBy("id").collect().toSeq == before)
+  }
+
   test("SQL VACUUM and DESCRIBE HISTORY surface the store maintenance") {
     val db = freshDb()
     db.insert("t", rows(100))

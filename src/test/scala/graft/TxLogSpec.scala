@@ -26,6 +26,19 @@ class TxLogSpec extends AnyFunSuite {
     (new TxLog(spark, root), root)
   }
 
+  test("an EXPLICIT outputTimestampType choice survives TxLog init") {
+    // only the session DEFAULT is overridden to TIMESTAMP_MICROS; a
+    // user who deliberately set the conf — even to stats-less INT96 —
+    // keeps their choice (with a warning, not a silent flip)
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "INT96")
+    try {
+      new TxLog(spark, Files.createTempDirectory("graft-int96").toString)
+      assert(spark.conf.get(k) == "INT96")
+    } finally spark.conf.set(k, prev)
+  }
+
   private def freshDb(): GraftDatabase = {
     val base = Files.createTempDirectory("graft-txdb").toString
     GraftDatabase(spark, "txdemo", base)
