@@ -163,6 +163,12 @@ final class GraftDatabase private (
     */
   def settledLogVersion: Long = txlog.settledVersion
 
+  /** [[TxLog.advanceByFileBudget]] — the change-feed source's
+    * files-weighted admission control.
+    */
+  def advanceByFileBudget(from: Long, hi: Long, budget: Long): Long =
+    txlog.advanceByFileBudget(from, hi, budget)
+
   /** Time travel: read a table as of a committed log version (bounded
     * by vacuum retention — retired versions' files are reclaimed).
     * None when the table did not exist at that version.

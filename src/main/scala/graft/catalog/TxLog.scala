@@ -873,6 +873,40 @@ final class TxLog(spark: SparkSession, root: String,
     * DESCRIBE-HISTORY diagnostic. Versions truncated by vacuum report
     * only from the surviving log files.
     */
+  /** The greatest version in `(from, hi]` whose traversal keeps the
+    * cumulative EXCHANGED-FILE count within `budget` — the streaming
+    * source's files-weighted admission control. Always advances at
+    * least one version when `hi > from` (a single huge commit must
+    * still be deliverable), and costs O(versions admitted) small text
+    * reads, never a data scan. A log file truncated by vacuum counts 0
+    * here; the batch read itself fails loudly on unresolvable cursors.
+    */
+  def advanceByFileBudget(from: Long, hi: Long, budget: Long): Long = {
+    var v = from
+    var used = 0L
+    while (v < hi) {
+      val c = exchangedFileCount(v + 1)
+      if (v > from && used + c > budget) return v
+      used += c
+      v += 1
+      if (used >= budget) return v
+    }
+    hi
+  }
+
+  /** Files a committed version exchanges (added + removed + masks). */
+  private def exchangedFileCount(v: Long): Long = {
+    val f = versionFile(v)
+    if (!Files.exists(f)) 0L
+    else parse(Files.readAllLines(f).asScala.toSeq).map {
+      case Put(_, fs)       => fs.size.toLong
+      case Add(_, fs)       => fs.size.toLong
+      case Patch(_, rm, ad) => (rm.size + ad.size).toLong
+      case Dvec(_, _, _)    => 1L
+      case _                => 0L
+    }.sum
+  }
+
   def history(): Seq[(Long, String, String, Long)] =
     listVersions().flatMap { v =>
       val f = versionFile(v)

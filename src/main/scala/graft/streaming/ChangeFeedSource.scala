@@ -1,10 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, Offset => OffsetV2}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.catalog.GraftDatabase
 
@@ -12,30 +21,25 @@ import graft.catalog.GraftDatabase
   * engine's checkpointed offset and the database's version history are
   * the same monotonic sequence, so a restarted query resumes exactly
   * where its checkpoint says — the immutable log replays the identical
-  * snapshot diff (exactly-once from the WAL's at-least-once redelivery).
+  * snapshot diff (exactly-once from the WAL's at-least-once
+  * redelivery). The connector `Offset` base class already compares by
+  * the JSON form, which keeps a checkpoint-restored offset equal to a
+  * fresh one of the same version.
   */
-final case class VersionOffset(version: Long) extends Offset {
+final case class VersionOffset(version: Long) extends OffsetV2 {
   override def json: String = version.toString
-  // the v1 Offset contract compares offsets by their JSON form — a
-  // restart hands back SerializedOffset(json), and the synthesized
-  // case-class equals would call it unequal to a fresh VersionOffset
-  // of the SAME version, triggering a spurious empty batch per restart
-  override def equals(o: Any): Boolean = o match {
-    case other: Offset => other.json == json
-    case _ => false
-  }
-  override def hashCode(): Int = json.hashCode
 }
 
-/** The change feed as a FIRST-CLASS `spark.readStream` source — the
-  * composable generalization of [[ChangeFeedReplicator]] (which is
-  * replica-only): the feed joins, windows, and watermarks like any
-  * other stream.
+/** The change feed as a FIRST-CLASS `spark.readStream` source — a
+  * DataSource V2 `MicroBatchStream` (the composable generalization of
+  * [[ChangeFeedReplicator]], which is replica-only): the feed joins,
+  * windows, and watermarks like any other stream.
   *
   * {{{
   * spark.readStream
   *   .format("graft-changes")              // or the provider class name
   *   .option("baseDir", dir).option("name", dbName).option("table", t)
+  *   .option("maxVersionsPerTrigger", "10") // admission control
   *   .load()                               // table columns + _change_type
   * }}}
   *
@@ -46,42 +50,182 @@ final case class VersionOffset(version: Long) extends Offset {
   *     batch cost ∝ churn, never table size
   *   - the FIRST batch bootstraps from version 0: the initial snapshot
   *     arrives as inserts, exactly like a replicator's initial load
+  *   - ADMISSION CONTROL (`maxVersionsPerTrigger`,
+  *     `maxFilesPerTrigger`) advances the offset in bounded steps, so
+  *     a bootstrap or a long-downtime catch-up never materializes the
+  *     whole backlog in one micro-batch — snapshot diffs telescope, so
+  *     N capped batches land the same final state as one uncapped one
   *   - a checkpointed offset below the vacuum retention floor fails
   *     LOUDLY at the next batch (see `changes`) instead of silently
   *     re-feeding the table
   *   - the schema is pinned at stream start (table columns +
   *     `_change_type`); a mid-stream ADD COLUMN keeps feeding the
-  *     pinned columns — restart the query to pick up new ones
+  *     pinned columns. The divergence is no longer silent:
+  *     `schemaTrackingMode=warn` (default) logs it loudly once,
+  *     `schemaTrackingMode=fail` stops the query at the next batch —
+  *     restart the query to pick up the new columns either way
   */
-final class ChangeFeedSource(db: GraftDatabase, table: String,
-    pinned: StructType, ctx: SQLContext, startVersion: Long) extends Source {
+final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
+    pinned: StructType, startVersion: Long, maxVersions: Option[Long],
+    maxFiles: Option[Long], schemaMode: String, checkpointDir: String)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def schema: StructType = pinned
+  private val spark = db.spark
+  private val stagingRoot = new Path(checkpointDir, "graft-staged").toString
+  @volatile private var driftWarned = false
 
-  override def getOffset: Option[Offset] = {
-    val v = db.settledLogVersion
-    if (v <= 0L) None else Some(VersionOffset(v))
+  private def ver(o: OffsetV2): Long = o.json.trim.toLong
+
+  override def initialOffset(): OffsetV2 = VersionOffset(startVersion)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    VersionOffset(json.trim.toLong)
+
+  // the engine routes through the admission-control overload
+  override def latestOffset(): OffsetV2 = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  override def reportLatestOffset(): OffsetV2 =
+    VersionOffset(math.max(db.settledLogVersion, startVersion))
+
+  /** Bounded advance: never past the settled head, never more than
+    * `maxVersionsPerTrigger` versions, never more exchanged files than
+    * `maxFilesPerTrigger` (always ≥ 1 version so a single huge commit
+    * still delivers). Caps ride the source options rather than
+    * [[ReadLimit]] because the unit is log versions, which the generic
+    * row/file limits cannot express.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = ver(start)
+    val head = math.max(db.settledLogVersion, from)
+    val vCap = maxVersions.fold(head)(c => math.min(head, from + c))
+    val capped = maxFiles.fold(vCap)(b => db.advanceByFileBudget(from, vCap, b))
+    VersionOffset(capped)
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(startVersion)
-    val batch = db.changes(table, from, ver(end))
+  override def planInputPartitions(start: OffsetV2,
+      end: OffsetV2): Array[InputPartition] = {
+    val (from, to) = (ver(start), ver(end))
+    if (to <= from) return Array.empty
+    checkSchemaDrift()
+    val batch = db.changes(table, from, to)
       .select(pinned.fieldNames.map(col).toSeq: _*)
-    // the engine asserts isStreaming on the returned frame
-    org.apache.spark.sql.graft.StreamingShim.asStreaming(ctx, batch)
+    UnsafeRowStage.write(batch, s"$stagingRoot/$from-$to", pinned)
   }
 
-  // a restarted query hands offsets back as SerializedOffset(json)
-  private def ver(o: Offset): Long = o.json.trim.toLong
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StagedReaderFactory(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
+  /** The engine committed everything ≤ `end`: staged batches up to it
+    * can never be replayed — reclaim them.
+    */
+  override def commit(end: OffsetV2): Unit = {
+    val upTo = ver(end)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(stagingRoot)
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      st.getPath.getName.split("-") match {
+        case Array(_, t) if t.forall(_.isDigit) && t.toLong <= upTo =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
 
   override def stop(): Unit = ()
+
+  private def checkSchemaDrift(): Unit = {
+    val current = ChangeFeedSourceProvider.feedSchema(db, table)
+    def shape(s: StructType) =
+      s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+    if (shape(current) != shape(pinned)) {
+      val msg = s"graft-changes($table): the table schema diverged from " +
+        s"the stream's pinned schema (pinned ${pinned.simpleString}, " +
+        s"current ${current.simpleString}) — the feed keeps emitting the " +
+        "pinned columns; restart the query to pick up the change" +
+        " (schemaTrackingMode=fail stops it here instead)"
+      if (schemaMode == "fail") throw new IllegalStateException(msg)
+      else if (!driftWarned) {
+        driftWarned = true
+        Console.err.println(s"[graft] WARN: $msg")
+      }
+    }
+  }
+}
+
+/** The V2 read-side plumbing: one logical scan whose micro-batch
+  * stream resolves the database, start offset, and admission caps from
+  * the read options.
+  */
+final class ChangeFeedScan(pinned: StructType,
+    params: CaseInsensitiveStringMap) extends Scan {
+
+  override def readSchema(): StructType = pinned
+
+  override def description(): String =
+    s"graft-changes(${params.get("name")}.${params.get("table")})"
+
+  override def toMicroBatchStream(checkpointDir: String): MicroBatchStream = {
+    val spark = SparkSession.active
+    val db = ChangeFeedSourceProvider.open(spark, params)
+    val table = ChangeFeedSourceProvider.tableOf(params)
+    require(!(params.containsKey("startingVersion") &&
+      params.containsKey("startingTimestamp")),
+      "graft-changes: give startingVersion OR startingTimestamp, not both")
+    val startV = Option(params.get("startingVersion")).map(_.trim.toLong)
+      .orElse(Option(params.get("startingTimestamp")).map(ts =>
+        db.versionAt(java.time.Instant.ofEpochMilli(
+          graft.query.LiteSql.parseTsLiteralMs(ts,
+            spark.conf.get("spark.sql.session.timeZone"))))))
+      .getOrElse(0L)
+    val schemaMode = Option(params.get("schemaTrackingMode"))
+      .getOrElse("warn")
+    require(schemaMode == "warn" || schemaMode == "fail",
+      s"graft-changes: schemaTrackingMode must be warn|fail, got '$schemaMode'")
+    def posLong(k: String): Option[Long] = Option(params.get(k)).map { v =>
+      val n = v.trim.toLong
+      require(n > 0, s"graft-changes: $k must be positive, got $n")
+      n
+    }
+    new ChangeFeedMicroBatchStream(db, table, pinned, startV,
+      posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
+      schemaMode, checkpointDir)
+  }
+}
+
+/** The feed as a connector [[Table]]: micro-batch readable, not
+  * writable — writes fall back to the V1 sink half of the provider.
+  */
+final class ChangeFeedTable(pinned: StructType,
+    props: util.Map[String, String]) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-changes(${props.get("name")}.${props.get("table")})"
+
+  override def schema(): StructType = pinned
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(pinned.nonEmpty,
+      "graft-changes: the table has no committed data to stream " +
+        "(commit an initial state first, or pass an explicit schema)")
+    new ScanBuilder {
+      override def build(): Scan = new ChangeFeedScan(pinned, options)
+    }
+  }
 }
 
 /** `format("graft-changes")` provider — BOTH directions of the feed.
   *
-  * As a SOURCE (`readStream`): options `baseDir` + `name` (the
-  * database), `table`, optional `password` (file-at-rest encryption),
-  * and optionally ONE of:
+  * As a SOURCE (`readStream`): a DataSource V2 [[TableProvider]] —
+  * options `baseDir` + `name` (the database), `table`, optional
+  * `password` (file-at-rest encryption), admission caps
+  * `maxVersionsPerTrigger` / `maxFilesPerTrigger`,
+  * `schemaTrackingMode` (warn|fail), and optionally ONE of:
   *   - `startingVersion` — the first batch carries changes committed
   *     AFTER this version (the cursor convention; 0 = bootstrap the
   *     full snapshot as inserts, the default)
@@ -93,7 +237,10 @@ final class ChangeFeedSource(db: GraftDatabase, table: String,
   * micro-batch applies through the idempotence ledger
   * ([[GraftDatabase.applyChanges]] with (appId, batchId) Txn markers),
   * so an at-least-once redelivered batch commits at most once, across
-  * restarts AND across processes. Options as above plus `appId`
+  * restarts AND across processes. Deliberately V1 (`Sink.addBatch`):
+  * `applyChanges` is a whole-batch DataFrame transaction, which the
+  * per-partition V2 writer API cannot express — the same reason
+  * Delta's streaming sink is V1. Options as above plus `appId`
   * (stable writer identity, default `stream-<table>`) and `sinkMode`:
   *   - `cdc` (default when the frame carries `_change_type`): rows
   *     apply as inserts/deletes — pipe a graft-changes SOURCE straight
@@ -101,57 +248,41 @@ final class ChangeFeedSource(db: GraftDatabase, table: String,
   *   - `append`: every row lands as an insert (PK-validated)
   */
 final class ChangeFeedSourceProvider
-    extends StreamSourceProvider with StreamSinkProvider
-    with DataSourceRegister {
+    extends TableProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changes"
 
-  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-      providerName: String,
-      params: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      ChangeFeedSourceProvider.feedSchema(open(ctx, params),
-        tableOf(params))))
+  // reads accept a user-specified schema; writes hand the query schema
+  // to getTable (whose table is read-only, routing them to the V1 sink)
+  override def supportsExternalMetadata(): Boolean = true
 
-  override def createSource(ctx: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      params: Map[String, String]): Source = {
-    val db = open(ctx, params)
-    val t = tableOf(params)
-    require(!(params.contains("startingVersion") &&
-      params.contains("startingTimestamp")),
-      "graft-changes: give startingVersion OR startingTimestamp, not both")
-    val startV = params.get("startingVersion").map(_.trim.toLong)
-      .orElse(params.get("startingTimestamp").map(ts =>
-        db.versionAt(java.time.Instant.ofEpochMilli(
-          graft.query.LiteSql.parseTsLiteralMs(ts,
-            ctx.sparkSession.sessionState.conf.sessionLocalTimeZone)))))
-      .getOrElse(0L)
-    new ChangeFeedSource(db, t, schema.getOrElse(
-      ChangeFeedSourceProvider.feedSchema(db, t)), ctx, startV)
-  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    try ChangeFeedSourceProvider.feedSchema(
+      ChangeFeedSourceProvider.open(SparkSession.active, options),
+      ChangeFeedSourceProvider.tableOf(options))
+    catch {
+      // the WRITE path also resolves the provider's schema, and a sink
+      // target legitimately has no committed data yet — hand back an
+      // empty schema; the read path re-raises loudly in newScanBuilder
+      case _: IllegalArgumentException | _: IllegalStateException =>
+        new StructType()
+    }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangeFeedTable(schema, properties)
 
   override def createSink(ctx: SQLContext, params: Map[String, String],
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    val db = open(ctx, params)
-    val t = tableOf(params)
+    val db = ChangeFeedSourceProvider.open(ctx.sparkSession,
+      new CaseInsensitiveStringMap(params.asJava))
+    val t = params.getOrElse("table", throw new IllegalArgumentException(
+      "graft-changes needs option 'table'"))
     new GraftTableSink(db, t,
       params.get("sinkMode"),
       params.getOrElse("appId", s"stream-$t"))
-  }
-
-  private def tableOf(params: Map[String, String]): String =
-    params.getOrElse("table", throw new IllegalArgumentException(
-      "graft-changes needs option 'table'"))
-
-  private def open(ctx: SQLContext,
-      params: Map[String, String]): GraftDatabase = {
-    def req(k: String) = params.getOrElse(k,
-      throw new IllegalArgumentException(s"graft-changes needs option '$k'"))
-    GraftDatabase(ctx.sparkSession, req("name"), req("baseDir"),
-      graft.core.Collation.Binary, params.get("password"))
   }
 }
 
@@ -198,5 +329,24 @@ object ChangeFeedSourceProvider {
     require(v > 0L && db.tableExists(table),
       s"graft-changes: table '$table' has no committed data to stream")
     db.changes(table, v, v).schema
+  }
+
+  private[streaming] def tableOf(params: CaseInsensitiveStringMap): String = {
+    val t = params.get("table")
+    if (t == null) throw new IllegalArgumentException(
+      "graft-changes needs option 'table'")
+    t
+  }
+
+  private[streaming] def open(spark: SparkSession,
+      params: CaseInsensitiveStringMap): GraftDatabase = {
+    def req(k: String): String = {
+      val v = params.get(k)
+      if (v == null) throw new IllegalArgumentException(
+        s"graft-changes needs option '$k'")
+      v
+    }
+    GraftDatabase(spark, req("name"), req("baseDir"),
+      graft.core.Collation.Binary, Option(params.get("password")))
   }
 }

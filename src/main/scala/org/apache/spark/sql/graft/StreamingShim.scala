@@ -1,27 +1,21 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{Column, DataFrame, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
 
-/** The one `private[sql]` door a V1 micro-batch `Source` needs: the
-  * engine asserts that `getBatch`'s DataFrame carries
-  * `isStreaming = true`, and the only way to stamp that flag is
-  * `SparkSession.internalCreateDataFrame` — the same shim every
-  * external V1 source (Kafka's original connector among them) ships.
-  * Lives under `org.apache.spark.sql` solely for the access scope;
-  * nothing else in the engine reaches Spark internals this way.
+/** The sink half of the V1 streaming bridge. (The SOURCE half —
+  * `internalCreateDataFrame(isStreaming = true)` — is gone: the
+  * change-feed source is a DataSource V2 `MicroBatchStream` now and
+  * produces partitions through the public connector API.)
   */
 object StreamingShim {
-  /** `df`'s physical plan re-wrapped as a streaming DataFrame. */
-  def asStreaming(ctx: SQLContext, df: DataFrame): DataFrame = {
-    val session = ctx.sparkSession
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    session.internalCreateDataFrame(
-      df.queryExecution.toRdd, df.schema, isStreaming = true)
-  }
-
-  /** The inverse, for a V1 `Sink.addBatch`: the engine hands the batch
-    * as a STREAMING-flagged frame, which refuses ordinary batch
-    * actions — re-wrap it exactly the way ForeachBatchSink does.
+  /** For a V1 `Sink.addBatch`: the engine hands the batch as a
+    * STREAMING-flagged frame, which refuses ordinary batch actions —
+    * re-wrap it exactly the way ForeachBatchSink does. The V1 `Sink`
+    * stays the right API for this sink because `applyChanges` is a
+    * whole-batch DataFrame transaction (the same reason Delta's
+    * streaming sink is V1).
     */
   def asBatch(df: DataFrame): DataFrame = {
     val session = df.sparkSession
@@ -29,6 +23,17 @@ object StreamingShim {
     session.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+}
+
+/** RDD-level access to a DataFrame's executed plan (`queryExecution`
+  * lives on the `classic` implementation, not the abstract API class).
+  * Used by the V2 micro-batch staging writer, which needs the rows as
+  * `InternalRow` to serialize them in UnsafeRow wire format.
+  */
+object RddShim {
+  def toInternalRowRdd(df: DataFrame): RDD[InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.toRdd
 }
 
 /** Session-conf introspection (`sessionState` is `private[sql]`). */

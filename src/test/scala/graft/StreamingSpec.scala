@@ -612,4 +612,124 @@ class StreamingSpec extends AnyFunSuite {
       "restart must resume from the checkpointed version offset")
     q2.stop()
   }
+
+  // ---- admission control ---------------------------------------------------
+
+  /** Six committed versions, one single-file insert each — the backlog
+    * shape a bootstrap/catch-up sees.
+    */
+  private def backlogDb(name: String): (graft.catalog.GraftDatabase, String) = {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val base = Files.createTempDirectory(s"graft_$name").toString
+    val db = GraftDatabase(spark, name, base)
+    db.defineTable(TableDef("ev", "id"))
+    (1 to 6).foreach(i => db.insert("ev",
+      Seq((i.toLong, i * 10L)).toDF("id", "v").repartition(1)))
+    assert(db.settledLogVersion == 6L)
+    (db, base)
+  }
+
+  test("maxVersionsPerTrigger / maxFilesPerTrigger bound catch-up " +
+      "batches: the backlog drains in ceil(N/cap) batches, same result") {
+    val (_, base) = backlogDb("capdb")
+    def drain(opts: Map[String, String], name: String): (Set[Long], Int) = {
+      val ckpt = Files.createTempDirectory("graft_cap_ckpt").toString
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "capdb")
+        .option("table", "ev").options(opts).load()
+        .filter(col("_change_type") === "insert")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      (spark.table(name).select("id").collect().map(_.getLong(0)).toSet,
+        batches)
+    }
+    val (uncapped, b0) = drain(Map.empty, "cap_all")
+    assert(uncapped == (1L to 6L).toSet)
+    assert(b0 == 1, s"uncapped backlog should land in one batch, got $b0")
+    // version-capped: 6 versions / 2 per trigger = 3 bounded batches,
+    // IDENTICAL final result (snapshot diffs telescope)
+    val (byVersion, bv) = drain(Map("maxVersionsPerTrigger" -> "2"), "cap_v")
+    assert(byVersion == uncapped)
+    assert(bv == 3, s"6 versions at cap 2 must drain in 3 batches, got $bv")
+    // files-weighted: each version exchanged exactly one file
+    val (byFiles, bf) = drain(Map("maxFilesPerTrigger" -> "3"), "cap_f")
+    assert(byFiles == uncapped)
+    assert(bf == 2, s"6 single-file versions at 3 files/trigger must " +
+      s"drain in 2 batches, got $bf")
+  }
+
+  test("restart mid-backlog resumes at the checkpointed offset under " +
+      "admission control (exactly-once across capped runs)") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val (_, srcBase) = backlogDb("middb")
+    val dstBase = Files.createTempDirectory("graft_mid_dst").toString
+    val dst = GraftDatabase(spark, "middst", dstBase)
+    dst.defineTable(TableDef("ev", "id"))
+    val ckpt = Files.createTempDirectory("graft_mid_ckpt").toString
+    def run(trigger: Trigger, drainAll: Boolean): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", srcBase).option("name", "middb")
+        .option("table", "ev").option("maxVersionsPerTrigger", "2").load()
+        .writeStream.format("graft-changes")
+        .option("baseDir", dstBase).option("name", "middst")
+        .option("table", "ev").option("appId", "midrep")
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      if (drainAll) { q.processAllAvailable(); q.stop() }
+      else q.awaitTermination()
+    }
+    def ids(): Set[Long] =
+      dst.table("ev").select("id").collect().map(_.getLong(0)).toSet
+    // Trigger.Once = exactly ONE capped micro-batch, then shutdown —
+    // the stream stops MID-backlog with a checkpointed offset
+    run(Trigger.Once(), drainAll = false)
+    assert(ids() == Set(1L, 2L),
+      "first capped batch must carry exactly versions 1-2")
+    run(Trigger.Once(), drainAll = false)
+    assert(ids() == Set(1L, 2L, 3L, 4L),
+      "restart must resume at version 2, not re-bootstrap")
+    run(Trigger.ProcessingTime(0L), drainAll = true)
+    assert(ids() == (1L to 6L).toSet, "final drain converges exactly once")
+  }
+
+  test("schemaTrackingMode=fail stops the query when the table schema " +
+      "diverges from the stream's pinned schema; warn keeps feeding") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val base = Files.createTempDirectory("graft_drift").toString
+    val db = GraftDatabase(spark, "driftdb", base)
+    db.defineTable(TableDef("ev", "id"))
+    db.insert("ev", Seq((1L, 10L)).toDF("id", "v"))
+    def start(mode: String, name: String) = spark.readStream
+      .format("graft-changes")
+      .option("baseDir", base).option("name", "driftdb").option("table", "ev")
+      .option("schemaTrackingMode", mode).load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val qFail = start("fail", "drift_fail")
+    qFail.processAllAvailable() // bootstrap: schema matches, no failure
+    assert(spark.table("drift_fail").count() == 1)
+    // mid-stream evolution: the SCH commit itself is a new version, so
+    // the next planned batch sees the divergence
+    db.addColumn("ev", "score", org.apache.spark.sql.types.DoubleType)
+    db.insert("ev", Seq((2L, 20L)).toDF("id", "v"))
+    val ex = intercept[Exception] { qFail.processAllAvailable() }
+    assert(ex.getMessage.contains("diverged") ||
+      qFail.exception.exists(_.getMessage.contains("diverged")),
+      s"fail mode must stop the query on drift, got: ${ex.getMessage}")
+    // warn mode (the default): same divergence keeps feeding the
+    // PINNED columns — a fresh stream picks up the evolved schema
+    val qWarn = start("warn", "drift_warn")
+    qWarn.processAllAvailable(); qWarn.stop()
+    assert(spark.table("drift_warn").columns.toSet ==
+      Set("id", "v", "score", "_change_type"),
+      "a fresh stream pins the EVOLVED schema")
+    assert(spark.table("drift_warn").count() == 2)
+  }
 }
