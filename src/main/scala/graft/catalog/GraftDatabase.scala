@@ -487,7 +487,15 @@ final class GraftDatabase private (
     val snap = txlog.snapshot()
     val files = snap.tables.getOrElse(n, throw new IllegalArgumentException(
       s"table '$n' does not exist (no committed data)"))
-    val probe = FileStatsUtil.probe(column, lo, hi) // compiled ONCE
+    // stats are harvested under PHYSICAL names; translate a renamed
+    // column's probe (identity when no mapping exists)
+    val probeCol = snap.schemas.get(n)
+      .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .flatMap(pin => TxLog.logicalFields(pin)
+        .find(_.name.equalsIgnoreCase(column)).map(TxLog.physicalName))
+      .getOrElse(column)
+    val probe = FileStatsUtil.probe(probeCol, lo, hi) // compiled ONCE
     val keep = files.filter(f => probe.admits(snap.stats.get((n, f))))
     val c = col(column)
     if (keep.isEmpty) // provably empty: keep the schema, scan nothing
@@ -759,12 +767,198 @@ final class GraftDatabase private (
     require(snap.tables.contains(n),
       s"table '$n' does not exist (no committed data)")
     val cur = txlog.storedSchema(n).getOrElse(table(n).schema)
-    require(!cur.fieldNames.exists(_.equalsIgnoreCase(column)),
+    require(!TxLog.logicalFields(cur)
+        .exists(_.name.equalsIgnoreCase(column)),
       s"column '$column' already exists on '$n'")
-    val next = org.apache.spark.sql.types.StructType(cur.fields :+
-      org.apache.spark.sql.types.StructField(column, dataType, nullable = true))
+    // re-adding a name whose PHYSICAL identity is still claimed (a
+    // dropped column's tombstone, or a renamed column's original name)
+    // maps the new field to a FRESH physical name — live files carrying
+    // the old data under that name must NOT resurrect into the new one
+    val claimed = cur.fields.exists(f =>
+      TxLog.physicalName(f).equalsIgnoreCase(column))
+    val field =
+      if (!claimed)
+        org.apache.spark.sql.types.StructField(column, dataType,
+          nullable = true)
+      else org.apache.spark.sql.types.StructField(column, dataType,
+        nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(TxLog.PhysicalKey, s"${column}__g${snap.version + 1}")
+          .build())
+    val next = org.apache.spark.sql.types.StructType(cur.fields :+ field)
     txlog.commit(Seq(TxLog.Sch(n, next.json)), readVersion = snap.version)
     invalidateSqlEngine()
+  }
+
+  /** Metadata-only column rename (one SCH commit, zero data movement):
+    * the pin maps the new LOGICAL name to the column's stable PHYSICAL
+    * name, reads rename at projection time, and writes keep staging the
+    * physical name — old and new files stay byte-identical in layout.
+    * Declared constraints (PK/unique/FK, both referencing directions),
+    * the index registry, and the clustering spec re-key with it. Time
+    * travel below the commit sees the OLD name (each version reads
+    * under its own pin), and `restore` brings it back.
+    */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    requireNotRetired(); requireNoOpenTx()
+    val n = norm(name)
+    val snap = txlog.snapshot()
+    require(snap.tables.contains(n),
+      s"table '$n' does not exist (no committed data)")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name '$to' (letters/digits/underscore)")
+    val cur = txlog.storedSchema(n).getOrElse(txlog.mergedFileSchema(n))
+    val f = TxLog.logicalFields(cur)
+      .find(_.name.equalsIgnoreCase(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$from' does not exist on '$n'"))
+    require(!TxLog.logicalFields(cur).exists(_.name.equalsIgnoreCase(to)),
+      s"column '$to' already exists on '$n'")
+    val next = org.apache.spark.sql.types.StructType(cur.fields.map { g =>
+      if (!TxLog.isDropped(g) && g.name.equalsIgnoreCase(from))
+        g.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(g.metadata)
+            .putString(TxLog.PhysicalKey, TxLog.physicalName(g)).build())
+      else g
+    })
+    txlog.commit(Seq(TxLog.Sch(n, next.json)), readVersion = snap.version)
+    retargetColumn(n, from, to)
+    invalidateSqlEngine()
+  }
+
+  /** Metadata-only column drop: the pin keeps a TOMBSTONE field (its
+    * physical claim prevents a later re-add from resurrecting old file
+    * data) and reads stop requesting the column entirely — old files
+    * keep the bytes until a rewrite retires them (OPTIMIZE compacts
+    * them away). Refused for the PK and for FK-referenced columns;
+    * indexes and the clustering spec on the column retire with it.
+    */
+  def dropColumn(name: String, column: String): Unit = {
+    requireNotRetired(); requireNoOpenTx()
+    val n = norm(name)
+    val snap = txlog.snapshot()
+    require(snap.tables.contains(n),
+      s"table '$n' does not exist (no committed data)")
+    val cur = txlog.storedSchema(n).getOrElse(txlog.mergedFileSchema(n))
+    val f = TxLog.logicalFields(cur)
+      .find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$column' does not exist on '$n'"))
+    require(TxLog.logicalFields(cur).size > 1,
+      s"cannot drop the last column of '$n'")
+    defs.get(n).foreach { td =>
+      require(!td.pk.equalsIgnoreCase(column),
+        s"cannot drop the primary key '$column' of '$n'")
+      require(!td.fks.exists(_.childCol.equalsIgnoreCase(column)),
+        s"cannot drop '$column': it is a foreign key of '$n'")
+    }
+    defs.values.foreach(td => td.fks.foreach(fk =>
+      if (norm(fk.parentTable) == n && fk.parentCol.equalsIgnoreCase(column))
+        throw new IllegalArgumentException(
+          s"cannot drop '$column': '${td.name}' declares a foreign key " +
+            s"referencing $n.$column")))
+    val ts = f.copy(
+      name = s"${TxLog.DroppedPrefix}${snap.version + 1}_${f.name}",
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(TxLog.PhysicalKey, TxLog.physicalName(f)).build())
+    val next = org.apache.spark.sql.types.StructType(cur.fields.map(g =>
+      if (!TxLog.isDropped(g) && g.name.equalsIgnoreCase(column)) ts else g))
+    txlog.commit(Seq(TxLog.Sch(n, next.json)), readVersion = snap.version)
+    // dependent metadata retires with the column
+    defs.get(n).foreach(td => defs += n ->
+      td.copy(uniqueCols = td.uniqueCols
+        .filterNot(_.equalsIgnoreCase(column))))
+    val ix = indexDefs(n)
+    if (ix.exists(_._2.equalsIgnoreCase(column)))
+      writeIndexMeta(n, ix.filterNot(_._2.equalsIgnoreCase(column)))
+    clusterSpec(n).foreach { case (_, cols, _) =>
+      if (cols.exists(_.equalsIgnoreCase(column))) clearClusterMeta(n)
+    }
+    invalidateSqlEngine()
+  }
+
+  /** Metadata-only type widening: the pin moves to the wider type and
+    * the parquet reader upcasts the narrow physical data at scan time
+    * (Spark's reader-side widening — int→long/double, float→double,
+    * decimal precision/scale growth, int→decimal, date→timestamp_ntz;
+    * lossy moves like long→double are refused). Files keep their
+    * physical type until a rewrite; later appends may stage either
+    * width.
+    */
+  def widenColumn(name: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    requireNotRetired(); requireNoOpenTx()
+    val n = norm(name)
+    val snap = txlog.snapshot()
+    require(snap.tables.contains(n),
+      s"table '$n' does not exist (no committed data)")
+    val cur = txlog.storedSchema(n).getOrElse(txlog.mergedFileSchema(n))
+    val f = TxLog.logicalFields(cur)
+      .find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$column' does not exist on '$n'"))
+    require(f.dataType != to, s"column '$column' is already ${to.simpleString}")
+    require(safeWiden(f.dataType, to),
+      s"cannot widen ${f.dataType.simpleString} to ${to.simpleString}: " +
+        "only lossless reader-supported widenings are metadata-only " +
+        "(rewrite through a transform update instead)")
+    val next = org.apache.spark.sql.types.StructType(cur.fields.map(g =>
+      if (!TxLog.isDropped(g) && g.name.equalsIgnoreCase(column))
+        g.copy(dataType = to)
+      else g))
+    txlog.commit(Seq(TxLog.Sch(n, next.json)), readVersion = snap.version)
+    invalidateSqlEngine()
+  }
+
+  /** The reader-supported lossless widening matrix (measured on this
+    * Spark's parquet readers, vectorized and row-based): files of
+    * `from` remain readable under a pin of `to`.
+    */
+  private def safeWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+      case (ByteType | ShortType | IntegerType, b: DecimalType) =>
+        b.precision - b.scale >= 10
+      case (LongType, b: DecimalType) => b.precision - b.scale >= 20
+      case _ => false
+    }
+  }
+
+  /** Re-key a renamed column through the declared constraints and the
+    * index/clustering registries (the column-level analog of
+    * [[renameCollection]]'s retargeting).
+    */
+  private def retargetColumn(n: String, from: String, to: String): Unit = {
+    def rn(c: String) = if (c.equalsIgnoreCase(from)) to else c
+    defs = defs.map { case (k, td) =>
+      val own = norm(td.name) == n
+      k -> td.copy(
+        pk = if (own) rn(td.pk) else td.pk,
+        uniqueCols = if (own) td.uniqueCols.map(rn) else td.uniqueCols,
+        fks = td.fks.map { fk =>
+          val childSide = if (own) fk.copy(childCol = rn(fk.childCol)) else fk
+          if (norm(childSide.parentTable) == n)
+            childSide.copy(parentCol = rn(childSide.parentCol))
+          else childSide
+        })
+    }
+    val ix = indexDefs(n)
+    if (ix.exists(_._2.equalsIgnoreCase(from)))
+      writeIndexMeta(n, ix.map { case (nm, c, u) => (nm, rn(c), u) })
+    clusterSpec(n).foreach { case (kind, cols, files) =>
+      if (cols.exists(_.equalsIgnoreCase(from)))
+        writeClusterMeta(n, kind, cols.map(rn), files)
+    }
   }
 
   /** Keep a log-held schema in sync with a write: when the table HAS a
@@ -786,21 +980,43 @@ final class GraftDatabase private (
       fullReplace: Boolean = false): Seq[TxLog.Action] =
     txlog.storedSchema(n) match {
       case Some(cur) if fullReplace =>
-        val same = cur.fields.map(f => (f.name.toLowerCase, f.dataType))
-          .sortBy(_._1).toSeq ==
-          staged.fields.map(f => (f.name.toLowerCase, f.dataType))
-            .sortBy(_._1).toSeq
-        if (same) Nil
-        else Seq(TxLog.Sch(n, org.apache.spark.sql.types.StructType(
-          staged.fields.map(_.copy(nullable = true))).json))
+        // a full replace retires EVERY old file, so dropped-column
+        // tombstones clear here — but RENAME mappings must carry over:
+        // the staged files were written under the PHYSICAL names
+        // (stage() renames), so re-pinning without the mapping would
+        // null-fill the renamed columns of the very files just staged
+        val curByName = cur.fields
+          .map(f => f.name.toLowerCase -> f).toMap
+        val next = org.apache.spark.sql.types.StructType(
+          staged.fields.map { f =>
+            curByName.get(f.name.toLowerCase)
+              .filter(cf => TxLog.physicalName(cf) != cf.name) match {
+              case Some(cf) => f.copy(nullable = true, metadata = cf.metadata)
+              case None => f.copy(nullable = true)
+            }
+          })
+        val same = cur.fields.length == next.fields.length &&
+          cur.fields.map(f => (f.name.toLowerCase, f.dataType,
+            TxLog.physicalName(f))).sortBy(_._1).toSeq ==
+          next.fields.map(f => (f.name.toLowerCase, f.dataType,
+            TxLog.physicalName(f))).sortBy(_._1).toSeq
+        if (same) Nil else Seq(TxLog.Sch(n, next.json))
       case Some(cur) =>
         val knownType = cur.fields
           .map(f => f.name.toLowerCase -> f.dataType).toMap
         staged.fields.foreach(f => knownType.get(f.name.toLowerCase)
-          .foreach(t => if (t != f.dataType) throw new IllegalStateException(
-            s"append stages column '${f.name}' as ${f.dataType.simpleString} " +
-              s"but table '$n' stores it as ${t.simpleString}; cast the " +
-              "incoming column (a partial write cannot change a type)")))
+          .foreach { t =>
+            // staging NARROWER than the pin is fine after a
+            // metadata-only type widening: the parquet reader upcasts
+            // the narrow physical data under the wide requested schema
+            // (the same reader support the widening DDL relies on)
+            if (t != f.dataType && !safeWiden(f.dataType, t))
+              throw new IllegalStateException(
+                s"append stages column '${f.name}' as " +
+                  s"${f.dataType.simpleString} but table '$n' stores it " +
+                  s"as ${t.simpleString}; cast the incoming column (a " +
+                  "partial write cannot change a type)")
+          })
         val extra = staged.fields
           .filterNot(f => knownType.contains(f.name.toLowerCase))
         if (extra.isEmpty) Nil
@@ -2209,6 +2425,13 @@ final class GraftDatabase private (
         db.versionAt(java.time.Instant.ofEpochMilli(epochMs))
       def addColumn(name: String, column: String, ddlType: String): Unit =
         db.addColumn(name, column,
+          org.apache.spark.sql.types.DataType.fromDDL(ddlType))
+      def renameColumn(name: String, from: String, to: String): Unit =
+        db.renameColumn(name, from, to)
+      def dropColumn(name: String, column: String): Unit =
+        db.dropColumn(name, column)
+      def widenColumn(name: String, column: String, ddlType: String): Unit =
+        db.widenColumn(name, column,
           org.apache.spark.sql.types.DataType.fromDDL(ddlType))
       def restoreCollection(name: String, version: Long): Unit =
         db.restore(name, version)

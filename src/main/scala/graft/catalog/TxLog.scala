@@ -360,6 +360,18 @@ final class TxLog(spark: SparkSession, root: String,
     def mark(d: DataFrame): DataFrame =
       fileCol.fold(d)(c => d.withColumn(c, input_file_name()))
     if (dvOf.isEmpty) return mark(readFiles(rel, schemaJson))
+    // DV sidecars carry the pk under its PHYSICAL name (they stage like
+    // data); the data read surfaces LOGICAL names — rename mask columns
+    // through the pin's mapping so the anti-join keys line up after a
+    // metadata-only RENAME COLUMN
+    val physToLog: Map[String, String] = schemaJson.map(parseSchema)
+      .map(pin => TxLog.logicalFields(pin)
+        .filter(f => TxLog.physicalName(f) != f.name)
+        .map(f => TxLog.physicalName(f).toLowerCase -> f.name).toMap)
+      .getOrElse(Map.empty)
+    def logicalMask(m: DataFrame): DataFrame =
+      if (physToLog.isEmpty) m
+      else m.toDF(m.columns.map(c => physToLog.getOrElse(c.toLowerCase, c)): _*)
     val maskedRel = rel.filter(dvOf.contains)
     val plainRel = rel.filterNot(dvOf.contains)
     val plain =
@@ -377,7 +389,7 @@ final class TxLog(spark: SparkSession, root: String,
     val masked: DataFrame =
       if (maskedRel.size <= TxLog.DvPerFileJoinMax || !suffixSafe)
         maskedRel.map { f =>
-          val mask = readFiles(Seq(dvOf(f)), None)
+          val mask = logicalMask(readFiles(Seq(dvOf(f)), None))
           val pk = mask.columns.head
           val side = mask.select(pk).distinct()
           val hinted =
@@ -388,7 +400,7 @@ final class TxLog(spark: SparkSession, root: String,
         }.reduce(_ unionByName _)
       else {
         val masks = maskedRel.map { f =>
-          val m = readFiles(Seq(dvOf(f)), None)
+          val m = logicalMask(readFiles(Seq(dvOf(f)), None))
           m.select(col(m.columns.head), lit(f).as("_graft_dv_file"))
         }.reduce(_ unionByName _)
         val pk = masks.columns.head
@@ -501,6 +513,14 @@ final class TxLog(spark: SparkSession, root: String,
     org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
+  /** The file schema a table's live files actually carry — unioned
+    * across footers (`mergeSchema`), so a heterogeneous un-pinned table
+    * adopts EVERY physical column when DDL first pins it.
+    */
+  def mergedFileSchema(table: String): org.apache.spark.sql.types.StructType =
+    spark.read.options(ioOptions).option("mergeSchema", "true")
+      .parquet(liveFiles(table): _*).schema
+
   /** Schema-pinned when the log holds one: files written BEFORE a
     * column existed null-fill it (metadata-only ADD COLUMN), files
     * carrying extra columns project them away — and no job spends
@@ -513,7 +533,23 @@ final class TxLog(spark: SparkSession, root: String,
     val reader = spark.read.options(ioOptions)
     schemaJson match {
       case Some(j) =>
-        reader.schema(parseSchema(j)).parquet(rel.map(r => s"$root/$r"): _*)
+        val pinned = parseSchema(j)
+        val logical = TxLog.logicalFields(pinned)
+        if (logical.length == pinned.length &&
+            logical.forall(f => TxLog.physicalName(f) == f.name))
+          reader.schema(pinned).parquet(rel.map(r => s"$root/$r"): _*)
+        else {
+          // metadata-only column DDL: the pin carries logical→physical
+          // renames and tombstones of dropped columns. Read the files
+          // under their PHYSICAL names (tombstoned columns are never
+          // requested, so the scan skips their pages entirely), then
+          // rename to the logical surface — one narrow Project, pushed
+          // through by Catalyst like any alias
+          val phys = org.apache.spark.sql.types.StructType(
+            logical.map(f => f.copy(name = TxLog.physicalName(f))))
+          reader.schema(phys).parquet(rel.map(r => s"$root/$r"): _*)
+            .toDF(logical.map(_.name): _*)
+        }
       case None =>
         // schema-INFERRED reads open a footer on the driver at every
         // plan build; files are immutable, so the inferred schema of a
@@ -548,7 +584,11 @@ final class TxLog(spark: SparkSession, root: String,
   def stage(table: String, df: DataFrame): Seq[String] = {
     val rel = s"Tables/$table/d-${UUID.randomUUID().toString.take(12)}"
     val dir = Paths.get(root, rel)
-    df.write.options(ioOptions).mode("error").parquet(dir.toString)
+    // after a metadata-only RENAME COLUMN, files keep writing the
+    // PHYSICAL name (the mapping's stable identity) — old and new files
+    // stay byte-compatible and the pinned read renames them all back
+    toPhysical(table, df).write.options(ioOptions).mode("error")
+      .parquet(dir.toString)
     val s = Files.list(dir)
     try {
       val parts = s.iterator().asScala.map(_.getFileName.toString)
@@ -597,6 +637,20 @@ final class TxLog(spark: SparkSession, root: String,
       if (nonEmpty.nonEmpty) nonEmpty else all.take(1)
     } finally s.close()
   }
+
+  /** Logical→physical column rename for a staged frame, from the
+    * table's CURRENT pin (identity when no mapping exists).
+    */
+  private def toPhysical(table: String, df: DataFrame): DataFrame =
+    snapshot().schemas.get(table).map(parseSchema) match {
+      case Some(pin) =>
+        val m = TxLog.logicalFields(pin)
+          .filter(f => TxLog.physicalName(f) != f.name)
+          .map(f => f.name.toLowerCase -> TxLog.physicalName(f)).toMap
+        if (m.isEmpty) df
+        else df.toDF(df.columns.map(c => m.getOrElse(c.toLowerCase, c)): _*)
+      case None => df
+    }
 
   // rel path → stats JSON, harvested at stage time and attached to the
   // commit that publishes the file (see commit()); immutable files make
@@ -971,6 +1025,35 @@ final class TxLog(spark: SparkSession, root: String,
 }
 
 object TxLog {
+
+  // ---- metadata-only column DDL (rename / drop) -----------------------------
+  // A pinned field may carry `graft_physical` metadata: the column name
+  // files ACTUALLY store (stable across renames — writes keep staging
+  // it, reads rename it back to the field's logical name). A field
+  // whose name starts with the dropped prefix is a TOMBSTONE: its
+  // logical name is retired, its physical claim is kept so a re-added
+  // column of the same name maps to a FRESH physical name instead of
+  // resurrecting old file data. Tombstones are never read (the physical
+  // scan omits them) and clear naturally on any full rewrite.
+
+  /** StructField metadata key holding the physical (file) column name. */
+  val PhysicalKey = "graft_physical"
+
+  /** Name prefix marking a dropped column's tombstone field. */
+  val DroppedPrefix = "__graft_dropped_"
+
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.name.startsWith(DroppedPrefix)
+
+  /** The pin's user-visible fields (tombstones excluded). */
+  def logicalFields(s: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] =
+    s.fields.toSeq.filterNot(isDropped)
+
   // 8+ digits: the writer pads to 8 (f"v$v%08d") but GROWS past
   // 99,999,999 commits — an exact-8 match would stop discovering them,
   // silently resetting `version` and colliding publishes

@@ -1265,6 +1265,60 @@ object DomainQueries {
       "MERGE WHEN NOT MATCHED BY SOURCE (UPDATE/DELETE, first-hit-wins " +
         "within the family): full-sync replication in one " +
         "file-granular commit, with the ANSI cardinality check folded " +
-        "into a single aggregation pass")
+        "into a single aggregation pass"),
+
+    // The rest of the column-DDL lifecycle, all metadata-only (one SCH
+    // commit each, zero data movement — pinned in-query by file-list +
+    // version checks): RENAME COLUMN maps the new logical name to the
+    // stable physical name (old and new files read back as one), ALTER
+    // COLUMN TYPE widens losslessly (the parquet reader upcasts narrow
+    // physical data under the wide pin), DROP COLUMN tombstones the
+    // field, and a re-added NAMESAKE maps to a fresh physical name so
+    // old file bytes can never resurrect. Time travel below the DDL
+    // still reads the old shape. At 100 TB every one of these is the
+    // difference between a metadata commit and rewriting the table.
+    Q("q158_column_ddl",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q158").toString
+        val db = GraftDatabase(s, "q158", base)
+          .defineTable(TableDef("customer", "c_custkey"))
+        val src = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+          .withColumn("tier", (col("c_custkey") % 5).cast("int"))
+        db.insert("customer", src.filter(col("c_custkey") % 4 === 0))
+        val v1 = db.logVersion
+        val files0 = db.liveFiles("customer")
+        db.sql("ALTER COLLECTION customer RENAME COLUMN c_acctbal TO bal")
+        db.sql("ALTER COLLECTION customer ALTER COLUMN tier TYPE BIGINT")
+        db.sql("ALTER COLLECTION customer DROP COLUMN c_mktsegment")
+        require(db.liveFiles("customer") == files0 &&
+          db.logVersion == v1 + 3,
+          "rename/widen/drop must be three metadata-only commits")
+        db.sql("ALTER COLLECTION customer ADD COLUMN c_mktsegment STRING")
+        db.insert("customer", src.filter(col("c_custkey") % 4 === 1)
+          .withColumnRenamed("c_acctbal", "bal")
+          .withColumn("tier", col("tier").cast("long")))
+        db.table("customer").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("bal").cast("decimal(18,2)"))
+            .cast("double").as("sum_bal"),
+          sum(col("tier")).cast("double").as("sum_tier"),
+          // the re-added namesake: wave-1 rows MUST be null (no
+          // resurrection of the dropped column's file bytes)
+          count(col("c_mktsegment")).as("n_seg"),
+          lit(db.tableAt("customer", v1).get.columns.mkString(","))
+            .as("v1_cols"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+          CAST(SUM(CAST(c_custkey % 5 AS BIGINT)) AS DOUBLE) AS sum_tier,
+          COUNT(CASE WHEN c_custkey % 4 = 1 THEN c_mktsegment END) AS n_seg,
+          'c_custkey,c_acctbal,c_mktsegment,tier' AS v1_cols
+        FROM customer WHERE c_custkey % 4 IN (0, 1)"""),
+      "metadata-only RENAME / type-widen / DROP COLUMN: logical→physical " +
+        "mapping keeps both file eras readable, tombstones stop namesake " +
+        "resurrection, time travel reads the pre-DDL shape")
   )
 }

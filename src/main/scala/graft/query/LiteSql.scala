@@ -431,16 +431,32 @@ final class LiteSql(
         }
         Seq((b.toLong, after.toLong)).toDF("files_before", "files_after")
       case "ALTER" =>
-        // ALTER COLLECTION {c} ADD COLUMN {name} {type} — metadata-only
-        // schema evolution (dialect extension): no data file is touched;
-        // older files null-fill the column on read
-        val m = ("(?i)^ALTER COLLECTION (\\w+) ADD COLUMN (\\w+) " +
-          "([\\w()<>, ]+?)\\s*;?$").r.findFirstMatchIn(sql).getOrElse(
-            throw new IllegalArgumentException(
-              s"bad ALTER (expected ALTER COLLECTION c ADD COLUMN name type): $sql"))
+        // ALTER COLLECTION {c} ADD COLUMN {name} {type}
+        //                     | RENAME COLUMN {a} TO {b}
+        //                     | DROP COLUMN {a}
+        //                     | ALTER COLUMN {a} TYPE {type}
+        // — all metadata-only schema evolution (dialect extensions): no
+        // data file is touched; adds null-fill on read, renames map to
+        // the stable physical name, drops tombstone it, widenings
+        // upcast at scan time
         val a = admin.getOrElse(throw new UnsupportedOperationException(
           "ALTER needs a database-backed engine (GraftDatabase.sql)"))
-        a.addColumn(m.group(1).toLowerCase, m.group(2), m.group(3).trim)
+        val add = ("(?i)^ALTER COLLECTION (\\w+) ADD COLUMN (\\w+) " +
+          "([\\w()<>, ]+?)\\s*;?$").r
+        val ren = "(?i)^ALTER COLLECTION (\\w+) RENAME COLUMN (\\w+) TO (\\w+)\\s*;?$".r
+        val drp = "(?i)^ALTER COLLECTION (\\w+) DROP COLUMN (\\w+)\\s*;?$".r
+        val wid = ("(?i)^ALTER COLLECTION (\\w+) ALTER COLUMN (\\w+) TYPE " +
+          "([\\w()<>, ]+?)\\s*;?$").r
+        sql match {
+          case add(c, col0, tpe) => a.addColumn(c.toLowerCase, col0, tpe.trim)
+          case ren(c, from, to)  => a.renameColumn(c.toLowerCase, from, to)
+          case drp(c, col0)      => a.dropColumn(c.toLowerCase, col0)
+          case wid(c, col0, tpe) => a.widenColumn(c.toLowerCase, col0, tpe.trim)
+          case _ => throw new IllegalArgumentException(
+            "bad ALTER (expected ALTER COLLECTION c ADD COLUMN name type " +
+              "| RENAME COLUMN a TO b | DROP COLUMN a " +
+              s"| ALTER COLUMN a TYPE type): $sql")
+        }
         Seq(true).toDF("result")
       case "RESTORE" =>
         // RESTORE {collection} TO VERSION {v} | TO TIMESTAMP AS OF
@@ -1468,6 +1484,12 @@ object LiteSql {
     def versionAtTime(epochMs: Long): Long
     /** Metadata-only ADD COLUMN; `ddlType` is a Spark DDL type name. */
     def addColumn(name: String, column: String, ddlType: String): Unit
+    /** Metadata-only column rename (constraints/indexes re-key). */
+    def renameColumn(name: String, from: String, to: String): Unit
+    /** Metadata-only column drop (tombstoned in the pin). */
+    def dropColumn(name: String, column: String): Unit
+    /** Metadata-only lossless type widening. */
+    def widenColumn(name: String, column: String, ddlType: String): Unit
     /** Metadata-only rollback to a committed version (a NEW commit). */
     def restoreCollection(name: String, version: Long): Unit
     /** Reclaim files unreferenced by retained versions; returns the

@@ -947,15 +947,21 @@ class LakehouseOpsSpec extends AnyFunSuite {
     val db = freshDb()
     db.insert("t", rows(4))
     db.addColumn("t", "score", org.apache.spark.sql.types.DoubleType)
-    // append with score as INT: committing it would leave two physical
-    // types behind one pinned schema — every later read would throw
-    // inside the parquet reader. Must fail AT THE WRITE.
+    // append with score as STRING: committing it would leave two
+    // incompatible physical types behind one pinned schema — every
+    // later read would throw inside the parquet reader. Must fail AT
+    // THE WRITE. (A NARROWER-but-widenable type — int under the double
+    // pin — is fine: the reader upcasts it, the type-widening contract.)
     val ex = intercept[IllegalStateException] {
-      db.insert("t", Seq((5, 50L, "r5", 7))
+      db.insert("t", Seq((5, 50L, "r5", "oops"))
         .toDF("id", "v", "name", "score"))
     }
     assert(ex.getMessage.contains("cast the incoming column"))
     assert(db.table("t").count() == 4, "rejected append must not commit")
+    db.insert("t", Seq((5, 50L, "r5", 7)).toDF("id", "v", "name", "score"))
+    assert(db.table("t").filter(col("score") === 7.0d).count() == 1,
+      "a widenable narrow append lands and upcasts at scan")
+    db.delete("t", col("id") === 5)
     // transform updates COERCE the SET value to the column's stored
     // type (when/otherwise), so granular DML cannot drift a type either
     db.updateMany("t", col("id") === 1, Map("score" -> lit(1)))
