@@ -59,9 +59,30 @@ object FileStatsUtil {
         var acc = Map.empty[String, (String, BigDecimal, BigDecimal,
           String, String)] // col -> (kind, numLo, numHi, strLo, strHi)
         var dead = Set.empty[String]
-        blocks.foreach(_.getColumns.asScala.foreach { cc =>
+        // null/non-null counts fold INDEPENDENTLY of the min/max logic:
+        // a column with unusable bounds (DECIMAL raw ints, an all-null
+        // file) can still prune IS [NOT] NULL probes. (Parquet footers
+        // carry no NaN counts, so NaN-aware pruning has no sound
+        // source — min/max with NaN already drop out above.)
+        var nulls = Map.empty[String, (Long, Long)] // col -> (nc, nn)
+        var ncDead = Set.empty[String]
+        blocks.foreach { block =>
+          val blockRows = block.getRowCount
+          block.getColumns.asScala.foreach { cc =>
           val dotted = cc.getPath.toDotString
           val name = dotted.toLowerCase
+          if (!dotted.contains('.')) {
+            val stN = cc.getStatistics
+            if (!ncDead(name)) {
+              if (stN == null || !stN.isNumNullsSet || stN.getNumNulls < 0)
+                ncDead += name
+              else {
+                val (a, b) = nulls.getOrElse(name, (0L, 0L))
+                nulls += name ->
+                  (a + stN.getNumNulls, b + (blockRows - stN.getNumNulls))
+              }
+            }
+          }
           if (!dotted.contains('.') && !dead(name)) {
             val st = cc.getStatistics
             val prim = cc.getPrimitiveType.getPrimitiveTypeName
@@ -114,18 +135,31 @@ object FileStatsUtil {
               case _ => dead += name
             }
           }
-        })
+        }}
         val live = (acc -- dead).filter(_._2 != null)
-        val js = if (live.isEmpty) None
-        else Some(live.toSeq.sortBy(_._1).map {
+        val ncLive = nulls -- ncDead
+        // null-count suffix (ABSENT on legacy entries — probes stay
+        // conservative there); columns with counts but no usable
+        // bounds get a bounds-free "nul" entry, which range probes
+        // never match
+        def ncSuffix(c: String): String = ncLive.get(c)
+          .map { case (nc, nn) =>
+            ",\"nc\":\"" + nc + "\",\"nn\":\"" + nn + "\""
+          }.getOrElse("")
+        val nulOnly = (ncLive.keySet -- live.keySet).toSeq.sorted.map(c =>
+          q(c) + ":{\"k\":\"nul\"" + ncSuffix(c) + "}")
+        val entries = (live.toSeq.sortBy(_._1).map {
           case (c, ("str", _, _, lo, hi)) =>
-            q(c) + ":{\"k\":\"str\",\"lo\":" + q(lo) + ",\"hi\":" + q(hi) + "}"
+            q(c) + ":{\"k\":\"str\",\"lo\":" + q(lo) + ",\"hi\":" + q(hi) +
+              ncSuffix(c) + "}"
           case (c, (k, lo, hi, _, _)) if lo != null => // num | tsu | tsn
             q(c) + ":{\"k\":\"" + k + "\",\"lo\":" +
               q(lo.bigDecimal.toPlainString) +
-              ",\"hi\":" + q(hi.bigDecimal.toPlainString) + "}"
+              ",\"hi\":" + q(hi.bigDecimal.toPlainString) + ncSuffix(c) + "}"
           case _ => ""
-        }.filter(_.nonEmpty).mkString("{", ",", "}"))
+        }.filter(_.nonEmpty)) ++ nulOnly
+        val js = if (entries.isEmpty) None
+        else Some(entries.mkString("{", ",", "}"))
         (js, Some(rows))
       } finally reader.close()
     } catch { case _: Throwable => (None, None) }
@@ -319,9 +353,37 @@ object FileStatsUtil {
       Some(if (utcAdjusted) "tsu" else "tsn"))
 
   private def kindRe(column: String): scala.util.matching.Regex =
+    // the tail admits optional extra fields (",nc"/"nn" null counts)
+    // after hi — entries written with and without them both match
     ("\"" + java.util.regex.Pattern.quote(column.toLowerCase) +
       "\"\\s*:\\s*\\{\"k\":\"(num|str|tsu|tsn)\",\"lo\":\"" +
-      "((?:[^\"\\\\]|\\\\.)*)\",\"hi\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+      "((?:[^\"\\\\]|\\\\.)*)\",\"hi\":\"((?:[^\"\\\\]|\\\\.)*)\"[,}]").r
+
+  /** A compiled IS NULL / IS NOT NULL probe over the harvested
+    * null/non-null counts. Conservative like the range probes: a file
+    * without stats, a column without a counts suffix (legacy entry,
+    * invalid footer counts), or a mismatch answers "cannot prune".
+    */
+  final class NullProbe private[FileStatsUtil] (
+      re: scala.util.matching.Regex, wantNull: Boolean) {
+    /** True when the file may hold qualifying rows (cannot be pruned):
+      * IS NULL needs nc > 0, IS NOT NULL needs nn > 0.
+      */
+    def admits(statsJson: Option[String]): Boolean = statsJson match {
+      case None => true
+      case Some(js) => re.findFirstMatchIn(js) match {
+        case None => true
+        case Some(m) =>
+          if (wantNull) m.group(1).toLong > 0 else m.group(2).toLong > 0
+      }
+    }
+  }
+
+  /** Build the compiled null-count probe for `column`. */
+  def nullProbe(column: String, wantNull: Boolean): NullProbe =
+    new NullProbe(("\"" +
+      java.util.regex.Pattern.quote(column.toLowerCase) +
+      "\"\\s*:\\s*\\{[^}]*\"nc\":\"(\\d+)\",\"nn\":\"(\\d+)\"").r, wantNull)
 
   /** Exact epoch-micros (+ domain kind) of an instant-like probe bound. */
   private def tsMicros(v: Any): Option[(BigDecimal, String)] = v match {

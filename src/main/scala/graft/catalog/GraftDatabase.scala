@@ -1940,9 +1940,16 @@ final class GraftDatabase private (
     // but through an extra per-row file filter; the caller's plain
     // full-rewrite fallback is the same bytes for less work
     if (keepRel.isEmpty && allRel.nonEmpty) return None
+    // the staged rows must carry EVERY expected column at its exact
+    // type (a missing one would silently null a column of the rewritten
+    // rows); EXTRA columns are fine — a widening DML (MERGE autoMerge,
+    // SET of a new path) stays file-granular, with the pin extended in
+    // the same commit so untouched files null-fill
+    val touchedMap = touchedSchema
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
     val ok = keepRel.size + hitAbs.size == allRel.size &&
-      touchedSchema.map(f => (f.name, f.dataType)) ==
-        expectedSchema.map(f => (f.name, f.dataType))
+      expectedSchema.forall(f =>
+        touchedMap.get(f.name.toLowerCase).contains(f.dataType))
     if (!ok) None
     // patchSafe (no unique constraints a concurrent writer's unseen
     // rows could break, no new PKs): commit as a RELATIVE remove/add
@@ -1975,7 +1982,8 @@ final class GraftDatabase private (
     granular match {
       case Some(action) =>
         txlog.commit(
-          (action +: schemaSyncActions(norm(name), touched.schema)) ++ extra,
+          (action +: widenSyncActions(norm(name), touched.schema,
+            expectedSchema)) ++ extra,
           readVersion = base,
           readTables = tdef.fks.map(_.parentTable).toSet)
         invalidateSqlEngine()
@@ -1983,6 +1991,26 @@ final class GraftDatabase private (
         writeReplace(name, fallback, base,
           tdef.fks.map(_.parentTable).toSet, extra)
     }
+  }
+
+  /** The schema actions a GRANULAR commit staging `touched` must carry:
+    * the ordinary sync when the table is pinned — or a CREATED pin when
+    * the staged rows hold columns the UNPINNED table never had (a
+    * widening MERGE/SET). Without it the commit would leave
+    * heterogeneous files behind footer-INFERRED reads, whose one-footer
+    * schema pick is nondeterministic about the new column.
+    */
+  private def widenSyncActions(n: String,
+      touchedSchema: org.apache.spark.sql.types.StructType,
+      expectedSchema: org.apache.spark.sql.types.StructType)
+      : Seq[TxLog.Action] = {
+    val extrasNew = touchedSchema.filterNot(f =>
+      expectedSchema.exists(_.name.equalsIgnoreCase(f.name)))
+    if (extrasNew.nonEmpty && txlog.storedSchema(n).isEmpty)
+      Seq(TxLog.Sch(n, org.apache.spark.sql.types.StructType(
+        (expectedSchema ++ extrasNew.map(_.copy(nullable = true)))
+          .toArray).json))
+    else schemaSyncActions(n, touchedSchema)
   }
 
   private def writeReplace(name: String, df: DataFrame,
@@ -2582,7 +2610,12 @@ final class GraftDatabase private (
                     fileGranularPut(n, hitRaw, touched,
                       atBase.schema, patchSafe = stmtPatchSafe) match {
                       case Some(action) =>
-                        txlog.commit(Seq(action), readVersion = engineBase,
+                        // a widening statement (MERGE INSERT * with a
+                        // wider source, SET of a new path) extends or
+                        // creates the pin IN the same commit
+                        txlog.commit(action +: widenSyncActions(n,
+                          touched.schema, atBase.schema),
+                          readVersion = engineBase,
                           readTables = readTabs)
                         invalidateSqlEngine()
                         true

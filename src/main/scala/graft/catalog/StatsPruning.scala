@@ -134,9 +134,10 @@ final class StatsPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     case f @ Filter(cond, l: LogicalRelation)
         if eligible(l) =>
       val fs = l.relation.asInstanceOf[HadoopFsRelation]
-      val bounds = StatsPruneRule.columnBounds(
-        splitConjunctivePredicates(cond))
-      if (bounds.isEmpty) f
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = StatsPruneRule.columnBounds(conjuncts)
+      val nullProbes = StatsPruneRule.nullProbes(conjuncts)
+      if (bounds.isEmpty && nullProbes.isEmpty) f
       else {
         val probes = bounds.map { case (c, (lo, hi)) =>
           StatsPruneRule.toProbe(c, lo, hi)
@@ -146,7 +147,8 @@ final class StatsPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         val keep = files.filter { p =>
           statsOf(p) match {
             case None => true // stat-less: always scan (conservative)
-            case js => probes.forall(_.admits(js))
+            case js => probes.forall(_.admits(js)) &&
+              nullProbes.forall(_.admits(js))
           }
         }
         if (keep.length == files.length) f
@@ -265,6 +267,21 @@ object StatsPruneRule {
     case (TB(x, u), TB(y, v)) if u == v => Some(TB(x.min(y), u))
     case _ => None
   }
+
+  /** IS NULL / IS NOT NULL conjuncts as compiled null-count probes.
+    * Spark's optimizer inserts `IsNotNull(c)` under every comparison
+    * filter, so all-null files prune on ORDINARY predicates too, not
+    * just explicit IS NOT NULL — and an `IS NULL` probe skips every
+    * file whose harvest proves zero nulls.
+    */
+  private[catalog] def nullProbes(conjuncts: Seq[Expression])
+      : Seq[FileStatsUtil.NullProbe] =
+    conjuncts.collect {
+      case IsNull(a: AttributeReference) =>
+        FileStatsUtil.nullProbe(a.name.toLowerCase, wantNull = true)
+      case IsNotNull(a: AttributeReference) =>
+        FileStatsUtil.nullProbe(a.name.toLowerCase, wantNull = false)
+    }
 
   /** Fold the filter's conjuncts into the tightest per-column
     * [lo, hi] box the stats can check: `=`, `<`, `<=`, `>`, `>=` (both

@@ -1319,6 +1319,116 @@ object DomainQueries {
         FROM customer WHERE c_custkey % 4 IN (0, 1)"""),
       "metadata-only RENAME / type-widen / DROP COLUMN: logical→physical " +
         "mapping keeps both file eras readable, tombstones stop namesake " +
-        "resurrection, time travel reads the pre-DDL shape")
+        "resurrection, time travel reads the pre-DDL shape"),
+
+    // Null-count data skipping: the stage-time harvest folds per-column
+    // null/non-null counts from the footers into the log-held stats, so
+    // `IS [NOT] NULL` conjuncts prune file lists on the DEFAULT read
+    // path — including the IsNotNull Spark's optimizer inserts under
+    // every ordinary comparison. An all-null file has NO min/max entry
+    // (nothing to bound), so before the counts it could never prune;
+    // gated in-query at ≤ half the files.
+    Q("q159_null_skipping",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q159").toString
+        val db = GraftDatabase(s, "q159", base)
+          .defineTable(TableDef("orders", "o_orderkey"))
+        val src = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        // wave A: the note column is ENTIRELY null; wave B: never null
+        db.insert("orders", src.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_note", lit(null).cast("string")))
+        db.insert("orders", src.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_note",
+            concat(lit("n"), col("o_custkey").cast("string"))))
+        val n = db.liveFiles("orders").size
+        val notNull = db.sql(
+          "SELECT o_custkey, o_totalprice FROM orders WHERE o_note IS NOT NULL")
+        require(notNull.inputFiles.length <= math.max(1, n / 2),
+          s"IS NOT NULL must skip the all-null files: scanned " +
+            s"${notNull.inputFiles.length} of $n")
+        val isNull = db.sql(
+          "SELECT o_orderkey FROM orders WHERE o_note IS NULL")
+        require(isNull.inputFiles.length <= math.max(1, n / 2),
+          s"IS NULL must skip the zero-null files: scanned " +
+            s"${isNull.inputFiles.length} of $n")
+        notNull.groupBy((col("o_custkey") % 7).as("g"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+      },
+      Some("""SELECT o_custkey % 7 AS g, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1"""),
+      "null-count data skipping: IS [NOT] NULL conjuncts (and the " +
+        "implicit IsNotNull under every comparison) prune file lists " +
+        "from log-held footer null counts — all-null files stop " +
+        "scanning on ordinary predicates"),
+
+    // MERGE schema evolution (the lakehouse autoMerge): INSERT * with a
+    // source carrying a column the target never had widens the target
+    // in the SAME single commit — one SCH action extends the pin, the
+    // commit stays file-granular (untouched files never rewrite,
+    // null-filling the new column on read). Pinned in-query by the
+    // one-version gate; the oracle recomputes the merged state
+    // relationally.
+    Q("q160_merge_automerge",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        val base = java.nio.file.Files.createTempDirectory("graft-q160").toString
+        val db = GraftDatabase(s, "q160", base)
+          .defineTable(TableDef("customer", "c_custkey"))
+          .defineTable(TableDef("src", "c_custkey"))
+        db.insert("customer", Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+        db.insert("src", Tables.load(s, dir, "orders")
+          .groupBy((col("o_custkey") +
+            when(col("o_custkey") % 3 === 0, lit(1000000L)).otherwise(lit(0L)))
+            .as("c_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("spend")))
+        val v0 = db.logVersion
+        db.sql("MERGE INTO customer USING src " +
+          "ON customer.c_custkey = src.c_custkey " +
+          "WHEN MATCHED THEN UPDATE SET c_acctbal = src.spend " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        require(db.logVersion == v0 + 1,
+          "a schema-widening MERGE must land as exactly ONE commit")
+        require(db.table("customer").columns.contains("spend"),
+          "INSERT * must auto-merge the source-only column")
+        db.table("customer").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("sum_bal"),
+          count(col("spend")).as("n_spend"),
+          sum(col("spend").cast("decimal(18,2)"))
+            .cast("double").as("sum_spend"))
+      },
+      Some("""WITH src AS (
+          SELECT o_custkey + CASE WHEN o_custkey % 3 = 0 THEN 1000000 ELSE 0 END AS k,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+          FROM orders GROUP BY 1
+        ), merged AS (
+          SELECT c.c_custkey,
+                 CASE WHEN s.k IS NOT NULL THEN s.spend ELSE c.c_acctbal END
+                   AS c_acctbal,
+                 CAST(NULL AS DOUBLE) AS spend
+            FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+          UNION ALL
+          SELECT s.k, NULL, s.spend
+            FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+            WHERE c.c_custkey IS NULL
+        )
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+          COUNT(spend) AS n_spend,
+          CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS sum_spend
+        FROM merged"""),
+      "MERGE INSERT * schema evolution: a wider source widens the " +
+        "target with one SCH action in the same file-granular commit — " +
+        "untouched files never rewrite, null-filling the new column")
   )
 }

@@ -654,11 +654,16 @@ final class LiteSql(
     val nmClauses = clauses.collect { case i: Ins => i }
     val sClauses = clauses.collect { case u: SUpd => u: Cl; case d: SDel => d: Cl }
     // output schema: target columns plus any NEW columns a SET/INSERT
-    // introduces (LiteDB UPDATE creates missing paths; same here)
+    // introduces (LiteDB UPDATE creates missing paths; same here).
+    // INSERT * with a WIDER source auto-merges the extra columns into
+    // the target (the lakehouse autoMerge): a persisting caller widens
+    // the stored schema with ONE SCH action in the same file-granular
+    // commit — old files null-fill under the pin, nothing rewrites
     val newCols = (mClauses.collect { case Upd(_, sets) => sets.map(_._1) }
       .flatten ++
       sClauses.collect { case SUpd(_, sets) => sets.map(_._1) }.flatten ++
-      nmClauses.flatMap(_.colsVals.map(_._1).getOrElse(Nil)))
+      nmClauses.flatMap(_.colsVals.map(_._1)
+        .getOrElse(src.columns.toSeq)))
       .filterNot(c => tCols.exists(_.equalsIgnoreCase(c))).distinct
     val outCols = tCols ++ newCols
     // ANSI MERGE: source-derived values cast to the TARGET column's

@@ -73,6 +73,38 @@ class MergeSpec extends AnyFunSuite {
       Seq((1, 10L), (2, 20L), (5, 50L)))
   }
 
+  test("INSERT * auto-merges a WIDER source: the new column lands with " +
+      "one SCH action in the same file-granular commit, old files " +
+      "null-fill, untouched files survive") {
+    val base = Files.createTempDirectory("graft-automerge").toString
+    val db = GraftDatabase(spark, "automerge", base)
+      .defineTable(TableDef("t", "id")).defineTable(TableDef("s", "id"))
+    db.insert("t", Seq((1, 10L), (2, 20L)).toDF("id", "v").repartition(1))
+    db.insert("t", Seq((3, 30L)).toDF("id", "v").repartition(1))
+    // the source carries an EXTRA column the target has never seen
+    db.insert("s", Seq((2, 222L, "x"), (9, 90L, "y")).toDF("id", "v", "tag"))
+    val files0 = db.liveFiles("t").toSet
+    val v0 = db.logVersion
+    db.sql("MERGE INTO t USING s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(db.logVersion == v0 + 1, "autoMerge must stay ONE commit")
+    // the widened schema: inserted row carries it, every pre-existing
+    // row (including the matched-updated one) null-fills
+    assert(db.table("t").schema.fieldNames.contains("tag"))
+    assert(db.table("t").filter(col("id") === 9)
+      .select("tag").as[String].head() == "y")
+    assert(db.table("t").filter(col("tag").isNull).count() == 3)
+    assert(db.table("t").filter(col("id") === 2)
+      .select("v").as[Long].head() == 222L)
+    // file-granularity: the file holding only the untouched id=3 must
+    // survive the merge unrewritten
+    val survivors = db.liveFiles("t").toSet
+    assert(files0.exists(f => survivors.contains(f) &&
+      spark.read.parquet(f).select("id").as[Int].collect().toSet == Set(3)),
+      "the untouched file must not rewrite under a schema-widening merge")
+  }
+
   test("MERGE into an unknown collection creates it (all NOT MATCHED)") {
     val e = new LiteSql(spark,
       Map("s" -> Seq((1, 11L), (2, 22L)).toDF("id", "v")), Map.empty)

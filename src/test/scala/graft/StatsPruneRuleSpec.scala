@@ -221,6 +221,59 @@ class StatsPruneRuleSpec extends AnyFunSuite {
       s"decimal range must prune: ${out.inputFiles.length} of $n")
   }
 
+  test("IS NULL / IS NOT NULL prune from harvested null counts; an " +
+      "ordinary comparison prunes all-null files via its implicit " +
+      "IsNotNull") {
+    val db = freshDb("prune_null")
+    db.defineTable(TableDef("m", "k"))
+    // wave A: x entirely NULL (2 files); wave B: x non-null (2 files)
+    db.insert("m", (0 until 500).map(i => (i.toLong, None: Option[Long]))
+      .toDF("k", "x").repartition(2))
+    db.insert("m", (500 until 1000)
+      .map(i => (i.toLong, Some(i.toLong): Option[Long]))
+      .toDF("k", "x").repartition(2))
+    val n = db.liveFiles("m").size
+    assert(n == 4)
+    val notNull = db.table("m").filter(col("x").isNotNull)
+    assert(notNull.count() == 500)
+    assert(notNull.inputFiles.length <= n / 2,
+      s"IS NOT NULL must skip all-null files: ${notNull.inputFiles.length}")
+    val isNull = db.table("m").filter(col("x").isNull)
+    assert(isNull.count() == 500)
+    assert(isNull.inputFiles.length <= n / 2,
+      s"IS NULL must skip zero-null files: ${isNull.inputFiles.length}")
+    // `x >= 0` carries an optimizer-inserted IsNotNull(x): the all-null
+    // files prune even though the range probe alone cannot (an all-null
+    // column has no min/max entry)
+    val cmp = db.table("m").filter(col("x") >= 0L)
+    assert(cmp.count() == 500)
+    assert(cmp.inputFiles.length <= n / 2,
+      s"implicit IsNotNull must prune all-null files: " +
+        s"${cmp.inputFiles.length}")
+  }
+
+  test("legacy stats entries without null counts stay conservative for " +
+      "null probes; range probes still match count-suffixed entries") {
+    import graft.catalog.FileStatsUtil
+    // legacy entry (round-10 format, no nc/nn): null probes never prune
+    val legacy = Some("""{"x":{"k":"num","lo":"1","hi":"9"}}""")
+    assert(FileStatsUtil.nullProbe("x", wantNull = true).admits(legacy))
+    assert(FileStatsUtil.nullProbe("x", wantNull = false).admits(legacy))
+    // current entry with counts: both directions prune exactly
+    val counted =
+      Some("""{"x":{"k":"num","lo":"1","hi":"9","nc":"0","nn":"42"}}""")
+    assert(!FileStatsUtil.nullProbe("x", wantNull = true).admits(counted))
+    assert(FileStatsUtil.nullProbe("x", wantNull = false).admits(counted))
+    val allNull = Some("""{"x":{"k":"nul","nc":"42","nn":"0"}}""")
+    assert(FileStatsUtil.nullProbe("x", wantNull = true).admits(allNull))
+    assert(!FileStatsUtil.nullProbe("x", wantNull = false).admits(allNull))
+    // the RANGE probe tolerates the appended counts (and still prunes)
+    assert(FileStatsUtil.probe("x", 5, 7).admits(counted))
+    assert(!FileStatsUtil.probe("x", 50, 70).admits(counted))
+    assert(FileStatsUtil.probe("x", 50, 70).admits(allNull),
+      "a bounds-free nul entry must never range-prune")
+  }
+
   test("updateMany preserves the rewritten files' clustered layout: " +
       "range pruning stays sharp after a half-table update") {
     val db = freshDb("prune_um")
