@@ -397,31 +397,19 @@ final class GraftDatabase private (
           }
         }
     }
-    val schemaBack: Seq[TxLog.Action] = snapThen.schemas.get(n) match {
-      case Some(js) => Seq(TxLog.Sch(n, js))
-      case None if txlog.snapshot().schemas.contains(n) =>
-        // v predates the stored schema, but the table is pinned NOW —
-        // leaving the current pin would misrepresent the restored state
-        // (columns added after v would ghost in as nulls). Re-pin to
-        // v's actual file schema.
-        Seq(TxLog.Sch(n, restored.schema.json))
-      case None => Nil
-    }
-    val statsBack = files.flatMap(f =>
-      snapThen.stats.get((n, f)).map(js => TxLog.Sta(n, f, js)))
-    // Dvec after the Put (its application is conditional on the
-    // binding): the target version's masks come back — and files that
-    // carried NO mask then but do at head get an explicit REMOVAL, or
-    // the restored state would silently keep later deletes (Put does
-    // not clear dvs: granular rewrites rely on untouched files keeping
-    // theirs)
-    val headDvs = txlog.snapshot().dvs
-    val dvsBack = dvsThen.toSeq.map { case (f, dv) =>
-      TxLog.Dvec(n, f, dv)
-    } ++ files.filter(f => !dvsThen.contains(f) &&
-      headDvs.contains((n, f))).map(f => TxLog.Dvec(n, f, ""))
+    // ONE rebind recipe (shared with the lost-vacuum-race rollback):
+    // Put + the version's pin + stats + DV masks, with explicit mask
+    // REMOVALS for files masked at head but not at v. The single
+    // forward-only special case on top: v predates the stored schema
+    // but the table is pinned NOW — leaving the current pin would
+    // misrepresent the restored state (columns added after v would
+    // ghost in as nulls), so re-pin to v's actual file schema.
+    val headSnap = txlog.snapshot()
+    val repin: Seq[TxLog.Action] =
+      if (snapThen.schemas.contains(n) || !headSnap.schemas.contains(n)) Nil
+      else Seq(TxLog.Sch(n, restored.schema.json))
     val v = txlog.commit(
-      ((TxLog.Put(n, files) +: schemaBack) ++ statsBack) ++ dvsBack,
+      rebindActions(n, snapThen, headSnap) ++ repin,
       readVersion = base,
       readTables = defs.values.filter(_.fks.exists(fk =>
         norm(fk.parentTable) == n)).map(d => norm(d.name)).toSet)
@@ -439,8 +427,11 @@ final class GraftDatabase private (
         "retained version"
       if (txlog.resolvableAt(base)) {
         try {
+          // validated at the FAILED restore's own version: an
+          // interleaved commit on this table since then must conflict
+          // (the rollback would silently discard it otherwise)
           txlog.commit(rebindActions(n, txlog.snapshotAt(base),
-            txlog.snapshot()))
+            txlog.snapshot()), readVersion = v)
           invalidateSqlEngine()
         } catch { case e: Exception => throw new IllegalStateException(
           s"$msg (rollback to pre-restore v$base ALSO failed: " +
@@ -766,28 +757,50 @@ final class GraftDatabase private (
     val snap = txlog.snapshot()
     require(snap.tables.contains(n),
       s"table '$n' does not exist (no committed data)")
-    val cur = txlog.storedSchema(n).getOrElse(table(n).schema)
+    requireLegalColumnName(column)
+    // pin adoption must see the UNION of the live files' columns
+    // (heterogeneous un-pinned tables exist — a widening append on an
+    // un-pinned table leaves mixed files); a one-footer inference here
+    // would permanently hide the columns that footer happens to lack
+    val cur = txlog.storedSchema(n).getOrElse(txlog.mergedFileSchema(n))
     require(!TxLog.logicalFields(cur)
         .exists(_.name.equalsIgnoreCase(column)),
       s"column '$column' already exists on '$n'")
-    // re-adding a name whose PHYSICAL identity is still claimed (a
-    // dropped column's tombstone, or a renamed column's original name)
-    // maps the new field to a FRESH physical name — live files carrying
-    // the old data under that name must NOT resurrect into the new one
-    val claimed = cur.fields.exists(f =>
-      TxLog.physicalName(f).equalsIgnoreCase(column))
-    val field =
-      if (!claimed)
-        org.apache.spark.sql.types.StructField(column, dataType,
-          nullable = true)
-      else org.apache.spark.sql.types.StructField(column, dataType,
-        nullable = true,
-        metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .putString(TxLog.PhysicalKey, s"${column}__g${snap.version + 1}")
-          .build())
+    val field = freshField(cur, org.apache.spark.sql.types.StructField(
+      column, dataType, nullable = true), snap.version + 1)
     val next = org.apache.spark.sql.types.StructType(cur.fields :+ field)
     txlog.commit(Seq(TxLog.Sch(n, next.json)), readVersion = snap.version)
     invalidateSqlEngine()
+  }
+
+  /** `f` mapped to a FRESH physical name when its logical name's
+    * physical identity is still CLAIMED in `cur` (a dropped column's
+    * tombstone, a renamed column's original name): live files carrying
+    * old data under that physical name must NOT resurrect into the new
+    * field — and a duplicate physical name would make every read throw.
+    * Shared by explicit ADD COLUMN and the implicit pin extension every
+    * widening write/MERGE runs.
+    */
+  private def freshField(cur: org.apache.spark.sql.types.StructType,
+      f: org.apache.spark.sql.types.StructField,
+      version: Long): org.apache.spark.sql.types.StructField = {
+    val claimed = cur.fields.exists(g =>
+      TxLog.physicalName(g).equalsIgnoreCase(f.name))
+    if (!claimed) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(TxLog.PhysicalKey, s"${f.name}__g$version").build())
+  }
+
+  /** Column names of every DDL/extension path: identifier shape, and
+    * never the tombstone prefix (a field named like a tombstone would
+    * silently vanish from the logical surface).
+    */
+  private def requireLegalColumnName(c: String): Unit = {
+    require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name '$c' (letters/digits/underscore)")
+    require(!c.startsWith(TxLog.DroppedPrefix),
+      s"invalid column name '$c' (reserved tombstone prefix)")
   }
 
   /** Metadata-only column rename (one SCH commit, zero data movement):
@@ -805,8 +818,7 @@ final class GraftDatabase private (
     val snap = txlog.snapshot()
     require(snap.tables.contains(n),
       s"table '$n' does not exist (no committed data)")
-    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"invalid column name '$to' (letters/digits/underscore)")
+    requireLegalColumnName(to)
     val cur = txlog.storedSchema(n).getOrElse(txlog.mergedFileSchema(n))
     val f = TxLog.logicalFields(cur)
       .find(_.name.equalsIgnoreCase(from))
@@ -1020,8 +1032,27 @@ final class GraftDatabase private (
         val extra = staged.fields
           .filterNot(f => knownType.contains(f.name.toLowerCase))
         if (extra.isEmpty) Nil
-        else Seq(TxLog.Sch(n, org.apache.spark.sql.types.StructType(
-          cur.fields ++ extra.map(_.copy(nullable = true))).json))
+        else {
+          // implicit extension guards like ADD COLUMN: reserved names
+          // refuse, and a name whose PHYSICAL identity is still claimed
+          // (a tombstone, a rename's original name) refuses LOUDLY —
+          // extending plainly would resurrect old file bytes into the
+          // new column, and a fresh mapping would orphan the rows just
+          // staged (they wrote the logical name). ADD COLUMN first
+          // (which mints the fresh physical name), then write.
+          extra.foreach { f =>
+            requireLegalColumnName(f.name)
+            if (cur.fields.exists(g =>
+                TxLog.physicalName(g).equalsIgnoreCase(f.name)))
+              throw new IllegalStateException(
+                s"column '${f.name}' of '$n' was previously dropped or " +
+                  "renamed and its physical name is still claimed by " +
+                  "live files — ALTER COLLECTION ... ADD COLUMN it " +
+                  "first, then write")
+          }
+          Seq(TxLog.Sch(n, org.apache.spark.sql.types.StructType(
+            cur.fields ++ extra.map(_.copy(nullable = true))).json))
+        }
       case None => Nil
     }
 
@@ -1117,7 +1148,12 @@ final class GraftDatabase private (
           s"reclaimed ${gone.size} cloned file(s) — re-clone a " +
           "retained version"
         defs -= d0
-        try { txlog.commit(Seq(TxLog.Del(d0))); invalidateSqlEngine() }
+        // validated at the clone's own version: a concurrent commit
+        // that already touched the (torn) dst must conflict here
+        try {
+          txlog.commit(Seq(TxLog.Del(d0)), readVersion = v)
+          invalidateSqlEngine()
+        }
         catch { case e: Exception => throw new IllegalStateException(
           s"$msg (cleanup Del($d0) ALSO failed: ${e.getMessage})", e) }
         throw new IllegalStateException(msg)

@@ -103,13 +103,39 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     VersionOffset(capped)
   }
 
+  // one staging per (from, to] PER STREAM INSTANCE: the engine may plan
+  // the same batch more than once in a run, and re-staging would delete
+  // the attempt-unique files the first plan's partitions point at. A
+  // restart builds a fresh stream → fresh staging AND fresh partitions,
+  // so the cache can never serve stale paths across runs.
+  private val planned = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Long), Array[InputPartition]]()
+
   override def planInputPartitions(start: OffsetV2,
       end: OffsetV2): Array[InputPartition] = {
     val (from, to) = (ver(start), ver(end))
     if (to <= from) return Array.empty
+    planned.computeIfAbsent((from, to), _ => planBatch(from, to))
+  }
+
+  private def planBatch(from: Long, to: Long): Array[InputPartition] = {
     checkSchemaDrift()
-    val batch = db.changes(table, from, to)
-      .select(pinned.fieldNames.map(col).toSeq: _*)
+    // project the batch onto the PINNED shape by name, null-filling
+    // and upcasting: an admission-capped catch-up can span historical
+    // schema changes, so a batch below an ADD COLUMN lacks the pinned
+    // column (it null-fills, exactly like the table read of that era),
+    // and a batch below a type widening carries the narrow type (it
+    // upcasts). A renamed/dropped pinned column mid-stream null-fills
+    // the same way under schemaTrackingMode=warn.
+    val diff = db.changes(table, from, to)
+    val have = diff.columns.map(_.toLowerCase).toSet
+    val batch = diff.select(pinned.toSeq.map { f =>
+      if (have(f.name.toLowerCase))
+        org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(f.dataType).as(f.name)
+    }: _*)
     UnsafeRowStage.write(batch, s"$stagingRoot/$from-$to", pinned)
   }
 
@@ -122,6 +148,7 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     */
   override def commit(end: OffsetV2): Unit = {
     val upTo = ver(end)
+    planned.keySet.removeIf(_._2 <= upTo)
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(stagingRoot)
     val fs = root.getFileSystem(hconf)
@@ -144,8 +171,9 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
       val msg = s"graft-changes($table): the table schema diverged from " +
         s"the stream's pinned schema (pinned ${pinned.simpleString}, " +
         s"current ${current.simpleString}) — the feed keeps emitting the " +
-        "pinned columns; restart the query to pick up the change" +
-        " (schemaTrackingMode=fail stops it here instead)"
+        "pinned columns (renamed/dropped ones null-fill); restart the " +
+        "query to pick up the change (schemaTrackingMode=fail stops it " +
+        "here instead)"
       if (schemaMode == "fail") throw new IllegalStateException(msg)
       else if (!driftWarned) {
         driftWarned = true
@@ -256,17 +284,17 @@ final class ChangeFeedSourceProvider
   // to getTable (whose table is read-only, routing them to the V1 sink)
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    try ChangeFeedSourceProvider.feedSchema(
-      ChangeFeedSourceProvider.open(SparkSession.active, options),
-      ChangeFeedSourceProvider.tableOf(options))
-    catch {
-      // the WRITE path also resolves the provider's schema, and a sink
-      // target legitimately has no committed data yet — hand back an
-      // empty schema; the read path re-raises loudly in newScanBuilder
-      case _: IllegalArgumentException | _: IllegalStateException =>
-        new StructType()
-    }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // missing/invalid options fail HERE with their real message —
+    // only the "no committed data yet" case falls through, because the
+    // WRITE path also resolves the provider's schema and a sink target
+    // legitimately starts empty (the read path re-raises loudly in
+    // newScanBuilder)
+    val db = ChangeFeedSourceProvider.open(SparkSession.active, options)
+    val t = ChangeFeedSourceProvider.tableOf(options)
+    try ChangeFeedSourceProvider.feedSchema(db, t)
+    catch { case _: IllegalArgumentException => new StructType() }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =

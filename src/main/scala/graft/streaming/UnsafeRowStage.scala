@@ -75,7 +75,13 @@ object UnsafeRowStage {
       .mapPartitionsWithIndex { (idx, rows) =>
         if (!rows.hasNext) Iterator.empty
         else {
-          val p = new Path(dir, f"part-$idx%05d.urs")
+          // attempt-unique name: a speculative/zombie retry of this
+          // partition writes its OWN file — the driver's collect()
+          // returns exactly the successful attempts' names, so a torn
+          // concurrent write of the same path can never be replayed
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val p = new Path(dir, f"part-$idx%05d-a$attempt.urs")
           val out = new DataOutputStream(new BufferedOutputStream(
             p.getFileSystem(ser.value).create(p, true), 1 << 16))
           // operators reuse row objects and may emit non-Unsafe rows

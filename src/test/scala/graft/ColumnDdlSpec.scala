@@ -144,6 +144,29 @@ class ColumnDdlSpec extends AnyFunSuite {
       (1 to 10).map(_ * 10L).sum)
   }
 
+  test("a widening WRITE of a dropped/renamed namesake refuses loudly " +
+      "instead of resurrecting (ADD COLUMN first mints the fresh name)") {
+    val db = freshDb()
+    db.insert("t", rows(5))
+    db.dropColumn("t", "v")
+    // the implicit pin-extension path (a write carrying the namesake
+    // directly) must NOT silently map onto the claimed physical name
+    val ex = intercept[IllegalStateException] {
+      db.insert("t", Seq((6, 60L, "r6")).toDF("id", "v", "name"))
+    }
+    assert(ex.getMessage.contains("previously dropped or renamed"))
+    assert(db.table("t").count() == 5, "the refused write must not commit")
+    // the sanctioned path: ADD COLUMN (fresh physical), THEN write
+    db.addColumn("t", "v", LongType)
+    db.insert("t", Seq((6, 60L, "r6")).toDF("id", "v", "name"))
+    assert(db.table("t").filter(col("v").isNotNull).count() == 1)
+    // reserved names refuse everywhere
+    intercept[IllegalArgumentException](
+      db.renameColumn("t", "name", "__graft_dropped_1_name"))
+    intercept[IllegalArgumentException](
+      db.addColumn("t", "__graft_dropped_2_x", LongType))
+  }
+
   test("dropColumn guards: primary key, FK-referenced columns, last column") {
     val base = Files.createTempDirectory("graft-coldl3").toString
     val db = GraftDatabase(spark, "coldl3", base)

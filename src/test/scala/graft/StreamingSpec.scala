@@ -698,6 +698,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids() == (1L to 6L).toSet, "final drain converges exactly once")
   }
 
+  test("an admission-capped catch-up across a historical ADD COLUMN " +
+      "drains: pre-evolution batches null-fill the pinned column") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val base = Files.createTempDirectory("graft_capddl").toString
+    val db = GraftDatabase(spark, "capddl", base)
+    db.defineTable(TableDef("ev", "id"))
+    (1 to 3).foreach(i => db.insert("ev",
+      Seq((i.toLong, i * 10L)).toDF("id", "v")))
+    db.addColumn("ev", "score", org.apache.spark.sql.types.DoubleType)
+    (4 to 5).foreach(i => db.insert("ev",
+      Seq((i.toLong, i * 10L, i * 1.5)).toDF("id", "v", "score")))
+    // the stream pins the HEAD schema (incl. score); cap 2 forces the
+    // first batches to span versions BELOW the ADD COLUMN, whose diff
+    // frames lack the column — they must null-fill, not crash
+    val q = spark.readStream.format("graft-changes")
+      .option("baseDir", base).option("name", "capddl").option("table", "ev")
+      .option("maxVersionsPerTrigger", "2").load()
+      .filter(col("_change_type") === "insert")
+      .writeStream.format("memory").queryName("capddl_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("capddl_out")
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out.keySet == (1L to 5L).toSet, s"backlog must drain: $out")
+    assert((1L to 3L).forall(out(_).isEmpty),
+      "pre-evolution rows null-fill the pinned column")
+    assert(out(4L).contains(6.0) && out(5L).contains(7.5))
+  }
+
   test("schemaTrackingMode=fail stops the query when the table schema " +
       "diverges from the stream's pinned schema; warn keeps feeding") {
     import graft.catalog.GraftDatabase

@@ -6,7 +6,7 @@ import java.util.concurrent.CyclicBarrier
 import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 import graft.catalog.{GraftDatabase, TxLog}
 import graft.dml.ConstrainedDml.{Cascade, Fk, TableDef}
@@ -24,6 +24,41 @@ class TxLogSpec extends AnyFunSuite {
   private def freshLog(): (TxLog, String) = {
     val root = Files.createTempDirectory("graft-txlog").toString
     (new TxLog(spark, root), root)
+  }
+
+  test("vacuum vs an in-flight long reader: a snapshot plan bound to a " +
+      "retired version stays valid until deletion, then fails LOUDLY — " +
+      "never silently fewer rows") {
+    val db = freshDb()
+    db.defineTable(graft.dml.ConstrainedDml.TableDef("t", "id"))
+    db.insert("t", (1 to 100).map(i => (i, i.toLong)).toDF("id", "v"))
+    val v1 = db.logVersion
+    // rewrite everything: v1's files are unbound at head
+    db.updateMany("t", col("id") >= 1, Map("v" -> lit(0L)))
+    // the "long reader": a plan bound to the RETIRED version
+    val reader = db.tableAt("t", v1).get
+    // immutable files: the old snapshot reads exactly while they exist,
+    // with no locks held against the writer or the vacuum
+    assert(reader.count() == 100)
+    assert(reader.agg(sum(col("v"))).head.getLong(0) ==
+      (1 to 100).map(_.toLong).sum)
+    // an aggressive vacuum (retention floor 0 — tests/decommission only;
+    // production keeps >= 2 versions and minAgeMs >= longest query)
+    // reclaims v1's files while the reader still holds its plan
+    assert(db.vacuum(keepVersions = 0, minAgeMs = 0L).nonEmpty)
+    // the documented failure mode: re-executing the bound plan throws
+    // at the scan (missing file) — it must NEVER return a partial count
+    val ex = intercept[Exception](reader.count())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).toLowerCase.contains("does not exist") ||
+        String.valueOf(c.getMessage).toLowerCase.contains("file")),
+      s"expected a loud missing-file failure, got: ${ex.getMessage}")
+    // the HEAD snapshot is untouched by the race
+    assert(db.table("t").count() == 100)
+    assert(db.table("t").agg(sum(col("v"))).head.getLong(0) == 0L)
   }
 
   test("an EXPLICIT outputTimestampType choice survives TxLog init") {
