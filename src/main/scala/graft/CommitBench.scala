@@ -50,9 +50,12 @@ object CommitBench {
       log.commit(Seq(TxLog.Put("t",
         log.stage("t", Seq((0, 0)).toDF("id", "x")))))
       val total = writers * perWriter
+      // repartitionByRange over `total` distinct ids yields exactly one
+      // row per partition → one staged file per commit (round-robin
+      // repartition leaves some partitions empty and under-stages)
       val files = log.stage("t",
         spark.range(total).selectExpr("CAST(id AS INT) AS id", "1 AS x")
-          .repartition(total))
+          .repartitionByRange(total, org.apache.spark.sql.functions.col("id")))
       require(files.size == total, s"pre-staged ${files.size} != $total")
       val slices = files.grouped(perWriter).toSeq
       val retries = new AtomicLong(0L)
