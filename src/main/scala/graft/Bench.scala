@@ -23,9 +23,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val budgetMs = sys.env.get("SPARK_GRAFT_QUERY_BUDGET_MS")
       .flatMap(_.toLongOption).filter(_ > 0).getOrElse(180000L)
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: scale-sweep knob. The graded run
+    // pins partitions = cores; decade sweeps can raise it the way a real
+    // cluster would (partitions grow with data), isolating the n·log n
+    // of per-partition sort from genuine engine super-linearity.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

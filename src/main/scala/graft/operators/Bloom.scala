@@ -40,16 +40,26 @@ object Bloom {
     val nWords = mBits / 32
     val pos = explode(array((0 until numHashes)
       .map(j => position(col(keyCol), j, mBits)): _*)).as("pos")
-    keys.select(pos)
+    // Dense assembly must stay O(nWords log nWords): a map-backed
+    // `transform(sequence(...), i -> m[i])` is quadratic, because
+    // Catalyst map lookup is a LINEAR scan of the entry array — at
+    // mBits sized for a 10^5-key blocklist that one expression cost
+    // more than the rest of the query. Instead: left-join the sparse
+    // bit_or rows onto the dense word range (zero-fill), then one
+    // sorted collect; entries arrive (word_idx, bits)-sorted, so the
+    // final projection is a linear strip of the sort key.
+    val sparse = keys.select(pos)
       .select((col("pos") / 32).cast("int").as("word_idx"),
         (col("pos") % 32).cast("int").as("bit"))
       .groupBy("word_idx")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("word_idx"), col("bits"))))
-        .as("m"))
-      .select(transform(sequence(lit(0), lit(nWords - 1)),
-        i => coalesce(element_at(col("m"), i.cast("int")), lit(0L)))
-        .as("bloom"))
+    keys.sparkSession.range(nWords)
+      .select(col("id").cast("int").as("word_idx"))
+      .join(sparse, Seq("word_idx"), "left")
+      .agg(array_sort(collect_list(
+        struct(col("word_idx"), coalesce(col("bits"), lit(0L)).as("bits"))))
+        .as("entries"))
+      .select(transform(col("entries"), e => e.getField("bits")).as("bloom"))
   }
 
   /** Fail loudly when the filter is saturated. FP rate ~= load^k where

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
 import org.apache.spark.sql.types.StructType
@@ -68,11 +68,26 @@ final case class VersionOffset(version: Long) extends OffsetV2 {
 final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     pinned: StructType, startVersion: Long, maxVersions: Option[Long],
     maxFiles: Option[Long], schemaMode: String, checkpointDir: String)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val spark = db.spark
   private val stagingRoot = new Path(checkpointDir, "graft-staged").toString
   @volatile private var driftWarned = false
+
+  /** `Trigger.AvailableNow` — the bounded-backfill mode: the engine
+    * calls this once at query start; every later `latestOffset` is
+    * CEILINGED at the version settled at that instant, so the query
+    * drains exactly the backlog that existed when it started (in
+    * admission-capped steps) and then stops. Commits landing while the
+    * backfill runs are not consumed — the next run picks them up from
+    * the checkpoint. None outside AvailableNow (continuous triggers
+    * chase the live head).
+    */
+  @volatile private var availableNowCeiling: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(math.max(db.settledLogVersion, startVersion))
 
   private def ver(o: OffsetV2): Long = o.json.trim.toLong
 
@@ -97,7 +112,8 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = ver(start)
-    val head = math.max(db.settledLogVersion, from)
+    val live = math.max(db.settledLogVersion, from)
+    val head = availableNowCeiling.fold(live)(c => math.min(live, math.max(c, from)))
     val vCap = maxVersions.fold(head)(c => math.min(head, from + c))
     val capped = maxFiles.fold(vCap)(b => db.advanceByFileBudget(from, vCap, b))
     VersionOffset(capped)

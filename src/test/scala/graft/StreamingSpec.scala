@@ -663,6 +663,51 @@ class StreamingSpec extends AnyFunSuite {
       s"drain in 2 batches, got $bf")
   }
 
+  test("Trigger.AvailableNow drains exactly the backlog present at query " +
+      "start in capped batches, terminates on its own, and leaves " +
+      "mid-run commits for the next run") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val (db, base) = backlogDb("availdb")
+    val dstBase = Files.createTempDirectory("graft_avail_dst").toString
+    val dst = GraftDatabase(spark, "availdst", dstBase)
+    dst.defineTable(TableDef("ev", "id"))
+    // memory sinks cannot recover a checkpoint, so the second run below
+    // would refuse to start — replicate into a graft table instead (the
+    // exactly-once sink IS checkpoint-recoverable)
+    val ckpt = Files.createTempDirectory("graft_avail_ckpt").toString
+    def run(afterFirstBatch: () => Unit): Int = {
+      var fired = false
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "availdb")
+        .option("table", "ev").option("maxVersionsPerTrigger", "2").load()
+        .writeStream.format("graft-changes")
+        .option("baseDir", dstBase).option("name", "availdst")
+        .option("table", "ev").option("appId", "availrep")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      // inject a mid-run commit after the first progress event: it lands
+      // ABOVE the prepared ceiling, so this run must not consume it
+      while (q.isActive) {
+        if (!fired && q.recentProgress.nonEmpty) { fired = true; afterFirstBatch() }
+        Thread.sleep(50)
+      }
+      q.awaitTermination() // surfaces any stream error; returns, proving self-stop
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    val b1 = run(() => db.insert("ev",
+      Seq((7L, 70L)).toDF("id", "v").repartition(1)))
+    def ids(): Set[Long] =
+      dst.table("ev").select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() == (1L to 6L).toSet,
+      "AvailableNow must drain the 6-version backlog and NOT the mid-run commit")
+    assert(b1 >= 3, s"6 versions at cap 2 must take >= 3 batches, got $b1")
+    // the next AvailableNow run resumes from the checkpoint and picks up
+    // exactly the commit the first run left behind
+    val b2 = run(() => ())
+    assert(ids() == (1L to 7L).toSet, "second run must deliver version 7")
+  }
+
   test("restart mid-backlog resumes at the checkpointed offset under " +
       "admission control (exactly-once across capped runs)") {
     import graft.catalog.GraftDatabase
