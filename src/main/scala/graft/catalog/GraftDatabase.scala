@@ -169,6 +169,12 @@ final class GraftDatabase private (
   def advanceByFileBudget(from: Long, hi: Long, budget: Long): Long =
     txlog.advanceByFileBudget(from, hi, budget)
 
+  /** [[TxLog.advanceByByteBudget]] — the change-feed source's
+    * bytes-weighted admission control.
+    */
+  def advanceByByteBudget(from: Long, hi: Long, budget: Long): Long =
+    txlog.advanceByByteBudget(from, hi, budget)
+
   /** Time travel: read a table as of a committed log version (bounded
     * by vacuum retention — retired versions' files are reclaimed).
     * None when the table did not exist at that version.

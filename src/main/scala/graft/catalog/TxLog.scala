@@ -935,11 +935,28 @@ final class TxLog(spark: SparkSession, root: String,
     * reads, never a data scan. A log file truncated by vacuum counts 0
     * here; the batch read itself fails loudly on unresolvable cursors.
     */
-  def advanceByFileBudget(from: Long, hi: Long, budget: Long): Long = {
+  def advanceByFileBudget(from: Long, hi: Long, budget: Long): Long =
+    advanceByBudget(from, hi, budget, exchangedFileCount)
+
+  /** Bytes-weighted twin of [[advanceByFileBudget]]: weights each
+    * version by the on-disk size of the files it exchanges — the
+    * closest driver-side proxy for what the batch will actually read.
+    * Files already vacuumed weigh 0 (conservative toward admitting;
+    * the read itself will fail loudly below retention anyway).
+    */
+  def advanceByByteBudget(from: Long, hi: Long, budget: Long): Long =
+    advanceByBudget(from, hi, budget, exchangedByteCount)
+
+  /** Advance in whole versions until the next one would break the
+    * budget — but always at least one (a single over-budget commit
+    * must still deliver, or the stream wedges).
+    */
+  private def advanceByBudget(from: Long, hi: Long, budget: Long,
+      weigh: Long => Long): Long = {
     var v = from
     var used = 0L
     while (v < hi) {
-      val c = exchangedFileCount(v + 1)
+      val c = weigh(v + 1)
       if (v > from && used + c > budget) return v
       used += c
       v += 1
@@ -948,15 +965,34 @@ final class TxLog(spark: SparkSession, root: String,
     hi
   }
 
-  /** Files a committed version exchanges (added + removed + masks). */
-  private def exchangedFileCount(v: Long): Long = {
+  private def exchangedActions(v: Long): Seq[Action] = {
     val f = versionFile(v)
-    if (!Files.exists(f)) 0L
-    else parse(Files.readAllLines(f).asScala.toSeq).map {
+    if (!Files.exists(f)) Nil
+    else parse(Files.readAllLines(f).asScala.toSeq)
+  }
+
+  /** Files a committed version exchanges (added + removed + masks). */
+  private def exchangedFileCount(v: Long): Long =
+    exchangedActions(v).map {
       case Put(_, fs)       => fs.size.toLong
       case Add(_, fs)       => fs.size.toLong
       case Patch(_, rm, ad) => (rm.size + ad.size).toLong
       case Dvec(_, _, _)    => 1L
+      case _                => 0L
+    }.sum
+
+  /** On-disk bytes of the files a committed version exchanges (action
+    * file entries are root-relative `Tables/<t>/<dir>/<part>` paths).
+    */
+  private def exchangedByteCount(v: Long): Long = {
+    def sz(fs: Seq[String]): Long = fs.map { f =>
+      val p = Paths.get(root).resolve(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    exchangedActions(v).map {
+      case Put(_, fs)       => sz(fs)
+      case Add(_, fs)       => sz(fs)
+      case Patch(_, rm, ad) => sz(rm) + sz(ad)
       case _                => 0L
     }.sum
   }

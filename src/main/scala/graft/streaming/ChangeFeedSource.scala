@@ -67,7 +67,8 @@ final case class VersionOffset(version: Long) extends OffsetV2 {
   */
 final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     pinned: StructType, startVersion: Long, maxVersions: Option[Long],
-    maxFiles: Option[Long], schemaMode: String, checkpointDir: String)
+    maxFiles: Option[Long], maxBytes: Option[Long], schemaMode: String,
+    checkpointDir: String)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -104,18 +105,20 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     VersionOffset(math.max(db.settledLogVersion, startVersion))
 
   /** Bounded advance: never past the settled head, never more than
-    * `maxVersionsPerTrigger` versions, never more exchanged files than
-    * `maxFilesPerTrigger` (always ≥ 1 version so a single huge commit
-    * still delivers). Caps ride the source options rather than
-    * [[ReadLimit]] because the unit is log versions, which the generic
-    * row/file limits cannot express.
+    * `maxVersionsPerTrigger` versions, never more exchanged files /
+    * bytes than `maxFilesPerTrigger` / `maxBytesPerTrigger` (always
+    * ≥ 1 version so a single huge commit still delivers). Caps ride
+    * the source options rather than [[ReadLimit]] because the unit is
+    * log versions, which the generic row/file limits cannot express;
+    * multiple caps compose as the tightest one.
     */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = ver(start)
     val live = math.max(db.settledLogVersion, from)
     val head = availableNowCeiling.fold(live)(c => math.min(live, math.max(c, from)))
     val vCap = maxVersions.fold(head)(c => math.min(head, from + c))
-    val capped = maxFiles.fold(vCap)(b => db.advanceByFileBudget(from, vCap, b))
+    val fCap = maxFiles.fold(vCap)(b => db.advanceByFileBudget(from, vCap, b))
+    val capped = maxBytes.fold(fCap)(b => db.advanceByByteBudget(from, fCap, b))
     VersionOffset(capped)
   }
 
@@ -235,7 +238,7 @@ final class ChangeFeedScan(pinned: StructType,
     }
     new ChangeFeedMicroBatchStream(db, table, pinned, startV,
       posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
-      schemaMode, checkpointDir)
+      posLong("maxBytesPerTrigger"), schemaMode, checkpointDir)
   }
 }
 
@@ -268,7 +271,8 @@ final class ChangeFeedTable(pinned: StructType,
   * As a SOURCE (`readStream`): a DataSource V2 [[TableProvider]] —
   * options `baseDir` + `name` (the database), `table`, optional
   * `password` (file-at-rest encryption), admission caps
-  * `maxVersionsPerTrigger` / `maxFilesPerTrigger`,
+  * `maxVersionsPerTrigger` / `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` (composing as the tightest),
   * `schemaTrackingMode` (warn|fail), and optionally ONE of:
   *   - `startingVersion` — the first batch carries changes committed
   *     AFTER this version (the cursor convention; 0 = bootstrap the

@@ -661,6 +661,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(byFiles == uncapped)
     assert(bf == 2, s"6 single-file versions at 3 files/trigger must " +
       s"drain in 2 batches, got $bf")
+    // bytes-weighted: a 1-byte budget is below every file, so the
+    // ≥1-version floor paces exactly one version per batch; a huge
+    // budget admits the whole backlog at once — identical results
+    val (byBytes, bb) = drain(Map("maxBytesPerTrigger" -> "1"), "cap_b")
+    assert(byBytes == uncapped)
+    assert(bb == 6, s"a below-every-file byte budget must pace one " +
+      s"version per batch (6 batches), got $bb")
+    val (byBytesBig, bbb) =
+      drain(Map("maxBytesPerTrigger" -> s"${Long.MaxValue}"), "cap_bb")
+    assert(byBytesBig == uncapped)
+    assert(bbb == 1, s"an unconstraining byte budget must bootstrap in " +
+      s"one batch, got $bbb")
   }
 
   test("Trigger.AvailableNow drains exactly the backlog present at query " +
