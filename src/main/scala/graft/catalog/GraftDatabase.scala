@@ -175,6 +175,11 @@ final class GraftDatabase private (
   def advanceByByteBudget(from: Long, hi: Long, budget: Long): Long =
     txlog.advanceByByteBudget(from, hi, budget)
 
+  /** [[TxLog.advanceByBudgets]] — both caps in one log walk. */
+  def advanceByBudgets(from: Long, hi: Long, fileBudget: Option[Long],
+      byteBudget: Option[Long]): Long =
+    txlog.advanceByBudgets(from, hi, fileBudget, byteBudget)
+
   /** Time travel: read a table as of a committed log version (bounded
     * by vacuum retention — retired versions' files are reclaimed).
     * None when the table did not exist at that version.

@@ -936,7 +936,7 @@ final class TxLog(spark: SparkSession, root: String,
     * here; the batch read itself fails loudly on unresolvable cursors.
     */
   def advanceByFileBudget(from: Long, hi: Long, budget: Long): Long =
-    advanceByBudget(from, hi, budget, exchangedFileCount)
+    advanceByBudgets(from, hi, Some(budget), None)
 
   /** Bytes-weighted twin of [[advanceByFileBudget]]: weights each
     * version by the on-disk size of the files it exchanges — the
@@ -945,22 +945,32 @@ final class TxLog(spark: SparkSession, root: String,
     * the read itself will fail loudly below retention anyway).
     */
   def advanceByByteBudget(from: Long, hi: Long, budget: Long): Long =
-    advanceByBudget(from, hi, budget, exchangedByteCount)
+    advanceByBudgets(from, hi, None, Some(budget))
 
-  /** Advance in whole versions until the next one would break the
-    * budget — but always at least one (a single over-budget commit
-    * must still deliver, or the stream wedges).
+  /** One budget walk for both caps (tightest wins): advance in whole
+    * versions until the next one would break EITHER budget — but
+    * always at least one (a single over-budget commit must still
+    * deliver, or the stream wedges). Each admitted version's log file
+    * is read and parsed ONCE, with both weights taken from the same
+    * parse — the admission path runs on every trigger.
     */
-  private def advanceByBudget(from: Long, hi: Long, budget: Long,
-      weigh: Long => Long): Long = {
+  def advanceByBudgets(from: Long, hi: Long, fileBudget: Option[Long],
+      byteBudget: Option[Long]): Long = {
+    if (fileBudget.isEmpty && byteBudget.isEmpty) return hi
     var v = from
-    var used = 0L
+    var files = 0L
+    var bytes = 0L
     while (v < hi) {
-      val c = weigh(v + 1)
-      if (v > from && used + c > budget) return v
-      used += c
+      val acts = exchangedActions(v + 1)
+      val fc = exchangedFileCount(acts)
+      val bc = if (byteBudget.isDefined) exchangedByteCount(acts) else 0L
+      if (v > from && (fileBudget.exists(files + fc > _) ||
+          byteBudget.exists(bytes + bc > _))) return v
+      files += fc
+      bytes += bc
       v += 1
-      if (used >= budget) return v
+      if (fileBudget.exists(files >= _) || byteBudget.exists(bytes >= _))
+        return v
     }
     hi
   }
@@ -972,8 +982,8 @@ final class TxLog(spark: SparkSession, root: String,
   }
 
   /** Files a committed version exchanges (added + removed + masks). */
-  private def exchangedFileCount(v: Long): Long =
-    exchangedActions(v).map {
+  private def exchangedFileCount(acts: Seq[Action]): Long =
+    acts.map {
       case Put(_, fs)       => fs.size.toLong
       case Add(_, fs)       => fs.size.toLong
       case Patch(_, rm, ad) => (rm.size + ad.size).toLong
@@ -983,16 +993,22 @@ final class TxLog(spark: SparkSession, root: String,
 
   /** On-disk bytes of the files a committed version exchanges (action
     * file entries are root-relative `Tables/<t>/<dir>/<part>` paths).
+    * A Dvec weighs the MASKED DATA FILE (plus its sidecar): the change
+    * feed reads the dv-changed file on both sides of the diff, so a
+    * delete-heavy backlog must spend the byte budget like the rewrite
+    * it stands in for — weighing masks 0 would let maxBytesPerTrigger
+    * admit an unbounded delete catch-up.
     */
-  private def exchangedByteCount(v: Long): Long = {
+  private def exchangedByteCount(acts: Seq[Action]): Long = {
     def sz(fs: Seq[String]): Long = fs.map { f =>
       val p = Paths.get(root).resolve(f)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
-    exchangedActions(v).map {
+    acts.map {
       case Put(_, fs)       => sz(fs)
       case Add(_, fs)       => sz(fs)
       case Patch(_, rm, ad) => sz(rm) + sz(ad)
+      case Dvec(_, f, dv)   => sz(Seq(f) ++ Option(dv).filter(_.nonEmpty))
       case _                => 0L
     }.sum
   }

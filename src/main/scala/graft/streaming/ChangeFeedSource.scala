@@ -117,9 +117,7 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     val live = math.max(db.settledLogVersion, from)
     val head = availableNowCeiling.fold(live)(c => math.min(live, math.max(c, from)))
     val vCap = maxVersions.fold(head)(c => math.min(head, from + c))
-    val fCap = maxFiles.fold(vCap)(b => db.advanceByFileBudget(from, vCap, b))
-    val capped = maxBytes.fold(fCap)(b => db.advanceByByteBudget(from, fCap, b))
-    VersionOffset(capped)
+    VersionOffset(db.advanceByBudgets(from, vCap, maxFiles, maxBytes))
   }
 
   // one staging per (from, to] PER STREAM INSTANCE: the engine may plan

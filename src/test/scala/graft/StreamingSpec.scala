@@ -705,6 +705,10 @@ class StreamingSpec extends AnyFunSuite {
         Thread.sleep(50)
       }
       q.awaitTermination() // surfaces any stream error; returns, proving self-stop
+      // if the drain finished before the poll loop saw a progress event,
+      // fire the injection now — it still lands above the ceiling, which
+      // is all the first-run assertion needs
+      if (!fired) afterFirstBatch()
       q.recentProgress.count(_.numInputRows > 0)
     }
     val b1 = run(() => db.insert("ev",

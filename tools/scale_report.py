@@ -21,8 +21,17 @@ def load(path):
 
 def main(argv):
     runs = [load(p) for p in argv[1:]]
-    qs = sorted(runs[0][0])
-    labels = ["sf0.1", "sf1", "sf10"][: len(runs)]
+    # union across runs: a query present only in a later decade must
+    # show up (as "-" in the runs that miss it), not silently vanish
+    qs = sorted(set().union(*[r[0].keys() for r in runs]))
+    for lbl, (q, _) in zip(argv[1:], runs):
+        missing = [x for x in qs if x not in q]
+        if missing:
+            print(f"WARNING: {lbl} missing {len(missing)} queries: "
+                  f"{', '.join(missing[:5])}{'...' if len(missing) > 5 else ''}")
+    base_labels = ["sf0.1", "sf1", "sf10"]
+    labels = [base_labels[i] if i < len(base_labels) else f"run{i}"
+              for i in range(len(runs))]
     rows = []
     for q in qs:
         ts = [r[0].get(q) for r in runs]
