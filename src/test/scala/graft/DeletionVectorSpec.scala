@@ -306,6 +306,29 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-weighted admission weighs DV versions by the masked data " +
+      "file, so a delete-heavy backlog paces instead of collapsing " +
+      "into one batch") {
+    val db = freshDb("dvbudget")
+    seed(db) // v1: 4 data files
+    val v1 = db.logVersion
+    // three DV-only versions (each masks one row in one file)
+    Seq(5, 105, 205).foreach(i =>
+      assert(db.deleteVectorized("t", col("id") === i) == 1))
+    val head = db.logVersion
+    assert(head == v1 + 3)
+    // a 1-byte budget is below every masked file's size: the ≥1-version
+    // floor must pace exactly one DV version per step (weight 0 would
+    // admit the whole backlog — the bug this pins)
+    assert(db.advanceByByteBudget(v1, head, 1L) == v1 + 1,
+      "DV versions must carry a positive byte weight")
+    // an unconstraining budget admits everything
+    assert(db.advanceByByteBudget(v1, head, Long.MaxValue) == head)
+    // and the combined walk agrees with the tightest single cap
+    assert(db.advanceByBudgets(v1, head, Some(Long.MaxValue), Some(1L)) ==
+      v1 + 1)
+  }
+
   /** Live (table, file) -> dv map of db's 't'-family tables. */
   private def dvSnapshot(db: GraftDatabase): Map[(String, String), String] =
     db.txlogSnapshotForTest.dvs
