@@ -180,6 +180,12 @@ final class GraftDatabase private (
       byteBudget: Option[Long]): Long =
     txlog.advanceByBudgets(from, hi, fileBudget, byteBudget)
 
+  /** [[TxLog.exchangedBytesBetween]] — the change-feed source's
+    * uncapped-batch size estimate.
+    */
+  def exchangedBytesBetween(from: Long, to: Long): Long =
+    txlog.exchangedBytesBetween(from, to)
+
   /** Time travel: read a table as of a committed log version (bounded
     * by vacuum retention — retired versions' files are reclaimed).
     * None when the table did not exist at that version.

@@ -975,6 +975,14 @@ final class TxLog(spark: SparkSession, root: String,
     hi
   }
 
+  /** Total on-disk bytes the versions in (from, to] exchange — the
+    * change-feed source's one-time "this uncapped batch is huge"
+    * estimate. O(versions) driver-side; called at most once per
+    * stream.
+    */
+  def exchangedBytesBetween(from: Long, to: Long): Long =
+    ((from + 1) to to).map(v => exchangedByteCount(exchangedActions(v))).sum
+
   private def exchangedActions(v: Long): Seq[Action] = {
     val f = versionFile(v)
     if (!Files.exists(f)) Nil

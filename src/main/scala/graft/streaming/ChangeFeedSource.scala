@@ -68,7 +68,7 @@ final case class VersionOffset(version: Long) extends OffsetV2 {
 final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     pinned: StructType, startVersion: Long, maxVersions: Option[Long],
     maxFiles: Option[Long], maxBytes: Option[Long], schemaMode: String,
-    checkpointDir: String)
+    checkpointDir: String, warnBytes: Long = 1L << 30)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -117,7 +117,30 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     val live = math.max(db.settledLogVersion, from)
     val head = availableNowCeiling.fold(live)(c => math.min(live, math.max(c, from)))
     val vCap = maxVersions.fold(head)(c => math.min(head, from + c))
+    warnIfUncappedAndHuge(from, head)
     VersionOffset(db.advanceByBudgets(from, vCap, maxFiles, maxBytes))
+  }
+
+  /** An entirely uncapped first advance over a large backlog (a
+    * bootstrap or long-downtime catch-up) materializes it all in ONE
+    * micro-batch — measured to exhaust an 8 GB driver near 1 GB of
+    * on-disk backlog (SCALE.md round 11). Loud one-time warning, not
+    * an error: the threshold rides `uncappedWarnBytes` (0 disables).
+    */
+  @volatile private var uncappedChecked = false
+
+  private def warnIfUncappedAndHuge(from: Long, head: Long): Unit = {
+    if (uncappedChecked || warnBytes <= 0 || maxVersions.isDefined ||
+      maxFiles.isDefined || maxBytes.isDefined) return
+    uncappedChecked = true
+    val bytes = db.exchangedBytesBetween(from, head)
+    if (bytes > warnBytes)
+      Console.err.println(s"[graft] WARN: graft-changes($table): the " +
+        s"first micro-batch spans versions ($from, $head] ≈ " +
+        s"${bytes >> 20} MiB of exchanged files with NO admission cap " +
+        "set — a bootstrap/catch-up this size lands in ONE batch. Set " +
+        "maxBytesPerTrigger / maxFilesPerTrigger / maxVersionsPerTrigger " +
+        "to drain it in bounded steps.")
   }
 
   // one staging per (from, to] PER STREAM INSTANCE: the engine may plan
@@ -234,9 +257,11 @@ final class ChangeFeedScan(pinned: StructType,
       require(n > 0, s"graft-changes: $k must be positive, got $n")
       n
     }
+    val warnBytes = Option(params.get("uncappedWarnBytes"))
+      .map(_.trim.toLong).getOrElse(1L << 30)
     new ChangeFeedMicroBatchStream(db, table, pinned, startV,
       posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
-      posLong("maxBytesPerTrigger"), schemaMode, checkpointDir)
+      posLong("maxBytesPerTrigger"), schemaMode, checkpointDir, warnBytes)
   }
 }
 

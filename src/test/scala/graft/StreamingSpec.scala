@@ -675,6 +675,35 @@ class StreamingSpec extends AnyFunSuite {
       s"one batch, got $bbb")
   }
 
+  test("an uncapped bootstrap over a backlog larger than uncappedWarnBytes " +
+      "warns LOUDLY once; any admission cap silences it") {
+    val (_, base) = backlogDb("warndb")
+    def errOf(opts: Map[String, String], name: String): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withErr(new java.io.PrintStream(buf, true)) {
+        val q = spark.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "warndb")
+          .option("table", "ev").options(opts).load()
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_warn_ckpt").toString)
+          .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      buf.toString
+    }
+    // a 1-byte threshold is below any real backlog → the warning fires
+    val warned = errOf(Map("uncappedWarnBytes" -> "1"), "warn_yes")
+    assert(warned.contains("NO admission cap"),
+      s"expected the uncapped-bootstrap warning, got: $warned")
+    // with a cap set the same backlog drains silently
+    val silent = errOf(
+      Map("uncappedWarnBytes" -> "1", "maxVersionsPerTrigger" -> "2"),
+      "warn_no")
+    assert(!silent.contains("NO admission cap"),
+      "a capped stream must not warn about uncapped bootstraps")
+  }
+
   test("Trigger.AvailableNow drains exactly the backlog present at query " +
       "start in capped batches, terminates on its own, and leaves " +
       "mid-run commits for the next run") {
