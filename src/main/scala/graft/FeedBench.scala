@@ -11,20 +11,23 @@ import graft.dml.ConstrainedDml.TableDef
 
 /** End-to-end throughput of the change-feed surfaces at scale: the same
   * backlog (lineitem at the given SF, landed as `commits` insert
-  * versions) is drained three ways and timed —
+  * versions) is drained four ways and timed —
   *
   *   1. `graft-changes` readStream → writeStream under
-  *      `Trigger.AvailableNow` with `maxVersionsPerTrigger` admission
-  *      (the DSv2 path: each batch stages UnsafeRow files under the
-  *      checkpoint, so this price includes the public-API staging
-  *      write+read),
-  *   2. the same uncapped (one bootstrap batch), and
-  *   3. the polling [[graft.streaming.ChangeFeedReplicator]]
+  *      `Trigger.AvailableNow` with ZERO options (the out-of-the-box
+  *      path: the DEFAULT 512 MiB `maxBytesPerTrigger` paces it),
+  *   2. the same with explicit `maxVersionsPerTrigger` admission,
+  *   3. the same with the explicit `maxBytesPerTrigger=none` opt-out
+  *      (one bootstrap batch — the path that exhausts an 8 GB heap at
+  *      sf10, which is a RESULT, not a crash), and
+  *   4. the polling [[graft.streaming.ChangeFeedReplicator]]
   *      (`changesSince` → `applyChanges`, no staging — the V1-shaped
   *      in-process twin).
   *
-  * All three must land byte-identical replicas; the interesting output
-  * is rows/s and the DSv2 staging overhead vs the replicator.
+  * Every completed drain's replica must be CONTENT-IDENTICAL to the
+  * source (order-insensitive xxhash64 rollup over the business
+  * columns, not just a row count); the interesting output is rows/s
+  * and the DSv2 staging overhead vs the replicator.
   *
   * Usage: `sbt "runMain graft.FeedBench [sfDir] [commits] [cap]"` —
   * one JSON line; recorded in SCALE.md.
@@ -43,32 +46,47 @@ object FeedBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // source: `commits` insert versions over disjoint id ranges — the
-    // catch-up backlog shape (each version exchanges its own files)
+    // catch-up backlog shape (each version exchanges its own files).
+    // The id is DETERMINISTIC in the business columns (a per-order
+    // row_number over a total in-order sort), so commit slices are
+    // stable under recomputation — an assigned
+    // monotonically_increasing_id is not (task retry or cache eviction
+    // reassigns it, overlapping or dropping slice rows); the distinct
+    // check below guards the derivation on any input
     val srcBase = Files.createTempDirectory("graft-feedbench-src").toString
     val src = GraftDatabase(spark, "feedsrc", srcBase)
       .defineTable(TableDef("li", "id"))
-    // monotonically_increasing_id is unique but NOT contiguous (the
-    // partition id rides in the high bits) — slice commits by id hash,
-    // not by range
-    val rows = graft.core.Tables.load(spark, dir, "lineitem")
-      .select(monotonically_increasing_id().as("id"), col("l_orderkey"),
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice"))
-      .persist()
+    val rows = graft.core.Tables.load(spark, dir, "lineitem")
+      .select((col("l_orderkey") * 1000 + row_number().over(w)).as("id"),
+        col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
     val nRows = rows.count()
+    require(rows.select("id").distinct().count() == nRows,
+      "derived id is not unique on this input — widen the sort key")
     (0 until commits).foreach { i =>
       src.insert("li", rows
         .filter(pmod(xxhash64(col("id")), lit(commits)) === i)
         .repartition(8))
     }
-    rows.unpersist()
     require(src.table("li").count() == nRows, "backlog landed short")
+
+    // order-insensitive content fingerprint over ALL business columns:
+    // replicas must be byte-identical to the source, not just as large
+    def contentHash(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = df
+      .select(xxhash64(col("id"), col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice")).cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h"))).collect()(0).getDecimal(0)
+    val srcHash = contentHash(src.table("li"))
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    def streamDrain(name: String, opts: Map[String, String]): (Double, Long) = {
+    def streamDrain(name: String, opts: Map[String, String]): Double = {
       val dstBase = Files.createTempDirectory(s"graft-feedbench-$name").toString
       val dst = GraftDatabase(spark, name, dstBase)
       dst.defineTable(TableDef("li", "id"))
@@ -86,19 +104,24 @@ object FeedBench {
       }
       val got = dst.table("li").count()
       require(got == nRows, s"$name replica has $got rows, want $nRows")
-      (secs, got)
+      require(contentHash(dst.table("li")) == srcHash,
+        s"$name replica content diverged from the source")
+      secs
     }
 
     // a drain that exhausts the harness heap is a RESULT, not a crash:
-    // the whole point of admission control is that the capped path
-    // completes where an unbounded bootstrap batch cannot
+    // the whole point of admission control is that the bounded paths
+    // complete where an unbounded bootstrap batch cannot
     def tryDrain(name: String, opts: Map[String, String]): Double =
-      try streamDrain(name, opts)._1
+      try streamDrain(name, opts)
       catch {
         case e: Throwable =>
           System.err.println(s"[feedbench] $name failed: ${e.getMessage}")
           -1.0
       }
+    // ZERO options — the out-of-the-box posture the default byte cap
+    // exists for: this drain must complete at every scale
+    val defaultSecs = tryDrain("feeddef", Map.empty)
     val cappedSecs = tryDrain("feedcap",
       Map("maxVersionsPerTrigger" -> cap.toString))
 
@@ -111,17 +134,20 @@ object FeedBench {
       rep.replicateOnce()
       val got = dst.table("li").count()
       require(got == nRows, s"poll replica has $got rows, want $nRows")
+      require(contentHash(dst.table("li")) == srcHash,
+        "poll replica content diverged from the source")
     }
 
-    // the uncapped drain runs LAST: at scales where it exhausts the
-    // harness heap (a RESULT this bench exists to show), the JVM after
-    // an OOM is not a trustworthy place to time anything else
-    val uncappedSecs = tryDrain("feedall", Map.empty)
+    // the explicitly-uncapped drain runs LAST: at scales where it
+    // exhausts the harness heap (a RESULT this bench exists to show),
+    // the JVM after an OOM is not a trustworthy place to time anything
+    val uncappedSecs = tryDrain("feedall", Map("maxBytesPerTrigger" -> "none"))
 
     def fmt(v: Double) = f"$v%.2f"
     def rps(secs: Double) = if (secs > 0) fmt(nRows / secs) else "-1"
     println(s"""{"metric":"feed_throughput","rows":$nRows,""" +
       s""""commits":$commits,"cap":$cap,""" +
+      s""""default_s":${fmt(defaultSecs)},"default_rows_per_s":${rps(defaultSecs)},""" +
       s""""capped_s":${fmt(cappedSecs)},"capped_rows_per_s":${rps(cappedSecs)},""" +
       s""""uncapped_s":${fmt(uncappedSecs)},"uncapped_rows_per_s":${rps(uncappedSecs)},""" +
       s""""poll_s":${fmt(pollSecs)},"poll_rows_per_s":${rps(pollSecs)},""" +

@@ -50,11 +50,14 @@ final case class VersionOffset(version: Long) extends OffsetV2 {
   *     batch cost ∝ churn, never table size
   *   - the FIRST batch bootstraps from version 0: the initial snapshot
   *     arrives as inserts, exactly like a replicator's initial load
-  *   - ADMISSION CONTROL (`maxVersionsPerTrigger`,
-  *     `maxFilesPerTrigger`) advances the offset in bounded steps, so
+  *   - ADMISSION CONTROL (`maxVersionsPerTrigger`, `maxFilesPerTrigger`,
+  *     `maxBytesPerTrigger`) advances the offset in bounded steps, so
   *     a bootstrap or a long-downtime catch-up never materializes the
   *     whole backlog in one micro-batch — snapshot diffs telescope, so
-  *     N capped batches land the same final state as one uncapped one
+  *     N capped batches land the same final state as one uncapped one.
+  *     BOUNDED BY DEFAULT: with no cap option set, `maxBytesPerTrigger`
+  *     defaults to 512 MiB; unbounded takes the explicit
+  *     `maxBytesPerTrigger=none` opt-out
   *   - a checkpointed offset below the vacuum retention floor fails
   *     LOUDLY at the next batch (see `changes`) instead of silently
   *     re-feeding the table
@@ -113,6 +116,7 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     * multiple caps compose as the tightest one.
     */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    sweepOrphanedStaging()
     val from = ver(start)
     val live = math.max(db.settledLogVersion, from)
     val head = availableNowCeiling.fold(live)(c => math.min(live, math.max(c, from)))
@@ -124,8 +128,10 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
   /** An entirely uncapped first advance over a large backlog (a
     * bootstrap or long-downtime catch-up) materializes it all in ONE
     * micro-batch — measured to exhaust an 8 GB driver near 1 GB of
-    * on-disk backlog (SCALE.md round 11). Loud one-time warning, not
-    * an error: the threshold rides `uncappedWarnBytes` (0 disables).
+    * on-disk backlog (SCALE.md round 11). Reaching here uncapped takes
+    * the explicit `maxBytesPerTrigger=none` opt-out (the source is
+    * bounded by default), so this is a loud one-time warning, not an
+    * error: the threshold rides `uncappedWarnBytes` (0 disables).
     */
   @volatile private var uncappedChecked = false
 
@@ -138,9 +144,31 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
       Console.err.println(s"[graft] WARN: graft-changes($table): the " +
         s"first micro-batch spans versions ($from, $head] ≈ " +
         s"${bytes >> 20} MiB of exchanged files with NO admission cap " +
-        "set — a bootstrap/catch-up this size lands in ONE batch. Set " +
-        "maxBytesPerTrigger / maxFilesPerTrigger / maxVersionsPerTrigger " +
-        "to drain it in bounded steps.")
+        "(maxBytesPerTrigger=none) — a bootstrap/catch-up this size " +
+        "lands in ONE batch. Set maxBytesPerTrigger / " +
+        "maxFilesPerTrigger / maxVersionsPerTrigger to drain it in " +
+        "bounded steps.")
+  }
+
+  /** Reclaim staged batches a PRIOR run of this checkpoint left behind:
+    * `commit(end)` only sweeps dirs at or below committed offsets, so a
+    * batch that FAILED (or a stream abandoned mid-backlog) leaks its
+    * `.urs` staging dir under the checkpoint until — without this — a
+    * later successful commit, or forever if the stream never advances.
+    * Everything staged before this stream instance existed is
+    * unreachable by construction (a restart builds fresh partitions and
+    * re-stages the replayed batch), so the whole root is swept once,
+    * before this instance stages anything.
+    */
+  @volatile private var sweptOrphans = false
+
+  private def sweepOrphanedStaging(): Unit = {
+    if (sweptOrphans) return
+    sweptOrphans = true
+    val root = new Path(stagingRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach(st => fs.delete(st.getPath, true))
   }
 
   // one staging per (from, to] PER STREAM INSTANCE: the engine may plan
@@ -153,6 +181,10 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
 
   override def planInputPartitions(start: OffsetV2,
       end: OffsetV2): Array[InputPartition] = {
+    // a restart replaying the last uncommitted batch plans WITHOUT a
+    // prior latestOffset call, so the orphan sweep hooks here too —
+    // always before this instance's first staging write
+    sweepOrphanedStaging()
     val (from, to) = (ver(start), ver(end))
     if (to <= from) return Array.empty
     planned.computeIfAbsent((from, to), _ => planBatch(from, to))
@@ -252,16 +284,49 @@ final class ChangeFeedScan(pinned: StructType,
       .getOrElse("warn")
     require(schemaMode == "warn" || schemaMode == "fail",
       s"graft-changes: schemaTrackingMode must be warn|fail, got '$schemaMode'")
-    def posLong(k: String): Option[Long] = Option(params.get(k)).map { v =>
-      val n = v.trim.toLong
-      require(n > 0, s"graft-changes: $k must be positive, got $n")
-      n
+    // Admission caps: each takes a positive long, or the explicit
+    // opt-out "none". BOUNDED BY DEFAULT: when the user sets NO cap
+    // option at all, maxBytesPerTrigger defaults to 512 MiB (tunable
+    // via spark.graft.changes.defaultMaxBytesPerTrigger) — an uncapped
+    // bootstrap/catch-up lands the whole backlog in ONE micro-batch,
+    // measured to exhaust an 8 GB driver near 1 GB of backlog
+    // (SCALE.md), so unbounded is something a user must ASK for
+    // (`maxBytesPerTrigger=none`), never fall into.
+    var capChosen = false
+    def capLong(k: String): Option[Long] = Option(params.get(k)).flatMap { v =>
+      capChosen = true
+      if (v.trim.equalsIgnoreCase("none")) None
+      else {
+        val n = try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft-changes: $k must be a positive long or 'none', got '$v'")
+        }
+        require(n > 0,
+          s"graft-changes: $k must be a positive long or 'none', got $n")
+        Some(n)
+      }
     }
-    val warnBytes = Option(params.get("uncappedWarnBytes"))
-      .map(_.trim.toLong).getOrElse(1L << 30)
+    val maxVersions = capLong("maxVersionsPerTrigger")
+    val maxFiles = capLong("maxFilesPerTrigger")
+    val maxBytes0 = capLong("maxBytesPerTrigger")
+    val maxBytes =
+      if (capChosen) maxBytes0
+      else Some(spark.conf
+        .get("spark.graft.changes.defaultMaxBytesPerTrigger",
+          ChangeFeedSourceProvider.DefaultMaxBytesPerTrigger.toString)
+        .trim.toLong)
+    val warnBytes = Option(params.get("uncappedWarnBytes")).map { v =>
+      val n = try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          "graft-changes: uncappedWarnBytes must be a non-negative long " +
+            s"(0 disables the warning), got '$v'")
+      }
+      require(n >= 0, "graft-changes: uncappedWarnBytes must be >= 0 " +
+        s"(0 disables the warning), got $n")
+      n
+    }.getOrElse(1L << 30)
     new ChangeFeedMicroBatchStream(db, table, pinned, startV,
-      posLong("maxVersionsPerTrigger"), posLong("maxFilesPerTrigger"),
-      posLong("maxBytesPerTrigger"), schemaMode, checkpointDir, warnBytes)
+      maxVersions, maxFiles, maxBytes, schemaMode, checkpointDir, warnBytes)
   }
 }
 
@@ -295,7 +360,10 @@ final class ChangeFeedTable(pinned: StructType,
   * options `baseDir` + `name` (the database), `table`, optional
   * `password` (file-at-rest encryption), admission caps
   * `maxVersionsPerTrigger` / `maxFilesPerTrigger` /
-  * `maxBytesPerTrigger` (composing as the tightest),
+  * `maxBytesPerTrigger` (each a positive long or the opt-out `none`,
+  * composing as the tightest; with NO cap set, `maxBytesPerTrigger`
+  * defaults to 512 MiB so an out-of-the-box bootstrap is always
+  * drained in bounded steps),
   * `schemaTrackingMode` (warn|fail), and optionally ONE of:
   *   - `startingVersion` — the first batch carries changes committed
   *     AFTER this version (the cursor convention; 0 = bootstrap the
@@ -391,6 +459,17 @@ final class GraftTableSink(db: GraftDatabase, table: String,
 }
 
 object ChangeFeedSourceProvider {
+  /** Default `maxBytesPerTrigger` when the user sets no admission cap —
+    * the seatbelt that keeps a default-options bootstrap from
+    * materializing an arbitrarily large backlog in one micro-batch
+    * (Delta's streaming source ships a default `maxFilesPerTrigger` for
+    * the same reason; bytes track the actual batch cost more closely).
+    * Overridable per session via
+    * `spark.graft.changes.defaultMaxBytesPerTrigger`; opt out per
+    * stream with `maxBytesPerTrigger=none`.
+    */
+  val DefaultMaxBytesPerTrigger: Long = 512L << 20
+
   /** Table columns + `_change_type` — derived from a zero-churn feed
     * of the CURRENT version (the table must hold committed data).
     */

@@ -648,9 +648,16 @@ class StreamingSpec extends AnyFunSuite {
       (spark.table(name).select("id").collect().map(_.getLong(0)).toSet,
         batches)
     }
+    // zero options: the DEFAULT 512 MiB byte cap is far above this tiny
+    // backlog, so it still lands in one batch
     val (uncapped, b0) = drain(Map.empty, "cap_all")
     assert(uncapped == (1L to 6L).toSet)
-    assert(b0 == 1, s"uncapped backlog should land in one batch, got $b0")
+    assert(b0 == 1, s"a backlog under the default byte cap should land " +
+      s"in one batch, got $b0")
+    // explicit opt-out: genuinely uncapped, same single batch here
+    val (optOut, bn) = drain(Map("maxBytesPerTrigger" -> "none"), "cap_none")
+    assert(optOut == uncapped)
+    assert(bn == 1, s"opted-out backlog should land in one batch, got $bn")
     // version-capped: 6 versions / 2 per trigger = 3 bounded batches,
     // IDENTICAL final result (snapshot diffs telescope)
     val (byVersion, bv) = drain(Map("maxVersionsPerTrigger" -> "2"), "cap_v")
@@ -692,16 +699,140 @@ class StreamingSpec extends AnyFunSuite {
       }
       buf.toString
     }
-    // a 1-byte threshold is below any real backlog → the warning fires
-    val warned = errOf(Map("uncappedWarnBytes" -> "1"), "warn_yes")
+    // truly uncapped takes the explicit opt-out; a 1-byte threshold is
+    // below any real backlog → the warning fires on that path
+    val warned = errOf(
+      Map("uncappedWarnBytes" -> "1", "maxBytesPerTrigger" -> "none"),
+      "warn_yes")
     assert(warned.contains("NO admission cap"),
       s"expected the uncapped-bootstrap warning, got: $warned")
+    // zero cap options = bounded by the DEFAULT byte cap → no warning
+    // even at a 1-byte threshold
+    val defaulted = errOf(Map("uncappedWarnBytes" -> "1"), "warn_def")
+    assert(!defaulted.contains("NO admission cap"),
+      "a default-bounded stream must not warn about uncapped bootstraps")
     // with a cap set the same backlog drains silently
     val silent = errOf(
       Map("uncappedWarnBytes" -> "1", "maxVersionsPerTrigger" -> "2"),
       "warn_no")
     assert(!silent.contains("NO admission cap"),
       "a capped stream must not warn about uncapped bootstraps")
+    // malformed / negative thresholds fail LOUDLY with the real message
+    def chainMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val bad = intercept[Exception](errOf(
+      Map("uncappedWarnBytes" -> "lots"), "warn_bad"))
+    assert(chainMessages(bad).contains("uncappedWarnBytes"),
+      s"malformed uncappedWarnBytes must name the option: ${chainMessages(bad)}")
+    val neg = intercept[Exception](errOf(
+      Map("uncappedWarnBytes" -> "-5"), "warn_neg"))
+    assert(chainMessages(neg).contains("uncappedWarnBytes"))
+  }
+
+  test("admission is BOUNDED BY DEFAULT: zero cap options ride the " +
+      "session default byte budget; any explicit cap choice suppresses it") {
+    val (_, base) = backlogDb("defcapdb")
+    def drain(opts: Map[String, String], name: String): (Set[Long], Int) = {
+      val ckpt = Files.createTempDirectory("graft_defcap_ckpt").toString
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "defcapdb")
+        .option("table", "ev").options(opts).load()
+        .filter(col("_change_type") === "insert")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      (spark.table(name).select("id").collect().map(_.getLong(0)).toSet,
+        batches)
+    }
+    // shrink the session default below every file so the default cap's
+    // effect is observable on a tiny backlog
+    spark.conf.set("spark.graft.changes.defaultMaxBytesPerTrigger", "1")
+    try {
+      val (ids, b) = drain(Map.empty, "defcap_on")
+      assert(ids == (1L to 6L).toSet,
+        "the default-bounded drain must land the full backlog")
+      assert(b == 6, s"a below-every-file default byte budget must pace " +
+        s"one version per batch (6 batches), got $b")
+      // an explicit cap of ANOTHER kind is a cap choice: the byte
+      // default must NOT stack on top of it
+      val (ids2, b2) = drain(Map("maxVersionsPerTrigger" -> "2"), "defcap_v")
+      assert(ids2 == (1L to 6L).toSet)
+      assert(b2 == 3, s"an explicit version cap must suppress the " +
+        s"default byte cap (3 batches), got $b2")
+      // the explicit opt-out beats the default too
+      val (ids3, b3) = drain(Map("maxBytesPerTrigger" -> "none"), "defcap_no")
+      assert(ids3 == (1L to 6L).toSet)
+      assert(b3 == 1, s"maxBytesPerTrigger=none must disable the default " +
+        s"cap (one batch), got $b3")
+    } finally spark.conf.unset("spark.graft.changes.defaultMaxBytesPerTrigger")
+  }
+
+  test("restart sweeps orphaned staging dirs a failed or abandoned run " +
+      "left under the checkpoint") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val (db, base) = backlogDb("orphdb")
+    // memory sinks cannot recover a checkpoint — replicate into a graft
+    // table (the exactly-once sink IS checkpoint-recoverable)
+    val dstBase = Files.createTempDirectory("graft_orph_dst").toString
+    val dst = GraftDatabase(spark, "orphdst", dstBase)
+    dst.defineTable(TableDef("ev", "id"))
+    val ckpt = Files.createTempDirectory("graft_orph_ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "orphdb")
+        .option("table", "ev").option("maxVersionsPerTrigger", "2").load()
+        .writeStream.format("graft-changes")
+        .option("baseDir", dstBase).option("name", "orphdst")
+        .option("table", "ev").option("appId", "orphrep")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (q.isActive) {
+        assert(System.currentTimeMillis() < deadline,
+          "AvailableNow run did not self-stop within 60s")
+        Thread.sleep(50)
+      }
+      q.awaitTermination()
+    }
+    run()
+    // the staging root lives under the source's checkpoint subdir
+    def stagingRoots(): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName != null &&
+            p.getFileName.toString == "graft-staged") buf += p
+        }
+        buf.toSeq
+      } finally s.close()
+    }
+    val roots = stagingRoots()
+    assert(roots.nonEmpty, "expected a graft-staged dir under the checkpoint")
+    // plant an orphan: the staging dir shape a batch that FAILED (or a
+    // run killed mid-backlog) leaves behind — commit() never reclaims
+    // it because its range was never committed
+    val orphan = roots.head.resolve("98-99")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.urs"),
+      Array[Byte](1, 2, 3))
+    // new backlog + a fresh AvailableNow run over the SAME checkpoint:
+    // the restart must sweep the orphan before staging anything
+    db.insert("ev", Seq((7L, 70L)).toDF("id", "v").repartition(1))
+    run()
+    assert(!java.nio.file.Files.exists(orphan),
+      "restart must sweep staging dirs no live plan references")
+    val got = dst.table("ev").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (1L to 7L).toSet, "the swept restart must still " +
+      "deliver the full feed exactly once")
   }
 
   test("Trigger.AvailableNow drains exactly the backlog present at query " +
@@ -728,8 +859,13 @@ class StreamingSpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       // inject a mid-run commit after the first progress event: it lands
-      // ABOVE the prepared ceiling, so this run must not consume it
+      // ABOVE the prepared ceiling, so this run must not consume it.
+      // Deadline-bounded: a wedged AvailableNow run must fail loudly,
+      // not hang the suite
+      val deadline = System.currentTimeMillis() + 60000
       while (q.isActive) {
+        assert(System.currentTimeMillis() < deadline,
+          "AvailableNow run did not self-stop within 60s")
         if (!fired && q.recentProgress.nonEmpty) { fired = true; afterFirstBatch() }
         Thread.sleep(50)
       }
