@@ -214,6 +214,48 @@ final class TxLog(spark: SparkSession, root: String,
     try Files.size(f) > 0
     catch { case _: java.io.IOException => false }
 
+  // ---- parsed-action cache ---------------------------------------------
+  // A catch-up micro-batch parses each version file TWICE per trigger
+  // (admission weighing in advanceByBudgets, then the snapshot replay
+  // behind changes()), and conflict validation re-reads interleaved
+  // commits on every retry; on an object store each parse is a GET.
+  // Version files are IMMUTABLE once non-empty (the CommitPrimitive
+  // publishes full content atomically), so parsed actions cache safely
+  // in a bounded LRU. Callers KEEP their own existence / settledness
+  // checks — vacuum truncation and in-flight slots fail exactly as
+  // before; only the redundant re-read-and-parse goes. Size 0 disables
+  // (the LogWalkBench A/B knob).
+  private val actionCacheSize: Int =
+    spark.conf.get("spark.graft.txlog.actionCacheSize", "4096").trim.toInt
+
+  private val actionCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Long, Seq[Action]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Seq[Action]]): Boolean =
+        size() > actionCacheSize
+    })
+
+  /** Version `v`'s parsed actions, through the cache. Nil for a missing
+    * (vacuumed) file; a zero-byte in-flight file parses to Nil and is
+    * NEVER cached — its content lands later under the same name, the
+    * one mutation the immutability argument excludes.
+    */
+  private def actionsOf(v: Long): Seq[Action] = {
+    if (actionCacheSize > 0) {
+      val hit = actionCache.get(v)
+      if (hit != null) return hit
+    }
+    val f = versionFile(v)
+    val lines = try {
+      TxLog.versionFileReads.incrementAndGet()
+      Files.readAllLines(f).asScala.toSeq
+    } catch { case _: java.io.IOException => return Nil } // raced a vacuum
+    val acts = parse(lines)
+    if (actionCacheSize > 0 && lines.exists(_.nonEmpty))
+      actionCache.put(v, acts)
+    acts
+  }
+
   /** Replay from the newest checkpoint at or below `v` (bounded work:
     * at most `checkpointEvery` action files), like the reference's WAL
     * index resolving a read version without scanning the whole log.
@@ -230,9 +272,7 @@ final class TxLog(spark: SparkSession, root: String,
     // would be O(head version), not O(files since checkpoint)
     gcStats(listVersions().filter(i => i > ckpt.getOrElse(0L) && i <= v)
       .foldLeft(base) { (acc, i) =>
-        val f = versionFile(i)
-        if (!Files.exists(f)) acc // raced a vacuum between list and read
-        else parse(Files.readAllLines(f).asScala.toSeq).foldLeft(acc)(applyAction)
+        actionsOf(i).foldLeft(acc)(applyAction)
       }.copy(version = v))
   }
 
@@ -751,7 +791,7 @@ final class TxLog(spark: SparkSession, root: String,
           throw new ConflictException(
             s"cannot validate against commit $v: version file still " +
               "in-flight/empty — re-read and retry")
-        parse(Files.readAllLines(f).asScala.toSeq).foreach {
+        actionsOf(v).foreach {
           case Patch(t, rm, _) =>
             if (myHard(t)) throw new ConflictException(
               s"concurrent commit $v patched table $t in my read/write set")
@@ -986,7 +1026,7 @@ final class TxLog(spark: SparkSession, root: String,
   private def exchangedActions(v: Long): Seq[Action] = {
     val f = versionFile(v)
     if (!Files.exists(f)) Nil
-    else parse(Files.readAllLines(f).asScala.toSeq)
+    else actionsOf(v)
   }
 
   /** Files a committed version exchanges (added + removed + masks). */
@@ -1025,7 +1065,7 @@ final class TxLog(spark: SparkSession, root: String,
     listVersions().flatMap { v =>
       val f = versionFile(v)
       if (!Files.exists(f)) Nil
-      else parse(Files.readAllLines(f).asScala.toSeq).map {
+      else actionsOf(v).map {
         case Put(t, fs) => (v, "PUT", t, fs.size.toLong)
         case Add(t, fs) => (v, "ADD", t, fs.size.toLong)
         case Patch(t, rm, ad) => (v, "PATCH", s"$t(-${rm.size})", ad.size.toLong)
@@ -1085,6 +1125,14 @@ final class TxLog(spark: SparkSession, root: String,
 }
 
 object TxLog {
+
+  /** Process-wide count of RAW version-file reads (cache misses) — the
+    * bench/spec probe behind the action cache: a capped catch-up's
+    * per-trigger log I/O is graded by how little this moves
+    * (LogWalkBench, TxLogSpec). Not a metric surface; monotonic,
+    * never reset.
+    */
+  val versionFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---- metadata-only column DDL (rename / drop) -----------------------------
   // A pinned field may carry `graft_physical` metadata: the column name

@@ -1112,6 +1112,50 @@ class TxLogSpec extends AnyFunSuite {
     assert(replay.table("customer").count() == 2)
   }
 
+  test("parsed-action cache: the admission walk and the snapshot replay " +
+      "share ONE raw read per version file; size 0 disables") {
+    val (log, root) = freshLog()
+    log.commit(Seq(TxLog.Put("t", Nil))) // v1: bind the (empty) table
+    val files = log.stage("t",
+      spark.range(5).selectExpr("CAST(id AS INT) AS id", "1 AS x")
+        .repartitionByRange(5, col("id")))
+    assert(files.size == 5)
+    files.foreach(f => log.commit(Seq(TxLog.Patch("t", Nil, Seq(f))))) // v2..v6
+    // a COLD instance (fresh cache) models the change-feed stream's own
+    // TxLog: the admission walk parses each version once...
+    val cold = new TxLog(spark, root)
+    val r0 = TxLog.versionFileReads.get()
+    assert(cold.advanceByBudgets(1L, 6L, Some(Long.MaxValue), None) == 6L)
+    val r1 = TxLog.versionFileReads.get()
+    assert(r1 - r0 == 5, s"admission walk should read 5 version files " +
+      s"once each, read ${r1 - r0}")
+    // ...and the snapshot replay behind changes() re-uses those parses
+    // (one raw read remains: v1, which the walk from v1 never touched)
+    assert(cold.snapshotAt(6L).tables("t").size == 5)
+    val r2 = TxLog.versionFileReads.get()
+    assert(r2 - r1 == 1,
+      s"the replay must hit the action cache for v2..v6, re-read ${r2 - r1}")
+    // knob: actionCacheSize=0 disables — both passes pay raw reads
+    spark.conf.set("spark.graft.txlog.actionCacheSize", "0")
+    try {
+      val uncached = new TxLog(spark, root)
+      val u0 = TxLog.versionFileReads.get()
+      uncached.advanceByBudgets(1L, 6L, Some(Long.MaxValue), None)
+      uncached.snapshotAt(6L)
+      val u1 = TxLog.versionFileReads.get()
+      assert(u1 - u0 == 11, s"with the cache off both passes pay raw " +
+        s"reads (5 + 6), got ${u1 - u0}")
+    } finally spark.conf.unset("spark.graft.txlog.actionCacheSize")
+    // an in-flight (zero-byte) slot is NEVER cached: once its content
+    // lands, the next parse sees it
+    val slot = Paths.get(root, "_txlog", f"v${7L}%08d.txt")
+    Files.createFile(slot)
+    assert(cold.advanceByBudgets(6L, 7L, Some(Long.MaxValue), None) == 7L)
+    Files.write(slot, "ADD\tt\t\n".getBytes("UTF-8"))
+    assert(cold.snapshotAt(7L).tables("t").size == 5,
+      "the landed content must be visible despite the earlier empty parse")
+  }
+
   test("direct-API commitTrans that conflicts still invalidates the SQL " +
       "engine: later reads must not see the rolled-back states") {
     val base = Files.createTempDirectory("graft-txinval").toString
