@@ -6,7 +6,8 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
 
-import graft.catalog.TxLog
+import graft.catalog.{CommitPrimitive, HttpCasServer, HttpCommitPrimitive,
+  LatencyCommitPrimitive, PosixCommitPrimitive, TxLog}
 
 /** Multi-writer commit throughput under contention — the measurement
   * CommitRaceProcessSpec (safety) does not make. N writer threads each
@@ -26,6 +27,13 @@ import graft.catalog.TxLog
   * every file up front), so the numbers isolate the commit protocol —
   * conflict validation reads + the publish CAS — not parquet writes.
   *
+  * The commit PRIMITIVE is swappable (the object-store posture
+  * measurement): `GRAFT_COMMIT_PRIMITIVE=posix|nolink|http` picks the
+  * hard-link CAS, the sidecar-lock fallback, or the conditional-PUT
+  * HTTP store ([[graft.catalog.HttpCasServer]], S3 `If-None-Match: *`
+  * semantics); `GRAFT_PUT_LATENCY_MS=25` injects the wide-area round
+  * trip on every put, losers included.
+  *
   * Usage: `sbt "runMain graft.CommitBench"` → one JSON line; recorded
   * in SCALE.md.
   */
@@ -42,10 +50,31 @@ object CommitBench {
     val perWriter =
       sys.env.get("GRAFT_COMMITS_PER_WRITER").flatMap(_.toIntOption)
         .getOrElse(24)
+    val primKind = sys.env.getOrElse("GRAFT_COMMIT_PRIMITIVE", "posix")
+    val putLatencyMs =
+      sys.env.get("GRAFT_PUT_LATENCY_MS").flatMap(_.toLongOption).getOrElse(0L)
 
     def run(writers: Int, absolute: Boolean): (Double, Long) = {
       val root = Files.createTempDirectory("graft-commitbench").toString
-      val log = new TxLog(spark, root)
+      // per-writer primitive factory: each TxLog handle gets its own
+      // primitive (own HTTP client), like distinct driver processes
+      val server: Option[HttpCasServer] = primKind match {
+        case "http" => Some(new HttpCasServer(java.nio.file.Paths.get(root)))
+        case _ => None
+      }
+      def prim(): CommitPrimitive = {
+        val base = primKind match {
+          case "posix" => CommitPrimitive.posix
+          case "nolink" => new PosixCommitPrimitive(forceNoLinks = true)
+          case "http" => new HttpCommitPrimitive(server.get.endpoint,
+            java.nio.file.Paths.get(root))
+          case other => throw new IllegalArgumentException(
+            s"GRAFT_COMMIT_PRIMITIVE must be posix|nolink|http, got '$other'")
+        }
+        if (putLatencyMs > 0) new LatencyCommitPrimitive(base, putLatencyMs)
+        else base
+      }
+      val log = new TxLog(spark, root, primitive = prim())
       // seed + pre-stage every file in ONE distributed write
       log.commit(Seq(TxLog.Put("t",
         log.stage("t", Seq((0, 0)).toDF("id", "x")))))
@@ -67,7 +96,7 @@ object CommitBench {
           // snapshot cache), like distinct driver processes would.
           // Construction failures must still trip the barrier or the
           // main thread would hang instead of reporting the error.
-          val my = try new TxLog(spark, root)
+          val my = try new TxLog(spark, root, primitive = prim())
             catch { case t: Throwable => err = t; null }
           barrier.await()
           try {
@@ -95,6 +124,7 @@ object CommitBench {
       val t0 = System.nanoTime()
       threads.foreach(_.join())
       val secs = (System.nanoTime() - t0) / 1e9
+      server.foreach(_.close())
       if (err != null) throw err
       val snap = new TxLog(spark, root).snapshot()
       require(snap.tables("t").size == total + 1,
@@ -110,6 +140,7 @@ object CommitBench {
       f"""{"writers":$writers,"mode":"$mode","commits_per_s":$cps%.1f,"retries":$retries}"""
     }
     println(s"""{"metric":"commit_throughput","per_writer":$perWriter,""" +
+      s""""primitive":"$primKind","put_latency_ms":$putLatencyMs,""" +
       s""""rows":[${rows.mkString(",")}]}""")
     spark.stop()
   }

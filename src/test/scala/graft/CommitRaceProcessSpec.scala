@@ -22,50 +22,60 @@ class CommitRaceProcessSpec extends AnyFunSuite {
   private val VersionRe = "v(\\d{8,})\\.txt".r
 
   private def spawn(dir: Path, id: String, n: Int,
-      noLinks: Boolean): Process = {
+      primSpec: String): Process = {
     val java = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
     new ProcessBuilder(java, "-cp", System.getProperty("java.class.path"),
-      "graft.CommitRaceChild", dir.toString, id, n.toString,
-      noLinks.toString)
+      "graft.CommitRaceChild", dir.toString, id, n.toString, primSpec)
       .inheritIO().start()
   }
 
-  private def raceTwoProcesses(noLinks: Boolean): Unit = {
-    val dir = Files.createTempDirectory(
-      if (noLinks) "graft_xrace_lock" else "graft_xrace_link")
+  private def raceTwoProcesses(tag: String)(
+      primFor: Path => (String, () => Unit)): Unit = {
+    val dir = Files.createTempDirectory(s"graft_xrace_$tag")
+    val (primSpec, close) = primFor(dir)
     val n = 25
-    val a = spawn(dir, "A", n, noLinks)
-    val b = spawn(dir, "B", n, noLinks)
-    assert(a.waitFor() == 0 && b.waitFor() == 0, "children must exit 0")
-    val s = Files.list(dir)
-    val files = try s.iterator().asScala
-      .filter(p => VersionRe.findFirstMatchIn(p.getFileName.toString).isDefined)
-      .toVector.sortBy(_.getFileName.toString) finally s.close()
-    // dense slots, one winner each: exactly 2n files, v1..v2n
-    assert(files.size == 2 * n,
-      s"expected ${2 * n} published versions, found ${files.size}")
-    val versions = files.map(p => VersionRe.findFirstMatchIn(
-      p.getFileName.toString).get.group(1).toLong)
-    assert(versions == (1L to 2L * n).toVector,
-      "version sequence must be dense — the CAS admits no gaps")
-    // zero lost updates: every (writer, seq) pair appears EXACTLY once,
-    // and no file is empty/partial (full-content visibility)
-    val contents = files.map(p => new String(Files.readAllBytes(p), "UTF-8"))
-    assert(contents.forall(_.matches("[AB]:\\d+")), "no partial contents")
-    assert(contents.toSet.size == 2 * n, "every publish is unique")
-    assert(contents.sorted ==
-      (Seq("A", "B").flatMap(w => (0 until n).map(i => s"$w:$i"))).sorted,
-      "each writer's every commit landed exactly once")
+    try {
+      val a = spawn(dir, "A", n, primSpec)
+      val b = spawn(dir, "B", n, primSpec)
+      assert(a.waitFor() == 0 && b.waitFor() == 0, "children must exit 0")
+      val s = Files.list(dir)
+      val files = try s.iterator().asScala
+        .filter(p => VersionRe.findFirstMatchIn(p.getFileName.toString).isDefined)
+        .toVector.sortBy(_.getFileName.toString) finally s.close()
+      // dense slots, one winner each: exactly 2n files, v1..v2n
+      assert(files.size == 2 * n,
+        s"expected ${2 * n} published versions, found ${files.size}")
+      val versions = files.map(p => VersionRe.findFirstMatchIn(
+        p.getFileName.toString).get.group(1).toLong)
+      assert(versions == (1L to 2L * n).toVector,
+        "version sequence must be dense — the CAS admits no gaps")
+      // zero lost updates: every (writer, seq) pair appears EXACTLY once,
+      // and no file is empty/partial (full-content visibility)
+      val contents = files.map(p => new String(Files.readAllBytes(p), "UTF-8"))
+      assert(contents.forall(_.matches("[AB]:\\d+")), "no partial contents")
+      assert(contents.toSet.size == 2 * n, "every publish is unique")
+      assert(contents.sorted ==
+        (Seq("A", "B").flatMap(w => (0 until n).map(i => s"$w:$i"))).sorted,
+        "each writer's every commit landed exactly once")
+    } finally close()
   }
 
   test("two JVMs racing the hard-link CAS: one loser per slot, zero " +
       "lost updates, dense versions") {
-    raceTwoProcesses(noLinks = false)
+    raceTwoProcesses("link")(_ => ("false", () => ()))
   }
 
   test("two JVMs racing the FALLBACK lock path (object-store shape)") {
-    raceTwoProcesses(noLinks = true)
+    raceTwoProcesses("lock")(_ => ("true", () => ()))
+  }
+
+  test("two JVMs racing the conditional-PUT HTTP store " +
+      "(If-None-Match: * dialect, server-side CAS)") {
+    raceTwoProcesses("http") { dir =>
+      val server = new graft.catalog.HttpCasServer(dir)
+      (s"http:${server.endpoint}", () => server.close())
+    }
   }
 
   test("latency-injected primitive: two TxLog writers' disjoint patches " +
@@ -106,6 +116,82 @@ class CommitRaceProcessSpec extends AnyFunSuite {
     val bound = new TxLog(spark, root).snapshot().tables("t").toSet
     assert(bound == (r1 ++ r2).toSet,
       "both disjoint patches must land (commuting), neither lost")
+  }
+
+  test("latency-injected conditional-PUT store: two TxLog writers' " +
+      "disjoint patches race through slow remote CAS publishes, both land") {
+    import spark.implicits._
+    import graft.catalog.{HttpCasServer, HttpCommitPrimitive,
+      LatencyCommitPrimitive}
+    val rootPath = Files.createTempDirectory("graft_httpprim")
+    val root = rootPath.toString
+    val server = new HttpCasServer(rootPath)
+    try {
+      def prim() = new LatencyCommitPrimitive(
+        new HttpCommitPrimitive(server.endpoint, rootPath), 30)
+      val logA = new TxLog(spark, root, primitive = prim())
+      val logB = new TxLog(spark, root, primitive = prim())
+      val f1 = logA.stage("t", Seq((1, "a")).toDF("id", "v"))
+      val f2 = logA.stage("t", Seq((2, "b")).toDF("id", "v"))
+      logA.commit(Seq(TxLog.Put("t", f1 ++ f2)))
+      val base = logA.version
+      val r1 = logA.stage("t", Seq((1, "a2")).toDF("id", "v"))
+      val r2 = logB.stage("t", Seq((2, "b2")).toDF("id", "v"))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      @volatile var err: Throwable = null
+      val ta = new Thread(() => {
+        barrier.await()
+        try logA.commit(Seq(TxLog.Patch("t", Seq(f1.head), r1)),
+          readVersion = base)
+        catch { case e: Throwable => err = e }
+      })
+      val tb = new Thread(() => {
+        barrier.await()
+        try logB.commit(Seq(TxLog.Patch("t", Seq(f2.head), r2)),
+          readVersion = base)
+        catch { case e: Throwable => err = e }
+      })
+      ta.start(); tb.start(); ta.join(); tb.join()
+      if (err != null) throw err
+      val bound = new TxLog(spark, root).snapshot().tables("t").toSet
+      assert(bound == (r1 ++ r2).toSet,
+        "both disjoint patches must land through the remote CAS")
+      // the store rejects an unconditional overwrite of a taken slot:
+      // a raced re-publish of version 1 loses with 412 → the primitive's
+      // FileAlreadyExistsException, exactly the CAS loser signal
+      intercept[java.nio.file.FileAlreadyExistsException](
+        prim().putIfAbsent(
+          rootPath.resolve("_txlog").resolve(f"v${1L}%08d.txt"),
+          "X".getBytes("UTF-8")))
+    } finally server.close()
+  }
+
+  test("the whole facade runs over the conditional-PUT HTTP store: " +
+      "DML commits publish through HTTP CAS, a fresh handle replays them") {
+    import spark.implicits._
+    import graft.catalog.{GraftDatabase, HttpCasServer, HttpCommitPrimitive}
+    import graft.dml.ConstrainedDml.TableDef
+    val base = Files.createTempDirectory("graft_httpdb").toString
+    // the store root is the DATABASE root (baseDir/name) — every
+    // version file and checkpoint the facade publishes goes over HTTP
+    val dbRoot = Paths.get(base, "clouddb")
+    Files.createDirectories(dbRoot)
+    val server = new HttpCasServer(dbRoot)
+    try {
+      def open() = GraftDatabase(spark, "clouddb", base,
+        graft.core.Collation.Binary, None,
+        new HttpCommitPrimitive(server.endpoint, dbRoot))
+        .defineTable(TableDef("customer", "id"))
+      val db = open()
+      db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
+        .toDF("id", "name", "age"))
+      db.updateMany("customer", org.apache.spark.sql.functions.col("id") === 1,
+        Map("age" -> org.apache.spark.sql.functions.lit(31)))
+      db.delete("customer", org.apache.spark.sql.functions.col("id") === 2)
+      assert(db.count("customer") == 1)
+      val replay = open()
+      assert(replay.table("customer").select("age").head().getInt(0) == 31)
+    } finally server.close()
   }
 
   test("truncated conflict range fails SAFE: a stale writer cannot " +
