@@ -206,4 +206,66 @@ class SimilaritySpec extends AnyFunSuite {
       if (na > 0 && nb > 0) assert(dot / (na * nb) > 0.999)
     }
   }
+
+  test("IVF cells survive churn: 30% vector updates (cell recomputed in " +
+      "the SAME statement) + OPTIMIZE keep recall@10 at the " +
+      "fresh-ingest figure") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, dir, "embeddings")
+      .filter($"embedding".isNotNull)
+      .select($"vec_id", $"embedding")
+    val cents = Similarity.kmeansTrain(e, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfchurn").toString
+    val db = GraftDatabase(spark, "ivfchurn", base)
+      .defineTable(TableDef("emb", "vec_id"))
+    // ingest-time cell assignment, stored with the vectors (q77's shape)
+    db.insert("emb", Similarity.ivfAssign(e, "vec_id", "embedding", cents))
+    // churn 30% of the vectors to genuinely DIFFERENT embeddings; the
+    // cell recomputes from the NEW vector in the same simultaneous
+    // assignment (updateWhere stages every RHS against the old row, so
+    // reverse(embedding) is the new value in both entries) — the write
+    // rule a correct ingest path must follow, and what this spec pins
+    val newVec = reverse($"embedding")
+    val nChurned = db.updateMany("emb", $"vec_id" % 10 < 3, Map(
+      "embedding" -> newVec,
+      "cell" -> when(newVec.isNotNull,
+        Similarity.cellOf(newVec, cents)).otherwise(lit(-1L))))
+    assert(nChurned >= e.count() / 4, s"churned only $nChurned rows")
+    db.optimize("emb")
+    val churned = db.table("emb")
+    // (a) the stored cells after churn + OPTIMIZE are EXACTLY the
+    // fresh-ingest assignment of the same logical data
+    val freshAssigned = Similarity.ivfAssign(
+      churned.drop("cell"), "vec_id", "embedding", cents)
+    val diverged = churned.select($"vec_id", $"cell")
+      .join(freshAssigned.select($"vec_id", $"cell".as("fcell")), "vec_id")
+      .filter($"cell" =!= $"fcell").count()
+    assert(diverged == 0,
+      s"$diverged stored cells diverged from fresh-ingest assignment")
+    // (b) measured recall@10 over the stored cells matches the
+    // fresh-ingest figure (ivfTopK consumes the precomputed cell column)
+    def recallAt10(tbl: org.apache.spark.sql.DataFrame): Double = {
+      val qs = tbl.orderBy($"vec_id").limit(5)
+        .select($"vec_id".cast("long"), $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      qs.map { case (qid, qv) =>
+        val others = tbl.filter($"vec_id" =!= qid)
+        val brute = Similarity.cosineTopK(others, "vec_id", "embedding",
+          qv, 10).select($"vec_id".cast("long")).collect()
+          .map(_.getLong(0)).toSet
+        val approx = Similarity.ivfTopK(others, "vec_id", "embedding",
+          qv, 10, cents, nProbe = 2).select($"vec_id".cast("long"))
+          .collect().map(_.getLong(0)).toSet
+        brute.intersect(approx).size / 10.0
+      }.sum / qs.length
+    }
+    val rChurned = recallAt10(churned)
+    val rFresh = recallAt10(freshAssigned)
+    assert(rChurned == rFresh,
+      s"post-churn recall $rChurned != fresh-ingest recall $rFresh")
+    assert(rChurned >= 0.3, s"recall collapsed: $rChurned")
+  }
 }
