@@ -85,6 +85,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
+    // SPARK_GRAFT_ROWS=1 adds a per-query output-row-count map to the
+    // JSON — the output-density denominator SCALE.md's adjudicated
+    // families report (pair counts for dedup detectors etc.)
+    val wantRows = sys.env.contains("SPARK_GRAFT_ROWS")
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
@@ -95,7 +100,7 @@ object Bench {
         val t0 = System.nanoTime()
         val task = runner.submit[Unit](() => {
           spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-          try { fn(spark, sfDir).count(); () }
+          try { rowCounts(name) = fn(spark, sfDir).count(); () }
           finally spark.sparkContext.clearJobGroup()
         })
         try { task.get(budgetMs, TimeUnit.MILLISECONDS)
@@ -128,7 +133,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    val rowsField = if (wantRows) {
+      val m = results.map { case (k, _) =>
+        s"\"" + k + "\":" + rowCounts.getOrElse(k, -1L) }.mkString("{", ",", "}")
+      s""","rows":$m"""
+    } else ""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs$rowsField,"sf":"$sfDir"}"""
     // The driver records only a bounded tail of stdout, which truncates a
     // catalog this size mid-line; persist the full per-query map to the
     // repo so the round's timings stay reproducible from a committed

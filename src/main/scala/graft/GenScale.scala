@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
 object GenScale {
   def main(args: Array[String]): Unit = {
     val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    // optional 4th arg: replicate only these tables (e.g. "documents"
+    // for the sf100 text-decade probe — a full sf100 would not fit the
+    // sandbox, the text families under test only read documents).
+    // Unlisted tables are skipped: symlink them from the source dir if
+    // the destination must stay fully loadable.
+    val subset: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    def wanted(name: String): Boolean = subset.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,7 +88,7 @@ object GenScale {
     def offset(c: String, base: Long) =
       (r: org.apache.spark.sql.Column) => col(c) + r * base
 
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df: => DataFrame): Unit = if (wanted(name)) {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
