@@ -141,9 +141,19 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    // the verify sides are CORPUS-sized (every doc's shingle set) and
+    // the pair side is OUTPUT-sized — neither is ever broadcastable at
+    // scale. Without the hint, the size ESTIMATE of the shingle
+    // projection (computed column, default stats; highly compressible
+    // text shrinks the AQE runtime bytes too) can fall under the
+    // broadcast threshold: measured at the sf100-documents decade, the
+    // planner broadcast the 5M-doc shingle table and exhausted the 8 GB
+    // heap. The hint pins both verify joins to shuffle joins at any
+    // estimate.
+    val shKeyed = sh.hint("shuffle_hash")
     val verify = pairs
-      .join(sh.select(col("id").as("id1"), col("shs").as("s1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("shs").as("s2")), "id2")
+      .join(shKeyed.select(col("id").as("id1"), col("shs").as("s1")), "id1")
+      .join(shKeyed.select(col("id").as("id2"), col("shs").as("s2")), "id2")
     verify
       .select(col("id1"), col("id2"),
         round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
@@ -604,7 +614,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    val sets = base.select(col("id"), col("toks"))
+    // corpus-sized array column: never broadcastable — same estimate
+    // hazard as minhashLshPairs' verify joins (computed array columns
+    // defeat size estimation; measured broadcast-OOM at the
+    // sf100-documents decade there)
+    val sets = base.select(col("id"), col("toks")).hint("shuffle_hash")
     val scored = cand
       .join(sets.select(col("id").as("id1"), col("toks").as("s1")), "id1")
       .join(sets.select(col("id").as("id2"), col("toks").as("s2")), "id2")
