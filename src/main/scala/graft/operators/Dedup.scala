@@ -148,9 +148,11 @@ object Dedup {
     // text shrinks the AQE runtime bytes too) can fall under the
     // broadcast threshold: measured at the sf100-documents decade, the
     // planner broadcast the 5M-doc shingle table and exhausted the 8 GB
-    // heap. The hint pins both verify joins to shuffle joins at any
-    // estimate.
-    val shKeyed = sh.hint("shuffle_hash")
+    // heap. MERGE (not shuffle_hash): a hash build over per-doc shingle
+    // ARRAYS cannot spill and failed memory acquisition at the same
+    // decade — sort-merge spills both sides and is the only shape with
+    // no per-partition memory floor.
+    val shKeyed = sh.hint("merge")
     val verify = pairs
       .join(shKeyed.select(col("id").as("id1"), col("shs").as("s1")), "id1")
       .join(shKeyed.select(col("id").as("id2"), col("shs").as("s2")), "id2")
@@ -614,11 +616,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    // corpus-sized array column: never broadcastable — same estimate
-    // hazard as minhashLshPairs' verify joins (computed array columns
-    // defeat size estimation; measured broadcast-OOM at the
-    // sf100-documents decade there)
-    val sets = base.select(col("id"), col("toks")).hint("shuffle_hash")
+    // corpus-sized array column: never broadcastable, and a hash build
+    // over arrays cannot spill — same two measured sf100-documents
+    // failure modes as minhashLshPairs' verify joins; sort-merge is the
+    // no-memory-floor shape
+    val sets = base.select(col("id"), col("toks")).hint("merge")
     val scored = cand
       .join(sets.select(col("id").as("id1"), col("toks").as("s1")), "id1")
       .join(sets.select(col("id").as("id2"), col("toks").as("s2")), "id2")
