@@ -13,16 +13,17 @@ import graft.dml.ConstrainedDml.TableDef
   * backlog (lineitem at the given SF, landed as `commits` insert
   * versions) is drained four ways and timed —
   *
-  *   1. `graft-changes` readStream → writeStream under
+  *   1. the polling [[graft.streaming.ChangeFeedReplicator]]
+  *      (`changesSince` → `applyChanges`, no staging — the V1-shaped
+  *      in-process twin; runs FIRST on a fresh heap, see below),
+  *   2. `graft-changes` readStream → writeStream under
   *      `Trigger.AvailableNow` with ZERO options (the out-of-the-box
   *      path: the DEFAULT 512 MiB `maxBytesPerTrigger` paces it),
-  *   2. the same with explicit `maxVersionsPerTrigger` admission,
-  *   3. the same with the explicit `maxBytesPerTrigger=none` opt-out
+  *   3. the same with explicit `maxVersionsPerTrigger` admission, and
+  *   4. the same with the explicit `maxBytesPerTrigger=none` opt-out
   *      (one bootstrap batch — the path that exhausts an 8 GB heap at
-  *      sf10, which is a RESULT, not a crash), and
-  *   4. the polling [[graft.streaming.ChangeFeedReplicator]]
-  *      (`changesSince` → `applyChanges`, no staging — the V1-shaped
-  *      in-process twin).
+  *      sf10, which is a RESULT, not a crash; runs LAST for the same
+  *      heap-hygiene reason).
   *
   * Every completed drain's replica must be CONTENT-IDENTICAL to the
   * source (order-insensitive xxhash64 rollup over the business
@@ -119,24 +120,39 @@ object FeedBench {
           System.err.println(s"[feedbench] $name failed: ${e.getMessage}")
           -1.0
       }
+    // the POLL replicator runs FIRST: its single 60M-row applyChanges
+    // batch is the phase with the largest one-shot aggregation, and in
+    // one shared local-mode JVM it measured an AGGREGATE_OUT_OF_MEMORY
+    // at sf10 when two full stream drains ran before it (their
+    // accumulated broadcast/state blocks shrink the unified memory the
+    // final-phase aggregation can claim) — fresh-heap ordering keeps
+    // each phase's number comparable across rounds. Failure-isolated
+    // like the drains: one phase dying must not cost the others' data.
+    val pollSecs = try {
+      val (_, secs) = timed {
+        val dstBase = Files.createTempDirectory("graft-feedbench-poll").toString
+        val dst = GraftDatabase(spark, "feedpoll", dstBase)
+        dst.defineTable(TableDef("li", "id"))
+        val rep = new graft.streaming.ChangeFeedReplicator(
+          src, "li", dst, "li", appId = "poll-rep")
+        rep.replicateOnce()
+        val got = dst.table("li").count()
+        require(got == nRows, s"poll replica has $got rows, want $nRows")
+        require(contentHash(dst.table("li")) == srcHash,
+          "poll replica content diverged from the source")
+      }
+      secs
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[feedbench] poll failed: ${e.getMessage}")
+        -1.0
+    }
+
     // ZERO options — the out-of-the-box posture the default byte cap
     // exists for: this drain must complete at every scale
     val defaultSecs = tryDrain("feeddef", Map.empty)
     val cappedSecs = tryDrain("feedcap",
       Map("maxVersionsPerTrigger" -> cap.toString))
-
-    val (_, pollSecs) = timed {
-      val dstBase = Files.createTempDirectory("graft-feedbench-poll").toString
-      val dst = GraftDatabase(spark, "feedpoll", dstBase)
-      dst.defineTable(TableDef("li", "id"))
-      val rep = new graft.streaming.ChangeFeedReplicator(
-        src, "li", dst, "li", appId = "poll-rep")
-      rep.replicateOnce()
-      val got = dst.table("li").count()
-      require(got == nRows, s"poll replica has $got rows, want $nRows")
-      require(contentHash(dst.table("li")) == srcHash,
-        "poll replica content diverged from the source")
-    }
 
     // the explicitly-uncapped drain runs LAST: at scales where it
     // exhausts the harness heap (a RESULT this bench exists to show),
