@@ -407,7 +407,14 @@ object EventQueries {
         val outName =
           "q161_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val ckpt = java.nio.file.Files.createTempDirectory("graft-q161-ck")
-        val q = s.readStream.format("graft-changes")
+        // State partitions are fixed at the stream's first checkpoint, so
+        // size them to the STATE (≤ ~150 window×type keys), not to the
+        // session's batch-query shuffle width: a scoped newSession keeps
+        // the override off every other catalog query. 32 near-empty state
+        // stores paid ~2× the drain in per-batch snapshot I/O.
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ss.readStream.format("graft-changes")
           .option("baseDir", base).option("name", "q161")
           .option("table", "ev").option("maxVersionsPerTrigger", "1").load()
           .filter(col("_change_type") === "insert")
@@ -429,7 +436,7 @@ object EventQueries {
         // filter): every live row lands exactly once, and no window
         // below the cut exists — a single surviving late row would
         // create one (its windows all end below the cut)
-        val out = s.table(outName)
+        val out = ss.table(outName)
           .filter(col("event_type") =!= "zz_sentinel")
         val nLive = ev.filter(col("ts") >= lit(cutTs)).count()
         val shape = out.agg(sum(col("n")).as("rows"),

@@ -106,6 +106,32 @@ object PipelineQueries {
         FROM part"""),
       "JSON sink+source round-trip ($file_json, SysFileJson.cs)"),
 
+    // Beyond-reference interchange format: ORC is Spark-native columnar
+    // with footer stats, so pushdown/pruning survive the round-trip (the
+    // read-back applies a filter that must reach the OrcScan — gated in
+    // FileSourcesSpec). Aggregates cover every physical type orders
+    // carries: int64, double (decimal-accumulated), string, timestamp.
+    Q("q162_orc_roundtrip",
+      (s, dir) => {
+        val src = Tables.load(s, dir, "orders")
+        val tmp = scratchDir("graft-orc-roundtrip")
+        FileSources.writeOrc(src, tmp)
+        val back = FileSources.readOrc(s, tmp, schema = Some(src.schema))
+        back.filter(col("o_orderstatus") =!= "X")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(28,8)")).cast("double")
+              .as("total_price"),
+            countDistinct(col("o_orderstatus")).as("n_status"),
+            max(col("o_orderdate")).cast("date").as("last_order"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total_price,
+        COUNT(DISTINCT o_orderstatus) AS n_status,
+        CAST(MAX(o_orderdate) AS DATE) AS last_order
+        FROM orders WHERE o_orderstatus <> 'X'"""),
+      "ORC sink+source round-trip (beyond-reference columnar interchange; " +
+        "filter pushdown survives into the OrcScan)"),
+
     // Sketch values are engine-specific, so the oracle checks (a) the exact
     // companions and (b) the accuracy CONTRACT: the HLL++ estimate must sit
     // within its rsd band and the approx quantiles within their rank-error
@@ -771,6 +797,73 @@ object PipelineQueries {
       "seeded epoch shuffle: reproducible pseudo-random training order " +
         "via hash ranking inside hash shards (per-shard sorts, no global " +
         "total-order sort)"),
+
+    // Online corpus dedup: the change feed drives the flagship curation
+    // op INCREMENTALLY — new documents arrive commit by commit, each
+    // micro-batch is deduplicated against the already-curated corpus
+    // (stream-static anti-join on the content fingerprint, corpus side
+    // broadcast — at 100 TB a bloom/bucketed variant, same plan shape)
+    // AND against every EARLIER batch (dropDuplicates carries
+    // fingerprint state across micro-batches), so only first-seen
+    // content is admitted. State grows with NEW DISTINCT content only,
+    // never with table or backlog size (admission caps bound each
+    // batch); a production stream would add dropDuplicatesWithinWatermark
+    // to age the state. Oracle: the batch recompute — distinct incoming
+    // fingerprints not already in the corpus.
+    Q("q163_stream_dedup",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") % 4 === 0)
+        val incoming = docs.filter(col("doc_id") % 4 =!= 0)
+        val base = java.nio.file.Files.createTempDirectory("graft-q163").toString
+        val db = GraftDatabase(s, "q163", base)
+          .defineTable(TableDef("inbox", "doc_id"))
+        // one commit per residue class: duplicate texts land in
+        // DIFFERENT commits, so the cross-batch state is what dedups them
+        (1 to 3).foreach(r =>
+          db.insert("inbox", incoming.filter(col("doc_id") % 4 === r)))
+        val corpusFp = corpus.select(md5(col("text")).as("fp")).distinct()
+        val outName =
+          "q163_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q163-ck")
+        // state partitions sized to the fingerprint state, session-scoped
+        // (same rationale as q161: the catalog session's shuffle width is
+        // sized for batch queries, not for 5 micro-batches of small state)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = ss.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "q163")
+          .option("table", "inbox").option("maxVersionsPerTrigger", "1").load()
+          .filter(col("_change_type") === "insert")
+          .select(md5(col("text")).as("fp"))
+          .join(broadcast(corpusFp), Seq("fp"), "left_anti")
+          .dropDuplicates("fp")
+          .writeStream.format("memory").queryName(outName)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = ss.table(outName)
+        // structural gate: the stream admitted exactly the batch-recompute
+        // set (first-seen only — a fingerprint repeated across commits
+        // emitted once; corpus content emitted never)
+        val expect = incoming.select(md5(col("text")).as("fp")).distinct()
+          .join(corpusFp, Seq("fp"), "left_anti").count()
+        val got = out.count()
+        require(got == expect,
+          s"stream dedup: expected $expect first-seen fingerprints, got $got")
+        out
+      },
+      Some("""SELECT DISTINCT MD5(text) AS fp FROM documents
+        WHERE doc_id % 4 <> 0 AND MD5(text) NOT IN
+          (SELECT MD5(text) FROM documents WHERE doc_id % 4 = 0)"""),
+      "incremental corpus dedup OVER the change feed: stream-static " +
+        "anti-join against the curated corpus + cross-batch first-seen " +
+        "state — the continuous-ingestion shape of q23/q112"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

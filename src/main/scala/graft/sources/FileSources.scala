@@ -45,4 +45,21 @@ object FileSources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC source/sink (beyond-reference: the reference stops at CSV/JSON).
+    * ORC ships inside Spark itself, and at scale it matters for the same
+    * reason parquet does: columnar + footer stats, so predicate pushdown
+    * and column pruning survive the interchange (`PushedFilters` reaches
+    * the OrcScan exactly as it does a parquet scan). Schema is passed
+    * explicitly for the same reason as CSV: inference reads footers of
+    * every file on the driver.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.map(r.schema).getOrElse(r).orc(path)
+  }
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

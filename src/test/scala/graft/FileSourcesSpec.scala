@@ -30,6 +30,22 @@ class FileSourcesSpec extends AnyFunSuite {
     assert(back.collect().toSeq == df.collect().toSeq)
   }
 
+  test("orc round-trip preserves values, nulls, and timestamps; filters " +
+    "push into the OrcScan") {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val df = Seq(
+      (1L, Some("a"), Some(2.5), Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))),
+      (2L, None, None, None),
+      (3L, Some("c"), Some(-0.0), Some(java.sql.Timestamp.valueOf("1999-12-31 23:59:59"))))
+      .toDF("id", "s", "v", "ts")
+    FileSources.writeOrc(df, tmp)
+    val back = FileSources.readOrc(spark, tmp, Some(df.schema))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    val plan = back.filter($"id" > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"expected the id filter pushed into the OrcScan:\n$plan")
+  }
+
   test("json round-trip preserves nested-free schema and values") {
     val tmp = Files.createTempDirectory("graft-json2").toString
     val df = Seq((1L, Some(2.5)), (2L, None)).toDF("id", "v")
