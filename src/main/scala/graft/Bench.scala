@@ -89,7 +89,11 @@ object Bench {
     // JSON — the output-density denominator SCALE.md's adjudicated
     // families report (pair counts for dedup detectors etc.)
     val wantRows = sys.env.contains("SPARK_GRAFT_ROWS")
-    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
+    // concurrent: a cancelled iteration's worker thread can outlive its
+    // timeout (non-interruptible driver code) and write concurrently
+    // with the next iteration's worker — or with the main thread's final
+    // JSON read — so a plain mutable.Map could corrupt
+    val rowCounts = new scala.collection.concurrent.TrieMap[String, Long]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>

@@ -4,6 +4,7 @@ import java.io.IOException
 import java.net.{InetAddress, InetSocketAddress, URI}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.{Files, Path, StandardCopyOption}
+import java.time.Duration
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
@@ -30,29 +31,40 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class HttpCommitPrimitive(endpoint: String, root: Path)
     extends CommitPrimitive {
 
+  private val storeRoot = root.toAbsolutePath.normalize
+
   // one client per primitive instance (per TxLog handle), like one
-  // store client per writer process
-  private val client = HttpClient.newHttpClient()
+  // store client per writer process. Bounded waits everywhere: a wedged
+  // store must surface as a commit error, not hang every writer on the
+  // log forever (the publish loop's livelock guard can only trip on
+  // thrown exceptions).
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+  private val requestTimeout = Duration.ofSeconds(60)
 
   override def putIfAbsent(target: Path, content: Array[Byte]): Unit = {
-    val rel = root.toAbsolutePath.normalize
-      .relativize(target.toAbsolutePath.normalize)
+    val rel = storeRoot.relativize(target.toAbsolutePath.normalize)
     require(!rel.startsWith(".."),
-      s"putIfAbsent target $target escapes the store root $root")
+      s"putIfAbsent target $target escapes the store root $storeRoot")
     // segments are version-file names (v00000001.txt, _txlog) — encode
     // anyway so the seam never depends on that
     val key = (0 until rel.getNameCount).map(i =>
       java.net.URLEncoder.encode(rel.getName(i).toString, "UTF-8"))
       .mkString("/")
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/$key"))
-      .header("If-None-Match", "*")
+      .header("If-None-Match", "*").timeout(requestTimeout)
       .PUT(HttpRequest.BodyPublishers.ofByteArray(content))
       .build()
     val resp = try client.send(req, HttpResponse.BodyHandlers.ofString())
     catch {
       case e: InterruptedException => throw e
-      case e: Exception => throw new IOException(
-        s"conditional PUT to $endpoint/$key failed", e)
+      // AMBIGUOUS OUTCOME: the request may have landed before the
+      // response was lost (reset, timeout). Reporting plain failure
+      // here would invite the classic double-apply: the caller retries
+      // the transaction and publishes the same actions again under the
+      // next version. Resolve by reading the slot back — exactly what a
+      // real store client does after a lost conditional-PUT response.
+      case e: Exception => resolveAmbiguousPut(key, target, content, e); return
     }
     resp.statusCode() match {
       case 200 | 201 => ()
@@ -62,6 +74,40 @@ final class HttpCommitPrimitive(endpoint: String, root: Path)
         s"conditional PUT $endpoint/$key: unexpected HTTP $c ${resp.body()}")
     }
   }
+
+  /** Post-failure slot read-back: our content at the key = the PUT won
+    * and only the response was lost (success); different content = a
+    * racer won (the ordinary lost-race signal); no content = the PUT
+    * never landed (plain failure, safe to retry). Only a failed
+    * read-back leaves the outcome genuinely unknown — surfaced loudly
+    * so the caller reconciles before retrying.
+    */
+  private def resolveAmbiguousPut(key: String, target: Path,
+      content: Array[Byte], cause: Exception): Unit = {
+    val get = HttpRequest.newBuilder(URI.create(s"$endpoint/$key"))
+      .timeout(requestTimeout).GET().build()
+    val resp = try client.send(get, HttpResponse.BodyHandlers.ofByteArray())
+    catch {
+      case e: InterruptedException => throw e
+      case e: Exception =>
+        e.addSuppressed(cause)
+        throw new IOException(
+          s"conditional PUT to $endpoint/$key failed AND the read-back " +
+            "failed: commit outcome UNKNOWN — reconcile the slot before " +
+            "retrying the transaction", e)
+    }
+    resp.statusCode() match {
+      case 200 if java.util.Arrays.equals(resp.body(), content) => ()
+      case 200 =>
+        throw new java.nio.file.FileAlreadyExistsException(target.toString)
+      case 404 => throw new IOException(
+        s"conditional PUT to $endpoint/$key failed (slot empty — nothing " +
+          "landed; retry is safe)", cause)
+      case c => throw new IOException(
+        s"read-back of $endpoint/$key after a failed PUT: unexpected " +
+          s"HTTP $c", cause)
+    }
+  }
 }
 
 /** Loopback conditional-put store over a directory: `PUT /<key>` with
@@ -69,12 +115,15 @@ final class HttpCommitPrimitive(endpoint: String, root: Path)
   * free (HTTP 412 otherwise — the loser signal), arbitrated
   * server-side like a real store's CAS. Winners become visible as
   * complete files via an atomic rename, so filesystem readers (the
-  * log's list/read path) never observe partial content. PUTs without
-  * the precondition are rejected (400): the commit protocol has no
-  * unconditional-overwrite path, and the server enforcing that catches
-  * a client that silently dropped the header.
+  * log's list/read path) never observe partial content. `GET /<key>`
+  * returns the committed bytes (the ambiguous-PUT read-back path).
+  * PUTs without the precondition are rejected (400): the commit
+  * protocol has no unconditional-overwrite path, and the server
+  * enforcing that catches a client that silently dropped the header.
   */
 final class HttpCasServer(root: Path) extends AutoCloseable {
+
+  private val storeRoot = root.toAbsolutePath.normalize
 
   private val server = HttpServer.create(
     new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
@@ -94,16 +143,30 @@ final class HttpCasServer(root: Path) extends AutoCloseable {
     s"http://${server.getAddress.getHostString}:${server.getAddress.getPort}"
 
   private def handle(ex: HttpExchange): Unit = {
-    if (ex.getRequestMethod != "PUT") { respond(ex, 405, "PUT only"); return }
+    val rel = ex.getRequestURI.getPath.stripPrefix("/").split("/")
+      .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+    val target = rel.foldLeft(storeRoot)(_.resolve(_)).normalize
+    if (!target.startsWith(storeRoot)) {
+      respond(ex, 400, "key escapes the store root"); return
+    }
+    ex.getRequestMethod match {
+      case "PUT" => handlePut(ex, target)
+      case "GET" =>
+        // winners land via atomic rename, so a read observes full
+        // committed content or nothing — no lock needed
+        if (Files.exists(target)) {
+          val b = Files.readAllBytes(target)
+          ex.sendResponseHeaders(200, if (b.length == 0) -1 else b.length)
+          if (b.length > 0) ex.getResponseBody.write(b)
+        } else respond(ex, 404, "no such key")
+      case _ => respond(ex, 405, "PUT or GET only")
+    }
+  }
+
+  private def handlePut(ex: HttpExchange, target: Path): Unit = {
     val ifNoneMatch = ex.getRequestHeaders.getFirst("If-None-Match")
     if (ifNoneMatch != "*") {
       respond(ex, 400, "commit PUTs must carry If-None-Match: *"); return
-    }
-    val rel = ex.getRequestURI.getPath.stripPrefix("/").split("/")
-      .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
-    val target = rel.foldLeft(root)(_.resolve(_)).normalize
-    if (!target.startsWith(root.toAbsolutePath.normalize)) {
-      respond(ex, 400, "key escapes the store root"); return
     }
     val body = ex.getRequestBody.readAllBytes()
     // the store-side linearization point: one winner per key, losers

@@ -61,8 +61,9 @@ object LanguageModel {
     *
     * Memory shape: the bigram stream is EXPLICITLY hash-partitioned on
     * its key BEFORE the c12 aggregation and the scoring join, at a
-    * width scaled to the INPUT SIZE (one partition per ~16 MB of
-    * source, clamped to [session shuffle partitions, 2048];
+    * width scaled to the INPUT SIZE (one partition per ~64 KB of
+    * estimated source bytes — near one per MB of raw text at parquet's
+    * usual text compression; clamped to [session shuffle partitions, 2048];
     * `spark.graft.lm.bigramPartitions` overrides). Two effects that
     * matter once the distinct-bigram space outgrows the heap (measured
     * at sf10 under the 8 GB harness heap):

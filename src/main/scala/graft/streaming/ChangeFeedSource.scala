@@ -292,17 +292,26 @@ final class ChangeFeedScan(pinned: StructType,
     // measured to exhaust an 8 GB driver near 1 GB of backlog
     // (SCALE.md), so unbounded is something a user must ASK for
     // (`maxBytesPerTrigger=none`), never fall into.
+    // capChosen = the user set a REAL cap (a positive long) on any
+    // dimension, or addressed maxBytesPerTrigger itself (value or the
+    // explicit `none` opt-out). `maxVersionsPerTrigger=none` /
+    // `maxFilesPerTrigger=none` are semantic no-ops (those were never
+    // capped by default) and MUST NOT silently disable the default byte
+    // cap — unbounded is only ever the documented `maxBytesPerTrigger=
+    // none`.
     var capChosen = false
     def capLong(k: String): Option[Long] = Option(params.get(k)).flatMap { v =>
-      capChosen = true
-      if (v.trim.equalsIgnoreCase("none")) None
-      else {
+      if (v.trim.equalsIgnoreCase("none")) {
+        if (k == "maxBytesPerTrigger") capChosen = true
+        None
+      } else {
         val n = try v.trim.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"graft-changes: $k must be a positive long or 'none', got '$v'")
         }
         require(n > 0,
           s"graft-changes: $k must be a positive long or 'none', got $n")
+        capChosen = true
         Some(n)
       }
     }
@@ -311,10 +320,20 @@ final class ChangeFeedScan(pinned: StructType,
     val maxBytes0 = capLong("maxBytesPerTrigger")
     val maxBytes =
       if (capChosen) maxBytes0
-      else Some(spark.conf
-        .get("spark.graft.changes.defaultMaxBytesPerTrigger",
+      else Some {
+        val key = "spark.graft.changes.defaultMaxBytesPerTrigger"
+        val v = spark.conf.get(key,
           ChangeFeedSourceProvider.DefaultMaxBytesPerTrigger.toString)
-        .trim.toLong)
+        val n = try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft-changes: $key must be a positive long (per-stream " +
+              s"opt-out is .option(\"maxBytesPerTrigger\", \"none\")), got '$v'")
+        }
+        require(n > 0,
+          s"graft-changes: $key must be a positive long (per-stream " +
+            s"opt-out is .option(\"maxBytesPerTrigger\", \"none\")), got $n")
+        n
+      }
     val warnBytes = Option(params.get("uncappedWarnBytes")).map { v =>
       val n = try v.trim.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(

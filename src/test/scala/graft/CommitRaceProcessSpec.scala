@@ -166,6 +166,111 @@ class CommitRaceProcessSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  /** Man-in-the-middle for the lost-response commit hazard: PUTs are
+    * (optionally) forwarded to the real store, then the connection is
+    * closed WITHOUT a response — the transport failure whose outcome
+    * the primitive must resolve by reading the slot back. GETs relay
+    * normally (the read-back path must work while PUT responses are
+    * being lost).
+    */
+  private final class DropPutResponseProxy(backend: String, forwardPut: Boolean)
+      extends AutoCloseable {
+    private val ss = new java.net.ServerSocket(
+      0, 16, java.net.InetAddress.getLoopbackAddress)
+    private val client = java.net.http.HttpClient.newHttpClient()
+    @volatile private var closed = false
+    private def serve(): Unit = {
+      while (!closed) {
+        val sock = try ss.accept() catch { case _: Exception => return }
+        try {
+          val in = new java.io.DataInputStream(sock.getInputStream)
+          val head = new java.io.ByteArrayOutputStream()
+          // scan to the CRLFCRLF header terminator WITHOUT reading past
+          // it (a lookahead here would eat the first body byte)
+          var tail = 0L
+          var scanning = true
+          while (scanning) {
+            val b = in.read()
+            if (b < 0) scanning = false
+            else {
+              head.write(b)
+              tail = ((tail << 8) | b) & 0xffffffffL
+              if (tail == 0x0d0a0d0aL) scanning = false
+            }
+          }
+          val lines = new String(head.toByteArray, "ISO-8859-1").split("\r\n")
+          val first = lines(0).split(" ")
+          val (method, path) = (first(0), first(1))
+          val len = lines.find(_.toLowerCase.startsWith("content-length:"))
+            .map(_.split(":")(1).trim.toInt).getOrElse(0)
+          val body = new Array[Byte](len); in.readFully(body)
+          if (method == "PUT") {
+            if (forwardPut) client.send(
+              java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(backend + path))
+                .header("If-None-Match", "*")
+                .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+                .build(),
+              java.net.http.HttpResponse.BodyHandlers.discarding())
+            sock.close() // the sabotage: response never reaches the client
+          } else {
+            val resp = client.send(
+              java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(backend + path)).GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+            val out = sock.getOutputStream
+            out.write((s"HTTP/1.1 ${resp.statusCode()} ok\r\n" +
+              s"Content-Length: ${resp.body().length}\r\n" +
+              "Connection: close\r\n\r\n").getBytes("ISO-8859-1"))
+            out.write(resp.body()); out.flush(); sock.close()
+          }
+        } catch { case _: Exception =>
+          try sock.close() catch { case _: Exception => () } }
+      }
+    }
+    private val worker = new Thread(() => serve())
+    worker.setDaemon(true); worker.start()
+    def endpoint: String =
+      s"http://${ss.getInetAddress.getHostAddress}:${ss.getLocalPort}"
+    override def close(): Unit = { closed = true; ss.close() }
+  }
+
+  test("a lost conditional-PUT response is resolved by slot read-back: " +
+      "landed-then-lost = success (no double-apply), raced = lost race, " +
+      "never-landed = plain retryable failure") {
+    import graft.catalog.{HttpCasServer, HttpCommitPrimitive}
+    val rootPath = Files.createTempDirectory("graft_httpamb")
+    val server = new HttpCasServer(rootPath)
+    val landed = new DropPutResponseProxy(server.endpoint, forwardPut = true)
+    val dropped = new DropPutResponseProxy(server.endpoint, forwardPut = false)
+    try {
+      val slot = rootPath.resolve("_txlog").resolve("v00000001.txt")
+      val content = "Add t f1\n".getBytes("UTF-8")
+      // 1. the PUT lands, the response is lost → the read-back finds OUR
+      //    content → success, exactly once (a blind retry here would be
+      //    the double-apply the read-back exists to prevent)
+      new HttpCommitPrimitive(landed.endpoint, rootPath)
+        .putIfAbsent(slot, content)
+      assert(Files.readAllBytes(slot).sameElements(content))
+      // 2. response lost AND the slot holds someone else's commit → the
+      //    ordinary lost-race signal, not an opaque IO failure
+      val slot2 = rootPath.resolve("_txlog").resolve("v00000002.txt")
+      new HttpCommitPrimitive(server.endpoint, rootPath)
+        .putIfAbsent(slot2, "Add t OTHER\n".getBytes("UTF-8"))
+      intercept[java.nio.file.FileAlreadyExistsException](
+        new HttpCommitPrimitive(landed.endpoint, rootPath)
+          .putIfAbsent(slot2, content))
+      // 3. the PUT never reached the store → read-back sees an empty
+      //    slot → plain IOException marked safe to retry, nothing landed
+      val slot3 = rootPath.resolve("_txlog").resolve("v00000003.txt")
+      val e = intercept[java.io.IOException](
+        new HttpCommitPrimitive(dropped.endpoint, rootPath)
+          .putIfAbsent(slot3, content))
+      assert(e.getMessage.contains("retry is safe"), e.getMessage)
+      assert(!Files.exists(slot3))
+    } finally { landed.close(); dropped.close(); server.close() }
+  }
+
   test("the whole facade runs over the conditional-PUT HTTP store: " +
       "DML commits publish through HTTP CAS, a fresh handle replays them") {
     import spark.implicits._

@@ -768,6 +768,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids3 == (1L to 6L).toSet)
       assert(b3 == 1, s"maxBytesPerTrigger=none must disable the default " +
         s"cap (one batch), got $b3")
+      // `none` on a NON-byte cap is a semantic no-op (those dimensions
+      // were never capped by default) and must NOT sneak the stream to
+      // unbounded: only the documented maxBytesPerTrigger=none does
+      val (ids4, b4) = drain(Map("maxFilesPerTrigger" -> "none"), "defcap_fn")
+      assert(ids4 == (1L to 6L).toSet)
+      assert(b4 == 6, s"maxFilesPerTrigger=none must keep the default " +
+        s"byte cap (6 batches), got $b4")
+      // garbage in the session-default conf names the key and the opt-out
+      def msgs(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      val bad = intercept[Exception] {
+        spark.conf.set("spark.graft.changes.defaultMaxBytesPerTrigger", "none")
+        drain(Map.empty, "defcap_bad")
+      }
+      assert(msgs(bad).contains("defaultMaxBytesPerTrigger") &&
+        msgs(bad).contains("maxBytesPerTrigger"), msgs(bad))
     } finally spark.conf.unset("spark.graft.changes.defaultMaxBytesPerTrigger")
   }
 
