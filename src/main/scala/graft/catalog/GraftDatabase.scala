@@ -1671,8 +1671,21 @@ final class GraftDatabase private (
 
   private def writeIndexMeta(name: String,
       ix: Seq[(String, String, Boolean)]): Unit =
-    Files.write(Paths.get(s"$tablesDir/.${norm(name)}_indexes"),
-      ix.map { case (n, c, u) => s"$n\t$c\t$u" }.mkString("\n").getBytes("UTF-8"))
+    writeSidecar(Paths.get(s"$tablesDir/.${norm(name)}_indexes"),
+      ix.map { case (n, c, u) => s"$n\t$c\t$u" }.mkString("\n"))
+
+  /** Registry sidecars replace atomically (tmp + ATOMIC_MOVE): a plain
+    * truncate-and-write exposes an empty/partial file to a concurrent
+    * reader — a torn index line throws in indexMeta, and a torn cluster
+    * spec silently reads as "no clustering", dropping OPTIMIZE's layout
+    * re-assertion.
+    */
+  private def writeSidecar(p: java.nio.file.Path, content: String): Unit = {
+    val tmp = Files.createTempFile(p.getParent, s".${p.getFileName}", ".tmp")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** The table's REGISTERED clustering layout: (kind ∈ range|zorder,
     * columns, the binding the last clustering pass produced). Written
@@ -1700,9 +1713,8 @@ final class GraftDatabase private (
 
   private def writeClusterMeta(name: String, kind: String,
       cols: Seq[String], files: Iterable[String]): Unit =
-    Files.write(Paths.get(s"$tablesDir/.${norm(name)}_cluster"),
-      (s"$kind\t${cols.mkString(",")}\n" + files.mkString(","))
-        .getBytes("UTF-8"))
+    writeSidecar(Paths.get(s"$tablesDir/.${norm(name)}_cluster"),
+      s"$kind\t${cols.mkString(",")}\n" + files.mkString(","))
 
   private def clearClusterMeta(name: String): Unit =
     Files.deleteIfExists(Paths.get(s"$tablesDir/.${norm(name)}_cluster"))
