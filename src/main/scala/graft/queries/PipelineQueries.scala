@@ -799,58 +799,83 @@ object PipelineQueries {
         "total-order sort)"),
 
     // Online corpus dedup: the change feed drives the flagship curation
-    // op INCREMENTALLY — new documents arrive commit by commit, each
-    // micro-batch is deduplicated against the already-curated corpus
-    // (stream-static anti-join on the content fingerprint, corpus side
-    // broadcast — at 100 TB a bloom/bucketed variant, same plan shape)
-    // AND against every EARLIER batch (dropDuplicates carries
-    // fingerprint state across micro-batches), so only first-seen
-    // content is admitted. State grows with NEW DISTINCT content only,
-    // never with table or backlog size (admission caps bound each
-    // batch); a production stream would add dropDuplicatesWithinWatermark
-    // to age the state. Oracle: the batch recompute — distinct incoming
-    // fingerprints not already in the corpus.
+    // op INCREMENTALLY. The scale-defining invariant (same contract as
+    // q84/q112): THE CORPUS NEVER RESHUFFLES. The admitted-fingerprint
+    // state lives in a lakehouse TABLE (seeded once with the curated
+    // corpus); each micro-batch probes it with ONE map-side semi-join --
+    // the batch's fingerprints broadcast, and ADMISSION CONTROL is what
+    // makes that broadcast bounded (a capped batch caps the probe set).
+    // foreachBatch + the state table make replay idempotent: a re-run
+    // batch's fingerprints are already admitted, so its anti-join admits
+    // nothing -- exactly-once without any in-memory state store, restart
+    // cost zero. Per-batch cost scales with the batch; state growth =
+    // new distinct content only. Oracle: the batch recompute -- distinct
+    // incoming fingerprints not already in the corpus.
     Q("q163_stream_dedup",
       (s, dir) => {
         import graft.catalog.GraftDatabase
         import graft.dml.ConstrainedDml.TableDef
         import org.apache.spark.sql.streaming.Trigger
-        val docs = Tables.load(s, dir, "documents")
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val docs = Tables.load(ss, dir, "documents")
           .select(col("doc_id"), col("text"))
         val corpus = docs.filter(col("doc_id") % 4 === 0)
         val incoming = docs.filter(col("doc_id") % 4 =!= 0)
         val base = java.nio.file.Files.createTempDirectory("graft-q163").toString
-        val db = GraftDatabase(s, "q163", base)
+        val db = GraftDatabase(ss, "q163", base)
           .defineTable(TableDef("inbox", "doc_id"))
         // one commit per residue class: duplicate texts land in
         // DIFFERENT commits, so the cross-batch state is what dedups them
         (1 to 3).foreach(r =>
           db.insert("inbox", incoming.filter(col("doc_id") % 4 === r)))
-        val corpusFp = corpus.select(md5(col("text")).as("fp")).distinct()
-        val outName =
-          "q163_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        // the state table, seeded with the curated corpus -- the one
+        // corpus-scale shuffle, paid ONCE at bootstrap (building the
+        // keep-list), never per batch
+        val outBase =
+          java.nio.file.Files.createTempDirectory("graft-q163-out").toString
+        val outDb = GraftDatabase(ss, "q163out", outBase)
+          .defineTable(TableDef("admitted", "fp"))
+        outDb.insert("admitted", corpus
+          .select(md5(col("text")).as("fp")).distinct()
+          .withColumn("src", lit("corpus")))
         val ckpt = java.nio.file.Files.createTempDirectory("graft-q163-ck")
-        // state partitions sized to the fingerprint state, session-scoped
-        // (same rationale as q161: the catalog session's shuffle width is
-        // sized for batch queries, not for 5 micro-batches of small state)
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
         val q = ss.readStream.format("graft-changes")
           .option("baseDir", base).option("name", "q163")
           .option("table", "inbox").option("maxVersionsPerTrigger", "1").load()
           .filter(col("_change_type") === "insert")
           .select(md5(col("text")).as("fp"))
-          .join(broadcast(corpusFp), Seq("fp"), "left_anti")
-          .dropDuplicates("fp")
-          .writeStream.format("memory").queryName(outName)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val newFps = batch.distinct()
+            // ONE pass over the state table, map-side: the bounded batch
+            // broadcasts, the (corpus + previously admitted) side only
+            // scans -- the semi output is batch-bounded, so the follow-up
+            // anti-join is broadcast-bounded too
+            val dup = outDb.table("admitted")
+              .join(broadcast(newFps), Seq("fp"), "left_semi").select("fp")
+            // plan gate: the state-table probe must be a broadcast hash
+            // join (batch broadcasts, state table only scans) — a
+            // sort-merge here would reshuffle the corpus-scaled state
+            // every batch
+            require(dup.queryExecution.executedPlan.toString
+              .contains("BroadcastHashJoin"),
+              "q163: the admitted-table probe lost its broadcast shape")
+            val admit = newFps
+              .join(broadcast(dup), Seq("fp"), "left_anti")
+              .withColumn("src", lit("stream"))
+            outDb.insert("admitted", admit)
+            ()
+          }
           .option("checkpointLocation", ckpt.toString)
-          .outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val out = ss.table(outName)
+        val out = outDb.table("admitted")
+          .filter(col("src") === "stream").select("fp")
         // structural gate: the stream admitted exactly the batch-recompute
-        // set (first-seen only — a fingerprint repeated across commits
-        // emitted once; corpus content emitted never)
+        // set (first-seen only -- a fingerprint repeated across commits
+        // admitted once; corpus content admitted never)
+        val corpusFp = corpus.select(md5(col("text")).as("fp")).distinct()
         val expect = incoming.select(md5(col("text")).as("fp")).distinct()
           .join(corpusFp, Seq("fp"), "left_anti").count()
         val got = out.count()
@@ -861,9 +886,10 @@ object PipelineQueries {
       Some("""SELECT DISTINCT MD5(text) AS fp FROM documents
         WHERE doc_id % 4 <> 0 AND MD5(text) NOT IN
           (SELECT MD5(text) FROM documents WHERE doc_id % 4 = 0)"""),
-      "incremental corpus dedup OVER the change feed: stream-static " +
-        "anti-join against the curated corpus + cross-batch first-seen " +
-        "state — the continuous-ingestion shape of q23/q112"),
+      "incremental corpus dedup OVER the change feed: the admitted-" +
+        "fingerprint lakehouse table IS the cross-batch state, probed " +
+        "map-side by each admission-bounded batch (corpus never " +
+        "reshuffles); foreachBatch replay is idempotent by construction"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

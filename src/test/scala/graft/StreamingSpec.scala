@@ -630,6 +630,60 @@ class StreamingSpec extends AnyFunSuite {
     (db, base)
   }
 
+  test("table-as-state streaming dedup (the q163 pattern) is replay-" +
+      "idempotent: a full re-drain of already-processed commits admits " +
+      "nothing new") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_dedupsrc").toString
+    val src = GraftDatabase(spark, "dedupsrc", base)
+      .defineTable(TableDef("inbox", "id"))
+    // fingerprints overlap ACROSS commits: b repeats in v2, c in v3
+    src.insert("inbox", Seq((1L, "a"), (2L, "b")).toDF("id", "fp"))
+    src.insert("inbox", Seq((3L, "b"), (4L, "c")).toDF("id", "fp"))
+    src.insert("inbox", Seq((5L, "c"), (6L, "d")).toDF("id", "fp"))
+    val outBase = Files.createTempDirectory("graft_dedupout").toString
+    val outDb = GraftDatabase(spark, "dedupout", outBase)
+      .defineTable(TableDef("admitted", "fp"))
+    outDb.insert("admitted",
+      Seq(("a", "corpus")).toDF("fp", "src")) // 'a' already curated
+    def drain(): Unit = {
+      // fresh checkpoint each call: the SECOND drain replays the WHOLE
+      // backlog against the state table — the strongest replay shape
+      // (Spark's own recovery only replays the uncommitted tail)
+      val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "dedupsrc")
+        .option("table", "inbox").option("maxVersionsPerTrigger", "1").load()
+        .filter(col("_change_type") === "insert").select("fp")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val newFps = batch.distinct()
+          val dup = outDb.table("admitted")
+            .join(broadcast(newFps), Seq("fp"), "left_semi").select("fp")
+          outDb.insert("admitted", newFps
+            .join(broadcast(dup), Seq("fp"), "left_anti")
+            .withColumn("src", lit("stream")))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    def admitted() = outDb.table("admitted")
+      .filter(col("src") === "stream")
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(admitted() == Set("b", "c", "d"),
+      "first drain admits each non-corpus fingerprint exactly once")
+    drain() // full replay: every batch's fps are already admitted
+    assert(admitted() == Set("b", "c", "d"),
+      "a full replay against the state table must admit nothing new")
+    assert(outDb.table("admitted").count() == 4,
+      "no duplicate admitted rows after replay")
+  }
+
   test("maxVersionsPerTrigger / maxFilesPerTrigger bound catch-up " +
       "batches: the backlog drains in ceil(N/cap) batches, same result") {
     val (_, base) = backlogDb("capdb")
