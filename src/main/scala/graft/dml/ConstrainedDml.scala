@@ -57,25 +57,43 @@ object ConstrainedDml {
           .join(broadcast(parent.select(col(fk.parentCol))),
             incoming(fk.childCol) === parent(fk.parentCol), "left_anti")))
       if (fk.oneToOne) {
-        val all = existing.map(e =>
-          incoming.select(col(fk.childCol)).unionByName(e.select(col(fk.childCol))))
-          .getOrElse(incoming.select(col(fk.childCol)))
         checks += (("one_to_one_conflict", fk.childCol,
-          duplicatedKeys(all, fk.childCol)))
+          duplicatedKeys(incoming.select(col(fk.childCol)), fk.childCol)))
+        existing.foreach { e =>
+          checks += (("one_to_one_conflict", fk.childCol,
+            crossMatch(e, incoming, fk.childCol)))
+        }
       }
     }
+    // Cross-checks against the EXISTING table put the table on the LEFT
+    // and the batch's keys on the RIGHT: left-semi can only broadcast
+    // the build (right) side, so this direction lets the planner (AQE
+    // re-plans from runtime sizes) broadcast the bounded batch keys and
+    // probe the table with a map-side scan — no shuffle, no broadcast of
+    // table-scale data. The old direction (batch LEFT, table RIGHT)
+    // could only broadcast the TABLE or sort-merge-shuffle its whole key
+    // column on every insert — the exact anti-pattern the LSH verify
+    // joins were pinned against. Bulk loads whose key set outgrows the
+    // broadcast threshold degrade to the same sort-merge as before.
     existing.foreach { e =>
       checks += (("pk_conflict", table.pk,
-        incoming.join(e.select(col(table.pk)), Seq(table.pk), "left_semi")))
+        e.select(col(table.pk))
+          .join(incoming.select(col(table.pk)), Seq(table.pk), "left_semi")))
     }
     // NOTE: the in-batch PK dupe check deliberately has no notNull filter
     // (a batch of several null PKs is a conflict, matching the original)
     checks += (("pk_conflict", table.pk,
       incoming.groupBy(table.pk).count().filter(col("count") > 1)))
+    // Unique checks split the old merged-groupBy (which shuffled the
+    // WHOLE table's column per insert) into in-batch dupes + a cross
+    // semi-join in the same table-scans/batch-builds direction; a value
+    // duplicated across the union is exactly one of the two.
     table.uniqueCols.foreach { uc =>
-      val all = existing.map(e => incoming.select(col(uc))
-        .unionByName(e.select(col(uc)))).getOrElse(incoming.select(col(uc)))
-      checks += (("unique_conflict", uc, duplicatedKeys(all, uc)))
+      checks += (("unique_conflict", uc,
+        duplicatedKeys(incoming.select(col(uc)), uc)))
+      existing.foreach { e =>
+        checks += (("unique_conflict", uc, crossMatch(e, incoming, uc)))
+      }
     }
     runChecks(table.name, checks.toSeq)
   }
@@ -83,6 +101,16 @@ object ConstrainedDml {
   /** Distinct values of `c` appearing more than once (nulls excluded). */
   private def duplicatedKeys(df: DataFrame, c: String): DataFrame =
     df.filter(col(c).isNotNull).groupBy(c).count().filter(col("count") > 1)
+
+  /** Existing-table values of `c` also present in the batch (nulls
+    * excluded on both sides — null never conflicts). Table LEFT, batch
+    * RIGHT: see the direction note in validateInsert.
+    */
+  private def crossMatch(existing: DataFrame, incoming: DataFrame,
+      c: String): DataFrame =
+    existing.select(col(c)).filter(col(c).isNotNull)
+      .join(incoming.select(col(c)).filter(col(c).isNotNull),
+        Seq(c), "left_semi")
 
   /** Evaluate every check set's cardinality in ONE Spark job: each check
     * reduces to a 1-row (check index, count) aggregate and the union of

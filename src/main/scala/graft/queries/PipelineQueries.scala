@@ -799,31 +799,29 @@ object PipelineQueries {
         "total-order sort)"),
 
     // Online corpus dedup: the change feed drives the flagship curation
-    // op INCREMENTALLY. The scale-defining invariant (same contract as
-    // q84/q112): THE CORPUS NEVER RESHUFFLES. The admitted-fingerprint
-    // state lives in a lakehouse TABLE (seeded once with the curated
-    // corpus); each micro-batch probes it with ONE map-side semi-join --
-    // the batch's fingerprints broadcast, and ADMISSION CONTROL is what
-    // makes that broadcast bounded (a capped batch caps the probe set).
-    // foreachBatch + the state table make replay idempotent: a re-run
-    // batch's fingerprints are already admitted, so its anti-join admits
-    // nothing -- exactly-once without any in-memory state store, restart
-    // cost zero. Per-batch cost scales with the batch; state growth =
-    // new distinct content only. Oracle: the batch recompute -- distinct
-    // incoming fingerprints not already in the corpus.
+    // op INCREMENTALLY, through streaming.StreamingDedup (shared with
+    // the StreamingSpec replay-idempotence case). The scale-defining
+    // invariant (same contract as q84/q112): THE STATE NEVER RESHUFFLES
+    // -- the admitted-fingerprint state is a lakehouse TABLE seeded once
+    // with the curated corpus; each micro-batch's fingerprints (bounded
+    // BY the admission caps) broadcast into a map-side probe of it, plan-
+    // gated to the BroadcastHashJoin shape. insertBatch's (appId,
+    // batchId) ledger skips engine replays outright, and the anti-join
+    // makes even a fresh-checkpoint full re-drain admit nothing -- so
+    // exactly-once needs no in-memory state store and restart cost is
+    // zero. Oracle: the batch recompute -- distinct incoming
+    // fingerprints not already in the corpus.
     Q("q163_stream_dedup",
       (s, dir) => {
         import graft.catalog.GraftDatabase
         import graft.dml.ConstrainedDml.TableDef
         import org.apache.spark.sql.streaming.Trigger
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
-        val docs = Tables.load(ss, dir, "documents")
+        val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"))
         val corpus = docs.filter(col("doc_id") % 4 === 0)
         val incoming = docs.filter(col("doc_id") % 4 =!= 0)
         val base = java.nio.file.Files.createTempDirectory("graft-q163").toString
-        val db = GraftDatabase(ss, "q163", base)
+        val db = GraftDatabase(s, "q163", base)
           .defineTable(TableDef("inbox", "doc_id"))
         // one commit per residue class: duplicate texts land in
         // DIFFERENT commits, so the cross-batch state is what dedups them
@@ -831,14 +829,23 @@ object PipelineQueries {
           db.insert("inbox", incoming.filter(col("doc_id") % 4 === r)))
         // the state table, seeded with the curated corpus -- the one
         // corpus-scale shuffle, paid ONCE at bootstrap (building the
-        // keep-list), never per batch
+        // keep-list), never per batch. The SEED runs on the catalog
+        // session (full batch shuffle width); the STREAM and its
+        // per-batch work run on a scoped 8-wide session -- per-batch
+        // frames are admission-bounded and AQE cannot coalesce inside
+        // foreachBatch, so batch-width tiny-task fan-out is pure
+        // overhead there (measured ~2x the drain at bench scale).
         val outBase =
           java.nio.file.Files.createTempDirectory("graft-q163-out").toString
+        GraftDatabase(s, "q163out", outBase)
+          .defineTable(TableDef("admitted", "fp"))
+          .insert("admitted", corpus
+            .select(md5(col("text")).as("fp")).distinct()
+            .withColumn("src", lit("corpus")))
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
         val outDb = GraftDatabase(ss, "q163out", outBase)
           .defineTable(TableDef("admitted", "fp"))
-        outDb.insert("admitted", corpus
-          .select(md5(col("text")).as("fp")).distinct()
-          .withColumn("src", lit("corpus")))
         val ckpt = java.nio.file.Files.createTempDirectory("graft-q163-ck")
         val q = ss.readStream.format("graft-changes")
           .option("baseDir", base).option("name", "q163")
@@ -846,26 +853,9 @@ object PipelineQueries {
           .filter(col("_change_type") === "insert")
           .select(md5(col("text")).as("fp"))
           .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val newFps = batch.distinct()
-            // ONE pass over the state table, map-side: the bounded batch
-            // broadcasts, the (corpus + previously admitted) side only
-            // scans -- the semi output is batch-bounded, so the follow-up
-            // anti-join is broadcast-bounded too
-            val dup = outDb.table("admitted")
-              .join(broadcast(newFps), Seq("fp"), "left_semi").select("fp")
-            // plan gate: the state-table probe must be a broadcast hash
-            // join (batch broadcasts, state table only scans) — a
-            // sort-merge here would reshuffle the corpus-scaled state
-            // every batch
-            require(dup.queryExecution.executedPlan.toString
-              .contains("BroadcastHashJoin"),
-              "q163: the admitted-table probe lost its broadcast shape")
-            val admit = newFps
-              .join(broadcast(dup), Seq("fp"), "left_anti")
-              .withColumn("src", lit("stream"))
-            outDb.insert("admitted", admit)
-            ()
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.StreamingDedup.admitBatch(
+              outDb, "admitted", "fp", batch, "q163-dedup", id)
           }
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow()).start()
@@ -886,10 +876,11 @@ object PipelineQueries {
       Some("""SELECT DISTINCT MD5(text) AS fp FROM documents
         WHERE doc_id % 4 <> 0 AND MD5(text) NOT IN
           (SELECT MD5(text) FROM documents WHERE doc_id % 4 = 0)"""),
-      "incremental corpus dedup OVER the change feed: the admitted-" +
-        "fingerprint lakehouse table IS the cross-batch state, probed " +
-        "map-side by each admission-bounded batch (corpus never " +
-        "reshuffles); foreachBatch replay is idempotent by construction"),
+      "incremental corpus dedup OVER the change feed (StreamingDedup): " +
+        "the admitted-fingerprint lakehouse table IS the cross-batch " +
+        "state, probed map-side by each admission-bounded batch (state " +
+        "never reshuffles); replay idempotent twice over (txn ledger + " +
+        "anti-join)"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

@@ -648,40 +648,46 @@ class StreamingSpec extends AnyFunSuite {
       .defineTable(TableDef("admitted", "fp"))
     outDb.insert("admitted",
       Seq(("a", "corpus")).toDF("fp", "src")) // 'a' already curated
-    def drain(): Unit = {
-      // fresh checkpoint each call: the SECOND drain replays the WHOLE
-      // backlog against the state table — the strongest replay shape
-      // (Spark's own recovery only replays the uncommitted tail)
+    def drain(appId: String): Unit = {
+      // fresh checkpoint each call: a re-drain replays the WHOLE backlog
+      // against the state table — the strongest replay shape (Spark's
+      // own recovery only replays the uncommitted tail)
       val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
       val q = spark.readStream.format("graft-changes")
         .option("baseDir", base).option("name", "dedupsrc")
         .option("table", "inbox").option("maxVersionsPerTrigger", "1").load()
         .filter(col("_change_type") === "insert").select("fp")
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val newFps = batch.distinct()
-          val dup = outDb.table("admitted")
-            .join(broadcast(newFps), Seq("fp"), "left_semi").select("fp")
-          outDb.insert("admitted", newFps
-            .join(broadcast(dup), Seq("fp"), "left_anti")
-            .withColumn("src", lit("stream")))
-          ()
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.StreamingDedup.admitBatch(
+            outDb, "admitted", "fp", batch, appId, id)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    drain()
+    drain("dedup-a")
     def admitted() = outDb.table("admitted")
       .filter(col("src") === "stream")
       .select("fp").collect().map(_.getString(0)).toSet
     assert(admitted() == Set("b", "c", "d"),
       "first drain admits each non-corpus fingerprint exactly once")
-    drain() // full replay: every batch's fps are already admitted
+    // mechanism 1, the ANTI-JOIN: a full re-drain under a NEW appId (the
+    // txn ledger cannot skip it) re-probes every batch against the state
+    // table and admits nothing
+    drain("dedup-b")
     assert(admitted() == Set("b", "c", "d"),
       "a full replay against the state table must admit nothing new")
     assert(outDb.table("admitted").count() == 4,
       "no duplicate admitted rows after replay")
+    // mechanism 2, the TXN LEDGER: re-drain under an ALREADY-RECORDED
+    // appId — insertBatch skips every batch outright, so the log version
+    // does not move (no empty commits, no probe work)
+    val v = outDb.logVersion
+    drain("dedup-b")
+    assert(outDb.logVersion == v,
+      "a ledger-skipped replay must not commit anything")
+    assert(admitted() == Set("b", "c", "d"))
   }
 
   test("maxVersionsPerTrigger / maxFilesPerTrigger bound catch-up " +
