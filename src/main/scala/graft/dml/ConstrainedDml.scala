@@ -167,6 +167,7 @@ object ConstrainedDml {
       pkImmutable: Boolean = false): Seq[Violation] = {
     val checks = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, DataFrame)]
+    lazy val unchanged = unchangedOf(table, incoming, result)
 
     table.fks.foreach { fk =>
       val parent = parents.getOrElse(fk.parentTable,
@@ -175,9 +176,12 @@ object ConstrainedDml {
         incoming.filter(col(fk.childCol).isNotNull)
           .join(broadcast(parent.select(col(fk.parentCol))),
             incoming(fk.childCol) === parent(fk.parentCol), "left_anti")))
-      if (fk.oneToOne)
+      if (fk.oneToOne) {
         checks += (("one_to_one_conflict", fk.childCol,
-          duplicatedKeys(result, fk.childCol)))
+          duplicatedKeys(incoming.select(col(fk.childCol)), fk.childCol)))
+        checks += (("one_to_one_conflict", fk.childCol,
+          crossMatch(unchanged, incoming, fk.childCol)))
+      }
     }
     // pkImmutable: the caller PROVES incoming rows keep pre-existing
     // distinct PKs (a predicate transform with the PK guarded against
@@ -187,10 +191,24 @@ object ConstrainedDml {
       checks += (("pk_conflict", table.pk,
         incoming.groupBy(table.pk).count().filter(col("count") > 1)))
     table.uniqueCols.foreach { uc =>
-      checks += (("unique_conflict", uc, duplicatedKeys(result, uc)))
+      checks += (("unique_conflict", uc,
+        duplicatedKeys(incoming.select(col(uc)), uc)))
+      checks += (("unique_conflict", uc, crossMatch(unchanged, incoming, uc)))
     }
     runChecks(table.name, checks.toSeq)
   }
+
+  /** Post-update rows NOT touched by the statement: the full result
+    * anti-joined on the (bounded, broadcastable) changed-row PKs — the
+    * table is map-side scanned, never shuffled. Used to decompose the
+    * old whole-result duplicate groupBy (a table-column shuffle per
+    * statement) into in-batch dupes + changed-vs-unchanged collisions;
+    * presence-equivalent on any table whose pre-state satisfied its
+    * constraints (every facade write path enforces them).
+    */
+  private def unchangedOf(table: TableDef, incoming: DataFrame,
+      result: DataFrame): DataFrame =
+    result.join(incoming.select(col(table.pk)), Seq(table.pk), "left_anti")
 
   /** UpdateMany with a transform expression over matching rows
     * (TableCollection.cs:1305-1328; SQL `UPDATE c SET Name = UPPER($.Name)
