@@ -297,6 +297,73 @@ object GraftProperties extends Properties("graft") {
       got == expected
   }
 
+  // Constraint-check direction refactor (round 12): the decomposed
+  // insert/update checks (in-batch dupes + table-scans/batch-builds
+  // cross semi-joins) must flag EXACTLY the states the old merged
+  // whole-table groupBy flagged, for every combination of dupes within
+  // the batch, collisions against the table, nulls, and clean inserts —
+  // given a pre-state that satisfies its own constraints (what every
+  // facade write path enforces).
+  private val constraintGen: Gen[(List[(Int, String)], List[(Int, String)])] =
+    for {
+      nExist <- Gen.choose(0, 6)
+      existing <- Gen.listOfN(nExist, for {
+        v <- Gen.oneOf("a", "b", "c", null)
+      } yield v)
+      nIn <- Gen.choose(1, 5)
+      incoming <- Gen.listOfN(nIn, for {
+        v <- Gen.oneOf("a", "b", "c", "d", null)
+      } yield v)
+    } yield {
+      // pre-state valid: unique non-null values, distinct pks
+      val exRows = existing.filter(_ != null).distinct.zipWithIndex
+        .map { case (v, i) => (i, v) }
+      val inRows = incoming.zipWithIndex.map { case (v, i) => (i + 1000, v) }
+      (exRows, inRows)
+    }
+
+  property("decomposedUniqueChecksMatchMergedSemantics") =
+    Prop.forAll(constraintGen) { case (exRows, inRows) =>
+      import graft.dml.ConstrainedDml
+      import graft.dml.ConstrainedDml.TableDef
+      val tdef = TableDef("t", "id", uniqueCols = Seq("v"))
+      val existing =
+        if (exRows.isEmpty) None else Some(exRows.toDF("id", "v"))
+      val incoming = inRows.toDF("id", "v")
+      val got = ConstrainedDml
+        .validateInsert(spark, tdef, incoming, existing, Map.empty)
+        .exists(_.kind == "unique_conflict")
+      // merged reference semantics: a non-null value duplicated across
+      // union(existing, incoming)
+      val all = exRows.map(_._2) ++ inRows.map(_._2)
+      val expected = all.filter(_ != null).groupBy(identity)
+        .exists(_._2.size > 1)
+      got == expected
+    }
+
+  property("decomposedUpdateChecksMatchMergedSemantics") =
+    Prop.forAll(constraintGen) { case (exRows, inRows) =>
+      import graft.dml.ConstrainedDml
+      import graft.dml.ConstrainedDml.TableDef
+      // model an UPDATE: changed rows REPLACE table rows by pk (reuse
+      // existing ids where possible), result = unchanged + changed
+      val tdef = TableDef("t", "id", uniqueCols = Seq("v"))
+      val changed = inRows.zipWithIndex.map { case ((_, v), i) =>
+        // half the batch replaces existing pks, half inserts-by-update
+        if (i < exRows.size && i % 2 == 0) (exRows(i)._1, v)
+        else (2000 + i, v)
+      }
+      val changedPks = changed.map(_._1).toSet
+      val unchanged = exRows.filterNot(r => changedPks.contains(r._1))
+      val resultRows = unchanged ++ changed
+      val got = ConstrainedDml.validateUpdate(spark, tdef,
+          changed.toDF("id", "v"), resultRows.toDF("id", "v"), Map.empty)
+        .exists(_.kind == "unique_conflict")
+      val expected = resultRows.map(_._2).filter(_ != null)
+        .groupBy(identity).exists(_._2.size > 1)
+      got == expected
+    }
+
   property("funnelNEmitsNullSafePartialFunnels") =
     Prop.forAll(funnelGen) { rows =>
       // q135's projection must survive users at EVERY stage depth —
