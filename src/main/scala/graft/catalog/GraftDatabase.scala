@@ -106,12 +106,33 @@ final class GraftDatabase private (
   // facade normalizes once at the boundary.
   private def norm(name: String): String = name.toLowerCase
 
+  /** Register a table definition on THIS handle. Registration is lazy
+    * and unvalidated: attaching constraints to a table that already
+    * holds committed data does NOT check the pre-state (per-statement
+    * enforcement assumes a valid pre-state and probes only what each
+    * write touches — the scalable direction). After a late declaration
+    * over existing data, call [[validateConstraints]] — the explicit
+    * twin of SQL's `VALIDATE CONSTRAINT`.
+    */
   def defineTable(tdef: TableDef): GraftDatabase = {
     val n = tdef.copy(name = norm(tdef.name),
       fks = tdef.fks.map(fk => fk.copy(parentTable = norm(fk.parentTable))))
     defs += n.name -> n
     invalidateSqlEngine() // a memoized engine's FK registry is now stale
     this
+  }
+
+  /** Validate the CURRENT committed state of `name` against its declared
+    * constraints (PK uniqueness, unique columns, FK existence, 1:1
+    * fan-out) — one full-state scan, for constraints declared AFTER data
+    * existed. Empty = clean. Per-statement write enforcement never runs
+    * this whole-set shape; it stays proportional to the statement.
+    */
+  def validateConstraints(name: String): Seq[ConstrainedDml.Violation] = {
+    val tdef = tableDef(name)
+    if (!tableExists(name)) return Nil
+    val state = table(name)
+    ConstrainedDml.validateUpdate(spark, tdef, state, state, parentsOf(tdef))
   }
 
   def tableDef(name: String): TableDef =

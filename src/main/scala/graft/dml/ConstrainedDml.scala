@@ -75,10 +75,11 @@ object ConstrainedDml {
     // column on every insert — the exact anti-pattern the LSH verify
     // joins were pinned against. Bulk loads whose key set outgrows the
     // broadcast threshold degrade to the same sort-merge as before.
+    // (null PKs never equi-match, so the crossMatch null filters are
+    // inert here; Violation.n counts conflicting TABLE keys, where the
+    // old direction counted conflicting batch rows — presence-identical)
     existing.foreach { e =>
-      checks += (("pk_conflict", table.pk,
-        e.select(col(table.pk))
-          .join(incoming.select(col(table.pk)), Seq(table.pk), "left_semi")))
+      checks += (("pk_conflict", table.pk, crossMatch(e, incoming, table.pk)))
     }
     // NOTE: the in-batch PK dupe check deliberately has no notNull filter
     // (a batch of several null PKs is a conflict, matching the original)
@@ -168,6 +169,18 @@ object ConstrainedDml {
     val checks = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, DataFrame)]
     lazy val unchanged = unchangedOf(table, incoming, result)
+    // Null-PK rows cannot be identified as "self" by the PK anti-join
+    // (null never equi-matches), so they are EXCLUDED from `unchanged`
+    // and compared separately against the non-null-PK slice of the
+    // batch — otherwise a legitimately-inserted null-PK row would
+    // self-collide on its own unique value in the self-validation paths
+    // (RESTORE, rebuild, replica bootstrap pass incoming == result).
+    lazy val nullPkRows = result.filter(col(table.pk).isNull)
+    lazy val nonNullPkIncoming = incoming.filter(col(table.pk).isNotNull)
+    def crossChecks(kind: String, c: String): Unit = {
+      checks += ((kind, c, crossMatch(unchanged, incoming, c)))
+      checks += ((kind, c, crossMatch(nullPkRows, nonNullPkIncoming, c)))
+    }
 
     table.fks.foreach { fk =>
       val parent = parents.getOrElse(fk.parentTable,
@@ -179,8 +192,7 @@ object ConstrainedDml {
       if (fk.oneToOne) {
         checks += (("one_to_one_conflict", fk.childCol,
           duplicatedKeys(incoming.select(col(fk.childCol)), fk.childCol)))
-        checks += (("one_to_one_conflict", fk.childCol,
-          crossMatch(unchanged, incoming, fk.childCol)))
+        crossChecks("one_to_one_conflict", fk.childCol)
       }
     }
     // pkImmutable: the caller PROVES incoming rows keep pre-existing
@@ -193,7 +205,7 @@ object ConstrainedDml {
     table.uniqueCols.foreach { uc =>
       checks += (("unique_conflict", uc,
         duplicatedKeys(incoming.select(col(uc)), uc)))
-      checks += (("unique_conflict", uc, crossMatch(unchanged, incoming, uc)))
+      crossChecks("unique_conflict", uc)
     }
     runChecks(table.name, checks.toSeq)
   }
@@ -204,11 +216,19 @@ object ConstrainedDml {
     * old whole-result duplicate groupBy (a table-column shuffle per
     * statement) into in-batch dupes + changed-vs-unchanged collisions;
     * presence-equivalent on any table whose pre-state satisfied its
-    * constraints (every facade write path enforces them).
+    * constraints (every facade write path enforces them — attaching
+    * constraints to an EXISTING table via defineTable does not, see
+    * GraftDatabase.validateConstraints). Null-PK result rows are
+    * handled by the caller's separate nullPkRows check; the one
+    * residual blind spot is a transform that SETS a pk to null while
+    * colliding with an unchanged row — a degenerate row no facade path
+    * can address by id afterwards.
     */
   private def unchangedOf(table: TableDef, incoming: DataFrame,
       result: DataFrame): DataFrame =
-    result.join(incoming.select(col(table.pk)), Seq(table.pk), "left_anti")
+    result.filter(col(table.pk).isNotNull)
+      .join(incoming.select(col(table.pk)).filter(col(table.pk).isNotNull),
+        Seq(table.pk), "left_anti")
 
   /** UpdateMany with a transform expression over matching rows
     * (TableCollection.cs:1305-1328; SQL `UPDATE c SET Name = UPPER($.Name)

@@ -21,10 +21,16 @@ import graft.catalog.GraftDatabase
   *     the probe side too (ConstrainedDml's direction note), so
   *     per-batch cost is map-side scans of the fingerprint column plus
   *     batch-sized work, no table-scale shuffle or broadcast.
-  *   - EXACTLY-ONCE twice over: `insertBatch`'s (appId, batchId) ledger
-  *     skips engine-level replays outright (no empty commits, no probe
-  *     work), and the anti-join makes even a FULL re-drain with a fresh
-  *     checkpoint admit nothing (StreamingSpec pins both).
+  *   - EXACTLY-ONCE twice over — with one rule: THE appId IS SCOPED TO
+  *     A CHECKPOINT LINEAGE. Within one lineage, `insertBatch`'s
+  *     (appId, batchId) ledger skips engine-level replays outright (no
+  *     empty commits, no probe work) — sound because the engine replays
+  *     a batchId with identical contents. A FRESH checkpoint is a NEW
+  *     consumer whose batch numbering restarts at 0: give it a NEW
+  *     appId, or the ledger would silently skip batches that now carry
+  *     never-processed data. Under a new appId the anti-join absorbs
+  *     the re-drain — already-admitted content admits nothing.
+  *     StreamingSpec pins both mechanisms separately.
   *   - State growth = new distinct content only.
   */
 object StreamingDedup {

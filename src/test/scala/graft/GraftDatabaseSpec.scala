@@ -27,6 +27,50 @@ class GraftDatabaseSpec extends AnyFunSuite {
         fks = Seq(Fk("customer_id", "customer", "id", Cascade))))
   }
 
+  test("validateConstraints surfaces pre-state violations a LATE " +
+      "defineTable attached over existing data; write-path checks stay " +
+      "statement-proportional and assume a valid pre-state") {
+    val base = Files.createTempDirectory("graft-latedef").toString
+    val db = GraftDatabase(spark, "latedef", base)
+      .defineTable(TableDef("t", "id"))   // no unique constraint yet
+    db.insert("t", Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "v"))
+    // attach the constraint AFTER the duplicate data exists
+    db.defineTable(TableDef("t", "id", uniqueCols = Seq("v")))
+    val v = db.validateConstraints("t")
+    assert(v.exists(_.kind == "unique_conflict"),
+      s"the explicit whole-set validation must flag the pre-existing " +
+        s"duplicate, got $v")
+    // a clean write into the (invalid) pre-state is the documented
+    // non-goal of per-statement enforcement: it only probes what the
+    // statement touches
+    db.insert("t", Seq((4, "c")).toDF("id", "v"))
+    // ...but colliding with EITHER existing copy still rejects
+    intercept[IllegalStateException](
+      db.insert("t", Seq((5, "a")).toDF("id", "v")))
+    // undeclared / missing tables validate clean
+    assert(db.validateConstraints("nope").isEmpty)
+  }
+
+  test("a legitimately-inserted null-PK row does not self-collide in " +
+      "self-validation update paths (unique value counted once)") {
+    val base = Files.createTempDirectory("graft-nullpk").toString
+    val db = GraftDatabase(spark, "nullpk", base)
+      .defineTable(TableDef("t", "id", uniqueCols = Seq("v")))
+    db.insert("t", Seq((Some(1), "a")).toDF("id", "v"))
+    db.insert("t",
+      Seq((Option.empty[Int], "b")).toDF("id", "v")) // single null PK: legal
+    // full-state self-validation (the RESTORE / rebuild / bootstrap
+    // shape: incoming == result) must stay clean — the null-PK row's
+    // 'b' is one value, not a self-collision
+    assert(db.validateConstraints("t").isEmpty)
+    // and a REAL collision against the null-PK row's value still rejects
+    intercept[IllegalStateException](
+      db.insert("t", Seq((Some(7), "b")).toDF("id", "v")))
+    // an update touching another row must not phantom-flag 'b' either
+    db.updateMany("t", col("id") === 1, Map("v" -> lit("a2")))
+    assert(db.table("t").count() == 2)
+  }
+
   test("insert + typed query + include + cascade delete round-trip") {
     val db = freshDb()
     db.insert("customer", Seq((1, "ann", 30), (2, "bob", 40))
