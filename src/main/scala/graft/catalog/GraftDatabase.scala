@@ -132,7 +132,15 @@ final class GraftDatabase private (
     val tdef = tableDef(name)
     if (!tableExists(name)) return Nil
     val state = table(name)
-    ConstrainedDml.validateUpdate(spark, tdef, state, state, parentsOf(tdef))
+    // a late-declared FK's parent may hold no committed data yet: that
+    // is an EMPTY parent (every non-null child value is fk_missing; an
+    // all-null child column is vacuously clean), not a crash — the
+    // schema-compatible empty frame comes from the child itself
+    val parents = tdef.fks.map { fk =>
+      fk.parentTable -> (if (tableExists(fk.parentTable)) table(fk.parentTable)
+      else state.select(col(fk.childCol).as(fk.parentCol)).limit(0))
+    }.toMap
+    ConstrainedDml.validateUpdate(spark, tdef, state, state, parents)
   }
 
   def tableDef(name: String): TableDef =

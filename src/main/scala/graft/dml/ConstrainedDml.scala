@@ -80,6 +80,16 @@ object ConstrainedDml {
     // old direction counted conflicting batch rows — presence-identical)
     existing.foreach { e =>
       checks += (("pk_conflict", table.pk, crossMatch(e, incoming, table.pk)))
+      // AT MOST ONE null-PK row per table: a second one could never be
+      // addressed, replaced, or distinguished by id, and the in-batch
+      // check already rejects two nulls arriving together — without
+      // this, two single-null batches slip a state the whole-set
+      // validation (restore, validateConstraints) rightly rejects.
+      // Both sides bound to one row, so the cross join is two lookups.
+      checks += (("pk_conflict", table.pk,
+        e.filter(col(table.pk).isNull).limit(1).select(lit(1).as("_exn"))
+          .crossJoin(incoming.filter(col(table.pk).isNull).limit(1)
+            .select(lit(1).as("_inn")))))
     }
     // NOTE: the in-batch PK dupe check deliberately has no notNull filter
     // (a batch of several null PKs is a conflict, matching the original)
@@ -199,9 +209,18 @@ object ConstrainedDml {
     // distinct PKs (a predicate transform with the PK guarded against
     // SET targets) — the duplicate scan is then a wasted Spark job per
     // statement, the dominant fixed cost of small DMLs
-    if (!pkImmutable)
+    if (!pkImmutable) {
       checks += (("pk_conflict", table.pk,
         incoming.groupBy(table.pk).count().filter(col("count") > 1)))
+      // the one-null-PK-row rule (see validateInsert) on the POST-update
+      // state: catches a transform nulling a pk while a null-PK row
+      // exists, and makes whole-set self-validation (incoming == result:
+      // restore, validateConstraints) reject exactly the states write
+      // enforcement rejects. limit(2) bounds the scan.
+      checks += (("pk_conflict", table.pk,
+        result.filter(col(table.pk).isNull).limit(2)
+          .groupBy().count().filter(col("count") > 1)))
+    }
     table.uniqueCols.foreach { uc =>
       checks += (("unique_conflict", uc,
         duplicatedKeys(incoming.select(col(uc)), uc)))
@@ -219,10 +238,11 @@ object ConstrainedDml {
     * constraints (every facade write path enforces them — attaching
     * constraints to an EXISTING table via defineTable does not, see
     * GraftDatabase.validateConstraints). Null-PK result rows are
-    * handled by the caller's separate nullPkRows check; the one
-    * residual blind spot is a transform that SETS a pk to null while
-    * colliding with an unchanged row — a degenerate row no facade path
-    * can address by id afterwards.
+    * handled by the caller's separate nullPkRows check (a null-pk
+    * incoming row is excluded from that check's batch side because it
+    * IS the result's null-pk row — self, not a collision; two distinct
+    * null-PK rows cannot coexist under the one-null-PK-row rule both
+    * validators enforce).
     */
   private def unchangedOf(table: TableDef, incoming: DataFrame,
       result: DataFrame): DataFrame =

@@ -69,6 +69,33 @@ class GraftDatabaseSpec extends AnyFunSuite {
     // an update touching another row must not phantom-flag 'b' either
     db.updateMany("t", col("id") === 1, Map("v" -> lit("a2")))
     assert(db.table("t").count() == 2)
+    // AT MOST ONE null-PK row: a second one (which nothing could ever
+    // address or replace by id) rejects even across batches — keeping
+    // write enforcement and whole-set validation in exact agreement
+    intercept[IllegalStateException](
+      db.insert("t", Seq((Option.empty[Int], "z")).toDF("id", "v")))
+    assert(db.validateConstraints("t").isEmpty)
+  }
+
+  test("validateConstraints treats a late-declared FK with an " +
+      "unmaterialized parent as an EMPTY parent, not a crash") {
+    val base = Files.createTempDirectory("graft-latefk").toString
+    val db = GraftDatabase(spark, "latefk", base)
+      .defineTable(TableDef("child", "id"))
+    db.insert("child",
+      Seq((1, Option.empty[Int]), (2, Option.empty[Int])).toDF("id", "pid"))
+    db.defineTable(TableDef("child", "id",
+      fks = Seq(Fk("pid", "parent", "id"))))
+    // all-null child column: vacuously clean against the empty parent
+    assert(db.validateConstraints("child").isEmpty)
+    // a non-null orphan value against the never-materialized parent is
+    // an fk_missing violation, reported, not thrown
+    db.defineTable(TableDef("child", "id")) // detach to insert the orphan
+    db.insert("child", Seq((3, Option(9))).toDF("id", "pid"))
+    db.defineTable(TableDef("child", "id",
+      fks = Seq(Fk("pid", "parent", "id"))))
+    val v = db.validateConstraints("child")
+    assert(v.exists(_.kind == "fk_missing"), s"got $v")
   }
 
   test("insert + typed query + include + cascade delete round-trip") {
