@@ -70,6 +70,21 @@ object Bench {
       r.orderBy(col("d").desc).limit(10).count()
     }
 
+    // DRIFT SENTINEL: a fixed, code-independent probe (pure codegen'd
+    // range-sum — no catalog code, no files) timed immediately after
+    // warm-up and again after the last query. Same-code full runs on
+    // this sandbox have drifted 75.7 → 108.3 s across hours (round 12's
+    // adjudication); the sentinel pair lets any two runs be normalized
+    // mechanically — compare their sentinel values before comparing
+    // their query times — instead of by a back-to-back A/B re-measure.
+    // min-of-3 like the queries: transient stalls only ever add time.
+    def sentinel(): Double = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(64L << 20).selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val sentinelFirst = sentinel()
+
     // cached pool: a query thread stuck in non-interruptible driver code
     // after cancellation must not block the next query's worker
     val runner = Executors.newCachedThreadPool(r => {
@@ -131,6 +146,7 @@ object Bench {
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     runner.shutdownNow()
+    val sentinelLast = sentinel()
     def fmt(v: Double): String =
       if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -142,7 +158,7 @@ object Bench {
         s"\"" + k + "\":" + rowCounts.getOrElse(k, -1L) }.mkString("{", ",", "}")
       s""","rows":$m"""
     } else ""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs$rowsField,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sentinel_first_s":${fmt(sentinelFirst)},"sentinel_last_s":${fmt(sentinelLast)},"queries":$qs$rowsField,"sf":"$sfDir"}"""
     // The driver records only a bounded tail of stdout, which truncates a
     // catalog this size mid-line; persist the full per-query map to the
     // repo so the round's timings stay reproducible from a committed

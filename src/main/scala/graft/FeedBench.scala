@@ -30,14 +30,19 @@ import graft.dml.ConstrainedDml.TableDef
   * columns, not just a row count); the interesting output is rows/s
   * and the DSv2 staging overhead vs the replicator.
   *
-  * Usage: `sbt "runMain graft.FeedBench [sfDir] [commits] [cap]"` —
-  * one JSON line; recorded in SCALE.md.
+  * Usage: `sbt "runMain graft.FeedBench [sfDir] [commits] [cap]
+  * [readRttMs]"` — one JSON line; recorded in SCALE.md. A non-zero
+  * `readRttMs` charges every SOURCE-side commit-log read (version
+  * GETs, LISTs, HEADs) with that round trip via a latency-injected
+  * [[graft.catalog.CommitPrimitive]] — the wide-area regime where the
+  * catch-up walk's per-trigger read floor actually costs.
   */
 object FeedBench {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val commits = if (args.length > 1) args(1).toInt else 8
     val cap = if (args.length > 2) args(2).toInt else 2
+    val readRttMs = if (args.length > 3) args(3).toLong else 0L
     val spark = SparkSession.builder()
       .appName("graft-feed-bench").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -94,6 +99,17 @@ object FeedBench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // read-charged regime: the drains' SOURCE handle reads its log
+    // through a latency-injected primitive (writes/sink unaffected —
+    // CommitBench owns the write side)
+    if (readRttMs > 0)
+      GraftDatabase.registerCommitPrimitive("feedbench-read-rtt",
+        new graft.catalog.LatencyCommitPrimitive(
+          graft.catalog.CommitPrimitive.posix, 0L, readRttMs))
+    val srcOpts: Map[String, String] =
+      if (readRttMs > 0) Map("commitPrimitiveRef" -> "feedbench-read-rtt")
+      else Map.empty
+
     def streamDrain(name: String, opts: Map[String, String]): Double = {
       val dstBase = Files.createTempDirectory(s"graft-feedbench-$name").toString
       val dst = GraftDatabase(spark, name, dstBase)
@@ -102,7 +118,7 @@ object FeedBench {
       val (_, secs) = timed {
         val q = spark.readStream.format("graft-changes")
           .option("baseDir", srcBase).option("name", "feedsrc")
-          .option("table", "li").options(opts).load()
+          .option("table", "li").options(srcOpts).options(opts).load()
           .writeStream.format("graft-changes")
           .option("baseDir", dstBase).option("name", name)
           .option("table", "li").option("appId", s"$name-rep")
@@ -170,7 +186,7 @@ object FeedBench {
     def fmt(v: Double) = f"$v%.2f"
     def rps(secs: Double) = if (secs > 0) fmt(nRows / secs) else "-1"
     println(s"""{"metric":"feed_throughput","rows":$nRows,""" +
-      s""""commits":$commits,"cap":$cap,""" +
+      s""""commits":$commits,"cap":$cap,"read_rtt_ms":$readRttMs,""" +
       s""""default_s":${fmt(defaultSecs)},"default_rows_per_s":${rps(defaultSecs)},""" +
       s""""capped_s":${fmt(cappedSecs)},"capped_rows_per_s":${rps(cappedSecs)},""" +
       s""""uncapped_s":${fmt(uncappedSecs)},"uncapped_rows_per_s":${rps(uncappedSecs)},""" +

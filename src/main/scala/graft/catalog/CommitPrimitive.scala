@@ -35,6 +35,41 @@ trait CommitPrimitive {
     *         taken (caller lost the race or the version already exists)
     */
   def putIfAbsent(target: Path, content: Array[Byte]): Unit
+
+  // ---- read side -----------------------------------------------------------
+  // The log's METADATA reads go through the same seam as its writes:
+  // version-file and checkpoint reads (a GET), log-directory listings
+  // (a LIST), and size probes (a HEAD). On a local filesystem these
+  // default to plain java.nio calls; on an object store each one is a
+  // wide-area round trip — LatencyCommitPrimitive charges them so the
+  // catch-up walk's per-trigger read floor is measured, not assumed
+  // (LogWalkBench), and HttpCommitPrimitive serves them as real HTTP
+  // verbs. Defaults keep every existing putIfAbsent-only implementation
+  // (specs, user primitives) source-compatible.
+
+  /** Committed bytes at `target`; None when no object exists (a GET).
+    * A zero-byte committed object returns Some(empty) — readers treat
+    * those as in-flight slots, which needs the exists/empty distinction.
+    */
+  def readAll(target: Path): Option[Array[Byte]] =
+    try Some(Files.readAllBytes(target))
+    catch { case _: java.io.IOException => None }
+
+  /** Names of the entries directly under `dir` (a LIST over the
+    * prefix); empty when the prefix has no objects.
+    */
+  def listNames(dir: Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
+    finally s.close()
+  }
+
+  /** Object size in bytes; None when missing (a HEAD). */
+  def sizeOf(target: Path): Option[Long] =
+    try { if (Files.exists(target)) Some(Files.size(target)) else None }
+    catch { case _: java.io.IOException => None }
 }
 
 object CommitPrimitive {

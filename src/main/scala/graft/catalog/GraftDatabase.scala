@@ -192,6 +192,30 @@ final class GraftDatabase private (
     */
   def settledLogVersion: Long = txlog.settledVersion
 
+  /** A session scoped for STREAMING queries over this database's feed:
+    * `spark.newSession()` (separate conf, shared catalog/executors)
+    * with `spark.sql.shuffle.partitions` — which fixes the number of
+    * STATE-STORE partitions at the stream's first checkpoint, forever —
+    * sized to the state, not to the batch-query shuffle width.
+    *
+    * Why this exists (measured, SCALE.md round 12): a stateful stream
+    * inheriting the catalog session's width (32 here, 200 by Spark
+    * default) spreads a few hundred window/join keys over that many
+    * near-empty state stores, and every micro-batch pays per-store
+    * snapshot/commit I/O — ~2× the whole drain time at bench scale.
+    * Size to the expected DISTINCT STATE KEYS (window × group
+    * cardinality), not the row rate: 8 covers hundreds of keys; scale
+    * up only past ~10k live keys per partition. Batch queries on this
+    * session would shuffle at the same width — run them on the parent.
+    */
+  def scopedStreamSession(statePartitions: Int = 8): SparkSession = {
+    require(statePartitions > 0,
+      s"statePartitions must be positive, got $statePartitions")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss
+  }
+
   /** [[TxLog.advanceByFileBudget]] — the change-feed source's
     * files-weighted admission control.
     */
@@ -1711,9 +1735,18 @@ final class GraftDatabase private (
     */
   private def writeSidecar(p: java.nio.file.Path, content: String): Unit = {
     val tmp = Files.createTempFile(p.getParent, s".${p.getFileName}", ".tmp")
-    Files.write(tmp, content.getBytes("UTF-8"))
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, content.getBytes("UTF-8"))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } catch {
+      // a failed write/move (disk full, races) must not leak the temp
+      // file next to table data — delete it before rethrowing
+      case e: Throwable =>
+        try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** The table's REGISTERED clustering layout: (kind ∈ range|zorder,
@@ -2824,6 +2857,36 @@ final class GraftDatabase private (
 }
 
 object GraftDatabase {
+
+  // ---- commit-primitive registry --------------------------------------------
+  // `spark.readStream.format("graft-changes")` reaches GraftDatabase
+  // through string options only, so a non-default CommitPrimitive (an
+  // object-store client, a latency-injected wrapper) cannot ride the
+  // options directly. Register it under a key and pass
+  // `.option("commitPrimitiveRef", key)` — the stream's internal
+  // database handle then publishes AND reads its log through it
+  // (LogWalkBench's read-RTT mode; a real cloud consumer's store client).
+  private val primitiveRefs =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitPrimitive]()
+
+  /** Register `p` for streams to reference as
+    * `.option("commitPrimitiveRef", key)`. Process-wide; re-registering
+    * a key replaces it (streams resolve at open time).
+    */
+  def registerCommitPrimitive(key: String, p: CommitPrimitive): Unit = {
+    primitiveRefs.put(key, p)
+    ()
+  }
+
+  private[graft] def resolveCommitPrimitive(key: String): CommitPrimitive = {
+    val p = primitiveRefs.get(key)
+    if (p == null) throw new IllegalArgumentException(
+      s"commitPrimitiveRef '$key' is not registered — call " +
+        "GraftDatabase.registerCommitPrimitive(key, primitive) in this " +
+        "process first")
+    p
+  }
+
   /** Open/create a database directory (IotDatabase.cs:149-161 tree). */
   def apply(spark: SparkSession, name: String, baseDir: String): GraftDatabase =
     apply(spark, name, baseDir, graft.core.Collation.Binary)

@@ -42,15 +42,19 @@ final class HttpCommitPrimitive(endpoint: String, root: Path)
     .connectTimeout(Duration.ofSeconds(10)).build()
   private val requestTimeout = Duration.ofSeconds(60)
 
-  override def putIfAbsent(target: Path, content: Array[Byte]): Unit = {
+  private def keyOf(target: Path): String = {
     val rel = storeRoot.relativize(target.toAbsolutePath.normalize)
     require(!rel.startsWith(".."),
-      s"putIfAbsent target $target escapes the store root $storeRoot")
+      s"store key for $target escapes the store root $storeRoot")
     // segments are version-file names (v00000001.txt, _txlog) — encode
     // anyway so the seam never depends on that
-    val key = (0 until rel.getNameCount).map(i =>
+    (0 until rel.getNameCount).map(i =>
       java.net.URLEncoder.encode(rel.getName(i).toString, "UTF-8"))
       .mkString("/")
+  }
+
+  override def putIfAbsent(target: Path, content: Array[Byte]): Unit = {
+    val key = keyOf(target)
     val req = HttpRequest.newBuilder(URI.create(s"$endpoint/$key"))
       .header("If-None-Match", "*").timeout(requestTimeout)
       .PUT(HttpRequest.BodyPublishers.ofByteArray(content))
@@ -69,9 +73,81 @@ final class HttpCommitPrimitive(endpoint: String, root: Path)
     resp.statusCode() match {
       case 200 | 201 => ()
       case 412 =>
-        throw new java.nio.file.FileAlreadyExistsException(target.toString)
+        // 412 usually means a racer won — but it can also be OUR OWN
+        // earlier PUT on this key, timed out after landing: the
+        // read-back's 404 verdict ("nothing landed; retry is safe") is
+        // a snapshot, not a fence, so an in-flight request can still
+        // arrive after it. Before classifying as a lost race, GET the
+        // slot and compare: our exact bytes = this commit IS durable
+        // (success, the same resolution as the 200-content-equal
+        // ambiguous path); anything else = a real loser.
+        readBack(key) match {
+          case Some(b) if java.util.Arrays.equals(b, content) => ()
+          case _ => throw new java.nio.file.FileAlreadyExistsException(
+            target.toString)
+        }
       case c => throw new IOException(
         s"conditional PUT $endpoint/$key: unexpected HTTP $c ${resp.body()}")
+    }
+  }
+
+  /** GET the slot's committed bytes; None on 404. Throws on transport
+    * failure or unexpected status — callers that need a verdict must
+    * not mistake "could not read" for "empty".
+    */
+  private def readBack(key: String): Option[Array[Byte]] = {
+    val get = HttpRequest.newBuilder(URI.create(s"$endpoint/$key"))
+      .timeout(requestTimeout).GET().build()
+    val resp = client.send(get, HttpResponse.BodyHandlers.ofByteArray())
+    resp.statusCode() match {
+      case 200 => Some(resp.body())
+      case 404 => None
+      case c => throw new IOException(s"GET $endpoint/$key: unexpected HTTP $c")
+    }
+  }
+
+  // ---- read side: the same wire the commits ride --------------------------
+
+  override def readAll(target: Path): Option[Array[Byte]] =
+    try readBack(keyOf(target))
+    catch {
+      case e: InterruptedException => throw e
+      case _: Exception => None // unreadable = treat as missing (callers
+      // are defensive against vacuumed/raced slots; a wedged store
+      // surfaces at the next commit, which does NOT swallow errors)
+    }
+
+  override def listNames(dir: Path): Seq[String] = {
+    val req = HttpRequest.newBuilder(URI.create(s"$endpoint/${keyOf(dir)}?list"))
+      .timeout(requestTimeout).GET().build()
+    val resp = try client.send(req, HttpResponse.BodyHandlers.ofString())
+    catch {
+      case e: InterruptedException => throw e
+      case _: Exception => return Nil
+    }
+    resp.statusCode() match {
+      case 200 => resp.body().split("\n").toSeq.filter(_.nonEmpty)
+      case 404 => Nil
+      case c => throw new IOException(
+        s"LIST $endpoint/${keyOf(dir)}: unexpected HTTP $c")
+    }
+  }
+
+  override def sizeOf(target: Path): Option[Long] = {
+    val req = HttpRequest.newBuilder(URI.create(s"$endpoint/${keyOf(target)}"))
+      .timeout(requestTimeout)
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
+    val resp = try client.send(req, HttpResponse.BodyHandlers.discarding())
+    catch {
+      case e: InterruptedException => throw e
+      case _: Exception => return None
+    }
+    resp.statusCode() match {
+      case 200 => Option(resp.headers()
+        .firstValue("X-Object-Length").orElse(null)).map(_.toLong)
+      case 404 => None
+      case c => throw new IOException(
+        s"HEAD $endpoint/${keyOf(target)}: unexpected HTTP $c")
     }
   }
 
@@ -84,9 +160,7 @@ final class HttpCommitPrimitive(endpoint: String, root: Path)
     */
   private def resolveAmbiguousPut(key: String, target: Path,
       content: Array[Byte], cause: Exception): Unit = {
-    val get = HttpRequest.newBuilder(URI.create(s"$endpoint/$key"))
-      .timeout(requestTimeout).GET().build()
-    val resp = try client.send(get, HttpResponse.BodyHandlers.ofByteArray())
+    val got = try readBack(key)
     catch {
       case e: InterruptedException => throw e
       case e: Exception =>
@@ -96,16 +170,14 @@ final class HttpCommitPrimitive(endpoint: String, root: Path)
             "failed: commit outcome UNKNOWN — reconcile the slot before " +
             "retrying the transaction", e)
     }
-    resp.statusCode() match {
-      case 200 if java.util.Arrays.equals(resp.body(), content) => ()
-      case 200 =>
+    got match {
+      case Some(b) if java.util.Arrays.equals(b, content) => ()
+      case Some(_) =>
         throw new java.nio.file.FileAlreadyExistsException(target.toString)
-      case 404 => throw new IOException(
-        s"conditional PUT to $endpoint/$key failed (slot empty — nothing " +
-          "landed; retry is safe)", cause)
-      case c => throw new IOException(
-        s"read-back of $endpoint/$key after a failed PUT: unexpected " +
-          s"HTTP $c", cause)
+      case None => throw new IOException(
+        s"conditional PUT to $endpoint/$key failed (slot empty at " +
+          "read-back time; a retry that loses to our own late-landing " +
+          "request resolves via the 412 content compare)", cause)
     }
   }
 }
@@ -151,6 +223,17 @@ final class HttpCasServer(root: Path) extends AutoCloseable {
     }
     ex.getRequestMethod match {
       case "PUT" => handlePut(ex, target)
+      case "GET" if ex.getRequestURI.getQuery == "list" =>
+        // prefix listing (the stores' LIST-objects shape): child names
+        // under the key, newline-separated; 404 for a missing prefix
+        if (Files.isDirectory(target)) {
+          val s = Files.list(target)
+          val names = try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+          } finally s.close()
+          respond(ex, 200, names.mkString("\n"))
+        } else respond(ex, 404, "no such prefix")
       case "GET" =>
         // winners land via atomic rename, so a read observes full
         // committed content or nothing — no lock needed
@@ -159,7 +242,16 @@ final class HttpCasServer(root: Path) extends AutoCloseable {
           ex.sendResponseHeaders(200, if (b.length == 0) -1 else b.length)
           if (b.length > 0) ex.getResponseBody.write(b)
         } else respond(ex, 404, "no such key")
-      case _ => respond(ex, 405, "PUT or GET only")
+      case "HEAD" =>
+        // size probe; the JDK server owns Content-Length for HEAD, so
+        // the byte count rides a custom header (a real store answers
+        // with Content-Length itself)
+        if (Files.exists(target)) {
+          ex.getResponseHeaders.set("X-Object-Length",
+            Files.size(target).toString)
+          ex.sendResponseHeaders(200, -1)
+        } else ex.sendResponseHeaders(404, -1)
+      case _ => respond(ex, 405, "PUT, GET, or HEAD only")
     }
   }
 
@@ -196,12 +288,28 @@ final class HttpCasServer(root: Path) extends AutoCloseable {
 
 /** Wide-area round-trip injector: every conditional put pays `rttMs`
   * before reaching the store — losers included, exactly like a remote
-  * CAS whose rejection still costs the round trip.
+  * CAS whose rejection still costs the round trip. `readRttMs` charges
+  * the READ side the same way (version-file GETs, listings, size
+  * probes — the log's catch-up walk); 0 keeps reads free, matching the
+  * historical CommitBench "put_latency_ms" semantics, and LogWalkBench
+  * sets it to measure the read-dominated per-trigger floor.
   */
-final class LatencyCommitPrimitive(inner: CommitPrimitive, rttMs: Long)
-    extends CommitPrimitive {
+final class LatencyCommitPrimitive(inner: CommitPrimitive, rttMs: Long,
+    readRttMs: Long = 0L) extends CommitPrimitive {
   override def putIfAbsent(target: Path, content: Array[Byte]): Unit = {
     if (rttMs > 0) Thread.sleep(rttMs)
     inner.putIfAbsent(target, content)
+  }
+  override def readAll(target: Path): Option[Array[Byte]] = {
+    if (readRttMs > 0) Thread.sleep(readRttMs)
+    inner.readAll(target)
+  }
+  override def listNames(dir: Path): Seq[String] = {
+    if (readRttMs > 0) Thread.sleep(readRttMs)
+    inner.listNames(dir)
+  }
+  override def sizeOf(target: Path): Option[Long] = {
+    if (readRttMs > 0) Thread.sleep(readRttMs)
+    inner.sizeOf(target)
   }
 }

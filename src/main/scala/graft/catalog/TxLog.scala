@@ -118,23 +118,45 @@ final class TxLog(spark: SparkSession, root: String,
     */
   def settledVersion: Long = snapshot().version
 
-  private def listVersions(): Seq[Long] = {
-    val s = Files.list(logDir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case VersionRe(n) => n.toLong }
-      .toSeq.sorted
-    finally s.close()
+  /** ONE log-directory listing serving both discoveries: (versions,
+    * checkpoints), each sorted. On an object store a LIST is a charged
+    * round trip, and version + checkpoint discovery always want the
+    * same prefix — splitting them doubled the per-resolve LIST count.
+    */
+  private def listLog(): (Seq[Long], Seq[Long]) = {
+    TxLog.logListings.incrementAndGet()
+    val names = primitive.listNames(logDir)
+    val r = (names.collect { case VersionRe(n) => n.toLong }.sorted,
+      names.collect { case CkptRe(n) => n.toLong }.sorted)
+    lastListing = (System.currentTimeMillis(), r)
+    r
   }
 
-  private def listCheckpoints(): Seq[Long] = {
-    val s = Files.list(logDir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case CkptRe(n) => n.toLong }
-      .toSeq.sorted
-    finally s.close()
+  // the most recent listing, reusable for BOUNDED-version resolution:
+  // snapshotAt(v) only needs the listing's view of versions ≤ v, which
+  // new commits never change — only vacuum does, and vacuum's retention
+  // floor (keepVersions + minAgeMs grace) makes a listing taken moments
+  // ago equivalent to one taken now for any version inside retention.
+  // Head discovery (version / settledVersion) ALWAYS lists fresh.
+  @volatile private var lastListing: (Long, (Seq[Long], Seq[Long])) =
+    (0L, (Vector.empty, Vector.empty))
+
+  /** A listing sufficient to resolve versions ≤ `v`: the cached one
+    * when it already covers `v` and is younger than
+    * [[TxLog.ListingReuseMs]], else a fresh LIST. Halves the
+    * charged-LIST count of a change-feed trigger (head discovery lists
+    * fresh; the trigger's two snapshot resolutions reuse it).
+    */
+  private def listLogAtMost(v: Long): (Seq[Long], Seq[Long]) = {
+    val (ts, l) = lastListing
+    if (l._1.nonEmpty && l._1.last >= v &&
+        System.currentTimeMillis() - ts <= TxLog.ListingReuseMs) l
+    else listLog()
   }
+
+  private def listVersions(): Seq[Long] = listLog()._1
+
+  private def listCheckpoints(): Seq[Long] = listLog()._2
 
   // ---- snapshots -----------------------------------------------------------
 
@@ -206,13 +228,15 @@ final class TxLog(spark: SparkSession, root: String,
     true
   }
 
-  private def isEmptyFile(f: Path): Boolean =
-    try Files.exists(f) && Files.size(f) == 0
-    catch { case _: java.io.IOException => false } // raced a vacuum: gone
+  private def isEmptyFile(f: Path): Boolean = {
+    TxLog.sizeProbes.incrementAndGet()
+    primitive.sizeOf(f).contains(0L) // gone (raced a vacuum) = not empty
+  }
 
-  private def hasContent(f: Path): Boolean =
-    try Files.size(f) > 0
-    catch { case _: java.io.IOException => false }
+  private def hasContent(f: Path): Boolean = {
+    TxLog.sizeProbes.incrementAndGet()
+    primitive.sizeOf(f).exists(_ > 0)
+  }
 
   // ---- parsed-action cache ---------------------------------------------
   // A catch-up micro-batch parses each version file TWICE per trigger
@@ -228,11 +252,35 @@ final class TxLog(spark: SparkSession, root: String,
   private val actionCacheSize: Int =
     spark.conf.get("spark.graft.txlog.actionCacheSize", "4096").trim.toInt
 
+  /** Commits between checkpoints — the replay-length / checkpoint-write
+    * trade. A snapshot resolve replays at most this many action files
+    * past the newest checkpoint (each one a charged GET on an object
+    * store, though the action cache + prefetch amortize them), while
+    * every Nth commit pays one extra checkpoint PUT whose size is the
+    * whole table-binding state. Per-log via
+    * `spark.graft.txlog.checkpointEvery`; default
+    * [[TxLog.checkpointEvery]]. LogWalkBench sweeps this against read
+    * RTT — see SCALE.md for the measured trade.
+    */
+  private val checkpointEveryV: Long = spark.conf
+    .get("spark.graft.txlog.checkpointEvery",
+      TxLog.checkpointEvery.toString).trim.toLong
+  require(checkpointEveryV > 0,
+    s"spark.graft.txlog.checkpointEvery must be positive, got $checkpointEveryV")
+
   private val actionCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[Long, Seq[Action]](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Long, Seq[Action]]): Boolean =
         size() > actionCacheSize
+    })
+
+  // parsed-checkpoint base states (immutable like version files); a few
+  // entries cover the head checkpoint plus any time-travel targets
+  private val ckptSnapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Long, Snapshot](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Snapshot]): Boolean = size() > 8
     })
 
   /** Version `v`'s parsed actions, through the cache. Nil for a missing
@@ -245,35 +293,126 @@ final class TxLog(spark: SparkSession, root: String,
       val hit = actionCache.get(v)
       if (hit != null) return hit
     }
-    val f = versionFile(v)
-    val lines = try {
-      TxLog.versionFileReads.incrementAndGet()
-      Files.readAllLines(f).asScala.toSeq
-    } catch { case _: java.io.IOException => return Nil } // raced a vacuum
+    loadActions(v)
+  }
+
+  /** The miss path of [[actionsOf]]: ONE raw read (a GET on object
+    * stores), parse, cache per the zero-byte rule. Also the unit of
+    * work [[prefetchActions]] parallelizes.
+    */
+  private def loadActions(v: Long): Seq[Action] = {
+    TxLog.versionFileReads.incrementAndGet()
+    val bytes = primitive.readAll(versionFile(v)) match {
+      case Some(b) => b
+      case None => return Nil // raced a vacuum (or never landed)
+    }
+    val lines = new String(bytes, "UTF-8").split("\n", -1).toSeq
     val acts = parse(lines)
     if (actionCacheSize > 0 && lines.exists(_.nonEmpty))
       actionCache.put(v, acts)
     acts
   }
 
+  /** Warm the parsed-action cache for `vs` with PARALLEL reads: on an
+    * object store each version file is a serialized RTT on the caller's
+    * thread, and the admission walk + snapshot replay consume them
+    * strictly in order — prefetching turns O(versions) sequential GETs
+    * per trigger into O(versions / pool) batches. Read accounting is
+    * unchanged (each missing version still costs exactly one raw read,
+    * through [[loadActions]]); disabled with the cache (size 0), since
+    * uncached prefetch would just throw the work away.
+    */
+  private def prefetchActions(vs: Seq[Long]): Unit = {
+    if (actionCacheSize <= 0) return
+    val missing = vs.filter(v => actionCache.get(v) == null)
+    if (missing.size < 2) return
+    val fs = missing.map(v => java.util.concurrent.CompletableFuture
+      .runAsync(() => { loadActions(v); () }, TxLog.prefetchPool))
+    fs.foreach(_.join())
+  }
+
   /** Replay from the newest checkpoint at or below `v` (bounded work:
     * at most `checkpointEvery` action files), like the reference's WAL
     * index resolving a read version without scanning the whole log.
     */
+  // resolved snapshots keyed by version — IMMUTABLE like everything
+  // else in the log (version v's state is version v's state forever,
+  // vacuum included), so entries never invalidate. Small: a change-feed
+  // trigger resolves (from, to) where from was last trigger's to, so
+  // adjacency is what pays — each trigger folds only ITS versions'
+  // actions onto the cached neighbor instead of re-reading a checkpoint
+  // (a charged GET of the whole table-binding state) and replaying from
+  // it. Bounded tight because one entry holds full table→file bindings.
+  private val snapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Long, Snapshot](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Snapshot]): Boolean = size() > 8
+    })
+
   def snapshotAt(v: Long): Snapshot = {
-    val ckpt = listCheckpoints().filter(_ <= v).lastOption
-    val base: Snapshot = ckpt match {
-      case None => Snapshot(0L, Map.empty)
-      case Some(c) => parse(Files.readAllLines(ckptFile(c)).asScala.toSeq)
-        .foldLeft(Snapshot(c, Map.empty))(applyAction)
+    val exact = snapCache.get(v)
+    if (exact != null) return exact
+    // ONE listing serves checkpoint discovery and the replay range —
+    // reused from the trigger's head discovery when it already covers v
+    val (versions, checkpoints) = listLogAtMost(v)
+    val ckpt0 = checkpoints.filter(_ <= v).lastOption
+    // a cached snapshot at w < v is a better base than the checkpoint
+    // whenever the listing still holds EVERY version in (w, v] (the
+    // dense-range check: versions are gapless by the publish CAS, so
+    // count == v − w proves nothing in between was vacuumed) — the fold
+    // then runs off the action cache and the checkpoint GET disappears.
+    // The gap bound keeps a pathological far-apart base from replaying
+    // more actions than a checkpoint resolve would read.
+    val cachedBase: Option[(Long, Snapshot)] = {
+      val keys = snapCache.synchronized {
+        import scala.jdk.CollectionConverters._
+        snapCache.keySet.asScala.toVector
+      }
+      keys.filter(w => w < v && v - w <= TxLog.PrefetchWindow).maxOption
+        .flatMap(w => Option(snapCache.get(w)).map(w -> _))
+        .filter { case (w, _) =>
+          versions.count(i => i > w && i <= v) == (v - w)
+        }
     }
+    val ckpt = cachedBase.map(_._1).orElse(ckpt0)
+    val base: Snapshot = cachedBase.map(_._2).getOrElse(ckpt0 match {
+      case None => Snapshot(0L, Map.empty)
+      case Some(c) =>
+        // checkpoints are immutable once published — cache the parsed
+        // base state, or every cold snapshot resolution re-GETs and
+        // re-folds the same checkpoint
+        val hit = ckptSnapCache.get(c)
+        if (hit != null) hit
+        else {
+          TxLog.ckptReads.incrementAndGet()
+          val bytes = primitive.readAll(ckptFile(c)).getOrElse(
+            throw new IllegalStateException(
+              s"checkpoint $c listed but unreadable (vacuum race?) — retry"))
+          val snap = parse(new String(bytes, "UTF-8").split("\n", -1).toSeq)
+            .foldLeft(Snapshot(c, Map.empty))(applyAction)
+          ckptSnapCache.put(c, snap)
+          snap
+        }
+    })
     // replay the LISTED versions in range (missing = vacuumed below a
     // checkpoint) — never the dense numeric range, whose iteration cost
     // would be O(head version), not O(files since checkpoint)
-    gcStats(listVersions().filter(i => i > ckpt.getOrElse(0L) && i <= v)
+    val replay = versions.filter(i => i > ckpt.getOrElse(0L) && i <= v)
+    prefetchActions(replay)
+    val snap = gcStats(replay
       .foldLeft(base) { (acc, i) =>
         actionsOf(i).foldLeft(acc)(applyAction)
       }.copy(version = v))
+    // cache ONLY a fully-settled resolution: a replayed version absent
+    // from the action cache parsed as empty — a zero-byte in-flight
+    // publish whose actions land later under the same version (or a
+    // vacuum race) — and freezing that miss would serve a permanently
+    // wrong state for v (the action cache's zero-byte rule, lifted to
+    // whole snapshots). Caching rides the action cache's enable switch.
+    val settledAll = actionCacheSize > 0 &&
+      replay.forall(i => actionCache.get(i) != null)
+    if (settledAll) snapCache.put(v, snap)
+    snap
   }
 
   private def applyAction(snap: Snapshot, a: Action): Snapshot = a match {
@@ -458,7 +597,41 @@ final class TxLog(spark: SparkSession, root: String,
     * Long.MaxValue, so the join falls back to the unhinted shape.
     */
   private def dvSizeBytes(rel: String): Long =
-    try Files.size(Paths.get(root, rel)) catch { case _: Throwable => Long.MaxValue }
+    sizeOfRel(rel).getOrElse(Long.MaxValue)
+
+  // data files are IMMUTABLE once committed, so their sizes cache
+  // forever — the byte-budget admission walk probes the same backlog
+  // files on every trigger, and on an object store each probe is a
+  // charged HEAD. Missing files are NOT cached (they may land later:
+  // an in-flight stage). Bounded defensively; one entry is tiny.
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Size of a root-relative file through the primitive (a HEAD),
+    * cached on the immutability argument.
+    */
+  private def sizeOfRel(rel: String): Option[Long] = {
+    val hit = sizeCache.getOrDefault(rel, -1L)
+    if (hit >= 0L) return Some(hit)
+    TxLog.sizeProbes.incrementAndGet()
+    val got = primitive.sizeOf(Paths.get(root).resolve(rel))
+    got.foreach { n =>
+      if (sizeCache.size > 262144) sizeCache.clear()
+      sizeCache.put(rel, n)
+    }
+    got
+  }
+
+  /** Warm [[sizeCache]] for `rels` with parallel HEADs (the byte-budget
+    * walk's twin of [[prefetchActions]]).
+    */
+  private def prefetchSizes(rels: Seq[String]): Unit = {
+    val missing = rels.distinct.filterNot(sizeCache.containsKey)
+    if (missing.size < 2) return
+    val fs = missing.map(r => java.util.concurrent.CompletableFuture
+      .runAsync(() => { sizeOfRel(r); () }, TxLog.prefetchPool))
+    fs.foreach(_.join())
+  }
 
   /** [[read]] with the scan-time file id materialized as `fileCol`
     * below the DV mask joins — see [[maskedRead]].
@@ -484,19 +657,21 @@ final class TxLog(spark: SparkSession, root: String,
     * first, the read-side twin of commit()'s fail-safe on truncated
     * conflict ranges.
     */
-  def resolvableAt(v: Long): Boolean =
-    v == 0L || listCheckpoints().exists(_ <= v) ||
-      listVersions().headOption.contains(1L)
+  def resolvableAt(v: Long): Boolean = v == 0L || {
+    // reuses the trigger's listing when it covers v: truncation below
+    // a cursor is a vacuum-retention event (minutes-scale grace), so a
+    // listing milliseconds old adjudicates it identically
+    val (versions, checkpoints) = listLogAtMost(v)
+    checkpoints.exists(_ <= v) || versions.headOption.contains(1L)
+  }
 
   /** The wall-clock stamp of version `v` (epoch millis), when its
     * version file survives vacuum and the committer wrote one (logs
     * written before commit stamps existed did not).
     */
   def commitTimeAt(v: Long): Option[Long] = {
-    val f = versionFile(v)
-    if (!Files.exists(f) || !settled(f)) None
-    else parse(Files.readAllLines(f).asScala.toSeq)
-      .collectFirst { case Cts(ms) => ms }
+    if (!settled(versionFile(v))) None
+    else actionsOf(v).collectFirst { case Cts(ms) => ms }
   }
 
   /** Resolve a wall-clock instant to the LATEST version committed at
@@ -517,11 +692,18 @@ final class TxLog(spark: SparkSession, root: String,
     var first = Long.MaxValue
     var running = Long.MinValue
     var sawStamp = false
-    listVersions().foreach { v =>
-      val f = versionFile(v)
-      if (Files.exists(f) && settled(f)) {
-        parse(Files.readAllLines(f).asScala.toSeq)
-          .collectFirst { case Cts(ms) => ms }
+    val vs = listVersions()
+    // resolution walks EVERY surviving version — warm the cache in
+    // parallel so an object-store resolve is not O(versions) serial GETs
+    if (vs.size <= actionCacheSize) prefetchActions(vs)
+    vs.foreach { v =>
+      val acts = actionsOf(v)
+      // empty = vacuumed or an in-flight zero-byte slot: neither may
+      // resolve as `best` (the in-flight commit's real stamp lands
+      // later); a SETTLED pre-stamp version (non-empty, no Cts) still
+      // inherits its predecessor's stamp, as before
+      if (acts.nonEmpty) {
+        acts.collectFirst { case Cts(ms) => ms }
           .foreach { ms =>
             if (!sawStamp) first = ms
             sawStamp = true
@@ -773,24 +955,32 @@ final class TxLog(spark: SparkSession, root: String,
     def assertNoConflict(from: Long, to: Long): Unit =
       (from to to).foreach { v =>
         val f = versionFile(v)
-        if (!Files.exists(f))
-          // versions are dense (the publish CAS admits no gaps), so a
-          // missing file in the checked range means vacuum truncated it
-          // — the interleaved commit can no longer be inspected. Fail
-          // SAFE: an unverifiable conflict is a conflict; silently
-          // skipping it would let a stale writer overwrite commits that
-          // landed before the truncation.
-          throw new ConflictException(
-            s"cannot validate against commit $v: log truncated by " +
-              "vacuum below the writer's read version — re-read and retry")
-        if (!settled(f))
-          // zero-byte after the settle window: an in-flight or dead
-          // publish from a non-conforming primitive. Its actions cannot
-          // be inspected, so fail SAFE like the truncation case — after
-          // the caller re-reads, its read version moves past this slot
-          throw new ConflictException(
-            s"cannot validate against commit $v: version file still " +
-              "in-flight/empty — re-read and retry")
+        // an already-cached version needs no probes: its actions were
+        // read from a settled non-empty file, and immutability keeps
+        // them the truth even if vacuum retired the file since
+        val cached = actionCacheSize > 0 && actionCache.get(v) != null
+        if (!cached) {
+          TxLog.sizeProbes.incrementAndGet()
+          val sz = primitive.sizeOf(f)
+          if (sz.isEmpty)
+            // versions are dense (the publish CAS admits no gaps), so a
+            // missing file in the checked range means vacuum truncated it
+            // — the interleaved commit can no longer be inspected. Fail
+            // SAFE: an unverifiable conflict is a conflict; silently
+            // skipping it would let a stale writer overwrite commits that
+            // landed before the truncation.
+            throw new ConflictException(
+              s"cannot validate against commit $v: log truncated by " +
+                "vacuum below the writer's read version — re-read and retry")
+          if (sz.contains(0L) && !settled(f))
+            // zero-byte after the settle window: an in-flight or dead
+            // publish from a non-conforming primitive. Its actions cannot
+            // be inspected, so fail SAFE like the truncation case — after
+            // the caller re-reads, its read version moves past this slot
+            throw new ConflictException(
+              s"cannot validate against commit $v: version file still " +
+                "in-flight/empty — re-read and retry")
+        }
         actionsOf(v).foreach {
           case Patch(t, rm, _) =>
             if (myHard(t)) throw new ConflictException(
@@ -863,7 +1053,7 @@ final class TxLog(spark: SparkSession, root: String,
   }
 
   private def maybeCheckpoint(v: Long): Unit =
-    if (v % checkpointEvery == 0) {
+    if (v % checkpointEveryV == 0) {
       val snap = snapshotAt(v)
       // full snapshot = table bindings + the txn idempotence ledger
       // (replay after truncation must still recognize applied batches)
@@ -997,6 +1187,15 @@ final class TxLog(spark: SparkSession, root: String,
   def advanceByBudgets(from: Long, hi: Long, fileBudget: Option[Long],
       byteBudget: Option[Long]): Long = {
     if (fileBudget.isEmpty && byteBudget.isEmpty) return hi
+    // warm the caches ahead of the sequential walk: version files in
+    // one parallel GET wave, and (for byte budgets) the files they
+    // exchange in one parallel HEAD wave. Bounded by PrefetchWindow —
+    // versions beyond the window stay cached for the NEXT trigger, so a
+    // long catch-up pays each read once either way, just not serially.
+    val window = ((from + 1) to math.min(hi, from + TxLog.PrefetchWindow))
+    prefetchActions(window)
+    if (byteBudget.isDefined)
+      prefetchSizes(window.flatMap(v => exchangedRels(exchangedActions(v))))
     var v = from
     var files = 0L
     var bytes = 0L
@@ -1020,13 +1219,27 @@ final class TxLog(spark: SparkSession, root: String,
     * estimate. O(versions) driver-side; called at most once per
     * stream.
     */
-  def exchangedBytesBetween(from: Long, to: Long): Long =
-    ((from + 1) to to).map(v => exchangedByteCount(exchangedActions(v))).sum
+  def exchangedBytesBetween(from: Long, to: Long): Long = {
+    val vs = (from + 1) to to
+    vs.grouped(TxLog.PrefetchWindow).map { chunk =>
+      prefetchActions(chunk)
+      prefetchSizes(chunk.flatMap(v => exchangedRels(exchangedActions(v))))
+      chunk.map(v => exchangedByteCount(exchangedActions(v))).sum
+    }.sum
+  }
 
-  private def exchangedActions(v: Long): Seq[Action] = {
-    val f = versionFile(v)
-    if (!Files.exists(f)) Nil
-    else actionsOf(v)
+  private def exchangedActions(v: Long): Seq[Action] = actionsOf(v)
+
+  /** Root-relative paths of the files `acts` exchanges — the HEAD
+    * targets of the byte-budget weigh (see [[exchangedByteCount]] for
+    * the weights' rationale).
+    */
+  private def exchangedRels(acts: Seq[Action]): Seq[String] = acts.flatMap {
+    case Put(_, fs)       => fs
+    case Add(_, fs)       => fs
+    case Patch(_, rm, ad) => rm ++ ad
+    case Dvec(_, f, dv)   => Seq(f) ++ Option(dv).filter(_.nonEmpty)
+    case _                => Nil
   }
 
   /** Files a committed version exchanges (added + removed + masks). */
@@ -1047,25 +1260,12 @@ final class TxLog(spark: SparkSession, root: String,
     * it stands in for — weighing masks 0 would let maxBytesPerTrigger
     * admit an unbounded delete catch-up.
     */
-  private def exchangedByteCount(acts: Seq[Action]): Long = {
-    def sz(fs: Seq[String]): Long = fs.map { f =>
-      val p = Paths.get(root).resolve(f)
-      if (Files.exists(p)) Files.size(p) else 0L
-    }.sum
-    acts.map {
-      case Put(_, fs)       => sz(fs)
-      case Add(_, fs)       => sz(fs)
-      case Patch(_, rm, ad) => sz(rm) + sz(ad)
-      case Dvec(_, f, dv)   => sz(Seq(f) ++ Option(dv).filter(_.nonEmpty))
-      case _                => 0L
-    }.sum
-  }
+  private def exchangedByteCount(acts: Seq[Action]): Long =
+    exchangedRels(acts).map(r => sizeOfRel(r).getOrElse(0L)).sum
 
   def history(): Seq[(Long, String, String, Long)] =
     listVersions().flatMap { v =>
-      val f = versionFile(v)
-      if (!Files.exists(f)) Nil
-      else actionsOf(v).map {
+      actionsOf(v).map {
         case Put(t, fs) => (v, "PUT", t, fs.size.toLong)
         case Add(t, fs) => (v, "ADD", t, fs.size.toLong)
         case Patch(t, rm, ad) => (v, "PATCH", s"$t(-${rm.size})", ad.size.toLong)
@@ -1134,6 +1334,45 @@ object TxLog {
     */
   val versionFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Log-directory listings (LIST calls on an object store) — with
+    * [[versionFileReads]], [[ckptReads]] and [[sizeProbes]], the full
+    * read-side I/O ledger LogWalkBench grades per trigger. Monotonic,
+    * never reset.
+    */
+  val logListings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Checkpoint-file reads (GETs). */
+  val ckptReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** RAW size probes (HEADs on an object store) — cache misses only;
+    * the size cache serves repeats for free.
+    */
+  val sizeProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Versions (and their exchanged files' sizes) warmed ahead of a
+    * sequential admission walk in one parallel wave. Bounds wasted
+    * reads when a stream stops mid-backlog; versions past the window
+    * are read by the next trigger's wave.
+    */
+  val PrefetchWindow: Int = 256
+
+  /** How long a log listing may be reused for bounded-version snapshot
+    * resolution (see `listLogAtMost`). Far inside any sane vacuum
+    * retention; head discovery never reuses.
+    */
+  val ListingReuseMs: Long = 5000L
+
+  /** Shared pool for read-side prefetch (daemon: must never pin a JVM).
+    * Sized for wide-area RTT hiding, not CPU — the tasks are tiny
+    * metadata GET/HEADs that spend their life blocked on I/O.
+    */
+  private[catalog] lazy val prefetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+      val t = new Thread(r, "graft-txlog-prefetch")
+      t.setDaemon(true)
+      t
+    })
+
   // ---- metadata-only column DDL (rename / drop) -----------------------------
   // A pinned field may carry `graft_physical` metadata: the column name
   // files ACTUALLY store (stable across renames — writes keep staging
@@ -1168,8 +1407,10 @@ object TxLog {
   private val VersionRe = "v(\\d{8,})\\.txt".r
   private val CkptRe = "v(\\d{8,})\\.ckpt\\.txt".r
 
-  /** Commits replay in this frequency's windows; also the upper bound on
-    * action files a snapshot resolution reads.
+  /** DEFAULT commits-between-checkpoints (per-log override:
+    * `spark.graft.txlog.checkpointEvery`); the upper bound on action
+    * files a snapshot resolution replays past a checkpoint. See the
+    * instance doc for the read-RTT trade LogWalkBench measures.
     */
   val checkpointEvery: Long = 10L
 

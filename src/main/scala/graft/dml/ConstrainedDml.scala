@@ -168,6 +168,17 @@ object ConstrainedDml {
     * uniqueness across the RESULTING state. PK matches vs existing rows
     * are exactly what an update does, so unlike validateInsert they are
     * not conflicts here.
+    *
+    * RESULT-SHAPE PRECONDITION (public seam): the decomposed checks are
+    * presence-equivalent to a whole-result duplicate scan only when
+    * `result` = (pre-state anti-joined on incoming PKs) ∪ `incoming` —
+    * i.e. every result row whose PK appears in `incoming` IS an
+    * incoming row. Every facade write path constructs exactly that
+    * shape. A caller that violates it (an incoming PK also surviving on
+    * an UNTOUCHED row) is rejected outright when `pkImmutable = false`:
+    * the bounded result-vs-incoming PK-multiplicity check below counts
+    * result rows per incoming PK and flags > 1. With `pkImmutable =
+    * true` the caller PROVES PKs didn't move, which implies the shape.
     */
   def validateUpdate(
       spark: SparkSession,
@@ -212,6 +223,20 @@ object ConstrainedDml {
     if (!pkImmutable) {
       checks += (("pk_conflict", table.pk,
         incoming.groupBy(table.pk).count().filter(col("count") > 1)))
+      // the result-shape precondition, ENFORCED (see the scaladoc): a
+      // PK-mutating transform landing on a PK that also survives on an
+      // untouched row leaves that row outside `unchanged` (the anti-join
+      // drops it), silently evading the unique checks — so count result
+      // rows per incoming PK and reject multiplicity > 1. Scalable
+      // direction: result probes map-side against the broadcast bounded
+      // batch keys; the groupBy aggregates only the semi-matched slice.
+      checks += (("pk_conflict", table.pk, {
+        val keys = incoming.select(col(table.pk))
+          .filter(col(table.pk).isNotNull).distinct()
+        result.filter(col(table.pk).isNotNull)
+          .join(broadcast(keys), Seq(table.pk), "left_semi")
+          .groupBy(table.pk).count().filter(col("count") > 1)
+      }))
       // the one-null-PK-row rule (see validateInsert) on the POST-update
       // state: catches a transform nulling a pk while a null-PK row
       // exists, and makes whole-set self-validation (incoming == result:

@@ -409,11 +409,10 @@ object EventQueries {
         val ckpt = java.nio.file.Files.createTempDirectory("graft-q161-ck")
         // State partitions are fixed at the stream's first checkpoint, so
         // size them to the STATE (≤ ~150 window×type keys), not to the
-        // session's batch-query shuffle width: a scoped newSession keeps
-        // the override off every other catalog query. 32 near-empty state
+        // session's batch-query shuffle width — the packaged helper
+        // (scopedStreamSession) owns that rule; 32 near-empty state
         // stores paid ~2× the drain in per-batch snapshot I/O.
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val ss = db.scopedStreamSession(statePartitions = 8)
         val q = ss.readStream.format("graft-changes")
           .option("baseDir", base).option("name", "q161")
           .option("table", "ev").option("maxVersionsPerTrigger", "1").load()

@@ -842,8 +842,10 @@ object PipelineQueries {
           .insert("admitted", corpus
             .select(md5(col("text")).as("fp")).distinct()
             .withColumn("src", lit("corpus")))
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        // per-batch frames are admission-bounded: run the stream and its
+        // foreachBatch work on a state-sized scoped session (see
+        // GraftDatabase.scopedStreamSession for the measured rule)
+        val ss = db.scopedStreamSession(statePartitions = 8)
         val outDb = GraftDatabase(ss, "q163out", outBase)
           .defineTable(TableDef("admitted", "fp"))
         val ckpt = java.nio.file.Files.createTempDirectory("graft-q163-ck")

@@ -119,6 +119,7 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     sweepOrphanedStaging()
     val from = ver(start)
     val live = math.max(db.settledLogVersion, from)
+    lastSeenHead = live
     val head = availableNowCeiling.fold(live)(c => math.min(live, math.max(c, from)))
     val vCap = maxVersions.fold(head)(c => math.min(head, from + c))
     warnIfUncappedAndHuge(from, head)
@@ -235,7 +236,16 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
 
   override def stop(): Unit = ()
 
+  // the table's schema can only diverge through a COMMIT (a new log
+  // version), so the drift re-resolve — several charged log reads per
+  // call — runs once per observed head, not once per micro-batch: a
+  // long capped catch-up over a static backlog checks exactly once
+  @volatile private var lastSeenHead = -1L
+  @volatile private var driftCheckedAt = Long.MinValue
+
   private def checkSchemaDrift(): Unit = {
+    if (lastSeenHead >= 0 && lastSeenHead == driftCheckedAt) return
+    val headNow = lastSeenHead
     val current = ChangeFeedSourceProvider.feedSchema(db, table)
     def shape(s: StructType) =
       s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
@@ -252,6 +262,7 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
         Console.err.println(s"[graft] WARN: $msg")
       }
     }
+    driftCheckedAt = headNow
   }
 }
 
@@ -515,7 +526,10 @@ object ChangeFeedSourceProvider {
         s"graft-changes needs option '$k'")
       v
     }
+    val primitive = Option(params.get("commitPrimitiveRef"))
+      .map(GraftDatabase.resolveCommitPrimitive)
+      .getOrElse(graft.catalog.CommitPrimitive.posix)
     GraftDatabase(spark, req("name"), req("baseDir"),
-      graft.core.Collation.Binary, Option(params.get("password")))
+      graft.core.Collation.Binary, Option(params.get("password")), primitive)
   }
 }

@@ -51,13 +51,12 @@ object StreamingDedup {
         .join(broadcast(newFps), Seq(fpCol), "left_semi").select(fpCol)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        // plan gate: the state-table probe must be a broadcast hash join
-        // (batch broadcasts, state table only scans) — a sort-merge here
-        // would reshuffle the table-scale state every batch
-        require(dup.queryExecution.executedPlan.toString
-          .contains("BroadcastHashJoin"),
-          s"StreamingDedup($stateTable): the state probe lost its " +
-            "broadcast shape")
+        // plan gate (typed — see PlanGates): the state-table probe must
+        // be a broadcast hash join (batch broadcasts, state table only
+        // scans); a sort-merge or shuffled-hash here would reshuffle
+        // the table-scale state every batch
+        graft.plans.PlanGates.assertBroadcastProbe(dup,
+          s"StreamingDedup($stateTable)")
         val admit = newFps
           .join(broadcast(dup), Seq(fpCol), "left_anti")
           .withColumn("src", lit("stream"))

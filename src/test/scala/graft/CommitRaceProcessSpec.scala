@@ -266,8 +266,19 @@ class CommitRaceProcessSpec extends AnyFunSuite {
       val e = intercept[java.io.IOException](
         new HttpCommitPrimitive(dropped.endpoint, rootPath)
           .putIfAbsent(slot3, content))
-      assert(e.getMessage.contains("retry is safe"), e.getMessage)
+      assert(e.getMessage.contains("slot empty"), e.getMessage)
       assert(!Files.exists(slot3))
+      // 4. the sharp edge behind the old "retry is safe" wording: a
+      //    timed-out PUT can land AFTER the 404 read-back, so the
+      //    retry's 412 must re-read and recognize its OWN bytes as
+      //    success — never misread its landed commit as a lost race
+      val retry = new HttpCommitPrimitive(server.endpoint, rootPath)
+      retry.putIfAbsent(slot3, content) // "late-landing" first attempt
+      retry.putIfAbsent(slot3, content) // retry: 412 + equal bytes = ok
+      assert(Files.readAllBytes(slot3).sameElements(content))
+      // different bytes at the slot stay the ordinary lost-race signal
+      intercept[java.nio.file.FileAlreadyExistsException](
+        retry.putIfAbsent(slot3, "Add t LOSER\n".getBytes("UTF-8")))
     } finally { landed.close(); dropped.close(); server.close() }
   }
 
@@ -314,8 +325,20 @@ class CommitRaceProcessSpec extends AnyFunSuite {
     }
     log.vacuum(keepVersions = 1, minAgeMs = 0)
     val stale = log.stage("t", Seq((1, "stale")).toDF("id", "v"))
+    // the WARM writer still holds the truncated versions' parsed
+    // actions (immutable, so still the truth): it adjudicates the REAL
+    // conflict instead of the unverifiable-range fallback
     val e = intercept[TxLog.ConflictException](
       log.commit(Seq(TxLog.Put("t", stale)), readVersion = staleBase))
-    assert(e.getMessage.contains("truncated"))
+    assert(e.getMessage.contains("touched") || e.getMessage.contains("truncated"),
+      e.getMessage)
+    // a COLD writer (fresh cache — the restarted-process shape) cannot
+    // inspect the vacuumed range at all: fail SAFE with the truncation
+    // signal, never silently skip the unverifiable commits
+    val cold = new TxLog(spark, root)
+    val stale2 = cold.stage("t", Seq((1, "stale2")).toDF("id", "v"))
+    val e2 = intercept[TxLog.ConflictException](
+      cold.commit(Seq(TxLog.Put("t", stale2)), readVersion = staleBase))
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
   }
 }

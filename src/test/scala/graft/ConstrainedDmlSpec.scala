@@ -176,4 +176,34 @@ class ConstrainedDmlSpec extends AnyFunSuite {
       (101, Some("2"), None),
       (102, Some("3"), Some("3"))))
   }
+
+  test("validateUpdate enforces its result-shape precondition: a PK " +
+    "landing on an UNTOUCHED row is rejected, not silently dropped " +
+    "from the unique checks") {
+    // a PK-mutating transform collides with an existing row's PK, and a
+    // (buggy) caller passes a result that KEPT the untouched row: the
+    // anti-join shape would exclude it from `unchanged`, so without the
+    // multiplicity check the collision is invisible
+    val incoming = Seq((2, "ann2", 31)).toDF("id", "name", "age") // was id=1
+    val badResult = customers // both rows kept: id=2 now appears twice...
+      .unionByName(incoming)  // ...once untouched (bob), once incoming
+    val v = ConstrainedDml.validateUpdate(
+      spark, customerDef, incoming, badResult, Map.empty)
+    assert(v.exists(x => x.kind == "pk_conflict" && x.column == "id"),
+      v.toString)
+    // the well-formed shape (anti-join ∪ incoming) passes
+    val goodResult = customers
+      .join(incoming.select($"id"), Seq("id"), "left_anti")
+      .unionByName(incoming)
+    // id=2 collides for real here too (ann's row became PK 2 while bob
+    // keeps it) — but through `unchanged`, as unique/one-to-one checks;
+    // with a non-colliding PK the same shape is clean
+    val clean = Seq((7, "ann2", 31)).toDF("id", "name", "age")
+    val goodClean = customers
+      .join(clean.select($"id"), Seq("id"), "left_anti")
+      .unionByName(clean)
+    assert(ConstrainedDml.validateUpdate(
+      spark, customerDef, clean, goodClean, Map.empty).isEmpty)
+    assert(goodResult.count() == 2) // shape sanity for the bad-case twin
+  }
 }

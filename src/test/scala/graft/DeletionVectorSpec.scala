@@ -274,9 +274,9 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(db.deleteVectorized("t", col("id").isin(doomed: _*)) == files)
     assert(dvSnapshot(db).size == files)
     val out = db.table("t")
-    // plan shape: one anti-join total, not one per masked file
-    val antiJoins = out.queryExecution.executedPlan.toString
-      .linesIterator.count(_.contains("LeftAnti"))
+    // plan shape (typed): one anti-join total, not one per masked file
+    val antiJoins = graft.plans.PlanGates
+      .joinsOfType(out, org.apache.spark.sql.catalyst.plans.LeftAnti).size
     assert(antiJoins == 1,
       s"expected the single-scan (file, PK) anti-join, saw $antiJoins")
     // results are exact under the collapsed plan

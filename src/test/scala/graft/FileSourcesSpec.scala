@@ -41,9 +41,12 @@ class FileSourcesSpec extends AnyFunSuite {
     FileSources.writeOrc(df, tmp)
     val back = FileSources.readOrc(spark, tmp, Some(df.schema))
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
-    val plan = back.filter($"id" > 1L).queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("id"),
-      s"expected the id filter pushed into the OrcScan:\n$plan")
+    // typed gate (PlanGates): the filter must reach the V2 OrcScan's
+    // own pushedFilters, not merely print somewhere in the plan string
+    val pushed = graft.plans.PlanGates
+      .v2PushedFilters(back.filter($"id" > 1L), "orc")
+    assert(pushed.exists(_.contains("id")),
+      s"expected the id filter pushed into the OrcScan, got $pushed")
   }
 
   test("json round-trip preserves nested-free schema and values") {

@@ -265,10 +265,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("q123: the banded range join plans as an equi-join on the band " +
     "key, never a nested-loop or cartesian") {
-    val p = plan("q123_band_range_join")
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"), p)
-    assert("HashJoin \\[_b#".r.findFirstIn(p).isDefined, p)
+    val df = SparkEntry.queries("q123_band_range_join")(spark, Sf0001)
+    // typed gate (PlanGates): no pair-explosion node anywhere in the
+    // adaptive-unwrapped plan
+    graft.plans.PlanGates.assertNoPairExplosion(df, "q123")
+    // and the band join really is an equi hash join keyed on the grid
+    // bucket (_b) — typed node, string only for the key name
+    val hashJoins = (graft.plans.PlanGates
+      .nodesOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec](df)
+      .map(j => j.leftKeys ++ j.rightKeys) ++
+      graft.plans.PlanGates
+        .nodesOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec](df)
+        .map(j => j.leftKeys ++ j.rightKeys))
+    assert(hashJoins.exists(_.exists(_.toString.contains("_b"))),
+      df.queryExecution.executedPlan.toString)
   }
 
   test("q126: hopping windows expand in-plan (Expand), not via a join " +
