@@ -331,8 +331,18 @@ final class GraftDatabase private (
         // schema, so downstream unions stay well-typed
         val schemaSource = if (after.nonEmpty) readRel(snapTo, after.take(1))
           else if (before.nonEmpty) readRel(snapFrom, before.take(1))
-          else throw new IllegalArgumentException(
-            s"table '$n' has no data in either version")
+          else
+            // the span predates the table's FIRST commit — legitimate
+            // for a multi-table database: commits to OTHER tables
+            // advance the shared log, so a stream over a table created
+            // mid-log sees earlier versions as empty batches. Shape the
+            // empty feed from the stored schema (or the head binding)
+            txlog.storedSchema(n)
+              .map(sch => spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+              .orElse(txlog.read(n))
+              .getOrElse(throw new IllegalArgumentException(
+                s"table '$n' has no data in either version"))
         schemaSource.limit(0).withColumn("_change_type", lit(""))
       case _ =>
         val remDf =
@@ -371,6 +381,57 @@ final class GraftDatabase private (
           case (None, None) => throw new IllegalStateException("unreachable")
         }
     }
+  }
+
+  /** DATABASE-LEVEL change feed: every table's changes in (fromVersion,
+    * toVersion], multiplexed into one schema-tagged envelope —
+    *
+    *   `_table STRING, _change_type STRING, _commit_version LONG,
+    *    _row STRING (JSON of the table's columns)`
+    *
+    * — so ONE consumer drains a whole database in commit order (the
+    * reference fans out per-collection background flushes; a 100 TB
+    * ingest wants one consumer per database). Heterogeneous table
+    * schemas ride as JSON: the envelope stays fixed forever, so the
+    * stream never drifts; consumers project a table back out with
+    * `from_json(_row, schema)`. Granularity is PER COMMIT (Delta CDF's
+    * `_commit_version` contract): each admitted version contributes its
+    * own single-version diff, so cross-version telescoping never hides
+    * an intermediate state and `_commit_version` totally orders the
+    * feed. Cost: one diff arm per (version, touched table) — bounded by
+    * the stream's admission caps (the `graft-changes` source defaults
+    * `maxVersionsPerTrigger` for `table=*`), and each single-version
+    * snapshot resolve folds incrementally off the version-snapshot
+    * cache, so arms cost actions-applied, not checkpoint replays.
+    */
+  def changesAllTables(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesAllTables: fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion > 0 && !txlog.resolvableAt(fromVersion))
+      throw new IllegalStateException(
+        s"changesAllTables($fromVersion, ...): version truncated by " +
+          "vacuum — re-bootstrap the consumer from version 0")
+    val arms = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val before = txlog.snapshotAt(v - 1).tables
+      val after = txlog.snapshotAt(v).tables
+      txlog.touchedTables(v)
+        // only tables with data in either adjacent version can diff
+        // (a Sch-only or Ren bookkeeping touch contributes no rows)
+        .filter(t => before.contains(t) || after.contains(t))
+        .map { t =>
+          val d = changes(t, v - 1, v)
+          val cols = d.columns.filterNot(_ == "_change_type")
+          d.select(
+            lit(t).as("_table"),
+            col("_change_type"),
+            lit(v).as("_commit_version"),
+            to_json(struct(cols.map(col): _*)).as("_row"))
+        }
+    }
+    if (arms.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row], GraftDatabase.MultiplexEnvelope)
+    else arms.reduce(_ unionByName _)
   }
 
   /** Incremental change-feed cursor: everything that changed since
@@ -2857,6 +2918,18 @@ final class GraftDatabase private (
 }
 
 object GraftDatabase {
+
+  /** The database-level feed's fixed schema (see [[GraftDatabase.changesAllTables]]). */
+  val MultiplexEnvelope: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_table",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_row",
+        org.apache.spark.sql.types.StringType, nullable = true)))
 
   // ---- commit-primitive registry --------------------------------------------
   // `spark.readStream.format("graft-changes")` reaches GraftDatabase

@@ -1263,6 +1263,14 @@ final class TxLog(spark: SparkSession, root: String,
   private def exchangedByteCount(acts: Seq[Action]): Long =
     exchangedRels(acts).map(r => sizeOfRel(r).getOrElse(0L)).sum
 
+  /** Tables version `v`'s committed actions touch — the multiplexed
+    * (database-level) change feed's per-version fan-out list. Derived
+    * metadata (Sta/Cts/Txn) touches nothing; Nil for vacuumed or
+    * in-flight versions.
+    */
+  def touchedTables(v: Long): Seq[String] =
+    actionsOf(v).flatMap(_.touches).distinct
+
   def history(): Seq[(Long, String, String, Long)] =
     listVersions().flatMap { v =>
       actionsOf(v).map {

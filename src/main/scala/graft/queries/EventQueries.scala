@@ -460,6 +460,103 @@ object EventQueries {
         GROUP BY 1, 2"""),
       "watermarked tumbling-window aggregation + stream-static join OVER " +
         "the graft-changes feed: a whole late commit dropped by the " +
-        "watermark, append mode emits exactly the finalized windows")
+        "watermark, append mode emits exactly the finalized windows"),
+
+    // STREAM-STREAM composition proof (round 13; q161 proved
+    // stream-static): TWO `graft-changes` feeds — clicks and purchases
+    // committed as separate tables of one database — event-time
+    // interval-joined with BOTH sides watermarked. Commit order per
+    // side: live slice, a sentinel tick (pushes the watermark past
+    // every live window a full batch before the stragglers), then a
+    // whole LATE commit (ts < cut, ≥ 2 days below the watermark) that
+    // must be dropped on ITS side of the join. The oracle recomputes
+    // the interval join relationally over the non-late slices. The two
+    // sources share one commit log; each trigger advances each source
+    // by ≤ 1 version, so the engine replays the same interleaving on
+    // restart. Inner stream-stream joins emit eagerly in append mode —
+    // no final flush tick needed.
+    Q("q164_stream_stream_join",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val bounds = ev.agg(
+          max(col("ts")).as("mx"),
+          (date_trunc("DAY", max(col("ts"))) -
+            expr("INTERVAL 2 DAYS")).as("cut")).head()
+        val (maxTs, cutTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+        val clicks = ev.filter(col("event_type") =!= "purchase")
+          .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("ts"), col("user_id"))
+        val base = java.nio.file.Files.createTempDirectory("graft-q164").toString
+        val db = GraftDatabase(s, "q164", base)
+          .defineTable(TableDef("clicks", "click_id"))
+          .defineTable(TableDef("buys", "buy_id"))
+        def tick(idCol: String, t: java.sql.Timestamp) = s.createDataFrame(
+          Seq((-9L, t, -9L))).toDF(idCol, "ts", "user_id")
+        val live = col("ts") >= lit(cutTs)
+        db.insert("clicks", clicks.filter(live))              // v1
+        db.insert("buys", buys.filter(live))                  // v2
+        val tickTs = new java.sql.Timestamp(maxTs.getTime + 60L * 1000)
+        db.insert("clicks", tick("click_id", tickTs))         // v3
+        db.insert("buys", tick("buy_id", tickTs))             // v4
+        db.insert("clicks", clicks.filter(!live))             // v5: late
+        db.insert("buys", buys.filter(!live))                 // v6: late
+        val ss = db.scopedStreamSession(statePartitions = 8)
+        def feed(table: String) = ss.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "q164")
+          .option("table", table).option("maxVersionsPerTrigger", "1").load()
+          .filter(col("_change_type") === "insert")
+        val a = feed("clicks").withWatermark("ts", "1 hour")
+          .select(col("click_id"), col("ts").as("a_ts"), col("user_id"))
+        val b = feed("buys").withWatermark("ts", "1 hour")
+          .select(col("buy_id"), col("ts").as("b_ts"),
+            col("user_id").as("b_user"))
+        val outName =
+          "q164_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q164-ck")
+        val q = b.join(a,
+            col("b_user") === col("user_id") &&
+              col("a_ts") >= col("b_ts") - expr("INTERVAL 1 DAY") &&
+              col("a_ts") <= col("b_ts"))
+          .select(col("buy_id"), col("click_id"))
+          .writeStream.format("memory").queryName(outName)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = ss.table(outName)
+          .filter(col("buy_id") =!= -9L && col("click_id") =!= -9L)
+        // structural late-drop gate: the joined pairs are EXACTLY the
+        // live-only batch recompute — a single surviving late row on
+        // either side would create a pair outside the live set (late
+        // windows sit ≥ 2 days below the watermark, and user -9 keeps
+        // tick rows out of every pair)
+        val expect = buys.filter(live).as("b").join(
+          clicks.filter(live).as("a"),
+          col("b.user_id") === col("a.user_id") &&
+            col("a.ts") >= col("b.ts") - expr("INTERVAL 1 DAY") &&
+            col("a.ts") <= col("b.ts")).count()
+        val got = out.count()
+        require(got == expect,
+          s"stream-stream watermark gate: expected $expect live pairs, " +
+            s"got $got (late commits must drop on both sides)")
+        out
+      },
+      Some("""WITH cut AS (
+          SELECT DATE_TRUNC('day', MAX(ts)) - INTERVAL 2 DAY AS c FROM events),
+        a AS (SELECT user_id, event_id AS click_id, ts FROM events, cut
+              WHERE event_type <> 'purchase' AND ts >= c),
+        b AS (SELECT user_id, event_id AS buy_id, ts FROM events, cut
+              WHERE event_type = 'purchase' AND ts >= c)
+        SELECT b.buy_id, a.click_id
+        FROM b JOIN a ON a.user_id = b.user_id
+          AND a.ts BETWEEN b.ts - INTERVAL 1 DAY AND b.ts"""),
+      "event-time interval join of TWO graft-changes feeds (clicks × " +
+        "purchases), both sides watermarked; whole late commits dropped " +
+        "per side; oracle = relational recompute over the non-late slices")
   )
 }

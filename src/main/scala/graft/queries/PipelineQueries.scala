@@ -858,6 +858,7 @@ object PipelineQueries {
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
             graft.streaming.StreamingDedup.admitBatch(
               outDb, "admitted", "fp", batch, "q163-dedup", id)
+            ()
           }
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow()).start()
@@ -883,6 +884,55 @@ object PipelineQueries {
         "state, probed map-side by each admission-bounded batch (state " +
         "never reshuffles); replay idempotent twice over (txn ledger + " +
         "anti-join)"),
+
+    // DATABASE-LEVEL change feed (round 13): ONE stream drains EVERY
+    // table of a database in commit order — `option("table", "*")`
+    // multiplexes heterogeneous tables into the fixed envelope
+    // (_table, _change_type, _commit_version, _row JSON). Four commits
+    // across three tables, including a delete whose file-granular
+    // rewrite must surface ONLY the deleted rows (copied-through rows
+    // cancel); the oracle recomputes each commit's cardinality
+    // relationally from the base tables.
+    Q("q165_db_feed_multiplex",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft-q165").toString
+        val db = GraftDatabase(s, "q165", base)
+          .defineTable(TableDef("region", "r_regionkey"))
+          .defineTable(TableDef("nation", "n_nationkey"))
+          .defineTable(TableDef("customer", "c_custkey"))
+        db.insert("region", Tables.load(s, dir, "region"))     // v1
+        db.insert("nation", Tables.load(s, dir, "nation"))     // v2
+        db.insert("customer", Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal"))         // v3
+        db.delete("customer", pmod(col("c_custkey"), lit(10)) === 0) // v4
+        val ss = db.scopedStreamSession(statePartitions = 8)
+        val outName =
+          "q165_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q165-ck")
+        val q = ss.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "q165")
+          .option("table", "*").option("maxVersionsPerTrigger", "1").load()
+          .groupBy(col("_table"), col("_change_type"), col("_commit_version"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(outName)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(outName)
+      },
+      Some("""SELECT 'region' AS _table, 'insert' AS _change_type,
+          CAST(1 AS BIGINT) AS _commit_version, COUNT(*) AS n FROM region
+        UNION ALL SELECT 'nation', 'insert', 2, COUNT(*) FROM nation
+        UNION ALL SELECT 'customer', 'insert', 3, COUNT(*) FROM customer
+        UNION ALL SELECT 'customer', 'delete', 4, COUNT(*) FROM customer
+          WHERE c_custkey % 10 = 0"""),
+      "database-level multiplexed change feed (table=*): one stream, " +
+        "every table, commit-ordered envelope; per-commit diffs surface " +
+        "exactly the changed rows (rewrite copies cancel)"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

@@ -192,6 +192,12 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
   }
 
   private def planBatch(from: Long, to: Long): Array[InputPartition] = {
+    // table=* multiplexes EVERY table in commit order under the fixed
+    // envelope — no drift check (the envelope never changes) and no
+    // reshaping (changesAllTables already emits it)
+    if (table == "*")
+      return UnsafeRowStage.write(db.changesAllTables(from, to),
+        s"$stagingRoot/$from-$to", pinned)
     checkSchemaDrift()
     // project the batch onto the PINNED shape by name, null-filling
     // and upcasting: an admission-capped catch-up can span historical
@@ -326,7 +332,16 @@ final class ChangeFeedScan(pinned: StructType,
         Some(n)
       }
     }
-    val maxVersions = capLong("maxVersionsPerTrigger")
+    val maxVersions0 = capLong("maxVersionsPerTrigger")
+    // the multiplexed feed plans one diff arm per (version, touched
+    // table): with no explicit version cap, bound plan width per
+    // trigger (the byte default alone could admit thousands of tiny
+    // commits into one batch plan)
+    val maxVersions =
+      if (ChangeFeedSourceProvider.tableOf(params) == "*" &&
+          !params.containsKey("maxVersionsPerTrigger"))
+        Some(ChangeFeedSourceProvider.DefaultMultiplexVersionsPerTrigger)
+      else maxVersions0
     val maxFiles = capLong("maxFilesPerTrigger")
     val maxBytes0 = capLong("maxBytesPerTrigger")
     val maxBytes =
@@ -449,6 +464,9 @@ final class ChangeFeedSourceProvider
       new CaseInsensitiveStringMap(params.asJava))
     val t = params.getOrElse("table", throw new IllegalArgumentException(
       "graft-changes needs option 'table'"))
+    require(t != "*", "graft-changes: the multiplexed table=* feed is " +
+      "source-only — demultiplex with from_json(_row, schema) per table " +
+      "and sink each to its own table")
     new GraftTableSink(db, t,
       params.get("sinkMode"),
       params.getOrElse("appId", s"stream-$t"))
@@ -500,11 +518,21 @@ object ChangeFeedSourceProvider {
     */
   val DefaultMaxBytesPerTrigger: Long = 512L << 20
 
+  /** Default `maxVersionsPerTrigger` for the multiplexed `table=*`
+    * feed (one diff arm per version × touched table — the version cap
+    * bounds PLAN width, which the byte cap cannot).
+    */
+  val DefaultMultiplexVersionsPerTrigger: Long = 64L
+
   /** Table columns + `_change_type` — derived from a zero-churn feed
     * of the CURRENT version (the table must hold committed data).
     */
   private[streaming] def feedSchema(db: GraftDatabase,
       table: String): StructType = {
+    // table=* — the DATABASE-LEVEL feed: a fixed schema-tagged envelope
+    // (see GraftDatabase.changesAllTables), so it exists before any
+    // commit and never drifts
+    if (table == "*") return GraftDatabase.MultiplexEnvelope
     val v = db.settledLogVersion
     require(v > 0L && db.tableExists(table),
       s"graft-changes: table '$table' has no committed data to stream")

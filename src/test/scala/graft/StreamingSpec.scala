@@ -661,6 +661,7 @@ class StreamingSpec extends AnyFunSuite {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
           graft.streaming.StreamingDedup.admitBatch(
             outDb, "admitted", "fp", batch, appId, id)
+          ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -688,6 +689,221 @@ class StreamingSpec extends AnyFunSuite {
     assert(outDb.logVersion == v,
       "a ledger-skipped replay must not commit anything")
     assert(admitted() == Set("b", "c", "d"))
+  }
+
+  test("maintenance races a live stream: OPTIMIZE + vacuum churn the " +
+      "source AND the state table mid-drain — exactly-once admission, " +
+      "no livelock, conflicts retried not fatal") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_racesrc").toString
+    val src = GraftDatabase(spark, "racesrc", base)
+      .defineTable(TableDef("inbox", "id"))
+    // 12 commits; fingerprints overlap across commits (f0..f4 repeat)
+    (0 until 12).foreach { i =>
+      src.insert("inbox", Seq((i * 2L, s"f${i % 5}"), (i * 2 + 1L, s"g$i"))
+        .toDF("id", "fp"))
+    }
+    val outBase = Files.createTempDirectory("graft_raceout").toString
+    val outDb = GraftDatabase(spark, "raceout", outBase)
+      .defineTable(TableDef("admitted", "fp"))
+    outDb.insert("admitted", Seq(("f0", "corpus")).toDF("fp", "src"))
+    val expected = (1 to 4).map(i => s"f$i").toSet ++
+      (0 until 12).map(i => s"g$i").toSet // f0 is corpus-seeded
+    // MAINTENANCE runs as a separate ops process would: its own
+    // database handles (own TxLog instances) over the same stores,
+    // looping compaction + vacuum while the stream drains. Its commits
+    // genuinely conflict with the stream's batch commits — both sides
+    // retry (admitBatch's conflict loop; the loop below), neither may
+    // wedge or corrupt. Vacuum retention is sized to cover the
+    // consumer's lag (the documented feed contract): a keepVersions
+    // smaller than the backlog would — correctly, loudly — fail the
+    // cursor below the retention floor instead.
+    val srcMaint = GraftDatabase(spark, "racesrc", base)
+      .defineTable(TableDef("inbox", "id"))
+    val outMaint = GraftDatabase(spark, "raceout", outBase)
+      .defineTable(TableDef("admitted", "fp"))
+    val maintConflicts = new java.util.concurrent.atomic.AtomicInteger
+    val maintErrors = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    @volatile var stopMaint = false
+    val maint = new Thread(() => {
+      def safely(f: => Unit): Unit =
+        try f catch {
+          case _: graft.catalog.TxLog.ConflictException =>
+            maintConflicts.incrementAndGet(); ()
+          case e: Throwable => maintErrors.compareAndSet(null, e); ()
+        }
+      while (!stopMaint) {
+        safely { srcMaint.optimize("inbox", 1L << 20, 1L << 20); () }
+        safely { outMaint.optimize("admitted", 1L << 20, 1L << 20); () }
+        // minAgeMs stays NON-ZERO against a live writer — it is the
+        // in-flight-commit guard (vacuum's scaladoc): 0 would reclaim a
+        // directory the racing insertBatch staged but has not yet
+        // committed (reproduced here as a missing-_SUCCESS failure)
+        safely { srcMaint.vacuum(keepVersions = 200, minAgeMs = 60000); () }
+        safely { outMaint.vacuum(keepVersions = 200, minAgeMs = 60000); () }
+        Thread.sleep(20)
+      }
+    }, "graft-race-maintenance")
+    val retriesBefore = graft.streaming.StreamingDedup.conflictRetries.get()
+    maint.start()
+    try {
+      val ckpt = Files.createTempDirectory("graft_race_ck").toString
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "racesrc")
+        .option("table", "inbox").option("maxVersionsPerTrigger", "1").load()
+        .filter(col("_change_type") === "insert").select("fp")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.StreamingDedup.admitBatch(
+            outDb, "admitted", "fp", batch, "race-dedup", id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      // no-livelock bound: a wedged retry loop must fail the test, not
+      // hang the suite
+      assert(q.awaitTermination(300000),
+        "drain did not complete within 5 minutes (livelock?)")
+    } finally {
+      stopMaint = true
+      maint.join(10000)
+    }
+    assert(maintErrors.get() == null,
+      s"maintenance loop failed: ${maintErrors.get()}")
+    // exactly-once admission despite the churn: every non-corpus
+    // fingerprint exactly once, nothing lost, nothing duplicated
+    val admitted = outDb.table("admitted").filter(col("src") === "stream")
+      .select("fp").collect().map(_.getString(0)).toSeq
+    assert(admitted.toSet == expected,
+      s"admitted ${admitted.toSet} != expected $expected")
+    assert(admitted.size == expected.size, "duplicate admitted rows")
+    // OPTIMIZE's pure rewrites are content-neutral: total state = seed +
+    // admitted, regardless of how many compactions interleaved
+    assert(outDb.table("admitted").count() == expected.size + 1L)
+    val streamRetries =
+      graft.streaming.StreamingDedup.conflictRetries.get() - retriesBefore
+    info(s"race: stream commit retries = $streamRetries, " +
+      s"maintenance conflicts = ${maintConflicts.get()}")
+  }
+
+  test("database-level feed (table=*): three tables committing " +
+      "interleaved drain through ONE stream exactly-once in commit " +
+      "order, rows round-tripping through the JSON envelope") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_mux").toString
+    val db = GraftDatabase(spark, "mux", base)
+      .defineTable(TableDef("a", "id"))
+      .defineTable(TableDef("b", "id"))
+      .defineTable(TableDef("c", "id"))
+    // interleaved: a,b,c,a,b,c — plus an update (delete+insert pair)
+    // and a pure delete, so every change type flows through the mux
+    db.insert("a", Seq((1L, "a1"), (2L, "a2")).toDF("id", "v")) // v1
+    db.insert("b", Seq((1L, "b1")).toDF("id", "v"))             // v2
+    db.insert("c", Seq((1L, "c1")).toDF("id", "v"))             // v3
+    db.insert("a", Seq((3L, "a3")).toDF("id", "v"))             // v4
+    db.updateMany("b", col("id") === 1L, Map("v" -> lit("b1x"))) // v5
+    db.delete("c", col("id") === 1L)                            // v6
+    val ckpt = Files.createTempDirectory("graft_mux_ck").toString
+    val q = spark.readStream.format("graft-changes")
+      .option("baseDir", base).option("name", "mux")
+      .option("table", "*").option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("mux_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("mux_out")
+      .select("_table", "_change_type", "_commit_version", "_row")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // exactly-once multiset: every change of every table, tagged with
+    // the commit that produced it, nothing duplicated or lost
+    def j(id: Long, v: String) = s"""{"id":$id,"v":"$v"}"""
+    val expected = Set(
+      ("a", "insert", 1L, j(1, "a1")), ("a", "insert", 1L, j(2, "a2")),
+      ("b", "insert", 2L, j(1, "b1")),
+      ("c", "insert", 3L, j(1, "c1")),
+      ("a", "insert", 4L, j(3, "a3")),
+      ("b", "delete", 5L, j(1, "b1")), ("b", "insert", 5L, j(1, "b1x")),
+      ("c", "delete", 6L, j(1, "c1")))
+    assert(rows.toSet == expected, rows.sortBy(_._3).mkString("\n"))
+    assert(rows.size == expected.size, "duplicate multiplexed rows")
+    // commit order is total and per-table consistent: versions ascend
+    // with the actual commit sequence
+    assert(rows.filter(_._1 == "a").map(_._3).distinct.sorted == Seq(1L, 4L))
+    // the envelope round-trips: from_json recovers the typed rows
+    val aBack = spark.table("mux_out")
+      .filter(col("_table") === "a" && col("_change_type") === "insert")
+      .select(from_json(col("_row"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType)))).as("r"))
+      .select("r.id", "r.v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(aBack == Set((1L, "a1"), (2L, "a2"), (3L, "a3")))
+  }
+
+  test("admitBatch retries a DETERMINISTIC lost commit race: a " +
+      "maintenance commit landing between its probe and its publish " +
+      "conflicts, the retry re-probes the fresh state and admits " +
+      "exactly once") {
+    import graft.catalog.GraftDatabase
+    import graft.dml.ConstrainedDml.TableDef
+    val outBase = Files.createTempDirectory("graft_forcedrace").toString
+    val outDb = GraftDatabase(spark, "forcedrace", outBase)
+      .defineTable(TableDef("admitted", "fp"))
+    outDb.insert("admitted", Seq(("seed", "corpus")).toDF("fp", "src"))
+    val outMaint = GraftDatabase(spark, "forcedrace", outBase)
+      .defineTable(TableDef("admitted", "fp"))
+    // LATCH-ORDERED interleaving (sleeps raced differently under full-
+    // suite load): the batch's partitions signal once admitBatch has
+    // captured its read version (partitions only run inside its FIRST
+    // Spark action, which is after base capture) and then BLOCK until
+    // the main thread's commit has landed — so the interleaved commit
+    // deterministically falls inside the worker's probe→publish window
+    StreamingForcedRace.reset()
+    val slowBatch = spark.range(4)
+      .selectExpr("CONCAT('fp', id) AS fp").as[String](
+        org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions { it =>
+        StreamingForcedRace.workerStarted.countDown()
+        StreamingForcedRace.mainDone.await(
+          60, java.util.concurrent.TimeUnit.SECONDS)
+        it
+      }(org.apache.spark.sql.Encoders.STRING).toDF("fp")
+    val retriesRef = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val errRef = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val worker = new Thread(() => {
+      try retriesRef.set(graft.streaming.StreamingDedup.admitBatch(
+        outDb, "admitted", "fp", slowBatch, "forced-race", 0L))
+      catch { case e: Throwable => errRef.set(e) }
+    }, "graft-forced-race-worker")
+    worker.start()
+    assert(StreamingForcedRace.workerStarted.await(
+      60, java.util.concurrent.TimeUnit.SECONDS),
+      "worker never reached its first batch action")
+    outMaint.insert("admitted", Seq(("interleaved", "corpus"))
+      .toDF("fp", "src")) // an absolute commit touching the same table
+    StreamingForcedRace.mainDone.countDown()
+    worker.join(120000)
+    assert(!worker.isAlive, "admitBatch wedged")
+    assert(errRef.get() == null, s"admitBatch failed: ${errRef.get()}")
+    assert(retriesRef.get() >= 1,
+      s"expected at least one conflict retry, got ${retriesRef.get()}")
+    // exactly-once despite the lost race: all four fingerprints admitted
+    // once, the interleaved row intact
+    val rows = outDb.table("admitted").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("seed", "corpus"), ("interleaved", "corpus"),
+      ("fp0", "stream"), ("fp1", "stream"), ("fp2", "stream"),
+      ("fp3", "stream")), rows.toString)
   }
 
   test("maxVersionsPerTrigger / maxFilesPerTrigger bound catch-up " +
@@ -1135,5 +1351,18 @@ class StreamingSpec extends AnyFunSuite {
       Set("id", "v", "score", "_change_type"),
       "a fresh stream pins the EVOLVED schema")
     assert(spark.table("drift_warn").count() == 2)
+  }
+}
+
+/** Latches coordinating the deterministic forced-race case (static so
+  * executor-side closures reference the module, not a captured
+  * non-serializable latch).
+  */
+object StreamingForcedRace {
+  @volatile var workerStarted = new java.util.concurrent.CountDownLatch(1)
+  @volatile var mainDone = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    workerStarted = new java.util.concurrent.CountDownLatch(1)
+    mainDone = new java.util.concurrent.CountDownLatch(1)
   }
 }
