@@ -32,7 +32,10 @@ import graft.catalog.{CommitPrimitive, HttpCasServer, HttpCommitPrimitive,
   * hard-link CAS, the sidecar-lock fallback, or the conditional-PUT
   * HTTP store ([[graft.catalog.HttpCasServer]], S3 `If-None-Match: *`
   * semantics); `GRAFT_PUT_LATENCY_MS=25` injects the wide-area round
-  * trip on every put, losers included.
+  * trip on every put, losers included, and `GRAFT_READ_LATENCY_MS=25`
+  * charges the commit protocol's READ side the same way — conflict
+  * validation GETs, head-discovery LISTs, settle-probe HEADs — so the
+  * table measures the FULL wide-area commit cost, not just the CAS.
   *
   * Usage: `sbt "runMain graft.CommitBench"` → one JSON line; recorded
   * in SCALE.md.
@@ -53,6 +56,8 @@ object CommitBench {
     val primKind = sys.env.getOrElse("GRAFT_COMMIT_PRIMITIVE", "posix")
     val putLatencyMs =
       sys.env.get("GRAFT_PUT_LATENCY_MS").flatMap(_.toLongOption).getOrElse(0L)
+    val readLatencyMs =
+      sys.env.get("GRAFT_READ_LATENCY_MS").flatMap(_.toLongOption).getOrElse(0L)
 
     def run(writers: Int, absolute: Boolean): (Double, Long) = {
       val root = Files.createTempDirectory("graft-commitbench").toString
@@ -71,7 +76,8 @@ object CommitBench {
           case other => throw new IllegalArgumentException(
             s"GRAFT_COMMIT_PRIMITIVE must be posix|nolink|http, got '$other'")
         }
-        if (putLatencyMs > 0) new LatencyCommitPrimitive(base, putLatencyMs)
+        if (putLatencyMs > 0 || readLatencyMs > 0)
+          new LatencyCommitPrimitive(base, putLatencyMs, readLatencyMs)
         else base
       }
       val log = new TxLog(spark, root, primitive = prim())
@@ -141,6 +147,7 @@ object CommitBench {
     }
     println(s"""{"metric":"commit_throughput","per_writer":$perWriter,""" +
       s""""primitive":"$primKind","put_latency_ms":$putLatencyMs,""" +
+      s""""read_latency_ms":$readLatencyMs,""" +
       s""""rows":[${rows.mkString(",")}]}""")
     spark.stop()
   }

@@ -327,7 +327,12 @@ final class TxLog(spark: SparkSession, root: String,
     val missing = vs.filter(v => actionCache.get(v) == null)
     if (missing.size < 2) return
     val fs = missing.map(v => java.util.concurrent.CompletableFuture
-      .runAsync(() => { loadActions(v); () }, TxLog.prefetchPool))
+      .runAsync(() => {
+        // best-effort: a failure here (corrupt line, wedged store) must
+        // surface from the SEQUENTIAL consumer with its own typed error,
+        // not as a CompletionException from the warm-up
+        try { loadActions(v); () } catch { case _: Throwable => () }
+      }, TxLog.prefetchPool))
     fs.foreach(_.join())
   }
 
