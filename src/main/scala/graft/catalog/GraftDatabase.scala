@@ -1334,6 +1334,76 @@ final class GraftDatabase private (
     true
   }
 
+  /** Has the (appId, batchId) ledger already recorded this batch (or a
+    * later one)? Streaming sinks use it as the cheap replay fast-path
+    * BEFORE doing any per-batch Spark work — [[insertBatch]] /
+    * [[mergeBatch]] re-check under their own snapshot, so the check is
+    * advisory, never the correctness gate.
+    */
+  def batchApplied(appId: String, batchId: Long): Boolean =
+    txlog.snapshot().txns.get(appId).exists(_ >= batchId)
+
+  /** Idempotent batch MERGE for streaming sinks whose per-batch work is
+    * an upsert-plus-delete over bounded key sets — the write primitive
+    * behind [[graft.streaming.MaterializedView]]: `replacements` upsert
+    * by the table's PK, rows whose PK is in `deleteKeys` are removed,
+    * and the (appId, batchId) marker rides the SAME commit, so the
+    * whole merge is atomic and a replayed batch is skipped outright.
+    * Two ledgered sinks with separate commits would reopen the
+    * crash-between window (the replay would skip the half that never
+    * landed).
+    *
+    * File-granular like [[upsert]]: only files holding a replaced OR
+    * deleted PK rewrite; a batch of all-new PKs with no deletes is a
+    * pure append. Returns false when the batch was already applied.
+    */
+  def mergeBatch(name: String, replacements: DataFrame,
+      deleteKeys: DataFrame, appId: String, batchId: Long): Boolean = {
+    requireNoOpenTx()
+    if (txlog.snapshot().txns.get(appId).exists(_ >= batchId)) return false
+    val tdef = tableDef(name)
+    val base = txlog.settledVersion
+    val ledger = Seq(TxLog.Txn(appId, batchId))
+    if (!tableExists(name)) {
+      // nothing to delete in an unmaterialized table; first batch is a
+      // validated full write carrying the ledger marker
+      requireClean(ConstrainedDml.validateUpdate(
+        spark, tdef, replacements, replacements, parentsOf(tdef)))
+      writeReplace(name, replacements, base,
+        tdef.fks.map(_.parentTable).toSet, ledger)
+      return true
+    }
+    // cache both inputs: the hit-file collect, validation, and the
+    // staged write are separate jobs — a nondeterministic source could
+    // otherwise rewrite different rows than were validated
+    val repl = replacements.cache()
+    val dels = deleteKeys.select(col(tdef.pk)).distinct().cache()
+    try {
+      val existing = table(name)
+      val merged = ConstrainedDml.upsert(
+        existing.join(dels, Seq(tdef.pk), "left_anti"), repl, tdef.pk)
+      requireClean(ConstrainedDml.validateUpdate(
+        spark, tdef, repl, merged, parentsOf(tdef)))
+      // file-granular: files holding a replaced OR deleted PK. Scalable
+      // direction — the table-scale marked frame probes map-side against
+      // the broadcast batch-bounded key set.
+      val affected = repl.select(col(tdef.pk)).union(dels).distinct()
+      val marked = txlog.readMarked(norm(name), "_graft_file").get
+      val hitRaw = marked
+        .join(broadcast(affected), Seq(tdef.pk), "left_semi")
+        .select("_graft_file").distinct()
+        .collect().map(_.getString(0)).filter(_.nonEmpty)
+      val touched = ConstrainedDml.upsert(
+        marked.filter(col("_graft_file").isin(hitRaw: _*))
+          .drop("_graft_file")
+          .join(dels, Seq(tdef.pk), "left_anti"),
+        repl, tdef.pk)
+      commitGranularOrFull(name, tdef, base, hitRaw, touched,
+        existing.schema, emptyHitsAppend = true, extra = ledger)(merged)
+      true
+    } finally { repl.unpersist(); dels.unpersist(); () }
+  }
+
   /** All table names: declared via `defineTable` plus any committed in
     * the log (IotDatabase.cs:45 Tables()).
     */

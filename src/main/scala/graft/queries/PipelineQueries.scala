@@ -933,6 +933,166 @@ object PipelineQueries {
       "database-level multiplexed change feed (table=*): one stream, " +
         "every table, commit-ordered envelope; per-commit diffs surface " +
         "exactly the changed rows (rewrite copies cancel)"),
+
+    // INCREMENTAL MATERIALIZED VIEW (round 13): a grouped aggregate
+    // maintained from the change feed instead of recomputed — count/sum
+    // fold PURELY from each batch's insert/delete deltas (exact DECIMAL
+    // state, the base table never read), min/max recompute only the
+    // batch's AFFECTED groups against the base pinned at the batch's
+    // own end version (withCommitVersion per-version arms), so after
+    // every batch the view EQUALS the full group-by of that snapshot.
+    // Per-batch cost ∝ change volume; the view is a lakehouse table
+    // (mergeBatch: upserts + zero-count deletes + the idempotence
+    // ledger in ONE atomic commit). The lifecycle exercises all three
+    // DML shapes: two inserts, a delete (evicting group maxima), and
+    // an UPDATE (delete+insert pairs in the feed). Oracle: the
+    // relational recompute of the final state.
+    Q("q166_mv_incremental",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        import graft.streaming.{MaterializedView, MvDef}
+        import org.apache.spark.sql.streaming.Trigger
+        val ord = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice")
+        val base = java.nio.file.Files.createTempDirectory("graft-q166").toString
+        val db = GraftDatabase(s, "q166", base)
+          .defineTable(TableDef("sales", "o_orderkey"))
+        db.insert("sales", ord.filter(col("o_orderkey") % 3 === 0)) // v1
+        db.insert("sales", ord.filter(col("o_orderkey") % 3 =!= 0)) // v2
+        db.delete("sales", col("o_totalprice") > 400000.0)          // v3
+        db.updateMany("sales", col("o_orderstatus") === "F",
+          Map("o_totalprice" -> (col("o_totalprice") + lit(7.5))))  // v4
+        val mv = MvDef(source = "sales", view = "sales_mv",
+          keyCols = Seq("o_orderstatus", "o_orderpriority"),
+          sumCols = Seq("o_totalprice"),
+          minMaxCols = Seq("o_totalprice"))
+        // per-batch frames are change-volume-bounded: scoped 8-wide
+        // session for the stream + its foreachBatch work (q163's rule)
+        val ss = db.scopedStreamSession(statePartitions = 8)
+        val sdb = GraftDatabase(ss, "q166", base)
+          .defineTable(TableDef("sales", "o_orderkey"))
+        val viewBase =
+          java.nio.file.Files.createTempDirectory("graft-q166v").toString
+        val viewDb = MaterializedView.define(
+          GraftDatabase(ss, "q166v", viewBase), mv)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q166-ck")
+        val q = ss.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "q166")
+          .option("table", "sales").option("withCommitVersion", "true")
+          .option("maxVersionsPerTrigger", "2").load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            MaterializedView.applyBatch(sdb, viewDb, mv, batch, "q166-mv", id)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // structural gate: the maintained view equals the full recompute
+        // over the CURRENT table (which the maintenance never ran)
+        val expect = sdb.table("sales")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(MaterializedView.SumType))
+              .cast("double").as("sum_price"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+        val got = MaterializedView.read(viewDb, mv)
+        val key = (r: org.apache.spark.sql.Row) =>
+          r.toSeq.map(String.valueOf).mkString("|")
+        val e = expect.select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n_rows"), col("sum_price"), col("min_price"), col("max_price"))
+          .collect().map(key).toSet
+        val g = got.select(col("o_orderstatus"), col("o_orderpriority"),
+          col("mv_count"), col("sum_o_totalprice"),
+          col("mv_min_o_totalprice"), col("mv_max_o_totalprice"))
+          .collect().map(key).toSet
+        require(g == e, s"materialized view diverged from recompute:\n" +
+          s"view $g\nrecompute $e")
+        got.select(col("o_orderstatus"), col("o_orderpriority"),
+          col("mv_count").as("n_orders"),
+          col("sum_o_totalprice").as("sum_price"),
+          col("avg_o_totalprice").as("avg_price"),
+          col("mv_min_o_totalprice").as("min_price"),
+          col("mv_max_o_totalprice").as("max_price"))
+      },
+      Some("""WITH final AS (
+          SELECT o_orderstatus, o_orderpriority,
+            CASE WHEN o_orderstatus = 'F'
+              THEN o_totalprice + CAST(7.5 AS DOUBLE)
+              ELSE o_totalprice END AS p
+          FROM orders WHERE NOT (o_totalprice > 400000.0))
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) AS sum_price,
+          CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*)
+            AS avg_price,
+          MIN(p) AS min_price,
+          MAX(p) AS max_price
+        FROM final GROUP BY o_orderstatus, o_orderpriority"""),
+      "incremental materialized view over the change feed: count/sum " +
+        "fold from deltas alone (exact decimal state), min/max " +
+        "recompute only affected groups at the batch's end version — " +
+        "snapshot-consistent after every batch, cost ∝ change volume"),
+
+    // The PURE-DELTA materialized view (insert-only feeds — the 100 TB
+    // ingest shape): count/sum/avg maintenance NEVER reads the base
+    // table, proven structurally by passing a null source handle (any
+    // base access would throw). Events fold in four commits; per-batch
+    // cost is the batch group-by plus a bounded map-side probe of the
+    // view's affected keys.
+    Q("q167_mv_pure_delta",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        import graft.streaming.{MaterializedView, MvDef}
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.load(s, dir, "events")
+          .select("event_id", "ts", "event_type", "value")
+        val base = java.nio.file.Files.createTempDirectory("graft-q167").toString
+        val db = GraftDatabase(s, "q167", base)
+          .defineTable(TableDef("ev", "event_id"))
+        (0 to 3).foreach(r =>
+          db.insert("ev", ev.filter(pmod(col("event_id"), lit(4)) === r)))
+        val mv = MvDef(source = "ev", view = "ev_mv",
+          keyCols = Seq("event_type", "day"), sumCols = Seq("value"))
+        val ss = db.scopedStreamSession(statePartitions = 8)
+        val viewBase =
+          java.nio.file.Files.createTempDirectory("graft-q167v").toString
+        val viewDb = MaterializedView.define(
+          GraftDatabase(ss, "q167v", viewBase), mv)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q167-ck")
+        val q = ss.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "q167")
+          .option("table", "ev").option("maxVersionsPerTrigger", "2").load()
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("value"), col("_change_type"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            // null source: a sum-only view structurally CANNOT read the
+            // base table (applyBatch would NPE) — the pure-delta proof
+            MaterializedView.applyBatch(null, viewDb, mv, batch,
+              "q167-mv", id)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        MaterializedView.read(viewDb, mv)
+          .select(col("event_type"), col("day"),
+            col("mv_count").as("n_events"),
+            col("sum_value"), col("avg_value"))
+      },
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+          CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*)
+            AS avg_value
+        FROM events GROUP BY event_type, CAST(ts AS DATE)"""),
+      "pure-delta materialized view (insert-only feed): count/sum/avg " +
+        "maintained without EVER reading the base table (null source " +
+        "handle proves it structurally); exact decimal folding"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

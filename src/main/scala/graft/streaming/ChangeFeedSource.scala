@@ -71,7 +71,8 @@ final case class VersionOffset(version: Long) extends OffsetV2 {
 final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     pinned: StructType, startVersion: Long, maxVersions: Option[Long],
     maxFiles: Option[Long], maxBytes: Option[Long], schemaMode: String,
-    checkpointDir: String, warnBytes: Long = 1L << 30)
+    checkpointDir: String, warnBytes: Long = 1L << 30,
+    withVersion: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -206,7 +207,20 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     // and a batch below a type widening carries the narrow type (it
     // upcasts). A renamed/dropped pinned column mid-stream null-fills
     // the same way under schemaTrackingMode=warn.
-    val diff = db.changes(table, from, to)
+    //
+    // withCommitVersion trades the span's ONE telescoped diff for one
+    // arm per version tagged `_commit_version` (the multiplexed feed's
+    // granularity, typed): consumers that maintain per-version
+    // invariants (MaterializedView's snapshot-consistency contract)
+    // need to know which snapshot a batch lands them at. Plan width is
+    // bounded by the version cap (defaulted when this option is on).
+    val diff =
+      if (withVersion)
+        (from + 1 to to).map(v =>
+          db.changes(table, v - 1, v).withColumn("_commit_version",
+            org.apache.spark.sql.functions.lit(v)))
+          .reduce(_ unionByName _)
+      else db.changes(table, from, to)
     val have = diff.columns.map(_.toLowerCase).toSet
     val batch = diff.select(pinned.toSeq.map { f =>
       if (have(f.name.toLowerCase))
@@ -252,7 +266,7 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
   private def checkSchemaDrift(): Unit = {
     if (lastSeenHead >= 0 && lastSeenHead == driftCheckedAt) return
     val headNow = lastSeenHead
-    val current = ChangeFeedSourceProvider.feedSchema(db, table)
+    val current = ChangeFeedSourceProvider.feedSchema(db, table, withVersion)
     def shape(s: StructType) =
       s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
     if (shape(current) != shape(pinned)) {
@@ -337,8 +351,12 @@ final class ChangeFeedScan(pinned: StructType,
     // table): with no explicit version cap, bound plan width per
     // trigger (the byte default alone could admit thousands of tiny
     // commits into one batch plan)
+    // per-version-arm modes (table=* and withCommitVersion) plan one
+    // diff arm per version — default the version cap to bound PLAN
+    // width, which the byte cap cannot
+    val withVersion = ChangeFeedSourceProvider.wantsCommitVersion(params)
     val maxVersions =
-      if (ChangeFeedSourceProvider.tableOf(params) == "*" &&
+      if ((ChangeFeedSourceProvider.tableOf(params) == "*" || withVersion) &&
           !params.containsKey("maxVersionsPerTrigger"))
         Some(ChangeFeedSourceProvider.DefaultMultiplexVersionsPerTrigger)
       else maxVersions0
@@ -370,8 +388,12 @@ final class ChangeFeedScan(pinned: StructType,
         s"(0 disables the warning), got $n")
       n
     }.getOrElse(1L << 30)
+    require(!(withVersion && table == "*"),
+      "graft-changes: withCommitVersion is for single-table feeds — the " +
+        "multiplexed table=* envelope always carries _commit_version")
     new ChangeFeedMicroBatchStream(db, table, pinned, startV,
-      maxVersions, maxFiles, maxBytes, schemaMode, checkpointDir, warnBytes)
+      maxVersions, maxFiles, maxBytes, schemaMode, checkpointDir, warnBytes,
+      withVersion)
   }
 }
 
@@ -448,7 +470,8 @@ final class ChangeFeedSourceProvider
     // newScanBuilder)
     val db = ChangeFeedSourceProvider.open(SparkSession.active, options)
     val t = ChangeFeedSourceProvider.tableOf(options)
-    try ChangeFeedSourceProvider.feedSchema(db, t)
+    try ChangeFeedSourceProvider.feedSchema(db, t,
+      ChangeFeedSourceProvider.wantsCommitVersion(options))
     catch { case _: IllegalArgumentException => new StructType() }
   }
 
@@ -524,11 +547,13 @@ object ChangeFeedSourceProvider {
     */
   val DefaultMultiplexVersionsPerTrigger: Long = 64L
 
-  /** Table columns + `_change_type` — derived from a zero-churn feed
-    * of the CURRENT version (the table must hold committed data).
+  /** Table columns + `_change_type` (+ `_commit_version` when the
+    * stream asked for per-version granularity) — derived from a
+    * zero-churn feed of the CURRENT version (the table must hold
+    * committed data).
     */
   private[streaming] def feedSchema(db: GraftDatabase,
-      table: String): StructType = {
+      table: String, withVersion: Boolean = false): StructType = {
     // table=* — the DATABASE-LEVEL feed: a fixed schema-tagged envelope
     // (see GraftDatabase.changesAllTables), so it exists before any
     // commit and never drifts
@@ -536,8 +561,23 @@ object ChangeFeedSourceProvider {
     val v = db.settledLogVersion
     require(v > 0L && db.tableExists(table),
       s"graft-changes: table '$table' has no committed data to stream")
-    db.changes(table, v, v).schema
+    val base = db.changes(table, v, v).schema
+    if (withVersion)
+      base.add("_commit_version", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    else base
   }
+
+  private[streaming] def wantsCommitVersion(
+      params: CaseInsensitiveStringMap): Boolean =
+    Option(params.get("withCommitVersion")).exists { v =>
+      v.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"graft-changes: withCommitVersion must be true|false, got '$other'")
+      }
+    }
 
   private[streaming] def tableOf(params: CaseInsensitiveStringMap): String = {
     val t = params.get("table")

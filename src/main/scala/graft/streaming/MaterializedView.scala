@@ -1,0 +1,246 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataTypes, DecimalType, LongType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.catalog.GraftDatabase
+
+/** An incrementally-maintained aggregate view (`SELECT keyCols,
+  * COUNT(*), SUM(m)..., MIN(m)/MAX(m)... GROUP BY keyCols`) over one
+  * lakehouse table, driven by the `graft-changes` feed — the view is
+  * itself a lakehouse TABLE (queryable, feedable, OPTIMIZE-able), and
+  * per-batch maintenance cost is proportional to the CHANGE VOLUME,
+  * never the base table or view size. The reference re-runs such
+  * aggregates per query (`TableCollection.cs` aggregate executors);
+  * at 100 TB the recompute is the cost that matters, so the view is
+  * maintained from deltas instead.
+  *
+  * Maintenance per micro-batch (the feed arrives as insert/delete rows;
+  * updates are delete+insert pairs):
+  *
+  *   - COUNT/SUM (and AVG = sum/count at read) fold PURELY from the
+  *     batch: each row contributes +1/-1 signed weight, sums accumulate
+  *     in exact DECIMAL(38,9) so maintenance order can never drift a
+  *     bit vs the batch recompute. The base table is NEVER read.
+  *   - MIN/MAX are not incrementally foldable under deletes (a deleted
+  *     minimum's successor is unknowable from the delta), so the
+  *     batch's AFFECTED GROUPS — bounded by the feed's admission caps —
+  *     recompute from the base table AT THE BATCH'S END VERSION
+  *     (`tableAt(source, max(_commit_version))`): a map-side semi-probe
+  *     of the base (the bounded key set broadcasts; plan-gated), then a
+  *     group-by over only the matched slice. Cost ∝ affected groups'
+  *     rows, never the table.
+  *
+  * SNAPSHOT CONSISTENCY: because the feed delivers versions
+  * contiguously and min/max recompute pins to the batch's own end
+  * version, the view after batch k EQUALS the full group-by of
+  * `tableAt(source, v_k)` — not an eventually-consistent approximation
+  * (MaterializedViewSpec pins this per batch).
+  *
+  * EXACTLY-ONCE: the whole merge (upserts + zero-count group deletes +
+  * the (appId, batchId) marker) is ONE atomic commit
+  * ([[GraftDatabase.mergeBatch]]), so an engine replay is skipped
+  * outright. Deltas are NOT idempotent under re-application, so the
+  * appId is scoped to a checkpoint lineage exactly like
+  * [[StreamingDedup]] — a FRESH checkpoint restarts batch numbering and
+  * must either rebuild the view or resume from `startingVersion` =
+  * the view's last folded version.
+  *
+  * The feed must run with `withCommitVersion=true` (per-version arms)
+  * when min/max columns are declared; pure count/sum views accept any
+  * feed shape.
+  */
+final case class MvDef(
+    source: String,
+    view: String,
+    keyCols: Seq[String],
+    sumCols: Seq[String] = Nil,
+    minMaxCols: Seq[String] = Nil) {
+  require(keyCols.nonEmpty, "MvDef: at least one key column")
+  require((sumCols ++ minMaxCols).nonEmpty,
+    "MvDef: at least one measure (sumCols or minMaxCols)")
+}
+
+object MaterializedView {
+
+  /** The view table's synthetic single-column PK: the group-key tuple,
+    * null-safely encoded (concat_ws SKIPS nulls, which would collapse
+    * ('a', null) and (null, 'a') into one key — the sentinel keeps
+    * every position present).
+    */
+  val KeyCol = "_mv_key"
+  val CountCol = "mv_count"
+  def sumCol(c: String): String = s"mv_sum_$c"
+  def minColName(c: String): String = s"mv_min_$c"
+  def maxColName(c: String): String = s"mv_max_$c"
+
+  /** Exact accumulation type for maintained sums: repeated delta folds
+    * in DECIMAL are associative, so the maintained sum is bit-identical
+    * to the batch recompute (the catalog's double-summation convention,
+    * applied to state).
+    */
+  val SumType: DecimalType = DataTypes.createDecimalType(28, 8)
+
+  def keyExpr(keyCols: Seq[String]): Column =
+    concat_ws("",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+
+  /** Declare the view's backing table (PK = the synthetic key). */
+  def define(viewDb: GraftDatabase, mv: MvDef): GraftDatabase =
+    viewDb.defineTable(graft.dml.ConstrainedDml.TableDef(mv.view, KeyCol))
+
+  /** Fold one micro-batch of feed rows into the view. Returns the
+    * number of commit-race retries (0 uncontended) — OPTIMIZE/vacuum
+    * may churn the view table concurrently; a lost race re-probes the
+    * fresh state (sound: the ledger skips true replays, and compaction
+    * never changes row content).
+    */
+  def applyBatch(srcDb: GraftDatabase, viewDb: GraftDatabase, mv: MvDef,
+      batch: DataFrame, appId: String, batchId: Long): Int = {
+    if (viewDb.batchApplied(appId, batchId)) return 0
+    if (mv.minMaxCols.nonEmpty)
+      require(batch.columns.contains("_commit_version"),
+        s"MaterializedView(${mv.view}): min/max maintenance needs the " +
+          "batch's end version — run the feed with withCommitVersion=true")
+    // signed weight: insert +1, delete -1; anything else is feed
+    // incoherence and fails the batch loudly, in-plan
+    val w = when(col("_change_type") === "insert", lit(1))
+      .when(col("_change_type") === "delete", lit(-1))
+      .otherwise(raise_error(concat(
+        lit(s"MaterializedView(${mv.view}): unexpected _change_type "),
+        col("_change_type"))))
+    val aggs =
+      (sum(col("_w")).cast(LongType).as("d_count") +:
+        mv.sumCols.map(c =>
+          sum((col(c).cast(SumType) * col("_w")).cast(SumType))
+            .cast(SumType).as(s"d_sum_$c"))) ++
+        (if (mv.minMaxCols.nonEmpty)
+          Seq(max(col("_commit_version")).as("d_vmax")) else Nil)
+    val delta = batch
+      .withColumn("_w", w)
+      .withColumn(KeyCol, keyExpr(mv.keyCols))
+      .groupBy(col(KeyCol))
+      .agg(mv.keyCols.map(c => first(col(c)).as(c)).head,
+        (mv.keyCols.drop(1).map(c => first(col(c)).as(c)) ++ aggs): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (delta.isEmpty) return 0
+      var retries = 0
+      var done = false
+      while (!done) {
+        try {
+          applyOnce(srcDb, viewDb, mv, batch, delta, appId, batchId)
+          done = true
+        } catch {
+          case e: graft.catalog.TxLog.ConflictException =>
+            retries += 1
+            if (retries > MaxConflictRetries) throw new IllegalStateException(
+              s"MaterializedView(${mv.view}): batch $batchId lost " +
+                s"$retries consecutive commit races — maintenance is " +
+                "churning the view faster than batches land", e)
+            Thread.sleep(25L + scala.util.Random.nextInt(50))
+        }
+      }
+      retries
+    } finally { delta.unpersist(); () }
+  }
+
+  /** One attempt against the CURRENT view snapshot. */
+  private def applyOnce(srcDb: GraftDatabase, viewDb: GraftDatabase,
+      mv: MvDef, batch: DataFrame, delta: DataFrame, appId: String,
+      batchId: Long): Unit = {
+    val stateCols = CountCol +: mv.sumCols.map(sumCol)
+    // the view rows of the AFFECTED keys only: bounded key set
+    // broadcasts into a map-side semi-probe of the view (plan-gated) —
+    // the view never reshuffles. `old` ⊆ delta keys, so a LEFT join
+    // from delta sees every old row.
+    val viewExists = viewDb.tableExists(mv.view)
+    val old: DataFrame =
+      if (viewExists) {
+        val o = viewDb.table(mv.view)
+          .select((KeyCol +: stateCols).map(col): _*)
+          .join(broadcast(delta.select(KeyCol)), Seq(KeyCol), "left_semi")
+        graft.plans.PlanGates.assertBroadcastProbe(o,
+          s"MaterializedView(${mv.view}) state probe")
+        o
+      } else {
+        // bootstrap: no view yet — a typed EMPTY state frame so the
+        // merge arithmetic below is uniform
+        var e = delta.select(col(KeyCol)).limit(0)
+          .withColumn(CountCol, lit(null).cast(LongType))
+        mv.sumCols.foreach(c =>
+          e = e.withColumn(sumCol(c), lit(null).cast(SumType)))
+        e
+      }
+    var m = delta.join(old, Seq(KeyCol), "left_outer")
+      .withColumn(CountCol,
+        coalesce(col(CountCol), lit(0L)) + col("d_count"))
+    mv.sumCols.foreach { c =>
+      m = m.withColumn(sumCol(c),
+        (coalesce(col(sumCol(c)), lit(0).cast(SumType)) + col(s"d_sum_$c"))
+          .cast(SumType))
+    }
+    // a negative count is feed incoherence (a delete for a row the view
+    // never counted) — fail in-plan, zero extra jobs
+    m = m.withColumn(CountCol,
+      when(col(CountCol) >= 0, col(CountCol)).otherwise(raise_error(concat(
+        lit(s"MaterializedView(${mv.view}): group count went negative " +
+          "(delete without a matching insert) at key "), col(KeyCol)))))
+    if (mv.minMaxCols.nonEmpty) {
+      // recompute min/max for the affected groups at the batch's END
+      // version: bounded keys broadcast into a map-side probe of the
+      // base table's pinned snapshot, then group-by over the matched
+      // slice only
+      val vMax = delta.agg(max(col("d_vmax"))).head.getLong(0)
+      val baseAt = srcDb.tableAt(mv.source, vMax).getOrElse(
+        throw new IllegalStateException(
+          s"MaterializedView(${mv.view}): source '${mv.source}' has no " +
+            s"state at version $vMax"))
+      val rec = baseAt
+        .withColumn(KeyCol, keyExpr(mv.keyCols))
+        .join(broadcast(delta.select(KeyCol)), Seq(KeyCol), "left_semi")
+        .groupBy(col(KeyCol))
+        .agg(min(col(mv.minMaxCols.head)).as(minColName(mv.minMaxCols.head)),
+          mv.minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(minColName(c)), max(col(c)).as(maxColName(c))))
+            .drop(1): _*)
+      graft.plans.PlanGates.assertBroadcastProbe(rec,
+        s"MaterializedView(${mv.view}) min/max recompute probe")
+      m = m.join(rec, Seq(KeyCol), "left_outer")
+    }
+    val outCols = (KeyCol +: mv.keyCols) ++ (CountCol +:
+      mv.sumCols.map(sumCol)) ++
+      mv.minMaxCols.flatMap(c => Seq(minColName(c), maxColName(c)))
+    val out = m.select(outCols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upserts = out.filter(col(CountCol) > 0)
+      val deleteKeys = out.filter(col(CountCol) === 0).select(KeyCol)
+      viewDb.mergeBatch(mv.view, upserts, deleteKeys, appId, batchId)
+      ()
+    } finally { out.unpersist(); () }
+  }
+
+  /** The view as a user-facing frame: key columns, `mv_count`, each
+    * maintained sum cast to DOUBLE as `sum_<c>` with `avg_<c>`
+    * derived, and the min/max columns.
+    */
+  def read(viewDb: GraftDatabase, mv: MvDef): DataFrame = {
+    val v = viewDb.table(mv.view)
+    val cols = mv.keyCols.map(col) ++ Seq(col(CountCol)) ++
+      mv.sumCols.flatMap(c => Seq(
+        col(sumCol(c)).cast("double").as(s"sum_$c"),
+        // IEEE double division (not decimal division, whose result
+        // scale/rounding rules differ between engines)
+        (col(sumCol(c)).cast("double") / col(CountCol))
+          .as(s"avg_$c"))) ++
+      mv.minMaxCols.flatMap(c =>
+        Seq(col(minColName(c)), col(maxColName(c))))
+    v.select(cols: _*)
+  }
+
+  /** Bound on consecutive lost commit races before failing loudly. */
+  val MaxConflictRetries: Int = 50
+}
