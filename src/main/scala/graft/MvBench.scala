@@ -65,11 +65,13 @@ object MvBench {
     db.insert("ev", ev)                                        // v1
     ev.unpersist(blocking = true)
 
+    val derive = (df: DataFrame) =>
+      df.withColumn("day", to_date(col("ts")))
     val mvSum = MvDef(source = "ev", view = "ev_sum",
       keyCols = Seq("event_type", "day"), sumCols = Seq("value"))
     val mvMinMax = MvDef(source = "ev", view = "ev_mm",
       keyCols = Seq("event_type", "day"), sumCols = Seq("value"),
-      minMaxCols = Seq("value"))
+      minMaxCols = Seq("value"), prepare = derive)
     val sumDb = MaterializedView.define(GraftDatabase(spark, "mvb_sum",
       Files.createTempDirectory("graft-mvbench-sum").toString), mvSum)
     val mmDb = MaterializedView.define(GraftDatabase(spark, "mvb_mm",

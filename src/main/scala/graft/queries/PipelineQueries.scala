@@ -1093,6 +1093,106 @@ object PipelineQueries {
       "pure-delta materialized view (insert-only feed): count/sum/avg " +
         "maintained without EVER reading the base table (null source " +
         "handle proves it structurally); exact decimal folding"),
+
+    // MATERIALIZED VIEWS COMPOSE: the view is a lakehouse table, so its
+    // OWN change feed maintains a coarser rollup — a two-level cascade
+    // (events → per-(type, day) view → per-type rollup) where level 2
+    // folds level 1's delete+insert delta pairs exactly like any feed
+    // (sum-of-counts and sum-of-sums are themselves algebraic). Exact
+    // DECIMAL folding makes the cascaded total BIT-equal to the direct
+    // aggregate of the base — the oracle recomputes straight from
+    // events, skipping both levels.
+    Q("q168_mv_cascade",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.streaming.{MaterializedView, MvDef}
+        import graft.dml.ConstrainedDml.TableDef
+        import org.apache.spark.sql.streaming.Trigger
+        val ev = Tables.load(s, dir, "events")
+          .select("event_id", "ts", "event_type", "value")
+        val base = java.nio.file.Files.createTempDirectory("graft-q168").toString
+        val db = GraftDatabase(s, "q168", base)
+          .defineTable(TableDef("ev", "event_id"))
+        (0 to 1).foreach(r =>
+          db.insert("ev", ev.filter(pmod(col("event_id"), lit(2)) === r)))
+        val mv1 = MvDef(source = "ev", view = "ev_mv",
+          keyCols = Seq("event_type", "day"), sumCols = Seq("value"))
+        val mv2 = MvDef(source = "ev_mv", view = "ev_rollup",
+          keyCols = Seq("event_type"),
+          sumCols = Seq(MaterializedView.CountCol,
+            MaterializedView.sumCol("value")))
+        val ss = db.scopedStreamSession(statePartitions = 8)
+        val v1Base =
+          java.nio.file.Files.createTempDirectory("graft-q168v1").toString
+        val v2Base =
+          java.nio.file.Files.createTempDirectory("graft-q168v2").toString
+        val viewDb1 = MaterializedView.define(
+          GraftDatabase(ss, "q168v1", v1Base), mv1)
+        val viewDb2 = MaterializedView.define(
+          GraftDatabase(ss, "q168v2", v2Base), mv2)
+        def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+          q.awaitTermination()
+        val ck1 = java.nio.file.Files.createTempDirectory("graft-q168-ck1")
+        drain(ss.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "q168")
+          .option("table", "ev").option("maxVersionsPerTrigger", "1").load()
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("value"), col("_change_type"))
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            MaterializedView.applyBatch(null, viewDb1, mv1, b, "q168-l1", id)
+            ()
+          }
+          .option("checkpointLocation", ck1.toString)
+          .trigger(Trigger.AvailableNow()).start())
+        // level 2 drains LEVEL 1's OWN feed: its merge commits arrive as
+        // delete+insert pairs of view rows, which fold like any deltas
+        val ck2 = java.nio.file.Files.createTempDirectory("graft-q168-ck2")
+        drain(ss.readStream.format("graft-changes")
+          .option("baseDir", v1Base).option("name", "q168v1")
+          .option("table", "ev_mv").option("maxVersionsPerTrigger", "1").load()
+          .select(col("event_type"), col(MaterializedView.CountCol),
+            col(MaterializedView.sumCol("value")), col("_change_type"))
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            MaterializedView.applyBatch(null, viewDb2, mv2, b, "q168-l2", id)
+            ()
+          }
+          .option("checkpointLocation", ck2.toString)
+          .trigger(Trigger.AvailableNow()).start())
+        val out = viewDb2.table("ev_rollup").select(
+          col("event_type"),
+          col(MaterializedView.CountCol).as("n_days"),
+          col(MaterializedView.sumCol(MaterializedView.CountCol))
+            .cast("long").as("n_events"),
+          col(MaterializedView.sumCol(MaterializedView.sumCol("value")))
+            .cast("double").as("sum_value"))
+        // structural gate: the cascaded rollup equals the direct
+        // aggregate of the base table (neither level ever read it)
+        val expect = db.table("ev")
+          .groupBy("event_type")
+          .agg(countDistinct(to_date(col("ts"))).as("n_days"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(MaterializedView.SumType))
+              .cast("double").as("sum_value"))
+        val key = (r: org.apache.spark.sql.Row) =>
+          r.toSeq.map(String.valueOf).mkString("|")
+        val g = out.collect().map(key).toSet
+        val e = expect.select(col("event_type"), col("n_days"),
+          col("n_events"), col("sum_value")).collect().map(key).toSet
+        require(g == e,
+          s"cascaded rollup diverged:\nrollup $g\ndirect $e")
+        out
+      },
+      Some("""SELECT event_type,
+          COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type"""),
+      "materialized views COMPOSE: the per-(type, day) view's own " +
+        "change feed maintains a per-type rollup (sum-of-counts / " +
+        "sum-of-sums fold the delete+insert view deltas); the cascaded " +
+        "total is bit-equal to the direct aggregate of the base"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

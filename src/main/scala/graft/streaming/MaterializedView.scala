@@ -57,7 +57,8 @@ final case class MvDef(
     view: String,
     keyCols: Seq[String],
     sumCols: Seq[String] = Nil,
-    minMaxCols: Seq[String] = Nil) {
+    minMaxCols: Seq[String] = Nil,
+    prepare: DataFrame => DataFrame = identity) {
   require(keyCols.nonEmpty, "MvDef: at least one key column")
   require((sumCols ++ minMaxCols).nonEmpty,
     "MvDef: at least one measure (sumCols or minMaxCols)")
@@ -131,7 +132,7 @@ object MaterializedView {
       var done = false
       while (!done) {
         try {
-          applyOnce(srcDb, viewDb, mv, batch, delta, appId, batchId)
+          applyOnce(srcDb, viewDb, mv, delta, appId, batchId)
           done = true
         } catch {
           case e: graft.catalog.TxLog.ConflictException =>
@@ -149,7 +150,7 @@ object MaterializedView {
 
   /** One attempt against the CURRENT view snapshot. */
   private def applyOnce(srcDb: GraftDatabase, viewDb: GraftDatabase,
-      mv: MvDef, batch: DataFrame, delta: DataFrame, appId: String,
+      mv: MvDef, delta: DataFrame, appId: String,
       batchId: Long): Unit = {
     val stateCols = CountCol +: mv.sumCols.map(sumCol)
     // the view rows of the AFFECTED keys only: bounded key set
@@ -194,10 +195,15 @@ object MaterializedView {
       // base table's pinned snapshot, then group-by over the matched
       // slice only
       val vMax = delta.agg(max(col("d_vmax"))).head.getLong(0)
-      val baseAt = srcDb.tableAt(mv.source, vMax).getOrElse(
+      // `prepare` re-derives any computed key/measure columns the
+      // STREAM projection added (e.g. day = to_date(ts)) — it must
+      // match that projection exactly, or the recomputed groups won't
+      // line up with the folded ones (the per-batch equality the spec
+      // pins would catch the drift)
+      val baseAt = mv.prepare(srcDb.tableAt(mv.source, vMax).getOrElse(
         throw new IllegalStateException(
           s"MaterializedView(${mv.view}): source '${mv.source}' has no " +
-            s"state at version $vMax"))
+            s"state at version $vMax")))
       val rec = baseAt
         .withColumn(KeyCol, keyExpr(mv.keyCols))
         .join(broadcast(delta.select(KeyCol)), Seq(KeyCol), "left_semi")
