@@ -1193,6 +1193,69 @@ object PipelineQueries {
         "change feed maintains a per-type rollup (sum-of-counts / " +
         "sum-of-sums fold the delete+insert view deltas); the cascaded " +
         "total is bit-equal to the direct aggregate of the base"),
+
+    // The MV applied to the CURATION pipeline: a live corpus-mix
+    // monitor — per-(lang, source) document and token totals maintained
+    // from the corpus table's ingest feed, staying correct through a
+    // post-ingest quality DELETE (the dedup/filter shape). At 100 TB
+    // the mixture dashboard that drives sampling weights cannot be a
+    // full recompute per refresh; here it folds each commit's deltas
+    // (token counts derived IN-STREAM by the same codegen'd whitespace
+    // tokenizer the curation operators use, so the monitor needs no
+    // second tokenization pass over the corpus).
+    Q("q169_corpus_mix_mv",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        import graft.streaming.{MaterializedView, MvDef}
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val base = java.nio.file.Files.createTempDirectory("graft-q169").toString
+        val db = GraftDatabase(s, "q169", base)
+          .defineTable(TableDef("corpus", "doc_id"))
+        (0 to 2).foreach(r =>
+          db.insert("corpus", docs.filter(pmod(col("doc_id"), lit(3)) === r)))
+        // post-ingest quality gate: short documents drop OUT of the mix
+        db.delete("corpus", col("n_chars") < 64)
+        val mv = MvDef(source = "corpus", view = "mix",
+          keyCols = Seq("lang", "source"), sumCols = Seq("n_toks"))
+        val ss = db.scopedStreamSession(statePartitions = 8)
+        val viewBase =
+          java.nio.file.Files.createTempDirectory("graft-q169v").toString
+        val viewDb = MaterializedView.define(
+          GraftDatabase(ss, "q169v", viewBase), mv)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q169-ck")
+        val q = ss.readStream.format("graft-changes")
+          .option("baseDir", base).option("name", "q169")
+          .option("table", "corpus").option("maxVersionsPerTrigger", "1").load()
+          .select(col("lang"), col("source"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("n_toks"),
+            col("_change_type"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            MaterializedView.applyBatch(null, viewDb, mv, batch,
+              "q169-mix", id)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        viewDb.table("mix").select(col("lang"), col("source"),
+          col(MaterializedView.CountCol).as("n_docs"),
+          col(MaterializedView.sumCol("n_toks"))
+            .cast("long").as("n_tokens"))
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+          CAST(SUM(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'),
+            x -> LEN(x) > 0))) AS BIGINT) AS n_tokens
+        FROM documents WHERE NOT (n_chars < 64)
+        GROUP BY lang, source"""),
+      "live corpus-mix monitor: per-(lang, source) doc/token totals " +
+        "maintained from the ingest feed through a post-ingest quality " +
+        "delete — the mixture dashboard without per-refresh recompute; " +
+        "in-stream tokenization, exact integer folding"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

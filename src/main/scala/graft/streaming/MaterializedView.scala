@@ -22,7 +22,7 @@ import graft.catalog.GraftDatabase
   *
   *   - COUNT/SUM (and AVG = sum/count at read) fold PURELY from the
   *     batch: each row contributes +1/-1 signed weight, sums accumulate
-  *     in exact DECIMAL(38,9) so maintenance order can never drift a
+  *     in exact DECIMAL(28,8) so maintenance order can never drift a
   *     bit vs the batch recompute. The base table is NEVER read.
   *   - MIN/MAX are not incrementally foldable under deletes (a deleted
   *     minimum's successor is unknowable from the delta), so the
@@ -67,11 +67,15 @@ final case class MvDef(
 object MaterializedView {
 
   /** The view table's synthetic single-column PK: the group-key tuple,
-    * null-safely encoded (concat_ws SKIPS nulls, which would collapse
-    * ('a', null) and (null, 'a') into one key — the sentinel keeps
-    * every position present).
+    * -separated — an EMPTY separator would collapse ("ab","c")
+    * and ("a","bc") into one group — and null-safely encoded
+    * (concat_ws SKIPS nulls, which would collapse ('a', null) and
+    * (null, 'a'); the sentinel keeps every position present and cannot
+    * collide with the string "NULL" in data).
     */
   val KeyCol = "_mv_key"
+  private val KeySep = ""
+  private val NullSentinel = "NULL"
   val CountCol = "mv_count"
   def sumCol(c: String): String = s"mv_sum_$c"
   def minColName(c: String): String = s"mv_min_$c"
@@ -85,8 +89,9 @@ object MaterializedView {
   val SumType: DecimalType = DataTypes.createDecimalType(28, 8)
 
   def keyExpr(keyCols: Seq[String]): Column =
-    concat_ws("",
-      keyCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+    concat_ws(KeySep,
+      keyCols.map(c =>
+        coalesce(col(c).cast("string"), lit(NullSentinel))): _*)
 
   /** Declare the view's backing table (PK = the synthetic key). */
   def define(viewDb: GraftDatabase, mv: MvDef): GraftDatabase =
