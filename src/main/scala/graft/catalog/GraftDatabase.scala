@@ -1343,6 +1343,16 @@ final class GraftDatabase private (
   def batchApplied(appId: String, batchId: Long): Boolean =
     txlog.snapshot().txns.get(appId).exists(_ >= batchId)
 
+  /** The ledger's high-water mark for `appId` (None if it never
+    * committed). Beyond replay skipping, consumers use synthetic appIds
+    * as durable monotonic counters that ride their data commits
+    * atomically — [[graft.streaming.MaterializedView]] records the last
+    * folded SOURCE version this way, which is what makes a view
+    * resumable after its checkpoint is lost.
+    */
+  def ledgerEntry(appId: String): Option[Long] =
+    txlog.snapshot().txns.get(appId)
+
   /** Idempotent batch MERGE for streaming sinks whose per-batch work is
     * an upsert-plus-delete over bounded key sets — the write primitive
     * behind [[graft.streaming.MaterializedView]]: `replacements` upsert
@@ -1358,12 +1368,17 @@ final class GraftDatabase private (
     * pure append. Returns false when the batch was already applied.
     */
   def mergeBatch(name: String, replacements: DataFrame,
-      deleteKeys: DataFrame, appId: String, batchId: Long): Boolean = {
+      deleteKeys: DataFrame, appId: String, batchId: Long,
+      alsoRecord: Seq[(String, Long)] = Nil): Boolean = {
     requireNoOpenTx()
     if (txlog.snapshot().txns.get(appId).exists(_ >= batchId)) return false
     val tdef = tableDef(name)
     val base = txlog.settledVersion
-    val ledger = Seq(TxLog.Txn(appId, batchId))
+    // alsoRecord: additional (appId -> high-water) ledger marks riding
+    // the SAME commit — durable monotonic counters atomic with the data
+    // (the MV's last-folded-source-version mark)
+    val ledger = TxLog.Txn(appId, batchId) +:
+      alsoRecord.map { case (a, v) => TxLog.Txn(a, v) }
     if (!tableExists(name)) {
       // nothing to delete in an unmaterialized table; first batch is a
       // validated full write carrying the ledger marker

@@ -40,17 +40,20 @@ import graft.catalog.GraftDatabase
   * (MaterializedViewSpec pins this per batch).
   *
   * EXACTLY-ONCE: the whole merge (upserts + zero-count group deletes +
-  * the (appId, batchId) marker) is ONE atomic commit
-  * ([[GraftDatabase.mergeBatch]]), so an engine replay is skipped
-  * outright. Deltas are NOT idempotent under re-application, so the
-  * appId is scoped to a checkpoint lineage exactly like
-  * [[StreamingDedup]] — a FRESH checkpoint restarts batch numbering and
-  * must either rebuild the view or resume from `startingVersion` =
-  * the view's last folded version.
+  * the (appId, batchId) marker + the last-folded-source-version mark)
+  * is ONE atomic commit ([[GraftDatabase.mergeBatch]]), so an engine
+  * replay is skipped outright. Deltas are NOT idempotent under
+  * re-application, so the appId is scoped to a checkpoint lineage
+  * exactly like [[StreamingDedup]] — a FRESH checkpoint restarts batch
+  * numbering and must either rebuild the view or RESUME: restart the
+  * feed with `startingVersion = lastFoldedVersion(viewDb, mv)` under a
+  * NEW appId (the mark is committed atomically with every merge, so it
+  * can never disagree with the view's state).
   *
   * The feed must run with `withCommitVersion=true` (per-version arms)
-  * when min/max columns are declared; pure count/sum views accept any
-  * feed shape.
+  * when min/max columns are declared — and for resumability generally
+  * (a version-less feed records no fold mark; such views are only
+  * rebuildable). Pure count/sum views otherwise accept any feed shape.
   */
 final case class MvDef(
     source: String,
@@ -117,12 +120,16 @@ object MaterializedView {
       .otherwise(raise_error(concat(
         lit(s"MaterializedView(${mv.view}): unexpected _change_type "),
         col("_change_type"))))
+    // track the batch's end version whenever the feed provides it —
+    // min/max recompute needs it, and it becomes the view's durable
+    // last-folded mark (resumability after a lost checkpoint)
+    val hasVersion = batch.columns.contains("_commit_version")
     val aggs =
       (sum(col("_w")).cast(LongType).as("d_count") +:
         mv.sumCols.map(c =>
           sum((col(c).cast(SumType) * col("_w")).cast(SumType))
             .cast(SumType).as(s"d_sum_$c"))) ++
-        (if (mv.minMaxCols.nonEmpty)
+        (if (hasVersion)
           Seq(max(col("_commit_version")).as("d_vmax")) else Nil)
     val delta = batch
       .withColumn("_w", w)
@@ -133,11 +140,14 @@ object MaterializedView {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (delta.isEmpty) return 0
+      val vMax: Option[Long] =
+        if (hasVersion) Some(delta.agg(max(col("d_vmax"))).head.getLong(0))
+        else None
       var retries = 0
       var done = false
       while (!done) {
         try {
-          applyOnce(srcDb, viewDb, mv, delta, appId, batchId)
+          applyOnce(srcDb, viewDb, mv, delta, vMax, appId, batchId)
           done = true
         } catch {
           case e: graft.catalog.TxLog.ConflictException =>
@@ -155,7 +165,7 @@ object MaterializedView {
 
   /** One attempt against the CURRENT view snapshot. */
   private def applyOnce(srcDb: GraftDatabase, viewDb: GraftDatabase,
-      mv: MvDef, delta: DataFrame, appId: String,
+      mv: MvDef, delta: DataFrame, vMaxOpt: Option[Long], appId: String,
       batchId: Long): Unit = {
     val stateCols = CountCol +: mv.sumCols.map(sumCol)
     // the view rows of the AFFECTED keys only: bounded key set
@@ -199,7 +209,7 @@ object MaterializedView {
       // version: bounded keys broadcast into a map-side probe of the
       // base table's pinned snapshot, then group-by over the matched
       // slice only
-      val vMax = delta.agg(max(col("d_vmax"))).head.getLong(0)
+      val vMax = vMaxOpt.get
       // `prepare` re-derives any computed key/measure columns the
       // STREAM projection added (e.g. day = to_date(ts)) — it must
       // match that projection exactly, or the recomputed groups won't
@@ -229,10 +239,30 @@ object MaterializedView {
     try {
       val upserts = out.filter(col(CountCol) > 0)
       val deleteKeys = out.filter(col(CountCol) === 0).select(KeyCol)
-      viewDb.mergeBatch(mv.view, upserts, deleteKeys, appId, batchId)
+      // the last-folded-source-version mark rides the SAME commit
+      // (monotonic max in the ledger): after any batch, a lost
+      // checkpoint resumes with startingVersion = lastFoldedVersion
+      viewDb.mergeBatch(mv.view, upserts, deleteKeys, appId, batchId,
+        alsoRecord = vMaxOpt.map(versionLedgerKey(mv.view) -> _).toSeq)
       ()
     } finally { out.unpersist(); () }
   }
+
+  /** The synthetic ledger appId holding the view's last folded source
+    * version.
+    */
+  def versionLedgerKey(view: String): String = s"_mv_src_version:$view"
+
+  /** The source version the view last folded — the `startingVersion` a
+    * NEW checkpoint lineage resumes from after the old checkpoint is
+    * lost (give the resumed stream a NEW appId; the mark is recorded
+    * atomically with every merge, so it can never run ahead of or
+    * behind the view's actual state). None until a versioned batch
+    * folds (run the feed with `withCommitVersion=true` — version-less
+    * feeds are not resumable, only rebuildable).
+    */
+  def lastFoldedVersion(viewDb: GraftDatabase, mv: MvDef): Option[Long] =
+    viewDb.ledgerEntry(versionLedgerKey(mv.view))
 
   /** The view as a user-facing frame: key columns, `mv_count`, each
     * maintained sum cast to DOUBLE as `sum_<c>` with `avg_<c>`

@@ -179,6 +179,95 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("went negative")), e.getMessage)
   }
 
+  test("lost-checkpoint RESUME: a fresh lineage restarts from the " +
+      "atomically-recorded last-folded version under a new appId — no " +
+      "double-fold, no gap") {
+    val base = Files.createTempDirectory("graft_mvres").toString
+    val db = GraftDatabase(spark, "mvres", base)
+      .defineTable(TableDef("t", "id"))
+    val mv = MvDef(source = "t", view = "res_by_k",
+      keyCols = Seq("k"), sumCols = Seq("v"))
+    db.insert("t", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"))
+    db.insert("t", Seq((3L, "a", 4.0)).toDF("id", "k", "v"))
+    val outBase = Files.createTempDirectory("graft_mvres_view").toString
+    val viewDb = MaterializedView.define(
+      GraftDatabase(spark, "mvresv", outBase), mv)
+    def drain(appId: String, fromVersion: Option[Long]): Unit = {
+      val ckpt = Files.createTempDirectory("graft_mvres_ck").toString
+      var r = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "mvres")
+        .option("table", "t").option("withCommitVersion", "true")
+        .option("maxVersionsPerTrigger", "1")
+      fromVersion.foreach(v => r = r.option("startingVersion", v.toString))
+      val q = r.load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          MaterializedView.applyBatch(db, viewDb, mv, b, appId, id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("mvres-a", None)
+    assert(MaterializedView.lastFoldedVersion(viewDb, mv).contains(2L),
+      "the fold mark tracks the last drained version")
+    // the checkpoint is LOST here; more commits land meanwhile
+    db.insert("t", Seq((4L, "b", 8.0)).toDF("id", "k", "v"))
+    db.delete("t", col("id") === 1L)
+    // resume: NEW appId + startingVersion from the recorded mark
+    drain("mvres-b", MaterializedView.lastFoldedVersion(viewDb, mv))
+    assert(MaterializedView.lastFoldedVersion(viewDb, mv).contains(4L))
+    assert(asSet(viewState(viewDb, mv)) ==
+      asSet(recompute(db.table("t"), mv)),
+      "resumed view equals the recompute — no double-fold, no gap")
+  }
+
+  test("OPTIMIZE churning the view table concurrently with a live " +
+      "drain: races retried (never fatal), final state exact") {
+    val base = Files.createTempDirectory("graft_mvopt").toString
+    val db = GraftDatabase(spark, "mvopt", base)
+      .defineTable(TableDef("t", "id"))
+    val mv = MvDef(source = "t", view = "opt_by_k",
+      keyCols = Seq("k"), sumCols = Seq("v"))
+    (0 until 6).foreach(i =>
+      db.insert("t", Seq((i.toLong, s"k${i % 3}", i.toDouble))
+        .toDF("id", "k", "v")))
+    val outBase = Files.createTempDirectory("graft_mvopt_view").toString
+    val viewDb = MaterializedView.define(
+      GraftDatabase(spark, "mvoptv", outBase), mv)
+    // separate maintenance handle (own session state), churning the
+    // VIEW table while the stream folds into it
+    val maintDb = GraftDatabase(spark, "mvoptv", outBase)
+    @volatile var stop = false
+    val churn = new Thread(() => {
+      while (!stop) {
+        try { maintDb.optimize("opt_by_k"); () }
+        catch { case _: Exception => () } // absent table early, races
+        Thread.sleep(10)
+      }
+    })
+    churn.start()
+    try {
+      val ckpt = Files.createTempDirectory("graft_mvopt_ck").toString
+      val q = spark.readStream.format("graft-changes")
+        .option("baseDir", base).option("name", "mvopt")
+        .option("table", "t").option("withCommitVersion", "true")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          MaterializedView.applyBatch(db, viewDb, mv, b, "mvopt-app", id)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally { stop = true; churn.join() }
+    assert(asSet(viewState(viewDb, mv)) ==
+      asSet(recompute(db.table("t"), mv)),
+      "view exact despite concurrent OPTIMIZE churn")
+  }
+
   test("withCommitVersion tags every row with the version that changed " +
       "it — per-version arms even when one batch spans two versions") {
     val base = Files.createTempDirectory("graft_mvwv").toString
