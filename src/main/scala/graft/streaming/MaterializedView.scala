@@ -24,14 +24,17 @@ import graft.catalog.GraftDatabase
   *     batch: each row contributes +1/-1 signed weight, sums accumulate
   *     in exact DECIMAL(28,8) so maintenance order can never drift a
   *     bit vs the batch recompute. The base table is NEVER read.
-  *   - MIN/MAX are not incrementally foldable under deletes (a deleted
-  *     minimum's successor is unknowable from the delta), so the
-  *     batch's AFFECTED GROUPS — bounded by the feed's admission caps —
-  *     recompute from the base table AT THE BATCH'S END VERSION
-  *     (`tableAt(source, max(_commit_version))`): a map-side semi-probe
-  *     of the base (the bounded key set broadcasts; plan-gated), then a
-  *     group-by over only the matched slice. Cost ∝ affected groups'
-  *     rows, never the table.
+  *   - MIN/MAX split two ways per group: a group the batch only
+  *     INSERTS into folds exactly (`least`/`greatest` of the stored
+  *     extreme and the batch's), so insert-only batches never read the
+  *     base at all; a deleted minimum's successor is unknowable from
+  *     the delta, so only the batch's DELETE-AFFECTED groups — bounded
+  *     by the feed's admission caps — recompute from the base table AT
+  *     THE BATCH'S END VERSION (`tableAt(source,
+  *     max(_commit_version))`): a map-side semi-probe of the base (the
+  *     bounded key set broadcasts; plan-gated), then a group-by over
+  *     only the matched slice. Cost ∝ delete-affected groups' rows,
+  *     never the table.
   *
   * SNAPSHOT CONSISTENCY: because the feed delivers versions
   * contiguously and min/max recompute pins to the batch's own end
@@ -129,6 +132,20 @@ object MaterializedView {
         mv.sumCols.map(c =>
           sum((col(c).cast(SumType) * col("_w")).cast(SumType))
             .cast(SumType).as(s"d_sum_$c"))) ++
+        // min/max fold INCREMENTALLY for groups the batch only inserts
+        // into (least/greatest against the stored value is exact);
+        // only groups with a delete need the base-table recompute —
+        // d_has_del marks them, d_min/d_max aggregate the INSERTED
+        // rows only (deletes contribute null, which min/max skip)
+        (if (mv.minMaxCols.nonEmpty)
+          max(when(col("_change_type") === "delete", lit(1))
+            .otherwise(lit(0))).as("d_has_del") +:
+            mv.minMaxCols.flatMap(c => Seq(
+              min(when(col("_change_type") === "insert", col(c)))
+                .as(s"d_min_$c"),
+              max(when(col("_change_type") === "insert", col(c)))
+                .as(s"d_max_$c")))
+        else Nil) ++
         (if (hasVersion)
           Seq(max(col("_commit_version")).as("d_vmax")) else Nil)
     val delta = batch
@@ -140,14 +157,27 @@ object MaterializedView {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (delta.isEmpty) return 0
-      val vMax: Option[Long] =
-        if (hasVersion) Some(delta.agg(max(col("d_vmax"))).head.getLong(0))
-        else None
+      // one small job over the persisted delta answers both batch-level
+      // facts: the end version (fold mark / recompute pin) and whether
+      // ANY group saw a delete (insert-only batches never read the base,
+      // even with min/max columns — the fold path is exact for them)
+      val (vMax: Option[Long], anyDeletes: Boolean) =
+        (hasVersion, mv.minMaxCols.nonEmpty) match {
+          case (true, true) =>
+            val r = delta.agg(max(col("d_vmax")), max(col("d_has_del"))).head
+            (Some(r.getLong(0)), r.getInt(1) > 0)
+          case (true, false) =>
+            (Some(delta.agg(max(col("d_vmax"))).head.getLong(0)), false)
+          case (false, true) =>
+            (None, delta.agg(max(col("d_has_del"))).head.getInt(0) > 0)
+          case _ => (None, false)
+        }
       var retries = 0
       var done = false
       while (!done) {
         try {
-          applyOnce(srcDb, viewDb, mv, delta, vMax, appId, batchId)
+          applyOnce(srcDb, viewDb, mv, delta, vMax, anyDeletes,
+            appId, batchId)
           done = true
         } catch {
           case e: graft.catalog.TxLog.ConflictException =>
@@ -165,9 +195,17 @@ object MaterializedView {
 
   /** One attempt against the CURRENT view snapshot. */
   private def applyOnce(srcDb: GraftDatabase, viewDb: GraftDatabase,
-      mv: MvDef, delta: DataFrame, vMaxOpt: Option[Long], appId: String,
-      batchId: Long): Unit = {
-    val stateCols = CountCol +: mv.sumCols.map(sumCol)
+      mv: MvDef, delta: DataFrame, vMaxOpt: Option[Long],
+      anyDeletes: Boolean, appId: String, batchId: Long): Unit = {
+    def mmType(c: String) = delta.schema(s"d_min_$c").dataType
+    // the stored min/max participate in the insert-only FOLD path, so
+    // the probe carries them (aliased o_*: the recompute arm joins in
+    // its own candidates under r_*)
+    val sel = (df: DataFrame) => df.select(
+      (Seq(col(KeyCol), col(CountCol)) ++ mv.sumCols.map(c => col(sumCol(c))) ++
+        mv.minMaxCols.flatMap(c => Seq(
+          col(minColName(c)).as(s"o_min_$c"),
+          col(maxColName(c)).as(s"o_max_$c")))): _*)
     // the view rows of the AFFECTED keys only: bounded key set
     // broadcasts into a map-side semi-probe of the view (plan-gated) —
     // the view never reshuffles. `old` ⊆ delta keys, so a LEFT join
@@ -175,8 +213,7 @@ object MaterializedView {
     val viewExists = viewDb.tableExists(mv.view)
     val old: DataFrame =
       if (viewExists) {
-        val o = viewDb.table(mv.view)
-          .select((KeyCol +: stateCols).map(col): _*)
+        val o = sel(viewDb.table(mv.view))
           .join(broadcast(delta.select(KeyCol)), Seq(KeyCol), "left_semi")
         graft.plans.PlanGates.assertBroadcastProbe(o,
           s"MaterializedView(${mv.view}) state probe")
@@ -188,6 +225,10 @@ object MaterializedView {
           .withColumn(CountCol, lit(null).cast(LongType))
         mv.sumCols.foreach(c =>
           e = e.withColumn(sumCol(c), lit(null).cast(SumType)))
+        mv.minMaxCols.foreach { c =>
+          e = e.withColumn(s"o_min_$c", lit(null).cast(mmType(c)))
+            .withColumn(s"o_max_$c", lit(null).cast(mmType(c)))
+        }
         e
       }
     var m = delta.join(old, Seq(KeyCol), "left_outer")
@@ -205,31 +246,53 @@ object MaterializedView {
         lit(s"MaterializedView(${mv.view}): group count went negative " +
           "(delete without a matching insert) at key "), col(KeyCol)))))
     if (mv.minMaxCols.nonEmpty) {
-      // recompute min/max for the affected groups at the batch's END
-      // version: bounded keys broadcast into a map-side probe of the
-      // base table's pinned snapshot, then group-by over the matched
-      // slice only
-      val vMax = vMaxOpt.get
-      // `prepare` re-derives any computed key/measure columns the
-      // STREAM projection added (e.g. day = to_date(ts)) — it must
-      // match that projection exactly, or the recomputed groups won't
-      // line up with the folded ones (the per-batch equality the spec
-      // pins would catch the drift)
-      val baseAt = mv.prepare(srcDb.tableAt(mv.source, vMax).getOrElse(
-        throw new IllegalStateException(
-          s"MaterializedView(${mv.view}): source '${mv.source}' has no " +
-            s"state at version $vMax")))
-      val rec = baseAt
-        .withColumn(KeyCol, keyExpr(mv.keyCols))
-        .join(broadcast(delta.select(KeyCol)), Seq(KeyCol), "left_semi")
-        .groupBy(col(KeyCol))
-        .agg(min(col(mv.minMaxCols.head)).as(minColName(mv.minMaxCols.head)),
-          mv.minMaxCols.flatMap(c => Seq(
-            min(col(c)).as(minColName(c)), max(col(c)).as(maxColName(c))))
-            .drop(1): _*)
-      graft.plans.PlanGates.assertBroadcastProbe(rec,
-        s"MaterializedView(${mv.view}) min/max recompute probe")
-      m = m.join(rec, Seq(KeyCol), "left_outer")
+      // SPLIT PATH: groups the batch only INSERTS into fold exactly
+      // (least/greatest of the stored value and the batch's inserted
+      // extremes — Spark's least/greatest skip nulls, covering the
+      // new-group and no-old cases); only groups that saw a DELETE
+      // recompute from the base AT THE BATCH'S END VERSION — bounded
+      // delete-affected keys broadcast into a map-side probe of the
+      // pinned snapshot, group-by over the matched slice only. An
+      // insert-only batch therefore never reads the base at all.
+      if (anyDeletes) {
+        val vMax = vMaxOpt.get
+        // `prepare` re-derives any computed key/measure columns the
+        // STREAM projection added (e.g. day = to_date(ts)) — it must
+        // match that projection exactly, or the recomputed groups won't
+        // line up with the folded ones (the per-batch equality the spec
+        // pins would catch the drift)
+        val baseAt = mv.prepare(srcDb.tableAt(mv.source, vMax).getOrElse(
+          throw new IllegalStateException(
+            s"MaterializedView(${mv.view}): source '${mv.source}' has no " +
+              s"state at version $vMax")))
+        val delKeys = delta.filter(col("d_has_del") === 1).select(KeyCol)
+        val rec = baseAt
+          .withColumn(KeyCol, keyExpr(mv.keyCols))
+          .join(broadcast(delKeys), Seq(KeyCol), "left_semi")
+          .groupBy(col(KeyCol))
+          .agg(min(col(mv.minMaxCols.head)).as(s"r_min_${mv.minMaxCols.head}"),
+            mv.minMaxCols.flatMap(c => Seq(
+              min(col(c)).as(s"r_min_$c"), max(col(c)).as(s"r_max_$c")))
+              .drop(1): _*)
+        graft.plans.PlanGates.assertBroadcastProbe(rec,
+          s"MaterializedView(${mv.view}) min/max recompute probe")
+        m = m.join(rec, Seq(KeyCol), "left_outer")
+      }
+      mv.minMaxCols.foreach { c =>
+        val foldMin = least(col(s"o_min_$c"), col(s"d_min_$c"))
+        val foldMax = greatest(col(s"o_max_$c"), col(s"d_max_$c"))
+        m = m
+          .withColumn(minColName(c),
+            if (anyDeletes)
+              when(col("d_has_del") === 1, col(s"r_min_$c"))
+                .otherwise(foldMin)
+            else foldMin)
+          .withColumn(maxColName(c),
+            if (anyDeletes)
+              when(col("d_has_del") === 1, col(s"r_max_$c"))
+                .otherwise(foldMax)
+            else foldMax)
+      }
     }
     val outCols = (KeyCol +: mv.keyCols) ++ (CountCol +:
       mv.sumCols.map(sumCol)) ++
