@@ -1256,6 +1256,64 @@ object PipelineQueries {
         "maintained from the ingest feed through a post-ingest quality " +
         "delete — the mixture dashboard without per-refresh recompute; " +
         "in-stream tokenization, exact integer folding"),
+
+    // POLL-based view refresh: the same fold machinery WITHOUT a
+    // streaming query — refreshOnce walks the commit log from the
+    // view's durable fold mark (batch ids are end versions, so calls
+    // are idempotent), in admission-bounded version steps. The
+    // scheduled-refresh shape a warehouse cron wants: no trigger
+    // machinery, no checkpoint directory, per-call cost ∝ the changes
+    // landed since the last call.
+    Q("q170_mv_poll_refresh",
+      (s, dir) => {
+        import graft.catalog.GraftDatabase
+        import graft.dml.ConstrainedDml.TableDef
+        import graft.streaming.{MaterializedView, MvDef}
+        val ord = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice")
+        val base = java.nio.file.Files.createTempDirectory("graft-q170").toString
+        val db = GraftDatabase(s, "q170", base)
+          .defineTable(TableDef("ord", "o_orderkey"))
+        val mv = MvDef(source = "ord", view = "by_prio",
+          keyCols = Seq("o_orderpriority"), sumCols = Seq("o_totalprice"),
+          minMaxCols = Seq("o_totalprice"))
+        val viewBase =
+          java.nio.file.Files.createTempDirectory("graft-q170v").toString
+        val viewDb = MaterializedView.define(
+          GraftDatabase(s, "q170v", viewBase), mv)
+        // refresh #1 catches up the two inserts
+        db.insert("ord", ord.filter(col("o_orderkey") % 2 === 0)) // v1
+        db.insert("ord", ord.filter(col("o_orderkey") % 2 =!= 0)) // v2
+        MaterializedView.refreshOnce(db, viewDb, mv, "q170-poll")
+        // churn lands between refreshes; refresh #2 folds exactly it
+        db.delete("ord", col("o_totalprice") < 5000.0)            // v3
+        db.updateMany("ord", col("o_orderstatus") === "O",
+          Map("o_totalprice" -> (col("o_totalprice") + lit(2.5)))) // v4
+        MaterializedView.refreshOnce(db, viewDb, mv, "q170-poll")
+        require(MaterializedView.lastFoldedVersion(viewDb, mv)
+          .contains(4L), "fold mark must sit at the head")
+        MaterializedView.read(viewDb, mv)
+          .select(col("o_orderpriority"),
+            col("mv_count").as("n_orders"),
+            col("sum_o_totalprice").as("sum_price"),
+            col("mv_min_o_totalprice").as("min_price"),
+            col("mv_max_o_totalprice").as("max_price"))
+      },
+      Some("""WITH final AS (
+          SELECT o_orderpriority,
+            CASE WHEN o_orderstatus = 'O'
+              THEN o_totalprice + CAST(2.5 AS DOUBLE)
+              ELSE o_totalprice END AS p
+          FROM orders WHERE NOT (o_totalprice < 5000.0))
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(p AS DECIMAL(28,8))) AS DOUBLE) AS sum_price,
+          MIN(p) AS min_price, MAX(p) AS max_price
+        FROM final GROUP BY o_orderpriority"""),
+      "poll-based materialized-view refresh (no stream): refreshOnce " +
+        "walks the log from the durable fold mark in bounded version " +
+        "steps, idempotent by end-version batch ids — scheduled-" +
+        "refresh cost ∝ changes since the last call"),
   )
 
   /** The q87 keep-list oracle nested verbatim, split-assigned by the

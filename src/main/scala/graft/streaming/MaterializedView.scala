@@ -156,22 +156,21 @@ object MaterializedView {
         (mv.keyCols.drop(1).map(c => first(col(c)).as(c)) ++ aggs): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (delta.isEmpty) return 0
-      // one small job over the persisted delta answers both batch-level
-      // facts: the end version (fold mark / recompute pin) and whether
-      // ANY group saw a delete (insert-only batches never read the base,
-      // even with min/max columns — the fold path is exact for them)
-      val (vMax: Option[Long], anyDeletes: Boolean) =
-        (hasVersion, mv.minMaxCols.nonEmpty) match {
-          case (true, true) =>
-            val r = delta.agg(max(col("d_vmax")), max(col("d_has_del"))).head
-            (Some(r.getLong(0)), r.getInt(1) > 0)
-          case (true, false) =>
-            (Some(delta.agg(max(col("d_vmax"))).head.getLong(0)), false)
-          case (false, true) =>
-            (None, delta.agg(max(col("d_has_del"))).head.getInt(0) > 0)
-          case _ => (None, false)
-        }
+      // ONE job over the persisted delta answers every batch-level
+      // fact: emptiness, the end version (fold mark / recompute pin),
+      // and whether ANY group saw a delete (insert-only batches never
+      // read the base, even with min/max columns — the fold path is
+      // exact for them)
+      val metaAggs = count(lit(1)).as("n") +:
+        ((if (hasVersion) Seq(max(col("d_vmax")).as("vmax")) else Nil) ++
+          (if (mv.minMaxCols.nonEmpty)
+            Seq(max(col("d_has_del")).as("anydel")) else Nil))
+      val meta = delta.agg(metaAggs.head, metaAggs.drop(1): _*).head
+      if (meta.getLong(0) == 0L) return 0
+      val vMax: Option[Long] =
+        if (hasVersion) Some(meta.getLong(meta.fieldIndex("vmax"))) else None
+      val anyDeletes: Boolean = mv.minMaxCols.nonEmpty &&
+        meta.getInt(meta.fieldIndex("anydel")) > 0
       var retries = 0
       var done = false
       while (!done) {
@@ -326,6 +325,46 @@ object MaterializedView {
     */
   def lastFoldedVersion(viewDb: GraftDatabase, mv: MvDef): Option[Long] =
     viewDb.ledgerEntry(versionLedgerKey(mv.view))
+
+  /** POLL-based refresh — the [[graft.streaming.ChangeFeedReplicator]]
+    * analog for views: fold everything the source committed since the
+    * view's last folded version, WITHOUT a streaming query (no trigger
+    * machinery, no checkpoint directory — the durable cursor IS the
+    * fold mark, committed atomically with each merge). Bounded like the
+    * feed's admission control: at most `maxVersionsPerFold` versions
+    * per merge commit, looping until caught up to the head observed at
+    * entry. Batch ids are END VERSIONS, so repeated or racing refresh
+    * calls under the same appId are idempotent (replays skip via the
+    * ledger); keep ONE consumer identity per view — a stream and a
+    * poller under different appIds would double-fold. `mv.prepare`
+    * re-derives computed columns on each diff,
+    * exactly as the stream projection would (it must therefore be
+    * applicable to both the base table and the diff frames — it only
+    * ADDS columns). Returns the number of source versions folded.
+    *
+    * Scheduled refresh = one [[ContinuousQueryService]] entry calling
+    * this; the cost model is the stream's without the per-trigger
+    * engine overhead.
+    */
+  def refreshOnce(srcDb: GraftDatabase, viewDb: GraftDatabase, mv: MvDef,
+      appId: String, maxVersionsPerFold: Int = 64): Long = {
+    require(maxVersionsPerFold > 0, "maxVersionsPerFold must be positive")
+    val from = lastFoldedVersion(viewDb, mv).getOrElse(0L)
+    val head = srcDb.settledLogVersion
+    if (head <= from) return 0L
+    var v = from
+    while (v < head) {
+      val to = math.min(head, v + maxVersionsPerFold)
+      val batch = (v + 1 to to).map(x =>
+        srcDb.changes(mv.source, x - 1, x)
+          .withColumn("_commit_version", lit(x)))
+        .reduce(_ unionByName _)
+      applyBatch(srcDb, viewDb, mv, mv.prepare(batch), appId,
+        batchId = to)
+      v = to
+    }
+    head - from
+  }
 
   /** The view as a user-facing frame: key columns, `mv_count`, each
     * maintained sum cast to DOUBLE as `sum_<c>` with `avg_<c>`

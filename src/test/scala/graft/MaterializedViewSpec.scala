@@ -268,6 +268,38 @@ class MaterializedViewSpec extends AnyFunSuite {
       "view exact despite concurrent OPTIMIZE churn")
   }
 
+  test("refreshOnce: poll-based refresh folds exactly the versions " +
+      "since the fold mark — no stream, repeated calls no-op, capped " +
+      "folds land the same state") {
+    val base = Files.createTempDirectory("graft_mvpoll").toString
+    val db = GraftDatabase(spark, "mvpoll", base)
+      .defineTable(TableDef("t", "id"))
+    val mv = MvDef(source = "t", view = "poll_by_k",
+      keyCols = Seq("k"), sumCols = Seq("v"), minMaxCols = Seq("v"))
+    val outBase = Files.createTempDirectory("graft_mvpoll_view").toString
+    val viewDb = MaterializedView.define(
+      GraftDatabase(spark, "mvpollv", outBase), mv)
+    db.insert("t", Seq((1L, "a", 5.0), (2L, "b", 7.0)).toDF("id", "k", "v"))
+    db.insert("t", Seq((3L, "a", 9.0)).toDF("id", "k", "v"))
+    // capped at 1 version/fold: two merge commits, same final state
+    assert(MaterializedView.refreshOnce(db, viewDb, mv, "poll-app",
+      maxVersionsPerFold = 1) == 2L)
+    assert(MaterializedView.lastFoldedVersion(viewDb, mv).contains(2L))
+    assert(asSet(viewState(viewDb, mv)) ==
+      asSet(recompute(db.table("t"), mv)))
+    // caught up: a repeated refresh is a no-op (no commit)
+    val ver = viewDb.logVersion
+    assert(MaterializedView.refreshOnce(db, viewDb, mv, "poll-app") == 0L)
+    assert(viewDb.logVersion == ver)
+    // more churn, incl. a delete (the recompute arm) — one wide fold
+    db.delete("t", col("v") === 9.0)
+    db.updateMany("t", col("k") === "b", Map("v" -> (col("v") + 100.0)))
+    assert(MaterializedView.refreshOnce(db, viewDb, mv, "poll-app") == 2L)
+    assert(MaterializedView.lastFoldedVersion(viewDb, mv).contains(4L))
+    assert(asSet(viewState(viewDb, mv)) ==
+      asSet(recompute(db.table("t"), mv)))
+  }
+
   test("withCommitVersion tags every row with the version that changed " +
       "it — per-version arms even when one batch spans two versions") {
     val base = Files.createTempDirectory("graft_mvwv").toString
