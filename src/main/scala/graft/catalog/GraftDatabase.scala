@@ -1338,20 +1338,36 @@ final class GraftDatabase private (
     * later one)? Streaming sinks use it as the cheap replay fast-path
     * BEFORE doing any per-batch Spark work — [[insertBatch]] /
     * [[mergeBatch]] re-check under their own snapshot, so the check is
-    * advisory, never the correctness gate.
+    * advisory, never the correctness gate. (The high-water mark itself
+    * is [[appliedBatch]]; beyond replay skipping, consumers use
+    * synthetic appIds as durable monotonic counters that ride their
+    * data commits atomically — [[graft.streaming.MaterializedView]]
+    * records the last folded SOURCE version this way, which is what
+    * makes a view resumable after its checkpoint is lost.)
     */
   def batchApplied(appId: String, batchId: Long): Boolean =
-    txlog.snapshot().txns.get(appId).exists(_ >= batchId)
+    appliedBatch(appId).exists(_ >= batchId)
 
-  /** The ledger's high-water mark for `appId` (None if it never
-    * committed). Beyond replay skipping, consumers use synthetic appIds
-    * as durable monotonic counters that ride their data commits
-    * atomically — [[graft.streaming.MaterializedView]] records the last
-    * folded SOURCE version this way, which is what makes a view
-    * resumable after its checkpoint is lost.
+  /** The changes in `(fromVersion, toVersion]` as ONE frame of
+    * per-version diff arms, each row tagged with the LONG
+    * `_commit_version` that produced it — the multiplexed feed's
+    * granularity, typed (vs [[changes]], which telescopes the span
+    * into one net diff). Arms union BY NAME with missing columns
+    * null-filled: a span crossing a historical ADD COLUMN has arms
+    * pinned to different stored schemas, and the older arms null-fill
+    * exactly like a schema-pinned table read of that era. One
+    * definition shared by the feed's `withCommitVersion` batches and
+    * [[graft.streaming.MaterializedView.refreshOnce]], so the two can
+    * never drift.
     */
-  def ledgerEntry(appId: String): Option[Long] =
-    txlog.snapshot().txns.get(appId)
+  def changesPerVersion(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesPerVersion: empty span ($fromVersion, $toVersion]")
+    (fromVersion + 1 to toVersion).map(v =>
+      changes(name, v - 1, v).withColumn("_commit_version", lit(v)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Idempotent batch MERGE for streaming sinks whose per-batch work is
     * an upsert-plus-delete over bounded key sets — the write primitive

@@ -1285,12 +1285,12 @@ object PipelineQueries {
         // refresh #1 catches up the two inserts
         db.insert("ord", ord.filter(col("o_orderkey") % 2 === 0)) // v1
         db.insert("ord", ord.filter(col("o_orderkey") % 2 =!= 0)) // v2
-        MaterializedView.refreshOnce(db, viewDb, mv, "q170-poll")
+        MaterializedView.refreshOnce(db, viewDb, mv)
         // churn lands between refreshes; refresh #2 folds exactly it
         db.delete("ord", col("o_totalprice") < 5000.0)            // v3
         db.updateMany("ord", col("o_orderstatus") === "O",
           Map("o_totalprice" -> (col("o_totalprice") + lit(2.5)))) // v4
-        MaterializedView.refreshOnce(db, viewDb, mv, "q170-poll")
+        MaterializedView.refreshOnce(db, viewDb, mv)
         require(MaterializedView.lastFoldedVersion(viewDb, mv)
           .contains(4L), "fold mark must sit at the head")
         MaterializedView.read(viewDb, mv)

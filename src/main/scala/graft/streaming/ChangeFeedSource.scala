@@ -215,11 +215,7 @@ final class ChangeFeedMicroBatchStream(db: GraftDatabase, table: String,
     // need to know which snapshot a batch lands them at. Plan width is
     // bounded by the version cap (defaulted when this option is on).
     val diff =
-      if (withVersion)
-        (from + 1 to to).map(v =>
-          db.changes(table, v - 1, v).withColumn("_commit_version",
-            org.apache.spark.sql.functions.lit(v)))
-          .reduce(_ unionByName _)
+      if (withVersion) db.changesPerVersion(table, from, to)
       else db.changes(table, from, to)
     val have = diff.columns.map(_.toLowerCase).toSet
     val batch = diff.select(pinned.toSeq.map { f =>

@@ -72,16 +72,14 @@ final case class MvDef(
 
 object MaterializedView {
 
-  /** The view table's synthetic single-column PK: the group-key tuple,
-    * -separated — an EMPTY separator would collapse ("ab","c")
-    * and ("a","bc") into one group — and null-safely encoded
-    * (concat_ws SKIPS nulls, which would collapse ('a', null) and
-    * (null, 'a'); the sentinel keeps every position present and cannot
-    * collide with the string "NULL" in data).
+  /** The view table's synthetic single-column PK: the group-key tuple
+    * with each component LENGTH-PREFIX encoded (see [[keyExpr]]) —
+    * distinct tuples can never merge, regardless of what characters
+    * (separators included) or nulls the values contain; concat_ws's
+    * null-skipping never fires because the encoding is null-free.
     */
   val KeyCol = "_mv_key"
-  private val KeySep = ""
-  private val NullSentinel = "NULL"
+  private val KeySep = "\u0001"
   val CountCol = "mv_count"
   def sumCol(c: String): String = s"mv_sum_$c"
   def minColName(c: String): String = s"mv_min_$c"
@@ -96,8 +94,16 @@ object MaterializedView {
 
   def keyExpr(keyCols: Seq[String]): Column =
     concat_ws(KeySep,
-      keyCols.map(c =>
-        coalesce(col(c).cast("string"), lit(NullSentinel))): _*)
+      keyCols.map { c =>
+        // LENGTH-PREFIXED component encoding ("<len>:<value>", nulls as
+        // the prefix-free "N"): unlike bare separator-joining, this is
+        // collision-free even when a value CONTAINS the separator —
+        // ("xy","z") vs ("x","yz") encode differently
+        // because the embedded lengths differ
+        val s = col(c).cast("string")
+        when(s.isNull, lit("N"))
+          .otherwise(concat(length(s).cast("string"), lit(":"), s))
+      }: _*)
 
   /** Declare the view's backing table (PK = the synthetic key). */
   def define(viewDb: GraftDatabase, mv: MvDef): GraftDatabase =
@@ -234,8 +240,13 @@ object MaterializedView {
       .withColumn(CountCol,
         coalesce(col(CountCol), lit(0L)) + col("d_count"))
     mv.sumCols.foreach { c =>
+      // BOTH sides need the null guard: d_sum is NULL when every one of
+      // the group's batch rows carries a NULL measure (SQL sum skips
+      // nulls) — adding it unguarded would null out the stored sum,
+      // where the recompute (which also skips nulls) keeps it
       m = m.withColumn(sumCol(c),
-        (coalesce(col(sumCol(c)), lit(0).cast(SumType)) + col(s"d_sum_$c"))
+        (coalesce(col(sumCol(c)), lit(0).cast(SumType)) +
+          coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
           .cast(SumType))
     }
     // a negative count is feed incoherence (a delete for a row the view
@@ -324,7 +335,7 @@ object MaterializedView {
     * feeds are not resumable, only rebuildable).
     */
   def lastFoldedVersion(viewDb: GraftDatabase, mv: MvDef): Option[Long] =
-    viewDb.ledgerEntry(versionLedgerKey(mv.view))
+    viewDb.appliedBatch(versionLedgerKey(mv.view))
 
   /** POLL-based refresh — the [[graft.streaming.ChangeFeedReplicator]]
     * analog for views: fold everything the source committed since the
@@ -333,34 +344,55 @@ object MaterializedView {
     * fold mark, committed atomically with each merge). Bounded like the
     * feed's admission control: at most `maxVersionsPerFold` versions
     * per merge commit, looping until caught up to the head observed at
-    * entry. Batch ids are END VERSIONS, so repeated or racing refresh
-    * calls under the same appId are idempotent (replays skip via the
-    * ledger); keep ONE consumer identity per view — a stream and a
-    * poller under different appIds would double-fold. `mv.prepare`
-    * re-derives computed columns on each diff,
-    * exactly as the stream projection would (it must therefore be
-    * applicable to both the base table and the diff frames — it only
-    * ADDS columns). Returns the number of source versions folded.
+    * entry. The poll consumer's ledger identity is derived internally
+    * and its batch ids are END VERSIONS, so repeated or racing
+    * refreshOnce calls are idempotent (replays skip via the ledger).
+    * A view has ONE maintenance mode at a time: a live stream folding
+    * the same view concurrently is the double-fold configuration, and
+    * the refresh detects the mark moving under it and fails loudly.
+    * SWITCHING modes is safe at a quiesce point in either direction —
+    * the fold mark is the shared cursor (stop the stream, then poll;
+    * or stop polling and start a stream at
+    * `startingVersion = lastFoldedVersion` under a fresh stream appId).
+    * `mv.prepare` re-derives computed columns on each diff, exactly as
+    * the stream projection would (it must therefore be applicable to
+    * both the base table and the diff frames — it only ADDS columns).
+    * Returns the number of source versions EXAMINED (a trailing run of
+    * versions that touched only other tables folds an empty delta,
+    * which commits nothing — the mark then rests below the head and
+    * those versions are re-examined next call; correct, at the cost of
+    * re-walking that gap until the source table itself changes).
     *
     * Scheduled refresh = one [[ContinuousQueryService]] entry calling
     * this; the cost model is the stream's without the per-trigger
     * engine overhead.
     */
   def refreshOnce(srcDb: GraftDatabase, viewDb: GraftDatabase, mv: MvDef,
-      appId: String, maxVersionsPerFold: Int = 64): Long = {
+      maxVersionsPerFold: Int = 64): Long = {
     require(maxVersionsPerFold > 0, "maxVersionsPerFold must be positive")
+    // the poll consumer's identity is DERIVED, not caller-chosen: a
+    // user-supplied appId aliasing a stream's would make the stream's
+    // small sequence batchIds collide with the poller's end-version
+    // batchIds in one ledger namespace and silently skip stream batches
+    val appId = s"_mv_poll:${mv.view}"
     val from = lastFoldedVersion(viewDb, mv).getOrElse(0L)
     val head = srcDb.settledLogVersion
     if (head <= from) return 0L
     var v = from
     while (v < head) {
+      // a concurrently-running OTHER consumer (a live stream) advancing
+      // the fold mark under this poll is the double-fold configuration —
+      // detect it loudly instead of folding the same versions twice
+      val cur = lastFoldedVersion(viewDb, mv).getOrElse(0L)
+      if (cur > v) throw new IllegalStateException(
+        s"MaterializedView(${mv.view}): the fold mark advanced to $cur " +
+          s"while this refresh was at $v — another consumer (a live " +
+          "stream?) is maintaining the view concurrently; a view has " +
+          "ONE maintenance mode at a time")
       val to = math.min(head, v + maxVersionsPerFold)
-      val batch = (v + 1 to to).map(x =>
-        srcDb.changes(mv.source, x - 1, x)
-          .withColumn("_commit_version", lit(x)))
-        .reduce(_ unionByName _)
-      applyBatch(srcDb, viewDb, mv, mv.prepare(batch), appId,
-        batchId = to)
+      applyBatch(srcDb, viewDb, mv,
+        mv.prepare(srcDb.changesPerVersion(mv.source, v, to)),
+        appId, batchId = to)
       v = to
     }
     head - from

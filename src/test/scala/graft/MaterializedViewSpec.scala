@@ -268,6 +268,56 @@ class MaterializedViewSpec extends AnyFunSuite {
       "view exact despite concurrent OPTIMIZE churn")
   }
 
+  test("a batch whose rows for a group ALL carry a NULL measure leaves " +
+      "the stored sum intact (SQL sum skips nulls; the fold must too)") {
+    val outBase = Files.createTempDirectory("graft_mvnull").toString
+    val mv = MvDef(source = "unused", view = "null_by_k",
+      keyCols = Seq("k"), sumCols = Seq("v"))
+    val viewDb = MaterializedView.define(
+      GraftDatabase(spark, "mvnull", outBase), mv)
+    MaterializedView.applyBatch(null, viewDb, mv,
+      Seq(("k1", Some(1.0), "insert"), ("k1", Some(2.0), "insert"))
+        .toDF("k", "v", "_change_type"), "mvnull-app", 0L)
+    // batch of ONLY null-valued rows for the group: d_sum is NULL
+    MaterializedView.applyBatch(null, viewDb, mv,
+      Seq(("k1", Option.empty[Double], "insert"))
+        .toDF("k", "v", "_change_type"), "mvnull-app", 1L)
+    val got = viewDb.table(mv.view)
+      .select("k", MaterializedView.CountCol,
+        MaterializedView.sumCol("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDecimal(2)).map(_.doubleValue))).toSeq
+    assert(got == Seq(("k1", 3L, Some(3.0))),
+      s"null-measure batch must not clobber the sum: $got")
+  }
+
+  test("a withCommitVersion batch spanning a historical ADD COLUMN " +
+      "null-fills the older arms instead of failing the union") {
+    val base = Files.createTempDirectory("graft_mvsch").toString
+    val db = GraftDatabase(spark, "mvsch", base)
+      .defineTable(TableDef("t", "id"))
+    db.insert("t", Seq((1L, "a")).toDF("id", "s"))             // v1
+    db.addColumn("t", "c", org.apache.spark.sql.types.LongType) // v2
+    db.insert("t", Seq((2L, "b", 9L)).toDF("id", "s", "c"))    // v3
+    val ckpt = Files.createTempDirectory("graft_mvsch_ck").toString
+    val name = "mvsch_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // ONE batch spans all three versions: the v1 arm is pinned to the
+    // pre-ADD-COLUMN stored schema and must null-fill `c`
+    val q = spark.readStream.format("graft-changes")
+      .option("baseDir", base).option("name", "mvsch")
+      .option("table", "t").option("withCommitVersion", "true")
+      .option("maxVersionsPerTrigger", "3").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name)
+      .select("id", "c", "_commit_version")
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(got == Set((1L, None, 1L), (2L, Some(9L), 3L)))
+  }
+
   test("refreshOnce: poll-based refresh folds exactly the versions " +
       "since the fold mark — no stream, repeated calls no-op, capped " +
       "folds land the same state") {
@@ -282,19 +332,19 @@ class MaterializedViewSpec extends AnyFunSuite {
     db.insert("t", Seq((1L, "a", 5.0), (2L, "b", 7.0)).toDF("id", "k", "v"))
     db.insert("t", Seq((3L, "a", 9.0)).toDF("id", "k", "v"))
     // capped at 1 version/fold: two merge commits, same final state
-    assert(MaterializedView.refreshOnce(db, viewDb, mv, "poll-app",
+    assert(MaterializedView.refreshOnce(db, viewDb, mv,
       maxVersionsPerFold = 1) == 2L)
     assert(MaterializedView.lastFoldedVersion(viewDb, mv).contains(2L))
     assert(asSet(viewState(viewDb, mv)) ==
       asSet(recompute(db.table("t"), mv)))
     // caught up: a repeated refresh is a no-op (no commit)
     val ver = viewDb.logVersion
-    assert(MaterializedView.refreshOnce(db, viewDb, mv, "poll-app") == 0L)
+    assert(MaterializedView.refreshOnce(db, viewDb, mv) == 0L)
     assert(viewDb.logVersion == ver)
     // more churn, incl. a delete (the recompute arm) — one wide fold
     db.delete("t", col("v") === 9.0)
     db.updateMany("t", col("k") === "b", Map("v" -> (col("v") + 100.0)))
-    assert(MaterializedView.refreshOnce(db, viewDb, mv, "poll-app") == 2L)
+    assert(MaterializedView.refreshOnce(db, viewDb, mv) == 2L)
     assert(MaterializedView.lastFoldedVersion(viewDb, mv).contains(4L))
     assert(asSet(viewState(viewDb, mv)) ==
       asSet(recompute(db.table("t"), mv)))
