@@ -31,6 +31,28 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.load(spark, sfDir, "region").count()
 
+    // per-action Catalyst phase times (parsing/analysis/optimization/
+    // planning run on the driver between jobs — the "gap" suspects)
+    val phaseTotals = new TrieMap[String, Long] // phase -> ms
+    val actionCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          actionCount.incrementAndGet()
+          qe.tracker.phases.foreach { case (p, s) =>
+            phaseTotals.updateWith(p) {
+              case Some(t) => Some(t + (s.endTimeMs - s.startTimeMs))
+              case None => Some(s.endTimeMs - s.startTimeMs)
+            }
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
     final case class J(var start: Long = 0L, var end: Long = 0L,
         var site: String = "?", var desc: String = "")
     val jobs = new TrieMap[Int, J]
@@ -38,9 +60,16 @@ object ProfileQuery {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val j = jobs.getOrElseUpdate(js.jobId, J())
         j.start = js.time
-        j.site = Option(js.properties.getProperty("callSite.short")).getOrElse("?")
+        // the RESULT stage's callsite is the action site (collect at
+        // Foo.scala:N, parquet at TxLog.scala:M, ...) — far more
+        // informative than the thread's query-start callsite, which every
+        // streaming-trigger job inherits
+        j.site = js.stageInfos.sortBy(_.stageId).lastOption.map(_.name)
+          .getOrElse("?")
+        // descriptions can be multi-line (streaming's batch banner) —
+        // first line only, and prefer graft phase labels when present
         j.desc = Option(js.properties.getProperty("spark.job.description"))
-          .getOrElse("")
+          .map(_.linesIterator.next()).getOrElse("")
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.get(je.jobId).foreach(_.end = je.time)
@@ -51,7 +80,7 @@ object ProfileQuery {
         sys.error(s"unknown query $name; known e.g. " +
           SparkEntry.queries.keys.take(5).mkString(",")))
       (1 to repeat).foreach { it =>
-        jobs.clear()
+        jobs.clear(); phaseTotals.clear(); actionCount.set(0)
         val t0 = System.nanoTime()
         val rows = fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -69,7 +98,10 @@ object ProfileQuery {
         }._1 / 1e3
         println(f"[profile] == $name#$it rows=$rows wall=$wall%.2f s " +
           f"jobs=${done.size} sum=$sumJobs%.2f s covered=$covered%.2f s " +
-          f"gap=${wall - covered}%.2f s")
+          f"gap=${wall - covered}%.2f s actions=${actionCount.get}")
+        println("[profile]   catalyst-phases: " + phaseTotals.toSeq
+          .sortBy(-_._2).map { case (p, ms) =>
+            f"$p=${ms / 1e3}%.2f s" }.mkString(" "))
         done.groupBy(j => (j.site, j.desc)).toSeq
           .map { case ((site, desc), js) =>
             (js.map(j => j.end - j.start).sum / 1e3, js.size, site, desc) }

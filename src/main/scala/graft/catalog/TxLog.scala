@@ -814,8 +814,10 @@ final class TxLog(spark: SparkSession, root: String,
     // after a metadata-only RENAME COLUMN, files keep writing the
     // PHYSICAL name (the mapping's stable identity) — old and new files
     // stay byte-compatible and the pinned read renames them all back
-    toPhysical(table, df).write.options(ioOptions).mode("error")
-      .parquet(dir.toString)
+    graft.core.JobLabel(spark, s"stage $table") {
+      toPhysical(table, df).write.options(ioOptions).mode("error")
+        .parquet(dir.toString)
+    }
     val s = Files.list(dir)
     try {
       val parts = s.iterator().asScala.map(_.getFileName.toString)

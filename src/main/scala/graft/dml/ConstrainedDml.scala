@@ -136,7 +136,9 @@ object ConstrainedDml {
     val counted = checks.zipWithIndex.map { case ((_, _, df), i) =>
       df.agg(count(lit(1)).as("n")).select(lit(i).as("i"), col("n"))
     }
-    val ns = counted.reduce(_.unionByName(_)).collect()
+    val union = counted.reduce(_.unionByName(_))
+    val ns = graft.core.JobLabel(union.sparkSession,
+      s"constraint check $tableName") { union.collect() }
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     checks.zipWithIndex.collect {
       case ((kind, column, _), i) if ns.getOrElse(i, 0L) > 0 =>

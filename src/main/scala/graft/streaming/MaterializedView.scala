@@ -171,7 +171,10 @@ object MaterializedView {
         ((if (hasVersion) Seq(max(col("d_vmax")).as("vmax")) else Nil) ++
           (if (mv.minMaxCols.nonEmpty)
             Seq(max(col("d_has_del")).as("anydel")) else Nil))
-      val meta = delta.agg(metaAggs.head, metaAggs.drop(1): _*).head
+      val meta = graft.core.JobLabel(delta.sparkSession,
+        s"mv delta fold ${mv.view}") {
+        delta.agg(metaAggs.head, metaAggs.drop(1): _*).head
+      }
       if (meta.getLong(0) == 0L) return 0
       val vMax: Option[Long] =
         if (hasVersion) Some(meta.getLong(meta.fieldIndex("vmax"))) else None
@@ -314,9 +317,15 @@ object MaterializedView {
       val deleteKeys = out.filter(col(CountCol) === 0).select(KeyCol)
       // the last-folded-source-version mark rides the SAME commit
       // (monotonic max in the ledger): after any batch, a lost
-      // checkpoint resumes with startingVersion = lastFoldedVersion
+      // checkpoint resumes with startingVersion = lastFoldedVersion.
+      // replacementsDistinctByPk: `out` descends from the delta's
+      // groupBy(KeyCol) left-joined at most once per key against the
+      // view — one row per KeyCol by construction, and keyExpr never
+      // yields null — so the view merge skips the per-batch
+      // validation pass (the view table has no uniques/FKs)
       viewDb.mergeBatch(mv.view, upserts, deleteKeys, appId, batchId,
-        alsoRecord = vMaxOpt.map(versionLedgerKey(mv.view) -> _).toSeq)
+        alsoRecord = vMaxOpt.map(versionLedgerKey(mv.view) -> _).toSeq,
+        replacementsDistinctByPk = true)
       ()
     } finally { out.unpersist(); () }
   }

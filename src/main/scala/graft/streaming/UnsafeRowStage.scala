@@ -71,7 +71,8 @@ object UnsafeRowStage {
     fs.mkdirs(dirPath)
     val ser = new SerializableHadoopConf(hconf)
     val nf = schema.length
-    val files = org.apache.spark.sql.graft.RddShim.toInternalRowRdd(df)
+    val files = graft.core.JobLabel(spark, "feed batch stage") {
+      org.apache.spark.sql.graft.RddShim.toInternalRowRdd(df)
       .mapPartitionsWithIndex { (idx, rows) =>
         if (!rows.hasNext) Iterator.empty
         else {
@@ -99,6 +100,7 @@ object UnsafeRowStage {
           Iterator.single(p.toString)
         }
       }.collect() // file NAMES only — never rows
+    }
     files.map(f => StagedPartition(f, nf): InputPartition)
   }
 

@@ -296,4 +296,50 @@ class MergeSpec extends AnyFunSuite {
       "an insert-bearing MERGE must commit absolute, not as a patch")
     assert(db.table("t").count() == 2)
   }
+
+  // ---- mergeBatch's trusted-distinct fast path (round-13 optimization) ----
+
+  test("mergeBatch WITHOUT replacementsDistinctByPk still rejects " +
+      "duplicate-PK replacements (the validation it exists to skip)") {
+    val db = freshDb().defineTable(TableDef("t", "id"))
+    db.insert("t", Seq((1, 10L)).toDF("id", "v"))
+    val dup = Seq((7, 70L), (7, 71L)).toDF("id", "v")
+    val e = intercept[IllegalStateException](
+      db.mergeBatch("t", dup, spark.emptyDataFrame
+        .selectExpr("CAST(1 AS INT) AS id").limit(0), "mb-app", 0L))
+    assert(e.getMessage.contains("pk_conflict"))
+  }
+
+  test("replacementsDistinctByPk NEVER skips validation on a table " +
+      "with unique columns — the proof only covers the PK") {
+    val db = freshDb().defineTable(
+      TableDef("u", "id", uniqueCols = Seq("email")))
+    db.insert("u", Seq((1, "a@x"), (2, "b@x")).toDF("id", "email"))
+    // distinct PKs (the flag's claim holds) but a unique-col collision
+    // with an untouched row — must still be caught
+    val bad = Seq((3, "a@x")).toDF("id", "email")
+    val e = intercept[IllegalStateException](
+      db.mergeBatch("u", bad,
+        Seq.empty[Int].toDF("id"), "mb-app2", 0L,
+        replacementsDistinctByPk = true))
+    assert(e.getMessage.contains("unique_conflict"))
+  }
+
+  test("replacementsDistinctByPk merge lands the same state the " +
+      "validated merge does (upsert + delete + ledger in one commit)") {
+    val db = freshDb().defineTable(TableDef("t", "id"))
+    db.insert("t", Seq((1, 10L), (2, 20L), (3, 30L)).toDF("id", "v"))
+    val v0 = db.logVersion
+    assert(db.mergeBatch("t", Seq((2, 200L), (4, 400L)).toDF("id", "v"),
+      Seq(3).toDF("id"), "mb-app3", 0L, replacementsDistinctByPk = true))
+    assert(db.logVersion == v0 + 1, "merge must be exactly ONE commit")
+    assert(db.table("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 10L), (2, 200L), (4, 400L)))
+    // replay skipped via the ledger
+    assert(!db.mergeBatch("t", Seq((9, 900L)).toDF("id", "v"),
+      Seq.empty[Int].toDF("id"), "mb-app3", 0L,
+      replacementsDistinctByPk = true))
+    assert(db.table("t").count() == 3)
+  }
 }
