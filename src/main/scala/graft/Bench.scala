@@ -39,6 +39,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Local runs skip Hadoop's client-side CRC shadow files: the
+      // checksummed LocalFileSystem doubles every create/rename/delete
+      // (data file + .crc twin), and with no native hadoop lib each
+      // extra permission touch is a fork/exec'd `chmod` — pure fixed
+      // cost per staged file, checkpoint entry, and commit-log write
+      // (parquet carries its own page checksums; the commit log
+      // publishes content-complete files atomically). Production
+      // deployments choose the FS by scheme (HDFS/S3A) where this
+      // knob is inert; override via SPARK_GRAFT_CONF if needed.
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.ui.enabled", "false")) {
         case (b, (k, v)) => b.config(k, v)
       }.getOrCreate()

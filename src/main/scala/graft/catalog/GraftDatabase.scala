@@ -163,6 +163,19 @@ final class GraftDatabase private (
     txlog.read(norm(name)).getOrElse(throw new IllegalArgumentException(
       s"table '${norm(name)}' does not exist (no committed data)"))
 
+  /** [[table]] with each row's backing data file materialized as
+    * `fileCol` — the seam for bounded-probe writers
+    * ([[graft.streaming.MaterializedView]]) that already read exactly
+    * a batch's affected rows: carrying the file identity through that
+    * probe lets them hand [[mergeBatch]] its hit files
+    * (`knownHitFiles`) instead of paying a second whole-table probe
+    * per batch.
+    */
+  def tableMarked(name: String, fileCol: String): DataFrame =
+    txlog.readMarked(norm(name), fileCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '${norm(name)}' does not exist (no committed data)"))
+
   /** The table's live data files at the current snapshot (diagnostics,
     * manifest queries, layout inspection).
     */
@@ -1400,7 +1413,8 @@ final class GraftDatabase private (
   def mergeBatch(name: String, replacements: DataFrame,
       deleteKeys: DataFrame, appId: String, batchId: Long,
       alsoRecord: Seq[(String, Long)] = Nil,
-      replacementsDistinctByPk: Boolean = false): Boolean = {
+      replacementsDistinctByPk: Boolean = false,
+      knownHitFiles: Option[Array[String]] = None): Boolean = {
     requireNoOpenTx()
     if (txlog.snapshot().txns.get(appId).exists(_ >= batchId)) return false
     val tdef = tableDef(name)
@@ -1438,18 +1452,27 @@ final class GraftDatabase private (
           spark, tdef, repl, merged, parentsOf(tdef)))
       // file-granular: files holding a replaced OR deleted PK. Scalable
       // direction — the table-scale marked frame probes map-side against
-      // the broadcast batch-bounded key set.
-      val affected = repl.select(col(tdef.pk)).union(dels).distinct()
+      // the broadcast batch-bounded key set. A caller that already
+      // probed the table this batch (MaterializedView's state probe
+      // reads exactly the affected keys' rows) hands the hit files in
+      // via knownHitFiles and the probe pass is skipped outright — one
+      // table pass per merge instead of two. Staleness is safe: the
+      // rewrite read falls back on unmapped files (hitFilesScan) and
+      // fileGranularAction re-checks the binding before committing,
+      // degrading to the full-rewrite fallback under any interleaving.
+      val snapNow = txlog.snapshot()
       val marked = txlog.readMarked(norm(name), "_graft_file").get
-      val hitRaw = graft.core.JobLabel(spark, s"merge hit probe $name") {
-        marked
-          .join(broadcast(affected), Seq(tdef.pk), "left_semi")
-          .select("_graft_file").distinct()
-          .collect()
-      }.map(_.getString(0)).filter(_.nonEmpty)
+      val hitRaw = knownHitFiles.getOrElse {
+        val affected = repl.select(col(tdef.pk)).union(dels).distinct()
+        graft.core.JobLabel(spark, s"merge hit probe $name") {
+          marked
+            .join(broadcast(affected), Seq(tdef.pk), "left_semi")
+            .select("_graft_file").distinct()
+            .collect()
+        }.map(_.getString(0))
+      }.filter(_.nonEmpty)
       val touched = ConstrainedDml.upsert(
-        marked.filter(col("_graft_file").isin(hitRaw: _*))
-          .drop("_graft_file")
+        hitFilesScan(snapNow, norm(name), hitRaw, marked, "_graft_file")
           .join(dels, Seq(tdef.pk), "left_anti"),
         repl, tdef.pk)
       commitGranularOrFull(name, tdef, base, hitRaw, touched,
@@ -1554,15 +1577,16 @@ final class GraftDatabase private (
       requireClean(ConstrainedDml.validateUpdate(
         spark, tdef, batch, merged, parentsOf(tdef)))
       // file-granular: only files holding a PK the batch REPLACES
-      // rewrite; a batch of all-new PKs is a pure append (files kept)
+      // rewrite; a batch of all-new PKs is a pure append (files kept).
+      // The rewrite read scans ONLY the hit files (hitFilesScan).
+      val snapNow = txlog.snapshot()
       val marked = txlog.readMarked(norm(name), "_graft_file").get
       val hitRaw = marked
         .join(batch.select(col(tdef.pk)), Seq(tdef.pk), "left_semi")
         .select("_graft_file").distinct()
         .collect().map(_.getString(0)).filter(_.nonEmpty)
       val touched = ConstrainedDml.upsert(
-        marked.filter(col("_graft_file").isin(hitRaw: _*))
-          .drop("_graft_file"),
+        hitFilesScan(snapNow, norm(name), hitRaw, marked, "_graft_file"),
         batch, tdef.pk)
       commitGranularOrFull(name, tdef, base, hitRaw, touched,
         table(name).schema, emptyHitsAppend = true)(merged)
@@ -1592,14 +1616,15 @@ final class GraftDatabase private (
         requireClean(ConstrainedDml.validateUpdate(
           spark, tdef, matched, merged, parentsOf(tdef)))
         // file-granular: rewrite only the files holding a replaced PK
+        // (and read only those — hitFilesScan)
+        val snapNow = txlog.snapshot()
         val marked = txlog.readMarked(norm(name), "_graft_file").get
         val hitRaw = marked
           .join(matched.select(col(tdef.pk)), Seq(tdef.pk), "left_semi")
           .select("_graft_file").distinct()
           .collect().map(_.getString(0)).filter(_.nonEmpty)
         val touched = ConstrainedDml.upsert(
-          marked.filter(col("_graft_file").isin(hitRaw: _*))
-            .drop("_graft_file"),
+          hitFilesScan(snapNow, norm(name), hitRaw, marked, "_graft_file"),
           matched, tdef.pk)
         commitGranularOrFull(name, tdef, base, hitRaw, touched,
           existing.schema, emptyHitsAppend = false,
@@ -1981,6 +2006,30 @@ final class GraftDatabase private (
       s"$what: scanned hit files no longer in the committed binding " +
         "(interleaved rewrite?) — retry")
     hitRel
+  }
+
+  /** The DV-masked rows of exactly the hit files — the rewrite-side
+    * read of upsert/update/mergeBatch, scanning ONLY the hit list (a
+    * statement touching 1% of a table's files reads 1%; the former
+    * `marked.filter(file isin hits)` shape scanned every file and
+    * dropped rows post-scan, a whole-table read per statement at
+    * scale). When a hit file no longer maps into the snapshot binding
+    * (an interleaved rewrite racing this statement), falls back to the
+    * old filter-over-full-scan shape — always correct, and
+    * fileGranularAction independently re-checks the binding and
+    * degrades to a full-rewrite commit in exactly that case, so
+    * correctness never rests on this mapping.
+    */
+  private def hitFilesScan(snap: TxLog.Snapshot, table: String,
+      hitRaw: Array[String], marked: DataFrame,
+      fileCol: String): DataFrame = {
+    if (hitRaw.isEmpty) return marked.limit(0).drop(fileCol)
+    val hitAbs = hitRaw.map(r => new java.net.URI(r).getPath).toSet
+    val hitRel = snap.tables.getOrElse(table, Vector.empty).filter(r =>
+      hitAbs.contains(Paths.get(s"$root/$r").toAbsolutePath.toString))
+    if (hitRel.size == hitAbs.size)
+      txlog.readFilesMasked(snap, table, hitRel)
+    else marked.filter(col(fileCol).isin(hitRaw.toSeq: _*)).drop(fileCol)
   }
 
   private def parentsOf(tdef: TableDef): Map[String, DataFrame] =

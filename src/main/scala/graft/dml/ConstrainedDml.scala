@@ -46,27 +46,10 @@ object ConstrainedDml {
       incoming: DataFrame,
       existing: Option[DataFrame],
       parents: Map[String, DataFrame]): Seq[Violation] = {
-    val checks = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, DataFrame)]
+    val b = new CheckBuilder(table.name)
 
-    table.fks.foreach { fk =>
-      val parent = parents.getOrElse(fk.parentTable,
-        throw new IllegalArgumentException(s"missing parent ${fk.parentTable}"))
-      checks += (("fk_missing", fk.childCol,
-        incoming.filter(col(fk.childCol).isNotNull)
-          .join(broadcast(parent.select(col(fk.parentCol))),
-            incoming(fk.childCol) === parent(fk.parentCol), "left_anti")))
-      if (fk.oneToOne) {
-        checks += (("one_to_one_conflict", fk.childCol,
-          duplicatedKeys(incoming.select(col(fk.childCol)), fk.childCol)))
-        existing.foreach { e =>
-          checks += (("one_to_one_conflict", fk.childCol,
-            crossMatch(e, incoming, fk.childCol)))
-        }
-      }
-    }
     // Cross-checks against the EXISTING table put the table on the LEFT
-    // and the batch's keys on the RIGHT: left-semi can only broadcast
+    // and the batch's keys on the RIGHT: a probe join can only broadcast
     // the build (right) side, so this direction lets the planner (AQE
     // re-plans from runtime sizes) broadcast the bounded batch keys and
     // probe the table with a map-side scan — no shuffle, no broadcast of
@@ -75,38 +58,170 @@ object ConstrainedDml {
     // column on every insert — the exact anti-pattern the LSH verify
     // joins were pinned against. Bulk loads whose key set outgrows the
     // broadcast threshold degrade to the same sort-merge as before.
-    // (null PKs never equi-match, so the crossMatch null filters are
-    // inert here; Violation.n counts conflicting TABLE keys, where the
-    // old direction counted conflicting batch rows — presence-identical)
-    existing.foreach { e =>
-      checks += (("pk_conflict", table.pk, crossMatch(e, incoming, table.pk)))
+    // ALL table-side probes (PK, 1:1 FK children, unique columns, the
+    // null-PK presence flag) now ride ONE pass over the table — a chain
+    // of broadcast left-outer marker joins feeding a single aggregate —
+    // instead of one table scan per checked column (the table scan is
+    // the per-statement cost a 100 TB insert feels; the bounded batch
+    // builds are the same either way). Violation.n still counts
+    // conflicting TABLE rows, exactly like the per-column semi-joins.
+    val probe = existing.map(e => new TableProbe(e))
+
+    table.fks.foreach { fk =>
+      val parent = parents.getOrElse(fk.parentTable,
+        throw new IllegalArgumentException(s"missing parent ${fk.parentTable}"))
+      b.single("fk_missing", fk.childCol,
+        incoming.filter(col(fk.childCol).isNotNull)
+          .join(broadcast(parent.select(col(fk.parentCol))),
+            incoming(fk.childCol) === parent(fk.parentCol), "left_anti"))
+      if (fk.oneToOne) {
+        b.single("one_to_one_conflict", fk.childCol,
+          duplicatedKeys(incoming.select(col(fk.childCol)), fk.childCol))
+        probe.foreach(p => p.matchCount(
+          b.slot("one_to_one_conflict", fk.childCol), incoming, fk.childCol))
+      }
+    }
+    probe.foreach { p =>
+      p.matchCount(b.slot("pk_conflict", table.pk), incoming, table.pk)
       // AT MOST ONE null-PK row per table: a second one could never be
       // addressed, replaced, or distinguished by id, and the in-batch
       // check already rejects two nulls arriving together — without
       // this, two single-null batches slip a state the whole-set
       // validation (restore, validateConstraints) rightly rejects.
-      // Both sides bound to one row, so the cross join is two lookups.
-      checks += (("pk_conflict", table.pk,
-        e.filter(col(table.pk).isNull).limit(1).select(lit(1).as("_exn"))
-          .crossJoin(incoming.filter(col(table.pk).isNull).limit(1)
-            .select(lit(1).as("_inn")))))
+      // Flag-AND of the two sides' null presence: the table flag rides
+      // the fused probe pass, the batch flag the fused batch pass.
+      val tNull = b.hidden()
+      val bNull = b.hidden()
+      p.nullCount(tNull, table.pk)
+      b.derived("pk_conflict", table.pk, ns =>
+        if (ns(tNull) > 0 && ns(bNull) > 0) 1L else 0L)
+      b.batchNullSlot = Some(bNull)
     }
     // NOTE: the in-batch PK dupe check deliberately has no notNull filter
-    // (a batch of several null PKs is a conflict, matching the original)
-    checks += (("pk_conflict", table.pk,
-      incoming.groupBy(table.pk).count().filter(col("count") > 1)))
-    // Unique checks split the old merged-groupBy (which shuffled the
-    // WHOLE table's column per insert) into in-batch dupes + a cross
-    // semi-join in the same table-scans/batch-builds direction; a value
-    // duplicated across the union is exactly one of the two.
-    table.uniqueCols.foreach { uc =>
-      checks += (("unique_conflict", uc,
-        duplicatedKeys(incoming.select(col(uc)), uc)))
-      existing.foreach { e =>
-        checks += (("unique_conflict", uc, crossMatch(e, incoming, uc)))
-      }
+    // (a batch of several null PKs is a conflict, matching the original).
+    // One batch pass emits the dupe count AND the batch-side null flag.
+    locally {
+      val dupeSlot = b.slot("pk_conflict", table.pk)
+      val g = incoming.groupBy(table.pk).count()
+      val aggs = Seq(
+        sum(when(col("count") > 1, 1L).otherwise(0L)).as("_dupes")) ++
+        b.batchNullSlot.map(_ =>
+          max(when(col(table.pk).isNull, 1L).otherwise(0L)).as("_bnull"))
+      val a = g.agg(aggs.head, aggs.drop(1): _*)
+      val pairs = struct(lit(dupeSlot).as("i"),
+        coalesce(col("_dupes"), lit(0L)).as("n")) +:
+        b.batchNullSlot.map(s => struct(lit(s).as("i"),
+          coalesce(col("_bnull"), lit(0L)).as("n"))).toSeq
+      b.emitter(a.select(explode(array(pairs: _*)).as("s"))
+        .select(col("s.i").as("i"), col("s.n").as("n")))
     }
-    runChecks(table.name, checks.toSeq)
+    // Unique checks split the old merged-groupBy (which shuffled the
+    // WHOLE table's column per insert) into in-batch dupes + the fused
+    // table probe; a value duplicated across the union is exactly one
+    // of the two.
+    table.uniqueCols.foreach { uc =>
+      b.single("unique_conflict", uc,
+        duplicatedKeys(incoming.select(col(uc)), uc))
+      probe.foreach(p => p.matchCount(
+        b.slot("unique_conflict", uc), incoming, uc))
+    }
+    probe.foreach(p => b.emitter(p.emit()))
+    b.run()
+  }
+
+  /** Accumulates check slots (ordered), count emitters, and derived
+    * combinations; `run` collects every emitter's (slot, count) rows in
+    * ONE Spark job and folds them back into ordered [[Violation]]s —
+    * same counts, same emission order as evaluating each check
+    * separately, but one action and (via [[TableProbe]]) one pass over
+    * the existing table per statement instead of one per checked
+    * column.
+    */
+  private final class CheckBuilder(tableName: String) {
+    private val slots = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)] // (kind, column); "" kind = hidden counter
+    private val derivations = scala.collection.mutable.Map
+      .empty[Int, Map[Int, Long] => Long]
+    private val emitters = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+    var batchNullSlot: Option[Int] = None
+
+    def slot(kind: String, column: String): Int = {
+      slots += ((kind, column)); slots.size - 1
+    }
+    def hidden(): Int = slot("", "")
+    def derived(kind: String, column: String,
+        f: Map[Int, Long] => Long): Int = {
+      val i = slot(kind, column); derivations(i) = f; i
+    }
+    def single(kind: String, column: String, df: DataFrame): Unit = {
+      val i = slot(kind, column)
+      emitters += df.agg(count(lit(1)).as("n"))
+        .select(lit(i).as("i"), col("n"))
+    }
+    def emitter(df: DataFrame): Unit = emitters += df
+
+    def run(): Seq[Violation] = {
+      if (emitters.isEmpty) return Nil
+      val union = emitters.reduce(_.unionByName(_))
+      val ns = graft.core.JobLabel(union.sparkSession,
+        s"constraint check $tableName") { union.collect() }
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      slots.zipWithIndex.collect {
+        case ((kind, column), i) if kind.nonEmpty &&
+            derivations.get(i).map(_(ns))
+              .getOrElse(ns.getOrElse(i, 0L)) > 0 =>
+          Violation(kind, tableName, column,
+            derivations.get(i).map(_(ns)).getOrElse(ns(i)))
+      }.toSeq
+    }
+  }
+
+  /** ONE pass over the existing table answering every table-side
+    * question an insert validation asks: for each requested column,
+    * how many table rows carry a value present in the batch (broadcast
+    * left-outer marker join per column — bounded batch builds, the
+    * table never shuffles and is scanned once), plus null-presence
+    * flags. Count semantics match the former per-column semi-joins:
+    * matched TABLE rows (matches imply non-null on both sides).
+    */
+  private final class TableProbe(existing: DataFrame) {
+    private val reqs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, DataFrame, String)] // (slot, batch, column)
+    private val nulls = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String)] // (slot, column)
+
+    def matchCount(slot: Int, batch: DataFrame, column: String): Unit =
+      reqs += ((slot, batch, column))
+    def nullCount(slot: Int, column: String): Unit =
+      nulls += ((slot, column))
+
+    def emit(): DataFrame = {
+      val cols = (reqs.map(_._3) ++ nulls.map(_._2)).distinct
+      var t = existing.select(cols.map(col).toSeq: _*)
+      reqs.zipWithIndex.foreach { case ((_, batch, c), j) =>
+        val keys = batch.select(col(c).as(s"_k$j"))
+          .filter(col(s"_k$j").isNotNull).distinct()
+          .withColumn(s"_m$j", lit(1))
+        t = t.join(broadcast(keys), t(c) === col(s"_k$j"), "left_outer")
+          .drop(s"_k$j")
+      }
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        (reqs.zipWithIndex.map { case ((_, _, _), j) =>
+          sum(when(col(s"_m$j") === 1, 1L).otherwise(0L)).as(s"_n$j") } ++
+        nulls.zipWithIndex.map { case ((_, c), j) =>
+          max(when(col(c).isNull, 1L).otherwise(0L)).as(s"_z$j") }).toSeq
+      val a = t.agg(aggs.head, aggs.drop(1): _*)
+      val pairs =
+        reqs.zipWithIndex.map { case ((slot, _, _), j) =>
+          struct(lit(slot).as("i"),
+            coalesce(col(s"_n$j"), lit(0L)).as("n")) } ++
+        nulls.zipWithIndex.map { case ((slot, _), j) =>
+          struct(lit(slot).as("i"),
+            coalesce(col(s"_z$j"), lit(0L)).as("n")) }
+      a.select(explode(array(pairs.toSeq: _*)).as("s"))
+        .select(col("s.i").as("i"), col("s.n").as("n"))
+    }
   }
 
   /** Distinct values of `c` appearing more than once (nulls excluded). */

@@ -208,12 +208,17 @@ object MaterializedView {
     def mmType(c: String) = delta.schema(s"d_min_$c").dataType
     // the stored min/max participate in the insert-only FOLD path, so
     // the probe carries them (aliased o_*: the recompute arm joins in
-    // its own candidates under r_*)
+    // its own candidates under r_*); the probe ALSO carries each old
+    // row's backing file (`_mv_old_file`) — the view PK is unique, so
+    // the distinct files of the probed rows ARE the merge's hit files,
+    // and mergeBatch skips its own whole-table hit probe (one view
+    // pass per batch instead of two).
+    val FileCol = "_mv_old_file"
     val sel = (df: DataFrame) => df.select(
       (Seq(col(KeyCol), col(CountCol)) ++ mv.sumCols.map(c => col(sumCol(c))) ++
         mv.minMaxCols.flatMap(c => Seq(
           col(minColName(c)).as(s"o_min_$c"),
-          col(maxColName(c)).as(s"o_max_$c")))): _*)
+          col(maxColName(c)).as(s"o_max_$c"))) :+ col(FileCol)): _*)
     // the view rows of the AFFECTED keys only: bounded key set
     // broadcasts into a map-side semi-probe of the view (plan-gated) —
     // the view never reshuffles. `old` ⊆ delta keys, so a LEFT join
@@ -221,7 +226,7 @@ object MaterializedView {
     val viewExists = viewDb.tableExists(mv.view)
     val old: DataFrame =
       if (viewExists) {
-        val o = sel(viewDb.table(mv.view))
+        val o = sel(viewDb.tableMarked(mv.view, FileCol))
           .join(broadcast(delta.select(KeyCol)), Seq(KeyCol), "left_semi")
         graft.plans.PlanGates.assertBroadcastProbe(o,
           s"MaterializedView(${mv.view}) state probe")
@@ -237,7 +242,7 @@ object MaterializedView {
           e = e.withColumn(s"o_min_$c", lit(null).cast(mmType(c)))
             .withColumn(s"o_max_$c", lit(null).cast(mmType(c)))
         }
-        e
+        e.withColumn(FileCol, lit(null).cast(DataTypes.StringType))
       }
     var m = delta.join(old, Seq(KeyCol), "left_outer")
       .withColumn(CountCol,
@@ -307,13 +312,22 @@ object MaterializedView {
             else foldMax)
       }
     }
-    val outCols = (KeyCol +: mv.keyCols) ++ (CountCol +:
+    val outCols = ((KeyCol +: mv.keyCols) ++ (CountCol +:
       mv.sumCols.map(sumCol)) ++
-      mv.minMaxCols.flatMap(c => Seq(minColName(c), maxColName(c)))
+      mv.minMaxCols.flatMap(c => Seq(minColName(c), maxColName(c)))) :+
+      FileCol
     val out = m.select(outCols.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val upserts = out.filter(col(CountCol) > 0)
+      // the hit files fall out of the persisted probe result (new
+      // groups carry a null file) — a bounded-output job over `out`,
+      // never another view scan
+      val hitFiles = graft.core.JobLabel(out.sparkSession,
+        s"mv hit files ${mv.view}") {
+        out.select(col(FileCol)).filter(col(FileCol).isNotNull)
+          .distinct().collect().map(_.getString(0))
+      }
+      val upserts = out.filter(col(CountCol) > 0).drop(FileCol)
       val deleteKeys = out.filter(col(CountCol) === 0).select(KeyCol)
       // the last-folded-source-version mark rides the SAME commit
       // (monotonic max in the ledger): after any batch, a lost
@@ -325,7 +339,8 @@ object MaterializedView {
       // validation pass (the view table has no uniques/FKs)
       viewDb.mergeBatch(mv.view, upserts, deleteKeys, appId, batchId,
         alsoRecord = vMaxOpt.map(versionLedgerKey(mv.view) -> _).toSeq,
-        replacementsDistinctByPk = true)
+        replacementsDistinctByPk = true,
+        knownHitFiles = Some(hitFiles))
       ()
     } finally { out.unpersist(); () }
   }
